@@ -1,0 +1,19 @@
+"""xclim_spark — a PySpark-native climate/time-series indicator engine.
+
+A from-scratch re-expression of the capabilities of Ouranosinc/xclim
+(reference studied read-only at /root/reference) on the Spark DataFrame
+API: calendar-anchored resampling, threshold/run-length/spell statistics,
+percentile climatologies, unit algebra, missing-data masks, distribution
+fitting, ensemble statistics — plus large-scale training-data pipeline
+operators (dedup, similarity search, text analysis).
+
+Design stance (see SURVEY.md §7): long-format fact tables
+``(time, cell..., var...)``; all metadata/unit logic in the driver;
+executors run pure Column expressions, with Arrow-batched pandas UDFs
+reserved for scipy-tier math and stateful kernels.
+"""
+
+__version__ = "0.2.0"
+
+from . import calendar, units  # noqa: F401
+from .operators import generic, missing, percentile, run_length  # noqa: F401

@@ -1,0 +1,335 @@
+"""Calendar / frequency algebra for the Spark engine.
+
+Re-expresses the reference's offset handling (``parse_offset`` /
+``construct_offset``, reference ``src/xclim/core/calendar.py:516-688``) and
+temporal predicate helpers (``select_time``,
+``src/xclim/core/calendar.py:1259-1376``) as Spark Column expressions.
+
+Design: a frequency string (pandas-style offset alias: ``"D"``, ``"MS"``,
+``"QS-DEC"``, ``"YS-JUL"``, ``"W"``, ``"3MS"`` ...) compiles to a *period
+start* expression — a DATE column marking the calendar-anchored period each
+row belongs to.  All resampling in the engine is
+``groupBy(cells..., period_start)``; Catalyst turns that into a single
+hash-aggregate with map-side partial aggregation, which is the scalable plan
+(no driver-side loops over periods, no collect).
+
+Every compiler here has a twin that emits the equivalent DuckDB SQL snippet
+(used by the correctness oracle) so the Spark plan and the SQL oracle can
+never drift apart.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "parse_offset",
+    "construct_offset",
+    "compare_offsets",
+    "is_offset_divisor",
+    "period_start",
+    "period_start_sql",
+    "select_time",
+    "select_time_sql",
+    "doy",
+    "SEASONS",
+]
+
+_MONTH_ABBR = {
+    "JAN": 1, "FEB": 2, "MAR": 3, "APR": 4, "MAY": 5, "JUN": 6,
+    "JUL": 7, "AUG": 8, "SEP": 9, "OCT": 10, "NOV": 11, "DEC": 12,
+}
+_ABBR_MONTH = {v: k for k, v in _MONTH_ABBR.items()}
+
+# Months belonging to each meteorological season (reference
+# src/xclim/core/calendar.py:1259-1376 uses the same DJF/MAM/JJA/SON split).
+SEASONS = {
+    "DJF": (12, 1, 2),
+    "MAM": (3, 4, 5),
+    "JJA": (6, 7, 8),
+    "SON": (9, 10, 11),
+}
+
+_OFFSET_RE = re.compile(r"^(\d*)\s*([A-Za-z]+?)(S)?(?:-([A-Za-z]{3}))?$")
+
+# Canonical base codes we support (pandas offset alias bases).
+_BASES = {"D", "W", "M", "Q", "Y", "A", "H", "T", "MIN"}
+
+# Approximate period length in days, for offset comparison.
+_BASE_DAYS = {"H": 1 / 24, "T": 1 / 1440, "MIN": 1 / 1440, "D": 1, "W": 7,
+              "M": 30, "Q": 90, "Y": 365, "A": 365}
+
+
+@dataclass(frozen=True)
+class Offset:
+    """Parsed frequency offset: ``mult x base``, start-anchored or not.
+
+    Mirrors the 4-tuple returned by the reference's ``parse_offset``
+    (``src/xclim/core/calendar.py:516-557``).
+    """
+
+    mult: int
+    base: str          # one of D W M Q Y H T
+    start: bool        # True for "MS"/"QS"/"YS" (start-of-period labels)
+    anchor: str | None  # month abbreviation for Q/Y anchors, else None
+
+    @property
+    def anchor_month(self) -> int:
+        if self.anchor is None:
+            # pandas: YS anchors JAN, QS anchors JAN, YE anchors DEC
+            return 1 if self.start else 12
+        return _MONTH_ABBR[self.anchor]
+
+
+def parse_offset(freq: str) -> Offset:
+    """Parse a pandas-style offset alias into an :class:`Offset`.
+
+    Supports ``D W M Q Y H min`` bases, optional integer multiplier,
+    optional ``S`` (start-anchored) suffix, and ``-MMM`` anchors
+    (``"YS-JUL"``, ``"QS-DEC"``).
+    """
+    m = _OFFSET_RE.match(freq.strip())
+    if not m:
+        raise ValueError(f"Cannot parse frequency offset {freq!r}")
+    mult_s, base, start_s, anchor = m.groups()
+    base = base.upper()
+    # Normalize pandas aliases: "A"->"Y", "AS"->"YS", "ME"->"M", "YE"->"Y"
+    if base in ("A", "AS"):
+        base = "Y"
+    if base.endswith("E") and base[:-1] in ("M", "Q", "Y"):
+        base = base[:-1]
+    if base == "MIN":
+        base = "T"
+    if base not in ("D", "W", "M", "Q", "Y", "H", "T"):
+        raise ValueError(f"Unsupported offset base in {freq!r}")
+    start = bool(start_s) or base in ("D", "W", "H", "T")
+    mult = int(mult_s) if mult_s else 1
+    if anchor is not None:
+        anchor = anchor.upper()
+        if anchor not in _MONTH_ABBR:
+            raise ValueError(f"Bad anchor month in {freq!r}")
+    return Offset(mult=mult, base=base, start=start, anchor=anchor)
+
+
+def construct_offset(mult: int, base: str, start: bool, anchor: str | None) -> str:
+    """Inverse of :func:`parse_offset` (reference calendar.py:560-600)."""
+    s = "S" if start and base in ("M", "Q", "Y") else ""
+    a = f"-{anchor}" if anchor else ""
+    m = str(mult) if mult != 1 else ""
+    return f"{m}{base}{s}{a}"
+
+
+def compare_offsets(freq_a: str, op: str, freq_b: str) -> bool:
+    """Approximate length comparison of two freqs (calendar.py:601-640)."""
+    a = parse_offset(freq_a)
+    b = parse_offset(freq_b)
+    da = a.mult * _BASE_DAYS[a.base]
+    db = b.mult * _BASE_DAYS[b.base]
+    import operator as _op
+
+    ops = {">": _op.gt, "<": _op.lt, ">=": _op.ge, "<=": _op.le,
+           "==": _op.eq, "!=": _op.ne}
+    return ops[op](da, db)
+
+
+def is_offset_divisor(divisor: str, offset: str) -> bool:
+    """Can series at freq ``divisor`` be resampled to ``offset``?
+
+    (reference calendar.py:641-688) — approximate: divisor must be <= and
+    the bases nest (D|W into M/Q/Y; M into Q/Y; Q into Y).
+    """
+    d = parse_offset(divisor)
+    o = parse_offset(offset)
+    order = {"T": 0, "H": 1, "D": 2, "W": 3, "M": 4, "Q": 5, "Y": 6}
+    if order[d.base] > order[o.base]:
+        return False
+    if d.base == "W" and o.base in ("M", "Q", "Y"):
+        return False  # weeks don't nest into months
+    return True
+
+
+# ---------------------------------------------------------------------------
+# Period-start expression compiler
+# ---------------------------------------------------------------------------
+
+def period_start(time: Column | str, freq: str) -> Column:
+    """Spark DATE column: start of the ``freq`` period containing ``time``.
+
+    This is the engine's replacement for the reference's
+    ``da.resample(time=freq)`` grouper (``src/xclim/indices/generic.py:83-125``):
+    resampling is ``groupBy(period_start(time, freq))``.
+
+    Anchored years/quarters (``YS-JUL``, ``QS-DEC``) compile to
+    ``add_months(trunc(add_months(t, -shift), unit), shift)`` — pure
+    built-in expressions, fully codegen'd, no UDF.
+    """
+    t = F.col(time) if isinstance(time, str) else time
+    off = parse_offset(freq)
+    if off.mult != 1 and off.base not in ("D", "H", "T"):
+        raise ValueError(f"Multiples only supported for D/H/min bases, got {freq!r}")
+
+    if off.base == "D":
+        if off.mult == 1:
+            return F.to_date(t)
+        # n-day bins anchored at the unix epoch (deterministic, data-independent)
+        days = F.datediff(F.to_date(t), F.lit("1970-01-01"))
+        return F.date_add(F.lit("1970-01-01").cast("date"),
+                          (F.floor(days / off.mult) * off.mult).cast("int"))
+    if off.base == "W":
+        return F.trunc(t, "week")  # Monday, same as DuckDB date_trunc('week')
+    if off.base == "M":
+        return F.trunc(t, "month")
+    if off.base == "Q":
+        shift = (off.anchor_month - 1) % 3
+        if shift == 0:
+            return F.trunc(t, "quarter")
+        return F.add_months(F.trunc(F.add_months(t, -shift), "quarter"), shift)
+    if off.base == "Y":
+        shift = off.anchor_month - 1
+        if shift == 0:
+            return F.trunc(t, "year")
+        return F.add_months(F.trunc(F.add_months(t, -shift), "year"), shift)
+    if off.base == "H":
+        return F.date_trunc("hour", t)  # timestamp, not date
+    if off.base == "T":
+        return F.date_trunc("minute", t)
+    raise ValueError(f"Unsupported freq {freq!r}")
+
+
+def period_start_sql(time_expr: str, freq: str) -> str:
+    """DuckDB SQL equivalent of :func:`period_start` (oracle twin)."""
+    off = parse_offset(freq)
+    if off.base == "D":
+        if off.mult == 1:
+            return f"CAST(date_trunc('day', {time_expr}) AS DATE)"
+        n = off.mult
+        return (
+            f"CAST(DATE '1970-01-01' + INTERVAL (CAST(FLOOR("
+            f"date_diff('day', DATE '1970-01-01', CAST({time_expr} AS DATE)) / {n}"
+            f") AS INTEGER) * {n}) DAY AS DATE)"
+        )
+    if off.base == "W":
+        return f"CAST(date_trunc('week', {time_expr}) AS DATE)"
+    if off.base == "M":
+        return f"CAST(date_trunc('month', {time_expr}) AS DATE)"
+    if off.base in ("Q", "Y"):
+        unit = "quarter" if off.base == "Q" else "year"
+        shift = ((off.anchor_month - 1) % 3) if off.base == "Q" else (off.anchor_month - 1)
+        if shift == 0:
+            return f"CAST(date_trunc('{unit}', {time_expr}) AS DATE)"
+        return (
+            f"CAST(date_trunc('{unit}', {time_expr} - INTERVAL {shift} MONTH)"
+            f" + INTERVAL {shift} MONTH AS DATE)"
+        )
+    if off.base == "H":
+        return f"date_trunc('hour', {time_expr})"
+    if off.base == "T":
+        return f"date_trunc('minute', {time_expr})"
+    raise ValueError(f"Unsupported freq {freq!r}")
+
+
+def doy(time: Column | str) -> Column:
+    """Day-of-year expression (1-366)."""
+    t = F.col(time) if isinstance(time, str) else time
+    return F.dayofyear(t)
+
+
+# ---------------------------------------------------------------------------
+# Temporal predicates — select_time (reference calendar.py:1259-1376)
+# ---------------------------------------------------------------------------
+
+def _doy_from_mmdd(s: str) -> tuple[int, int]:
+    mm, dd = s.split("-")
+    return int(mm), int(dd)
+
+
+def select_time(
+    time: Column | str,
+    *,
+    season: str | list[str] | None = None,
+    month: int | list[int] | None = None,
+    doy_bounds: tuple[int, int] | None = None,
+    date_bounds: tuple[str, str] | None = None,
+    include_bounds: bool | tuple[bool, bool] = True,
+) -> Column:
+    """Boolean Column implementing the reference's ``select_time`` indexer.
+
+    The returned predicate is pushed into ``df.filter`` so Catalyst can push
+    it to the parquet scan (temporal predicate pushdown — the reference does
+    this by hand in ``IndexingIndicator``, indicator.py:1646-1654; here it is
+    free).
+
+    ``doy_bounds``/``date_bounds`` wrap around the year end when
+    ``start > end`` (e.g. doy 300→50), matching the reference semantics.
+    """
+    t = F.col(time) if isinstance(time, str) else time
+    preds = []
+    if season is not None:
+        seasons = [season] if isinstance(season, str) else list(season)
+        months: list[int] = []
+        for s in seasons:
+            months.extend(SEASONS[s.upper()])
+        preds.append(F.month(t).isin(months))
+    if month is not None:
+        months = [month] if isinstance(month, int) else list(month)
+        preds.append(F.month(t).isin(months))
+    if doy_bounds is not None:
+        lo, hi = doy_bounds
+        d = F.dayofyear(t)
+        if lo <= hi:
+            preds.append((d >= lo) & (d <= hi))
+        else:  # wrap around year end
+            preds.append((d >= lo) | (d <= hi))
+    if date_bounds is not None:
+        (m1, d1) = _doy_from_mmdd(date_bounds[0])
+        (m2, d2) = _doy_from_mmdd(date_bounds[1])
+        key = F.month(t) * 100 + F.dayofmonth(t)
+        k1, k2 = m1 * 100 + d1, m2 * 100 + d2
+        if k1 <= k2:
+            preds.append((key >= k1) & (key <= k2))
+        else:
+            preds.append((key >= k1) | (key <= k2))
+    if not preds:
+        return F.lit(True)
+    out = preds[0]
+    for p in preds[1:]:
+        out = out & p
+    return out
+
+
+def select_time_sql(
+    time_expr: str,
+    *,
+    season: str | list[str] | None = None,
+    month: int | list[int] | None = None,
+    doy_bounds: tuple[int, int] | None = None,
+    date_bounds: tuple[str, str] | None = None,
+) -> str:
+    """DuckDB SQL predicate equivalent of :func:`select_time` (oracle twin)."""
+    preds = []
+    if season is not None:
+        seasons = [season] if isinstance(season, str) else list(season)
+        months: list[int] = []
+        for s in seasons:
+            months.extend(SEASONS[s.upper()])
+        preds.append(f"month({time_expr}) IN ({','.join(map(str, months))})")
+    if month is not None:
+        months = [month] if isinstance(month, int) else list(month)
+        preds.append(f"month({time_expr}) IN ({','.join(map(str, months))})")
+    if doy_bounds is not None:
+        lo, hi = doy_bounds
+        d = f"dayofyear({time_expr})"
+        preds.append(f"({d} >= {lo} AND {d} <= {hi})" if lo <= hi
+                     else f"({d} >= {lo} OR {d} <= {hi})")
+    if date_bounds is not None:
+        (m1, d1) = _doy_from_mmdd(date_bounds[0])
+        (m2, d2) = _doy_from_mmdd(date_bounds[1])
+        key = f"(month({time_expr})*100 + dayofmonth({time_expr}))"
+        k1, k2 = m1 * 100 + d1, m2 * 100 + d2
+        preds.append(f"({key} >= {k1} AND {key} <= {k2})" if k1 <= k2
+                     else f"({key} >= {k1} OR {key} <= {k2})")
+    return " AND ".join(preds) if preds else "TRUE"

@@ -1,0 +1,373 @@
+"""Generic operator algebra: compare / threshold / resample-reduce.
+
+Spark-first re-expression of the reference's generic kernel layer
+(``src/xclim/indices/generic.py``).  Everything here is pure Column
+expressions + ``groupBy`` — no UDFs, fully whole-stage-codegen'd, map-side
+partial aggregation, shuffle only on (cell, period) keys.  That plan holds
+at 100 TB: the shuffle key cardinality is cells x periods, values are
+pre-combined per map task.
+
+Conventions
+-----------
+Operators take a long-format DataFrame plus column names:
+
+* ``time`` — TIMESTAMP/DATE column (the privileged axis),
+* ``cells`` — list of key columns identifying a series (lat/lon, station id…),
+* ``var`` — the value column.
+
+They return a DataFrame grouped by ``cells + [period]`` with aliased result
+columns, so results compose and compare cleanly against SQL oracles.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..calendar import period_start, select_time
+
+__all__ = [
+    "get_op",
+    "compare",
+    "get_daily_events",
+    "threshold_count",
+    "domain_count",
+    "get_zones",
+    "select_resample_op",
+    "select_rolling_resample_op",
+    "statistics",
+    "thresholded_statistics",
+    "temperature_sum",
+    "cumulative_difference",
+    "aggregate_between_dates",
+    "REDUCERS",
+]
+
+# ---------------------------------------------------------------------------
+# compare / get_op  (reference generic.py:255-326)
+# ---------------------------------------------------------------------------
+
+_OP_ALIASES = {
+    "gt": ">", "lt": "<", "ge": ">=", "le": "<=", "eq": "==", "ne": "!=",
+    ">": ">", "<": "<", ">=": ">=", "<=": "<=", "==": "==", "!=": "!=",
+}
+
+
+def get_op(op: str):
+    """Validate an op string and return a Column->Column comparator.
+
+    Mirrors ``get_op`` (reference generic.py:255-299) including the alias
+    set; returns a function of (left, right) -> BooleanType Column.
+    """
+    sym = _OP_ALIASES.get(op)
+    if sym is None:
+        raise ValueError(f"Operation {op!r} not recognized.")
+    import operator as _o
+
+    return {
+        ">": _o.gt, "<": _o.lt, ">=": _o.ge, "<=": _o.le,
+        "==": lambda a, b: a == b, "!=": lambda a, b: a != b,
+    }[sym]
+
+
+def compare(left: Column | str, op: str, right) -> Column:
+    """Boolean mask ``left op right`` (reference generic.py:301-326).
+
+    ``right`` may be a scalar, a Column (threshold-as-array: spatially or
+    temporally varying threshold joined onto the row), or a literal.
+    """
+    lc = F.col(left) if isinstance(left, str) else left
+    return get_op(op)(lc, right if isinstance(right, Column) else F.lit(right))
+
+
+def get_daily_events(var: Column | str, op: str, thresh) -> Column:
+    """0/1 event column with NULL propagation (reference generic.py:395-431)."""
+    v = F.col(var) if isinstance(var, str) else var
+    return F.when(v.isNull(), F.lit(None).cast("int")).otherwise(
+        compare(v, op, thresh).cast("int")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reducer registry for resample-reduce
+# ---------------------------------------------------------------------------
+
+def _doy_extreme(df_cols, time, var, best: str) -> Column:
+    """day-of-year of the max/min value, ties broken by earliest time.
+
+    Implements ``doymax``/``doymin`` (reference generic.py:177-196) as
+    ``max_by(doy, struct(value, -epoch))`` — a single aggregate, no window.
+    """
+    v = F.col(var)
+    t = F.col(time)
+    # order key: (value, descending time) so earliest timestamp wins ties
+    key = F.struct((v if best == "max" else -v).alias("v"),
+                   (-F.unix_timestamp(t)).alias("tneg"))
+    return F.max_by(F.dayofyear(t), key)
+
+
+REDUCERS = {
+    "min": lambda time, var: F.min(var),
+    "max": lambda time, var: F.max(var),
+    "mean": lambda time, var: F.avg(var),
+    "sum": lambda time, var: F.sum(var),
+    "count": lambda time, var: F.count(var),
+    "std": lambda time, var: F.stddev_pop(var),   # ddof=0, as numpy/xarray default
+    "var": lambda time, var: F.var_pop(var),
+    "median": lambda time, var: F.median(var),
+    "doymax": lambda time, var: _doy_extreme(None, time, var, "max"),
+    "doymin": lambda time, var: _doy_extreme(None, time, var, "min"),
+}
+
+# DuckDB twins for the oracle harness.
+REDUCERS_SQL = {
+    "min": "min({v})",
+    "max": "max({v})",
+    "mean": "avg({v})",
+    "sum": "sum({v})",
+    "count": "count({v})",
+    "std": "stddev_pop({v})",
+    "var": "var_pop({v})",
+    "median": "median({v})",
+    "doymax": "arg_max(dayofyear({t}), ({v}, -epoch({t})))",
+    "doymin": "arg_max(dayofyear({t}), (-{v}, -epoch({t})))",
+}
+
+
+def _grouped(df: DataFrame, cells: Sequence[str], time: str, freq: str):
+    return df.withColumn("period", period_start(time, freq)).groupBy(
+        *cells, "period"
+    )
+
+
+# ---------------------------------------------------------------------------
+# The central aggregate: select_resample_op (reference generic.py:83-125)
+# ---------------------------------------------------------------------------
+
+def select_resample_op(
+    df: DataFrame,
+    var: str,
+    op: str,
+    freq: str,
+    *,
+    time: str = "time",
+    cells: Sequence[str] = (),
+    alias: str | None = None,
+    **indexer,
+) -> DataFrame:
+    """Optional time filter -> resample(freq) -> reducer.
+
+    The reference's single most-used kernel.  ``indexer`` kwargs are
+    ``select_time`` args (season=/month=/doy_bounds=/date_bounds=).
+    ``op`` may also be a callable (Column reducer), matching the reference's
+    callable-reducer extension point (generic.py:111-118).
+    """
+    if indexer:
+        df = df.filter(select_time(time, **indexer))
+    if callable(op):
+        agg = op(F.col(var)).alias(alias or "value")
+    else:
+        agg = REDUCERS[op](time, var).alias(alias or op)
+    return _grouped(df, cells, time, freq).agg(agg)
+
+
+def select_rolling_resample_op(
+    df: DataFrame,
+    var: str,
+    op: str,
+    freq: str,
+    *,
+    window: int,
+    window_op: str = "mean",
+    window_center: bool = False,
+    time: str = "time",
+    cells: Sequence[str] = (),
+    order_extra: Sequence[str] = (),
+    min_periods: int | None = None,
+    alias: str | None = None,
+    **indexer,
+) -> DataFrame:
+    """Rolling reducer along time, then resample-reduce.
+
+    (reference generic.py:128-174).  Rolling = row-based window partitioned
+    by cell, ordered by time — one shuffle on the cell key that the
+    subsequent groupBy reuses when cells are a prefix of the group key.
+
+    ``min_periods`` mirrors xarray's rolling minimum-count semantics: with
+    fewer than ``min_periods`` rows in the window the result is NULL
+    (xarray default = window size).
+    """
+    w = (
+        Window.partitionBy(*cells)
+        .orderBy(*( [time] + list(order_extra) ))
+    )
+    if window_center:
+        w = w.rowsBetween(-(window // 2), window - window // 2 - 1)
+    else:
+        w = w.rowsBetween(-(window - 1), 0)
+    roll = {
+        "mean": F.avg, "sum": F.sum, "min": F.min, "max": F.max,
+        "std": F.stddev_pop, "var": F.var_pop,
+    }[window_op](F.col(var)).over(w)
+    need = window if min_periods is None else min_periods
+    cnt = F.count(F.col(var)).over(w)
+    df = df.withColumn("_roll", F.when(cnt >= need, roll))
+    return select_resample_op(
+        df, "_roll", op, freq, time=time, cells=cells,
+        alias=alias or f"{op}_{window_op}{window}", **indexer,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Threshold family (reference generic.py:329-392, 1255-1357)
+# ---------------------------------------------------------------------------
+
+def threshold_count(
+    df: DataFrame, var: str, op: str, thresh, freq: str, *,
+    time: str = "time", cells: Sequence[str] = (), alias: str = "count",
+    constrain: Sequence[str] | None = None, **indexer,
+) -> DataFrame:
+    """Count of days where ``var op thresh`` per period (generic.py:329-361)."""
+    if constrain and _OP_ALIASES[op] not in constrain:
+        raise ValueError(f"Operator {op!r} not permitted here")
+    if indexer:
+        df = df.filter(select_time(time, **indexer))
+    cond = compare(var, op, thresh)
+    return _grouped(df, cells, time, freq).agg(
+        F.sum(cond.cast("long")).alias(alias)
+    )
+
+
+def domain_count(
+    df: DataFrame, var: str, low, high, freq: str, *,
+    time: str = "time", cells: Sequence[str] = (), alias: str = "count",
+    **indexer,
+) -> DataFrame:
+    """Count of days where ``low < var <= high`` per period (generic.py:364-392)."""
+    if indexer:
+        df = df.filter(select_time(time, **indexer))
+    cond = compare(var, ">", low) & compare(var, "<=", high)
+    return _grouped(df, cells, time, freq).agg(
+        F.sum(cond.cast("long")).alias(alias)
+    )
+
+
+def get_zones(
+    var: Column | str,
+    zone_min: float,
+    zone_max: float,
+    zone_step: float,
+) -> Column:
+    """Bucketize values into equal-width zones (generic.py:1642-1708).
+
+    Returns the zone index (0-based below min .. n+1 above max), matching
+    ``width_bucket`` semantics on both Spark and DuckDB.
+    """
+    v = F.col(var) if isinstance(var, str) else var
+    n = int(round((zone_max - zone_min) / zone_step))
+    return F.width_bucket(v, F.lit(float(zone_min)), F.lit(float(zone_max)), F.lit(n))
+
+
+def statistics(
+    df: DataFrame, var: str, op: str, freq: str, *,
+    time: str = "time", cells: Sequence[str] = (), alias: str | None = None,
+    **indexer,
+) -> DataFrame:
+    """Plain period reducer (reference generic.py:1255-1278)."""
+    return select_resample_op(df, var, op, freq, time=time, cells=cells,
+                              alias=alias, **indexer)
+
+
+def thresholded_statistics(
+    df: DataFrame, var: str, op: str, thresh_op: str, thresh, freq: str, *,
+    time: str = "time", cells: Sequence[str] = (), alias: str | None = None,
+    **indexer,
+) -> DataFrame:
+    """Reducer over only the rows satisfying the threshold condition
+    (reference generic.py:1279-1323): ``agg(op(when(cond, var)))``."""
+    if indexer:
+        df = df.filter(select_time(time, **indexer))
+    cond = compare(var, thresh_op, thresh)
+    masked = F.when(cond, F.col(var))
+    agg = REDUCERS[op](time, "_masked") if op in ("doymax", "doymin") else {
+        "min": F.min, "max": F.max, "mean": F.avg, "sum": F.sum,
+        "count": F.count, "std": F.stddev_pop, "var": F.var_pop,
+        "median": F.median,
+    }[op](masked)
+    if op in ("doymax", "doymin"):
+        df = df.withColumn("_masked", masked)
+    return _grouped(df, cells, time, freq).agg(agg.alias(alias or op))
+
+
+def temperature_sum(
+    df: DataFrame, var: str, op: str, thresh, freq: str, *,
+    time: str = "time", cells: Sequence[str] = (), alias: str = "degree_days",
+    **indexer,
+) -> DataFrame:
+    """Degree-day sum: signed ``sum(var - thresh)`` where ``var op thresh``
+    (reference generic.py:1324-1357).  Sign is negative for ``<`` ops."""
+    if indexer:
+        df = df.filter(select_time(time, **indexer))
+    cond = compare(var, op, thresh)
+    direction = -1.0 if _OP_ALIASES[op] in ("<", "<=") else 1.0
+    term = F.when(cond, (F.col(var) - F.lit(thresh)) * direction).otherwise(0.0)
+    return _grouped(df, cells, time, freq).agg(F.sum(term).alias(alias))
+
+
+def cumulative_difference(
+    df: DataFrame, var: str, op: str, thresh, *,
+    freq: str | None = None, time: str = "time", cells: Sequence[str] = (),
+    alias: str = "cumulative_difference",
+) -> DataFrame:
+    """Degree-days with optional freq=None passthrough
+    (reference generic.py:1515-1555).  With ``freq=None`` returns the
+    running cumulative sum per cell (window), else a period sum."""
+    cond = compare(var, op, thresh)
+    direction = -1.0 if _OP_ALIASES[op] in ("<", "<=") else 1.0
+    term = F.when(cond, (F.col(var) - F.lit(thresh)) * direction).otherwise(0.0)
+    if freq is None:
+        w = (Window.partitionBy(*cells).orderBy(time)
+             .rowsBetween(Window.unboundedPreceding, 0))
+        return df.withColumn(alias, F.sum(term).over(w))
+    return _grouped(df, cells, time, freq).agg(F.sum(term).alias(alias))
+
+
+def aggregate_between_dates(
+    df: DataFrame, var: str, op: str, *,
+    start_doy: int, end_doy: int, freq: str = "YS",
+    time: str = "time", cells: Sequence[str] = (), alias: str | None = None,
+) -> DataFrame:
+    """Reduce ``var`` between two day-of-year bounds per year
+    (reference generic.py:1417-1512; scalar-bounds form).
+
+    Array-valued bounds (per-cell start/end tables) are supported by joining
+    the bounds DataFrame beforehand and filtering — see
+    ``aggregate_between_date_cols``.
+    """
+    d = F.dayofyear(time)
+    df = df.filter((d >= start_doy) & (d <= end_doy))
+    return select_resample_op(df, var, op, freq, time=time, cells=cells,
+                              alias=alias)
+
+
+def aggregate_between_date_cols(
+    df: DataFrame, var: str, op: str, bounds: DataFrame, *,
+    freq: str = "YS", time: str = "time", cells: Sequence[str] = (),
+    alias: str | None = None,
+) -> DataFrame:
+    """Array-bounds variant of :func:`aggregate_between_dates`.
+
+    ``bounds`` has columns ``cells... , period, start_doy, end_doy`` (one row
+    per cell-year, e.g. from ``first_run``/``season_start``).  The join is a
+    broadcast when the bounds table is small (one row per cell-year), which
+    Spark chooses automatically under AQE; the fact table is filtered by the
+    joined bounds then aggregated.
+    """
+    df = df.withColumn("period", period_start(time, freq))
+    j = df.join(F.broadcast(bounds), on=[*cells, "period"], how="inner")
+    d = F.dayofyear(time)
+    j = j.filter((d >= F.col("start_doy")) & (d <= F.col("end_doy")))
+    agg = REDUCERS[op](time, var).alias(alias or op)
+    return j.groupBy(*cells, "period").agg(agg)

@@ -1,0 +1,173 @@
+"""Missing-value masks (reference ``src/xclim/core/missing.py:64-523``).
+
+Each mask answers "is this (cell, period) aggregate invalid because of
+missing source data?".  The denominator — how many values a complete period
+*should* contain — is computed from the calendar itself
+(``expected_count``, reference missing.py:64-160): for daily data that is
+``datediff(next_period_start, period_start)``, a pure expression, no
+calendar table materialization, no driver loop.
+
+Masks return a DataFrame keyed by (cells, period) with a boolean
+``is_missing`` column; indicator post-processing left-joins it and nulls
+out flagged periods — the same two-step the reference applies in
+``CheckMissingIndicator._postprocess`` (indicator.py:1522-1549).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..calendar import parse_offset, period_start
+
+__all__ = [
+    "expected_count",
+    "missing_any",
+    "missing_pct",
+    "missing_at_least_n",
+    "missing_wmo",
+    "mask_missing",
+    "register_missing_method",
+    "MISSING_METHODS",
+]
+
+
+def expected_count(period_col: str, freq: str, src_freq: str = "D"):
+    """Expression: number of ``src_freq`` steps in the ``freq`` period
+    starting at ``period_col`` (reference missing.py:64-160)."""
+    off = parse_offset(freq)
+    src = parse_offset(src_freq)
+    if src.base != "D" or src.mult != 1:
+        raise NotImplementedError("expected_count supports daily sources")
+    p = F.col(period_col)
+    if off.base == "D":
+        return F.lit(off.mult)
+    if off.base == "W":
+        return F.lit(7)
+    if off.base == "M":
+        nxt = F.add_months(p, 1)
+    elif off.base == "Q":
+        nxt = F.add_months(p, 3)
+    elif off.base == "Y":
+        nxt = F.add_months(p, 12)
+    else:
+        raise NotImplementedError(freq)
+    return F.datediff(nxt, p)
+
+
+def _base(df: DataFrame, var: str, freq: str, time: str, cells: Sequence[str]):
+    return (
+        df.withColumn("period", period_start(time, freq))
+        .groupBy(*cells, "period")
+        .agg(
+            F.count(var).alias("_valid"),
+            F.count(F.lit(1)).alias("_rows"),
+        )
+    )
+
+
+def missing_any(
+    df: DataFrame, var: str, freq: str, *, time: str = "time",
+    cells: Sequence[str] = (), src_freq: str = "D",
+) -> DataFrame:
+    """Period invalid if ANY expected value is missing (missing.py:163-220).
+
+    Counts both explicit NULLs and absent rows (the reference sees absent
+    timesteps after reindexing; we compare against the calendar count).
+    """
+    g = _base(df, var, freq, time, cells)
+    return g.withColumn(
+        "is_missing", F.col("_valid") < expected_count("period", freq, src_freq)
+    ).drop("_valid", "_rows")
+
+
+def missing_pct(
+    df: DataFrame, var: str, freq: str, tolerance: float, *,
+    time: str = "time", cells: Sequence[str] = (), src_freq: str = "D",
+) -> DataFrame:
+    """Invalid if more than ``tolerance`` fraction missing (missing.py:221-280)."""
+    g = _base(df, var, freq, time, cells)
+    exp = expected_count("period", freq, src_freq)
+    return g.withColumn(
+        "is_missing", (exp - F.col("_valid")) / exp > F.lit(tolerance)
+    ).drop("_valid", "_rows")
+
+
+def missing_at_least_n(
+    df: DataFrame, var: str, freq: str, n: int, *,
+    time: str = "time", cells: Sequence[str] = (), src_freq: str = "D",
+) -> DataFrame:
+    """Invalid unless at least n valid values (missing.py:281-337)."""
+    g = _base(df, var, freq, time, cells)
+    return g.withColumn("is_missing", F.col("_valid") < F.lit(n)).drop(
+        "_valid", "_rows"
+    )
+
+
+def missing_wmo(
+    df: DataFrame, var: str, freq: str, *, nm: int = 11, nc: int = 5,
+    time: str = "time", cells: Sequence[str] = (), src_freq: str = "D",
+) -> DataFrame:
+    """WMO rule (missing.py:434-523): invalid if > nm values missing OR any
+    run of >= nc consecutive missing values.  The consecutive-missing run is
+    a sessionization window over the *present* rows: a gap of k missing days
+    between consecutive present rows shows up as ``datediff > k`` — so we
+    detect runs without materializing the absent rows (scales: no calendar
+    explode of the fact table)."""
+    w = Window.partitionBy(*cells, "period").orderBy(time)
+    df = df.withColumn("period", period_start(time, freq))
+    # gap before this row (within period), in src steps; NULL-valued rows
+    # count as missing too, so treat them as absent for gap purposes.
+    present = df.filter(F.col(var).isNotNull())
+    present = present.withColumn(
+        "_gap",
+        F.datediff(F.col(time), F.lag(time).over(w)) - 1,
+    )
+    exp = expected_count("period", freq, src_freq)
+    lead_gap = F.datediff(F.col(time), F.col("period"))  # missing at period head
+    per = present.groupBy(*cells, "period").agg(
+        F.count(F.lit(1)).alias("_valid"),
+        F.max(F.coalesce("_gap", F.lit(0))).alias("_max_gap"),
+        F.min(lead_gap).alias("_head_gap"),
+        F.max(F.col(time)).alias("_last"),
+    )
+    tail_gap = exp - 1 - F.datediff(F.col("_last"), F.col("period"))
+    missing_total = exp - F.col("_valid")
+    max_run = F.greatest("_max_gap", "_head_gap", tail_gap)
+    return per.withColumn(
+        "is_missing", (missing_total > nm) | (max_run >= nc)
+    ).select(*cells, "period", "is_missing")
+
+
+def mask_missing(
+    result: DataFrame, missing: DataFrame, value_cols: Sequence[str], *,
+    keys: Sequence[str],
+) -> DataFrame:
+    """Null out flagged periods (the reference's ``where(~mask)`` step)."""
+    j = result.join(missing, on=list(keys), how="left")
+    for c in value_cols:
+        j = j.withColumn(
+            c, F.when(F.coalesce("is_missing", F.lit(False)), None).otherwise(F.col(c))
+        )
+    return j.drop("is_missing")
+
+
+MISSING_METHODS = {
+    "any": missing_any,
+    "pct": missing_pct,
+    "at_least_n": missing_at_least_n,
+    "wmo": missing_wmo,
+}
+
+
+def register_missing_method(name: str):
+    """Extension point mirroring ``register_missing_method``
+    (reference src/xclim/core/options.py:88)."""
+
+    def deco(fn):
+        MISSING_METHODS[name] = fn
+        return fn
+
+    return deco

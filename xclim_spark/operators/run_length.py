@@ -1,0 +1,551 @@
+"""Run-length / spell / event compiler — xclim's signature operator family.
+
+Re-expresses the reference's ``src/xclim/indices/run_length.py`` (cumsum-reset
+tricks + numba 1-D kernels) as the classic relational **sessionization**
+pattern:
+
+    run_id = count of condition *changes* OVER (PARTITION BY cell ORDER BY time)
+
+followed by ``groupBy(cell, run_id)``.  One shuffle on the cell key; every
+downstream run statistic is an ordinary aggregate over the runs table, and
+chained run-length ops reuse the same partitioning (Spark's window exchange
+reuse), so the plan scales linearly with data volume at constant shuffle
+count.
+
+``resample_before_rl`` (reference run_length.py:87-132) decides whether runs
+may cross resampling-period boundaries: True partitions the run window by
+(cell, period) — runs truncate at boundaries; False partitions by cell only
+and stamps each run with the period of its first element.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..calendar import period_start
+
+__all__ = [
+    "with_run_id",
+    "runs_table",
+    "rle",
+    "rle_statistics",
+    "longest_run",
+    "windowed_run_count",
+    "windowed_run_events",
+    "windowed_max_run_sum",
+    "first_run",
+    "last_run",
+    "run_bounds",
+    "keep_longest_run",
+    "spell_mask",
+    "spell_length_statistics",
+    "runs_with_holes",
+    "find_events",
+    "season_bounds",
+]
+
+
+def _order_cols(time: str, order_extra: Sequence[str]) -> list:
+    return [F.col(time)] + [F.col(c) for c in order_extra]
+
+
+def with_run_id(
+    df: DataFrame,
+    cond: Column,
+    *,
+    time: str = "time",
+    cells: Sequence[str] = (),
+    order_extra: Sequence[str] = (),
+    partition_extra: Sequence[str] = (),
+    cond_name: str = "_cond",
+    run_name: str = "_run_id",
+) -> DataFrame:
+    """Assign a run id that increments whenever ``cond`` changes value.
+
+    Equivalent to the reference's ``_cumsum_reset`` trick
+    (run_length.py:144-219) but expressed as a lag-compare + running sum —
+    a single window over (cells, order) that Catalyst evaluates in one pass.
+    """
+    part = [*cells, *partition_extra]
+    w = Window.partitionBy(*part).orderBy(*_order_cols(time, order_extra))
+    df = df.withColumn(cond_name, cond.cast("boolean"))
+    chg = (
+        F.lag(cond_name).over(w).isNull()
+        | (F.col(cond_name) != F.lag(cond_name).over(w))
+    ).cast("long")
+    wsum = w.rowsBetween(Window.unboundedPreceding, 0)
+    return df.withColumn(run_name, F.sum(chg).over(wsum))
+
+
+def runs_table(
+    df: DataFrame,
+    cond: Column,
+    *,
+    time: str = "time",
+    cells: Sequence[str] = (),
+    order_extra: Sequence[str] = (),
+    freq: str | None = None,
+    resample_before_rl: bool = True,
+    sum_var: str | None = None,
+) -> DataFrame:
+    """One row per maximal run of True ``cond``: the engine's runs CTE.
+
+    Output columns: ``cells... , period?, run_start, run_end, run_length
+    [, run_sum]``.  This is the common substrate for ``rle_statistics``,
+    ``longest_run``, ``windowed_run_*``, ``first_run``, ``run_bounds``,
+    ``find_events`` (reference run_length.py:223-1901).
+    """
+    part_extra: list[str] = []
+    if freq is not None and resample_before_rl:
+        df = df.withColumn("period", period_start(time, freq))
+        part_extra = ["period"]
+    df = with_run_id(df, cond, time=time, cells=cells,
+                     order_extra=order_extra, partition_extra=part_extra)
+    true_rows = df.filter(F.col("_cond"))
+    aggs = [
+        F.min(time).alias("run_start"),
+        F.max(time).alias("run_end"),
+        F.count(F.lit(1)).alias("run_length"),
+    ]
+    if sum_var is not None:
+        aggs.append(F.sum(sum_var).alias("run_sum"))
+    keys = [*cells, *part_extra, "_run_id"]
+    runs = true_rows.groupBy(*keys).agg(*aggs)
+    if freq is not None and not resample_before_rl:
+        # period of the run's first element (runs may cross boundaries)
+        runs = runs.withColumn("period", period_start("run_start", freq))
+    return runs.drop("_run_id")
+
+
+# ---------------------------------------------------------------------------
+# Run statistics (reference run_length.py:223-543)
+# ---------------------------------------------------------------------------
+
+def rle(
+    df: DataFrame, cond: Column, *, time: str = "time",
+    cells: Sequence[str] = (), order_extra: Sequence[str] = (),
+) -> DataFrame:
+    """Stamp each row with the length of the run it belongs to
+    (reference ``rle``, run_length.py:223-272): a count window over
+    (cell, run_id) — no extra shuffle beyond the run-id window."""
+    df = with_run_id(df, cond, time=time, cells=cells, order_extra=order_extra)
+    w = Window.partitionBy(*cells, "_run_id")
+    return df.withColumn(
+        "run_length",
+        F.when(F.col("_cond"), F.count(F.lit(1)).over(w)),
+    ).drop("_run_id")
+
+
+def _runs_grouped(runs: DataFrame, cells: Sequence[str], freq: str | None):
+    keys = [*cells] + (["period"] if freq is not None else [])
+    return runs.groupBy(*keys)
+
+
+def rle_statistics(
+    df: DataFrame, cond: Column, reducer: str, window: int, *,
+    freq: str | None = None, time: str = "time", cells: Sequence[str] = (),
+    order_extra: Sequence[str] = (), resample_before_rl: bool = True,
+    alias: str = "rle_stat",
+) -> DataFrame:
+    """Reducer over run lengths >= window per period
+    (reference run_length.py:275-335)."""
+    runs = runs_table(df, cond, time=time, cells=cells, freq=freq,
+                      order_extra=order_extra,
+                      resample_before_rl=resample_before_rl)
+    qual = F.when(F.col("run_length") >= window, F.col("run_length"))
+    red = {"max": F.max, "min": F.min, "mean": F.avg, "sum": F.sum,
+           "count": F.count, "std": F.stddev_pop}[reducer]
+    return _runs_grouped(runs, cells, freq).agg(
+        F.coalesce(red(qual), F.lit(0)).alias(alias)
+    )
+
+
+def longest_run(
+    df: DataFrame, cond: Column, *, freq: str | None = None,
+    time: str = "time", cells: Sequence[str] = (),
+    order_extra: Sequence[str] = (), resample_before_rl: bool = True,
+    alias: str = "longest_run",
+) -> DataFrame:
+    """Max run length per period (reference run_length.py:338-380)."""
+    return rle_statistics(df, cond, "max", 1, freq=freq, time=time,
+                          cells=cells, order_extra=order_extra,
+                          resample_before_rl=resample_before_rl, alias=alias)
+
+
+def windowed_run_count(
+    df: DataFrame, cond: Column, window: int, *, freq: str | None = None,
+    time: str = "time", cells: Sequence[str] = (),
+    order_extra: Sequence[str] = (), resample_before_rl: bool = True,
+    alias: str = "days",
+) -> DataFrame:
+    """Total days belonging to runs >= window (reference run_length.py:437-490)."""
+    runs = runs_table(df, cond, time=time, cells=cells, freq=freq,
+                      order_extra=order_extra,
+                      resample_before_rl=resample_before_rl)
+    qual = F.when(F.col("run_length") >= window, F.col("run_length")).otherwise(0)
+    return _runs_grouped(runs, cells, freq).agg(F.sum(qual).alias(alias))
+
+
+def windowed_run_events(
+    df: DataFrame, cond: Column, window: int, *, freq: str | None = None,
+    time: str = "time", cells: Sequence[str] = (),
+    order_extra: Sequence[str] = (), resample_before_rl: bool = True,
+    alias: str = "events",
+) -> DataFrame:
+    """Number of runs >= window (reference run_length.py:381-436)."""
+    runs = runs_table(df, cond, time=time, cells=cells, freq=freq,
+                      order_extra=order_extra,
+                      resample_before_rl=resample_before_rl)
+    return _runs_grouped(runs, cells, freq).agg(
+        F.sum((F.col("run_length") >= window).cast("long")).alias(alias)
+    )
+
+
+def windowed_max_run_sum(
+    df: DataFrame, cond: Column, window: int, sum_var: str, *,
+    freq: str | None = None, time: str = "time", cells: Sequence[str] = (),
+    order_extra: Sequence[str] = (), resample_before_rl: bool = True,
+    alias: str = "max_run_sum",
+) -> DataFrame:
+    """Max over qualifying runs of the within-run sum
+    (reference run_length.py:491-542)."""
+    runs = runs_table(df, cond, time=time, cells=cells, freq=freq,
+                      order_extra=order_extra, sum_var=sum_var,
+                      resample_before_rl=resample_before_rl)
+    qual = F.when(F.col("run_length") >= window, F.col("run_sum"))
+    return _runs_grouped(runs, cells, freq).agg(
+        F.coalesce(F.max(qual), F.lit(0.0)).alias(alias)
+    )
+
+
+def first_run(
+    df: DataFrame, cond: Column, window: int, *, freq: str | None = None,
+    time: str = "time", cells: Sequence[str] = (),
+    order_extra: Sequence[str] = (), resample_before_rl: bool = True,
+    coord: str = "date", alias: str = "first_run",
+) -> DataFrame:
+    """Start of the first run >= window per period
+    (reference ``first_run``/``_boundary_run``, run_length.py:543-692).
+    ``coord``: 'date' for the timestamp, 'doy' for day-of-year."""
+    runs = runs_table(df, cond, time=time, cells=cells, freq=freq,
+                      order_extra=order_extra,
+                      resample_before_rl=resample_before_rl)
+    qual = F.when(F.col("run_length") >= window, F.col("run_start"))
+    out = _runs_grouped(runs, cells, freq).agg(F.min(qual).alias("_start"))
+    val = F.dayofyear("_start") if coord == "doy" else F.col("_start")
+    return out.withColumn(alias, val).drop("_start")
+
+
+def last_run(
+    df: DataFrame, cond: Column, window: int, *, freq: str | None = None,
+    time: str = "time", cells: Sequence[str] = (),
+    order_extra: Sequence[str] = (), resample_before_rl: bool = True,
+    coord: str = "date", alias: str = "last_run",
+) -> DataFrame:
+    """Start of the last run >= window per period (run_length.py:693-744).
+
+    Note: like the reference, this returns the *last element* position of
+    the final qualifying run when ``coord='date'`` maps to run_end.
+    """
+    runs = runs_table(df, cond, time=time, cells=cells, freq=freq,
+                      order_extra=order_extra,
+                      resample_before_rl=resample_before_rl)
+    qual = F.when(F.col("run_length") >= window, F.col("run_end"))
+    out = _runs_grouped(runs, cells, freq).agg(F.max(qual).alias("_end"))
+    val = F.dayofyear("_end") if coord == "doy" else F.col("_end")
+    return out.withColumn(alias, val).drop("_end")
+
+
+def run_bounds(
+    df: DataFrame, cond: Column, *, time: str = "time",
+    cells: Sequence[str] = (), order_extra: Sequence[str] = (),
+) -> DataFrame:
+    """Start/end of every run (reference run_length.py:745-804)."""
+    return runs_table(df, cond, time=time, cells=cells,
+                      order_extra=order_extra)
+
+
+def keep_longest_run(
+    df: DataFrame, cond: Column, *, time: str = "time",
+    cells: Sequence[str] = (), order_extra: Sequence[str] = (),
+) -> DataFrame:
+    """Mask keeping only the longest run per cell
+    (reference run_length.py:805-843): rank runs by length, keep rank 1."""
+    df = with_run_id(df, cond, time=time, cells=cells, order_extra=order_extra)
+    wrun = Window.partitionBy(*cells, "_run_id")
+    df = df.withColumn(
+        "_rl", F.when(F.col("_cond"), F.count(F.lit(1)).over(wrun)).otherwise(0)
+    )
+    wcell = Window.partitionBy(*cells)
+    df = df.withColumn("_maxrl", F.max("_rl").over(wcell))
+    # ties: keep the earliest run (min run_id among max-length runs)
+    wbest = Window.partitionBy(*cells)
+    df = df.withColumn(
+        "_best",
+        F.min(F.when(F.col("_rl") == F.col("_maxrl"), F.col("_run_id"))).over(wbest),
+    )
+    out = df.withColumn(
+        "kept", F.col("_cond") & (F.col("_run_id") == F.col("_best"))
+    )
+    return out.drop("_run_id", "_rl", "_maxrl", "_best")
+
+
+# ---------------------------------------------------------------------------
+# Spells (reference generic.py:434-769)
+# ---------------------------------------------------------------------------
+
+def spell_mask(
+    df: DataFrame,
+    var: str | Sequence[str],
+    window: int,
+    win_reducer: str,
+    op: str,
+    thresh,
+    *,
+    time: str = "time",
+    cells: Sequence[str] = (),
+    order_extra: Sequence[str] = (),
+    var_reducer: str = "all",
+    weights: Sequence[float] | None = None,
+    mask_name: str = "is_spell",
+) -> DataFrame:
+    """Boolean "day is part of a spell" column (reference generic.py:434-540).
+
+    A spell is any ``window``-day stretch whose ``win_reducer`` (min/max/
+    sum/mean) of ``var`` satisfies ``op thresh``; every day covered by a
+    qualifying stretch is flagged.  Implemented as the reference's own
+    backshift trick: trailing rolling reducer -> compare -> forward-looking
+    ``max() OVER (ROWS BETWEEN CURRENT AND window-1 FOLLOWING)``.
+
+    Multi-variable spells (e.g. heat waves on tasmin+tasmax) pass a list of
+    vars; ``var_reducer`` 'all'/'any' combines their conditions, and
+    ``thresh`` may be a matching list.
+    """
+    from .generic import compare  # local import to avoid cycle
+
+    variables = [var] if isinstance(var, str) else list(var)
+    thresholds = thresh if isinstance(thresh, (list, tuple)) else [thresh] * len(variables)
+    wspec = Window.partitionBy(*cells).orderBy(*_order_cols(time, order_extra))
+    back = wspec.rowsBetween(-(window - 1), 0)
+    fwd = wspec.rowsBetween(0, window - 1)
+
+    conds = []
+    for v, th in zip(variables, thresholds):
+        if window == 1:  # fast path (reference generic.py:499-505)
+            roll = F.col(v)
+        elif weights is not None:
+            lags = [
+                F.lag(F.col(v), i).over(wspec) * F.lit(float(wt))
+                for i, wt in enumerate(reversed(list(weights)))
+            ]
+            roll = sum(lags[1:], lags[0])
+        else:
+            roll = {"min": F.min, "max": F.max, "sum": F.sum, "mean": F.avg}[
+                win_reducer
+            ](F.col(v)).over(back)
+        cnt = F.count(F.col(v)).over(back)
+        hit = compare(roll, op, th) & (cnt >= window)
+        conds.append(hit)
+    combined = conds[0]
+    for c in conds[1:]:
+        combined = (combined & c) if var_reducer == "all" else (combined | c)
+    # A day is in a spell if any of the next window-1 trailing windows hit.
+    in_spell = F.max(combined.cast("int")).over(fwd) == 1
+    return df.withColumn(mask_name, F.coalesce(in_spell, F.lit(False)))
+
+
+def spell_length_statistics(
+    df: DataFrame,
+    var: str | Sequence[str],
+    window: int,
+    win_reducer: str,
+    op: str,
+    thresh,
+    spell_reducer: str,
+    freq: str,
+    *,
+    time: str = "time",
+    cells: Sequence[str] = (),
+    order_extra: Sequence[str] = (),
+    var_reducer: str = "all",
+    resample_before_rl: bool = False,
+    alias: str = "spell_stat",
+    min_window: int = 1,
+) -> DataFrame:
+    """Period statistics of spell lengths (reference generic.py:543-769,
+    covering both the univariate and bivariate forms)."""
+    masked = spell_mask(df, var, window, win_reducer, op, thresh, time=time,
+                        cells=cells, order_extra=order_extra,
+                        var_reducer=var_reducer)
+    if spell_reducer == "count":
+        return windowed_run_events(masked, F.col("is_spell"), min_window,
+                                   freq=freq, time=time, cells=cells,
+                                   order_extra=order_extra,
+                                   resample_before_rl=resample_before_rl,
+                                   alias=alias)
+    return rle_statistics(masked, F.col("is_spell"), spell_reducer, min_window,
+                          freq=freq, time=time, cells=cells,
+                          order_extra=order_extra,
+                          resample_before_rl=resample_before_rl, alias=alias)
+
+
+# ---------------------------------------------------------------------------
+# Start/stop automaton + event tables
+# (reference run_length.py:844-890, 1760-1901; generic.py:1740-1804)
+# ---------------------------------------------------------------------------
+
+def runs_with_holes(
+    df: DataFrame,
+    cond_start: Column,
+    window_start: int,
+    cond_stop: Column,
+    window_stop: int,
+    *,
+    time: str = "time",
+    cells: Sequence[str] = (),
+    order_extra: Sequence[str] = (),
+    state_name: str = "in_event",
+) -> DataFrame:
+    """Start/stop state machine (reference run_length.py:844-890).
+
+    State turns ON at the first row of a >=window_start run of
+    ``cond_start`` and OFF at the first row of a >=window_stop run of
+    ``cond_stop``.  Implemented with two run-id layers producing sparse
+    +1/0 signals, then ``last(signal) IGNORE NULLS`` carried forward — all
+    window functions over the same (cell, time) ordering: one shuffle.
+    """
+    wspec = Window.partitionBy(*cells).orderBy(*_order_cols(time, order_extra))
+
+    df = with_run_id(df, cond_start, time=time, cells=cells,
+                     order_extra=order_extra,
+                     cond_name="_cs", run_name="_rid_s")
+    ws = Window.partitionBy(*cells, "_rid_s")
+    df = df.withColumn(
+        "_slen", F.when(F.col("_cs"), F.count(F.lit(1)).over(ws)).otherwise(0)
+    )
+    df = df.withColumn(
+        "_sfirst",
+        F.col("_cs") & (F.row_number().over(
+            Window.partitionBy(*cells, "_rid_s")
+            .orderBy(*_order_cols(time, order_extra))) == 1)
+        & (F.col("_slen") >= window_start),
+    )
+
+    df = with_run_id(df, cond_stop, time=time, cells=cells,
+                     order_extra=order_extra,
+                     cond_name="_ce", run_name="_rid_e")
+    we = Window.partitionBy(*cells, "_rid_e")
+    df = df.withColumn(
+        "_elen", F.when(F.col("_ce"), F.count(F.lit(1)).over(we)).otherwise(0)
+    )
+    df = df.withColumn(
+        "_efirst",
+        F.col("_ce") & (F.row_number().over(
+            Window.partitionBy(*cells, "_rid_e")
+            .orderBy(*_order_cols(time, order_extra))) == 1)
+        & (F.col("_elen") >= window_stop),
+    )
+
+    # stop beats start on the same row (matches reference: events end where
+    # the stop run begins; a simultaneous start would be part of the hole)
+    signal = (
+        F.when(F.col("_efirst"), F.lit(0))
+        .when(F.col("_sfirst"), F.lit(1))
+        .otherwise(F.lit(None).cast("int"))
+    )
+    df = df.withColumn("_sig", signal)
+    carried = F.last("_sig", ignorenulls=True).over(
+        wspec.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    df = df.withColumn(state_name, F.coalesce(carried, F.lit(0)) == 1)
+    return df.drop("_cs", "_ce", "_rid_s", "_rid_e", "_slen", "_elen",
+                   "_sfirst", "_efirst", "_sig")
+
+
+def find_events(
+    df: DataFrame,
+    cond_start: Column,
+    window_start: int,
+    *,
+    cond_stop: Column | None = None,
+    window_stop: int = 1,
+    data_var: str | None = None,
+    freq: str | None = None,
+    time: str = "time",
+    cells: Sequence[str] = (),
+    order_extra: Sequence[str] = (),
+) -> DataFrame:
+    """Event table (reference ``find_events``, run_length.py:1760-1901).
+
+    One row per event with ``event_start, event_end, event_length,
+    event_effective_length [, event_sum]``.  In relational form the
+    reference's padded ``event`` dimension disappears — an event is just a
+    row, which is also the representation that scales (no dense padding).
+
+    ``cond_stop`` defaults to ``NOT cond_start`` (hysteresis form used by
+    ``thresholded_events``, generic.py:1740-1804).
+    """
+    stop = cond_stop if cond_stop is not None else ~cond_start
+    df = runs_with_holes(df, cond_start, window_start, stop, window_stop,
+                         time=time, cells=cells, order_extra=order_extra)
+    df = with_run_id(df, F.col("in_event"), time=time, cells=cells,
+                     order_extra=order_extra, cond_name="_ev",
+                     run_name="_eid")
+    ev = df.filter(F.col("_ev"))
+    aggs = [
+        F.min(time).alias("event_start"),
+        F.max(time).alias("event_end"),
+        F.count(F.lit(1)).alias("event_length"),
+        F.sum(F.col("_cs_eff").cast("long")).alias("event_effective_length"),
+    ]
+    ev = ev.withColumn("_cs_eff", cond_start)
+    if data_var is not None:
+        aggs.append(F.sum(data_var).alias("event_sum"))
+    out = ev.groupBy(*cells, "_eid").agg(*aggs).drop("_eid")
+    if freq is not None:
+        out = out.withColumn("period", period_start("event_start", freq))
+    return out
+
+
+def season_bounds(
+    df: DataFrame,
+    cond: Column,
+    window: int,
+    *,
+    mid_doy: int,
+    time: str = "time",
+    cells: Sequence[str] = (),
+    order_extra: Sequence[str] = (),
+    freq: str = "YS",
+) -> DataFrame:
+    """Season start/end/length (reference run_length.py:891-1147).
+
+    Start = first >=window run of ``cond`` per year; end = first >=window
+    run of ``NOT cond`` beginning at-or-after ``mid_doy``; length = days
+    between (end exclusive).  Returns one row per (cell, period) with
+    ``season_start, season_end, season_length`` (dates may be NULL when no
+    qualifying run exists — same as the reference's NaN).
+    """
+    starts = first_run(df, cond, window, freq=freq, time=time, cells=cells,
+                       order_extra=order_extra, alias="season_start")
+    late = df.filter(F.dayofyear(time) >= mid_doy)
+    ends = first_run(late, ~cond, window, freq=freq, time=time, cells=cells,
+                     order_extra=order_extra, alias="season_end")
+    keys = [*cells, "period"]
+    out = starts.join(ends, on=keys, how="left")
+    length = F.when(
+        F.col("season_start").isNotNull(),
+        F.when(
+            F.col("season_end").isNotNull(),
+            F.datediff(F.col("season_end"), F.col("season_start")),
+        ).otherwise(
+            # season never ends within the year: count to period end
+            F.datediff(
+                F.add_months(F.col("period"), 12), F.col("season_start")
+            )
+        ),
+    )
+    return out.withColumn("season_length", length)

@@ -1,0 +1,551 @@
+"""Registered queries + DuckDB oracle twins for the driver harness.
+
+Each entry exercises one operator family from SURVEY.md §2 on the driver's
+synthetic tables.  The climate-shaped queries derive a *daily series* from
+``lineitem`` (cell = l_suppkey, day = l_shipdate, value = daily avg
+quantity / daily revenue) — 7 years of dates, which exercises the calendar
+algebra (anchored years, quarters, day-of-year) properly.  Event-shaped
+queries run on ``events`` (irregular timestamps), and the LLM-pipeline
+operators on ``documents``/``embeddings``.
+
+Every floating-point output is rounded identically on both sides so the
+driver's value-hash comparison is robust to summation-order ULPs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .calendar import period_start, select_time
+from .operators import generic as g
+from .operators import missing as miss
+from .operators import run_length as rl
+
+# ---------------------------------------------------------------------------
+# shared sources
+# ---------------------------------------------------------------------------
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def daily_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily climate-like series: one row per (cell, day)."""
+    li = _read(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.col("l_suppkey").alias("cell"),
+        F.to_date("l_shipdate").alias("day"),
+    ).agg(
+        F.avg("l_quantity").alias("qty"),
+        F.sum("l_extendedprice").alias("price"),
+    )
+
+
+DAILY_SQL = """
+daily AS (
+  SELECT l_suppkey AS cell,
+         CAST(date_trunc('day', l_shipdate) AS DATE) AS day,
+         avg(l_quantity) AS qty,
+         sum(l_extendedprice) AS price
+  FROM lineitem
+  GROUP BY 1, 2
+)
+""".strip()
+
+# DuckDB run-id CTE over the daily series, partitioned by (cell, period).
+def _runs_sql(cond: str, period: str, partition: str = "cell, period") -> str:
+    return f"""
+flagged AS (
+  SELECT cell, day, qty, price, {cond} AS cond, {period} AS period FROM daily
+),
+marked AS (
+  SELECT *, (cond IS DISTINCT FROM lag(cond)
+             OVER (PARTITION BY {partition} ORDER BY day)) AS chg
+  FROM flagged
+),
+runs AS (
+  SELECT *, sum(CASE WHEN chg THEN 1 ELSE 0 END)
+              OVER (PARTITION BY {partition} ORDER BY day) AS run_id
+  FROM marked
+),
+rl AS (
+  SELECT cell, period, run_id,
+         count(*) AS run_length,
+         min(day) AS run_start,
+         max(day) AS run_end
+  FROM runs WHERE cond
+  GROUP BY 1, 2, 3
+)
+""".strip()
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, sql: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Resample-reduce core (select_resample_op — SURVEY §2 rows 14, 4, 5)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "tg_mean_ms",
+    f"""WITH {DAILY_SQL}
+SELECT cell, CAST(date_trunc('month', day) AS DATE) AS period,
+       ROUND(avg(qty), 6) AS tg_mean
+FROM daily GROUP BY 1, 2""",
+)
+def tg_mean_ms(spark, sf_dir):
+    """Monthly mean of the daily series (tg_mean, reference _simple.py:77)."""
+    d = daily_series(spark, sf_dir)
+    out = g.select_resample_op(d, "qty", "mean", "MS", time="day",
+                               cells=["cell"], alias="tg_mean")
+    return out.withColumn("tg_mean", F.round("tg_mean", 6))
+
+
+@_register(
+    "tx_max_ys_jul",
+    f"""WITH {DAILY_SQL}
+SELECT cell,
+       CAST(date_trunc('year', day - INTERVAL 6 MONTH) + INTERVAL 6 MONTH AS DATE) AS period,
+       ROUND(max(qty), 6) AS tx_max
+FROM daily GROUP BY 1, 2""",
+)
+def tx_max_ys_jul(spark, sf_dir):
+    """Anchored-year (YS-JUL) max — exercises the anchored period algebra
+    (reference calendar.py:516-688)."""
+    d = daily_series(spark, sf_dir)
+    out = g.select_resample_op(d, "qty", "max", "YS-JUL", time="day",
+                               cells=["cell"], alias="tx_max")
+    return out.withColumn("tx_max", F.round("tx_max", 6))
+
+
+@_register(
+    "prcptot_qs_dec",
+    f"""WITH {DAILY_SQL}
+SELECT cell,
+       CAST(date_trunc('quarter', day - INTERVAL 2 MONTH) + INTERVAL 2 MONTH AS DATE) AS period,
+       ROUND(sum(price), 4) AS total
+FROM daily GROUP BY 1, 2""",
+)
+def prcptot_qs_dec(spark, sf_dir):
+    """DJF-anchored quarterly accumulation (precip_accumulation-shaped,
+    reference _multivariate.py:930)."""
+    d = daily_series(spark, sf_dir)
+    out = g.select_resample_op(d, "price", "sum", "QS-DEC", time="day",
+                               cells=["cell"], alias="total")
+    return out.withColumn("total", F.round("total", 4))
+
+
+@_register(
+    "doymax_ys",
+    f"""WITH {DAILY_SQL},
+ranked AS (
+  SELECT cell, CAST(date_trunc('year', day) AS DATE) AS period,
+         dayofyear(day) AS doy,
+         row_number() OVER (PARTITION BY cell, date_trunc('year', day)
+                            ORDER BY qty DESC, day ASC) AS rn
+  FROM daily
+)
+SELECT cell, period, doy AS doymax FROM ranked WHERE rn = 1""",
+)
+def doymax_ys(spark, sf_dir):
+    """Day-of-year of the annual max (doymax, reference generic.py:177-196)."""
+    d = daily_series(spark, sf_dir)
+    return g.select_resample_op(d, "qty", "doymax", "YS", time="day",
+                                cells=["cell"], alias="doymax")
+
+
+# ---------------------------------------------------------------------------
+# Threshold / compare family (SURVEY §2 rows 4-9, 16-17)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "tx_days_above_ms",
+    f"""WITH {DAILY_SQL}
+SELECT cell, CAST(date_trunc('month', day) AS DATE) AS period,
+       CAST(sum(CASE WHEN qty > 30 THEN 1 ELSE 0 END) AS BIGINT) AS days_above
+FROM daily GROUP BY 1, 2""",
+)
+def tx_days_above_ms(spark, sf_dir):
+    """threshold_count (tx_days_above, reference _threshold.py:2590)."""
+    d = daily_series(spark, sf_dir)
+    return g.threshold_count(d, "qty", ">", 30.0, "MS", time="day",
+                             cells=["cell"], alias="days_above")
+
+
+@_register(
+    "domain_count_ms",
+    f"""WITH {DAILY_SQL}
+SELECT cell, CAST(date_trunc('month', day) AS DATE) AS period,
+       CAST(sum(CASE WHEN qty > 10 AND qty <= 40 THEN 1 ELSE 0 END) AS BIGINT) AS days_in
+FROM daily GROUP BY 1, 2""",
+)
+def domain_count_ms(spark, sf_dir):
+    """domain_count (reference generic.py:364-392)."""
+    d = daily_series(spark, sf_dir)
+    return g.domain_count(d, "qty", 10.0, 40.0, "MS", time="day",
+                          cells=["cell"], alias="days_in")
+
+
+@_register(
+    "gdd_ys",
+    f"""WITH {DAILY_SQL}
+SELECT cell, CAST(date_trunc('year', day) AS DATE) AS period,
+       ROUND(sum(CASE WHEN qty > 25 THEN qty - 25 ELSE 0 END), 6) AS degree_days
+FROM daily GROUP BY 1, 2""",
+)
+def gdd_ys(spark, sf_dir):
+    """temperature_sum / growing_degree_days (reference generic.py:1324,
+    _threshold.py:941)."""
+    d = daily_series(spark, sf_dir)
+    out = g.temperature_sum(d, "qty", ">", 25.0, "YS", time="day",
+                            cells=["cell"], alias="degree_days")
+    return out.withColumn("degree_days", F.round("degree_days", 6))
+
+
+@_register(
+    "djf_mean_ms",
+    f"""WITH {DAILY_SQL}
+SELECT cell, CAST(date_trunc('month', day) AS DATE) AS period,
+       ROUND(avg(qty), 6) AS djf_mean
+FROM daily WHERE month(day) IN (12, 1, 2) GROUP BY 1, 2""",
+)
+def djf_mean_ms(spark, sf_dir):
+    """select_time season indexer (reference calendar.py:1259-1376)."""
+    d = daily_series(spark, sf_dir)
+    out = g.select_resample_op(d, "qty", "mean", "MS", time="day",
+                               cells=["cell"], alias="djf_mean", season="DJF")
+    return out.withColumn("djf_mean", F.round("djf_mean", 6))
+
+
+@_register(
+    "zones_count",
+    f"""WITH {DAILY_SQL}
+SELECT CASE WHEN qty < 0 THEN 0
+            WHEN qty >= 50 THEN 6
+            ELSE CAST(floor(qty / 10) AS BIGINT) + 1 END AS zone,
+       CAST(count(*) AS BIGINT) AS n
+FROM daily GROUP BY 1""",
+)
+def zones_count(spark, sf_dir):
+    """get_zones bucketization (reference generic.py:1642-1708)."""
+    d = daily_series(spark, sf_dir)
+    return (
+        d.withColumn("zone", g.get_zones("qty", 0.0, 50.0, 10.0))
+        .groupBy("zone")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@_register(
+    "thresholded_mean_ys",
+    f"""WITH {DAILY_SQL}
+SELECT cell, CAST(date_trunc('year', day) AS DATE) AS period,
+       ROUND(avg(CASE WHEN qty > 20 THEN qty END), 6) AS wet_mean
+FROM daily GROUP BY 1, 2""",
+)
+def thresholded_mean_ys(spark, sf_dir):
+    """thresholded_statistics (reference generic.py:1279; daily_pr_intensity
+    shape, _threshold.py:680)."""
+    d = daily_series(spark, sf_dir)
+    out = g.thresholded_statistics(d, "qty", "mean", ">", 20.0, "YS",
+                                   time="day", cells=["cell"], alias="wet_mean")
+    return out.withColumn("wet_mean", F.round("wet_mean", 6))
+
+
+# ---------------------------------------------------------------------------
+# Rolling windows (SURVEY §2 rows 15, 43)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "rx7day_ms",
+    f"""WITH {DAILY_SQL},
+rolled AS (
+  SELECT cell, day,
+         CASE WHEN count(qty) OVER w >= 7 THEN avg(qty) OVER w END AS roll7
+  FROM daily
+  WINDOW w AS (PARTITION BY cell ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT cell, CAST(date_trunc('month', day) AS DATE) AS period,
+       ROUND(max(roll7), 6) AS rx7
+FROM rolled GROUP BY 1, 2""",
+)
+def rx7day_ms(spark, sf_dir):
+    """select_rolling_resample_op (max_n_day_precipitation_amount shape,
+    reference _simple.py:485, generic.py:128-174)."""
+    d = daily_series(spark, sf_dir)
+    out = g.select_rolling_resample_op(
+        d, "qty", "max", "MS", window=7, window_op="mean", time="day",
+        cells=["cell"], alias="rx7",
+    )
+    return out.withColumn("rx7", F.round("rx7", 6))
+
+
+# ---------------------------------------------------------------------------
+# Run-length family (SURVEY §2 rows 25-38)
+# ---------------------------------------------------------------------------
+
+_YS = "CAST(date_trunc('year', day) AS DATE)"
+
+
+@_register(
+    "mcdd_ys",
+    f"""WITH {DAILY_SQL},
+{_runs_sql("qty < 25", _YS)}
+SELECT cell, period, CAST(coalesce(max(run_length), 0) AS BIGINT) AS mcdd
+FROM rl GROUP BY 1, 2""",
+)
+def mcdd_ys(spark, sf_dir):
+    """maximum_consecutive_dry_days (reference _threshold.py:2837;
+    longest_run, run_length.py:338)."""
+    d = daily_series(spark, sf_dir)
+    return rl.longest_run(d, F.col("qty") < 25.0, freq="YS", time="day",
+                          cells=["cell"], alias="mcdd")
+
+
+@_register(
+    "spell_days_ys",
+    f"""WITH {DAILY_SQL},
+{_runs_sql("qty > 25", _YS)}
+SELECT cell, period,
+       CAST(coalesce(sum(CASE WHEN run_length >= 3 THEN run_length ELSE 0 END), 0) AS BIGINT) AS spell_days
+FROM rl GROUP BY 1, 2""",
+)
+def spell_days_ys(spark, sf_dir):
+    """windowed_run_count (reference run_length.py:437-490)."""
+    d = daily_series(spark, sf_dir)
+    return rl.windowed_run_count(d, F.col("qty") > 25.0, 3, freq="YS",
+                                 time="day", cells=["cell"], alias="spell_days")
+
+
+@_register(
+    "spell_events_ys",
+    f"""WITH {DAILY_SQL},
+{_runs_sql("qty > 25", _YS)}
+SELECT cell, period,
+       CAST(sum(CASE WHEN run_length >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS events
+FROM rl GROUP BY 1, 2""",
+)
+def spell_events_ys(spark, sf_dir):
+    """windowed_run_events (reference run_length.py:381-436)."""
+    d = daily_series(spark, sf_dir)
+    return rl.windowed_run_events(d, F.col("qty") > 25.0, 3, freq="YS",
+                                  time="day", cells=["cell"], alias="events")
+
+
+@_register(
+    "first_spell_doy_ys",
+    f"""WITH {DAILY_SQL},
+{_runs_sql("qty > 25", _YS)}
+SELECT cell, period,
+       dayofyear(min(CASE WHEN run_length >= 3 THEN run_start END)) AS first_doy
+FROM rl GROUP BY 1, 2""",
+)
+def first_spell_doy_ys(spark, sf_dir):
+    """first_run with doy coordinate (reference run_length.py:543-692;
+    growing_season_start shape, _threshold.py:975)."""
+    d = daily_series(spark, sf_dir)
+    return rl.first_run(d, F.col("qty") > 25.0, 3, freq="YS", time="day",
+                        cells=["cell"], coord="doy", alias="first_doy")
+
+
+@_register(
+    "run_bounds",
+    f"""WITH {DAILY_SQL},
+{_runs_sql("qty > 30", "CAST(date_trunc('year', day) AS DATE)")}
+SELECT cell, run_start, run_end, CAST(run_length AS BIGINT) AS run_length
+FROM rl""",
+)
+def run_bounds(spark, sf_dir):
+    """run_bounds event extraction (reference run_length.py:745-804).
+
+    Note the oracle partitions runs by (cell, year) — so does the Spark
+    side here, via freq='YS' + resample_before_rl."""
+    d = daily_series(spark, sf_dir)
+    runs = rl.runs_table(d, F.col("qty") > 30.0, time="day", cells=["cell"],
+                         freq="YS", resample_before_rl=True)
+    return runs.select("cell", "run_start", "run_end", "run_length")
+
+
+@_register(
+    "max_run_sum_ys",
+    f"""WITH {DAILY_SQL},
+runs0 AS (
+  SELECT cell, day, price, qty > 25 AS cond, {_YS} AS period FROM daily
+),
+marked AS (
+  SELECT *, (cond IS DISTINCT FROM lag(cond)
+             OVER (PARTITION BY cell, period ORDER BY day)) AS chg
+  FROM runs0
+),
+runs AS (
+  SELECT *, sum(CASE WHEN chg THEN 1 ELSE 0 END)
+              OVER (PARTITION BY cell, period ORDER BY day) AS run_id
+  FROM marked
+),
+rl AS (
+  SELECT cell, period, run_id, count(*) AS run_length, sum(price) AS run_sum
+  FROM runs WHERE cond GROUP BY 1, 2, 3
+)
+SELECT cell, period,
+       ROUND(coalesce(max(CASE WHEN run_length >= 3 THEN run_sum END), 0), 4) AS max_run_sum
+FROM rl GROUP BY 1, 2""",
+)
+def max_run_sum_ys(spark, sf_dir):
+    """windowed_max_run_sum (reference run_length.py:491-542)."""
+    d = daily_series(spark, sf_dir)
+    out = rl.windowed_max_run_sum(d, F.col("qty") > 25.0, 3, "price",
+                                  freq="YS", time="day", cells=["cell"],
+                                  alias="max_run_sum")
+    return out.withColumn("max_run_sum", F.round("max_run_sum", 4))
+
+
+# ---------------------------------------------------------------------------
+# Percentile layer (SURVEY §2 rows 20-21; days_over_percentile shape)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "p90_days_over_ys",
+    f"""WITH {DAILY_SQL},
+per AS (
+  SELECT cell, quantile_cont(qty, 0.9) AS p90 FROM daily GROUP BY 1
+)
+SELECT d.cell AS cell, CAST(date_trunc('year', d.day) AS DATE) AS period,
+       CAST(sum(CASE WHEN d.qty > per.p90 THEN 1 ELSE 0 END) AS BIGINT) AS days_over
+FROM daily d JOIN per USING (cell)
+GROUP BY 1, 2""",
+)
+def p90_days_over_ys(spark, sf_dir):
+    """Percentile threshold lookup via broadcast join (tg90p shape,
+    reference _multivariate.py:1300; resample_doy pattern calendar.py:763)."""
+    d = daily_series(spark, sf_dir)
+    per = d.groupBy("cell").agg(F.expr("percentile(qty, 0.9)").alias("p90"))
+    j = d.join(F.broadcast(per), on="cell")
+    return (
+        j.withColumn("period", period_start("day", "YS"))
+        .groupBy("cell", "period")
+        .agg(F.sum((F.col("qty") > F.col("p90")).cast("long")).alias("days_over"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Missing masks (SURVEY §2 row 24)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "missing_any_ms",
+    f"""WITH {DAILY_SQL}
+SELECT cell, CAST(date_trunc('month', day) AS DATE) AS period,
+       CAST(CASE WHEN count(*) < date_diff('day',
+              CAST(date_trunc('month', day) AS DATE),
+              CAST(date_trunc('month', day) AS DATE) + INTERVAL 1 MONTH)
+            THEN 1 ELSE 0 END AS INTEGER) AS is_missing
+FROM daily GROUP BY 1, 2""",
+)
+def missing_any_ms(spark, sf_dir):
+    """MissingAny mask (reference missing.py:163-220)."""
+    d = daily_series(spark, sf_dir)
+    m = miss.missing_any(d, "qty", "MS", time="day", cells=["cell"])
+    return m.withColumn("is_missing", F.col("is_missing").cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# Multivariate alignment / relational joins (SURVEY §2 rows 10, 12)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "mv_revenue_nation_ms",
+    """SELECT n.n_name AS nation,
+       CAST(date_trunc('month', o.o_orderdate) AS DATE) AS period,
+       ROUND(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1, 2""",
+)
+def mv_revenue_nation_ms(spark, sf_dir):
+    """Wide-table equi-join alignment (the reference's implicit xarray
+    broadcasting, _multivariate.py:646) — dims broadcast, fact streams."""
+    li = _read(spark, sf_dir, "lineitem")
+    o = _read(spark, sf_dir, "orders")
+    c = _read(spark, sf_dir, "customer")
+    n = _read(spark, sf_dir, "nation")
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    )
+    return (
+        j.withColumn("period", period_start("o_orderdate", "MS"))
+        .groupBy(F.col("n_name").alias("nation"), "period")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline operators: dedup + text analysis
+# ---------------------------------------------------------------------------
+
+@_register(
+    "dedup_exact",
+    """SELECT md5(text) AS text_hash,
+       CAST(min(doc_id) AS BIGINT) AS keep_id,
+       CAST(count(*) AS BIGINT) AS dup_count
+FROM documents GROUP BY 1""",
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup via content-hash groupBy — the 100 TB-safe form (hash is
+    computed map-side; shuffle carries the 32-byte digest, not the text)."""
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("text_hash"))
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+@_register(
+    "text_stats_lang",
+    """SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       ROUND(avg(n_chars), 6) AS avg_chars,
+       ROUND(avg(len(string_split_regex(trim(text), '\\s+'))), 6) AS avg_tokens
+FROM documents GROUP BY 1""",
+)
+def text_stats_lang(spark, sf_dir):
+    """Whitespace token counting + length stats per language."""
+    docs = _read(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.round(F.avg(toks), 6).alias("avg_tokens"),
+    )
+
+
+def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return dict(QUERIES)
+
+
+def build_oracles() -> dict[str, str]:
+    return dict(ORACLES)
