@@ -24,7 +24,9 @@ def test_longest_run(spark):
 def test_longest_run_no_true_rows(spark):
     df = _mask_series(spark, [0, 0, 0])
     out = rl.longest_run(df, _cond(), freq="YS", cells=["cell"]).collect()
-    assert out == []  # no qualifying runs -> no row (reference: NaN period)
+    # scaffolded resample: every (cell, period) emits a row, zero-filled
+    # (reference resample yields 0 for periods with no qualifying run)
+    assert len(out) == 1 and out[0]["longest_run"] == 0
 
 
 def test_windowed_run_count(spark):
@@ -65,7 +67,8 @@ def test_run_crossing_period_boundary(spark):
     whole = rl.longest_run(df, _cond(), freq="YS", cells=["cell"],
                            resample_before_rl=False).collect()
     assert {str(r["period"]): r["longest_run"] for r in whole} == {
-        "2000-01-01": 4
+        "2000-01-01": 4,
+        "2001-01-01": 0,  # scaffold: period present in data, no run starts
     }
 
 

@@ -91,7 +91,7 @@ def missing_pct(
     g = _base(df, var, freq, time, cells)
     exp = expected_count("period", freq, src_freq)
     return g.withColumn(
-        "is_missing", (exp - F.col("_valid")) / exp > F.lit(tolerance)
+        "is_missing", (exp - F.col("_valid")) / exp >= F.lit(tolerance)
     ).drop("_valid", "_rows")
 
 
@@ -106,27 +106,65 @@ def missing_at_least_n(
     )
 
 
+_MONTHS_PER = {"M": 1, "Q": 3, "Y": 12}
+
+
+def missing_two_steps(
+    mask_sub: DataFrame, freq: str, subfreq: str, *,
+    cells: Sequence[str] = (),
+) -> DataFrame:
+    """Roll a subfreq mask up to ``freq`` with the 'any' rule
+    (reference ``MissingTwoSteps``, missing.py:338-391): a coarse period is
+    invalid if any sub-period within it is invalid *or absent entirely*.
+
+    ``mask_sub`` is any mask DataFrame ``cells..., period, is_missing`` at
+    ``subfreq``.  The absent-subperiod case is handled by comparing the
+    count of valid sub-periods to the calendar-expected count.
+    """
+    off = parse_offset(freq)
+    sub = parse_offset(subfreq)
+    if off.base not in _MONTHS_PER or sub.base not in _MONTHS_PER:
+        raise NotImplementedError(
+            f"two-step rollup supports monthly-based freqs, got {freq}/{subfreq}"
+        )
+    n_sub = _MONTHS_PER[off.base] // _MONTHS_PER[sub.base]
+    g = (
+        mask_sub.withColumn("_p", period_start("period", freq))
+        .groupBy(*cells, "_p")
+        .agg(F.sum((~F.col("is_missing")).cast("long")).alias("_valid_sub"))
+    )
+    return (
+        g.withColumn("is_missing", F.col("_valid_sub") < F.lit(n_sub))
+        .withColumnRenamed("_p", "period")
+        .drop("_valid_sub")
+    )
+
+
 def missing_wmo(
     df: DataFrame, var: str, freq: str, *, nm: int = 11, nc: int = 5,
     time: str = "time", cells: Sequence[str] = (), src_freq: str = "D",
 ) -> DataFrame:
-    """WMO rule (missing.py:434-523): invalid if > nm values missing OR any
-    run of >= nc consecutive missing values.  The consecutive-missing run is
-    a sessionization window over the *present* rows: a gap of k missing days
-    between consecutive present rows shows up as ``datediff > k`` — so we
-    detect runs without materializing the absent rows (scales: no calendar
-    explode of the fact table)."""
+    """WMO rule (missing.py:395-450): a *month* is invalid if >= nm values
+    are missing OR any run of >= nc consecutive values is missing.  The rule
+    is always evaluated at monthly frequency (reference forces
+    ``subfreq='MS'``) then rolled up to ``freq`` with the 'any' rule.
+
+    The consecutive-missing run is a sessionization window over the
+    *present* rows: a gap of k missing days between consecutive present rows
+    shows up as ``datediff - 1 == k`` — so runs are detected without
+    materializing absent rows (scales: no calendar explode of the fact
+    table)."""
     w = Window.partitionBy(*cells, "period").orderBy(time)
-    df = df.withColumn("period", period_start(time, freq))
-    # gap before this row (within period), in src steps; NULL-valued rows
+    df = df.withColumn("period", period_start(time, "MS"))
+    # gap before this row (within month), in src steps; NULL-valued rows
     # count as missing too, so treat them as absent for gap purposes.
     present = df.filter(F.col(var).isNotNull())
     present = present.withColumn(
         "_gap",
         F.datediff(F.col(time), F.lag(time).over(w)) - 1,
     )
-    exp = expected_count("period", freq, src_freq)
-    lead_gap = F.datediff(F.col(time), F.col("period"))  # missing at period head
+    exp = expected_count("period", "MS", src_freq)
+    lead_gap = F.datediff(F.col(time), F.col("period"))  # missing at month head
     per = present.groupBy(*cells, "period").agg(
         F.count(F.lit(1)).alias("_valid"),
         F.max(F.coalesce("_gap", F.lit(0))).alias("_max_gap"),
@@ -136,9 +174,13 @@ def missing_wmo(
     tail_gap = exp - 1 - F.datediff(F.col("_last"), F.col("period"))
     missing_total = exp - F.col("_valid")
     max_run = F.greatest("_max_gap", "_head_gap", tail_gap)
-    return per.withColumn(
-        "is_missing", (missing_total > nm) | (max_run >= nc)
+    monthly = per.withColumn(
+        "is_missing", (missing_total >= nm) | (max_run >= nc)
     ).select(*cells, "period", "is_missing")
+    off = parse_offset(freq)
+    if off.base == "M":
+        return monthly
+    return missing_two_steps(monthly, freq, "MS", cells=cells)
 
 
 def mask_missing(

@@ -144,6 +144,39 @@ def _runs_grouped(runs: DataFrame, cells: Sequence[str], freq: str | None):
     return runs.groupBy(*keys)
 
 
+def _scaffold(df: DataFrame, cells: Sequence[str], time: str, freq: str) -> DataFrame:
+    """Distinct (cells, period) pairs present in the source — the resample
+    scaffold.  The reference's ``resample(freq)`` emits a value for *every*
+    period, even ones with zero qualifying True values; the runs table drops
+    them, so period statistics left-join onto this scaffold (ADVICE r2).
+
+    Cheap at scale: reads only the key + time columns (column pruning) and
+    aggregates to cells x periods cardinality with map-side combine.
+    """
+    return (
+        df.withColumn("period", period_start(time, freq))
+        .select(*cells, "period")
+        .distinct()
+    )
+
+
+def _on_scaffold(
+    df: DataFrame, agg: DataFrame, cells: Sequence[str], time: str,
+    freq: str | None, fills: dict[str, object] | None = None,
+) -> DataFrame:
+    """Left-join a per-period runs aggregate onto the full period scaffold,
+    coalescing count-like statistics to ``fills`` (None values stay NULL)."""
+    if freq is None:
+        return agg
+    out = _scaffold(df, cells, time, freq).join(
+        agg, on=[*cells, "period"], how="left"
+    )
+    for col, fill in (fills or {}).items():
+        if fill is not None:
+            out = out.withColumn(col, F.coalesce(F.col(col), F.lit(fill)))
+    return out
+
+
 def rle_statistics(
     df: DataFrame, cond: Column, reducer: str, window: int, *,
     freq: str | None = None, time: str = "time", cells: Sequence[str] = (),
@@ -158,9 +191,10 @@ def rle_statistics(
     qual = F.when(F.col("run_length") >= window, F.col("run_length"))
     red = {"max": F.max, "min": F.min, "mean": F.avg, "sum": F.sum,
            "count": F.count, "std": F.stddev_pop}[reducer]
-    return _runs_grouped(runs, cells, freq).agg(
+    agg = _runs_grouped(runs, cells, freq).agg(
         F.coalesce(red(qual), F.lit(0)).alias(alias)
     )
+    return _on_scaffold(df, agg, cells, time, freq, {alias: 0})
 
 
 def longest_run(
@@ -186,7 +220,8 @@ def windowed_run_count(
                       order_extra=order_extra,
                       resample_before_rl=resample_before_rl)
     qual = F.when(F.col("run_length") >= window, F.col("run_length")).otherwise(0)
-    return _runs_grouped(runs, cells, freq).agg(F.sum(qual).alias(alias))
+    agg = _runs_grouped(runs, cells, freq).agg(F.sum(qual).alias(alias))
+    return _on_scaffold(df, agg, cells, time, freq, {alias: 0})
 
 
 def windowed_run_events(
@@ -199,9 +234,10 @@ def windowed_run_events(
     runs = runs_table(df, cond, time=time, cells=cells, freq=freq,
                       order_extra=order_extra,
                       resample_before_rl=resample_before_rl)
-    return _runs_grouped(runs, cells, freq).agg(
+    agg = _runs_grouped(runs, cells, freq).agg(
         F.sum((F.col("run_length") >= window).cast("long")).alias(alias)
     )
+    return _on_scaffold(df, agg, cells, time, freq, {alias: 0})
 
 
 def windowed_max_run_sum(
@@ -216,9 +252,10 @@ def windowed_max_run_sum(
                       order_extra=order_extra, sum_var=sum_var,
                       resample_before_rl=resample_before_rl)
     qual = F.when(F.col("run_length") >= window, F.col("run_sum"))
-    return _runs_grouped(runs, cells, freq).agg(
+    agg = _runs_grouped(runs, cells, freq).agg(
         F.coalesce(F.max(qual), F.lit(0.0)).alias(alias)
     )
+    return _on_scaffold(df, agg, cells, time, freq, {alias: 0.0})
 
 
 def first_run(
@@ -235,6 +272,7 @@ def first_run(
                       resample_before_rl=resample_before_rl)
     qual = F.when(F.col("run_length") >= window, F.col("run_start"))
     out = _runs_grouped(runs, cells, freq).agg(F.min(qual).alias("_start"))
+    out = _on_scaffold(df, out, cells, time, freq)  # NULL where no run (ref NaN)
     val = F.dayofyear("_start") if coord == "doy" else F.col("_start")
     return out.withColumn(alias, val).drop("_start")
 
@@ -255,6 +293,7 @@ def last_run(
                       resample_before_rl=resample_before_rl)
     qual = F.when(F.col("run_length") >= window, F.col("run_end"))
     out = _runs_grouped(runs, cells, freq).agg(F.max(qual).alias("_end"))
+    out = _on_scaffold(df, out, cells, time, freq)  # NULL where no run (ref NaN)
     val = F.dayofyear("_end") if coord == "doy" else F.col("_end")
     return out.withColumn(alias, val).drop("_end")
 
@@ -337,11 +376,21 @@ def spell_mask(
         if window == 1:  # fast path (reference generic.py:499-505)
             roll = F.col(v)
         elif weights is not None:
+            # reference restricts weighted windows to sum/mean
+            # (generic.py:520-535); mean divides by the weight total.
+            if win_reducer not in ("sum", "mean"):
+                raise ValueError(
+                    "Weighted spell windows only support win_reducer "
+                    f"'sum' or 'mean', got {win_reducer!r}"
+                )
+            wts = [float(wt) for wt in weights]
             lags = [
-                F.lag(F.col(v), i).over(wspec) * F.lit(float(wt))
-                for i, wt in enumerate(reversed(list(weights)))
+                F.lag(F.col(v), i).over(wspec) * F.lit(wt)
+                for i, wt in enumerate(reversed(wts))
             ]
             roll = sum(lags[1:], lags[0])
+            if win_reducer == "mean":
+                roll = roll / F.lit(sum(wts))
         else:
             roll = {"min": F.min, "max": F.max, "sum": F.sum, "mean": F.avg}[
                 win_reducer
@@ -407,53 +456,47 @@ def runs_with_holes(
     time: str = "time",
     cells: Sequence[str] = (),
     order_extra: Sequence[str] = (),
+    partition_extra: Sequence[str] = (),
     state_name: str = "in_event",
 ) -> DataFrame:
     """Start/stop state machine (reference run_length.py:844-890).
 
-    State turns ON at the first row of a >=window_start run of
-    ``cond_start`` and OFF at the first row of a >=window_stop run of
-    ``cond_stop``.  Implemented with two run-id layers producing sparse
-    +1/0 signals, then ``last(signal) IGNORE NULLS`` carried forward — all
-    window functions over the same (cell, time) ordering: one shuffle.
+    Mirrors the reference exactly: ``_cumsum_reset(index='first')`` puts the
+    *remaining* run length on every row, so a start signal (1) is emitted on
+    every row of a ``cond_start`` run whose remaining length >= window_start,
+    a stop signal (0) on every row of a ``cond_stop`` run whose remaining
+    length >= window_stop, stop wins on ties (``combine_first(stop, start)``),
+    and the last signal is carried forward (``ffill``), defaulting to 0.
+
+    Implemented with two run-id layers producing signals, then
+    ``last(signal) IGNORE NULLS`` over the same (cell, time) ordering: one
+    shuffle on the cell key.
     """
-    wspec = Window.partitionBy(*cells).orderBy(*_order_cols(time, order_extra))
+    part = [*cells, *partition_extra]
+    order = _order_cols(time, order_extra)
+    wspec = Window.partitionBy(*part).orderBy(*order)
 
-    df = with_run_id(df, cond_start, time=time, cells=cells,
-                     order_extra=order_extra,
-                     cond_name="_cs", run_name="_rid_s")
-    ws = Window.partitionBy(*cells, "_rid_s")
-    df = df.withColumn(
-        "_slen", F.when(F.col("_cs"), F.count(F.lit(1)).over(ws)).otherwise(0)
-    )
-    df = df.withColumn(
-        "_sfirst",
-        F.col("_cs") & (F.row_number().over(
-            Window.partitionBy(*cells, "_rid_s")
-            .orderBy(*_order_cols(time, order_extra))) == 1)
-        & (F.col("_slen") >= window_start),
-    )
+    def remaining(cond: Column, cname: str, rname: str, rem: str) -> None:
+        nonlocal df
+        df = with_run_id(df, cond, time=time, cells=cells,
+                         order_extra=order_extra,
+                         partition_extra=partition_extra,
+                         cond_name=cname, run_name=rname)
+        wrun = Window.partitionBy(*part, rname)
+        total = F.count(F.lit(1)).over(wrun)
+        pos = F.row_number().over(wrun.orderBy(*order))
+        df = df.withColumn(
+            rem, F.when(F.col(cname), total - pos + 1).otherwise(0)
+        )
 
-    df = with_run_id(df, cond_stop, time=time, cells=cells,
-                     order_extra=order_extra,
-                     cond_name="_ce", run_name="_rid_e")
-    we = Window.partitionBy(*cells, "_rid_e")
-    df = df.withColumn(
-        "_elen", F.when(F.col("_ce"), F.count(F.lit(1)).over(we)).otherwise(0)
-    )
-    df = df.withColumn(
-        "_efirst",
-        F.col("_ce") & (F.row_number().over(
-            Window.partitionBy(*cells, "_rid_e")
-            .orderBy(*_order_cols(time, order_extra))) == 1)
-        & (F.col("_elen") >= window_stop),
-    )
+    remaining(cond_start, "_cs", "_rid_s", "_srem")
+    remaining(cond_stop, "_ce", "_rid_e", "_erem")
 
-    # stop beats start on the same row (matches reference: events end where
-    # the stop run begins; a simultaneous start would be part of the hole)
+    # stop beats start on the same row (reference: stop_positions take
+    # precedence via combine_first)
     signal = (
-        F.when(F.col("_efirst"), F.lit(0))
-        .when(F.col("_sfirst"), F.lit(1))
+        F.when(F.col("_erem") >= window_stop, F.lit(0))
+        .when(F.col("_srem") >= window_start, F.lit(1))
         .otherwise(F.lit(None).cast("int"))
     )
     df = df.withColumn("_sig", signal)
@@ -461,8 +504,7 @@ def runs_with_holes(
         wspec.rowsBetween(Window.unboundedPreceding, 0)
     )
     df = df.withColumn(state_name, F.coalesce(carried, F.lit(0)) == 1)
-    return df.drop("_cs", "_ce", "_rid_s", "_rid_e", "_slen", "_elen",
-                   "_sfirst", "_efirst", "_sig")
+    return df.drop("_cs", "_ce", "_rid_s", "_rid_e", "_srem", "_erem", "_sig")
 
 
 def find_events(
@@ -487,27 +529,36 @@ def find_events(
 
     ``cond_stop`` defaults to ``NOT cond_start`` (hysteresis form used by
     ``thresholded_events``, generic.py:1740-1804).
+
+    With ``freq`` given, the reference resamples *first* and searches events
+    within each period independently (events truncate at period bounds) —
+    here every window is additionally partitioned by the period column.
+    ``event_sum``/``event_effective_length`` only consider steps where the
+    start condition holds (reference _find_events, run_length.py:1760-1843).
     """
     stop = cond_stop if cond_stop is not None else ~cond_start
+    part_extra: list[str] = []
+    if freq is not None:
+        df = df.withColumn("period", period_start(time, freq))
+        part_extra = ["period"]
     df = runs_with_holes(df, cond_start, window_start, stop, window_stop,
-                         time=time, cells=cells, order_extra=order_extra)
+                         time=time, cells=cells, order_extra=order_extra,
+                         partition_extra=part_extra)
     df = with_run_id(df, F.col("in_event"), time=time, cells=cells,
-                     order_extra=order_extra, cond_name="_ev",
-                     run_name="_eid")
-    ev = df.filter(F.col("_ev"))
+                     order_extra=order_extra, partition_extra=part_extra,
+                     cond_name="_ev", run_name="_eid")
+    ev = df.filter(F.col("_ev")).withColumn("_cs_eff", cond_start)
     aggs = [
         F.min(time).alias("event_start"),
         F.max(time).alias("event_end"),
         F.count(F.lit(1)).alias("event_length"),
         F.sum(F.col("_cs_eff").cast("long")).alias("event_effective_length"),
     ]
-    ev = ev.withColumn("_cs_eff", cond_start)
     if data_var is not None:
-        aggs.append(F.sum(data_var).alias("event_sum"))
-    out = ev.groupBy(*cells, "_eid").agg(*aggs).drop("_eid")
-    if freq is not None:
-        out = out.withColumn("period", period_start("event_start", freq))
-    return out
+        aggs.append(
+            F.sum(F.when(F.col("_cs_eff"), F.col(data_var))).alias("event_sum")
+        )
+    return ev.groupBy(*cells, *part_extra, "_eid").agg(*aggs).drop("_eid")
 
 
 def season_bounds(
