@@ -33,10 +33,50 @@ def test_resample_doy_broadcast_join(spark):
     df = timeseries(spark, [1.0] * 10, start="2000-01-01")
     per = pc.percentile_doy(df, "value", 0.9, window=1, cells=["cell"],
                             alias="thresh")
-    joined = pc.resample_doy(df, per, cells=["cell"])
+    joined = pc.resample_doy(df, per, cells=["cell"], broadcast=True)
     assert "thresh" in joined.columns
     assert joined.filter(F.col("thresh").isNull()).count() == 0
-    # the join must be a broadcast, not a shuffle join
+    # forced broadcast must produce a broadcast, not a shuffle join
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_hf_quantile_matches_numpy(spark):
+    import numpy as np
+
+    vals = [3.1, 0.5, 9.9, 2.2, 7.7, 5.5, 1.1, 8.8, 4.4, 6.6, 2.9]
+    df = timeseries(spark, vals, start="2001-01-01")
+    for p in (0.1, 0.5, 0.9):
+        got = df.agg(pc.hf_quantile("value", p).alias("q")).collect()[0]["q"]
+        want = float(np.quantile(np.array(vals), p, method="median_unbiased"))
+        assert got == pytest.approx(want, rel=1e-12), p
+    # alpha=beta=1 == numpy 'linear'
+    got = df.agg(
+        pc.hf_quantile("value", 0.35, alpha=1, beta=1).alias("q")
+    ).collect()[0]["q"]
+    assert got == pytest.approx(float(np.quantile(np.array(vals), 0.35)))
+
+
+def test_percentile_doy_leap_year_alignment(spark):
+    # 2000 is a leap year: Feb 29 (doy 60) must pool into bucket 59 with
+    # Feb 28, and Mar 1 (doy 61) into bucket 60 — aligned with non-leap
+    # years; Dec 31 (doy 366) lands in bucket 365, never bucket 1.
+    from datetime import date, timedelta
+
+    t0 = date(2000, 1, 1)
+    n = 366 + 365  # 2000 (leap) + 2001
+    vals = [float(i % 400) for i in range(n)]
+    df = timeseries(spark, vals, start="2000-01-01")
+    per = pc.percentile_doy(df, "value", 0.5, window=1, cells=["cell"],
+                            alias="p50")
+    buckets = {r["dayofyear"] for r in per.select("dayofyear").collect()}
+    assert max(buckets) == 365 and min(buckets) == 1
+    # lookup side maps with the same doy365: no NULL thresholds anywhere,
+    # including Feb 29 and Dec 31 of the leap year
+    joined = pc.resample_doy(df, per, cells=["cell"])
+    assert joined.filter(F.col("p50").isNull()).count() == 0
+    feb29 = joined.filter(F.col("time") == date(2000, 2, 29)).collect()[0]
+    assert feb29["dayofyear"] == 59
+    dec31 = joined.filter(F.col("time") == date(2000, 12, 31)).collect()[0]
+    assert dec31["dayofyear"] == 365

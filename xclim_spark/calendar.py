@@ -36,6 +36,9 @@ __all__ = [
     "select_time",
     "select_time_sql",
     "doy",
+    "doy365",
+    "doy365_sql",
+    "is_leap_year",
     "SEASONS",
 ]
 
@@ -236,6 +239,40 @@ def doy(time: Column | str) -> Column:
     """Day-of-year expression (1-366)."""
     t = F.col(time) if isinstance(time, str) else time
     return F.dayofyear(t)
+
+
+def is_leap_year(time: Column | str) -> Column:
+    """Gregorian leap-year predicate for the row's year."""
+    t = F.col(time) if isinstance(time, str) else time
+    y = F.year(t)
+    return ((y % 4 == 0) & (y % 100 != 0)) | (y % 400 == 0)
+
+
+def doy365(time: Column | str) -> Column:
+    """Day-of-year mapped onto a 365-day axis (1-365).
+
+    In leap years every day after Feb 28 shifts down by one, so Feb 29
+    pools with Feb 28 and Mar 1 aligns with the non-leap Mar 1 — the same
+    365-bucket alignment the reference gets by converting calendars before
+    ``percentile_doy`` (reference calendar.py:396-494, convert_doy :264).
+    Both the climatology build and the fact-side lookup must use this
+    mapping so the doy join never produces NULLs for doy 366.
+    """
+    t = F.col(time) if isinstance(time, str) else time
+    d = F.dayofyear(t)
+    return d - (is_leap_year(t) & (d > 59)).cast("int")
+
+
+def doy365_sql(time_expr: str) -> str:
+    """DuckDB twin of :func:`doy365`."""
+    leap = (
+        f"((year({time_expr}) % 4 = 0 AND year({time_expr}) % 100 <> 0)"
+        f" OR year({time_expr}) % 400 = 0)"
+    )
+    return (
+        f"(dayofyear({time_expr}) - CASE WHEN {leap}"
+        f" AND dayofyear({time_expr}) > 59 THEN 1 ELSE 0 END)"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -5,28 +5,90 @@ Re-expresses the reference's day-of-year percentile machinery
 ``calendar.py:763-792``; Hyndman-Fan quantiles, ``src/xclim/core/utils.py:279-558``)
 in Spark:
 
-* the climatology is a **small dimension table** (<=366 rows per cell per
+* the climatology is a **small dimension table** (<=365 rows per cell per
   percentile) produced by one groupBy over an exploded doy-window;
-* applying it back to the fact table is a **broadcast equi-join** on
-  ``dayofyear`` — never a shuffle join (the dim side is tiny by
-  construction, we force ``F.broadcast``).
+* applying it back to the fact table is an equi-join on the 365-day axis —
+  broadcast when the climatology is small (few cells), shuffle-hash on
+  ``(cells, dayofyear)`` otherwise (the fact side is usually already
+  partitioned on the cell key for downstream run-length/resample ops, so
+  the extra exchange is shared).
 
 The doy window (each day's sample pool includes +-window//2 neighbouring
 days across all years) is built by exploding each row into the (window)
 doy-buckets it contributes to — a map-side explode followed by one
 aggregation, instead of a self-join.  At 100 TB this multiplies the
 aggregation input by `window` but keeps a single shuffle whose key space is
-(cell x 366), which partial aggregation collapses early.
+(cells x 365), which partial aggregation collapses early.
+
+Leap years: both sides map onto a 365-day axis via :func:`~xclim_spark.calendar.doy365`
+(Feb 29 pools with Feb 28; post-Feb days align across leap/non-leap years),
+matching the reference's calendar conversion before bucketing.
 """
 
 from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["percentile_doy", "resample_doy", "hyndman_fan_quantile_sql"]
+from ..calendar import doy365, doy365_sql
+
+__all__ = [
+    "hf_quantile",
+    "hf_quantile_sql",
+    "percentile_doy",
+    "percentile_doy_sql",
+    "resample_doy",
+    "hyndman_fan_quantile_sql",
+]
+
+
+def hf_quantile(
+    var: Column | str, p: float, *, alpha: float = 1 / 3, beta: float = 1 / 3
+) -> Column:
+    """Exact Hyndman-Fan quantile aggregate with arbitrary plotting
+    positions (reference ``_nan_quantile``, src/xclim/core/utils.py:279-558;
+    default alpha=beta=1/3 is HF type 8, 'median_unbiased' — the reference's
+    ``percentile_doy`` default).
+
+    Implemented as pure Column expressions — ``sort_array(collect_list(x))``
+    then linear interpolation at virtual index ``(n - alpha - beta + 1) * p
+    + alpha`` — so it stays JVM-side with no Python UDF.  NULLs are skipped
+    by ``collect_list`` (NaN-aware like the reference).  Intended for
+    *per-group* quantiles where groups are bounded (years x window samples
+    per (cell, doy) — hundreds of values), not whole-table quantiles.
+    """
+    v = F.col(var) if isinstance(var, str) else var
+    arr = F.sort_array(F.collect_list(v))
+    n = F.size(arr)
+    h = (n.cast("double") - alpha - beta + 1.0) * p + alpha
+    # clamp virtual index into [1, n]
+    h = F.greatest(F.lit(1.0), F.least(h, n.cast("double")))
+    j = F.floor(h).cast("int")
+    gamma = h - j
+    lo = F.element_at(arr, j)
+    hi = F.element_at(arr, F.least(j + 1, n))
+    return F.when(n == 0, F.lit(None).cast("double")).otherwise(
+        lo + gamma * (hi - lo)
+    )
+
+
+def hf_quantile_sql(
+    var: str, p: float, *, alpha: float = 1 / 3, beta: float = 1 / 3
+) -> str:
+    """DuckDB oracle twin of :func:`hf_quantile` (list aggregate +
+    interpolation; DuckDB's ``quantile_cont`` is fixed at type 7 so the
+    interpolation is spelled out)."""
+    xs = f"list_sort(list({var}))"
+    n = f"len({xs})"
+    h = f"GREATEST(1.0, LEAST(({n} - {alpha} - {beta} + 1.0) * {p} + {alpha}, {n}))"
+    return (
+        f"(list_extract({xs}, CAST(floor({h}) AS INT))"
+        f" + (({h}) - floor({h}))"
+        f" * (list_extract({xs}, LEAST(CAST(floor({h}) AS INT) + 1, {n}))"
+        f"    - list_extract({xs}, CAST(floor({h}) AS INT))))"
+    )
 
 
 def percentile_doy(
@@ -38,35 +100,78 @@ def percentile_doy(
     time: str = "time",
     cells: Sequence[str] = (),
     alias: str = "per",
+    alpha: float = 1 / 3,
+    beta: float = 1 / 3,
     exact: bool = True,
 ) -> DataFrame:
     """Climatological day-of-year percentile (reference calendar.py:396-494).
 
     Returns a dim table ``cells... , dayofyear, <alias>`` (one column per
-    requested percentile when a list is given: ``<alias>_p90`` etc.).
+    requested percentile when a list is given: ``<alias>_p90`` etc.) on the
+    365-day axis (join fact rows via :func:`~xclim_spark.calendar.doy365`).
 
-    ``exact=True`` uses Spark's exact ``percentile`` (linear interpolation,
-    Hyndman-Fan alpha=beta=1, i.e. numpy/DuckDB 'linear'); the reference
-    defaults to alpha=beta=1/3 ('median_unbiased') — parity for that is
-    provided driver-side in :mod:`xclim_spark.stats.quantile` and can be
-    swapped in via a pandas UDF where bit-parity matters.  ``exact=False``
-    uses ``approx_percentile`` for the cheap path at extreme scale.
+    ``alpha``/``beta`` select the Hyndman-Fan plotting positions; the
+    default 1/3,1/3 (type 8, 'median_unbiased') matches the reference's
+    ``percentile_doy``.  ``alpha=beta=1`` (type 7 'linear', numpy/DuckDB
+    default) uses Spark's built-in exact ``percentile``; ``exact=False``
+    downgrades that path to ``approx_percentile`` for the cheap variant at
+    extreme scale.
     """
     pers = [per] if isinstance(per, (int, float)) else list(per)
     half = window // 2
-    # Each row contributes to doy buckets [doy-half, doy+half], wrapping 1..365
-    # (the reference maps all calendars onto 365 buckets and interpolates 366).
-    d = F.dayofyear(time)
+    # Each row contributes to doy buckets [doy-half, doy+half] on the
+    # 365-day axis, wrapping at the year boundary.
     offsets = F.sequence(F.lit(-half), F.lit(half))
-    df = df.withColumn("_doy0", d).withColumn("_off", F.explode(offsets))
+    df = df.withColumn("_doy0", doy365(time)).withColumn(
+        "_off", F.explode(offsets)
+    )
     bucket = ((F.col("_doy0") - 1 + F.col("_off") + 365) % 365) + 1
     df = df.withColumn("dayofyear", bucket)
-    fn = "percentile" if exact else "approx_percentile"
     aggs = []
     for p in pers:
         name = alias if len(pers) == 1 else f"{alias}_p{int(round(p * 100))}"
-        aggs.append(F.expr(f"{fn}({var}, {p})").alias(name))
+        if (alpha, beta) == (1, 1):
+            fn = "percentile" if exact else "approx_percentile"
+            aggs.append(F.expr(f"{fn}({var}, {p})").alias(name))
+        else:
+            aggs.append(
+                hf_quantile(var, p, alpha=alpha, beta=beta).alias(name)
+            )
     return df.groupBy(*cells, "dayofyear").agg(*aggs)
+
+
+def percentile_doy_sql(
+    daily: str,
+    var: str,
+    p: float,
+    *,
+    window: int = 5,
+    time: str = "day",
+    cells: str = "cell",
+    alias: str = "per",
+    alpha: float = 1 / 3,
+    beta: float = 1 / 3,
+) -> str:
+    """DuckDB CTE body mirroring :func:`percentile_doy` for oracles.
+
+    Produces ``per AS (SELECT <cells>, dayofyear, <alias> FROM ...)``-shaped
+    SQL (caller wraps in WITH).  Uses the same doy365 bucketing + HF
+    interpolation.
+    """
+    half = window // 2
+    d365 = doy365_sql(time)
+    q = hf_quantile_sql(var, p, alpha=alpha, beta=beta)
+    return f"""
+pooled AS (
+  SELECT {cells}, {var},
+         (({d365} - 1 + off.o + 365) % 365) + 1 AS dayofyear
+  FROM {daily}, (SELECT unnest(range(-{half}, {half + 1})) AS o) off
+),
+per AS (
+  SELECT {cells}, dayofyear, {q} AS {alias}
+  FROM pooled GROUP BY {cells}, dayofyear
+)
+""".strip()
 
 
 def resample_doy(
@@ -76,17 +181,26 @@ def resample_doy(
     time: str = "time",
     cells: Sequence[str] = (),
     on_cells: bool = True,
+    broadcast: bool | None = None,
 ) -> DataFrame:
-    """Broadcast-join the doy-indexed climatology onto the fact table
-    (reference calendar.py:763-792).
+    """Join the doy-indexed climatology onto the fact table (reference
+    calendar.py:763-792), matching fact rows on the 365-day doy axis.
 
-    The dim table is <=366 x n_cells rows; we force a broadcast so the plan
-    is a BroadcastHashJoin with no shuffle of the fact side — the only plan
-    that survives 100 TB facts.
+    ``broadcast`` controls the join strategy: ``True`` forces a broadcast
+    (right only when the climatology is genuinely small — few cells;
+    at 365 x n_cells rows a 1M-cell grid would broadcast ~365M rows to
+    every executor).  ``False`` hints a shuffle-hash join on
+    ``(cells, dayofyear)``.  The default ``None`` leaves the choice to
+    Catalyst/AQE, which sizes the dim side at runtime — the safe default
+    for the 100 TB target.
     """
     keys = ([*cells] if on_cells else []) + ["dayofyear"]
-    fact = df.withColumn("dayofyear", F.dayofyear(time))
-    return fact.join(F.broadcast(per_df), on=keys, how="left")
+    fact = df.withColumn("dayofyear", doy365(time))
+    if broadcast is True:
+        per_df = F.broadcast(per_df)
+    elif broadcast is False:
+        per_df = per_df.hint("shuffle_hash")
+    return fact.join(per_df, on=keys, how="left")
 
 
 def hyndman_fan_quantile_sql(var: str, p: float) -> str:

@@ -429,16 +429,55 @@ FROM daily d JOIN per USING (cell)
 GROUP BY 1, 2""",
 )
 def p90_days_over_ys(spark, sf_dir):
-    """Percentile threshold lookup via broadcast join (tg90p shape,
-    reference _multivariate.py:1300; resample_doy pattern calendar.py:763)."""
+    """Percentile threshold lookup (tg90p shape, reference
+    _multivariate.py:1300; resample_doy pattern calendar.py:763).  The join
+    strategy is left to AQE: the per-cell climatology is n_cells rows and
+    must not be force-broadcast at grid scale."""
     d = daily_series(spark, sf_dir)
     per = d.groupBy("cell").agg(F.expr("percentile(qty, 0.9)").alias("p90"))
-    j = d.join(F.broadcast(per), on="cell")
+    j = d.join(per, on="cell")
     return (
         j.withColumn("period", period_start("day", "YS"))
         .groupBy("cell", "period")
         .agg(F.sum((F.col("qty") > F.col("p90")).cast("long")).alias("days_over"))
     )
+
+
+def _tg90p_oracle() -> str:
+    from .operators.percentile import percentile_doy_sql
+    from .calendar import doy365_sql
+
+    per_ctes = percentile_doy_sql(
+        "daily", "qty", 0.9, window=5, time="day", cells="cell", alias="p90"
+    )
+    return f"""WITH {DAILY_SQL},
+{per_ctes}
+SELECT d.cell AS cell, CAST(date_trunc('year', d.day) AS DATE) AS period,
+       CAST(sum(CASE WHEN d.qty > per.p90 THEN 1 ELSE 0 END) AS BIGINT) AS days_over
+FROM daily d JOIN per ON d.cell = per.cell
+                     AND {doy365_sql('d.day')} = per.dayofyear
+GROUP BY 1, 2"""
+
+
+@_register("tg90p_doy_ys", None)  # oracle attached below (built dynamically)
+def tg90p_doy_ys(spark, sf_dir):
+    """tg90p via the full percentile_doy -> resample_doy path (reference
+    _multivariate.py:1300; percentile_doy calendar.py:396-494 with
+    Hyndman-Fan alpha=beta=1/3 quantiles, utils.py:279-558)."""
+    from .operators import percentile as pc
+
+    d = daily_series(spark, sf_dir)
+    per = pc.percentile_doy(d, "qty", 0.9, window=5, time="day",
+                            cells=["cell"], alias="p90")
+    j = pc.resample_doy(d, per, time="day", cells=["cell"])
+    return (
+        j.withColumn("period", period_start("day", "YS"))
+        .groupBy("cell", "period")
+        .agg(F.sum((F.col("qty") > F.col("p90")).cast("long")).alias("days_over"))
+    )
+
+
+ORACLES["tg90p_doy_ys"] = _tg90p_oracle()
 
 
 # ---------------------------------------------------------------------------
