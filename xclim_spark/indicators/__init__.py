@@ -1,0 +1,44 @@
+"""Indicator layer: registry, declarative specs, named indicators.
+
+Usage::
+
+    from xclim_spark.indicators import atmos, registry
+
+    res = atmos.tx_days_above(df, tasmax="qty", thresh="30 degC",
+                              freq="MS", time="day", cells=["cell"])
+    res.df     # Spark DataFrame: cells..., period, tx_days_above
+    res.attrs  # cf-style metadata (units, long_name, history, ...)
+
+Mirrors the reference's ``xclim.atmos`` call surface
+(``src/xclim/indicators/``) and its YAML virtual-module builder
+(``src/xclim/core/indicator.py:1703-1958``).
+"""
+
+from .core import (
+    COMPUTES,
+    Indicator,
+    IndicatorResult,
+    Parameter,
+    VARIABLES,
+    build_indicator_module,
+    build_indicator_module_from_yaml,
+    from_dict,
+    register_compute,
+    registry,
+)
+from . import computes  # noqa: F401
+from .atmos import atmos
+
+__all__ = [
+    "COMPUTES",
+    "Indicator",
+    "IndicatorResult",
+    "Parameter",
+    "VARIABLES",
+    "atmos",
+    "build_indicator_module",
+    "build_indicator_module_from_yaml",
+    "from_dict",
+    "register_compute",
+    "registry",
+]

@@ -443,7 +443,7 @@ def p90_days_over_ys(spark, sf_dir):
     )
 
 
-def _tg90p_oracle() -> str:
+def _tg90p_oracle(alias: str = "days_over") -> str:
     from .operators.percentile import percentile_doy_sql
     from .calendar import doy365_sql
 
@@ -453,7 +453,7 @@ def _tg90p_oracle() -> str:
     return f"""WITH {DAILY_SQL},
 {per_ctes}
 SELECT d.cell AS cell, CAST(date_trunc('year', d.day) AS DATE) AS period,
-       CAST(sum(CASE WHEN d.qty > per.p90 THEN 1 ELSE 0 END) AS BIGINT) AS days_over
+       CAST(sum(CASE WHEN d.qty > per.p90 THEN 1 ELSE 0 END) AS BIGINT) AS {alias}
 FROM daily d JOIN per ON d.cell = per.cell
                      AND {doy365_sql('d.day')} = per.dayofyear
 GROUP BY 1, 2"""
@@ -580,6 +580,218 @@ def text_stats_lang(spark, sf_dir):
         F.round(F.avg("n_chars"), 6).alias("avg_chars"),
         F.round(F.avg(toks), 6).alias("avg_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Indicator-registry path (SURVEY §2.B): the same computations reached BY
+# NAME through xclim_spark.indicators.registry — what a reference user calls
+# (``atmos.tx_days_above(tasmax, "30 degC", freq="MS")``).
+# ---------------------------------------------------------------------------
+
+def _ind(name: str, **kw):
+    """Call a registry indicator on the daily series."""
+    from .indicators import registry
+
+    def run(spark, sf_dir):
+        d = daily_series(spark, sf_dir)
+        return registry[name](d, time="day", cells=["cell"], **kw).df
+
+    return run
+
+
+@_register(
+    "ind_tg_mean_ms",
+    f"""WITH {DAILY_SQL}
+SELECT cell, CAST(date_trunc('month', day) AS DATE) AS period,
+       ROUND(avg(qty), 6) AS tg_mean
+FROM daily GROUP BY 1, 2""",
+)
+def ind_tg_mean_ms(spark, sf_dir):
+    """tg_mean by registry name (ref _temperature.py tg_mean)."""
+    out = _ind("tg_mean", tas="qty", freq="MS", missing=None)(spark, sf_dir)
+    return out.withColumn("tg_mean", F.round("tg_mean", 6))
+
+
+@_register(
+    "ind_tg_mean_masked_ms",
+    f"""WITH {DAILY_SQL}
+SELECT cell, CAST(date_trunc('month', day) AS DATE) AS period,
+       CASE WHEN count(*) < date_diff('day',
+              CAST(date_trunc('month', day) AS DATE),
+              CAST(date_trunc('month', day) AS DATE) + INTERVAL 1 MONTH)
+            THEN NULL ELSE ROUND(avg(qty), 6) END AS tg_mean
+FROM daily GROUP BY 1, 2""",
+)
+def ind_tg_mean_masked_ms(spark, sf_dir):
+    """tg_mean with the MissingAny post-processing mask wired in
+    (reference CheckMissingIndicator._postprocess, indicator.py:1522)."""
+    out = _ind("tg_mean", tas="qty", freq="MS", missing="any")(spark, sf_dir)
+    return out.withColumn("tg_mean", F.round("tg_mean", 6))
+
+
+@_register(
+    "ind_tx_days_above_ms",
+    f"""WITH {DAILY_SQL}
+SELECT cell, CAST(date_trunc('month', day) AS DATE) AS period,
+       CAST(sum(CASE WHEN qty > 30 THEN 1 ELSE 0 END) AS BIGINT) AS tx_days_above
+FROM daily GROUP BY 1, 2""",
+)
+def ind_tx_days_above_ms(spark, sf_dir):
+    """tx_days_above by registry name (ref _threshold.py:2590)."""
+    return _ind("tx_days_above", tasmax="qty", thresh=30.0, freq="MS",
+                missing=None)(spark, sf_dir)
+
+
+@_register(
+    "ind_frost_days_ys",
+    f"""WITH {DAILY_SQL}
+SELECT cell, CAST(date_trunc('year', day) AS DATE) AS period,
+       CAST(sum(CASE WHEN qty < 15 THEN 1 ELSE 0 END) AS BIGINT) AS frost_days
+FROM daily GROUP BY 1, 2""",
+)
+def ind_frost_days_ys(spark, sf_dir):
+    """frost_days by registry name (ref _simple.py:373)."""
+    return _ind("frost_days", tasmin="qty", thresh=15.0, freq="YS",
+                missing=None)(spark, sf_dir)
+
+
+@_register(
+    "ind_wetdays_ms",
+    f"""WITH {DAILY_SQL}
+SELECT cell, CAST(date_trunc('month', day) AS DATE) AS period,
+       CAST(sum(CASE WHEN price >= 50000 THEN 1 ELSE 0 END) AS BIGINT) AS wetdays
+FROM daily GROUP BY 1, 2""",
+)
+def ind_wetdays_ms(spark, sf_dir):
+    """wetdays by registry name (ref _threshold.py:2749)."""
+    return _ind("wetdays", pr="price", thresh=50000.0, freq="MS",
+                missing=None)(spark, sf_dir)
+
+
+@_register(
+    "ind_gdd_ys",
+    f"""WITH {DAILY_SQL}
+SELECT cell, CAST(date_trunc('year', day) AS DATE) AS period,
+       ROUND(sum(CASE WHEN qty > 25 THEN qty - 25 ELSE 0 END), 6) AS growing_degree_days
+FROM daily GROUP BY 1, 2""",
+)
+def ind_gdd_ys(spark, sf_dir):
+    """growing_degree_days by registry name (ref _threshold.py:941)."""
+    out = _ind("growing_degree_days", tas="qty", thresh=25.0, freq="YS",
+               missing=None)(spark, sf_dir)
+    return out.withColumn("growing_degree_days",
+                          F.round("growing_degree_days", 6))
+
+
+@_register(
+    "ind_mcdd_ys",
+    f"""WITH {DAILY_SQL},
+{_runs_sql("price < 40000", _YS)}
+SELECT cell, period,
+       CAST(coalesce(max(run_length), 0) AS BIGINT) AS maximum_consecutive_dry_days
+FROM rl GROUP BY 1, 2""",
+)
+def ind_mcdd_ys(spark, sf_dir):
+    """maximum_consecutive_dry_days by registry name (ref
+    _threshold.py:2837)."""
+    return _ind("maximum_consecutive_dry_days", pr="price", thresh=40000.0,
+                freq="YS", missing=None)(spark, sf_dir)
+
+
+@_register(
+    "ind_hot_spell_freq_ys",
+    f"""WITH {DAILY_SQL},
+{_runs_sql("qty > 25", _YS)}
+SELECT cell, period,
+       CAST(sum(CASE WHEN run_length >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS hot_spell_frequency
+FROM rl GROUP BY 1, 2""",
+)
+def ind_hot_spell_freq_ys(spark, sf_dir):
+    """hot_spell_frequency by registry name (ref _threshold.py:2019)."""
+    return _ind("hot_spell_frequency", tasmax="qty", thresh=25.0, window=3,
+                freq="YS", missing=None)(spark, sf_dir)
+
+
+@_register(
+    "ind_hot_spell_maxlen_ys",
+    f"""WITH {DAILY_SQL},
+{_runs_sql("qty > 25", _YS)}
+SELECT cell, period,
+       CAST(coalesce(max(CASE WHEN run_length >= 3 THEN run_length END), 0) AS BIGINT)
+         AS hot_spell_max_length
+FROM rl GROUP BY 1, 2""",
+)
+def ind_hot_spell_maxlen_ys(spark, sf_dir):
+    """hot_spell_max_length by registry name (ref _threshold.py:2094)."""
+    return _ind("hot_spell_max_length", tasmax="qty", thresh=25.0, window=3,
+                freq="YS", missing=None)(spark, sf_dir)
+
+
+@_register(
+    "ind_heat_wave_freq_ys",
+    f"""WITH {DAILY_SQL},
+{_runs_sql("qty > 20 AND price > 50000", _YS)}
+SELECT cell, period,
+       CAST(sum(CASE WHEN run_length >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS heat_wave_frequency
+FROM rl GROUP BY 1, 2""",
+)
+def ind_heat_wave_freq_ys(spark, sf_dir):
+    """heat_wave_frequency (bivariate) by registry name (ref
+    _multivariate.py:646)."""
+    return _ind("heat_wave_frequency", tasmin="qty", tasmax="price",
+                thresh_low=20.0, thresh_high=50000.0, window=2, freq="YS",
+                missing=None)(spark, sf_dir)
+
+
+@_register(
+    "ind_precip_acc_qs",
+    f"""WITH {DAILY_SQL}
+SELECT cell,
+       CAST(date_trunc('quarter', day - INTERVAL 2 MONTH) + INTERVAL 2 MONTH AS DATE) AS period,
+       ROUND(sum(price), 4) AS precip_accumulation
+FROM daily GROUP BY 1, 2""",
+)
+def ind_precip_acc_qs(spark, sf_dir):
+    """precip_accumulation by registry name, anchored quarters (ref
+    _precip.py precip_accumulation)."""
+    out = _ind("precip_accumulation", pr="price", freq="QS-DEC",
+               missing=None)(spark, sf_dir)
+    return out.withColumn("precip_accumulation",
+                          F.round("precip_accumulation", 4))
+
+
+@_register(
+    "ind_etr_ms",
+    f"""WITH {DAILY_SQL}
+SELECT cell, CAST(date_trunc('month', day) AS DATE) AS period,
+       ROUND(max(price - qty), 4) AS extreme_temperature_range
+FROM daily GROUP BY 1, 2""",
+)
+def ind_etr_ms(spark, sf_dir):
+    """extreme_temperature_range by registry name (ref
+    _multivariate.py:610; range_statistics compute with a max reducer —
+    order-insensitive, so hash-stable; the mean form is pytest-covered)."""
+    out = _ind("extreme_temperature_range", tasmin="qty", tasmax="price",
+               freq="MS", missing=None)(spark, sf_dir)
+    return out.withColumn("extreme_temperature_range",
+                          F.round("extreme_temperature_range", 4))
+
+
+@_register("ind_tg90p_ys", None)
+def ind_tg90p_ys(spark, sf_dir):
+    """tg90p by registry name through percentile_doy + resample_doy (ref
+    _multivariate.py:1300)."""
+    from .indicators import registry
+    from .operators import percentile as pc
+
+    d = daily_series(spark, sf_dir)
+    per = pc.percentile_doy(d, "qty", 0.9, window=5, time="day",
+                            cells=["cell"], alias="per")
+    return registry["tg90p"](d, tas="qty", per=per, freq="YS", time="day",
+                             cells=["cell"], missing=None).df
+
+
+ORACLES["ind_tg90p_ys"] = _tg90p_oracle(alias="tg90p")
 
 
 def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
