@@ -1,0 +1,189 @@
+"""Converter tests mirroring the reference's expected values
+(reference tests/test_converters.py)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from xclim_spark.functions import converters as cv
+
+K2C = 273.15
+
+
+def _eval(spark, cols: dict, expr) -> list:
+    """Evaluate a Column expression over literal rows."""
+    n = len(next(iter(cols.values())))
+    rows = [tuple(cols[k][i] for k in cols) for i in range(n)]
+    schema = ", ".join(f"{k} DOUBLE" for k in cols)
+    df = spark.createDataFrame(rows, schema=schema)
+    return [r["out"] for r in df.select(expr.alias("out")).collect()]
+
+
+def test_humidex_wikipedia_values(spark):
+    # expected values from the humidex definition (ref
+    # tests/test_converters.py:86-96): tas degC + dewpoint K -> [16,29,47,52]
+    out = _eval(
+        spark,
+        {"tas": [15.0, 25.0, 35.0, 40.0],
+         "tdps": [10 + K2C, 15 + K2C, 25 + K2C, 25 + K2C]},
+        cv.humidex("tas", tdps_k="tdps"),
+    )
+    np.testing.assert_array_almost_equal(out, [16, 29, 47, 52], 0)
+
+
+def test_humidex_from_hurs(spark):
+    # both vapour-pressure paths must agree near saturation reference
+    out_td = _eval(spark, {"t": [30.0], "td": [25.0 + K2C]},
+                   cv.humidex("t", tdps_k="td"))
+    # hurs equivalent of Td=25degC at T=30degC is ~74.7%
+    out_h = _eval(spark, {"t": [30.0], "h": [74.7]},
+                  cv.humidex("t", hurs_pct="h"))
+    assert out_td[0] == pytest.approx(out_h[0], abs=0.5)
+
+
+def test_heat_index_regression(spark):
+    # Rothfusz regression: T=30degC, RH=70% -> ~35degC (NWS chart 95F/70%)
+    out = _eval(spark, {"t": [30.0, 15.0], "h": [70.0, 70.0]},
+                cv.heat_index("t", "h"))
+    assert out[0] == pytest.approx(35.0, abs=1.0)
+    assert out[1] is None  # masked below 20 degC
+
+
+def test_saturation_vapor_pressure_sonntag90(spark):
+    # ref tests/test_converters.py:140-150
+    tas = [t + K2C for t in (-20, -10, -1, 10, 20, 25, 30, 40, 60)]
+    exp = [103, 260, 563, 1228, 2339, 3169, 4247, 7385, 19947]
+    out = _eval(spark, {"t": tas},
+                cv.saturation_vapor_pressure("t", "sonntag90",
+                                             ice_thresh_k=K2C))
+    np.testing.assert_allclose(out, exp, atol=0.5, rtol=0.005)
+
+
+def test_relative_humidity(spark):
+    # ref tests/test_converters.py:152-167
+    tas = [t + K2C for t in (-10, 10, 20, 35, 50, 75, 95)]
+    huss = [0.001, 0.005, 0.005, 0.005, 0.005, 0.005, 0.005]
+    ps = [101325.0] * 7
+    exp = [62.5, 66.0, 35.0, 14.5, 6.5, 2.0, 1.0]
+    out = _eval(
+        spark, {"t": tas, "q": huss, "p": ps},
+        cv.relative_humidity("t", "q", "p", method="sonntag90",
+                             ice_thresh_k=K2C),
+    )
+    np.testing.assert_allclose(out, exp, atol=0.5, rtol=0.005)
+
+
+def test_relative_humidity_ice_switch(spark):
+    # with ice_thresh, sub-zero esat uses the over-ice fit; check via the
+    # full expression (ratio of vapor_pressure to esat-with-ice)
+    tas = [-10.0 + K2C]
+    huss = [0.001]
+    ps = [101325.0]
+    e = cv.vapor_pressure("q", "p")
+    esat = cv.saturation_vapor_pressure("t", "sonntag90", ice_thresh_k=K2C)
+    out = _eval(spark, {"t": tas, "q": huss, "p": ps}, 100.0 * e / esat)
+    assert out[0] == pytest.approx(62.5, abs=0.5)
+
+
+def test_specific_humidity(spark):
+    # ref tests/test_converters.py:169-184 (skipping the >100% RH case)
+    tas = [t + K2C for t in (-10, 10, 20, 35, 50, 75, 95)]
+    hurs = [10.0, 90.0, 20.0, 80.0, 50.0, 70.0, 40.0]
+    ps = [100000.0, 100000.0, 100000.0, 101000.0, 101000.0, 101000.0,
+          101000.0]
+    exp = [1.6e-4, 6.9e-3, 3.0e-3, 2.9e-2, 4.1e-2, 2.1e-1, 5.7e-1]
+    esat = cv.saturation_vapor_pressure("t", "sonntag90", ice_thresh_k=K2C)
+    wsat = 0.622 * esat / (F.col("p") - esat)
+    w = wsat * F.col("h") / 100.0
+    out = _eval(spark, {"t": tas, "h": hurs, "p": ps}, w / (1.0 + w))
+    np.testing.assert_allclose(out, exp, atol=1e-4, rtol=0.05)
+
+
+def test_dewpoint_roundtrip(spark):
+    # dewpoint_from_specific_humidity inverts the Magnus esat: check
+    # e_sat(Td) == vapor_pressure(q, p)
+    huss = [0.0035031, 0.00722795, 0.01319614]
+    ps = [100000.0, 105000.0, 110000.0]
+    td = cv.dewpoint_from_specific_humidity("q", "p", method="buck81")
+    out = _eval(spark, {"q": huss, "p": ps}, td)
+    # MetPy values computed with sonntag90; buck81 agrees within 0.3 K
+    np.testing.assert_allclose(out, [272, 283, 293], atol=0.5)
+
+
+def test_snowfall_approximation_methods(spark):
+    pr = [10.0] * 5
+    tas = [K2C - 1, K2C, K2C + 1.0, K2C + 2.0, K2C + 5.0]
+    # binary: solid at/below freezing
+    out = _eval(spark, {"p": pr, "t": tas},
+                cv.snowfall_approximation("p", "t", K2C, "binary"))
+    assert out == [10.0, 10.0, 0.0, 0.0, 0.0]
+    # brown: linear 1 -> 0 over [thresh, thresh+2]
+    out = _eval(spark, {"p": pr, "t": tas},
+                cv.snowfall_approximation("p", "t", K2C, "brown"))
+    np.testing.assert_allclose(out, [10.0, 10.0, 5.0, 0.0, 0.0])
+    # auer: polynomial fraction, 1 below 0 excess, 0 at >= 6
+    out = _eval(spark, {"p": pr, "t": tas},
+                cv.snowfall_approximation("p", "t", K2C, "auer"))
+    assert out[0] == 10.0 and out[1] == 10.0 and out[4] == pytest.approx(
+        10.0 * max(0.0, (100 + 4.6664 * 5 - 15.038 * 25 - 1.5089 * 125
+                         + 2.0399 * 625 - 0.366 * 3125 + 0.0202 * 15625))
+        / 100.0, rel=1e-9)
+    # rain + snow == pr
+    rain = _eval(spark, {"p": pr, "t": tas},
+                 cv.rain_approximation("p", "t", K2C, "brown"))
+    snow = _eval(spark, {"p": pr, "t": tas},
+                 cv.snowfall_approximation("p", "t", K2C, "brown"))
+    np.testing.assert_allclose(np.array(rain) + np.array(snow), pr)
+
+
+def test_wind_chill_index(spark):
+    # ECCC chart: T=-20degC, V=30km/h -> W ~ -33; slow-wind branch at 2km/h
+    out = _eval(spark, {"t": [-20.0, -20.0], "v": [30.0, 2.0]},
+                cv.wind_chill_index("t", "v", method="CAN"))
+    assert out[0] == pytest.approx(-33.0, abs=1.0)
+    slow = -20.0 + (-1.59 + 0.1345 * -20.0) / 5.0 * 2.0
+    assert out[1] == pytest.approx(slow, rel=1e-9)
+    # masked above 0 degC
+    out = _eval(spark, {"t": [5.0], "v": [30.0]},
+                cv.wind_chill_index("t", "v", method="CAN"))
+    assert out[0] is None
+
+
+def test_uas_vas_roundtrip(spark):
+    uas = [3.0, -3.0, 0.0, 0.0, 0.1]
+    vas = [0.0, 0.0, 4.0, -4.0, 0.1]
+    w, d = cv.uas_vas_to_sfcwind("u", "v")
+    speed = _eval(spark, {"u": uas, "v": vas}, w)
+    np.testing.assert_allclose(speed, [3, 3, 4, 4, np.hypot(.1, .1)])
+    direction = _eval(spark, {"u": uas, "v": vas}, d)
+    # wind FROM: easterly u>0 -> 270; westerly -> 90; southerly v>0 -> 180;
+    # northerly -> 360; calm -> 0
+    np.testing.assert_allclose(direction, [270, 90, 180, 360, 0])
+    # roundtrip
+    u2, v2 = cv.sfcwind_to_uas_vas("w", "d")
+    back_u = _eval(spark, {"w": speed[:4], "d": direction[:4]}, u2)
+    back_v = _eval(spark, {"w": speed[:4], "d": direction[:4]}, v2)
+    np.testing.assert_allclose(back_u, uas[:4], atol=1e-9)
+    np.testing.assert_allclose(back_v, vas[:4], atol=1e-9)
+
+
+def test_snow_and_simple_converters(spark):
+    assert _eval(spark, {"x": [1.0]}, cv.snd_to_snw("x")) == [312.0]
+    assert _eval(spark, {"x": [312.0]}, cv.snw_to_snd("x")) == [1.0]
+    assert _eval(spark, {"x": [1.0]}, cv.prsnd_to_prsn("x")) == [100.0]
+    assert _eval(spark, {"a": [5.0], "b": [2.0]},
+                 cv.water_budget("a", "b")) == [3.0]
+    assert _eval(spark, {"a": [10.0], "b": [4.0]},
+                 cv.tas_from_tasmin_tasmax("b", "a")) == [7.0]
+    assert _eval(
+        spark, {"rls": [50.0], "rlds": [300.0]},
+        cv.longwave_upwelling_radiation_from_net_downwelling("rls", "rlds"),
+    ) == [250.0]
+    # wind profile power law: double height with alpha=1/7
+    out = _eval(spark, {"v": [7.0]}, cv.wind_profile("v", 20.0, 10.0))
+    assert out[0] == pytest.approx(7.0 * 2 ** (1 / 7))
+    # power potential: cubic ramp between cut-in and rated
+    out = _eval(spark, {"v": [2.0, 13.5, 30.0, 8.0]},
+                cv.wind_power_potential("v"))
+    assert out[0] == 0.0 and out[1] == 1.0 and out[2] == 0.0
+    assert out[3] == pytest.approx((8**3 - 3.5**3) / (13**3 - 3.5**3))

@@ -583,6 +583,78 @@ def text_stats_lang(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Converter tier (SURVEY §2 scalar functions; reference converters.py)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "conv_humidex_ms",
+    f"""WITH {DAILY_SQL}
+SELECT cell, CAST(date_trunc('month', day) AS DATE) AS period,
+       ROUND(avg(qty + (5.0/9.0) * ((LEAST(100.0, qty*2.0)/100.0) * 6.112
+             * pow(10.0, 7.5*qty/(qty+237.7)) - 10.0)), 6) AS humidex_mean
+FROM daily GROUP BY 1, 2""",
+)
+def conv_humidex_ms(spark, sf_dir):
+    """Monthly mean humidex from a synthetic (tas, hurs) pair derived from
+    the daily series (converter tier, reference converters.py:76-173 —
+    pure Column expressions inside the aggregation)."""
+    from .functions import converters as cv
+
+    d = daily_series(spark, sf_dir)
+    hurs = F.least(F.lit(100.0), F.col("qty") * 2.0)
+    d = d.withColumn("_hx", cv.humidex("qty", hurs_pct=hurs))
+    out = g.select_resample_op(d, "_hx", "mean", "MS", time="day",
+                               cells=["cell"], alias="humidex_mean")
+    return out.withColumn("humidex_mean", F.round("humidex_mean", 6))
+
+
+@_register(
+    "conv_windchill_ms",
+    f"""WITH {DAILY_SQL}
+SELECT cell, CAST(date_trunc('month', day) AS DATE) AS period,
+       ROUND(avg(13.12 + 0.6125*(-qty) - 11.37*pow(6.0+qty, 0.16)
+                 + 0.3965*(-qty)*pow(6.0+qty, 0.16)), 6) AS wci_mean
+FROM daily GROUP BY 1, 2""",
+)
+def conv_windchill_ms(spark, sf_dir):
+    """Monthly mean wind-chill from synthetic (tas, wind) columns
+    (reference converters.py:1663-1746; all inputs keep the standard-branch
+    ranges so both engines evaluate the same closed form)."""
+    from .functions import converters as cv
+
+    d = daily_series(spark, sf_dir)
+    d = d.withColumn(
+        "_wc", cv.wind_chill_index(-F.col("qty"), 6.0 + F.col("qty"),
+                                   method="CAN")
+    )
+    out = g.select_resample_op(d, "_wc", "mean", "MS", time="day",
+                               cells=["cell"], alias="wci_mean")
+    return out.withColumn("wci_mean", F.round("wci_mean", 6))
+
+
+@_register(
+    "conv_snowfrac_ys",
+    f"""WITH {DAILY_SQL}
+SELECT cell, CAST(date_trunc('year', day) AS DATE) AS period,
+       ROUND(avg(GREATEST(0.0, LEAST(1.0,
+             1.0 - ((270.0 + qty/2.0) - 273.15)/2.0))), 6) AS snow_frac
+FROM daily GROUP BY 1, 2""",
+)
+def conv_snowfrac_ys(spark, sf_dir):
+    """Annual mean solid-precipitation fraction, 'brown' linear-phase
+    scheme on a synthetic temperature (reference converters.py:1088-1253)."""
+    from .functions import converters as cv
+
+    d = daily_series(spark, sf_dir)
+    tas_k = 270.0 + F.col("qty") / 2.0
+    frac = cv.snowfall_approximation(F.lit(1.0), tas_k, 273.15, "brown")
+    d = d.withColumn("_sf", frac)
+    out = g.select_resample_op(d, "_sf", "mean", "YS", time="day",
+                               cells=["cell"], alias="snow_frac")
+    return out.withColumn("snow_frac", F.round("snow_frac", 6))
+
+
+# ---------------------------------------------------------------------------
 # Indicator-registry path (SURVEY §2.B): the same computations reached BY
 # NAME through xclim_spark.indicators.registry — what a reference user calls
 # (``atmos.tx_days_above(tasmax, "30 degC", freq="MS")``).
