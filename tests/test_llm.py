@@ -1,0 +1,175 @@
+"""LLM-pipeline operator tests: dedup, similarity, text analysis."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from xclim_spark.llm import dedup as dd
+from xclim_spark.llm import similarity as sim
+from xclim_spark.llm import text as tx
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id LONG, text STRING"
+    )
+
+
+def test_word_shingles(spark):
+    df = _docs(spark, ["a b c d", "a b"])
+    out = df.select(dd.word_shingles("text", 3).alias("sh")).collect()
+    assert out[0]["sh"] == ["a b c", "b c d"]
+    assert out[1]["sh"] == []  # shorter than n
+
+
+def test_exact_duplicates(spark):
+    df = _docs(spark, ["x y", "x y", "z"])
+    out = {r["keep_id"]: r["dup_count"]
+           for r in dd.exact_duplicates(df).collect()}
+    assert out == {0: 2, 2: 1}
+
+
+def test_near_duplicates_matches_exact_jaccard(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    texts = [
+        base,
+        base + " extra",                     # very high overlap
+        "completely different words here entirely unrelated content okay",
+        base.replace("quick", "slow"),       # high overlap
+        "another unrelated document about spark window functions",
+    ]
+    out = dd.near_duplicates(
+        _docs(spark, texts), threshold=0.3, num_perm=128, bands=64
+    ).collect()
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out}
+    # exact jaccard of word-trigram sets, computed in python
+    def sh(t):
+        w = t.split()
+        return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+    expect = {}
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            a, b = sh(texts[i]), sh(texts[j])
+            jac = len(a & b) / len(a | b)
+            if jac >= 0.3:
+                expect[(i, j)] = jac
+    assert set(got) == set(expect)
+    for k, v in expect.items():
+        assert got[k] == pytest.approx(v)
+
+
+def test_minhash_estimates_jaccard(spark):
+    # signature agreement ~ Jaccard (within sampling error at k=256)
+    a = " ".join(f"w{i}" for i in range(60))
+    b = " ".join(f"w{i}" for i in range(30, 90))  # J = 28/92 on trigrams
+    df = _docs(spark, [a, b])
+    sigs = df.select(
+        "doc_id",
+        dd.minhash_signature(
+            dd.shingle_hashes(dd.word_shingles("text", 3)), 256, 7
+        ).alias("sig"),
+    ).collect()
+    s0, s1 = sigs[0]["sig"], sigs[1]["sig"]
+    est = sum(x == y for x, y in zip(s0, s1)) / 256
+    def sh(t):
+        w = t.split()
+        return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+    true_j = len(sh(a) & sh(b)) / len(sh(a) | sh(b))
+    assert est == pytest.approx(true_j, abs=0.12)
+
+
+def test_simhash_hamming(spark):
+    a = " ".join(f"tok{i}" for i in range(50))
+    b = a.replace("tok25", "changed")       # near-dup
+    c = " ".join(f"other{i}" for i in range(50))
+    df = _docs(spark, [a, b, c])
+    rows = dd.simhash(df).orderBy("doc_id").collect()
+    out = [r["simhash"] for r in rows]
+    def ham(x, y):
+        return bin((x ^ y) & ((1 << 64) - 1)).count("1")
+    assert ham(out[0], out[1]) < ham(out[0], out[2])
+    assert ham(out[0], out[1]) <= 16
+
+
+def _emb(spark, n=60, dim=16, seed=3):
+    rng = np.random.RandomState(seed)
+    # clustered vectors so knn is meaningful
+    centers = rng.standard_normal((5, dim)) * 3
+    rows = []
+    for i in range(n):
+        v = centers[i % 5] + rng.standard_normal(dim) * 0.3
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+
+
+def test_knn_bruteforce_matches_numpy(spark):
+    df = _emb(spark)
+    q = df.filter(F.col("vec_id") < 3)
+    out = sim.knn_bruteforce(df, q, k=4).collect()
+    rows = df.orderBy("vec_id").collect()
+    M = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    sims = Mn @ Mn.T
+    for qid in range(3):
+        s = sims[qid].copy()
+        s[qid] = -np.inf
+        top = np.argsort(-s, kind="stable")[:4]
+        got = [r["neighbor_id"] for r in out if r["query_id"] == qid]
+        assert got == list(top), qid
+
+
+def test_knn_lsh_recall(spark):
+    df = _emb(spark, n=100)
+    q = df.filter(F.col("vec_id") < 5)
+    exact = sim.knn_bruteforce(df, q, k=3).collect()
+    approx = sim.knn_lsh(df, q, k=3, dim=16, n_planes=6, n_tables=8).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.8, recall
+    # LSH never invents similarities: every returned cos is exact
+    bycos = {(r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in exact}
+    for r in approx:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in bycos:
+            assert r["cos_sim"] == pytest.approx(bycos[key], rel=1e-12)
+
+
+def test_text_functions(spark):
+    df = _docs(spark, ["The cat and the dog, in a house!",
+                       "le chat et le chien de la maison est gros"])
+    r = df.select(
+        tx.token_count("text").alias("n"),
+        tx.type_token_ratio("text").alias("ttr"),
+        tx.punct_ratio("text").alias("punct"),
+        tx.language_id("text").alias("lang"),
+        tx.stopword_ratio("text", "en").alias("sw"),
+    ).collect()
+    assert r[0]["n"] == 8
+    assert r[0]["ttr"] == pytest.approx(7 / 8)  # 'the' twice (case-folded)
+    assert r[0]["punct"] == pytest.approx(2 / 32)
+    assert r[0]["lang"] == "en" and r[1]["lang"] == "fr"
+    assert r[0]["sw"] == pytest.approx(5 / 8)  # the, and, the, in, a
+
+
+def test_quality_score_orders_garbage_below_prose(spark):
+    good = ("The quick brown fox jumps over the lazy dog near the river "
+            "bank while birds sing in the warm morning light of spring")
+    spam = "buy buy buy buy buy buy buy buy buy buy buy buy buy buy"
+    symbols = "@@@ ### $$$ %%% ^^^ &&& *** ((( ))) ___ +++ === ~~~"
+    df = _docs(spark, [good, spam, symbols])
+    out = [r["q"] for r in
+           df.select("doc_id", tx.quality_score("text").alias("q"))
+           .orderBy("doc_id").collect()]
+    assert out[0] > out[1] > out[2]
+
+
+def test_winnowing_fingerprints_overlap(spark):
+    a = " ".join(f"w{i}" for i in range(40))
+    b = " ".join(f"w{i}" for i in range(10, 50))  # shares a long span
+    c = " ".join(f"x{i}" for i in range(40))
+    df = _docs(spark, [a, b, c])
+    fps = [set(r["fp"]) for r in df.select(
+        tx.winnowing_fingerprints("text").alias("fp")).collect()]
+    assert fps[0] & fps[1]          # overlapping spans share fingerprints
+    assert not (fps[0] & fps[2])    # disjoint texts don't

@@ -1,0 +1,12 @@
+"""LLM training-data pipeline operators: dedup, similarity, text analysis.
+
+The components a 100 TB corpus pipeline needs, built Spark-first:
+
+* :mod:`.dedup` — exact hash dedup, MinHash+LSH near-dedup, SimHash;
+* :mod:`.similarity` — cosine top-k (brute force baseline + LSH-bucketed
+  scale path) over embedding columns;
+* :mod:`.text` — language id, quality scoring, token counting,
+  fingerprinting.
+"""
+
+from . import dedup, similarity, text  # noqa: F401

@@ -1,0 +1,163 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two tiers:
+
+* :func:`knn_bruteforce` — exact cosine top-k: broadcast the (small) query
+  set against the corpus, one pass, no shuffle of the corpus side.  Cost
+  is O(|corpus| x |queries|) — the right baseline, and the right plan when
+  queries are few.
+* :func:`knn_lsh` — random-hyperplane LSH: signatures computed map-side,
+  candidates restricted to matching buckets, exact cosine only within
+  buckets.  At 100 TB the shuffle carries (bucket, vec_id, embedding) for
+  bucketed candidates only — never the full cross product.
+
+All vector math is pure Column expressions (``zip_with`` products in
+double + ``aggregate`` fold) — JVM-side, no Python UDFs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["dot", "l2_norm", "cosine_similarity", "knn_bruteforce",
+           "knn_lsh", "lsh_bucket"]
+
+
+def dot(a, b) -> Column:
+    """Double-precision dot product of two float-array Columns (products
+    cast to double before the fold so both engines agree bit-for-bit)."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y)
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def l2_norm(a) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine_similarity(a, b) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def knn_bruteforce(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k for each query vector.
+
+    ``queries`` is a (small) subset with the same schema.  Plan: broadcast
+    queries -> map-side cross join -> per-partition partial evaluation ->
+    one shuffle keyed by query for the rank.  Returns
+    ``query_id, neighbor_id, cos_sim, rank`` (self-matches excluded,
+    ties broken by neighbor id).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    if broadcast_queries:
+        q = F.broadcast(q)
+    j = emb.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nvec")
+    ).crossJoin(q).filter(F.col("neighbor_id") != F.col("query_id"))
+    j = j.withColumn("cos_sim", cosine_similarity("_qvec", "_nvec"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def _planes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def lsh_bucket(vec, dim: int, n_planes: int = 16, seed: int = 42) -> Column:
+    """Random-hyperplane signature -> integer bucket id.
+
+    ``sign(v . h_i)`` bits packed into an int: vectors with small angular
+    distance collide with probability ``(1 - theta/pi)^n_planes``.  The
+    hyperplanes are deterministic literals (driver-seeded) so buckets are
+    reproducible across runs and engines.
+    """
+    bits = []
+    for i, plane in enumerate(_planes(dim, n_planes, seed)):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        bits.append(
+            F.when(dot(vec, p) >= 0.0, F.lit(1 << i)).otherwise(F.lit(0))
+        )
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def knn_lsh(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    *,
+    dim: int,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k: candidates limited to vectors sharing an
+    LSH bucket with the query in at least one of ``n_tables`` hash tables
+    (multi-probe via independent plane sets).
+
+    Plan shape at scale: corpus signatures computed map-side (one narrow
+    projection), exploded to (table, bucket) keys, shuffled once on the
+    bucket key; queries likewise; the join touches only matching buckets.
+    Recall is tunable via n_planes (bucket granularity) x n_tables
+    (probes).
+    """
+    def with_buckets(df: DataFrame, idn: str) -> DataFrame:
+        buckets = F.array(*[
+            F.struct(
+                F.lit(t).alias("table"),
+                lsh_bucket(F.col(vec_col), dim, n_planes, seed + t)
+                .alias("bucket"),
+            )
+            for t in range(n_tables)
+        ])
+        return df.select(
+            F.col(id_col).alias(idn), F.col(vec_col).alias(f"_{idn}_vec"),
+            F.explode(buckets).alias("_tb"),
+        ).select(
+            idn, f"_{idn}_vec",
+            F.col("_tb.table").alias("table"),
+            F.col("_tb.bucket").alias("bucket"),
+        )
+
+    e = with_buckets(emb, "neighbor_id")
+    q = with_buckets(queries, "query_id")
+    cand = (
+        e.join(q, on=["table", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "_query_id_vec",
+                "_neighbor_id_vec")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    cand = cand.withColumn(
+        "cos_sim", cosine_similarity("_query_id_vec", "_neighbor_id_vec")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

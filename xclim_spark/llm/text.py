@@ -1,0 +1,151 @@
+"""Text analysis operators: language id, quality scoring, token counting,
+fingerprinting.
+
+All pure Column expressions over the text column — the scoring runs inside
+the scan projection (map-side, whole-stage codegen); only aggregated
+results shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "whitespace_tokens",
+    "token_count",
+    "bpe_ish_token_count",
+    "type_token_ratio",
+    "punct_ratio",
+    "alpha_ratio",
+    "mean_word_length",
+    "stopword_ratio",
+    "quality_score",
+    "language_id",
+    "winnowing_fingerprints",
+    "STOPWORDS",
+]
+
+# Minimal per-language stopword lists (top function words) — the classic
+# stopword-profile language-id heuristic.
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "of", "and", "to", "in", "a", "is", "that", "it", "for"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une", "du", "est"],
+    "de": ["der", "die", "und", "das", "ist", "von", "den", "mit", "nicht",
+           "ein"],
+    "es": ["el", "la", "de", "que", "y", "los", "en", "un", "una", "es"],
+    "it": ["di", "il", "che", "la", "e", "per", "un", "una", "del", "non"],
+}
+
+
+def whitespace_tokens(text) -> Column:
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(text) -> Column:
+    """Whitespace token count."""
+    return F.size(whitespace_tokens(text))
+
+
+def bpe_ish_token_count(text) -> Column:
+    """Sub-word-ish token count: splits on whitespace AND at
+    letter/digit/punctuation boundaries (a cheap proxy for BPE token
+    counts — ~#segments a byte-pair tokenizer would not merge across)."""
+    pieces = F.split(
+        F.trim(text), r"(\s+|(?<=[a-zA-Z])(?=[0-9])|(?<=[0-9])(?=[a-zA-Z])"
+        r"|(?<=[^\w\s])|(?=[^\w\s]))"
+    )
+    return F.size(F.filter(pieces, lambda p: p != ""))
+
+
+def type_token_ratio(text) -> Column:
+    """Distinct words / words (case-folded) — low values flag
+    boilerplate/repetition."""
+    toks = whitespace_tokens(F.lower(text))
+    return F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+
+
+def punct_ratio(text) -> Column:
+    stripped = F.regexp_replace(text, r"[^\p{Punct}]", "")
+    return F.length(stripped).cast("double") / F.length(text)
+
+
+def alpha_ratio(text) -> Column:
+    stripped = F.regexp_replace(text, r"[^A-Za-z]", "")
+    return F.length(stripped).cast("double") / F.length(text)
+
+
+def mean_word_length(text) -> Column:
+    toks = whitespace_tokens(text)
+    return F.aggregate(
+        toks, F.lit(0.0), lambda acc, w: acc + F.length(w)
+    ) / F.size(toks)
+
+
+def _stopword_hits(text, words: list[str]) -> Column:
+    """Count stopword tokens (with multiplicity) via one regexp pass —
+    higher-order-function lambdas can't close over literal lists in
+    classic PySpark, and a single compiled regex is faster anyway."""
+    pat = r"(?:(?<=\s)|^)(?:" + "|".join(words) + r")(?=\s|$)"
+    return F.regexp_count(F.lower(text), F.lit(pat))
+
+
+def stopword_ratio(text, lang: str = "en") -> Column:
+    hits = _stopword_hits(text, STOPWORDS[lang])
+    return hits.cast("double") / F.size(whitespace_tokens(text))
+
+
+def quality_score(text) -> Column:
+    """Composite [0,1] quality heuristic (Gopher/C4-style signals):
+    length in range, word lengths sane, low repetition, mostly alphabetic.
+    Each signal clamps to [0,1]; the score is their mean."""
+    toks = token_count(text)
+    len_ok = F.least(toks.cast("double") / 20.0, F.lit(1.0)) * F.least(
+        F.lit(1.0), 2000.0 / F.greatest(toks.cast("double"), F.lit(1.0))
+    )
+    mwl = mean_word_length(text)
+    wl_ok = F.when((mwl >= 2.0) & (mwl <= 12.0), 1.0).otherwise(0.0)
+    ttr = type_token_ratio(text)
+    alpha = alpha_ratio(text)
+    # alpha weighted double: symbol soup must not ride a perfect TTR past
+    # repetitive-but-textual content
+    return (len_ok + wl_ok + ttr + 2.0 * alpha) / 5.0
+
+
+def language_id(text) -> Column:
+    """Stopword-profile language id: the language whose stopword list hits
+    the most tokens; 'und' (undetermined) when nothing hits."""
+    scores = F.array(*[
+        F.struct(
+            _stopword_hits(text, sw).alias("hits"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, sw in STOPWORDS.items()
+    ])
+    best = F.array_max(scores)
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def winnowing_fingerprints(text, k: int = 5, window: int = 4) -> Column:
+    """Winnowing document fingerprints (Schleimer et al. 2003): hash all
+    word k-grams, then keep the minimum hash of every sliding window of
+    ``window`` consecutive k-gram hashes.  Returns the distinct fingerprint
+    set (array<long>) — a position-robust signature for plagiarism-style
+    overlap detection."""
+    words = F.split(F.trim(text), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(words) - k),
+        lambda i: F.xxhash64(
+            F.concat_ws(
+                " ", *[F.element_at(words, (i + j + 1).cast("int"))
+                       for j in range(k)]
+            )
+        ),
+    )
+    mins = F.transform(
+        F.sequence(F.lit(0), F.size(grams) - window),
+        lambda i: F.array_min(F.slice(grams, i + 1, window)),
+    )
+    return F.when(
+        F.size(words) >= k + window - 1, F.array_distinct(mins)
+    ).otherwise(F.array().cast("array<bigint>"))

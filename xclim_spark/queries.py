@@ -866,6 +866,111 @@ def ind_tg90p_ys(spark, sf_dir):
 ORACLES["ind_tg90p_ys"] = _tg90p_oracle(alias="tg90p")
 
 
+# ---------------------------------------------------------------------------
+# LLM pipeline: similarity search + near-dedup + text quality
+# ---------------------------------------------------------------------------
+
+_COS_SQL = (
+    "list_sum([CAST({a}[i] AS DOUBLE)*{b}[i] FOR i IN range(1, len({a})+1)])"
+)
+
+
+def _cos_pair_sql(a: str, b: str) -> str:
+    return (
+        f"{_COS_SQL.format(a=a, b=b)} / "
+        f"(sqrt({_COS_SQL.format(a=a, b=a)}) * "
+        f"sqrt({_COS_SQL.format(a=b, b=b)}))"
+    )
+
+
+@_register(
+    "knn_similar_docs",
+    f"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id % 100 = 0),
+p AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         {_cos_pair_sql('q.embedding', 'e.embedding')} AS cos
+  FROM q JOIN e ON q.vec_id <> e.vec_id
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rank
+      FROM p)
+SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos_sim,
+       CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 5""",
+)
+def knn_similar_docs(spark, sf_dir):
+    """Exact cosine top-5 neighbours for a 1%-sample query set — the
+    brute-force baseline (broadcast queries, corpus streams; the LSH
+    variant is the scale path, pytest-checked for recall)."""
+    from .llm import similarity as sim
+
+    e = _read(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    out = sim.knn_bruteforce(e, q, k=5)
+    return out.withColumn("cos_sim", F.round("cos_sim", 6)) \
+              .withColumn("rank", F.col("rank").cast("long"))
+
+
+@_register(
+    "dedup_fuzzy",
+    """WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, list_distinct(
+    [words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+     FOR i IN range(1, len(words) - 1)]
+  ) AS shingles
+  FROM w WHERE len(words) >= 3
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+         len(list_distinct(list_concat(a.shingles, b.shingles))) AS jac
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, ROUND(jac, 6) AS jaccard
+FROM pairs WHERE jac >= 0.6""",
+)
+def dedup_fuzzy(spark, sf_dir):
+    """MinHash+LSH near-duplicate detection, exact-Jaccard verified
+    (threshold 0.6; 128 perms x 64 bands -> candidate recall
+    1-4e-13 at the threshold, so the verified output equals the oracle's
+    all-pairs answer without ever materializing all pairs)."""
+    from .llm import dedup as dd
+
+    docs = _read(spark, sf_dir, "documents")
+    out = dd.near_duplicates(docs, threshold=0.6, num_perm=128, bands=64)
+    return out.withColumn("jaccard", F.round("jaccard", 6))
+
+
+@_register(
+    "text_quality_by_source",
+    """SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       ROUND(avg(CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS DOUBLE)
+                 / len(string_split_regex(trim(text), '\\s+'))), 6) AS avg_ttr,
+       CAST(sum(CASE WHEN len(string_split_regex(trim(text), '\\s+')) >= 20
+                THEN 1 ELSE 0 END) AS BIGINT) AS long_docs
+FROM documents GROUP BY 1""",
+)
+def text_quality_by_source(spark, sf_dir):
+    """Per-source quality signals: type-token ratio + length filter
+    (Gopher/C4-style boilerplate screens as pure expressions)."""
+    from .llm import text as tx
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(tx.type_token_ratio(F.col("text"))), 6)
+        .alias("avg_ttr"),
+        F.sum((tx.token_count(F.col("text")) >= 20).cast("long"))
+        .alias("long_docs"),
+    )
+
+
 def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
