@@ -1,0 +1,164 @@
+"""Stats tier tests (reference tests/test_stats.py style: known samples,
+parameter recovery, distributional checks)."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from xclim_spark.stats import distributions as D
+from xclim_spark import stats
+from xclim_spark.testing import timeseries
+
+
+# ---------------------------------------------------------------------------
+# numpy kernels
+# ---------------------------------------------------------------------------
+
+def test_probit_matches_stdlib():
+    from statistics import NormalDist
+
+    nd = NormalDist()
+    qs = [1e-6, 0.001, 0.025, 0.3, 0.5, 0.7, 0.975, 0.999, 1 - 1e-6]
+    got = D.probit(qs)
+    want = [nd.inv_cdf(q) for q in qs]
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-12)
+
+
+def test_gammainc_known_values():
+    # P(1, x) = 1 - e^-x (exponential); P(a, a) ~ 0.5 for large a
+    x = np.array([0.1, 1.0, 3.0])
+    np.testing.assert_allclose(D.gammainc_p(1.0, x), 1 - np.exp(-x),
+                               rtol=1e-12)
+    assert D.gammainc_p(100.0, np.array([100.0]))[0] == pytest.approx(
+        0.513, abs=0.01)
+    # half-integer case: P(0.5, x) = erf(sqrt(x))
+    np.testing.assert_allclose(
+        D.gammainc_p(0.5, x),
+        [math.erf(math.sqrt(v)) for v in x], rtol=1e-10)
+
+
+def test_gamma_ppf_roundtrip():
+    for a in (0.5, 2.0, 7.3):
+        q = np.array([0.05, 0.5, 0.95])
+        x = D.ppf((a, 0.0, 1.0), "gamma", q)
+        back = D.cdf((a, 0.0, 1.0), "gamma", x)
+        np.testing.assert_allclose(back, q, rtol=1e-8)
+
+
+def test_norm_fit_and_ppf():
+    rng = np.random.RandomState(0)
+    x = rng.normal(10.0, 3.0, 4000)
+    loc, scale = D.fit_params(x, "norm", "ML")
+    assert loc == pytest.approx(10.0, abs=0.2)
+    assert scale == pytest.approx(3.0, abs=0.2)
+    # PWM agrees
+    loc2, scale2 = D.fit_params(x, "norm", "PWM")
+    assert loc2 == pytest.approx(loc, abs=0.05)
+    assert scale2 == pytest.approx(scale, abs=0.1)
+
+
+def test_gumbel_fit_recovers_params():
+    rng = np.random.RandomState(1)
+    x = rng.gumbel(loc=20.0, scale=5.0, size=5000)
+    for method in ("PWM", "MOM", "ML"):
+        loc, scale = D.fit_params(x, "gumbel_r", method)
+        assert loc == pytest.approx(20.0, abs=0.5), method
+        assert scale == pytest.approx(5.0, abs=0.4), method
+    # ppf closed form
+    assert D.ppf((20.0, 5.0), "gumbel_r", [0.95])[0] == pytest.approx(
+        20.0 - 5.0 * math.log(-math.log(0.95)))
+
+
+def test_genextreme_fit_recovers_params():
+    # sample via inverse transform from the scipy-convention ppf
+    rng = np.random.RandomState(2)
+    u = rng.uniform(1e-6, 1 - 1e-6, 8000)
+    true = (0.2, 10.0, 2.0)  # c, loc, scale
+    x = D.ppf(true, "genextreme", u)
+    c, loc, scale = D.fit_params(x, "genextreme", "PWM")
+    assert c == pytest.approx(0.2, abs=0.05)
+    assert loc == pytest.approx(10.0, abs=0.15)
+    assert scale == pytest.approx(2.0, abs=0.15)
+
+
+def test_gamma_fit_recovers_params():
+    rng = np.random.RandomState(3)
+    x = rng.gamma(shape=3.0, scale=2.0, size=8000)
+    for method in ("ML", "PWM"):
+        a, loc, scale = D.fit_params(x, "gamma", method)
+        assert a == pytest.approx(3.0, rel=0.1), method
+        assert scale == pytest.approx(2.0, rel=0.1), method
+
+
+def test_lognorm_fit():
+    rng = np.random.RandomState(4)
+    x = rng.lognormal(mean=1.0, sigma=0.5, size=6000)
+    s, loc, scale = D.fit_params(x, "lognorm", "ML")
+    assert s == pytest.approx(0.5, abs=0.03)
+    assert scale == pytest.approx(math.e, rel=0.05)
+
+
+# ---------------------------------------------------------------------------
+# Spark operators
+# ---------------------------------------------------------------------------
+
+def test_fit_and_parametric_quantile(spark):
+    rng = np.random.RandomState(5)
+    vals = rng.gumbel(30.0, 4.0, 600).tolist()
+    df = timeseries(spark, vals, start="2000-01-01")
+    p = stats.fit(df, "value", "gumbel_r", "PWM", cells=["cell"])
+    row = p.collect()[0]
+    assert row["dparams"][0] == pytest.approx(30.0, abs=1.0)
+    q = stats.parametric_quantile(p, [0.5, 0.99], "gumbel_r",
+                                  cells=["cell"]).collect()
+    got = {r["quantile"]: r["value"] for r in q}
+    want50 = row["dparams"][0] - row["dparams"][1] * math.log(-math.log(0.5))
+    assert got[0.5] == pytest.approx(want50, rel=1e-9)
+    assert got[0.99] > got[0.5]
+
+
+def test_fa_return_periods(spark):
+    # 30 years of daily data; annual max ~ gumbel; rp20 > rp2
+    rng = np.random.RandomState(6)
+    n = 30 * 365
+    vals = rng.gumbel(20.0, 3.0, n).tolist()
+    df = timeseries(spark, vals, start="1990-01-01")
+    out = stats.fa(df, "value", [2, 20], "gumbel_r", "max", "PWM",
+                   cells=["cell"]).collect()
+    got = {r["return_period"]: r["value"] for r in out}
+    assert got[20] > got[2]
+    # the rp-T quantile of the ANNUAL MAX distribution: loose sanity range
+    assert 25 < got[2] < 40 and got[20] < 60
+
+
+def test_standardized_index_is_standard_normal(spark):
+    # gamma-distributed monthly totals -> SPI ~ N(0,1)
+    rng = np.random.RandomState(7)
+    n_days = 365 * 30
+    vals = rng.gamma(2.0, 5.0, n_days).tolist()
+    df = timeseries(spark, vals, start="1990-01-01")
+    out = stats.standardized_index(df, "value", window=1, dist="gamma",
+                                   freq="MS", cells=["cell"]).collect()
+    spi = np.array([r["spi"] for r in out if r["spi"] is not None])
+    spi = spi[np.isfinite(spi)]
+    assert len(spi) >= 350
+    assert abs(spi.mean()) < 0.15
+    assert 0.8 < spi.std() < 1.2
+    assert np.abs(spi).max() <= 8.21
+
+
+def test_standardized_index_calibration_range(spark):
+    rng = np.random.RandomState(8)
+    vals = rng.gamma(2.0, 5.0, 365 * 10).tolist()
+    df = timeseries(spark, vals, start="1990-01-01")
+    out = stats.standardized_index(
+        df, "value", window=3, dist="gamma", freq="MS", cells=["cell"],
+        cal_start="1990-01-01", cal_end="1994-12-31").collect()
+    # rolling window=3: first two months NULL
+    per = sorted(r["period"] for r in out)
+    by = {r["period"]: r["spi"] for r in out}
+    assert by[per[0]] is None or np.isnan(by[per[0]])
+    vals3 = [v for v in by.values() if v is not None and np.isfinite(v)]
+    assert len(vals3) >= 100

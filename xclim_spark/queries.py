@@ -867,6 +867,66 @@ ORACLES["ind_tg90p_ys"] = _tg90p_oracle(alias="tg90p")
 
 
 # ---------------------------------------------------------------------------
+# Stats tier (reference stats.py): frequency analysis + SPI
+# ---------------------------------------------------------------------------
+
+@_register(
+    "fa_gumbel_rp",
+    f"""WITH {DAILY_SQL},
+ext AS (
+  SELECT cell, CAST(date_trunc('year', day) AS DATE) AS period, max(qty) AS x
+  FROM daily GROUP BY 1, 2
+),
+ranked AS (
+  SELECT cell, x,
+         row_number() OVER (PARTITION BY cell ORDER BY x) - 1 AS i,
+         count(*) OVER (PARTITION BY cell) AS n
+  FROM ext
+),
+lmom AS (
+  SELECT cell, avg(x) AS l1,
+         2.0 * sum(i * x) / (max(n) * (max(n) - 1)) - avg(x) AS l2
+  FROM ranked GROUP BY cell
+),
+params AS (
+  SELECT cell, l1 - 0.5772156649015329 * (l2 / ln(2)) AS loc,
+         l2 / ln(2) AS scale
+  FROM lmom
+),
+rp AS (SELECT unnest([2, 20]) AS return_period)
+SELECT p.cell AS cell, CAST(rp.return_period AS INT) AS return_period,
+       ROUND(p.loc - p.scale * ln(-ln(1.0 - 1.0/rp.return_period)), 6) AS rv
+FROM params p CROSS JOIN rp""",
+)
+def fa_gumbel_rp(spark, sf_dir):
+    """Return-period values via PWM-fitted Gumbel on annual maxima
+    (reference stats.py:429-560 fa; fit :115-220).  The PWM estimator is
+    closed-form from sample L-moments, so the oracle spells out the same
+    algebra in SQL — a full value-hash check on a distribution fit."""
+    from . import stats
+
+    d = daily_series(spark, sf_dir)
+    out = stats.fa(d, "qty", [2, 20], "gumbel_r", "max", "PWM",
+                   time="day", cells=["cell"], alias="rv")
+    return out.withColumn("rv", F.round("rv", 6))
+
+
+@_register("spi_ms", None)  # gamma fit is not SQL-expressible: rows-only
+def spi_ms(spark, sf_dir):
+    """3-month SPI on the daily revenue series (reference
+    stats.py:770-1050 standardized_index): monthly sums -> 3-month rolling
+    accumulation -> per-(cell, month) gamma fit with zero inflation ->
+    normal ppf."""
+    from . import stats
+
+    d = daily_series(spark, sf_dir)
+    out = stats.standardized_index(d, "price", window=3, dist="gamma",
+                                   freq="MS", method="ML", time="day",
+                                   cells=["cell"], alias="spi")
+    return out.withColumn("spi", F.round("spi", 6))
+
+
+# ---------------------------------------------------------------------------
 # LLM pipeline: similarity search + near-dedup + text quality
 # ---------------------------------------------------------------------------
 

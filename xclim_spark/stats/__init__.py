@@ -1,0 +1,200 @@
+"""Statistical tier: distribution fitting, frequency analysis, SPI.
+
+Spark re-expression of the reference's stats machinery
+(``src/xclim/indices/stats.py``): per-cell series fit via
+``applyInPandas`` (the series for one cell fits comfortably in one task —
+the same "single chunk along time" constraint the reference imposes,
+stats.py / _cffwis.py:912), everything else stays in DataFrame land.
+
+No scipy in this environment: the distribution kernels live in
+:mod:`.distributions` (pure numpy, published estimators).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..calendar import period_start
+from . import distributions as D
+
+__all__ = ["fit", "parametric_quantile", "fa", "frequency_analysis",
+           "standardized_index", "distributions"]
+
+distributions = D
+
+
+def _key_schema(df: DataFrame, cells: Sequence[str]) -> str:
+    fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    return ", ".join(f"{c} {fields[c]}" for c in cells)
+
+
+def fit(
+    df: DataFrame,
+    var: str,
+    dist: str = "norm",
+    method: str = "ML",
+    *,
+    time: str = "time",
+    cells: Sequence[str] = (),
+) -> DataFrame:
+    """Fit ``dist`` to each cell's series (reference stats.py:115-220).
+
+    Returns ``cells..., dparams array<double>`` (scipy parameter order
+    ``*shapes, loc, scale``).  Plan: one shuffle on the cell key, one
+    pandas task per cell."""
+    schema = _key_schema(df, cells) + ", dparams ARRAY<DOUBLE>"
+
+    def _fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        p = D.fit_params(pdf[var].to_numpy(), dist, method)
+        out = {c: [pdf[c].iloc[0]] for c in cells}
+        out["dparams"] = [list(map(float, p))]
+        return pd.DataFrame(out)
+
+    return df.groupBy(*cells).applyInPandas(_fit, schema=schema)
+
+
+def parametric_quantile(
+    params_df: DataFrame,
+    q: float | Sequence[float],
+    dist: str,
+    *,
+    cells: Sequence[str] = (),
+) -> DataFrame:
+    """Evaluate fitted quantiles (reference stats.py:221-296).  Returns
+    long format ``cells..., quantile, value``."""
+    qs = [q] if isinstance(q, (int, float)) else list(q)
+    schema = _key_schema(params_df, cells) + \
+        ", quantile DOUBLE, value DOUBLE"
+
+    def _q(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, r in pdf.iterrows():
+            p = r["dparams"]
+            for qq in qs:
+                v = float(D.ppf(p, dist, [qq])[0]) if p is not None and \
+                    not any(pd.isna(p)) else float("nan")
+                rows.append(tuple(r[c] for c in cells) + (qq, v))
+        return pd.DataFrame(rows, columns=[*cells, "quantile", "value"])
+
+    return params_df.groupBy(*cells).applyInPandas(_q, schema=schema)
+
+
+def fa(
+    df: DataFrame,
+    var: str,
+    t: int | Sequence[int],
+    dist: str = "gumbel_r",
+    mode: str = "max",
+    method: str = "PWM",
+    *,
+    freq: str = "YS",
+    time: str = "time",
+    cells: Sequence[str] = (),
+    alias: str = "value",
+) -> DataFrame:
+    """Frequency analysis / return-period values (reference
+    stats.py:429-560): resample extremes at ``freq`` -> fit -> quantile at
+    ``1 - 1/T`` (mode max) or ``1/T`` (mode min).
+
+    Returns ``cells..., return_period, <alias>``.  Two shuffles total:
+    the resample groupBy and the per-cell fit (which reuses the cell
+    partitioning)."""
+    from ..operators.generic import select_resample_op
+
+    ts = [t] if isinstance(t, int) else list(t)
+    extremes = select_resample_op(df, var, mode, freq, time=time,
+                                  cells=cells, alias="_ext")
+    schema = _key_schema(df, cells) + f", return_period INT, {alias} DOUBLE"
+
+    def _fa(pdf: pd.DataFrame) -> pd.DataFrame:
+        p = D.fit_params(pdf["_ext"].to_numpy(), dist, method)
+        rows = []
+        for T in ts:
+            qq = 1.0 - 1.0 / T if mode in ("max", "high") else 1.0 / T
+            v = float(D.ppf(p, dist, [qq])[0]) if not pd.isna(p).any() \
+                else float("nan")
+            rows.append(tuple(pdf[c].iloc[0] for c in cells) + (T, v))
+        return pd.DataFrame(rows, columns=[*cells, "return_period", alias])
+
+    return extremes.groupBy(*cells).applyInPandas(_fa, schema=schema)
+
+
+frequency_analysis = fa
+
+
+def standardized_index(
+    df: DataFrame,
+    var: str,
+    *,
+    window: int = 1,
+    dist: str = "gamma",
+    freq: str = "MS",
+    cal_start: str | None = None,
+    cal_end: str | None = None,
+    method: str = "ML",
+    clip: float = 8.21,
+    time: str = "time",
+    cells: Sequence[str] = (),
+    alias: str = "spi",
+) -> DataFrame:
+    """Standardized index (SPI/SSI family; reference stats.py:770-1050).
+
+    Pipeline: resample to ``freq`` sums -> rolling ``window``-period
+    accumulation per cell -> group by period-of-year (month) -> fit
+    ``dist`` on the calibration range with zero-inflation handling
+    (P0 + (1-P0) cdf) -> normal ppf, clipped to ±``clip``.
+
+    One shuffle for the resample, one window sort, one shuffle on
+    (cell, month) for the grouped fit — each keyed small and skew-free.
+    Returns ``cells..., period, <alias>``."""
+    from ..operators.generic import select_resample_op
+
+    acc = select_resample_op(df, var, "sum", freq, time=time, cells=cells,
+                             alias="_acc")
+    w = Window.partitionBy(*cells).orderBy("period") \
+        .rowsBetween(-(window - 1), 0)
+    cnt = F.count("_acc").over(w)
+    acc = acc.withColumn("_roll", F.when(cnt >= window,
+                                         F.sum("_acc").over(w)))
+    acc = acc.withColumn("_grp", F.month("period"))
+
+    schema = _key_schema(df, cells) + f", period DATE, {alias} DOUBLE"
+    lo, hi = pd.Timestamp(cal_start) if cal_start else None, \
+        pd.Timestamp(cal_end) if cal_end else None
+
+    def _spi(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values("period")
+        x = pdf["_roll"].to_numpy(dtype=float)
+        per = pd.to_datetime(pdf["period"])
+        cal = np.isfinite(x)
+        if lo is not None:
+            cal &= (per >= lo).to_numpy()
+        if hi is not None:
+            cal &= (per <= hi).to_numpy()
+        xc = x[cal]
+        out = np.full(len(x), np.nan)
+        if len(xc) > 1:
+            p0 = float(np.mean(xc == 0.0)) if dist == "gamma" else 0.0
+            pos = xc[xc > 0] if dist == "gamma" else xc
+            if len(pos) > 1:
+                params = D.fit_params(pos, dist, method)
+                if not np.isnan(params).any():
+                    valid = np.isfinite(x)
+                    c = np.zeros(len(x))
+                    gt0 = valid & (x > 0)
+                    c[gt0] = D.cdf(params, dist, x[gt0])
+                    prob = p0 + (1.0 - p0) * c
+                    prob = np.clip(prob, 5e-4, 1.0 - 5e-4)
+                    out[valid] = np.clip(D.probit(prob[valid]), -clip, clip)
+        res = {c: pdf[c].to_numpy() for c in cells}
+        res["period"] = pdf["period"].to_numpy()
+        res[alias] = out
+        return pd.DataFrame(res)
+
+    return acc.groupBy(*cells, "_grp").applyInPandas(_spi, schema=schema)

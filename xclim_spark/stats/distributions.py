@@ -1,0 +1,354 @@
+"""Distribution kernels in pure numpy (no scipy in this environment).
+
+Implements the subset of ``scipy.stats`` machinery the reference's stats
+tier uses (``src/xclim/indices/stats.py:45-113`` fits per 1-D series;
+``parametric_quantile/cdf/pdf`` :221-428): fit + ppf + cdf for
+norm / lognorm / expon / gumbel_r / genextreme / gamma.
+
+Methods: "ML" (closed form where exact, profiled Newton for gumbel,
+Greenwood-Durand for gamma — the reference's "APP" start values,
+stats.py:620-700), "MOM", and "PWM" (sample L-moments, Hosking 1990 —
+the reference recommends PWM as robust; estimator formulas are the
+published Hosking/Wallis ones).
+
+Parameter layout matches scipy: ``(*shapes, loc, scale)``.
+
+Special functions implemented from standard published algorithms:
+* probit (inverse normal CDF): Acklam's rational approximation + one
+  Halley refinement (|rel err| < 1e-15);
+* regularized lower incomplete gamma P(a, x): series for x < a+1, Lentz
+  continued fraction otherwise (Numerical Recipes scheme).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+__all__ = ["DISTS", "lmoments", "probit", "gammainc_p", "fit_params",
+           "ppf", "cdf", "pdf", "nparams"]
+
+EULER = 0.5772156649015329
+LN2 = math.log(2.0)
+
+
+# ---------------------------------------------------------------------------
+# special functions
+# ---------------------------------------------------------------------------
+
+_ACKLAM_A = (-3.969683028665376e01, 2.209460984245205e02,
+             -2.759285104469687e02, 1.383577518672690e02,
+             -3.066479806614716e01, 2.506628277459239e00)
+_ACKLAM_B = (-5.447609879822406e01, 1.615858368580409e02,
+             -1.556989798598866e02, 6.680131188771972e01,
+             -1.328068155288572e01)
+_ACKLAM_C = (-7.784894002430293e-03, -3.223964580411365e-01,
+             -2.400758277161838e00, -2.549732539343734e00,
+             4.374664141464968e00, 2.938163982698783e00)
+_ACKLAM_D = (7.784695709041462e-03, 3.224671290700398e-01,
+             2.445134137142996e00, 3.754408661907416e00)
+
+
+def probit(q):
+    """Inverse standard normal CDF (Acklam 2003 + Halley step)."""
+    q = np.asarray(q, dtype=float)
+    out = np.full_like(q, np.nan)
+    lo = (q > 0) & (q < 0.02425)
+    hi = (q > 1 - 0.02425) & (q < 1)
+    mid = (q >= 0.02425) & (q <= 1 - 0.02425)
+
+    def tail(p):
+        z = np.sqrt(-2.0 * np.log(p))
+        num = ((((_ACKLAM_C[0] * z + _ACKLAM_C[1]) * z + _ACKLAM_C[2]) * z
+                + _ACKLAM_C[3]) * z + _ACKLAM_C[4]) * z + _ACKLAM_C[5]
+        den = (((_ACKLAM_D[0] * z + _ACKLAM_D[1]) * z + _ACKLAM_D[2]) * z
+               + _ACKLAM_D[3]) * z + 1.0
+        return num / den
+
+    out[lo] = tail(q[lo])
+    out[hi] = -tail(1.0 - q[hi])
+    if mid.any():
+        p = q[mid] - 0.5
+        r = p * p
+        num = ((((_ACKLAM_A[0] * r + _ACKLAM_A[1]) * r + _ACKLAM_A[2]) * r
+                + _ACKLAM_A[3]) * r + _ACKLAM_A[4]) * r + _ACKLAM_A[5]
+        den = ((((_ACKLAM_B[0] * r + _ACKLAM_B[1]) * r + _ACKLAM_B[2]) * r
+                + _ACKLAM_B[3]) * r + _ACKLAM_B[4]) * r + 1.0
+        out[mid] = p * num / den
+    # one Halley refinement using erf
+    v = np.vectorize(math.erf)
+    ok = np.isfinite(out)
+    if ok.any():
+        x = out[ok]
+        e = 0.5 * (1.0 + v(x / math.sqrt(2.0))) - q[ok]
+        u = e * math.sqrt(2.0 * math.pi) * np.exp(x * x / 2.0)
+        out[ok] = x - u / (1.0 + x * u / 2.0)
+    out[q == 0] = -np.inf
+    out[q == 1] = np.inf
+    return out
+
+
+def _norm_cdf(x):
+    v = np.vectorize(math.erf)
+    return 0.5 * (1.0 + v(np.asarray(x, dtype=float) / math.sqrt(2.0)))
+
+
+def gammainc_p(a: float, x):
+    """Regularized lower incomplete gamma P(a, x) (series + Lentz CF)."""
+    x = np.asarray(x, dtype=float)
+    out = np.zeros_like(x)
+    lg = math.lgamma(a)
+    ser = (x > 0) & (x < a + 1.0)
+    cf = x >= a + 1.0
+    if ser.any():
+        xs = x[ser]
+        ap = a
+        s = np.full_like(xs, 1.0 / a)
+        delta = s.copy()
+        for _ in range(500):
+            ap += 1.0
+            delta = delta * xs / ap
+            s += delta
+            if np.all(np.abs(delta) < np.abs(s) * 1e-15):
+                break
+        out[ser] = s * np.exp(-xs + a * np.log(xs) - lg)
+    if cf.any():
+        xc = x[cf]
+        b = xc + 1.0 - a
+        c = np.full_like(xc, 1e308)
+        d = 1.0 / b
+        h = d.copy()
+        for i in range(1, 500):
+            an = -i * (i - a)
+            b = b + 2.0
+            d = an * d + b
+            d[np.abs(d) < 1e-300] = 1e-300
+            c = b + an / c
+            c[np.abs(c) < 1e-300] = 1e-300
+            d = 1.0 / d
+            delta = d * c
+            h *= delta
+            if np.all(np.abs(delta - 1.0) < 1e-15):
+                break
+        out[cf] = 1.0 - np.exp(-xc + a * np.log(xc) - lg) * h
+    return np.clip(out, 0.0, 1.0)
+
+
+def _gamma_ppf_std(a: float, q):
+    """Standard-gamma quantile by bisection on P(a, x) (robust; groups are
+    small so the ~90 evaluations are cheap)."""
+    q = np.asarray(q, dtype=float)
+    lo = np.zeros_like(q)
+    hi = np.full_like(q, max(a * 20.0 + 100.0, 100.0))
+    for _ in range(200):
+        mid = 0.5 * (lo + hi)
+        below = gammainc_p(a, mid) < q
+        lo = np.where(below, mid, lo)
+        hi = np.where(below, hi, mid)
+        if np.all(hi - lo < 1e-12 * (1.0 + hi)):
+            break
+    return 0.5 * (lo + hi)
+
+
+# ---------------------------------------------------------------------------
+# sample L-moments (Hosking 1990 unbiased PWM estimators)
+# ---------------------------------------------------------------------------
+
+def lmoments(x) -> tuple[float, float, float]:
+    """(l1, l2, t3) from a 1-D sample."""
+    x = np.sort(np.asarray(x, dtype=float))
+    n = len(x)
+    i = np.arange(n, dtype=float)
+    b0 = x.mean()
+    b1 = np.sum(i * x) / (n * (n - 1.0))
+    b2 = np.sum(i * (i - 1.0) * x) / (n * (n - 1.0) * (n - 2.0)) if n > 2 \
+        else 0.0
+    l1 = b0
+    l2 = 2.0 * b1 - b0
+    l3 = 6.0 * b2 - 6.0 * b1 + b0
+    t3 = l3 / l2 if l2 != 0 else 0.0
+    return l1, l2, t3
+
+
+# ---------------------------------------------------------------------------
+# per-distribution fit / ppf / cdf / pdf
+# ---------------------------------------------------------------------------
+
+def _fit_norm(x, method):
+    if method == "PWM":
+        l1, l2, _ = lmoments(x)
+        return (l1, l2 * math.sqrt(math.pi))
+    return (float(np.mean(x)), float(np.std(x)))
+
+
+def _fit_expon(x, method):
+    if method == "PWM":
+        l1, l2, _ = lmoments(x)
+        return (l1 - 2.0 * l2, 2.0 * l2)
+    m = float(np.min(x))
+    return (m, float(np.mean(x)) - m)
+
+
+def _fit_gumbel(x, method):
+    if method in ("PWM",):
+        l1, l2, _ = lmoments(x)
+        scale = l2 / LN2
+        return (l1 - EULER * scale, scale)
+    if method == "MOM":
+        scale = float(np.std(x)) * math.sqrt(6.0) / math.pi
+        return (float(np.mean(x)) - EULER * scale, scale)
+    # ML: profile likelihood Newton on scale (standard Gumbel MLE system)
+    x = np.asarray(x, dtype=float)
+    s = float(np.std(x)) * math.sqrt(6.0) / math.pi or 1.0
+    for _ in range(100):
+        e = np.exp(-x / s)
+        A = np.sum(x * e) / np.sum(e)
+        g = s - np.mean(x) + A
+        # derivative via numerical step (smooth, well-conditioned)
+        h = s * 1e-6
+        e2 = np.exp(-x / (s + h))
+        g2 = (s + h) - np.mean(x) + np.sum(x * e2) / np.sum(e2)
+        step = g / ((g2 - g) / h)
+        s -= step
+        if abs(step) < 1e-12 * s:
+            break
+    loc = -s * math.log(float(np.mean(np.exp(-x / s))))
+    return (loc, s)
+
+
+def _fit_genextreme(x, method):
+    # L-moment estimator (Hosking et al. 1985), scipy sign convention for c
+    l1, l2, t3 = lmoments(x)
+    z = 2.0 / (3.0 + t3) - LN2 / math.log(3.0)
+    k = 7.8590 * z + 2.9554 * z * z
+    g = math.gamma(1.0 + k)
+    scale = l2 * k / ((1.0 - 2.0 ** (-k)) * g)
+    loc = l1 - scale * (1.0 - g) / k
+    return (k, loc, scale)
+
+
+def _fit_gamma(x, method):
+    x = np.asarray(x, dtype=float)
+    if method == "PWM":
+        # Hosking's rational approximation from t = l2/l1
+        l1, l2, _ = lmoments(x)
+        t = l2 / l1
+        if t < 0.5:
+            z = math.pi * t * t
+            a = (1.0 - 0.3080 * z) / (
+                z - 0.05812 * z * z + 0.01765 * z ** 3)
+        else:
+            z = 1.0 - t
+            a = (0.7213 * z - 0.5947 * z * z) / (
+                1.0 - 2.1817 * z + 1.2113 * z * z)
+        return (a, 0.0, l1 / a)
+    # Greenwood-Durand / Thom approximation (the reference's APP start,
+    # stats.py:620-700)
+    xp = x[x > 0]
+    s = math.log(float(np.mean(xp))) - float(np.mean(np.log(xp)))
+    if s <= 0:
+        return (np.nan, np.nan, np.nan)
+    a = (3.0 - s + math.sqrt((s - 3.0) ** 2 + 24.0 * s)) / (12.0 * s)
+    return (a, 0.0, float(np.mean(xp)) / a)
+
+
+def _fit_lognorm(x, method):
+    lx = np.log(np.asarray(x, dtype=float))
+    mu, sigma = float(np.mean(lx)), float(np.std(lx))
+    return (sigma, 0.0, math.exp(mu))
+
+
+DISTS = {
+    "norm": {
+        "nparams": 2,
+        "fit": _fit_norm,
+        "ppf": lambda p, q: p[0] + p[1] * probit(q),
+        "cdf": lambda p, x: _norm_cdf((np.asarray(x) - p[0]) / p[1]),
+        "pdf": lambda p, x: np.exp(
+            -((np.asarray(x) - p[0]) ** 2) / (2 * p[1] ** 2)
+        ) / (p[1] * math.sqrt(2 * math.pi)),
+    },
+    "expon": {
+        "nparams": 2,
+        "fit": _fit_expon,
+        "ppf": lambda p, q: p[0] - p[1] * np.log1p(-np.asarray(q, float)),
+        "cdf": lambda p, x: 1.0 - np.exp(-(np.asarray(x) - p[0]) / p[1]),
+        "pdf": lambda p, x: np.exp(-(np.asarray(x) - p[0]) / p[1]) / p[1],
+    },
+    "gumbel_r": {
+        "nparams": 2,
+        "fit": _fit_gumbel,
+        "ppf": lambda p, q: p[0] - p[1] * np.log(-np.log(np.asarray(q,
+                                                                    float))),
+        "cdf": lambda p, x: np.exp(
+            -np.exp(-(np.asarray(x, float) - p[0]) / p[1])),
+        "pdf": lambda p, x: (lambda z: np.exp(-z - np.exp(-z)) / p[1])(
+            (np.asarray(x, float) - p[0]) / p[1]),
+    },
+    "genextreme": {
+        "nparams": 3,
+        "fit": _fit_genextreme,
+        # scipy convention: ppf = loc + scale*(1 - (-ln q)^c)/c
+        "ppf": lambda p, q: p[1] + p[2] * (
+            1.0 - (-np.log(np.asarray(q, float))) ** p[0]) / p[0],
+        "cdf": lambda p, x: np.exp(
+            -np.power(np.maximum(1.0 - p[0] * (np.asarray(x, float) - p[1])
+                                 / p[2], 1e-300), 1.0 / p[0])),
+        "pdf": None,
+    },
+    "gamma": {
+        "nparams": 3,
+        "fit": _fit_gamma,
+        "ppf": lambda p, q: p[1] + p[2] * _gamma_ppf_std(
+            p[0], np.asarray(q, float)),
+        "cdf": lambda p, x: gammainc_p(
+            p[0], np.maximum((np.asarray(x, float) - p[1]) / p[2], 0.0)),
+        "pdf": None,
+    },
+    "lognorm": {
+        "nparams": 3,
+        "fit": _fit_lognorm,
+        "ppf": lambda p, q: p[1] + p[2] * np.exp(p[0] * probit(q)),
+        "cdf": lambda p, x: _norm_cdf(
+            np.log(np.maximum(np.asarray(x, float) - p[1], 1e-300) / p[2])
+            / p[0]),
+        "pdf": None,
+    },
+}
+
+
+def nparams(dist: str) -> int:
+    return DISTS[dist]["nparams"]
+
+
+def fit_params(x, dist: str, method: str = "ML"):
+    """Fit on the valid values of a 1-D sample; NaN params when degenerate
+    (mirrors reference _fitfunc_1d, stats.py:45-113)."""
+    x = np.asarray(x, dtype=float)
+    x = x[np.isfinite(x)]
+    k = nparams(dist)
+    if len(x) <= 1:
+        return np.full(k, np.nan)
+    try:
+        p = np.asarray(DISTS[dist]["fit"](x, method), dtype=float)
+    except (ValueError, ZeroDivisionError, OverflowError):
+        return np.full(k, np.nan)
+    if np.isnan(p).any():
+        return np.full(k, np.nan)
+    return p
+
+
+def ppf(params, dist: str, q):
+    return DISTS[dist]["ppf"](tuple(params), q)
+
+
+def cdf(params, dist: str, x):
+    return DISTS[dist]["cdf"](tuple(params), x)
+
+
+def pdf(params, dist: str, x):
+    fn = DISTS[dist]["pdf"]
+    if fn is None:
+        raise NotImplementedError(f"pdf not implemented for {dist}")
+    return fn(tuple(params), x)
