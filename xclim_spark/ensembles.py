@@ -1,0 +1,175 @@
+"""Ensemble tier: creation, statistics, percentiles, robustness.
+
+Spark re-expression of ``src/xclim/ensembles/_base.py`` and
+``_robustness.py``: an ensemble is a long DataFrame with a
+``realization`` key column (the reference's extra dimension,
+_base.py:31-140); every statistic is one hash-aggregate over
+``(cells..., time-ish keys)`` — realizations for one point always land in
+the same group, so the plan is a single shuffle with map-side partial
+aggregation regardless of member count.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .operators.percentile import hf_quantile
+
+__all__ = [
+    "create_ensemble",
+    "ensemble_mean_std_max_min",
+    "ensemble_percentiles",
+    "robustness_fractions",
+    "PERCENTILE_METHODS",
+]
+
+# numpy interpolation-method names -> Hyndman-Fan (alpha, beta)
+# (reference ensemble_percentiles ``method`` param, _base.py:214-375)
+PERCENTILE_METHODS = {
+    "linear": (1.0, 1.0),
+    "hazen": (0.5, 0.5),
+    "weibull": (0.0, 0.0),
+    "median_unbiased": (1 / 3, 1 / 3),
+    "normal_unbiased": (3 / 8, 3 / 8),
+}
+
+
+def create_ensemble(
+    members: Sequence[DataFrame] | dict[str, DataFrame],
+    *,
+    realization: str = "realization",
+) -> DataFrame:
+    """Union members by name with a ``realization`` key (reference
+    create_ensemble / _ens_align_datasets, _base.py:31-140).  Members may
+    have differing column order; missing columns error (align first)."""
+    if isinstance(members, dict):
+        items = list(members.items())
+    else:
+        items = list(enumerate(members))
+    out = None
+    for key, df in items:
+        tagged = df.withColumn(realization, F.lit(key))
+        out = tagged if out is None else out.unionByName(tagged)
+    return out
+
+
+def ensemble_mean_std_max_min(
+    ens: DataFrame,
+    var: str,
+    *,
+    keys: Sequence[str],
+    min_members: int | None = 1,
+    weights: dict | None = None,
+    realization: str = "realization",
+) -> DataFrame:
+    """Fused mean/stdev/max/min/count across realizations (reference
+    _base.py:141-213).  ``keys`` are the non-realization coordinates
+    (cells + period).  ``min_members`` masks groups with fewer valid
+    members (None = require all members).  ``weights`` maps realization
+    key -> weight (plan-time dict, compiled to a CASE expression)."""
+    v = F.col(var)
+    if weights is None:
+        mean = F.avg(v)
+        std = F.stddev_pop(v)
+    else:
+        w = F.coalesce(*[
+            F.when(F.col(realization) == k, F.lit(float(wt)))
+            for k, wt in weights.items()
+        ], F.lit(0.0))
+        w = F.when(v.isNotNull(), w)
+        mean = F.sum(v * w) / F.sum(w)
+        std = F.sqrt(F.sum(w * v * v) / F.sum(w) -
+                     (F.sum(v * w) / F.sum(w)) ** 2)
+    n_members = ens.select(realization).distinct().count()
+    need = n_members if min_members is None else min_members
+    out = ens.groupBy(*keys).agg(
+        mean.alias(f"{var}_mean"),
+        std.alias(f"{var}_stdev"),
+        F.max(v).alias(f"{var}_max"),
+        F.min(v).alias(f"{var}_min"),
+        F.count(v).alias("_nvalid"),
+    )
+    if need != 1:
+        for stat in ("mean", "stdev", "max", "min"):
+            c = f"{var}_{stat}"
+            out = out.withColumn(
+                c, F.when(F.col("_nvalid") >= need, F.col(c))
+            )
+    return out.drop("_nvalid")
+
+
+def ensemble_percentiles(
+    ens: DataFrame,
+    var: str,
+    values: Sequence[int] = (10, 50, 90),
+    *,
+    keys: Sequence[str],
+    method: str = "linear",
+    min_members: int | None = 1,
+    realization: str = "realization",
+) -> DataFrame:
+    """Percentiles across realizations (reference _base.py:214-375), one
+    column per requested percentile (``split=True`` form:
+    ``<var>_p10``…).  ``method`` selects the Hyndman-Fan plotting
+    positions (same six as numpy's interpolation methods)."""
+    alpha, beta = PERCENTILE_METHODS[method]
+    aggs = []
+    for p in values:
+        name = f"{var}_p{int(p)}"
+        if (alpha, beta) == (1.0, 1.0):
+            aggs.append(F.expr(f"percentile({var}, {p / 100.0})")
+                        .alias(name))
+        else:
+            aggs.append(
+                hf_quantile(var, p / 100.0, alpha=alpha, beta=beta)
+                .alias(name)
+            )
+    aggs.append(F.count(F.col(var)).alias("_nvalid"))
+    n_members = ens.select(realization).distinct().count()
+    need = n_members if min_members is None else min_members
+    out = ens.groupBy(*keys).agg(*aggs)
+    if need != 1:
+        for p in values:
+            c = f"{var}_p{int(p)}"
+            out = out.withColumn(
+                c, F.when(F.col("_nvalid") >= need, F.col(c))
+            )
+    return out.drop("_nvalid")
+
+
+def robustness_fractions(
+    fut: DataFrame,
+    ref: DataFrame,
+    var: str,
+    *,
+    keys: Sequence[str],
+    realization: str = "realization",
+) -> DataFrame:
+    """Agreement fractions on the sign of change (reference
+    robustness_fractions with ``test=None``, _robustness.py:74-335):
+    for each point, the fraction of members whose future mean exceeds /
+    falls below their reference mean.
+
+    ``fut``/``ref`` carry one row per (realization, keys) — typically the
+    output of a per-period reduction over each epoch.  Returns
+    ``keys..., changed_positive, changed_negative, agree`` where ``agree``
+    is the larger fraction (the reference's sign-agreement measure).
+
+    Plan: one broadcast-free equi-join on (realization, keys) — both
+    sides are already reduced, so the join input is members x points, not
+    raw data — then one aggregate."""
+    f = fut.select(realization, *keys, F.col(var).alias("_fut"))
+    r = ref.select(realization, *keys, F.col(var).alias("_ref"))
+    j = f.join(r, on=[realization, *keys])
+    delta = F.col("_fut") - F.col("_ref")
+    out = j.groupBy(*keys).agg(
+        F.avg((delta > 0).cast("double")).alias("changed_positive"),
+        F.avg((delta < 0).cast("double")).alias("changed_negative"),
+        F.count(F.lit(1)).alias("valid_members"),
+    )
+    return out.withColumn(
+        "agree", F.greatest("changed_positive", "changed_negative")
+    )

@@ -867,6 +867,78 @@ ORACLES["ind_tg90p_ys"] = _tg90p_oracle(alias="tg90p")
 
 
 # ---------------------------------------------------------------------------
+# Ensemble tier (reference ensembles/_base.py)
+# ---------------------------------------------------------------------------
+
+_ENS_SQL = """
+ens AS (
+  SELECT l_linenumber % 3 AS realization, l_suppkey AS cell,
+         CAST(date_trunc('month', l_shipdate) AS DATE) AS period,
+         avg(l_quantity) AS tg
+  FROM lineitem
+  GROUP BY 1, 2, 3
+)
+""".strip()
+
+
+def _ens_members(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            (F.col("l_linenumber") % 3).alias("realization"),
+            F.col("l_suppkey").alias("cell"),
+            period_start("l_shipdate", "MS").alias("period"),
+        ).agg(F.avg("l_quantity").alias("tg"))
+    )
+
+
+@_register(
+    "ens_stats_ms",
+    f"""WITH {_ENS_SQL}
+SELECT cell, period,
+       CASE WHEN count(tg) >= 3 THEN ROUND(avg(tg), 6) END AS tg_mean,
+       CASE WHEN count(tg) >= 3 THEN ROUND(stddev_pop(tg), 6) END AS tg_stdev,
+       CASE WHEN count(tg) >= 3 THEN ROUND(max(tg), 6) END AS tg_max,
+       CASE WHEN count(tg) >= 3 THEN ROUND(min(tg), 6) END AS tg_min
+FROM ens GROUP BY 1, 2""",
+)
+def ens_stats_ms(spark, sf_dir):
+    """ensemble_mean_std_max_min with min_members masking (reference
+    _base.py:141-213) over three synthetic realizations split from
+    lineitem."""
+    from . import ensembles as es
+
+    m = _ens_members(spark, sf_dir)
+    out = es.ensemble_mean_std_max_min(m, "tg", keys=["cell", "period"],
+                                       min_members=3)
+    for c in ("tg_mean", "tg_stdev", "tg_max", "tg_min"):
+        out = out.withColumn(c, F.round(c, 6))
+    return out
+
+
+@_register(
+    "ens_percentiles_ms",
+    f"""WITH {_ENS_SQL}
+SELECT cell, period,
+       ROUND(quantile_cont(tg, 0.1), 6) AS tg_p10,
+       ROUND(quantile_cont(tg, 0.5), 6) AS tg_p50,
+       ROUND(quantile_cont(tg, 0.9), 6) AS tg_p90
+FROM ens GROUP BY 1, 2""",
+)
+def ens_percentiles_ms(spark, sf_dir):
+    """ensemble_percentiles, linear interpolation (reference
+    _base.py:214-375)."""
+    from . import ensembles as es
+
+    m = _ens_members(spark, sf_dir)
+    out = es.ensemble_percentiles(m, "tg", (10, 50, 90),
+                                  keys=["cell", "period"])
+    for c in ("tg_p10", "tg_p50", "tg_p90"):
+        out = out.withColumn(c, F.round(c, 6))
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Stats tier (reference stats.py): frequency analysis + SPI
 # ---------------------------------------------------------------------------
 
