@@ -165,3 +165,83 @@ def test_season_bounds(spark):
     assert str(r["season_start"]) == "2000-02-20"  # doy 51
     assert str(r["season_end"]) == "2000-07-19"  # first 3-day cold run >= doy 183
     assert r["season_length"] == 150
+
+
+# ---------------------------------------------------------------------------
+# last_run + date-bounded searches (reference tests/test_run_length.py
+# TestLastRun:384-420, TestRunEndAfterDate-family :495-580)
+# ---------------------------------------------------------------------------
+
+def test_last_run_simple(spark):
+    # ref TestLastRun.test_simple: zeros with t[30:40]=2 -> last run end is
+    # 2000-02-09 (doy 40)
+    bits = [0] * 60
+    for i in range(30, 40):
+        bits[i] = 1
+    df = _mask_series(spark, bits)
+    out = rl.last_run(df, _cond(), 1, freq="YS", cells=["cell"],
+                      coord="doy").collect()
+    assert out[0]["last_run"] == 40
+    out = rl.last_run(df, _cond(), 1, freq="YS", cells=["cell"],
+                      coord="date").collect()
+    assert str(out[0]["last_run"]) == "2000-02-09"
+
+
+def _run_series(spark, start_idx, end_idx, n=360):
+    bits = [0] * n
+    for i in range(start_idx, end_idx):
+        bits[i] = 1
+    return _mask_series(spark, bits)
+
+
+@pytest.mark.parametrize("date,end,expected", [
+    ("07-01", 210, 211),
+    ("04-01", 150, None),   # date falls before the run begins
+    ("11-01", 150, 306),    # run ends before date -> period fallback?  no:
+                            # anti-run after date starts at the date itself
+])
+def test_run_end_after_date(spark, date, end, expected):
+    df = _run_series(spark, 140, end)
+    out = rl.run_end_after_date(df, _cond(), 1, date=date, freq="YS",
+                                cells=["cell"], coord="doy").collect()
+    assert out[0]["run_end_after_date"] == expected
+
+
+@pytest.mark.parametrize("date,beg,expected", [
+    ("07-01", 210, 211),
+    ("04-01", None, None),  # no run at all
+    ("11-01", 150, 306),    # run already started -> restarts at date
+])
+def test_first_run_after_date(spark, date, beg, expected):
+    bits = [0] * 365
+    if beg:
+        for i in range(beg, 365):
+            bits[i] = 1
+    df = _mask_series(spark, bits)
+    out = rl.first_run_after_date(df, _cond(), 1, date=date, freq="YS",
+                                  cells=["cell"], coord="doy").collect()
+    assert out[0]["first_run_after_date"] == expected
+
+
+@pytest.mark.parametrize("date,end,expected", [
+    ("07-01", 210, 183),
+    ("04-01", 150, None),   # run begins after the date
+    ("11-01", 150, 150),
+])
+def test_last_run_before_date(spark, date, end, expected):
+    df = _run_series(spark, 140, end)
+    out = rl.last_run_before_date(df, _cond(), 1, date=date, freq="YS",
+                                  cells=["cell"], coord="doy").collect()
+    assert out[0]["last_run_before_date"] == expected
+
+
+def test_first_run_before_date(spark):
+    # run starting doy 141; looking before 07-01 finds it, before 04-01
+    # does not
+    df = _run_series(spark, 140, 210)
+    out = rl.first_run_before_date(df, _cond(), 1, date="07-01", freq="YS",
+                                   cells=["cell"], coord="doy").collect()
+    assert out[0]["first_run_before_date"] == 141
+    out = rl.first_run_before_date(df, _cond(), 1, date="04-01", freq="YS",
+                                   cells=["cell"], coord="doy").collect()
+    assert out[0]["first_run_before_date"] is None

@@ -39,6 +39,10 @@ __all__ = [
     "first_run",
     "last_run",
     "run_bounds",
+    "first_run_after_date",
+    "last_run_before_date",
+    "first_run_before_date",
+    "run_end_after_date",
     "keep_longest_run",
     "spell_mask",
     "spell_length_statistics",
@@ -305,6 +309,101 @@ def run_bounds(
     """Start/end of every run (reference run_length.py:745-804)."""
     return runs_table(df, cond, time=time, cells=cells,
                       order_extra=order_extra)
+
+
+# ---------------------------------------------------------------------------
+# Date-constrained run searches (reference run_length.py:1148-1334)
+# ---------------------------------------------------------------------------
+
+def _mid_date(time: str, freq: str, mmdd: str) -> Column:
+    """First occurrence of the 'MM-DD' day within the row's period
+    (reference ``index_of_date``): for anchored periods the calendar day
+    may fall in the following civil year."""
+    mm, dd = (int(x) for x in mmdd.split("-"))
+    per = period_start(time, freq)
+    cand = F.make_date(F.year(per), F.lit(mm), F.lit(dd))
+    return F.when(cand < F.to_date(per), F.add_months(cand, 12)) \
+        .otherwise(cand)
+
+
+def first_run_after_date(
+    df: DataFrame, cond: Column, window: int, *, date: str = "07-01",
+    freq: str = "YS", time: str = "time", cells: Sequence[str] = (),
+    coord: str = "doy", alias: str = "first_run_after_date",
+) -> DataFrame:
+    """Start of the first >=window run at or after ``date`` in each period
+    (reference run_length.py:1204-1242).  Masking the condition before the
+    date reproduces the reference's ``da.where(time >= date)`` — runs in
+    progress restart their count at the date."""
+    mid = _mid_date(time, freq, date)
+    cond2 = cond & (F.to_date(time) >= mid)
+    return first_run(df, cond2, window, freq=freq, time=time, cells=cells,
+                     coord=coord, alias=alias)
+
+
+def last_run_before_date(
+    df: DataFrame, cond: Column, window: int, *, date: str = "07-01",
+    freq: str = "YS", time: str = "time", cells: Sequence[str] = (),
+    coord: str = "doy", alias: str = "last_run_before_date",
+) -> DataFrame:
+    """End of the last >=window run ending at or before ``date``
+    (reference run_length.py:1245-1287)."""
+    mid = _mid_date(time, freq, date)
+    cond2 = cond & (F.to_date(time) <= mid)
+    return last_run(df, cond2, window, freq=freq, time=time, cells=cells,
+                    coord=coord, alias=alias)
+
+
+def first_run_before_date(
+    df: DataFrame, cond: Column, window: int, *, date: str = "07-01",
+    freq: str = "YS", time: str = "time", cells: Sequence[str] = (),
+    coord: str = "doy", alias: str = "first_run_before_date",
+) -> DataFrame:
+    """Start of the first >=window run beginning before ``date``
+    (reference run_length.py:1290-1334: rows at/after date+window-1 are
+    masked, so the latest possible run starts the day before the date)."""
+    mid = _mid_date(time, freq, date)
+    cond2 = cond & (F.to_date(time) < F.date_add(mid, window - 1))
+    return first_run(df, cond2, window, freq=freq, time=time, cells=cells,
+                     coord=coord, alias=alias)
+
+
+def run_end_after_date(
+    df: DataFrame, cond: Column, window: int, *, date: str = "07-01",
+    freq: str = "YS", time: str = "time", cells: Sequence[str] = (),
+    coord: str = "doy", alias: str = "run_end_after_date",
+) -> DataFrame:
+    """First index after the end of a run ending after ``date``, provided
+    the run began before it (reference run_length.py:1148-1201 —
+    growing_season_end's kernel).
+
+    end = start of the first >=window anti-run at/after the date;
+    beg = start of the first >=window run before the date;
+    if beg exists but no anti-run follows, the period's last timestamp is
+    returned; NULL when no run began before the date.  Three aggregates
+    over the same (cell, period) keys — Catalyst shares the scan, the
+    joins are on reduced keyspaces."""
+    mid = _mid_date(time, freq, date)
+    tcol = F.to_date(time)
+    end = first_run(df, (~cond) & (tcol >= mid), window, freq=freq,
+                    time=time, cells=cells, coord=coord, alias="_end")
+    beg = first_run(df, cond & (tcol < mid), window, freq=freq, time=time,
+                    cells=cells, coord="date", alias="_beg")
+    last = (
+        df.withColumn("period", period_start(time, freq))
+        .groupBy(*cells, "period")
+        .agg(F.max(tcol).alias("_last"))
+    )
+    keys = [*cells, "period"]
+    j = end.join(beg, on=keys).join(last, on=keys)
+    last_val = F.dayofyear("_last") if coord == "doy" else F.col("_last")
+    out = j.withColumn(
+        alias,
+        F.when(F.col("_beg").isNull(), F.lit(None))
+        .when(F.col("_end").isNull(), last_val)
+        .otherwise(F.col("_end")),
+    )
+    return out.drop("_end", "_beg", "_last")
 
 
 def keep_longest_run(

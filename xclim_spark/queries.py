@@ -413,6 +413,62 @@ def max_run_sum_ys(spark, sf_dir):
     return out.withColumn("max_run_sum", F.round("max_run_sum", 4))
 
 
+def _bounded_runs_sql(cond: str, tag: str) -> str:
+    """Run-id CTE over daily for a masked condition (suffix ``tag``)."""
+    return f"""
+marked_{tag} AS (
+  SELECT cell, day, {_YS} AS period, ({cond}) AS cond,
+         (({cond}) IS DISTINCT FROM lag(({cond}))
+           OVER (PARTITION BY cell, {_YS} ORDER BY day)) AS chg
+  FROM daily
+),
+runs_{tag} AS (
+  SELECT *, sum(CASE WHEN chg THEN 1 ELSE 0 END)
+             OVER (PARTITION BY cell, period ORDER BY day) AS run_id
+  FROM marked_{tag}
+),
+rl_{tag} AS (
+  SELECT cell, period, run_id, count(*) AS run_length,
+         min(day) AS run_start
+  FROM runs_{tag} WHERE cond GROUP BY 1, 2, 3
+)
+""".strip()
+
+
+@_register(
+    "gs_end_ys",
+    f"""WITH {DAILY_SQL},
+md AS (SELECT cell, period, make_date(year(period), 7, 1) AS mid,
+              max(day) AS last_day
+       FROM (SELECT cell, {_YS} AS period, day FROM daily) GROUP BY 1, 2),
+{_bounded_runs_sql("qty <= 25 AND day >= make_date(year(" + _YS + "), 7, 1)", "e")},
+{_bounded_runs_sql("qty > 25 AND day < make_date(year(" + _YS + "), 7, 1)", "b")},
+ends AS (
+  SELECT cell, period, min(CASE WHEN run_length >= 2 THEN run_start END) AS e
+  FROM rl_e GROUP BY 1, 2
+),
+begs AS (
+  SELECT cell, period, min(CASE WHEN run_length >= 2 THEN run_start END) AS b
+  FROM rl_b GROUP BY 1, 2
+)
+SELECT md.cell AS cell, md.period AS period,
+       CASE WHEN begs.b IS NULL THEN NULL
+            WHEN ends.e IS NULL THEN dayofyear(md.last_day)
+            ELSE dayofyear(ends.e) END AS gs_end
+FROM md
+LEFT JOIN ends ON md.cell = ends.cell AND md.period = ends.period
+LEFT JOIN begs ON md.cell = begs.cell AND md.period = begs.period""",
+)
+def gs_end_ys(spark, sf_dir):
+    """growing_season_end shape: run_end_after_date (reference
+    run_length.py:1148-1201, _threshold.py:1029) — first >=2-day anti-run
+    after Jul 1, given a >=2-day run before it."""
+    d = daily_series(spark, sf_dir)
+    return rl.run_end_after_date(d, F.col("qty") > 25.0, 2, date="07-01",
+                                 freq="YS", time="day", cells=["cell"],
+                                 coord="doy", alias="gs_end")
+
+
 # ---------------------------------------------------------------------------
 # Percentile layer (SURVEY §2 rows 20-21; days_over_percentile shape)
 # ---------------------------------------------------------------------------
