@@ -173,3 +173,69 @@ def test_winnowing_fingerprints_overlap(spark):
         tx.winnowing_fingerprints("text").alias("fp")).collect()]
     assert fps[0] & fps[1]          # overlapping spans share fingerprints
     assert not (fps[0] & fps[2])    # disjoint texts don't
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+def _bin_df(spark):
+    docs = _docs(spark, ["hello world " * 10, "AAAA", ""])
+    return docs.withColumn("data", F.encode("text", "UTF-8")).drop("text")
+
+
+def test_with_image_meta(spark):
+    from xclim_spark.llm import multimodal as mm
+
+    df = mm.with_image_meta(_bin_df(spark), "data", mime="image/fake")
+    row = df.filter(F.col("doc_id") == 1).collect()[0]
+    assert row["data_meta"]["mime"] == "image/fake"
+    assert row["data_meta"]["n_bytes"] == 4
+    assert row["data_meta"]["width"] is None
+
+
+def test_byte_histogram_and_entropy(spark):
+    from xclim_spark.llm import multimodal as mm
+
+    df = _bin_df(spark)
+    out = {r["doc_id"]: r for r in df.select(
+        "doc_id",
+        mm.byte_histogram("data").alias("hist"),
+        mm.byte_entropy("data").alias("ent"),
+    ).collect()}
+    # "AAAA" = 0x41 x4 -> all mass in nibble 4, entropy 0
+    assert out[1]["hist"][4] == pytest.approx(1.0)
+    assert out[1]["ent"] == 0.0
+    assert sum(out[0]["hist"]) == pytest.approx(1.0)
+    assert out[0]["ent"] > 2.0
+    assert out[2]["ent"] == 0.0  # empty payload
+
+
+def test_decode_image_fake_and_stub(spark):
+    from xclim_spark.llm import multimodal as mm
+
+    df = _bin_df(spark)
+    out = {r["doc_id"]: r for r in
+           mm.decode_image(df, "data", fake=True).collect()}
+    # deterministic fake dims from the first two bytes
+    assert out[1]["width"] == (ord("A") % 64) + 1
+    assert out[1]["mean_pixel"] == pytest.approx(float(ord("A")))
+    assert out[2]["width"] is None  # sub-2-byte payload
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(df, "data", fake=False)
+
+
+def test_resize_and_frames_fake(spark):
+    from xclim_spark.llm import multimodal as mm
+
+    df = _bin_df(spark).filter(F.col("doc_id") < 2)
+    resized = mm.resize_images(df, "data", size=(8, 8), fake=True).collect()
+    assert all(len(r["data"]) == 64 for r in resized)
+    frames = mm.sample_frames(df, "data", n_frames=4, fake=True)
+    rows = frames.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc[0]) == 4
+    assert sorted(r["frame_idx"] for r in by_doc[0]) == [0, 1, 2, 3]
+    assert all(len(r["frame"]) > 0 for r in rows)

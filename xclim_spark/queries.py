@@ -1159,6 +1159,31 @@ def text_quality_by_source(spark, sf_dir):
     )
 
 
+@_register(
+    "mm_binary_stats",
+    """SELECT source,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+       CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes
+FROM documents GROUP BY 1""",
+)
+def mm_binary_stats(spark, sf_dir):
+    """Multimodal schema plumbing: documents as opaque binary payloads
+    with typed metadata (xclim_spark.llm.multimodal) — per-source payload
+    accounting runs JVM-side on the metadata struct, payload bytes never
+    shuffle."""
+    from .llm import multimodal as mm
+
+    docs = _read(spark, sf_dir, "documents")
+    b = docs.withColumn("data", F.encode("text", "UTF-8"))
+    b = mm.with_image_meta(b, "data")
+    return b.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("data_meta.n_bytes")).alias("total_bytes"),
+        F.max(F.col("data_meta.n_bytes")).alias("max_bytes"),
+    )
+
+
 def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
