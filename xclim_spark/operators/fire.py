@@ -1,0 +1,232 @@
+"""Canadian Fire Weather Index System — the stateful tier
+(reference ``src/xclim/indices/fire/_cffwis.py``).
+
+FFMC/DMC/DC carry day-over-day state, so the kernel is inherently
+sequential along time.  The Spark mapping is exactly the reference's own
+strategy ("Dask arrays must have only one chunk along the time
+dimension", _cffwis.py:912): ``applyInPandas`` keyed by cell, the full
+series for one cell in one task, a tight numpy loop inside.  A streaming
+deployment would swap the groupBy for ``transformWithStateInPandas``
+keyed the same way with the three moisture codes as state.
+
+This implements the "always on" season mode (``season_method=None``) of
+``fire_weather_ufunc`` (_cffwis.py:883-1169) — the overwintering and
+fire-season start/stop automata layer on top of the same per-day
+equations.  All equations are the published Van Wagner 1987 / cffdrs
+forms (equation numbers cited inline, as in the reference).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+__all__ = ["cffwis_indices", "cffwis_1d", "daily_severity_rating"]
+
+DAY_LENGTHS = np.array([
+    [11.5, 10.5, 9.2, 7.9, 6.8, 6.2, 6.5, 7.4, 8.7, 10, 11.2, 11.8],
+    [10.1, 9.6, 9.1, 8.5, 8.1, 7.8, 7.9, 8.3, 8.9, 9.4, 9.9, 10.2],
+    [9.0] * 12,
+    [7.9, 8.4, 8.9, 9.5, 9.9, 10.2, 10.1, 9.7, 9.1, 8.6, 8.1, 7.8],
+    [6.5, 7.5, 9, 12.8, 13.9, 13.9, 12.4, 10.9, 9.4, 8, 7, 6],
+])
+
+DAY_LENGTH_FACTORS = np.array([
+    [6.4, 5.0, 2.4, 0.4, -1.6, -1.6, -1.6, -1.6, -1.6, 0.9, 3.8, 5.8],
+    [1.39] * 12,
+    [-1.6, -1.6, -1.6, 0.9, 3.8, 5.8, 6.4, 5.0, 2.4, 0.4, -1.6, -1.6],
+])
+
+
+def _day_length(lat: float, mth: int) -> float:
+    if -90 <= lat < -30:
+        return DAY_LENGTHS[0, mth - 1]
+    if -30 <= lat < -15:
+        return DAY_LENGTHS[1, mth - 1]
+    if -15 <= lat < 15:
+        return 9.0
+    if 15 <= lat < 30:
+        return DAY_LENGTHS[3, mth - 1]
+    return DAY_LENGTHS[4, mth - 1]
+
+
+def _day_length_factor(lat: float, mth: int) -> float:
+    if -90 <= lat < -15:
+        return DAY_LENGTH_FACTORS[0, mth - 1]
+    if -15 <= lat < 15:
+        return 1.39
+    return DAY_LENGTH_FACTORS[2, mth - 1]
+
+
+def _ffmc(t, p, w, h, ffmc0):
+    """Fine fuel moisture code, one step (Van Wagner eqs. 1-10)."""
+    mo = (147.2 * (101.0 - ffmc0)) / (59.5 + ffmc0)  # Eq.1
+    if p > 0.5:
+        rf = p - 0.5  # Eq.2
+        wet = 42.5 * rf * math.exp(-100.0 / (251.0 - mo)) * \
+            (1.0 - math.exp(-6.93 / rf))
+        if mo > 150.0:
+            mo = mo + wet + 0.0015 * (mo - 150.0) ** 2 * math.sqrt(rf)  # 3b
+        else:
+            mo = mo + wet  # Eq.3a
+        mo = min(mo, 250.0)
+    ed = 0.942 * h ** 0.679 + 11.0 * math.exp((h - 100.0) / 10.0) + \
+        0.18 * (21.1 - t) * (1.0 - math.exp(-0.115 * h))  # Eq.4
+    if mo < ed:
+        ew = 0.618 * h ** 0.753 + 10.0 * math.exp((h - 100.0) / 10.0) + \
+            0.18 * (21.1 - t) * (1.0 - math.exp(-0.115 * h))  # Eq.5
+        if mo < ew:
+            kl = 0.424 * (1.0 - ((100.0 - h) / 100.0) ** 1.7) + \
+                0.0694 * math.sqrt(w) * (1.0 - ((100.0 - h) / 100.0) ** 8)
+            kw = kl * 0.581 * math.exp(0.0365 * t)  # Eq.7b
+            m = ew - (ew - mo) / 10.0 ** kw  # Eq.9
+        else:
+            m = mo
+    elif mo == ed:
+        m = mo
+    else:
+        kl = 0.424 * (1.0 - (h / 100.0) ** 1.7) + \
+            0.0694 * math.sqrt(w) * (1.0 - (h / 100.0) ** 8)  # Eq.6a
+        kw = kl * 0.581 * math.exp(0.0365 * t)  # Eq.6b
+        m = ed + (mo - ed) / 10.0 ** kw  # Eq.8
+    ffmc = (59.5 * (250.0 - m)) / (147.2 + m)  # Eq.10
+    return min(max(ffmc, 0.0), 101.0)
+
+
+def _dmc(t, p, h, mth, lat, dmc0):
+    """Duff moisture code, one step (eqs. 11-17, cffdrs variant)."""
+    dl = _day_length(lat, mth)
+    rk = 0.0 if t < -1.1 else 1.894 * (t + 1.1) * (100.0 - h) * dl * 1e-4
+    if p > 1.5:
+        rw = 0.92 * p - 1.27  # Eq.11
+        wmi = 20.0 + 280.0 / math.exp(0.023 * dmc0)  # Eq.12 (cffdrs form)
+        if dmc0 <= 33.0:
+            b = 100.0 / (0.5 + 0.3 * dmc0)  # Eq.13a
+        elif dmc0 <= 65.0:
+            b = 14.0 - 1.3 * math.log(dmc0)  # Eq.13b
+        else:
+            b = 6.2 * math.log(dmc0) - 17.2  # Eq.13c
+        wmr = wmi + (1000.0 * rw) / (48.77 + b * rw)  # Eq.14
+        pr = 43.43 * (5.6348 - math.log(wmr - 20.0))  # Eq.15 (cffdrs)
+    else:
+        pr = dmc0
+    return max(max(pr, 0.0) + rk, 0.0)
+
+
+def _dc(t, p, mth, lat, dc0):
+    """Drought code, one step (eqs. 18-22)."""
+    fl = _day_length_factor(lat, mth)
+    t = max(t, -2.8)
+    pe = max((0.36 * (t + 2.8) + fl) / 2.0, 0.0)  # Eq.22
+    if p > 2.8:
+        rw = 0.83 * p - 1.27  # Eq.18
+        smi = 800.0 * math.exp(-dc0 / 400.0)  # Eq.19
+        dr = dc0 - 400.0 * math.log(1.0 + 3.937 * rw / smi)  # Eqs.20-21
+        return dr + pe if dr > 0.0 else pe
+    return dc0 + pe
+
+
+def _isi(ws, ffmc):
+    """Initial spread index (eqs. 25-26)."""
+    mo = 147.2 * (101.0 - ffmc) / (59.5 + ffmc)  # Eq.1
+    ff = 19.1152 * math.exp(mo * -0.1386) * (1.0 + mo ** 5.31 / 4.93e7)
+    return ff * math.exp(0.05039 * ws)  # Eq.26
+
+
+def _bui(dmc, dc):
+    """Build-up index (eq. 27)."""
+    if dmc == 0.0 and dc == 0.0:
+        return 0.0
+    denom = dmc + 0.4 * dc
+    if dmc <= 0.4 * dc:
+        return 0.8 * dc * dmc / denom  # Eq.27a
+    return dmc - (1.0 - 0.8 * dc / denom) * \
+        (0.92 + (0.0114 * dmc) ** 1.7)  # Eq.27b
+
+
+def _fwi(isi, bui):
+    """Fire weather index (eqs. 28-30)."""
+    if bui <= 80.0:
+        fwi = 0.1 * isi * (0.626 * bui ** 0.809 + 2.0)  # Eq.28a
+    else:
+        fwi = 0.1 * isi * (1000.0 / (25.0 + 108.64 / math.exp(0.023 * bui)))
+    if fwi > 1.0:
+        fwi = math.exp(2.72 * (0.434 * math.log(fwi)) ** 0.647)  # Eq.30b
+    return fwi
+
+
+def cffwis_1d(
+    tas, pr, hurs, ws, months, lat: float,
+    ffmc0: float = 85.0, dmc0: float = 6.0, dc0: float = 15.0,
+):
+    """Sequential CFFWIS over one cell's series (numpy arrays in time
+    order).  Returns dict of arrays ffmc/dmc/dc/isi/bui/fwi."""
+    n = len(tas)
+    out = {k: np.empty(n) for k in ("ffmc", "dmc", "dc", "isi", "bui",
+                                    "fwi")}
+    f, m, c = ffmc0, dmc0, dc0
+    for i in range(n):
+        t, p, h, w = float(tas[i]), float(pr[i]), float(hurs[i]), \
+            float(ws[i])
+        h = min(h, 99.9999)
+        f = _ffmc(t, p, w, h, f)
+        m = _dmc(t, p, h, int(months[i]), lat, m)
+        c = _dc(t, p, int(months[i]), lat, c)
+        isi = _isi(w, f)
+        bui = _bui(m, c)
+        out["ffmc"][i] = f
+        out["dmc"][i] = m
+        out["dc"][i] = c
+        out["isi"][i] = isi
+        out["bui"][i] = bui
+        out["fwi"][i] = _fwi(isi, bui)
+    return out
+
+
+def daily_severity_rating(fwi):
+    """DSR = 0.0272 FWI^1.77 (reference _cffwis.py daily_severity_rating)."""
+    return 0.0272 * np.asarray(fwi, dtype=float) ** 1.77
+
+
+def cffwis_indices(
+    df: DataFrame,
+    *,
+    tas: str, pr: str, hurs: str, sfcWind: str,
+    lat: float | str = 45.0,
+    time: str = "time",
+    cells: Sequence[str] = (),
+    ffmc0: float = 85.0, dmc0: float = 6.0, dc0: float = 15.0,
+) -> DataFrame:
+    """Daily FFMC/DMC/DC/ISI/BUI/FWI per cell (reference
+    ``cffwis_indices``, _cffwis.py:1278).
+
+    ``lat`` is a scalar latitude or the name of a per-cell latitude
+    column.  Plan: one shuffle keying each cell's full series into one
+    pandas task, sorted in-task — the only correct layout for a
+    day-over-day recursion."""
+    fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    schema = ", ".join(
+        [f"{c} {fields[c]}" for c in cells]
+        + [f"{time} {fields[time]}", "ffmc DOUBLE", "dmc DOUBLE",
+           "dc DOUBLE", "isi DOUBLE", "bui DOUBLE", "fwi DOUBLE"]
+    )
+
+    def _calc(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(time)
+        months = pd.to_datetime(pdf[time]).dt.month.to_numpy()
+        la = float(pdf[lat].iloc[0]) if isinstance(lat, str) else float(lat)
+        res = cffwis_1d(
+            pdf[tas].to_numpy(), pdf[pr].to_numpy(), pdf[hurs].to_numpy(),
+            pdf[sfcWind].to_numpy(), months, la,
+            ffmc0=ffmc0, dmc0=dmc0, dc0=dc0,
+        )
+        out = {c: pdf[c].to_numpy() for c in cells}
+        out[time] = pdf[time].to_numpy()
+        out.update(res)
+        return pd.DataFrame(out)
+
+    return df.groupBy(*cells).applyInPandas(_calc, schema=schema)

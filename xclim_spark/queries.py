@@ -1039,6 +1039,29 @@ def fa_gumbel_rp(spark, sf_dir):
     return out.withColumn("rv", F.round("rv", 6))
 
 
+@_register("fwi_max_ys", None)  # day-over-day recursion: rows-only check
+def fwi_max_ys(spark, sf_dir):
+    """Annual max Fire Weather Index from synthetic met columns derived
+    from the daily series (reference _cffwis.py:1278 cffwis_indices) —
+    exercises the stateful applyInPandas tier end-to-end."""
+    from .operators import fire
+
+    d = daily_series(spark, sf_dir)
+    met = (
+        d.withColumn("tas", F.col("qty") - 5.0)
+        .withColumn("prcp", F.greatest(F.lit(0.0),
+                                       F.col("price") / 20000.0 - 2.0))
+        .withColumn("hurs", F.least(F.lit(99.0), 30.0 + F.col("qty")))
+        .withColumn("ws", 5.0 + F.col("qty") / 2.0)
+    )
+    fwi = fire.cffwis_indices(met, tas="tas", pr="prcp", hurs="hurs",
+                              sfcWind="ws", lat=47.0, time="day",
+                              cells=["cell"])
+    return g.select_resample_op(fwi, "fwi", "max", "YS", time="day",
+                                cells=["cell"], alias="fwi_max") \
+        .withColumn("fwi_max", F.round("fwi_max", 6))
+
+
 @_register("spi_ms", None)  # gamma fit is not SQL-expressible: rows-only
 def spi_ms(spark, sf_dir):
     """3-month SPI on the daily revenue series (reference
