@@ -160,41 +160,50 @@ def standardized_index(
     cnt = F.count("_acc").over(w)
     acc = acc.withColumn("_roll", F.when(cnt >= window,
                                          F.sum("_acc").over(w)))
-    acc = acc.withColumn("_grp", F.month("period"))
 
     schema = _key_schema(df, cells) + f", period DATE, {alias} DOUBLE"
     lo, hi = pd.Timestamp(cal_start) if cal_start else None, \
         pd.Timestamp(cal_end) if cal_end else None
 
+    # One pandas task per CELL (not per (cell, month)): the 12
+    # month-of-year fits run inside the task — 12x fewer Arrow groups,
+    # and the groupBy reuses the window's cell partitioning.
     def _spi(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
         pdf = pdf.sort_values("period")
         x = pdf["_roll"].to_numpy(dtype=float)
         per = pd.to_datetime(pdf["period"])
-        cal = np.isfinite(x)
+        months = per.dt.month.to_numpy()
+        cal_base = np.isfinite(x)
         if lo is not None:
-            cal &= (per >= lo).to_numpy()
+            cal_base &= (per >= lo).to_numpy()
         if hi is not None:
-            cal &= (per <= hi).to_numpy()
-        xc = x[cal]
+            cal_base &= (per <= hi).to_numpy()
         out = np.full(len(x), np.nan)
-        if len(xc) > 1:
+        for m in np.unique(months):
+            sel = months == m
+            cal = cal_base & sel
+            xc = x[cal]
+            if len(xc) <= 1:
+                continue
             p0 = float(np.mean(xc == 0.0)) if dist == "gamma" else 0.0
             pos = xc[xc > 0] if dist == "gamma" else xc
-            if len(pos) > 1:
-                params = D.fit_params(pos, dist, method)
-                if not np.isnan(params).any():
-                    valid = np.isfinite(x)
-                    c = np.zeros(len(x))
-                    gt0 = valid & (x > 0)
-                    c[gt0] = D.cdf(params, dist, x[gt0])
-                    prob = p0 + (1.0 - p0) * c
-                    prob = np.clip(prob, 5e-4, 1.0 - 5e-4)
-                    out[valid] = np.clip(D.probit(prob[valid]), -clip, clip)
+            if len(pos) <= 1:
+                continue
+            params = D.fit_params(pos, dist, method)
+            if np.isnan(params).any():
+                continue
+            valid = sel & np.isfinite(x)
+            c = np.zeros(len(x))
+            gt0 = valid & (x > 0)
+            c[gt0] = D.cdf(params, dist, x[gt0])
+            prob = p0 + (1.0 - p0) * c
+            prob = np.clip(prob, 5e-4, 1.0 - 5e-4)
+            out[valid] = np.clip(D.probit(prob[valid]), -clip, clip)
         res = {c: pdf[c].to_numpy() for c in cells}
         res["period"] = pdf["period"].to_numpy()
         res[alias] = out
         return pd.DataFrame(res)
 
-    return acc.groupBy(*cells, "_grp").applyInPandas(_spi, schema=schema)
+    return acc.groupBy(*cells).applyInPandas(_spi, schema=schema)
