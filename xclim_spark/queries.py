@@ -1183,6 +1183,30 @@ def text_quality_by_source(spark, sf_dir):
 
 
 @_register(
+    "dataflags_summary",
+    f"""WITH {DAILY_SQL}
+SELECT CAST(max(CASE WHEN qty < 0 THEN 1 ELSE 0 END) AS BOOLEAN) AS negative_values,
+       CAST(max(CASE WHEN qty > 45 THEN 1 ELSE 0 END) AS BOOLEAN) AS extremely_high,
+       CAST(max(CASE WHEN price > 1500000 THEN 1 ELSE 0 END) AS BOOLEAN) AS huge_events,
+       CAST(max(CASE WHEN qty < 2 THEN 1 ELSE 0 END) AS BOOLEAN) AS extremely_low
+FROM daily""",
+)
+def dataflags_summary(spark, sf_dir):
+    """QC flag suite in one aggregate pass (reference dataflags.py:581) —
+    four value-sanity checks over the daily series."""
+    from . import dataflags as dfl
+
+    d = daily_series(spark, sf_dir)
+    return dfl.data_flags(d, {
+        "negative_values": dfl.negative_accumulation_values("qty"),
+        "extremely_high": dfl.temperature_extremely_high("qty", 45.0),
+        "huge_events": dfl.very_large_precipitation_events("price",
+                                                           1500000.0),
+        "extremely_low": dfl.temperature_extremely_low("qty", 2.0),
+    })
+
+
+@_register(
     "mm_binary_stats",
     """SELECT source,
        CAST(count(*) AS BIGINT) AS n_items,
