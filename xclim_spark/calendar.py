@@ -39,6 +39,8 @@ __all__ = [
     "doy365",
     "doy365_sql",
     "is_leap_year",
+    "time_bnds",
+    "stack_periods",
     "SEASONS",
 ]
 
@@ -261,6 +263,55 @@ def doy365(time: Column | str) -> Column:
     t = F.col(time) if isinstance(time, str) else time
     d = F.dayofyear(t)
     return d - (is_leap_year(t) & (d > 59)).cast("int")
+
+
+def time_bnds(period: Column | str, freq: str) -> Column:
+    """Interval bounds of a period-start column (reference ``time_bnds``,
+    calendar.py:793-905): struct(start, end) where end is the last day of
+    the period — ``next period start - 1 day``."""
+    p = F.col(period) if isinstance(period, str) else period
+    off = parse_offset(freq)
+    if off.base in ("Y", "A"):
+        nxt = F.add_months(p, 12 * off.mult)
+    elif off.base == "Q":
+        nxt = F.add_months(p, 3 * off.mult)
+    elif off.base == "M":
+        nxt = F.add_months(p, off.mult)
+    elif off.base == "W":
+        nxt = F.date_add(p, 7 * off.mult)
+    elif off.base == "D":
+        nxt = F.date_add(p, off.mult)
+    else:
+        raise ValueError(f"Unsupported freq {freq!r} for time_bnds")
+    return F.struct(p.alias("start"), F.date_sub(nxt, 1).alias("end"))
+
+
+def stack_periods(
+    df, time: Column | str = "time", *, window: int = 30, stride: int = 10,
+    min_length: int | None = None,
+) -> "DataFrame":  # noqa: F821
+    """Stack rolling multi-year windows (reference ``stack_periods``,
+    calendar.py:1396-1731): each row is replicated into every
+    ``window``-year period (stride ``stride``) that contains it, labelled
+    by a ``period_label`` column (the period's first year).
+
+    Map-side explode — the replication factor is ``window/stride`` and no
+    shuffle happens here; downstream groupBys key on
+    ``(cells..., period_label)``.
+    """
+    t = F.col(time) if isinstance(time, str) else time
+    y = F.year(t)
+    # labels are years L = y0 + k*stride with L <= year <= L + window - 1
+    # → k in [ceil((y - w + 1 - y0)/s), floor((y - y0)/s)]; y0 anchored at
+    # the label grid origin 0 so L = any multiple of stride
+    first = (F.ceil((y - window + 1).cast("double") / stride) * stride) \
+        .cast("int")
+    last = (F.floor(y.cast("double") / stride) * stride).cast("int")
+    labels = F.sequence(first, last, F.lit(stride))
+    out = df.withColumn("period_label", F.explode(labels))
+    if min_length is None:
+        min_length = window
+    return out
 
 
 def doy365_sql(time_expr: str) -> str:

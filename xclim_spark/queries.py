@@ -1183,6 +1183,42 @@ def text_quality_by_source(spark, sf_dir):
 
 
 @_register(
+    "cal360_monthly_mean",
+    f"""WITH {DAILY_SQL},
+enc AS (
+  SELECT cell, year(day) AS yr,
+         ((dayofyear(day) - 1) % 360) + 1 AS doy360, qty
+  FROM daily
+)
+SELECT cell,
+       CAST(yr * 10000 + (((doy360 - 1) // 30) + 1) * 100 + 1 AS INT) AS pk,
+       ROUND(avg(qty), 6) AS tg_mean
+FROM enc GROUP BY 1, 2""",
+)
+def cal360_monthly_mean(spark, sf_dir):
+    """Monthly resample on the 360_day calendar via the (year, doy)
+    dual representation (reference calendar.py:138-361; SURVEY §1.1) —
+    the daily series re-encoded onto a 360-day axis, grouped by the
+    calendar-aware integer period key."""
+    from . import calendar360 as c360
+
+    d = daily_series(spark, sf_dir)
+    enc = d.select(
+        "cell", F.year("day").alias("yr"),
+        (((F.dayofyear("day") - 1) % 360) + 1).alias("doy360"), "qty",
+    )
+    out = (
+        enc.withColumn(
+            "pk", c360.period_key("yr", "doy360", "MS", "360_day")
+            .cast("int")
+        )
+        .groupBy("cell", "pk")
+        .agg(F.round(F.avg("qty"), 6).alias("tg_mean"))
+    )
+    return out
+
+
+@_register(
     "dataflags_summary",
     f"""WITH {DAILY_SQL}
 SELECT CAST(max(CASE WHEN qty < 0 THEN 1 ELSE 0 END) AS BOOLEAN) AS negative_values,
