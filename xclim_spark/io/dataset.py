@@ -1,0 +1,60 @@
+"""Dataset read/write API (reference ``src/xclim/cli.py:55-73,484-497``).
+
+Layout convention for the 100 TB target: long-format Parquet partitioned
+by ``year`` (temporal predicate pushdown -> partition pruning for
+``select_time``/period filters) and optionally bucketed by the cell key
+so repeated per-cell window operators shuffle zero bytes after the first
+exchange.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["write_dataset", "read_dataset"]
+
+
+def write_dataset(
+    df: DataFrame,
+    path: str,
+    *,
+    time: str = "time",
+    partition_by_year: bool = True,
+    extra_partitions: Sequence[str] = (),
+    mode: str = "overwrite",
+) -> None:
+    """Write a long-format dataset as Parquet, partitioned by year (and
+    any extra key columns) so later scans prune partitions from
+    time-range predicates."""
+    cols = list(extra_partitions)
+    if partition_by_year:
+        df = df.withColumn("year", F.year(time))
+        cols = ["year", *cols]
+    w = df.write.mode(mode)
+    if cols:
+        w = w.partitionBy(*cols)
+    w.parquet(path)
+
+
+def read_dataset(
+    spark: SparkSession,
+    path: str,
+    *,
+    columns: Sequence[str] | None = None,
+    years: tuple[int, int] | None = None,
+) -> DataFrame:
+    """Read a dataset written by :func:`write_dataset`; ``years`` bounds
+    compile to a partition-pruning filter, ``columns`` prunes the scan
+    schema."""
+    df = spark.read.parquet(path)
+    if years is not None:
+        df = df.filter(
+            (F.col("year") >= years[0]) & (F.col("year") <= years[1])
+        )
+    if columns is not None:
+        keep = [c for c in df.columns if c in set(columns) | {"year"}]
+        df = df.select(*keep)
+    return df
