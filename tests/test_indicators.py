@@ -140,3 +140,26 @@ def test_unexpected_arg_raises(spark):
     df = timeseries(spark, [1.0], start="2000-01-01")
     with pytest.raises(TypeError):
         atmos.tg_mean(df, tas="value", bogus=1, cells=["cell"])
+
+
+def test_icclim_virtual_module(spark):
+    from xclim_spark.indicators import icclim, registry
+
+    assert len(icclim) >= 25
+    for name in ("SU", "FD", "CDD", "RX5day", "GD4", "TG", "R20mm"):
+        assert name in registry, name
+    vals = [20.0, 26.0, 30.0, 24.0, 28.0]
+    df = timeseries(spark, vals, start="2000-01-01")
+    out = icclim.SU(df, tasmax="value", freq="YS", cells=["cell"],
+                    missing=None)
+    assert out.df.collect()[0]["SU"] == 3
+    # threshold override via YAML parameters: R20mm vs RR1
+    pr = [0.5, 5.0, 15.0, 25.0, 30.0]
+    dfp = timeseries(spark, pr, start="2000-01-01")
+    assert icclim.RR1(dfp, pr="value", freq="YS", cells=["cell"],
+                      missing=None).df.collect()[0]["RR1"] == 4
+    assert icclim.R20mm(dfp, pr="value", freq="YS", cells=["cell"],
+                        missing=None).df.collect()[0]["R20mm"] == 2
+    # CSU rebinds the input variable to tasmax with its own threshold
+    assert icclim.CSU(df, tasmax="value", freq="YS", cells=["cell"],
+                      missing=None).df.collect()[0]["CSU"] == 2

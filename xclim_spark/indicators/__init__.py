@@ -28,6 +28,7 @@ from .core import (
 )
 from . import computes  # noqa: F401
 from .atmos import atmos
+from .icclim import icclim
 
 __all__ = [
     "COMPUTES",
@@ -36,6 +37,7 @@ __all__ = [
     "Parameter",
     "VARIABLES",
     "atmos",
+    "icclim",
     "build_indicator_module",
     "build_indicator_module_from_yaml",
     "from_dict",
