@@ -187,3 +187,29 @@ def test_snow_and_simple_converters(spark):
                 cv.wind_power_potential("v"))
     assert out[0] == 0.0 and out[1] == 1.0 and out[2] == 0.0
     assert out[3] == pytest.approx((8**3 - 3.5**3) / (13**3 - 3.5**3))
+
+
+def test_solar_declination_and_day_lengths(spark):
+    from xclim_spark.functions import solar
+
+    # solstices: declination ~ +-23.44 deg; equator day length ~ 12 h
+    import datetime as dt
+
+    rows = [(0, dt.date(2001, 6, 21), 0.0), (1, dt.date(2001, 12, 21), 0.0),
+            (2, dt.date(2001, 6, 21), 45.0), (3, dt.date(2001, 12, 21), 45.0),
+            (4, dt.date(2001, 6, 21), 80.0)]
+    df = spark.createDataFrame(rows, "id INT, time DATE, lat DOUBLE")
+    out = {r["id"]: r for r in df.select(
+        "id",
+        solar.solar_declination("time").alias("decl"),
+        solar.day_lengths("time", F.col("lat")).alias("dl"),
+        solar.day_lengths("time", F.col("lat"),
+                          infill_polar_days=True).alias("dlf"),
+    ).collect()}
+    assert out[0]["decl"] == pytest.approx(23.44 * np.pi / 180, abs=0.02)
+    assert out[1]["decl"] == pytest.approx(-23.44 * np.pi / 180, abs=0.02)
+    assert out[0]["dl"] == pytest.approx(12.0, abs=0.2)   # equator
+    assert out[2]["dl"] > 14.5                            # 45N summer
+    assert out[3]["dl"] < 9.5                             # 45N winter
+    assert out[4]["dl"] is None                           # polar day -> NULL
+    assert out[4]["dlf"] == 24.0                          # infilled

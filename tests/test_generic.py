@@ -146,3 +146,27 @@ def test_callable_reducer(spark):
     out = g.select_resample_op(df, "value", lambda c: F.max(c) - F.min(c),
                                "YS", cells=["cell"], alias="range").collect()
     assert out[0]["range"] == 2.0
+
+
+def test_detrend_removes_linear_trend(spark):
+    import numpy as np
+    from xclim_spark.operators.generic import detrend
+
+    # y = 3 + 0.5*i + seasonal wiggle -> detrended removes exactly the
+    # OLS line; residual of a pure line is ~0
+    n = 200
+    vals = [3.0 + 0.5 * i for i in range(n)]
+    df = timeseries(spark, vals, start="2000-01-01")
+    out = detrend(df, "value", cells=["cell"], alias="resid")
+    res = np.array([r["resid"] for r in out.collect()])
+    assert np.abs(res).max() < 1e-8
+    # line + sine: residual is the sine (zero-mean, slope-free)
+    vals2 = [3.0 + 0.5 * i + 2.0 * np.sin(i / 7.0) for i in range(n)]
+    df2 = timeseries(spark, vals2, start="2000-01-01")
+    out2 = detrend(df2, "value", cells=["cell"], alias="resid")
+    res2 = np.array([r["resid"] for r in out2.orderBy("time").collect()])
+    assert abs(res2.mean()) < 1e-9
+    # no residual trend: OLS slope of residual ~ 0
+    t = np.arange(n)
+    slope = np.polyfit(t, res2, 1)[0]
+    assert abs(slope) < 1e-10

@@ -1,0 +1,70 @@
+"""Solar geometry helpers as pure Column expressions
+(reference ``src/xclim/indices/helpers.py:95-545``).
+
+All formulas are the published Spencer (1971) Fourier series and the
+standard sunset-hour-angle day-length relation (Kalogirou 2014) —
+elementwise trig on (time, lat), fully codegen'd.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..calendar import is_leap_year
+
+__all__ = ["day_angle", "solar_declination", "day_lengths"]
+
+_PI = math.pi
+
+
+def _c(x):
+    return x if isinstance(x, Column) else F.col(x)
+
+
+def day_angle(time) -> Column:
+    """Fraction of the year as an angle [rad] (reference helpers.py:95:
+    julian day fraction x 2 pi)."""
+    t = _c(time)
+    diy = F.when(is_leap_year(t), 366.0).otherwise(365.0)
+    return (F.dayofyear(t) - 1).cast("double") / diy * (2.0 * _PI)
+
+
+def solar_declination(time, method: str = "spencer") -> Column:
+    """Solar declination angle [rad] (reference helpers.py:119-180):
+    Spencer 1971 seven-term Fourier series, or the circular-orbit
+    'simple' approximation."""
+    da = day_angle(time)
+    if method == "simple":
+        return 0.4091 * F.sin(da - 1.39)
+    if method == "spencer":
+        return (
+            0.006918
+            - 0.399912 * F.cos(da) + 0.070257 * F.sin(da)
+            - 0.006758 * F.cos(2 * da) + 0.000907 * F.sin(2 * da)
+            - 0.002697 * F.cos(3 * da) + 0.001480 * F.sin(3 * da)
+        )
+    raise NotImplementedError("method must be 'simple' or 'spencer'")
+
+
+def day_lengths(
+    time, lat_deg, method: str = "spencer",
+    infill_polar_days: bool = False,
+) -> Column:
+    """Day length in hours from date + latitude (reference
+    helpers.py:450-525): ``24/pi * arccos(-tan(lat) tan(decl))``;
+    polar day/night yield NULL (or 24/0 with ``infill_polar_days``)."""
+    decl = solar_declination(time, method)
+    lat = F.radians(_c(lat_deg) if not isinstance(lat_deg, (int, float))
+                    else F.lit(float(lat_deg)))
+    tantan = -F.tan(lat) * F.tan(decl)
+    hours = (24.0 / _PI) * F.acos(tantan)
+    valid = F.abs(tantan) <= 1.0
+    out = F.when(valid, hours)
+    if infill_polar_days:
+        polar_day = ~valid & (tantan < -1.0)
+        out = F.when(valid, hours).when(polar_day, F.lit(24.0)) \
+            .otherwise(F.lit(0.0))
+    return out

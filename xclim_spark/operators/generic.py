@@ -41,6 +41,7 @@ __all__ = [
     "thresholded_statistics",
     "temperature_sum",
     "cumulative_difference",
+    "detrend",
     "aggregate_between_dates",
     "REDUCERS",
 ]
@@ -332,6 +333,30 @@ def cumulative_difference(
              .rowsBetween(Window.unboundedPreceding, 0))
         return df.withColumn(alias, F.sum(term).over(w))
     return _grouped(df, cells, time, freq).agg(F.sum(term).alias(alias))
+
+
+def detrend(
+    df: DataFrame, var: str, *, time: str = "time",
+    cells: Sequence[str] = (), alias: str | None = None,
+) -> DataFrame:
+    """Remove a per-cell linear trend (reference ``detrend``,
+    generic.py:1711-1737, deg=1).
+
+    Closed form: the OLS slope/intercept come from covariance aggregates
+    evaluated as unordered window functions over the cell partition —
+    one shuffle on the cell key, no iteration, no UDF.  (Higher degrees
+    would use the applyInPandas polyfit path.)
+    """
+    w = Window.partitionBy(*cells)
+    x = F.col(var).cast("double")
+    t = F.unix_date(F.to_date(time)).cast("double")
+    mx = F.avg(x).over(w)
+    mt = F.avg(t).over(w)
+    cov = F.avg(x * t).over(w) - mx * mt
+    vart = F.avg(t * t).over(w) - mt * mt
+    slope = cov / vart
+    trend = mx + slope * (t - mt)
+    return df.withColumn(alias or f"{var}_detrended", x - trend)
 
 
 def aggregate_between_dates(

@@ -1183,6 +1183,40 @@ def text_quality_by_source(spark, sf_dir):
 
 
 @_register(
+    "detrend_resid_std",
+    f"""WITH {DAILY_SQL},
+t AS (
+  SELECT cell, qty,
+         CAST(day - DATE '1970-01-01' AS DOUBLE) AS tt
+  FROM daily
+),
+w AS (
+  SELECT cell, qty, tt,
+         avg(qty) OVER (PARTITION BY cell) AS mx,
+         avg(tt) OVER (PARTITION BY cell) AS mt,
+         avg(qty * tt) OVER (PARTITION BY cell) AS mxt,
+         avg(tt * tt) OVER (PARTITION BY cell) AS mtt
+  FROM t
+),
+r AS (
+  SELECT cell,
+         qty - (mx + ((mxt - mx * mt) / (mtt - mt * mt)) * (tt - mt)) AS resid
+  FROM w
+)
+SELECT cell, ROUND(stddev_pop(resid), 6) AS resid_std
+FROM r GROUP BY 1""",
+)
+def detrend_resid_std(spark, sf_dir):
+    """Per-cell linear detrend via covariance window aggregates (reference
+    generic.py:1711-1737) — residual spread per cell."""
+    d = daily_series(spark, sf_dir)
+    out = g.detrend(d, "qty", time="day", cells=["cell"], alias="resid")
+    return out.groupBy("cell").agg(
+        F.round(F.stddev_pop("resid"), 6).alias("resid_std")
+    )
+
+
+@_register(
     "cal360_monthly_mean",
     f"""WITH {DAILY_SQL},
 enc AS (
