@@ -80,3 +80,58 @@ def test_percentile_doy_leap_year_alignment(spark):
     assert feb29["dayofyear"] == 59
     dec31 = joined.filter(F.col("time") == date(2000, 12, 31)).collect()[0]
     assert dec31["dayofyear"] == 365
+
+
+def test_bootstrap_days_over_percentile_matches_bruteforce(spark):
+    """Zhang-2005 bootstrap vs a brute-force python replication."""
+    import numpy as np
+    from datetime import date, timedelta
+
+    rng = np.random.RandomState(9)
+    years = [2001, 2002, 2003]
+    rows = []
+    series = {}
+    for y in years:
+        t0 = date(y, 1, 1)
+        vals = rng.gamma(4.0, 5.0, 365)
+        series[y] = vals
+        for i in range(365):
+            rows.append((0, t0 + timedelta(days=i), float(vals[i])))
+    df = spark.createDataFrame(rows, "cell INT, time DATE, value DOUBLE")
+
+    out = pc.bootstrap_days_over_percentile(
+        df, "value", 0.9, base_years=years, window=5, cells=["cell"])
+    got = {r["year"]: r["days_over"] for r in out.collect()}
+
+    # brute force: for in-base year y, average exceedance over pools
+    # where y is replaced by r (r twice)
+    def hf_q(xs, p):
+        xs = np.sort(xs)
+        n = len(xs)
+        h = (n - 1/3 - 1/3 + 1.0) * p + 1/3
+        h = min(max(h, 1.0), float(n))
+        j = int(np.floor(h))
+        g = h - j
+        lo = xs[j - 1]
+        hi = xs[min(j, n - 1)]
+        return lo + g * (hi - lo)
+
+    for y in years:
+        reps = []
+        for r in years:
+            if r == y:
+                continue
+            pool_years = [v for v in years if v != y] + [r]
+            count = 0
+            for doy in range(1, 366):
+                sample = []
+                for v in pool_years:
+                    for off in range(-2, 3):
+                        d = (doy - 1 + off) % 365
+                        sample.append(series[v][d])
+                th = hf_q(np.array(sample), 0.9)
+                if series[y][doy - 1] > th:
+                    count += 1
+            reps.append(count)
+        expect = float(np.mean(reps))
+        assert got[y] == pytest.approx(expect, rel=1e-12), y

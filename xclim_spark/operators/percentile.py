@@ -40,6 +40,7 @@ __all__ = [
     "percentile_doy",
     "percentile_doy_sql",
     "resample_doy",
+    "bootstrap_days_over_percentile",
     "hyndman_fan_quantile_sql",
 ]
 
@@ -201,6 +202,88 @@ def resample_doy(
     elif broadcast is False:
         per_df = per_df.hint("shuffle_hash")
     return fact.join(per_df, on=keys, how="left")
+
+
+def bootstrap_days_over_percentile(
+    df: DataFrame,
+    var: str,
+    p: float = 0.9,
+    *,
+    base_years: Sequence[int],
+    window: int = 5,
+    op: str = ">",
+    time: str = "time",
+    cells: Sequence[str] = (),
+    alpha: float = 1 / 3,
+    beta: float = 1 / 3,
+    alias: str = "days_over",
+) -> DataFrame:
+    """Zhang-2005 bootstrapped percentile exceedance for in-base years
+    (reference ``bootstrap_func``, src/xclim/core/bootstrapping.py:22-211).
+
+    For each in-base year ``y``, the doy-percentile climatology is
+    recomputed on the base period with year ``y``'s values replaced by
+    each other base year ``r`` (so ``r`` counts twice); the exceedance
+    count for year ``y`` is the average over all such replacements —
+    removing the artificial discontinuity at the reference-period edges.
+
+    Plan shape: the fact rows explode into the (y, r) altered pools they
+    belong to (multiplicity 2 when v == r, via a second explode) — the
+    known O(n_years^2) bootstrap cost becomes a data-parallel explode
+    factor of ~n_years, NOT n_years plan copies; then one groupBy for the
+    pooled quantiles and one join+groupBy for the counts.  Returns
+    ``cells..., year, <alias>`` for the in-base years only (out-of-base
+    years use the plain climatology path).
+    """
+    years = sorted(base_years)
+    pairs = [(y, r) for y in years for r in years if r != y]
+    pair_lits = F.array(*[
+        F.struct(F.lit(y).alias("y"), F.lit(r).alias("r")) for y, r in pairs
+    ])
+    base = df.filter(F.year(time).isin(years))
+    half = window // 2
+    offsets = F.sequence(F.lit(-half), F.lit(half))
+
+    pooled = (
+        base.withColumn("_v", F.year(time))
+        .withColumn("_pair", F.explode(pair_lits))
+        # row of year v participates in pool (y, r) iff v != y;
+        # replacement doubles year r's rows
+        .filter(F.col("_v") != F.col("_pair.y"))
+        .withColumn(
+            "_dup",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.when(F.col("_v") == F.col("_pair.r"), 2).otherwise(1),
+                )
+            ),
+        )
+        .withColumn("_doy0", doy365(time))
+        .withColumn("_off", F.explode(offsets))
+        .withColumn(
+            "dayofyear",
+            ((F.col("_doy0") - 1 + F.col("_off") + 365) % 365) + 1,
+        )
+    )
+    per = pooled.groupBy(
+        *cells, F.col("_pair.y").alias("year"), F.col("_pair.r").alias("_r"),
+        "dayofyear",
+    ).agg(hf_quantile(var, p, alpha=alpha, beta=beta).alias("_thresh"))
+
+    from .generic import get_op
+
+    fact = base.withColumn("year", F.year(time)).withColumn(
+        "dayofyear", doy365(time)
+    )
+    j = fact.join(per, on=[*cells, "year", "dayofyear"])
+    exceed = get_op(op)(F.col(var), F.col("_thresh"))
+    per_rep = j.groupBy(*cells, "year", "_r").agg(
+        F.sum(exceed.cast("long")).alias("_n")
+    )
+    return per_rep.groupBy(*cells, "year").agg(
+        F.avg("_n").alias(alias)
+    )
 
 
 def hyndman_fan_quantile_sql(var: str, p: float) -> str:
