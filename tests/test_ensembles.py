@@ -78,3 +78,50 @@ def test_robustness_fractions(spark):
     assert row["changed_negative"] == pytest.approx(0.25)
     assert row["agree"] == pytest.approx(0.75)
     assert row["valid_members"] == 4
+
+
+def test_hawkins_sutton_partitioning(spark):
+    # value = (0.01 + dm)*(t-1950) + (0.02 + ds)*(t-1950) with model slopes
+    # dm in {-e,0,e} and scenario slopes ds in {-f,f}: after quartic
+    # smoothing (exact for a line) and baseline-anomaly removal,
+    # model U(t) = var(dm) (t - tb)^2 and scenario U(t) = var(ds) (t - tb)^2
+    import datetime as dt
+
+    dm = {"m1": -0.002, "m2": 0.0, "m3": 0.002}
+    ds = {"s1": -0.004, "s2": 0.004}
+    rows = []
+    for s, dsv in ds.items():
+        for m, dmv in dm.items():
+            for y in range(1950, 2101):
+                v = (0.01 + dmv + dsv) * (y - 1950)
+                rows.append((s, m, dt.date(y, 1, 1), v))
+    df = spark.createDataFrame(rows,
+                               "scenario STRING, model STRING, time DATE, "
+                               "v DOUBLE")
+    out = ens.hawkins_sutton(df, "v", baseline=(1971, 2000))
+    rows_out = {r["time"].year: r for r in out.collect()}
+    tb = (1971 + 2000) / 2
+    y = 2080
+    var_dm = np.var([-0.002, 0.0, 0.002])
+    var_ds = np.var([-0.004, 0.004])
+    got = rows_out[y]
+    assert got["variability"] == pytest.approx(0.0, abs=1e-10)
+    assert got["model"] == pytest.approx(var_dm * (y - tb) ** 2, rel=1e-6)
+    assert got["scenario"] == pytest.approx(var_ds * (y - tb) ** 2,
+                                            rel=1e-6)
+    assert got["total"] == pytest.approx(got["model"] + got["scenario"],
+                                         rel=1e-9)
+    frac = ens.fractional_uncertainty(out).collect()
+    fr = {r["time"].year: r for r in frac}[y]
+    assert fr["model"] + fr["scenario"] == pytest.approx(1.0)
+
+
+def test_kkz_and_kmeans_reduction():
+    # 3 tight clusters of members; both reducers pick one per cluster
+    rng = np.random.RandomState(0)
+    centers = np.array([[0.0, 0.0], [10.0, 0.0], [0.0, 10.0]])
+    X = np.vstack([c + rng.randn(4, 2) * 0.1 for c in centers])
+    sel_kkz = ens.kkz_reduce_ensemble(X, 3)
+    sel_km = ens.kmeans_reduce_ensemble(X, 3, seed=1)
+    assert len(sel_kkz) == 3 and len(set(i // 4 for i in sel_kkz)) == 3
+    assert len(sel_km) == 3 and len(set(i // 4 for i in sel_km)) == 3

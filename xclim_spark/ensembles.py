@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .operators.percentile import hf_quantile
@@ -22,6 +22,10 @@ __all__ = [
     "create_ensemble",
     "ensemble_mean_std_max_min",
     "ensemble_percentiles",
+    "hawkins_sutton",
+    "fractional_uncertainty",
+    "kkz_reduce_ensemble",
+    "kmeans_reduce_ensemble",
     "robustness_fractions",
     "PERCENTILE_METHODS",
 ]
@@ -138,6 +142,148 @@ def ensemble_percentiles(
                 c, F.when(F.col("_nvalid") >= need, F.col(c))
             )
     return out.drop("_nvalid")
+
+
+def hawkins_sutton(
+    df: DataFrame,
+    var: str,
+    *,
+    time: str = "time",
+    scenario: str = "scenario",
+    model: str = "model",
+    baseline: tuple[int, int] = (1971, 2000),
+    variability_from: int = 2000,
+    deg: int = 4,
+) -> DataFrame:
+    """Hawkins & Sutton (2009) variance partitioning (reference
+    ``_partitioning.py:57-191``): split projection uncertainty into
+    internal variability, model and scenario components.
+
+    Pipeline: per-(scenario, model) polynomial smoothing
+    (``applyInPandas`` — np.polyfit over the annual series), then pure
+    aggregate algebra: variability = mean over models of the variance of
+    decadal-mean residuals; model U(t) = mean over scenarios of the
+    across-model variance of baseline-anomaly trends; scenario U(t) =
+    across-scenario variance of model means.  Returns one row per year:
+    ``time, variability, model, scenario, total``.
+    """
+    import pandas as pd
+
+    fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    schema = (f"{scenario} {fields[scenario]}, {model} {fields[model]}, "
+              f"{time} {fields[time]}, _sm DOUBLE, _res DOUBLE")
+
+    def _smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values(time)
+        y = pdf[var].to_numpy(dtype=float)
+        t = pd.to_datetime(pdf[time]).dt.year.to_numpy(dtype=float)
+        coefs = np.polyfit(t, y, deg)
+        sm = np.polyval(coefs, t)
+        return pd.DataFrame({
+            scenario: pdf[scenario].to_numpy(),
+            model: pdf[model].to_numpy(),
+            time: pdf[time].to_numpy(),
+            "_sm": sm, "_res": y - sm,
+        })
+
+    smoothed = df.groupBy(scenario, model).applyInPandas(_smooth,
+                                                         schema=schema)
+    yr = F.year(time)
+
+    # internal variability: decadal rolling mean of residuals, var over
+    # (scenario, time >= variability_from), mean over models
+    w10 = Window.partitionBy(scenario, model).orderBy(time) \
+        .rowsBetween(-5, 4)
+    dec = smoothed.withColumn("_dres", F.avg("_res").over(w10))
+    nv = (
+        dec.filter(yr >= variability_from)
+        .groupBy(model).agg(F.var_pop("_dres").alias("_v"))
+        .agg(F.avg("_v").alias("variability"))
+    )
+
+    # baseline anomaly of the smoothed series
+    ref = (
+        smoothed.filter((yr >= baseline[0]) & (yr <= baseline[1]))
+        .groupBy(scenario, model).agg(F.avg("_sm").alias("_ref"))
+    )
+    anom = smoothed.join(ref, on=[scenario, model]) \
+        .withColumn("_a", F.col("_sm") - F.col("_ref"))
+
+    model_u = (
+        anom.groupBy(time, scenario).agg(F.var_pop("_a").alias("_mv"))
+        .groupBy(time).agg(F.avg("_mv").alias("model"))
+    )
+    scen_u = (
+        anom.groupBy(time, scenario).agg(F.avg("_a").alias("_sm2"))
+        .groupBy(time).agg(F.var_pop("_sm2").alias("scenario"))
+    )
+    out = model_u.join(scen_u, on=time).crossJoin(F.broadcast(nv))
+    return out.withColumn(
+        "total", F.col("variability") + F.col("model") + F.col("scenario")
+    )
+
+
+def fractional_uncertainty(partitioned: DataFrame) -> DataFrame:
+    """Convert variance components to fractions of total (reference
+    ``fractional_uncertainty``)."""
+    out = partitioned
+    for c in ("variability", "model", "scenario"):
+        out = out.withColumn(c, F.col(c) / F.col("total"))
+    return out
+
+
+def kkz_reduce_ensemble(criteria, k: int) -> list:
+    """KKZ ensemble-member selection (reference _reduce.py:177; Katsavounidis
+    et al. 1994): driver-side numpy on the (member x criteria) matrix —
+    the matrix is tiny after criteria reduction, exactly like the
+    reference.  Returns selected member indices."""
+    import numpy as np
+
+    X = np.asarray(criteria, dtype=float)
+    norm = (X - X.mean(axis=0)) / np.where(X.std(axis=0) == 0, 1,
+                                           X.std(axis=0))
+    center = norm.mean(axis=0)
+    first = int(np.argmin(((norm - center) ** 2).sum(axis=1)))
+    selected = [first]
+    while len(selected) < min(k, len(norm)):
+        dists = np.min(
+            [((norm - norm[s]) ** 2).sum(axis=1) for s in selected], axis=0
+        )
+        dists[selected] = -1.0
+        selected.append(int(np.argmax(dists)))
+    return selected
+
+
+def kmeans_reduce_ensemble(criteria, k: int, *, seed: int = 0,
+                           n_iter: int = 100) -> list:
+    """K-means ensemble reduction (reference _reduce.py:104): cluster the
+    criteria matrix, return the member closest to each centroid
+    (Lloyd's algorithm in numpy — sklearn is not available here)."""
+    import numpy as np
+
+    X = np.asarray(criteria, dtype=float)
+    norm = (X - X.mean(axis=0)) / np.where(X.std(axis=0) == 0, 1,
+                                           X.std(axis=0))
+    rng = np.random.RandomState(seed)
+    k = min(k, len(norm))
+    centroids = norm[rng.choice(len(norm), k, replace=False)]
+    for _ in range(n_iter):
+        d = ((norm[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        lab = d.argmin(axis=1)
+        new = np.array([
+            norm[lab == j].mean(axis=0) if (lab == j).any() else centroids[j]
+            for j in range(k)
+        ])
+        if np.allclose(new, centroids):
+            break
+        centroids = new
+    out = []
+    for j in range(k):
+        d = ((norm - centroids[j]) ** 2).sum(axis=1)
+        out.append(int(d.argmin()))
+    return sorted(set(out))
 
 
 def robustness_fractions(
