@@ -94,6 +94,7 @@ def runs_table(
     freq: str | None = None,
     resample_before_rl: bool = True,
     sum_var: str | None = None,
+    include_false: bool = False,
 ) -> DataFrame:
     """One row per maximal run of True ``cond``: the engine's runs CTE.
 
@@ -101,6 +102,12 @@ def runs_table(
     [, run_sum]``.  This is the common substrate for ``rle_statistics``,
     ``longest_run``, ``windowed_run_*``, ``first_run``, ``run_bounds``,
     ``find_events`` (reference run_length.py:223-1901).
+
+    ``include_false=True`` keeps runs of BOTH polarities with a
+    ``run_true`` flag: every (cell, period) then appears in the table (its
+    rows always belong to some run), so period statistics need no second
+    scan of the source for the resample scaffold — the single-pass form
+    used by the stat operators below.
     """
     part_extra: list[str] = []
     if freq is not None and resample_before_rl:
@@ -108,20 +115,39 @@ def runs_table(
         part_extra = ["period"]
     df = with_run_id(df, cond, time=time, cells=cells,
                      order_extra=order_extra, partition_extra=part_extra)
-    true_rows = df.filter(F.col("_cond"))
+    rows = df if include_false else df.filter(F.col("_cond"))
     aggs = [
         F.min(time).alias("run_start"),
         F.max(time).alias("run_end"),
         F.count(F.lit(1)).alias("run_length"),
+        F.first("_cond").alias("run_true"),
     ]
     if sum_var is not None:
         aggs.append(F.sum(sum_var).alias("run_sum"))
     keys = [*cells, *part_extra, "_run_id"]
-    runs = true_rows.groupBy(*keys).agg(*aggs)
+    runs = rows.groupBy(*keys).agg(*aggs)
     if freq is not None and not resample_before_rl:
         # period of the run's first element (runs may cross boundaries)
         runs = runs.withColumn("period", period_start("run_start", freq))
+    if not include_false:
+        runs = runs.drop("run_true")
     return runs.drop("_run_id")
+
+
+def _stat_runs(df, cond, time, cells, order_extra, freq,
+               resample_before_rl, sum_var=None):
+    """Runs substrate for period statistics: single-pass (both
+    polarities) when periods partition the run window, scaffold-join
+    otherwise (runs crossing period bounds can leave a period with no
+    run *starting* in it)."""
+    single_pass = freq is None or resample_before_rl
+    runs = runs_table(df, cond, time=time, cells=cells, freq=freq,
+                      order_extra=order_extra, sum_var=sum_var,
+                      resample_before_rl=resample_before_rl,
+                      include_false=single_pass)
+    if not single_pass:
+        runs = runs.withColumn("run_true", F.lit(True))
+    return runs, single_pass
 
 
 # ---------------------------------------------------------------------------
@@ -189,16 +215,18 @@ def rle_statistics(
 ) -> DataFrame:
     """Reducer over run lengths >= window per period
     (reference run_length.py:275-335)."""
-    runs = runs_table(df, cond, time=time, cells=cells, freq=freq,
-                      order_extra=order_extra,
-                      resample_before_rl=resample_before_rl)
-    qual = F.when(F.col("run_length") >= window, F.col("run_length"))
+    runs, single = _stat_runs(df, cond, time, cells, order_extra, freq,
+                              resample_before_rl)
+    qual = F.when(F.col("run_true") & (F.col("run_length") >= window),
+                  F.col("run_length"))
     red = {"max": F.max, "min": F.min, "mean": F.avg, "sum": F.sum,
            "count": F.count, "std": F.stddev_pop}[reducer]
     agg = _runs_grouped(runs, cells, freq).agg(
         F.coalesce(red(qual), F.lit(0)).alias(alias)
     )
-    return _on_scaffold(df, agg, cells, time, freq, {alias: 0})
+    if not single:
+        agg = _on_scaffold(df, agg, cells, time, freq, {alias: 0})
+    return agg
 
 
 def longest_run(
@@ -220,12 +248,14 @@ def windowed_run_count(
     alias: str = "days",
 ) -> DataFrame:
     """Total days belonging to runs >= window (reference run_length.py:437-490)."""
-    runs = runs_table(df, cond, time=time, cells=cells, freq=freq,
-                      order_extra=order_extra,
-                      resample_before_rl=resample_before_rl)
-    qual = F.when(F.col("run_length") >= window, F.col("run_length")).otherwise(0)
+    runs, single = _stat_runs(df, cond, time, cells, order_extra, freq,
+                              resample_before_rl)
+    qual = F.when(F.col("run_true") & (F.col("run_length") >= window),
+                  F.col("run_length")).otherwise(0)
     agg = _runs_grouped(runs, cells, freq).agg(F.sum(qual).alias(alias))
-    return _on_scaffold(df, agg, cells, time, freq, {alias: 0})
+    if not single:
+        agg = _on_scaffold(df, agg, cells, time, freq, {alias: 0})
+    return agg
 
 
 def windowed_run_events(
@@ -235,13 +265,15 @@ def windowed_run_events(
     alias: str = "events",
 ) -> DataFrame:
     """Number of runs >= window (reference run_length.py:381-436)."""
-    runs = runs_table(df, cond, time=time, cells=cells, freq=freq,
-                      order_extra=order_extra,
-                      resample_before_rl=resample_before_rl)
+    runs, single = _stat_runs(df, cond, time, cells, order_extra, freq,
+                              resample_before_rl)
     agg = _runs_grouped(runs, cells, freq).agg(
-        F.sum((F.col("run_length") >= window).cast("long")).alias(alias)
+        F.sum((F.col("run_true") & (F.col("run_length") >= window))
+              .cast("long")).alias(alias)
     )
-    return _on_scaffold(df, agg, cells, time, freq, {alias: 0})
+    if not single:
+        agg = _on_scaffold(df, agg, cells, time, freq, {alias: 0})
+    return agg
 
 
 def windowed_max_run_sum(
@@ -252,14 +284,16 @@ def windowed_max_run_sum(
 ) -> DataFrame:
     """Max over qualifying runs of the within-run sum
     (reference run_length.py:491-542)."""
-    runs = runs_table(df, cond, time=time, cells=cells, freq=freq,
-                      order_extra=order_extra, sum_var=sum_var,
-                      resample_before_rl=resample_before_rl)
-    qual = F.when(F.col("run_length") >= window, F.col("run_sum"))
+    runs, single = _stat_runs(df, cond, time, cells, order_extra, freq,
+                              resample_before_rl, sum_var=sum_var)
+    qual = F.when(F.col("run_true") & (F.col("run_length") >= window),
+                  F.col("run_sum"))
     agg = _runs_grouped(runs, cells, freq).agg(
         F.coalesce(F.max(qual), F.lit(0.0)).alias(alias)
     )
-    return _on_scaffold(df, agg, cells, time, freq, {alias: 0.0})
+    if not single:
+        agg = _on_scaffold(df, agg, cells, time, freq, {alias: 0.0})
+    return agg
 
 
 def first_run(
@@ -271,12 +305,13 @@ def first_run(
     """Start of the first run >= window per period
     (reference ``first_run``/``_boundary_run``, run_length.py:543-692).
     ``coord``: 'date' for the timestamp, 'doy' for day-of-year."""
-    runs = runs_table(df, cond, time=time, cells=cells, freq=freq,
-                      order_extra=order_extra,
-                      resample_before_rl=resample_before_rl)
-    qual = F.when(F.col("run_length") >= window, F.col("run_start"))
+    runs, single = _stat_runs(df, cond, time, cells, order_extra, freq,
+                              resample_before_rl)
+    qual = F.when(F.col("run_true") & (F.col("run_length") >= window),
+                  F.col("run_start"))
     out = _runs_grouped(runs, cells, freq).agg(F.min(qual).alias("_start"))
-    out = _on_scaffold(df, out, cells, time, freq)  # NULL where no run (ref NaN)
+    if not single:
+        out = _on_scaffold(df, out, cells, time, freq)  # NULL = ref NaN
     val = F.dayofyear("_start") if coord == "doy" else F.col("_start")
     return out.withColumn(alias, val).drop("_start")
 
@@ -292,12 +327,13 @@ def last_run(
     Note: like the reference, this returns the *last element* position of
     the final qualifying run when ``coord='date'`` maps to run_end.
     """
-    runs = runs_table(df, cond, time=time, cells=cells, freq=freq,
-                      order_extra=order_extra,
-                      resample_before_rl=resample_before_rl)
-    qual = F.when(F.col("run_length") >= window, F.col("run_end"))
+    runs, single = _stat_runs(df, cond, time, cells, order_extra, freq,
+                              resample_before_rl)
+    qual = F.when(F.col("run_true") & (F.col("run_length") >= window),
+                  F.col("run_end"))
     out = _runs_grouped(runs, cells, freq).agg(F.max(qual).alias("_end"))
-    out = _on_scaffold(df, out, cells, time, freq)  # NULL where no run (ref NaN)
+    if not single:
+        out = _on_scaffold(df, out, cells, time, freq)  # NULL = ref NaN
     val = F.dayofyear("_end") if coord == "doy" else F.col("_end")
     return out.withColumn(alias, val).drop("_end")
 
