@@ -57,15 +57,22 @@ def knn_bruteforce(
     ``query_id, neighbor_id, cos_sim, rank`` (self-matches excluded,
     ties broken by neighbor id).
     """
+    # norms are computed ONCE per side before the join — per pair only the
+    # dot product remains (3x less per-pair expression work)
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec"),
+        l2_norm(F.col(vec_col)).alias("_qnorm"),
     )
     if broadcast_queries:
         q = F.broadcast(q)
     j = emb.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nvec")
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nvec"),
+        l2_norm(F.col(vec_col)).alias("_nnorm"),
     ).crossJoin(q).filter(F.col("neighbor_id") != F.col("query_id"))
-    j = j.withColumn("cos_sim", cosine_similarity("_qvec", "_nvec"))
+    j = j.withColumn(
+        "cos_sim",
+        dot("_qvec", "_nvec") / (F.col("_qnorm") * F.col("_nnorm")),
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")
     )

@@ -133,19 +133,31 @@ def winnowing_fingerprints(text, k: int = 5, window: int = 4) -> Column:
     set (array<long>) — a position-robust signature for plagiarism-style
     overlap detection."""
     words = F.split(F.trim(text), r"\s+")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(words) - k),
-        lambda i: F.xxhash64(
-            F.concat_ws(
-                " ", *[F.element_at(words, (i + j + 1).cast("int"))
-                       for j in range(k)]
+
+    # bind `words` (and then `grams`) as lambda variables so the split /
+    # gram hashing evaluate once per row, not once per element (outer
+    # expressions referenced inside HOF lambdas re-evaluate per element)
+    def fp(w: Column) -> Column:
+        grams = F.transform(
+            F.sequence(F.lit(0), F.size(w) - k),
+            lambda i: F.xxhash64(
+                F.concat_ws(
+                    " ", *[F.element_at(w, (i + j + 1).cast("int"))
+                           for j in range(k)]
+                )
+            ),
+        )
+
+        def windows(g: Column) -> Column:
+            mins = F.transform(
+                F.sequence(F.lit(0), F.size(g) - window),
+                lambda i: F.array_min(F.slice(g, i + 1, window)),
             )
-        ),
-    )
-    mins = F.transform(
-        F.sequence(F.lit(0), F.size(grams) - window),
-        lambda i: F.array_min(F.slice(grams, i + 1, window)),
-    )
-    return F.when(
-        F.size(words) >= k + window - 1, F.array_distinct(mins)
-    ).otherwise(F.array().cast("array<bigint>"))
+            return F.array_distinct(mins)
+
+        return F.when(
+            F.size(w) >= k + window - 1,
+            F.element_at(F.transform(F.array(grams), windows), 1),
+        ).otherwise(F.array().cast("array<bigint>"))
+
+    return F.element_at(F.transform(F.array(words), fp), 1)
