@@ -22,6 +22,13 @@ def main() -> int:
         SparkSession.builder.master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.adaptive.enabled", "true")
+        # AQE coalescing sizes partitions by BYTES; the pandas-UDF tiers
+        # (stats/fire/agro fits) are compute-bound on byte-tiny shuffles
+        # and would serialize onto one task. A small floor keeps
+        # parallelismFirst effective for them without touching large
+        # shuffles (which hit the advisory size path regardless).
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+                "64kb")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .appName("xclim-spark-bench")

@@ -39,6 +39,7 @@ def main(names):
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "8g")
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64kb")
         .appName("check")
         .getOrCreate()
     )

@@ -20,6 +20,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
+from .util import repartition_for_apply
+
 __all__ = ["metric", "METRICS", "seuclidean", "nearest_neighbor",
            "szekely_rizzo", "mahalanobis", "spatial_analogs"]
 
@@ -144,4 +146,5 @@ def spatial_analogs(
         out[alias] = [val]
         return pd.DataFrame(out)
 
-    return candidates.groupBy(*cells).applyInPandas(_dist, schema=schema)
+    return repartition_for_apply(candidates, cells) \
+        .groupBy(*cells).applyInPandas(_dist, schema=schema)

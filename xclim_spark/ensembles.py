@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .operators.percentile import hf_quantile
+from .util import repartition_for_apply
 
 __all__ = [
     "create_ensemble",
@@ -188,8 +189,8 @@ def hawkins_sutton(
             "_sm": sm, "_res": y - sm,
         })
 
-    smoothed = df.groupBy(scenario, model).applyInPandas(_smooth,
-                                                         schema=schema)
+    smoothed = repartition_for_apply(df, [scenario, model]) \
+        .groupBy(scenario, model).applyInPandas(_smooth, schema=schema)
     yr = F.year(time)
 
     # internal variability: decadal rolling mean of residuals, var over

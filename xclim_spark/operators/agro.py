@@ -18,6 +18,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..calendar import period_start
+from ..util import repartition_for_apply
 
 __all__ = ["chill_units", "chill_portions", "chill_portions_1d"]
 
@@ -87,4 +88,5 @@ def chill_portions(
         out[alias] = [val]
         return pd.DataFrame(out)
 
-    return df.groupBy(*cells, "period").applyInPandas(_one, schema=schema)
+    return repartition_for_apply(df, [*cells, "period"]) \
+        .groupBy(*cells, "period").applyInPandas(_one, schema=schema)

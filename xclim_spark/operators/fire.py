@@ -25,6 +25,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
+from ..util import repartition_for_apply
+
 __all__ = ["cffwis_indices", "cffwis_1d", "daily_severity_rating"]
 
 DAY_LENGTHS = np.array([
@@ -229,4 +231,5 @@ def cffwis_indices(
         out.update(res)
         return pd.DataFrame(out)
 
-    return df.groupBy(*cells).applyInPandas(_calc, schema=schema)
+    return repartition_for_apply(df, cells).groupBy(*cells) \
+        .applyInPandas(_calc, schema=schema)

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..calendar import period_start
+from ..util import repartition_for_apply
 from . import distributions as D
 
 __all__ = ["fit", "parametric_quantile", "fa", "frequency_analysis",
@@ -54,7 +55,8 @@ def fit(
         out["dparams"] = [list(map(float, p))]
         return pd.DataFrame(out)
 
-    return df.groupBy(*cells).applyInPandas(_fit, schema=schema)
+    return repartition_for_apply(df, cells).groupBy(*cells) \
+        .applyInPandas(_fit, schema=schema)
 
 
 def parametric_quantile(
@@ -120,7 +122,8 @@ def fa(
             rows.append(tuple(pdf[c].iloc[0] for c in cells) + (T, v))
         return pd.DataFrame(rows, columns=[*cells, "return_period", alias])
 
-    return extremes.groupBy(*cells).applyInPandas(_fa, schema=schema)
+    return repartition_for_apply(extremes, cells).groupBy(*cells) \
+        .applyInPandas(_fa, schema=schema)
 
 
 frequency_analysis = fa
@@ -206,4 +209,5 @@ def standardized_index(
         res[alias] = out
         return pd.DataFrame(res)
 
-    return acc.groupBy(*cells).applyInPandas(_spi, schema=schema)
+    return repartition_for_apply(acc, cells).groupBy(*cells) \
+        .applyInPandas(_spi, schema=schema)

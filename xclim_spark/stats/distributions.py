@@ -95,8 +95,17 @@ def _norm_cdf(x):
 
 
 def gammainc_p(a: float, x):
-    """Regularized lower incomplete gamma P(a, x) (series + Lentz CF)."""
+    """Regularized lower incomplete gamma P(a, x) (series for x < a+1,
+    Lentz continued fraction above, Wilson-Hilferty asymptotic for large
+    shape — the series/CF need O(sqrt(a)) terms, which both costs and
+    loses accuracy for the near-Gaussian a > 1e4 regime)."""
     x = np.asarray(x, dtype=float)
+    if a > 200.0:
+        # WH: ((x/a)^(1/3) - (1 - 1/(9a))) * 3 sqrt(a) ~ N(0,1);
+        # relative error < 1e-4 well before a = 200
+        z = ((x / a) ** (1.0 / 3.0) - (1.0 - 1.0 / (9.0 * a))) * \
+            3.0 * math.sqrt(a)
+        return np.where(x > 0, _norm_cdf(z), 0.0)
     out = np.zeros_like(x)
     lg = math.lgamma(a)
     ser = (x > 0) & (x < a + 1.0)
@@ -106,7 +115,7 @@ def gammainc_p(a: float, x):
         ap = a
         s = np.full_like(xs, 1.0 / a)
         delta = s.copy()
-        for _ in range(500):
+        for _ in range(800):
             ap += 1.0
             delta = delta * xs / ap
             s += delta
@@ -119,7 +128,7 @@ def gammainc_p(a: float, x):
         c = np.full_like(xc, 1e308)
         d = 1.0 / b
         h = d.copy()
-        for i in range(1, 500):
+        for i in range(1, 800):
             an = -i * (i - a)
             b = b + 2.0
             d = an * d + b
