@@ -105,3 +105,42 @@ def test_select_time_season(spark):
     assert doy == 4  # Nov, Dec, Jan, Feb 15ths
     dates = df.filter(select_time("t", date_bounds=("04-10", "06-20"))).count()
     assert dates == 3
+
+
+def test_doy_days_since_roundtrip(spark):
+    from pyspark.sql import functions as F
+    from xclim_spark.calendar import doy_to_days_since, days_since_to_doy
+
+    rows = [(2001, 200), (2001, 10), (2000, 366)]
+    df = spark.createDataFrame(rows, "year INT, doy INT")
+    out = df.select(
+        "year", "doy",
+        doy_to_days_since("doy", "year", "07-01").alias("ds"),
+    )
+    got = {(r["year"], r["doy"]): r["ds"] for r in out.collect()}
+    # 2001: Jul 1 is doy 182 -> doy 200 = 18 days since
+    assert got[(2001, 200)] == 18
+    # doy 10 is before Jul 1 -> wraps: 10 - 182 + 365 = 193
+    assert got[(2001, 10)] == 193
+    # leap year: Jul 1 2000 is doy 183; 366 - 183 = 183
+    assert got[(2000, 366)] == 183
+    back = out.select(
+        "year", days_since_to_doy("ds", "year", "07-01").alias("doy2"), "doy"
+    ).collect()
+    for r in back:
+        assert r["doy2"] == r["doy"]
+
+
+def test_season_bounds_mid_date(spark):
+    from pyspark.sql import functions as F
+    from xclim_spark.operators import run_length as rl
+    from xclim_spark.testing import timeseries
+
+    # growing season: cond on doy 100..250; mid date 07-01 (doy ~182)
+    bits = [1.0 if 100 <= i + 1 <= 250 else 0.0 for i in range(365)]
+    df = timeseries(spark, bits, start="2001-01-01")
+    out = rl.season_bounds(df, F.col("value") > 0.5, 3, mid_date="07-01",
+                           cells=["cell"]).collect()[0]
+    assert str(out["season_start"]) == "2001-04-10"   # doy 100
+    assert str(out["season_end"]) == "2001-09-08"     # doy 251 (first anti)
+    assert out["season_length"] == 151

@@ -41,6 +41,8 @@ __all__ = [
     "is_leap_year",
     "time_bnds",
     "stack_periods",
+    "doy_to_days_since",
+    "days_since_to_doy",
     "SEASONS",
 ]
 
@@ -263,6 +265,37 @@ def doy365(time: Column | str) -> Column:
     t = F.col(time) if isinstance(time, str) else time
     d = F.dayofyear(t)
     return d - (is_leap_year(t) & (d > 59)).cast("int")
+
+
+def doy_to_days_since(
+    doy: Column | str, year: Column | str, start: str = "01-01"
+) -> Column:
+    """Convert day-of-year values to days since ``start`` ('MM-DD') of the
+    row's year (reference ``doy_to_days_since``, calendar.py:1004-1136):
+    doys before the start wrap into the next cycle, so statistics across
+    years behave near the year boundary."""
+    d = F.col(doy) if isinstance(doy, str) else doy
+    y = F.col(year) if isinstance(year, str) else year
+    mm, dd = (int(x) for x in start.split("-"))
+    start_doy = F.dayofyear(F.make_date(y, F.lit(mm), F.lit(dd)))
+    diy = F.when(is_leap_year(F.make_date(y, F.lit(1), F.lit(1))), 366) \
+        .otherwise(365)
+    delta = d - start_doy
+    return F.when(delta < 0, delta + diy).otherwise(delta)
+
+
+def days_since_to_doy(
+    days: Column | str, year: Column | str, start: str = "01-01"
+) -> Column:
+    """Inverse of :func:`doy_to_days_since`."""
+    v = F.col(days) if isinstance(days, str) else days
+    y = F.col(year) if isinstance(year, str) else year
+    mm, dd = (int(x) for x in start.split("-"))
+    start_doy = F.dayofyear(F.make_date(y, F.lit(mm), F.lit(dd)))
+    diy = F.when(is_leap_year(F.make_date(y, F.lit(1), F.lit(1))), 366) \
+        .otherwise(365)
+    raw = v + start_doy
+    return F.when(raw > diy, raw - diy).otherwise(raw)
 
 
 def time_bnds(period: Column | str, freq: str) -> Column:

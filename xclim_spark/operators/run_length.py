@@ -701,7 +701,8 @@ def season_bounds(
     cond: Column,
     window: int,
     *,
-    mid_doy: int,
+    mid_doy: int | None = None,
+    mid_date: str | None = None,
     time: str = "time",
     cells: Sequence[str] = (),
     order_extra: Sequence[str] = (),
@@ -710,14 +711,21 @@ def season_bounds(
     """Season start/end/length (reference run_length.py:891-1147).
 
     Start = first >=window run of ``cond`` per year; end = first >=window
-    run of ``NOT cond`` beginning at-or-after ``mid_doy``; length = days
+    run of ``NOT cond`` beginning at-or-after the mid point — either a
+    scalar ``mid_doy`` or a calendar ``mid_date`` 'MM-DD' string (the
+    reference's DayOfYearStr form, anchored-period aware); length = days
     between (end exclusive).  Returns one row per (cell, period) with
     ``season_start, season_end, season_length`` (dates may be NULL when no
     qualifying run exists — same as the reference's NaN).
     """
     starts = first_run(df, cond, window, freq=freq, time=time, cells=cells,
                        order_extra=order_extra, alias="season_start")
-    late = df.filter(F.dayofyear(time) >= mid_doy)
+    if mid_date is not None:
+        late = df.filter(F.to_date(time) >= _mid_date(time, freq, mid_date))
+    elif mid_doy is not None:
+        late = df.filter(F.dayofyear(time) >= mid_doy)
+    else:
+        raise ValueError("One of mid_doy or mid_date is required")
     ends = first_run(late, ~cond, window, freq=freq, time=time, cells=cells,
                      order_extra=order_extra, alias="season_end")
     keys = [*cells, "period"]
