@@ -163,3 +163,26 @@ def test_icclim_virtual_module(spark):
     # CSU rebinds the input variable to tasmax with its own threshold
     assert icclim.CSU(df, tasmax="value", freq="YS", cells=["cell"],
                       missing=None).df.collect()[0]["CSU"] == 2
+
+
+def test_cli_end_to_end(spark, tmp_path):
+    """Generated CLI: one subcommand per registry entry (reference
+    cli.py:120-157)."""
+    from xclim_spark.cli import build_parser, main
+
+    p = build_parser()
+    # a couple of generated subcommands exist
+    help_text = p.format_help()
+    assert "tx_days_above" in help_text
+    inp = str(tmp_path / "in.parquet")
+    outp = str(tmp_path / "out.parquet")
+    vals = [25.0, 31.0, 35.0, 20.0]
+    timeseries(spark, vals, start="2000-01-01").write.parquet(inp)
+    rc = main([
+        "tx_days_above", "-i", inp, "-o", outp,
+        "--map", "tasmax=value", "--cells", "cell",
+        "--thresh", "30", "--freq", "YS", "--master", "local[2]",
+    ])
+    assert rc == 0
+    back = spark.read.parquet(outp).collect()
+    assert back[0]["tx_days_above"] == 2
