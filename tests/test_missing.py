@@ -78,3 +78,75 @@ def test_mask_missing_nulls_out(spark):
     m = miss.missing_any(df, "value", "MS", cells=["cell"])
     out = miss.mask_missing(res, m, ["m"], keys=["cell", "period"]).collect()
     assert out[0]["m"] is None
+
+
+def test_missing_two_steps_rollup(spark):
+    """WMO-style rollup: invalid month poisons its year (reference
+    MissingTwoSteps, missing.py:338-391)."""
+    from xclim_spark.operators import missing as miss
+
+    # 1999: all 365 days present; 2000: missing 20 days in March
+    vals = []
+    import datetime as dt
+
+    days = []
+    d = dt.date(1999, 1, 1)
+    while d <= dt.date(2000, 12, 31):
+        if not (d.year == 2000 and d.month == 3 and d.day <= 20):
+            days.append(d)
+        d += dt.timedelta(days=1)
+    df = spark.createDataFrame([(0, d, 1.0) for d in days],
+                               "cell INT, time DATE, value DOUBLE")
+    monthly = miss.missing_any(df, "value", "MS", cells=["cell"])
+    yearly = miss.missing_two_steps(monthly, "YS", "MS", cells=["cell"])
+    got = {r["period"].year: r["is_missing"] for r in yearly.collect()}
+    assert got[1999] is False
+    assert got[2000] is True
+
+
+def test_register_missing_method(spark):
+    from xclim_spark.operators import missing as miss
+
+    @miss.register_missing_method("never")
+    def missing_never(df, var, freq, *, time="time", cells=(),
+                      src_freq="D"):
+        from pyspark.sql import functions as F
+        from xclim_spark.calendar import period_start
+
+        return (
+            df.withColumn("period", period_start(time, freq))
+            .groupBy(*cells, "period")
+            .agg(F.lit(False).alias("is_missing"))
+        )
+
+    assert "never" in miss.MISSING_METHODS
+    # usable through the indicator layer's missing hook
+    from xclim_spark.indicators import atmos
+    from xclim_spark.testing import timeseries
+
+    vals = [20.0] * 5  # short month -> "any" would mask; "never" keeps
+    df = timeseries(spark, vals, start="2000-01-01")
+    res = atmos.tg_mean(df, tas="value", freq="MS", cells=["cell"],
+                        missing="never")
+    assert res.df.collect()[0]["tg_mean"] == 20.0
+
+
+def test_weighted_spell_mask_mean_and_reject(spark):
+    import pytest
+    from pyspark.sql import functions as F
+    from xclim_spark.operators import run_length as rl
+    from xclim_spark.testing import timeseries
+
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0]
+    df = timeseries(spark, vals, start="2000-01-01")
+    # weighted mean over window 2 with weights (1, 3): day i value =
+    # (v[i-1]*1 + v[i]*3)/4
+    out = rl.spell_mask(df, ["value"], 2, "mean", ">", 3.0,
+                        weights=[1.0, 3.0], cells=["cell"])
+    rows = out.orderBy("time").collect()
+    # rolling weighted means: day2=(1+2*3)/4=1.75, day3=2.75, day4=3.75,
+    # day5=4.75 -> cond days 4,5 -> spell mask marks days in spells
+    assert sum(1 for r in rows if r["is_spell"]) >= 2
+    with pytest.raises(ValueError):
+        rl.spell_mask(df, ["value"], 2, "max", ">", 3.0,
+                      weights=[1.0, 3.0], cells=["cell"])
