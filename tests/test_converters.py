@@ -213,3 +213,35 @@ def test_solar_declination_and_day_lengths(spark):
     assert out[3]["dl"] < 9.5                             # 45N winter
     assert out[4]["dl"] is None                           # polar day -> NULL
     assert out[4]["dlf"] == 24.0                          # infilled
+
+
+def test_extraterrestrial_radiation_fao56_example(spark):
+    # FAO-56 example 8: 20 deg S, 3 September -> Ra ~ 32.2 MJ m-2 day-1
+    from xclim_spark.functions import solar
+    import datetime as dt
+
+    df = spark.createDataFrame([(dt.date(2001, 9, 3), -20.0)],
+                               "time DATE, lat DOUBLE")
+    out = df.select(
+        solar.extraterrestrial_solar_radiation("time", F.col("lat"))
+        .alias("ra")).collect()
+    assert out[0]["ra"] == pytest.approx(32.2, abs=0.8)
+
+
+def test_pet_hargreaves(spark):
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [(dt.date(2001, 7, 15), 45.0, 15.0, 30.0)],
+        "time DATE, lat DOUBLE, tmin DOUBLE, tmax DOUBLE")
+    out = df.select(
+        cv.potential_evapotranspiration(
+            "time", F.col("lat"), tasmin_c="tmin", tasmax_c="tmax")
+        .alias("pet"),
+        cv.potential_evapotranspiration(
+            "time", F.col("lat"), tasmin_c="tmin", tasmax_c="tmax",
+            method="baierrobertson65").alias("petbr"),
+    ).collect()[0]
+    # mid-summer mid-latitude: a few mm/day, HG and BR roughly agree
+    assert 3.0 < out["pet"] < 9.0
+    assert 3.0 < out["petbr"] < 12.0

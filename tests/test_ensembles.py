@@ -125,3 +125,15 @@ def test_kkz_and_kmeans_reduction():
     sel_km = ens.kmeans_reduce_ensemble(X, 3, seed=1)
     assert len(sel_kkz) == 3 and len(set(i // 4 for i in sel_kkz)) == 3
     assert len(sel_km) == 3 and len(set(i // 4 for i in sel_km)) == 3
+
+
+def test_robustness_categories(spark):
+    rows = [(1, 0.9, 0.9),    # robust signal
+            (2, 0.3, 0.9),    # no change
+            (3, 0.9, 0.5)]    # conflicting
+    df = spark.createDataFrame(rows, "cell INT, changed DOUBLE, agree DOUBLE")
+    out = {r["cell"]: (r["category"], r["category_name"])
+           for r in ens.robustness_categories(df).collect()}
+    assert out[1] == (1, "robust signal")
+    assert out[2] == (2, "no change or no signal")
+    assert out[3] == (3, "conflicting signal")

@@ -28,6 +28,7 @@ __all__ = [
     "kkz_reduce_ensemble",
     "kmeans_reduce_ensemble",
     "robustness_fractions",
+    "robustness_categories",
     "PERCENTILE_METHODS",
 ]
 
@@ -285,6 +286,41 @@ def kmeans_reduce_ensemble(criteria, k: int, *, seed: int = 0,
         d = ((norm - centroids[j]) ** 2).sum(axis=1)
         out.append(int(d.argmin()))
     return sorted(set(out))
+
+
+def robustness_categories(
+    fractions: DataFrame,
+    *,
+    categories: Sequence[str] = ("robust signal", "no change or no signal",
+                                 "conflicting signal"),
+    ops: Sequence[tuple[str, str]] = ((">=", ">="), ("<", None),
+                                     (">=", "<")),
+    thresholds: Sequence[tuple[float, float | None]] = ((0.66, 0.8),
+                                                        (0.66, None),
+                                                        (0.66, 0.8)),
+    changed_col: str = "changed",
+    agree_col: str = "agree",
+) -> DataFrame:
+    """Classify robustness fractions into categories (reference
+    ``robustness_categories``, _robustness.py:336-429; IPCC AR6 advanced
+    approach by default): each category tests (fraction changed, fraction
+    agreeing on sign) against thresholds; the first match wins, encoded
+    1..n with the category name alongside."""
+    from .operators.generic import get_op
+
+    expr = F.lit(None).cast("int")
+    name = F.lit(None).cast("string")
+    # build from last to first so the first category takes precedence
+    for i in range(len(categories) - 1, -1, -1):
+        cond = get_op(ops[i][0])(F.col(changed_col),
+                                 F.lit(float(thresholds[i][0])))
+        if ops[i][1] is not None and thresholds[i][1] is not None:
+            cond = cond & get_op(ops[i][1])(
+                F.col(agree_col), F.lit(float(thresholds[i][1])))
+        expr = F.when(cond, F.lit(i + 1)).otherwise(expr)
+        name = F.when(cond, F.lit(categories[i])).otherwise(name)
+    return fractions.withColumn("category", expr) \
+        .withColumn("category_name", name)
 
 
 def robustness_fractions(

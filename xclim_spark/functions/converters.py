@@ -41,6 +41,7 @@ __all__ = [
     "shortwave_upwelling_radiation_from_net_downwelling",
     "wind_chill_index",
     "water_budget",
+    "potential_evapotranspiration",
     "wind_profile",
     "wind_power_potential",
     "ESAT_FORMULAS_COEFFICIENTS",
@@ -408,3 +409,36 @@ def water_budget(pr, evspsblpot) -> Column:
     """Precipitation minus potential evapotranspiration (same units;
     reference converters.py:2652-2742)."""
     return _c(pr) - _c(evspsblpot)
+
+
+def potential_evapotranspiration(
+    time, lat_deg, *, tasmin_c=None, tasmax_c=None, tas_c=None,
+    method: str = "hargreaves85",
+) -> Column:
+    """Daily PET [mm/day] (reference converters.py:1890-2155).
+
+    Methods here: ``hargreaves85`` (``0.0023 * 0.408 Ra (tas+17.8)
+    sqrt(tasmax-tasmin)``, Hargreaves & Samani 1985) and
+    ``baierrobertson65`` (Baier & Robertson 1965, temperatures in degF and
+    Ra in cal cm-2 day-1).  ``Ra`` comes from
+    :func:`~xclim_spark.functions.solar.extraterrestrial_solar_radiation`.
+    The Penman-Monteith/Thornthwaite variants need additional inputs and
+    are out of scope for the expression tier.
+    """
+    from .solar import extraterrestrial_solar_radiation
+
+    ra = extraterrestrial_solar_radiation(time, lat_deg)  # MJ m-2 day-1
+    if method in ("hargreaves85", "HG85"):
+        tmin, tmax = _c(tasmin_c), _c(tasmax_c)
+        tm = _c(tas_c) if tas_c is not None else (tmin + tmax) / 2.0
+        pet = 0.0023 * (ra * 0.408) * (tm + 17.8) * \
+            F.sqrt(F.greatest(tmax - tmin, F.lit(0.0)))
+        return F.greatest(pet, F.lit(0.0))
+    if method in ("baierrobertson65", "BR65"):
+        tmin_f = _c(tasmin_c) * 1.8 + 32.0
+        tmax_f = _c(tasmax_c) * 1.8 + 32.0
+        re = ra * 23.8845897  # MJ m-2 day-1 -> cal cm-2 day-1
+        pet = 0.094 * (-87.03 + 0.928 * tmax_f
+                       + 0.933 * (tmax_f - tmin_f) + 0.0486 * re)
+        return F.greatest(pet, F.lit(0.0))
+    raise ValueError(f"Unknown PET method {method!r}")

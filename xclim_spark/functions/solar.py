@@ -15,7 +15,8 @@ from pyspark.sql import functions as F
 
 from ..calendar import is_leap_year
 
-__all__ = ["day_angle", "solar_declination", "day_lengths"]
+__all__ = ["day_angle", "solar_declination", "day_lengths",
+           "extraterrestrial_solar_radiation"]
 
 _PI = math.pi
 
@@ -47,6 +48,27 @@ def solar_declination(time, method: str = "spencer") -> Column:
             - 0.002697 * F.cos(3 * da) + 0.001480 * F.sin(3 * da)
         )
     raise NotImplementedError("method must be 'simple' or 'spencer'")
+
+
+def extraterrestrial_solar_radiation(
+    time, lat_deg, method: str = "simple"
+) -> Column:
+    """Daily extraterrestrial radiation Ra [MJ m-2 day-1] (reference
+    helpers.py:400-449; FAO-56 eq. 21): ``(24*60/pi) Gsc dr (ws sin(lat)
+    sin(decl) + cos(lat) cos(decl) sin(ws))`` with Gsc = 0.0820
+    MJ m-2 min-1 and inverse-distance factor dr.  Polar night clamps the
+    sunset hour angle."""
+    decl = solar_declination(time, method)
+    lat = F.radians(_c(lat_deg) if not isinstance(lat_deg, (int, float))
+                    else F.lit(float(lat_deg)))
+    da = day_angle(time)
+    dr = 1.0 + 0.033 * F.cos(da)
+    tantan = -F.tan(lat) * F.tan(decl)
+    ws = F.acos(F.greatest(F.lit(-1.0), F.least(F.lit(1.0), tantan)))
+    gsc = 0.0820
+    return (24.0 * 60.0 / _PI) * gsc * dr * (
+        ws * F.sin(lat) * F.sin(decl) + F.cos(lat) * F.cos(decl) * F.sin(ws)
+    )
 
 
 def day_lengths(
