@@ -469,6 +469,82 @@ def gs_end_ys(spark, sf_dir):
                                  coord="doy", alias="gs_end")
 
 
+@_register(
+    "events_table_ys",
+    f"""WITH {DAILY_SQL},
+{_runs_sql("qty > 30", _YS)}
+SELECT cell, period, run_start AS event_start, run_end AS event_end,
+       CAST(run_length AS BIGINT) AS event_length,
+       CAST(run_length AS BIGINT) AS event_effective_length,
+       ROUND(sum_price, 4) AS event_sum
+FROM (
+  SELECT r.cell, r.period, r.run_id, r.run_start, r.run_end, r.run_length,
+         (SELECT sum(d.price) FROM runs d
+          WHERE d.cell = r.cell AND d.period = r.period
+            AND d.run_id = r.run_id AND d.cond) AS sum_price
+  FROM rl r
+)""",
+)
+def events_table_ys(spark, sf_dir):
+    """find_events event table (reference run_length.py:1760-1901):
+    one row per event with bounds, length, effective length and in-event
+    sum, searched within each year."""
+    d = daily_series(spark, sf_dir)
+    ev = rl.find_events(d, F.col("qty") > 30.0, 1, data_var="price",
+                        freq="YS", time="day", cells=["cell"])
+    return ev.select(
+        "cell", "period", "event_start", "event_end",
+        "event_length", "event_effective_length",
+        F.round("event_sum", 4).alias("event_sum"),
+    )
+
+
+@_register(
+    "user_sessions",
+    """WITH e AS (
+  SELECT user_id, ts, value,
+         (CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                    > INTERVAL 30 MINUTE
+               OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+          THEN 1 ELSE 0 END) AS new_sess
+  FROM events
+),
+s AS (
+  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts) AS sess_id
+  FROM e
+)
+SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id,
+       min(ts) AS sess_start, CAST(count(*) AS BIGINT) AS n_events,
+       ROUND(sum(value), 6) AS total_value
+FROM s GROUP BY 1, 2""",
+)
+def user_sessions(spark, sf_dir):
+    """Classic gap-based sessionization on the irregular ``events`` table
+    (30-minute inactivity gap): the same run-id window pattern the
+    climate spells use, on event-time data.
+
+    The table stores TIMESTAMP(NANOS), which Spark's parquet reader
+    rejects by default — read nanos as long and truncate to microseconds
+    (the data carries none below the microsecond)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _read(spark, sf_dir, "events")
+    # integer division: epoch-nanos exceed 2^53, double arithmetic would
+    # round the microsecond
+    ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+    new_sess = (gap.isNull() | (gap > 1800)).cast("long")
+    ev = ev.withColumn(
+        "sess_id",
+        F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return ev.groupBy("user_id", "sess_id").agg(
+        F.min("ts").alias("sess_start"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Percentile layer (SURVEY §2 rows 20-21; days_over_percentile shape)
 # ---------------------------------------------------------------------------
