@@ -13,7 +13,9 @@ executors run pure Column expressions, with Arrow-batched pandas UDFs
 reserved for scipy-tier math and stateful kernels.
 """
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
-from . import calendar, units  # noqa: F401
-from .operators import generic, missing, percentile, run_length  # noqa: F401
+from . import analog, calendar, calendar360, dataflags, datachecks  # noqa: F401
+from . import ensembles, stats, units  # noqa: F401
+from .operators import agro, fire, generic, missing, percentile  # noqa: F401
+from .operators import run_length  # noqa: F401
