@@ -470,6 +470,53 @@ def gs_end_ys(spark, sf_dir):
 
 
 @_register(
+    "hydro_bfi_ys",
+    f"""WITH {DAILY_SQL},
+cma AS (
+  SELECT cell, day, price,
+         CASE WHEN count(price) OVER w >= 7 THEN avg(price) OVER w END AS m7
+  FROM daily
+  WINDOW w AS (PARTITION BY cell ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+)
+SELECT cell, CAST(date_trunc('year', day) AS DATE) AS period,
+       ROUND(min(m7) / avg(price), 6) AS base_flow_index
+FROM cma GROUP BY 1, 2""",
+)
+def hydro_bfi_ys(spark, sf_dir):
+    """base_flow_index: min centred 7-day mean over mean flow (reference
+    _hydrology.py:50-93) on the daily revenue series."""
+    from .operators import hydrology as hy
+
+    d = daily_series(spark, sf_dir)
+    out = hy.base_flow_index(d, "price", "YS", time="day", cells=["cell"])
+    return out.withColumn("base_flow_index",
+                          F.round("base_flow_index", 6))
+
+
+@_register(
+    "hydro_rbi_ys",
+    f"""WITH {DAILY_SQL},
+d2 AS (
+  SELECT cell, day, price,
+         abs(price - lag(price) OVER (PARTITION BY cell ORDER BY day)) AS ad
+  FROM daily
+)
+SELECT cell, CAST(date_trunc('year', day) AS DATE) AS period,
+       ROUND(sum(ad) / sum(price), 6) AS rbi
+FROM d2 GROUP BY 1, 2""",
+)
+def hydro_rbi_ys(spark, sf_dir):
+    """Richards-Baker flashiness index (reference _hydrology.py:94-135)."""
+    from .operators import hydrology as hy
+
+    d = daily_series(spark, sf_dir)
+    out = hy.rb_flashiness_index(d, "price", "YS", time="day",
+                                 cells=["cell"])
+    return out.withColumn("rbi", F.round("rbi", 6))
+
+
+@_register(
     "events_table_ys",
     f"""WITH {DAILY_SQL},
 {_runs_sql("qty > 30", _YS)}
