@@ -470,6 +470,42 @@ def gs_end_ys(spark, sf_dir):
 
 
 @_register(
+    "anuclim_bio10_ys",
+    f"""WITH {DAILY_SQL},
+monthly AS (
+  SELECT cell, CAST(date_trunc('month', day) AS DATE) AS m,
+         avg(qty) AS v
+  FROM daily GROUP BY 1, 2
+),
+q AS (
+  SELECT cell, m,
+         CASE WHEN count(v) OVER w = 3 THEN avg(v) OVER w END AS qv
+  FROM monthly
+  WINDOW w AS (PARTITION BY cell ORDER BY m
+               ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING)
+),
+ranked AS (
+  SELECT cell, CAST(date_trunc('year', m) AS DATE) AS period, qv,
+         row_number() OVER (PARTITION BY cell, date_trunc('year', m)
+                            ORDER BY qv DESC, m ASC) AS rn
+  FROM q WHERE qv IS NOT NULL
+)
+SELECT cell, period, ROUND(qv, 6) AS bio10
+FROM ranked WHERE rn = 1""",
+)
+def anuclim_bio10_ys(spark, sf_dir):
+    """BIO10 shape: mean of the warmest rolling 3-month quarter
+    (reference _anuclim.py:215-270, _to_quarter :562) — monthly reduce +
+    3-month window + per-year max_by."""
+    from .operators import anuclim as an
+
+    d = daily_series(spark, sf_dir)
+    out = an.quarter_stat(d, "qty", op="mean", select="max", freq="YS",
+                          time="day", cells=["cell"], alias="bio10")
+    return out.withColumn("bio10", F.round("bio10", 6))
+
+
+@_register(
     "hydro_bfi_ys",
     f"""WITH {DAILY_SQL},
 cma AS (
