@@ -79,3 +79,72 @@ def test_spark_operator_matches_kernel(spark):
                                rtol=1e-12)
     np.testing.assert_allclose([r["dc"] for r in got], ref["dc"],
                                rtol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# KBDI / Griffiths DF / McArthur FFDI (reference fire/_ffdi.py)
+# ---------------------------------------------------------------------------
+
+def test_kbdi_dry_spell_monotone_and_capped():
+    n = 400
+    k = fire.kbdi_1d([0.0] * n, [35.0] * n, pr_annual=500.0)
+    assert np.all(np.diff(k) >= 0)
+    assert k[-1] <= 203.2
+    assert k[-1] > 150  # long hot dry spell approaches field capacity
+    # heavy rain knocks it down
+    pr = [0.0] * 50 + [80.0] + [0.0] * 10
+    k2 = fire.kbdi_1d(pr, [35.0] * 61, pr_annual=500.0)
+    assert k2[50] < k2[49]
+
+
+def test_griffiths_df_bounds_and_response():
+    n = 60
+    pr = [0.0] * n
+    smd = [100.0] * n
+    df = fire.griffiths_drought_factor_1d(pr, smd)
+    assert np.isnan(df[:19]).all()
+    valid = df[19:]
+    assert np.all((valid >= 0) & (valid <= 10))
+    # no rain + high deficit -> high drought factor
+    assert valid[-1] > 9.0
+    # recent heavy rain suppresses it
+    pr2 = [0.0] * 50 + [50.0] + [0.0] * 9
+    df2 = fire.griffiths_drought_factor_1d(pr2, smd)
+    assert df2[-1] < valid[-1]
+
+
+def test_mcarthur_ffdi_formula():
+    got = fire.mcarthur_ffdi([10.0], [35.0], [15.0], [30.0])[0]
+    want = 10.0 ** 0.987 * np.exp(
+        0.0338 * 35 - 0.0345 * 15 + 0.0234 * 30 + 0.243147)
+    assert got == pytest.approx(want, rel=1e-12)
+
+
+def test_ffdi_indices_spark(spark):
+    import datetime as dt
+
+    rng = np.random.RandomState(3)
+    rows = []
+    for cell in (1, 2):
+        for i in range(120):
+            rows.append((cell, dt.date(2000, 1, 1) + dt.timedelta(days=i),
+                         float(rng.gamma(0.3, 8.0)),
+                         float(25 + 10 * rng.rand()),
+                         float(20 + 40 * rng.rand()),
+                         float(10 + 20 * rng.rand())))
+    df = spark.createDataFrame(
+        rows, "cell INT, time DATE, pr DOUBLE, tasmax DOUBLE, "
+              "hurs DOUBLE, ws DOUBLE")
+    out = fire.ffdi_indices(df, pr="pr", tasmax="tasmax", hurs="hurs",
+                            sfcWind="ws", pr_annual=600.0, cells=["cell"])
+    got = out.filter("cell = 1").orderBy("time").collect()
+    sub = [r for r in rows if r[0] == 1]
+    k = fire.kbdi_1d([r[2] for r in sub], [r[3] for r in sub], 600.0)
+    dfac = fire.griffiths_drought_factor_1d([r[2] for r in sub], k)
+    ffdi = fire.mcarthur_ffdi(dfac, [r[3] for r in sub],
+                              [r[4] for r in sub], [r[5] for r in sub])
+    np.testing.assert_allclose(
+        [r["kbdi"] for r in got], k, rtol=1e-12)
+    got_f = np.array([r["ffdi"] for r in got], dtype=float)
+    ok = ~np.isnan(ffdi)
+    np.testing.assert_allclose(got_f[ok], ffdi[ok], rtol=1e-12)

@@ -27,7 +27,9 @@ from pyspark.sql import DataFrame
 
 from ..util import repartition_for_apply
 
-__all__ = ["cffwis_indices", "cffwis_1d", "daily_severity_rating"]
+__all__ = ["cffwis_indices", "cffwis_1d", "daily_severity_rating",
+           "kbdi_1d", "griffiths_drought_factor_1d", "mcarthur_ffdi",
+           "ffdi_indices"]
 
 DAY_LENGTHS = np.array([
     [11.5, 10.5, 9.2, 7.9, 6.8, 6.2, 6.5, 7.4, 8.7, 10, 11.2, 11.8],
@@ -187,6 +189,155 @@ def cffwis_1d(
         out["bui"][i] = bui
         out["fwi"][i] = _fwi(isi, bui)
     return out
+
+
+def kbdi_1d(pr, tasmax, pr_annual: float, kbdi0: float = 0.0) -> np.ndarray:
+    """Keetch-Byram drought index over one cell's daily series (reference
+    fire/_ffdi.py:44-97, Finkele et al. 2006 with the 203.2 mm cap):
+    evapotranspiration recharge vs effective rainfall after a 5 mm
+    interception/runoff store."""
+    pr = np.asarray(pr, dtype=float)
+    t = np.asarray(tasmax, dtype=float)
+    out = np.empty(len(pr))
+    k = kbdi0
+    rr = 5.0
+    for d in range(len(pr)):
+        if pr[d] <= 0.0:
+            r = pr[d]
+            rr = 5.0
+        else:
+            r = min(pr[d], rr)
+            rr -= r
+        peff = pr[d] - r
+        et = (1e-3 * (203.2 - k)
+              * (0.968 * math.exp(0.0875 * t[d] + 1.5552) - 8.3)
+              / (1.0 + 10.88 * math.exp(-0.00173 * pr_annual)))
+        k = min(max(k + et - peff, 0.0), 203.2)
+        out[d] = k
+    return out
+
+
+def griffiths_drought_factor_1d(pr, smd, limiting: str = "xlim") -> np.ndarray:
+    """Griffiths drought factor (reference fire/_ffdi.py:98-187, Finkele
+    et al. 2006 eqs. 13/14): 20-day significant-rainfall x-function
+    combined with the soil moisture deficit; values in [0, 10], NaN for
+    the first 19 days.  ``limiting``: 'xlim' (eq. 14) or 'discrete'
+    (eq. 13 step limits)."""
+    pr = np.asarray(pr, dtype=float)
+    smd = np.asarray(smd, dtype=float)
+    wl = 20
+    out = np.full(len(pr), np.nan)
+    for d in range(wl - 1, len(pr)):
+        pw = pr[d - wl + 1: d + 1]
+        conseq = 0
+        pmax = 0.0
+        psum = 0.0
+        x = 1.0
+        N = 0
+        for iw in range(wl):
+            event = pw[iw] > 2.0
+            event_end = (not event) and conseq != 0
+            final_event = event and iw == wl - 1
+            if event:
+                conseq += 1
+                psum += pw[iw]
+                if pw[iw] >= pmax:
+                    N = wl - iw
+                    pmax = pw[iw]
+            if event_end or final_event:
+                x = min(N ** 1.3 / (N ** 1.3 + psum - 2.0), x)
+                conseq = 0
+                psum = 0.0
+                pmax = 0.0
+        if limiting == "xlim":
+            if smd[d] < 20.0:
+                xlim = 1.0 / (1.0 + 0.1135 * smd[d])
+            else:
+                xlim = 75.0 / (270.525 - 1.267 * smd[d])
+            x = min(x, xlim)
+        dfw = 10.5 * (1.0 - math.exp(-(smd[d] + 30.0) / 40.0)) \
+            * (41.0 * x * x + x) / (40.0 * x * x + x + 1.0)
+        if limiting == "discrete":
+            if smd[d] < 25.0:
+                dflim = 6.0
+            elif smd[d] < 42.0:
+                dflim = 7.0
+            elif smd[d] < 65.0:
+                dflim = 8.0
+            elif smd[d] < 100.0:
+                dflim = 9.0
+            else:
+                dflim = 10.0
+            dfw = min(dfw, dflim)
+        out[d] = min(dfw, 10.0)
+    return out
+
+
+def mcarthur_ffdi(drought_factor, tasmax_c, hurs_pct, sfcwind_kmh):
+    """McArthur FFDI Mark 5 (reference fire/_ffdi.py:359-401):
+    ``DF^0.987 exp(0.0338 T - 0.0345 H + 0.0234 V + 0.243147)`` — pure
+    Column expression (Columns in, Column out) or numpy on arrays."""
+    from pyspark.sql import Column
+
+    if isinstance(drought_factor, (Column, str)):
+        from pyspark.sql import functions as F
+
+        dfc = F.col(drought_factor) if isinstance(drought_factor, str) \
+            else drought_factor
+        t = F.col(tasmax_c) if isinstance(tasmax_c, str) else tasmax_c
+        h = F.col(hurs_pct) if isinstance(hurs_pct, str) else hurs_pct
+        v = F.col(sfcwind_kmh) if isinstance(sfcwind_kmh, str) \
+            else sfcwind_kmh
+        return F.pow(dfc, 0.987) * F.exp(
+            0.0338 * t - 0.0345 * h + 0.0234 * v + 0.243147)
+    d = np.asarray(drought_factor, dtype=float)
+    return d ** 0.987 * np.exp(
+        0.0338 * np.asarray(tasmax_c, dtype=float)
+        - 0.0345 * np.asarray(hurs_pct, dtype=float)
+        + 0.0234 * np.asarray(sfcwind_kmh, dtype=float) + 0.243147)
+
+
+def ffdi_indices(
+    df: DataFrame,
+    *,
+    pr: str, tasmax: str, hurs: str, sfcWind: str,
+    pr_annual: float,
+    time: str = "time",
+    cells: Sequence[str] = (),
+    kbdi0: float = 0.0,
+    limiting: str = "xlim",
+) -> DataFrame:
+    """KBDI + Griffiths drought factor + McArthur FFDI per cell (reference
+    fire/_ffdi.py public API): the two stateful kernels run in one pandas
+    task per cell; the FFDI combination is a plain expression on the
+    result."""
+    from pyspark.sql import functions as F
+
+    fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    schema = ", ".join(
+        [f"{c} {fields[c]}" for c in cells]
+        + [f"{time} {fields[time]}", f"{tasmax} DOUBLE", f"{hurs} DOUBLE",
+           f"{sfcWind} DOUBLE", "kbdi DOUBLE", "drought_factor DOUBLE"]
+    )
+
+    def _calc(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(time)
+        k = kbdi_1d(pdf[pr].to_numpy(), pdf[tasmax].to_numpy(),
+                    pr_annual, kbdi0)
+        dfac = griffiths_drought_factor_1d(pdf[pr].to_numpy(), k, limiting)
+        out = {c: pdf[c].to_numpy() for c in cells}
+        out[time] = pdf[time].to_numpy()
+        for c in (tasmax, hurs, sfcWind):
+            out[c] = pdf[c].to_numpy()
+        out["kbdi"] = k
+        out["drought_factor"] = dfac
+        return pd.DataFrame(out)
+
+    base = repartition_for_apply(df, cells).groupBy(*cells) \
+        .applyInPandas(_calc, schema=schema)
+    return base.withColumn(
+        "ffdi", mcarthur_ffdi("drought_factor", tasmax, hurs, sfcWind)
+    )
 
 
 def daily_severity_rating(fwi):
