@@ -245,3 +245,44 @@ def test_pet_hargreaves(spark):
     # mid-summer mid-latitude: a few mm/day, HG and BR roughly agree
     assert 3.0 < out["pet"] < 9.0
     assert 3.0 < out["petbr"] < 12.0
+
+
+def test_make_hourly_temperature(spark):
+    import datetime as dt
+    from xclim_spark.functions import solar
+
+    rows = [(0, dt.date(2001, 6, 20), 10.0, 30.0, 45.0),
+            (0, dt.date(2001, 6, 21), 12.0, 28.0, 45.0)]
+    df = spark.createDataFrame(
+        rows, "cell INT, time DATE, tn DOUBLE, tx DOUBLE, lat DOUBLE")
+    out = solar.make_hourly_temperature(df, "tn", "tx", F.col("lat"),
+                                        cells=["cell"])
+    rows_h = out.filter(F.to_date("time") == dt.date(2001, 6, 20)) \
+        .orderBy("time_h").collect()
+    assert len(rows_h) == 24
+    temps = [r["tas"] for r in rows_h]
+    # sunrise (hour 0) == tasmin; max reached during the day ~ tasmax
+    assert temps[0] == pytest.approx(10.0)
+    assert max(temps) == pytest.approx(30.0, abs=0.5)
+    # night hours cool monotonically toward the next day's minimum
+    dl = rows_h[0]["tas"]  # placeholder to keep lints quiet
+    night = [r["tas"] for r in rows_h if r["time_h"].hour >= 16]
+    assert all(a >= b - 1e-9 for a, b in zip(night, night[1:]))
+    assert night[-1] >= 12.0 - 2.0  # approaching next tasmin
+
+
+def test_degree_days_exceedance_date(spark):
+    from xclim_spark.operators.generic import degree_days_exceedance_date
+    from xclim_spark.testing import timeseries
+
+    # 10 degree-days/day above thresh from day 1: crosses 95 on day 10
+    vals = [20.0] * 40
+    df = timeseries(spark, vals, start="2001-01-01")
+    out = degree_days_exceedance_date(df, "value", ">", 10.0, 95.0,
+                                      cells=["cell"]).collect()[0]
+    assert out["dded"] == 10
+    # after_date shifts the accumulation start
+    out2 = degree_days_exceedance_date(df, "value", ">", 10.0, 95.0,
+                                       after_date="01-05",
+                                       cells=["cell"]).collect()[0]
+    assert out2["dded"] == 14

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from ..calendar import is_leap_year
 
 __all__ = ["day_angle", "solar_declination", "day_lengths",
-           "extraterrestrial_solar_radiation"]
+           "extraterrestrial_solar_radiation", "make_hourly_temperature"]
 
 _PI = math.pi
 
@@ -90,3 +90,52 @@ def day_lengths(
         out = F.when(valid, hours).when(polar_day, F.lit(24.0)) \
             .otherwise(F.lit(0.0))
     return out
+
+
+def make_hourly_temperature(
+    df, tasmin: str, tasmax: str, lat_deg, *,
+    time: str = "time", cells=(),
+):
+    """Hourly temperature from daily min/max (reference
+    ``make_hourly_temperature``, helpers.py:1059-1135): sinusoidal
+    daytime profile (min at sunrise, max 2h before sunset via the
+    ``daylength + 4`` stretch) and logarithmic nighttime cooling toward
+    the NEXT day's minimum.
+
+    Spark shape: one ``lead`` window for next-day tasmin (reuses the
+    cell partitioning), then a map-side explode of 24 hour offsets —
+    24x rows, zero extra shuffles.  Returns the input grain replaced by
+    ``time`` (hourly timestamp) + ``tas``.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*cells).orderBy(time)
+    dl = day_lengths(time, lat_deg, infill_polar_days=True)
+    d = (
+        df.withColumn("_dl", dl)
+        .withColumn("_next_tn", F.coalesce(F.lead(tasmin).over(w),
+                                           F.col(tasmin)))
+    )
+    # temperature at sunset = daytime profile evaluated at hour=daylength
+    sunset = (F.col(tasmax) - F.col(tasmin)) * F.sin(
+        (math.pi * F.col("_dl")) / (F.col("_dl") + 4.0)) + F.col(tasmin)
+    d = d.withColumn("_sunset", sunset)
+    d = d.withColumn("_h", F.explode(F.sequence(F.lit(0), F.lit(23))))
+    h = F.col("_h").cast("double")
+    day_t = (F.col(tasmax) - F.col(tasmin)) * F.sin(
+        (math.pi * h) / (F.col("_dl") + 4.0)) + F.col(tasmin)
+    nh = F.greatest(h + 1.0 - F.col("_dl"), F.lit(1.0))
+    night_t = F.col("_sunset") - (
+        (F.col("_sunset") - F.col("_next_tn"))
+        / F.log(24.0 - F.col("_dl"))
+    ) * F.log(nh)
+    tas = F.when(h < F.col("_dl"), day_t).otherwise(night_t)
+    return (
+        d.withColumn(
+            "time_h",
+            F.to_timestamp(F.col(time)) + F.make_interval(
+                hours=F.col("_h")),
+        )
+        .withColumn("tas", tas)
+        .drop("_dl", "_next_tn", "_sunset", "_h")
+    )

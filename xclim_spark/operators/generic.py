@@ -335,6 +335,36 @@ def cumulative_difference(
     return _grouped(df, cells, time, freq).agg(F.sum(term).alias(alias))
 
 
+def degree_days_exceedance_date(
+    df: DataFrame, var: str, op: str, thresh, sum_thresh, *,
+    freq: str = "YS", after_date: str | None = None,
+    time: str = "time", cells: Sequence[str] = (),
+    alias: str = "dded",
+) -> DataFrame:
+    """Day of year when cumulative degree days cross ``sum_thresh``
+    (reference _threshold.py:3215-3313): a running-sum window per
+    (cell, period) + one min-aggregate over qualifying days.
+    ``after_date`` ('MM-DD') restarts the accumulation at that date."""
+    sym = _OP_ALIASES[op]
+    term = (F.col(var) - F.lit(thresh)) if sym in (">", ">=") else \
+        (F.lit(thresh) - F.col(var))
+    term = F.greatest(term, F.lit(0.0))
+    df = df.withColumn("period", period_start(time, freq))
+    if after_date is not None:
+        mm, dd = (int(x) for x in after_date.split("-"))
+        cand = F.make_date(F.year("period"), F.lit(mm), F.lit(dd))
+        start = F.when(cand < F.col("period"), F.add_months(cand, 12)) \
+            .otherwise(cand)
+        term = F.when(F.to_date(time) >= start, term).otherwise(0.0)
+    w = Window.partitionBy(*cells, "period").orderBy(time) \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    df = df.withColumn("_cdd", F.sum(term).over(w))
+    return df.groupBy(*cells, "period").agg(
+        F.min(F.when(F.col("_cdd") > sum_thresh,
+                     F.dayofyear(time))).alias(alias)
+    )
+
+
 def detrend(
     df: DataFrame, var: str, *, time: str = "time",
     cells: Sequence[str] = (), alias: str | None = None,
