@@ -470,6 +470,27 @@ def gs_end_ys(spark, sf_dir):
 
 
 @_register(
+    "dded_ys",
+    f"""WITH {DAILY_SQL},
+cdd AS (
+  SELECT cell, day, {_YS} AS period,
+         sum(GREATEST(qty - 25.0, 0.0))
+           OVER (PARTITION BY cell, {_YS} ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+  FROM daily
+)
+SELECT cell, period, min(CASE WHEN c > 200.0 THEN dayofyear(day) END) AS dded
+FROM cdd GROUP BY 1, 2""",
+)
+def dded_ys(spark, sf_dir):
+    """degree_days_exceedance_date: first doy where cumulative degree
+    days cross 200 (reference _threshold.py:3215)."""
+    d = daily_series(spark, sf_dir)
+    return g.degree_days_exceedance_date(d, "qty", ">", 25.0, 200.0,
+                                         time="day", cells=["cell"])
+
+
+@_register(
     "anuclim_bio10_ys",
     f"""WITH {DAILY_SQL},
 monthly AS (
