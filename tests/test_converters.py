@@ -286,3 +286,173 @@ def test_degree_days_exceedance_date(spark):
                                        after_date="01-05",
                                        cells=["cell"]).collect()[0]
     assert out2["dded"] == 14
+
+
+def test_utci_published_value(spark):
+    # Brode 2012 operational procedure: Ta=25 degC, Tmrt=25 degC,
+    # va=1 m/s, RH=50% -> UTCI = 24.6 degC (utci.org reference table,
+    # also the pythermalcomfort documentation example).
+    df = spark.createDataFrame(
+        [(25.0, 50.0, 1.0, 25.0 + K2C),
+         (25.0, 50.0, 0.4, 25.0 + K2C),   # below wind validity -> NULL
+         (55.0, 50.0, 1.0, 55.0 + K2C)],  # above temp validity -> NULL
+        "tas double, hurs double, wind double, mrt double")
+    out = cv.universal_thermal_climate_index(
+        df, "tas", "hurs", "wind", "mrt").select("utci").collect()
+    assert out[0]["utci"] == pytest.approx(24.6, abs=0.05)
+    assert out[1]["utci"] is None
+    assert out[2]["utci"] is None
+    # wind_cap_min clamps to the 0.5 m/s validity floor instead of NULL
+    capped = cv.universal_thermal_climate_index(
+        df, "tas", "hurs", "wind", "mrt", wind_cap_min=True
+    ).select("utci").collect()
+    assert capped[1]["utci"] is not None
+
+
+def test_utci_matches_numpy_twin(spark):
+    # independent numpy evaluation of the published coefficient table --
+    # catches staging/power-binding bugs in the Spark expression build
+    rng = np.random.default_rng(7)
+    n = 50
+    tas = rng.uniform(-40, 45, n)
+    hurs = rng.uniform(5, 100, n)
+    wind = rng.uniform(0.6, 16.5, n)
+    mrt = tas + rng.uniform(-25, 25, n) + K2C
+
+    t_k = tas + K2C
+    e_sat = np.exp(-2836.5744 / t_k**2 - 6028.076559 / t_k + 19.54263612
+                   - 2.737830188e-2 * t_k + 1.6261698e-5 * t_k**2
+                   + 7.0229056e-10 * t_k**3 - 1.8680009e-13 * t_k**4
+                   + 2.7150305 * np.log(t_k))
+    pa = e_sat / 1000.0 * hurs / 100.0
+    d = mrt - K2C - tas
+    exp = np.zeros(n)
+    for i, j, k, p, coef in cv.UTCI_POLYNOMIAL_COEFFICIENTS:
+        exp += coef * tas**i * wind**j * d**k * pa**p
+    valid = (np.abs(d) < 30)
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(c), float(m))
+         for a, b, c, m in zip(tas, hurs, wind, mrt)],
+        "tas double, hurs double, wind double, mrt double")
+    got = [r["utci"] for r in cv.universal_thermal_climate_index(
+        df, "tas", "hurs", "wind", "mrt").select("utci").collect()]
+    for g, e, v in zip(got, exp, valid):
+        if v:
+            assert g == pytest.approx(e, rel=1e-9)
+        else:
+            assert g is None
+
+
+def test_mean_radiant_temperature_numpy_twin(spark):
+    import datetime as dt
+    import math as m
+
+    # numpy twin of the Di Napoli 2020 formula at a fixed date/latitude
+    day = dt.date(2000, 6, 1)
+    lat = 45.0
+    rsds, rsus, rlds, rlus = 300.0, 60.0, 350.0, 400.0
+
+    # sunlit-average csza (closed daily form)
+    diy = 366.0
+    da = (152 - 1) / diy * 2 * m.pi  # doy 153? June 1 of leap 2000 = doy 153
+    da = (153 - 1) / diy * 2 * m.pi
+    decl = (0.006918 - 0.399912 * m.cos(da) + 0.070257 * m.sin(da)
+            - 0.006758 * m.cos(2 * da) + 0.000907 * m.sin(2 * da)
+            - 0.002697 * m.cos(3 * da) + 0.001480 * m.sin(3 * da))
+    latr = m.radians(lat)
+    ws = m.acos(max(-1.0, min(1.0, -m.tan(latr) * m.tan(decl))))
+    csza = (m.sin(decl) * m.sin(latr)
+            + m.cos(decl) * m.cos(latr) * m.sin(ws) / ws)
+    # distance from sun at 2000-06-01 (J2000 + 152.5 days... noon-anchored
+    # at 00:00 UTC): g = 357.528 + 0.9856003 * days
+    epoch = dt.datetime(2000, 1, 1, 12)
+    days = (dt.datetime(2000, 6, 1) - epoch).total_seconds() / 86400.0
+    g = m.radians((357.528 + 0.9856003 * days) % 360)
+    dsun = 1.00014 - 0.01671 * m.cos(g) - 0.00014 * m.cos(2 * g)
+    s_star = min(rsds / (1367.0 * csza * dsun**-2), 0.85)
+    fdir = min(m.exp(3 - 1.34 * s_star - 1.65 / s_star), 0.9)
+    direct = fdir * rsds
+    diffuse = rsds - direct
+    gamma = m.asin(csza)
+    fp = 0.308 * m.cos(gamma * 0.988 - gamma**2 / 50000)
+    i_star = direct / csza
+    expected = ((1 / 5.67e-8) * (0.5 * rlds + 0.5 * rlus + 0.7 / 0.97
+                * (0.5 * diffuse + 0.5 * rsus + fp * i_star))) ** 0.25
+
+    df = spark.createDataFrame(
+        [(day, lat, rsds, rsus, rlds, rlus)],
+        "day date, lat double, rsds double, rsus double, "
+        "rlds double, rlus double")
+    got = df.select(cv.mean_radiant_temperature(
+        "day", "lat", "rsds", "rsus", "rlds", "rlus").alias("out")) \
+        .collect()[0]["out"]
+    assert got == pytest.approx(expected, rel=1e-6)
+
+
+def test_pet_fao_allen98_worked_example(spark):
+    import datetime as dt
+
+    # FAO-56 example 18 conditions (Uccle, 6 July): tmax 21.5, tmin 12.3,
+    # u10 such that u2=2.78 m/s, Rn ~ 13.28 MJ m-2 d-1, RH ~ 70.6%
+    # -> ETo ~ 3.9 mm/day (tolerance covers the reference's mean-es
+    # delta variant vs FAO's tmean-esat delta).
+    u10 = 2.78 / (np.log(67.8 * 2 - 5.42) / np.log(67.8 * 10 - 5.42))
+    rn_wm2 = 13.28 / 0.0864
+    df = spark.createDataFrame(
+        [(dt.date(2000, 7, 6), 50.8, 12.3, 21.5, 70.6, float(u10),
+          float(rn_wm2), 0.0, 0.0, 0.0)],
+        "day date, lat double, tasmin double, tasmax double, hurs double,"
+        " wind double, rsds double, rsus double, rlds double, rlus double")
+    got = df.select(cv.potential_evapotranspiration(
+        "day", "lat", tasmin_c="tasmin", tasmax_c="tasmax",
+        hurs_pct="hurs", sfcwind_10m_ms="wind", rsds_wm2="rsds",
+        rsus_wm2="rsus", rlds_wm2="rlds", rlus_wm2="rlus",
+        method="allen98").alias("out")).collect()[0]["out"]
+    assert got == pytest.approx(3.9, rel=0.08)
+
+
+def test_pet_mcguinness_bordne(spark):
+    import datetime as dt
+
+    # MB05 numpy twin: Ra(1367 W/m2) / latent_heat * (a*tas + b)
+    day, lat, tasmin, tasmax = dt.date(2000, 6, 1), 45.0, 10.0, 25.0
+    df = spark.createDataFrame(
+        [(day, lat, tasmin, tasmax)],
+        "day date, lat double, tasmin double, tasmax double")
+    from xclim_spark.functions.solar import extraterrestrial_solar_radiation
+    ra = df.select(extraterrestrial_solar_radiation(
+        "day", "lat", solar_constant_wm2=1367.0).alias("ra")) \
+        .collect()[0]["ra"]
+    tas = (tasmin + tasmax) / 2
+    latent = 4185.5 * (751.78 - 0.5655 * (tas + K2C))
+    expected = ra * 1e6 / latent * (0.00516409319477 * tas
+                                    + 0.0874972822289)
+    got = df.select(cv.potential_evapotranspiration(
+        "day", "lat", tasmin_c="tasmin", tasmax_c="tasmax",
+        method="mcguinnessbordne05").alias("out")).collect()[0]["out"]
+    assert got == pytest.approx(expected, rel=1e-9)
+    assert 1.0 < got < 8.0  # plausible summer mid-latitude PET
+
+
+def test_cosine_solar_zenith_and_distance(spark):
+    import datetime as dt
+
+    from xclim_spark.functions import solar
+
+    df = spark.createDataFrame(
+        [(dt.date(2000, 3, 20), 0.0),    # equinox, equator
+         (dt.date(2000, 6, 21), 80.0),   # polar day
+         (dt.date(2000, 12, 21), 80.0)],  # polar night
+        "day date, lat double")
+    rows = df.select(
+        solar.cosine_of_solar_zenith_angle("day", F.col("lat")).alias("c"),
+        solar.distance_from_sun("day").alias("d"),
+    ).collect()
+    # equinox at the equator: decl ~ 0, ws = pi/2 -> avg = sin(ws)/ws = 2/pi
+    assert rows[0]["c"] == pytest.approx(2 / np.pi, abs=0.02)
+    # polar day: avg = sin(decl) sin(lat) > 0; polar night: exactly 0
+    assert rows[1]["c"] > 0.3
+    assert rows[2]["c"] == 0.0
+    # earth-sun distance: ~1.014 AU in June, ~0.984 AU in December
+    assert rows[1]["d"] == pytest.approx(1.014, abs=0.003)
+    assert rows[2]["d"] == pytest.approx(0.984, abs=0.003)

@@ -15,8 +15,12 @@ reference citation (file:line) pins the exact variant used.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+from .solar import cosine_of_solar_zenith_angle, distance_from_sun
 
 __all__ = [
     "humidex",
@@ -44,7 +48,10 @@ __all__ = [
     "potential_evapotranspiration",
     "wind_profile",
     "wind_power_potential",
+    "mean_radiant_temperature",
+    "universal_thermal_climate_index",
     "ESAT_FORMULAS_COEFFICIENTS",
+    "UTCI_POLYNOMIAL_COEFFICIENTS",
 ]
 
 _c = lambda x: x if isinstance(x, Column) else F.col(x)  # noqa: E731
@@ -413,19 +420,28 @@ def water_budget(pr, evspsblpot) -> Column:
 
 def potential_evapotranspiration(
     time, lat_deg, *, tasmin_c=None, tasmax_c=None, tas_c=None,
+    hurs_pct=None, sfcwind_10m_ms=None,
+    rsds_wm2=None, rsus_wm2=None, rlds_wm2=None, rlus_wm2=None,
     method: str = "hargreaves85",
+    peta: float = 0.00516409319477, petb: float = 0.0874972822289,
 ) -> Column:
     """Daily PET [mm/day] (reference converters.py:1890-2155).
 
-    Methods here: ``hargreaves85`` (``0.0023 * 0.408 Ra (tas+17.8)
-    sqrt(tasmax-tasmin)``, Hargreaves & Samani 1985) and
-    ``baierrobertson65`` (Baier & Robertson 1965, temperatures in degF and
-    Ra in cal cm-2 day-1).  ``Ra`` comes from
+    Daily elementwise methods: ``hargreaves85`` (``0.0023 * 0.408 Ra
+    (tas+17.8) sqrt(tasmax-tasmin)``, Hargreaves & Samani 1985),
+    ``baierrobertson65`` (Baier & Robertson 1965, degF and
+    cal cm-2 day-1), ``mcguinnessbordne05`` (radiation over latent heat,
+    UK-calibrated a/b from the reference), and ``allen98`` (FAO-56
+    Penman-Monteith with standard pressure, needing hurs, 10 m wind and
+    the four radiation components in W m-2).  ``Ra`` comes from
     :func:`~xclim_spark.functions.solar.extraterrestrial_solar_radiation`.
-    The Penman-Monteith/Thornthwaite variants need additional inputs and
-    are out of scope for the expression tier.
+    The monthly-resample variants (thornthwaite48, droogersallen02) live
+    in :mod:`xclim_spark.operators.agro` since they are DataFrame-level.
     """
-    from .solar import extraterrestrial_solar_radiation
+    from .solar import (
+        extraterrestrial_solar_radiation,
+        wind_speed_height_conversion,
+    )
 
     ra = extraterrestrial_solar_radiation(time, lat_deg)  # MJ m-2 day-1
     if method in ("hargreaves85", "HG85"):
@@ -441,4 +457,361 @@ def potential_evapotranspiration(
         pet = 0.094 * (-87.03 + 0.928 * tmax_f
                        + 0.933 * (tmax_f - tmin_f) + 0.0486 * re)
         return F.greatest(pet, F.lit(0.0))
+    if method in ("mcguinnessbordne05", "MB05"):
+        tm = (_c(tas_c) if tas_c is not None
+              else (_c(tasmin_c) + _c(tasmax_c)) / 2.0)
+        tas_k = tm + 273.15
+        # Ra with the reference's 1367 W m-2 solar constant, in J m-2 d-1
+        ra_j = extraterrestrial_solar_radiation(
+            time, lat_deg, solar_constant_wm2=1367.0) * 1e6
+        latent_heat = 4185.5 * (751.78 - 0.5655 * tas_k)  # J/kg
+        rad_div_lat = ra_j / latent_heat  # kg m-2 d-1 == mm/day
+        return rad_div_lat * (peta * tm + petb)
+    if method in ("allen98", "FAO_PM98"):
+        tmin, tmax = _c(tasmin_c), _c(tasmax_c)
+        tas_m = (tmin + tmax) / 2.0
+        wa2 = wind_speed_height_conversion(sfcwind_10m_ms, 10.0, 2.0)
+        # mean of min/max saturation pressure [kPa], then actual pressure
+        es = 0.5 * (
+            saturation_vapor_pressure(tmax + 273.15)
+            + saturation_vapor_pressure(tmin + 273.15)
+        ) / 1000.0
+        ea = es * (_c(hurs_pct) / 100.0)
+        delta = 4098.0 * es / F.pow(tas_m + 237.3, 2.0)  # kPa/degC
+        rn = (_c(rsds_wm2) - _c(rsus_wm2)
+              - (_c(rlus_wm2) - _c(rlds_wm2))) * 0.0864  # MJ m-2 d-1
+        gamma = 0.665e-3 * 101.325  # kPa/degC at standard pressure
+        num = (0.408 * delta * rn
+               + gamma * 900.0 / (tas_m + 273.15) * wa2 * (es - ea))
+        return num / (delta + gamma * (1.0 + 0.34 * wa2))
     raise ValueError(f"Unknown PET method {method!r}")
+
+
+# ---------------------------------------------------------------------------
+# UTCI / mean radiant temperature (reference converters.py:2156-2537)
+# ---------------------------------------------------------------------------
+
+# Published 6th-order polynomial coefficients of the UTCI operational
+# procedure (Brode et al. 2012, UTCI_a002.f90, www.utci.org) keyed by
+# exponents of (tas [degC], wind [m/s], mrt-tas delta [K], vapour
+# pressure [kPa]).  These are public reference constants, not code.
+UTCI_POLYNOMIAL_COEFFICIENTS = (
+    # (tas_pow, wind_pow, dtmrt_pow, pa_pow, coefficient) -- Brode 2012
+    (0, 0, 0, 0, 0.607562052),
+    (0, 0, 0, 1, 5.12733497),
+    (0, 0, 0, 2, -2.80626406),
+    (0, 0, 0, 3, -0.0353874123),
+    (0, 0, 0, 4, 0.614155345),
+    (0, 0, 0, 5, 0.0882773108),
+    (0, 0, 0, 6, 0.00148348065),
+    (0, 0, 1, 0, 0.398374029),
+    (0, 0, 1, 1, -0.0369476348),
+    (0, 0, 1, 2, 0.0514507424),
+    (0, 0, 1, 3, -0.00226921615),
+    (0, 0, 1, 4, -0.00148526421),
+    (0, 0, 1, 5, 0.000247090539),
+    (0, 0, 2, 0, 0.00075504309),
+    (0, 0, 2, 1, -0.00073246918),
+    (0, 0, 2, 2, 0.000304788893),
+    (0, 0, 2, 3, 0.000302122035),
+    (0, 0, 2, 4, -9.77675906e-06),
+    (0, 0, 3, 0, -1.21206673e-05),
+    (0, 0, 3, 1, -3.59413173e-07),
+    (0, 0, 3, 2, -4.36497725e-06),
+    (0, 0, 3, 3, -4.09087898e-07),
+    (0, 0, 4, 0, -1.30369025e-09),
+    (0, 0, 4, 1, 3.94367674e-08),
+    (0, 0, 4, 2, 3.23926897e-09),
+    (0, 0, 5, 0, 6.62154879e-10),
+    (0, 0, 5, 1, -1.15606447e-10),
+    (0, 0, 6, 0, -4.73602469e-12),
+    (0, 1, 0, 0, -2.2583652),
+    (0, 1, 0, 1, 0.548050612),
+    (0, 1, 0, 2, -0.308806365),
+    (0, 1, 0, 3, 0.0453433455),
+    (0, 1, 0, 4, 0.00355375387),
+    (0, 1, 0, 5, 0.00104452989),
+    (0, 1, 1, 0, -0.0200518269),
+    (0, 1, 1, 1, 0.0086420339),
+    (0, 1, 1, 2, -0.000266016305),
+    (0, 1, 1, 3, -0.000796355448),
+    (0, 1, 1, 4, -6.80434415e-06),
+    (0, 1, 2, 0, 0.00015454725),
+    (0, 1, 2, 1, 2.7786293e-05),
+    (0, 1, 2, 2, 7.68023384e-06),
+    (0, 1, 2, 3, 1.73825715e-06),
+    (0, 1, 3, 0, 1.25006734e-06),
+    (0, 1, 3, 1, -4.79768731e-07),
+    (0, 1, 3, 2, 2.67489271e-08),
+    (0, 1, 4, 0, -5.08220384e-09),
+    (0, 1, 4, 1, 3.34678041e-10),
+    (0, 1, 5, 0, 1.95087203e-12),
+    (0, 2, 0, 0, -0.751269505),
+    (0, 2, 0, 1, -0.0429223622),
+    (0, 2, 0, 2, 0.00210787756),
+    (0, 2, 0, 3, 0.00021750861),
+    (0, 2, 0, 4, 0.000102449757),
+    (0, 2, 1, 0, 0.000169992415),
+    (0, 2, 1, 1, -3.59217476e-05),
+    (0, 2, 1, 2, -0.000106823306),
+    (0, 2, 1, 3, -6.31223658e-06),
+    (0, 2, 2, 0, -1.56236307e-05),
+    (0, 2, 2, 1, 2.53016723e-06),
+    (0, 2, 2, 2, -3.5993791e-08),
+    (0, 2, 3, 0, -3.3651463e-08),
+    (0, 2, 3, 1, 1.62897058e-09),
+    (0, 2, 4, 0, 1.17139133e-10),
+    (0, 3, 0, 0, 0.158137256),
+    (0, 3, 0, 1, -0.00125813502),
+    (0, 3, 0, 2, 0.00041785659),
+    (0, 3, 0, 3, 3.3321714e-05),
+    (0, 3, 1, 0, 8.49242932e-05),
+    (0, 3, 1, 1, -1.243823e-05),
+    (0, 3, 1, 2, 2.29748967e-07),
+    (0, 3, 2, 0, 6.51711721e-07),
+    (0, 3, 2, 1, -3.95079398e-08),
+    (0, 3, 3, 0, 4.1703262e-10),
+    (0, 4, 0, 0, -0.0127762753),
+    (0, 4, 0, 1, 0.000129735808),
+    (0, 4, 0, 2, -3.04620472e-06),
+    (0, 4, 1, 0, -4.99410301e-06),
+    (0, 4, 1, 1, 2.20609296e-07),
+    (0, 4, 2, 0, -1.00361113e-08),
+    (0, 5, 0, 0, 0.000456306672),
+    (0, 5, 0, 1, -2.28558686e-06),
+    (0, 5, 1, 0, 8.15300114e-08),
+    (0, 6, 0, 0, -5.91491269e-06),
+    (1, 0, 0, 0, 0.9772287657000001),
+    (1, 0, 0, 1, -0.312788561),
+    (1, 0, 0, 2, 0.548712484),
+    (1, 0, 0, 3, -0.22120119),
+    (1, 0, 0, 4, -0.0616755931),
+    (1, 0, 0, 5, -0.00301859306),
+    (1, 0, 1, 0, 0.000183945314),
+    (1, 0, 1, 1, 0.00162325322),
+    (1, 0, 1, 2, -0.00432510997),
+    (1, 0, 1, 3, 0.000380261982),
+    (1, 0, 1, 4, -4.11469183e-05),
+    (1, 0, 2, 0, -5.65095215e-05),
+    (1, 0, 2, 1, -1.87381964e-05),
+    (1, 0, 2, 2, -6.42070836e-05),
+    (1, 0, 2, 3, -4.77403547e-06),
+    (1, 0, 3, 0, -2.1820366e-07),
+    (1, 0, 3, 1, 7.04388046e-07),
+    (1, 0, 3, 2, 1.68737969e-07),
+    (1, 0, 4, 0, 4.13908461e-10),
+    (1, 0, 4, 1, -1.18566247e-09),
+    (1, 0, 5, 0, 4.0386326e-13),
+    (1, 1, 0, 0, 0.0880326035),
+    (1, 1, 0, 1, -0.00330552823),
+    (1, 1, 0, 2, 0.0116952364),
+    (1, 1, 0, 3, -0.00432943862),
+    (1, 1, 0, 4, -0.000513027851),
+    (1, 1, 1, 0, 0.000892859837),
+    (1, 1, 1, 1, -0.000687405181),
+    (1, 1, 1, 2, 0.000263789586),
+    (1, 1, 1, 3, 2.53458034e-05),
+    (1, 1, 2, 0, 5.2411097e-06),
+    (1, 1, 2, 1, -5.06004592e-06),
+    (1, 1, 2, 2, -5.47446896e-07),
+    (1, 1, 3, 0, -1.81584736e-09),
+    (1, 1, 3, 1, 7.96079978e-09),
+    (1, 1, 4, 0, -2.24730961e-11),
+    (1, 2, 0, 0, -0.00408350271),
+    (1, 2, 0, 1, 0.00500845667),
+    (1, 2, 0, 2, -0.000698445738),
+    (1, 2, 0, 3, -6.66724702e-05),
+    (1, 2, 1, 0, -4.99204314e-05),
+    (1, 2, 1, 1, 3.28696511e-05),
+    (1, 2, 1, 2, 3.61341136e-06),
+    (1, 2, 2, 0, -1.33895614e-07),
+    (1, 2, 2, 1, -1.72857035e-08),
+    (1, 2, 3, 0, 1.35908359e-10),
+    (1, 3, 0, 0, -6.57263143e-05),
+    (1, 3, 0, 1, -0.000179330391),
+    (1, 3, 0, 2, -1.27043871e-05),
+    (1, 3, 1, 0, 1.35191328e-06),
+    (1, 3, 1, 1, -7.385844e-09),
+    (1, 3, 2, 0, 1.94960053e-09),
+    (1, 4, 0, 0, 9.66891875e-06),
+    (1, 4, 0, 1, 1.2906487e-06),
+    (1, 4, 1, 0, -1.89489258e-08),
+    (1, 5, 0, 0, -1.74202546e-07),
+    (2, 0, 0, 0, 0.000806470249),
+    (2, 0, 0, 1, -0.0196701861),
+    (2, 0, 0, 2, -0.0039942841),
+    (2, 0, 0, 3, 0.0155126038),
+    (2, 0, 0, 4, 0.00133374846),
+    (2, 0, 1, 0, -0.00017375451),
+    (2, 0, 1, 1, -3.1427968e-05),
+    (2, 0, 1, 2, 8.99281156e-05),
+    (2, 0, 1, 3, -5.45314314e-09),
+    (2, 0, 2, 0, -4.52166564e-07),
+    (2, 0, 2, 1, 4.80925239e-06),
+    (2, 0, 2, 2, 1.16257971e-06),
+    (2, 0, 3, 0, 7.51269482e-09),
+    (2, 0, 3, 1, -1.89309167e-08),
+    (2, 0, 4, 0, 9.22652254e-12),
+    (2, 1, 0, 0, 0.00216844454),
+    (2, 1, 0, 1, -0.0016411944),
+    (2, 1, 0, 2, 0.000495271903),
+    (2, 1, 0, 3, 0.000145389826),
+    (2, 1, 1, 0, 3.45433048e-06),
+    (2, 1, 1, 1, -9.13863872e-06),
+    (2, 1, 1, 2, -7.01199003e-06),
+    (2, 1, 2, 0, -8.75874982e-08),
+    (2, 1, 2, 1, 1.14325367e-07),
+    (2, 1, 3, 0, -3.52197671e-10),
+    (2, 2, 0, 0, -5.21670675e-05),
+    (2, 2, 0, 1, 1.00601257e-06),
+    (2, 2, 0, 2, 2.30109073e-05),
+    (2, 2, 1, 0, 2.47417178e-07),
+    (2, 2, 1, 1, -7.10542454e-07),
+    (2, 2, 2, 0, 2.49709824e-09),
+    (2, 3, 0, 0, 2.22697524e-07),
+    (2, 3, 0, 1, 2.34994441e-06),
+    (2, 3, 1, 0, -6.21531254e-09),
+    (2, 4, 0, 0, 2.52785852e-09),
+    (3, 0, 0, 0, -0.000154271372),
+    (3, 0, 0, 1, 0.00099969087),
+    (3, 0, 0, 2, -0.000954009191),
+    (3, 0, 0, 3, -0.000263917279),
+    (3, 0, 1, 0, -7.60781159e-07),
+    (3, 0, 1, 1, 2.59835559e-06),
+    (3, 0, 1, 2, -7.14663943e-07),
+    (3, 0, 2, 0, 2.46688878e-08),
+    (3, 0, 2, 1, -8.7549204e-08),
+    (3, 0, 3, 0, 9.79063848e-11),
+    (3, 1, 0, 0, -1.53347087e-05),
+    (3, 1, 0, 1, -5.16670694e-06),
+    (3, 1, 0, 2, -1.90710882e-05),
+    (3, 1, 1, 0, -3.77925774e-07),
+    (3, 1, 1, 1, 5.15916806e-07),
+    (3, 1, 2, 0, -1.50743064e-09),
+    (3, 2, 0, 0, 1.94544667e-06),
+    (3, 2, 0, 1, -1.81748644e-06),
+    (3, 2, 1, 0, 1.07596466e-08),
+    (3, 3, 0, 0, -4.16117031e-08),
+    (4, 0, 0, 0, -3.24651735e-06),
+    (4, 0, 0, 1, 9.51738512e-06),
+    (4, 0, 0, 2, 1.93090978e-05),
+    (4, 0, 1, 0, 3.77830287e-08),
+    (4, 0, 1, 1, -4.77136523e-08),
+    (4, 0, 2, 0, 2.42674348e-10),
+    (4, 1, 0, 0, -5.72983704e-07),
+    (4, 1, 0, 1, 9.52692432e-07),
+    (4, 1, 1, 0, -1.69699377e-09),
+    (4, 2, 0, 0, 1.14099531e-08),
+    (5, 0, 0, 0, 7.32602852e-08),
+    (5, 0, 0, 1, -4.66426341e-07),
+    (5, 0, 1, 0, 5.43079673e-10),
+    (5, 1, 0, 0, -2.55090145e-09),
+    (6, 0, 0, 0, 1.35959073e-09),
+)
+
+
+def _fdir_ratio(time, csza, rsds) -> Column:
+    """Direct-beam fraction of global horizontal irradiance (reference
+    converters.py:2492-2537; Liljegren 2008 / Kong-Huber 2022)."""
+    d = distance_from_sun(time)
+    s_star = _c(rsds) / (1367.0 * csza * F.pow(d, -2.0))
+    s_star = F.least(s_star, F.lit(0.85))
+    ratio = F.exp(3.0 - 1.34 * s_star - 1.65 / s_star)
+    ratio = F.least(ratio, F.lit(0.9))
+    return F.when(
+        (ratio <= 0.0) | (csza <= math.cos(89.5 / 180.0 * math.pi))
+        | (_c(rsds) <= 0.0),
+        0.0,
+    ).otherwise(ratio)
+
+
+def mean_radiant_temperature(
+    time, lat_deg, rsds, rsus, rlds, rlus, stat: str = "sunlit"
+) -> Column:
+    """Mean radiant temperature [K] from the four radiation components
+    (reference converters.py:2538-2640; Di Napoli 2020).  ``stat``:
+    'sunlit' uses the sunlit-average cosine of the solar zenith angle
+    (the reference default); 'instant' is subdaily-only and out of scope
+    at daily grain."""
+    if stat != "sunlit":
+        raise NotImplementedError("daily grain supports stat='sunlit' only")
+    csza = cosine_of_solar_zenith_angle(time, lat_deg, stat="average",
+                                        sunlit=True)
+    fdir = _fdir_ratio(time, csza, rsds)
+    rsds_c = _c(rsds)
+    direct = fdir * rsds_c
+    diffuse = rsds_c - direct
+    gamma = F.asin(csza)
+    fp = 0.308 * F.cos(gamma * 0.988 - gamma * gamma / 50000.0)
+    i_star = F.when(csza > 0.001, direct / csza).otherwise(0.0)
+    stefan = 5.67e-8
+    return F.pow(
+        (1.0 / stefan) * (
+            0.5 * _c(rlds) + 0.5 * _c(rlus)
+            + (0.7 / 0.97) * (0.5 * diffuse + 0.5 * _c(rsus) + fp * i_star)
+        ),
+        0.25,
+    )
+
+
+def universal_thermal_climate_index(
+    df, tas_c: str, hurs_pct: str, sfcwind_ms: str, mrt_k: str,
+    *, out: str = "utci", wind_cap_min: bool = False,
+    mask_invalid: bool = True,
+):
+    """UTCI [degC] (reference converters.py:2389-2491): appends column
+    ``out`` to ``df`` from air temperature [degC], relative humidity
+    [%], 10 m wind [m/s] and mean radiant temperature [K].
+
+    This converter is DataFrame-level by design: the water-vapour
+    partial pressure (ITS-90) and the four polynomial inputs are staged
+    as real projected columns so each is evaluated once per row.
+    Building the 210-term Brode polynomial over one inlined Column tree
+    replicates the esat ``exp`` subtree into every power and blows the
+    JVM's 64 KB codegen method limit (measured); with staged
+    intermediates Catalyst keeps the projections separate (CollapseProject
+    does not inline non-cheap aliases referenced more than once) and the
+    whole computation stays inside WholeStageCodegen.
+
+    ``mask_invalid`` NULLs outside the published validity range
+    (-50<T<50, |delta|<30, 0.5<=v<17).
+    """
+    t = _c(tas_c)
+    v = _c(sfcwind_ms)
+    if wind_cap_min:
+        v = F.greatest(v, F.lit(0.5))
+    e_sat = saturation_vapor_pressure(t + 273.15, method="its90")  # Pa
+    staged = (
+        df.withColumn("_u_t", t)
+        .withColumn("_u_v", v)
+        .withColumn("_u_d", _c(mrt_k) - 273.15 - t)
+        .withColumn("_u_p", (e_sat / 1000.0) * (_c(hurs_pct) / 100.0))
+    )
+    pows = {}
+    for name in ("t", "v", "d", "p"):
+        pows[(name, 1)] = F.col(f"_u_{name}")
+        for e in range(2, 7):
+            staged = staged.withColumn(
+                f"_u_{name}{e}",
+                F.col(f"_u_{name}") * (pows[(name, e - 1)]
+                                       if e == 2
+                                       else F.col(f"_u_{name}{e - 1}")),
+            )
+            pows[(name, e)] = F.col(f"_u_{name}{e}")
+
+    approx = F.lit(0.0)
+    for i, j, k, p, coef in UTCI_POLYNOMIAL_COEFFICIENTS:
+        term = F.lit(coef)
+        for name, e in (("t", i), ("v", j), ("d", k), ("p", p)):
+            if e:
+                term = term * pows[(name, e)]
+        approx = approx + term
+    if mask_invalid:
+        approx = F.when(
+            (F.col("_u_t") > -50.0) & (F.col("_u_t") < 50.0)
+            & (F.col("_u_d") > -30.0) & (F.col("_u_d") < 30.0)
+            & (F.col("_u_v") >= 0.5) & (F.col("_u_v") < 17.0),
+            approx,
+        )
+    drop = [c for c in staged.columns if c.startswith("_u_")]
+    return staged.withColumn(out, approx).drop(*drop)

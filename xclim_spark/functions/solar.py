@@ -16,7 +16,9 @@ from pyspark.sql import functions as F
 from ..calendar import is_leap_year
 
 __all__ = ["day_angle", "solar_declination", "day_lengths",
-           "extraterrestrial_solar_radiation", "make_hourly_temperature"]
+           "extraterrestrial_solar_radiation", "make_hourly_temperature",
+           "distance_from_sun", "cosine_of_solar_zenith_angle",
+           "wind_speed_height_conversion"]
 
 _PI = math.pi
 
@@ -51,7 +53,8 @@ def solar_declination(time, method: str = "spencer") -> Column:
 
 
 def extraterrestrial_solar_radiation(
-    time, lat_deg, method: str = "simple"
+    time, lat_deg, method: str = "simple",
+    solar_constant_wm2: float | None = None,
 ) -> Column:
     """Daily extraterrestrial radiation Ra [MJ m-2 day-1] (reference
     helpers.py:400-449; FAO-56 eq. 21): ``(24*60/pi) Gsc dr (ws sin(lat)
@@ -65,9 +68,76 @@ def extraterrestrial_solar_radiation(
     dr = 1.0 + 0.033 * F.cos(da)
     tantan = -F.tan(lat) * F.tan(decl)
     ws = F.acos(F.greatest(F.lit(-1.0), F.least(F.lit(1.0), tantan)))
-    gsc = 0.0820
+    # Gsc [MJ m-2 min-1]: FAO-56 0.0820 by default, or derived from an
+    # explicit solar constant (reference uses 1367 W m-2 for MB05 PET).
+    gsc = (0.0820 if solar_constant_wm2 is None
+           else solar_constant_wm2 * 60.0 / 1e6)
     return (24.0 * 60.0 / _PI) * gsc * dr * (
         ws * F.sin(lat) * F.sin(decl) + F.cos(lat) * F.cos(decl) * F.sin(ws)
+    )
+
+
+def distance_from_sun(time) -> Column:
+    """Sun-earth distance [AU] (reference helpers.py:65-94): two-term
+    cosine series on the mean anomaly ``g = 357.528 + 0.9856003 d``
+    (Astronomical Almanac via USNO)."""
+    t = _c(time)
+    days = (F.unix_timestamp(t).cast("double") / 86400.0
+            - 10957.5)  # days since J2000 epoch 2000-01-01 12:00 UTC
+    g = F.radians((357.528 + 0.9856003 * days) % 360.0)
+    return 1.00014 - 0.01671 * F.cos(g) - 0.00014 * F.cos(2.0 * g)
+
+
+def cosine_of_solar_zenith_angle(
+    time, lat_deg, stat: str = "average", sunlit: bool = True,
+) -> Column:
+    """Daily statistic of the cosine of the solar zenith angle
+    (reference helpers.py:241-400, Kalogirou 2014 eq. 2.12/2.15).
+
+    For daily data the sunlit-average integral collapses to the closed
+    form ``sin d sin l + cos d cos l sin(ws)/ws`` with ``ws`` the sunset
+    hour angle; polar day reduces to ``sin d sin l`` and polar night to
+    0.  ``stat='integral'`` returns the unnormalized hour-angle integral
+    (multiply by 86400/2pi for seconds).  Subdaily intervals are out of
+    scope — the engine treats daily grain as noon-centred, matching the
+    reference's daily branch.
+    """
+    decl = solar_declination(time)
+    lat = F.radians(_c(lat_deg) if not isinstance(lat_deg, (int, float))
+                    else F.lit(float(lat_deg)))
+    sinsin = F.sin(decl) * F.sin(lat)
+    coscos = F.cos(decl) * F.cos(lat)
+    if not sunlit:
+        # whole-day average over [-pi, pi): the cos term integrates to ~0
+        ws = F.lit(_PI - 1e-9)
+    else:
+        tantan = -F.tan(lat) * F.tan(decl)
+        ws = F.acos(F.greatest(F.lit(-1.0), F.least(F.lit(1.0), tantan)))
+        polar_night = tantan > 1.0
+    integral = 2.0 * (sinsin * ws + coscos * F.sin(ws))
+    avg = integral / (2.0 * ws)
+    if sunlit:
+        integral = F.when(polar_night, 0.0).otherwise(integral)
+        # polar day: ws = pi, sin(ws) ~ 0 -> avg = sinsin, already right
+        avg = F.when(polar_night, 0.0).otherwise(avg)
+    if stat == "average":
+        return avg
+    if stat == "integral":
+        return integral
+    raise NotImplementedError("stat must be 'average' or 'integral'")
+
+
+def wind_speed_height_conversion(
+    sfcwind, h_source: float = 10.0, h_target: float = 2.0
+) -> Column:
+    """Logarithmic wind profile re-anchoring (reference
+    helpers.py:809-870; FAO-56 eq. 47):
+    ``u_t = u_s ln(67.8 h_t - 5.42) / ln(67.8 h_s - 5.42)``."""
+    lo = 1.0 + 5.42 / 67.8
+    if min(h_source, h_target) < lo:
+        raise ValueError(f"heights must be > {lo:.3f} m for the log profile")
+    return _c(sfcwind) * (
+        math.log(67.8 * h_target - 5.42) / math.log(67.8 * h_source - 5.42)
     )
 
 

@@ -868,6 +868,74 @@ def conv_windchill_ms(spark, sf_dir):
     return out.withColumn("wci_mean", F.round("wci_mean", 6))
 
 
+def _utci_oracle_sql() -> str:
+    """DuckDB twin of the UTCI query: the same published Brode
+    coefficient table rendered as one SQL polynomial (independent
+    engine + independent power evaluation)."""
+    from .functions.converters import UTCI_POLYNOMIAL_COEFFICIENTS
+
+    terms = []
+    for i, j, k, p, coef in UTCI_POLYNOMIAL_COEFFICIENTS:
+        factors = [repr(coef)]
+        for name, e in (("t", i), ("v", j), ("d", k), ("p", p)):
+            if e == 1:
+                factors.append(name)
+            elif e > 1:
+                factors.append(f"pow({name}, {e})")
+        terms.append(" * ".join(factors))
+    # chunked sub-sums keep DuckDB's binder recursion depth bounded
+    # (a single 210-term left-nested chain exceeds its 128 limit)
+    chunks = ["(" + "\n            + ".join(terms[i:i + 32]) + ")"
+              for i in range(0, len(terms), 32)]
+    poly = "\n         + ".join(chunks)
+    return f"""WITH {DAILY_SQL},
+base AS (
+  SELECT cell, day,
+         qty - 10.0 AS t,
+         1.0 + qty / 10.0 AS v,
+         (qty % 7.0) - 3.0 AS d,
+         LEAST(100.0, qty * 2.0) / 100.0 AS hurs
+  FROM daily
+),
+staged AS (
+  SELECT cell, day, t, v, d,
+         exp(-2836.5744 / ((t+273.15)*(t+273.15))
+             - 6028.076559 / (t+273.15) + 19.54263612
+             - 0.02737830188 * (t+273.15)
+             + 1.6261698e-5 * (t+273.15)*(t+273.15)
+             + 7.0229056e-10 * (t+273.15)*(t+273.15)*(t+273.15)
+             - 1.8680009e-13 * (t+273.15)*(t+273.15)*(t+273.15)*(t+273.15)
+             + 2.7150305 * ln(t+273.15)) / 1000.0 * hurs AS p
+  FROM base
+)
+SELECT cell, CAST(date_trunc('month', day) AS DATE) AS period,
+       ROUND(avg({poly}), 6) AS utci_mean
+FROM staged GROUP BY 1, 2"""
+
+
+@_register("conv_utci_ms", _utci_oracle_sql())
+def conv_utci_ms(spark, sf_dir):
+    """Monthly mean UTCI from synthetic (tas, hurs, wind, mrt) columns
+    (reference converters.py:2389-2491).  Exercises the staged
+    DataFrame-level polynomial build — inputs are constructed inside the
+    published validity envelope so no mask NULLs appear."""
+    from .functions import converters as cv
+
+    d = daily_series(spark, sf_dir)
+    d = (
+        d.withColumn("_tas", F.col("qty") - 10.0)
+        .withColumn("_wind", 1.0 + F.col("qty") / 10.0)
+        .withColumn("_hurs", F.least(F.lit(100.0), F.col("qty") * 2.0))
+        .withColumn("_mrt",
+                    (F.col("qty") % 7.0) - 3.0 + F.col("_tas") + 273.15)
+    )
+    d = cv.universal_thermal_climate_index(d, "_tas", "_hurs", "_wind",
+                                           "_mrt")
+    out = g.select_resample_op(d, "utci", "mean", "MS", time="day",
+                               cells=["cell"], alias="utci_mean")
+    return out.withColumn("utci_mean", F.round("utci_mean", 6))
+
+
 @_register(
     "conv_snowfrac_ys",
     f"""WITH {DAILY_SQL}
