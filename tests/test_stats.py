@@ -162,3 +162,50 @@ def test_standardized_index_calibration_range(spark):
     assert by[per[0]] is None or np.isnan(by[per[0]])
     vals3 = [v for v in by.values() if v is not None and np.isfinite(v)]
     assert len(vals3) >= 100
+
+
+def test_fisk_fit_recovers_params():
+    # log-logistic sample via the inverse-cdf transform; PWM estimators
+    # (Vicente-Serrano 2010 / Singh-Guo 1995) should recover the truth
+    rng = np.random.RandomState(11)
+    beta, gamma_loc, alpha = 4.0, 2.0, 10.0
+    u = rng.uniform(0.0, 1.0, 20000)
+    x = gamma_loc + alpha * (u / (1 - u)) ** (1 / beta)
+    p = D.fit_params(x, "fisk", "PWM")
+    assert p[0] == pytest.approx(beta, rel=0.08)
+    assert p[1] == pytest.approx(gamma_loc, abs=0.6)
+    assert p[2] == pytest.approx(alpha, rel=0.08)
+    # cdf/ppf roundtrip
+    qs = np.array([0.05, 0.5, 0.95])
+    assert D.cdf(p, "fisk", D.ppf(p, "fisk", qs)) == pytest.approx(qs,
+                                                                   rel=1e-9)
+
+
+def test_spei_standard_normal(spark):
+    # symmetric water budget (can be negative) -> fisk SPEI ~ N(0,1)
+    rng = np.random.RandomState(5)
+    vals = (rng.gamma(2.0, 3.0, 365 * 30) - 4.0).tolist()
+    df = timeseries(spark, vals, start="1980-01-01")
+    out = stats.standardized_precipitation_evapotranspiration_index(
+        df, "value", freq="MS", cells=["cell"]).collect()
+    spei = np.array([r["spei"] for r in out], dtype=float)
+    spei = spei[np.isfinite(spei)]
+    assert len(spei) >= 350
+    assert abs(spei.mean()) < 0.15
+    assert 0.8 < spei.std() < 1.2
+    # negative budgets must map to the lower tail, not to a clamp
+    assert (spei < -1.5).any() and (spei > 1.5).any()
+    assert np.abs(spei).max() < 8.21
+
+
+def test_ssi_genextreme(spark):
+    rng = np.random.RandomState(6)
+    vals = rng.gumbel(10.0, 3.0, 365 * 20).tolist()
+    df = timeseries(spark, vals, start="1990-01-01")
+    out = stats.standardized_streamflow_index(
+        df, "value", freq="MS", cells=["cell"]).collect()
+    ssi = np.array([r["ssi"] for r in out], dtype=float)
+    ssi = ssi[np.isfinite(ssi)]
+    assert len(ssi) >= 200
+    assert abs(ssi.mean()) < 0.2
+    assert 0.75 < ssi.std() < 1.25

@@ -1325,6 +1325,20 @@ def spi_ms(spark, sf_dir):
     return out.withColumn("spi", F.round("spi", 6))
 
 
+@_register("spei_ms", None)  # fisk fit is not SQL-expressible: rows-only
+def spei_ms(spark, sf_dir):
+    """3-month SPEI on a synthetic water budget (qty - 25, so negatives
+    occur) via the Vicente-Serrano log-logistic path (reference
+    _agro.py:1148-1291 + stats.py:770-1050)."""
+    from . import stats
+
+    d = daily_series(spark, sf_dir).withColumn("wb", F.col("qty") - 25.0)
+    out = stats.standardized_precipitation_evapotranspiration_index(
+        d, "wb", window=3, freq="MS", method="PWM", time="day",
+        cells=["cell"])
+    return out.withColumn("spei", F.round("spei", 6))
+
+
 # ---------------------------------------------------------------------------
 # LLM pipeline: similarity search + near-dedup + text quality
 # ---------------------------------------------------------------------------

@@ -23,7 +23,12 @@ from ..util import repartition_for_apply
 from . import distributions as D
 
 __all__ = ["fit", "parametric_quantile", "fa", "frequency_analysis",
-           "standardized_index", "distributions"]
+           "standardized_index",
+           "standardized_precipitation_index",
+           "standardized_precipitation_evapotranspiration_index",
+           "standardized_streamflow_index",
+           "standardized_groundwater_index",
+           "distributions"]
 
 distributions = D
 
@@ -199,8 +204,10 @@ def standardized_index(
                 continue
             valid = sel & np.isfinite(x)
             c = np.zeros(len(x))
-            gt0 = valid & (x > 0)
-            c[gt0] = D.cdf(params, dist, x[gt0])
+            # gamma: P0 mass at zero, cdf on the positive part only;
+            # unbounded dists (fisk/genextreme/norm) evaluate everywhere
+            ev = valid & (x > 0) if dist == "gamma" else valid
+            c[ev] = D.cdf(params, dist, x[ev])
             prob = p0 + (1.0 - p0) * c
             prob = np.clip(prob, 5e-4, 1.0 - 5e-4)
             out[valid] = np.clip(D.probit(prob[valid]), -clip, clip)
@@ -211,3 +218,49 @@ def standardized_index(
 
     return repartition_for_apply(acc, cells).groupBy(*cells) \
         .applyInPandas(_spi, schema=schema)
+
+
+def standardized_precipitation_index(df, pr, **kw):
+    """SPI (reference _agro.py:987-1147): gamma-fitted standardized
+    index over precipitation accumulation.  Thin front over
+    :func:`standardized_index` with the reference defaults."""
+    kw.setdefault("dist", "gamma")
+    kw.setdefault("alias", "spi")
+    return standardized_index(df, pr, **kw)
+
+
+def standardized_precipitation_evapotranspiration_index(
+    df, wb, *, offset: float | None = None, **kw
+):
+    """SPEI (reference _agro.py:1148-1291) over a water-budget column
+    (``pr - pet``, see :func:`xclim_spark.functions.water_budget`).
+
+    ``dist='fisk'`` (the Vicente-Serrano 2010 log-logistic, default here)
+    handles negative budgets natively; for ``gamma`` an ``offset``
+    (default 1.0 unit/day, the reference's classic choice) shifts the
+    series positive before fitting — the standardization is
+    shift-invariant in probability space.
+    """
+    kw.setdefault("dist", "fisk")
+    kw.setdefault("alias", "spei")
+    if offset is None and kw["dist"] == "gamma":
+        offset = 1.0
+    if offset:
+        df = df.withColumn(wb, F.col(wb) + float(offset))
+    return standardized_index(df, wb, **kw)
+
+
+def standardized_streamflow_index(df, q, **kw):
+    """SSI (reference _hydrology.py:136-233): genextreme-fitted
+    standardized index over streamflow."""
+    kw.setdefault("dist", "genextreme")
+    kw.setdefault("alias", "ssi")
+    return standardized_index(df, q, **kw)
+
+
+def standardized_groundwater_index(df, head, **kw):
+    """SGI (reference _hydrology.py:447-541): gamma-fitted standardized
+    index over groundwater levels."""
+    kw.setdefault("dist", "gamma")
+    kw.setdefault("alias", "sgi")
+    return standardized_index(df, head, **kw)

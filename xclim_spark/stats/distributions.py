@@ -268,6 +268,43 @@ def _fit_lognorm(x, method):
     return (sigma, 0.0, math.exp(mu))
 
 
+def _fit_fisk(x, method):
+    """3-parameter log-logistic via PWMs (Vicente-Serrano et al. 2010,
+    the canonical SPEI fit; Singh-Guo 1995 estimators).
+
+    Descending PWMs ``a_s = E[X (1-F)^s]`` derive from the ascending
+    ``b_r`` (Hosking): a0 = b0, a1 = b0 - b1, a2 = b0 - 2 b1 + b2.
+    scipy parameter order: (c=shape beta, loc=gamma, scale=alpha).
+    """
+    x = np.sort(np.asarray(x, dtype=float))
+    n = len(x)
+    i = np.arange(n, dtype=float)
+    b0 = x.mean()
+    b1 = np.sum(i * x) / (n * (n - 1.0))
+    b2 = np.sum(i * (i - 1.0) * x) / (n * (n - 1.0) * (n - 2.0)) if n > 2 \
+        else 0.0
+    a0, a1, a2 = b0, b0 - b1, b0 - 2.0 * b1 + b2
+    # beta = (2a1-a0)/(6a1-a0-6a2) == l2/l3 == 1/t3 exactly.  The
+    # log-logistic cannot represent t3 <= 0 (left-skew/symmetric
+    # samples), so clamp beta: as beta -> inf the fisk converges to a
+    # logistic matching l1/l2, the right degenerate limit for
+    # symmetric data (keeps near-normal months fittable instead of NaN).
+    l2 = 2.0 * b1 - b0
+    l3 = 6.0 * b2 - 6.0 * b1 + b0
+    if l2 <= 0.0:
+        return (np.nan, np.nan, np.nan)
+    t3 = l3 / l2
+    beta = 1.0 / max(t3, 1.0 / 150.0)
+    if not (beta > 1.0):  # Gamma(1-1/beta) needs beta > 1
+        return (np.nan, np.nan, np.nan)
+    g = math.gamma(1.0 + 1.0 / beta) * math.gamma(1.0 - 1.0 / beta)
+    alpha = (a0 - 2.0 * a1) * beta / g
+    gamma_loc = a0 - alpha * g
+    if alpha <= 0.0:
+        return (np.nan, np.nan, np.nan)
+    return (beta, gamma_loc, alpha)
+
+
 DISTS = {
     "norm": {
         "nparams": 2,
@@ -314,6 +351,17 @@ DISTS = {
         "cdf": lambda p, x: gammainc_p(
             p[0], np.maximum((np.asarray(x, float) - p[1]) / p[2], 0.0)),
         "pdf": None,
+    },
+    "fisk": {
+        "nparams": 3,
+        "fit": _fit_fisk,
+        "ppf": lambda p, q: p[1] + p[2] * np.power(
+            (lambda qq: qq / (1.0 - qq))(np.asarray(q, float)), 1.0 / p[0]),
+        "cdf": lambda p, x: 1.0 / (1.0 + np.power(
+            p[2] / np.maximum(np.asarray(x, float) - p[1], 1e-300), p[0])),
+        "pdf": lambda p, x: (lambda z: (p[0] / p[2]) * np.power(z, p[0] - 1)
+                             / (1.0 + np.power(z, p[0])) ** 2)(
+            np.maximum((np.asarray(x, float) - p[1]) / p[2], 1e-300)),
     },
     "lognorm": {
         "nparams": 3,
