@@ -186,3 +186,188 @@ def test_cli_end_to_end(spark, tmp_path):
     assert rc == 0
     back = spark.read.parquet(outp).collect()
     assert back[0]["tx_days_above"] == 2
+
+
+def test_new_registry_entries():
+    for name in ("warm_spell_duration_index", "cold_spell_duration_index",
+                 "growing_season_end", "growing_season_length",
+                 "frost_free_season_start", "last_spring_frost",
+                 "dry_spell_frequency", "wet_spell_max_length",
+                 "liquid_precip_ratio", "rprctot", "windy_days",
+                 "snd_season_length", "base_flow_index", "sea_ice_area"):
+        assert name in registry, name
+
+
+def test_growing_season_end_and_length(spark):
+    from xclim_spark.indicators import atmos as A
+
+    # warm May-Sep (tas 10), cold otherwise: season start at the first
+    # 6-day warm run (May 1 = doy 122 in 2001), end at the first 5-day
+    # cold run after Jul 1 (Oct 1 = doy 274)
+    vals = []
+    import datetime as dt
+    for d in range(365):
+        day = dt.date(2001, 1, 1) + dt.timedelta(days=d)
+        vals.append(10.0 if 5 <= day.month <= 9 else -2.0)
+    df = timeseries(spark, vals, start="2001-01-01")
+    end = A.growing_season_end(df, tas="value", cells=["cell"],
+                               missing=None).df.collect()[0]
+    assert end["growing_season_end"] == 274
+    length = A.growing_season_length(df, tas="value", cells=["cell"],
+                                     missing=None).df.collect()[0]
+    # May 1 .. Sep 30 inclusive = 153 days
+    assert length["growing_season_length"] == 153
+
+
+def test_frost_season_and_spring_frost(spark):
+    import datetime as dt
+
+    # frost until Apr 10 (doy 100) and from Oct 20 (doy 293)
+    vals = []
+    for d in range(365):
+        doy = d + 1
+        vals.append(-3.0 if doy <= 100 or doy >= 293 else 5.0)
+    df = timeseries(spark, vals, start="2001-01-01")
+    from xclim_spark.indicators import atmos as A
+
+    start = A.frost_free_season_start(df, tasmin="value", cells=["cell"],
+                                      missing=None).df.collect()[0]
+    assert start["frost_free_season_start"] == 101
+    last = A.last_spring_frost(df, tasmin="value", cells=["cell"],
+                               missing=None).df.collect()[0]
+    assert last["last_spring_frost"] == 100
+    first_fall = A.first_fall_frost(df, tasmin="value", cells=["cell"],
+                                    missing=None).df.collect()[0]
+    assert first_fall["first_fall_frost"] == 293
+    ffl = A.frost_free_season_length(df, tasmin="value", cells=["cell"],
+                                     missing=None).df.collect()[0]
+    # doys 101..292 inclusive = 192 days
+    assert ffl["frost_free_season_length"] == 192
+
+
+def test_dry_wet_spell_family(spark):
+    # pr: 10 wet days, 9 dry days, 10 wet, rest dry
+    vals = [5.0] * 10 + [0.0] * 9 + [5.0] * 10 + [0.0] * 11
+    df = timeseries(spark, vals, start="2001-01-01")
+    from xclim_spark.indicators import atmos as A
+
+    freqy = A.dry_spell_frequency(df, pr="value", cells=["cell"],
+                                  missing=None).df.collect()[0]
+    # 3-day rolling sums < 1mm: two dry stretches -> 2 events
+    assert freqy["dry_spell_frequency"] == 2
+    wmax = A.wet_spell_max_length(df, pr="value", cells=["cell"],
+                                  missing=None).df.collect()[0]
+    # window=1, 1-day sums >= 1mm: longest wet run = 10 (+1 day whose
+    # 1-day sum is its own: exactly the wet runs)
+    assert wmax["wet_spell_max_length"] == 10
+
+
+def test_csdi_wsdi(spark):
+    import numpy as np
+
+    from xclim_spark.indicators import atmos as A
+    from xclim_spark.operators.percentile import percentile_doy
+
+    rng = np.random.RandomState(3)
+    base = 15 + 10 * np.sin(2 * np.pi * np.arange(365 * 6) / 365.25)
+    vals = (base + rng.normal(0, 2, len(base))).tolist()
+    df = timeseries(spark, vals, start="1998-01-01")
+    per = percentile_doy(df, "value", 0.9, window=5, cells=["cell"])
+    out = A.warm_spell_duration_index(df, tasmax="value", per=per,
+                                      cells=["cell"],
+                                      missing=None).df.collect()
+    got = {r["period"].year: r["warm_spell_duration_index"] for r in out}
+    assert set(got) == set(range(1998, 2004))
+    # WSDI counts only days inside >=6-day exceedance runs: bounded by
+    # the total exceedance count (~10% of 365) and usually small
+    assert all(0 <= v <= 60 for v in got.values())
+
+
+def test_liquid_precip_ratio_and_rprctot(spark):
+    import datetime as dt
+
+    # pr constant 2 mm; tas below freezing for the first 20 days
+    rows = []
+    for d in range(40):
+        day = dt.date(2001, 1, 1) + dt.timedelta(days=d)
+        rows.append((1, day, 2.0, -5.0 if d < 20 else 5.0))
+    df = spark.createDataFrame(
+        rows, "cell int, time date, pr double, tas double")
+    from xclim_spark.indicators import atmos as A
+
+    out = A.liquid_precip_ratio(df, pr="pr", tas="tas", freq="YS",
+                                cells=["cell"], missing=None).df.collect()[0]
+    assert out["liquid_precip_ratio"] == pytest.approx(0.5)
+
+    # rprctot: half the days have pr >= 3 -> those carry all of their sum
+    rows2 = [(1, dt.date(2001, 1, 1) + dt.timedelta(days=d),
+              4.0 if d % 2 == 0 else 0.5) for d in range(40)]
+    df2 = spark.createDataFrame(rows2, "cell int, time date, pr double")
+    out2 = A.rprctot(df2, pr="pr", freq="YS", cells=["cell"],
+                     missing=None).df.collect()[0]
+    assert out2["rprctot"] == pytest.approx(4.0 * 20 / (4.0 * 20 + 0.5 * 20))
+
+
+def test_snow_indicators(spark):
+    import datetime as dt
+
+    from xclim_spark.indicators import land as L
+
+    # snow depth 10cm from Nov 15 2000 to Mar 31 2001 (YS-JUL year
+    # starting 2000-07-01), else 0
+    rows = []
+    for d in range(365):
+        day = dt.date(2000, 7, 1) + dt.timedelta(days=d)
+        snd = 10.0 if (dt.date(2000, 11, 15) <= day <=
+                       dt.date(2001, 3, 31)) else 0.0
+        rows.append((1, day, snd))
+    df = spark.createDataFrame(rows, "cell int, time date, snd double")
+    length = L.snd_season_length(df, snd="value", cells=["cell"],
+                                 missing=None, units={"snd": "cm"},
+                                 snd_col="snd") if False else \
+        L.snd_season_length(df, snd="snd", cells=["cell"], missing=None)
+    row = length.df.collect()[0]
+    # Nov 15..Mar 30 (end = first 14-day snow-free run start, Apr 1)
+    assert row["snd_season_length"] == pytest.approx(137, abs=2)
+
+    melt_rows = []
+    for d in range(365):
+        day = dt.date(2000, 7, 1) + dt.timedelta(days=d)
+        swe = max(0.0, 100.0 - 4.0 * max(0, d - 250))
+        melt_rows.append((1, day, swe))
+    dfm = spark.createDataFrame(melt_rows,
+                                "cell int, time date, snw double")
+    m = L.snow_melt_we_max(dfm, snw="snw", cells=["cell"],
+                           missing=None).df.collect()[0]
+    assert m["snow_melt_we_max"] == pytest.approx(12.0)  # 3-day max melt
+
+
+def test_sea_ice_area_extent(spark):
+    import datetime as dt
+
+    from xclim_spark.indicators import seaIce
+
+    day = dt.date(2001, 1, 1)
+    rows = [(c, day, conc, 100.0) for c, conc in
+            enumerate([0.9, 0.5, 0.10, 0.0])]
+    df = spark.createDataFrame(
+        rows, "cell int, time date, siconc double, areacello double")
+    area = seaIce.sea_ice_area(df, siconc="siconc", areacello="areacello",
+                               missing=None).df.collect()[0]
+    assert area["sea_ice_area"] == pytest.approx((0.9 + 0.5) * 100.0)
+    ext = seaIce.sea_ice_extent(df, siconc="siconc", areacello="areacello",
+                                missing=None).df.collect()[0]
+    assert ext["sea_ice_extent"] == pytest.approx(200.0)
+
+
+def test_streamflow_indicators(spark):
+    import datetime as dt
+
+    from xclim_spark.indicators import land as L
+
+    rows = [(1, dt.date(2001, 1, 1) + dt.timedelta(days=d),
+             10.0 + (5.0 if d == 100 else 0.0)) for d in range(365)]
+    df = spark.createDataFrame(rows, "cell int, time date, q double")
+    doy = L.doy_qmax(df, q="q", cells=["cell"], missing=None) \
+        .df.collect()[0]
+    assert doy["doy_qmax"] == 101

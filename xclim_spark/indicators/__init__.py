@@ -29,6 +29,8 @@ from .core import (
 from . import computes  # noqa: F401
 from .atmos import atmos
 from .icclim import icclim
+from .land import land
+from .seaice import seaIce
 
 __all__ = [
     "COMPUTES",
@@ -38,6 +40,8 @@ __all__ = [
     "VARIABLES",
     "atmos",
     "icclim",
+    "land",
+    "seaIce",
     "build_indicator_module",
     "build_indicator_module_from_yaml",
     "from_dict",

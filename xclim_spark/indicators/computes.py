@@ -208,3 +208,190 @@ def days_over_doy_percentile(df, cols, params, *, time, cells, alias):
         j.withColumn("_over", cond.cast("long")), "_over", "sum",
         params["freq"], time=time, cells=cells, alias=alias,
     )
+
+
+@register_compute("spell_stats")
+def spell_stats(df, cols, params, *, time, cells, alias):
+    """Windowed-aggregate spells — dry/wet_spell_* family (reference
+    _threshold.py:3314-3742 via generic.py:543-769): days are in a spell
+    when the rolling ``window`` ``win_reducer`` of the data meets ``op
+    thresh``; ``spell_reducer`` in {count, sum, max} maps to
+    frequency / total length / max length."""
+    return rl.spell_length_statistics(
+        df, cols["data"], int(params["window"]),
+        params.get("win_reducer", "sum"), params["op"], params["thresh"],
+        params["spell_reducer"], params["freq"],
+        time=time, cells=cells, alias=alias,
+    )
+
+
+@register_compute("season_field")
+def season_field(df, cols, params, *, time, cells, alias):
+    """One field of the season automaton — growing/frost-free season
+    start/end/length (reference run_length.py:891-1147,
+    _threshold.py:975-1475).  ``params['field']`` in {start, end,
+    length}; start/end are emitted as day-of-year."""
+    cond = g.compare(cols["data"], params["op"], params["thresh"])
+    out = rl.season_bounds(
+        df, cond, int(params["window"]),
+        mid_date=params.get("mid_date", "07-01"),
+        freq=params["freq"], time=time, cells=cells,
+    )
+    field = params["field"]
+    keys = [*[F.col(c) for c in cells], F.col("period")]
+    if field == "length":
+        col = F.col("season_length")
+    else:
+        col = F.dayofyear(F.col(f"season_{field}"))
+    return out.select(*keys, col.alias(alias))
+
+
+@register_compute("first_run_after_date_doy")
+def first_run_after_date_doy(df, cols, params, *, time, cells, alias):
+    """Day-of-year of the first >=window run after a calendar date —
+    growing_season_end / first_fall_frost shape (reference
+    run_length.py:1204-1242)."""
+    cond = g.compare(cols["data"], params["op"], params["thresh"])
+    return rl.first_run_after_date(
+        df, cond, int(params["window"]), date=params.get("date", "07-01"),
+        freq=params["freq"], time=time, cells=cells, coord="doy",
+        alias=alias,
+    )
+
+
+@register_compute("last_run_before_date_doy")
+def last_run_before_date_doy(df, cols, params, *, time, cells, alias):
+    """Day-of-year of the last >=window run before a calendar date —
+    last_spring_frost (reference _threshold.py:1526,
+    run_length.py:1245-1287)."""
+    cond = g.compare(cols["data"], params["op"], params["thresh"])
+    return rl.last_run_before_date(
+        df, cond, int(params["window"]), date=params.get("date", "07-01"),
+        freq=params["freq"], time=time, cells=cells, coord="doy",
+        alias=alias,
+    )
+
+
+@register_compute("spell_duration_index")
+def spell_duration_index(df, cols, params, *, time, cells, alias):
+    """WSDI/CSDI (reference _multivariate.py:69,1719): days inside
+    >=window runs beyond the day-of-year percentile climatology
+    (``params['per']`` DataFrame from ``percentile_doy``)."""
+    from ..operators import percentile as pc
+
+    j = pc.resample_doy(df, params["per"], time=time, cells=cells,
+                        broadcast=params.get("broadcast"))
+    cond = g.compare(cols["data"], params.get("op", ">"), F.col("per"))
+    return rl.windowed_run_count(
+        j, cond, int(params["window"]), freq=params["freq"],
+        time=time, cells=cells, alias=alias,
+    )
+
+
+@register_compute("bivariate_spell_max_length")
+def bivariate_spell_max_length(df, cols, params, *, time, cells, alias):
+    """Longest >=window bivariate spell (heat_wave_max_length,
+    reference _multivariate.py:724)."""
+    cond = g.compare(
+        cols["low_data"], params["op_low"], params["thresh_low"]
+    ) & g.compare(cols["high_data"], params["op_high"], params["thresh_high"])
+    return rl.rle_statistics(
+        df, cond, "max", int(params["window"]), freq=params["freq"],
+        time=time, cells=cells, alias=alias,
+    )
+
+
+@register_compute("bivariate_spell_total_length")
+def bivariate_spell_total_length(df, cols, params, *, time, cells, alias):
+    """Days inside >=window bivariate spells (heat_wave_total_length,
+    reference _multivariate.py:803)."""
+    cond = g.compare(
+        cols["low_data"], params["op_low"], params["thresh_low"]
+    ) & g.compare(cols["high_data"], params["op_high"], params["thresh_high"])
+    return rl.windowed_run_count(
+        df, cond, int(params["window"]), freq=params["freq"],
+        time=time, cells=cells, alias=alias,
+    )
+
+
+@register_compute("thresholded_ratio")
+def thresholded_ratio(df, cols, params, *, time, cells, alias):
+    """Ratio of the thresholded sum over the total sum per period —
+    liquid_precip_ratio / rprctot shape (reference
+    _multivariate.py:871, _threshold.py:3170).  The condition applies to
+    ``cond_data`` (defaults to the summed data itself)."""
+    cond_col = cols.get("cond_data", cols["data"])
+    cond = g.compare(cond_col, params["op"], params["thresh"])
+    d = df.withColumn("_num", F.when(cond, F.col(cols["data"]))
+                      .otherwise(F.lit(0.0)))
+    from ..calendar import period_start
+
+    per = period_start(time, params["freq"])
+    out = (
+        d.groupBy(*cells, per.alias("period"))
+        .agg((F.sum("_num") / F.sum(cols["data"])).alias(alias))
+    )
+    return out
+
+
+@register_compute("degree_days_exceedance_date")
+def degree_days_exceedance_date(df, cols, params, *, time, cells, alias):
+    """First day-of-year where cumulative degree days cross a sum
+    (reference _threshold.py:3215)."""
+    return g.degree_days_exceedance_date(
+        df, cols["data"], params.get("op", ">"), params["thresh"],
+        params["sum_thresh"], freq=params.get("freq", "YS"),
+        after_date=params.get("after_date"), time=time, cells=cells,
+        alias=alias,
+    )
+
+
+@register_compute("weighted_domain_sum")
+def weighted_domain_sum(df, cols, params, *, time, cells, alias):
+    """Spatially aggregated thresholded weighted sum per timestep —
+    sea_ice_area/extent (reference _threshold.py:3058-3134): sum of
+    ``weight`` (times ``data`` unless ``extent``) over cells where
+    ``data op thresh``; grouped by the period key only (``cells``
+    intentionally NOT in the output grain)."""
+    from ..calendar import period_start
+
+    cond = g.compare(cols["data"], params["op"], params["thresh"])
+    val = F.col(cols["weight"]) if params.get("extent") \
+        else F.col(cols["weight"]) * F.col(cols["data"])
+    d = df.withColumn("_v", F.when(cond, val).otherwise(F.lit(0.0)))
+    per = period_start(time, params.get("freq", "D"))
+    return d.groupBy(per.alias("period")).agg(F.sum("_v").alias(alias))
+
+
+@register_compute("melt_rolling_max")
+def melt_rolling_max(df, cols, params, *, time, cells, alias):
+    """Max over period of the rolling ``window``-day sum of snow melt
+    (positive day-over-day SWE decrease) — snow_melt_we_max (reference
+    _hydrology.py:371-405)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*cells).orderBy(time)
+    melt = -(F.col(cols["data"]) - F.lag(cols["data"]).over(w))
+    d = df.withColumn("_melt", melt)
+    return g.select_rolling_resample_op(
+        d, "_melt", "max", params["freq"], window=int(params["window"]),
+        window_op="sum", time=time, cells=cells, alias=alias,
+    )
+
+
+@register_compute("base_flow_index")
+def base_flow_index(df, cols, params, *, time, cells, alias):
+    """min(7-day mean flow) / mean flow (reference _hydrology.py:50)."""
+    from ..operators import hydrology as hy
+
+    return hy.base_flow_index(df, cols["data"], params["freq"],
+                              time=time, cells=cells, alias=alias)
+
+
+@register_compute("rb_flashiness_index")
+def rb_flashiness_index(df, cols, params, *, time, cells, alias):
+    """Richards-Baker flashiness (reference _hydrology.py:94)."""
+    from ..operators import hydrology as hy
+
+    return hy.rb_flashiness_index(df, cols["data"], params["freq"],
+                                  time=time, cells=cells, alias=alias)

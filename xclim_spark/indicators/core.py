@@ -87,6 +87,9 @@ class Parameter:
     kind: str = "number"  # number | quantified | freq | string | bool | window
     units: str | None = None  # dimensionality contract for quantified
     description: str = ""
+    # input role whose units a quantified threshold converts into
+    # (defaults to the primary/first input)
+    applies_to: str | None = None
 
 
 @dataclass
@@ -190,7 +193,8 @@ class Indicator:
                 # magnitude in the input's own units (the harness tables are
                 # unitless); quantified strings are dimensionality-checked
                 # and converted into the primary input's units at plan time.
-                target = var_units.get(next(iter(self.input)), "1")
+                role = p.applies_to or next(iter(self.input))
+                target = var_units.get(role, "1")
                 if isinstance(val, (int, float)):
                     params[name] = float(val)
                 else:
@@ -312,6 +316,7 @@ def from_dict(spec: dict) -> Indicator:
             kind=p.get("kind", "number"),
             units=p.get("units"),
             description=p.get("description", ""),
+            applies_to=p.get("applies_to"),
         )
     return Indicator(parameters=parameters, **spec)
 

@@ -1120,6 +1120,114 @@ def ind_heat_wave_freq_ys(spark, sf_dir):
 
 
 @_register(
+    "ind_gsl_ys",
+    f"""WITH {DAILY_SQL},
+base AS (SELECT cell, day, qty, {_YS} AS period FROM daily),
+scaffold AS (SELECT DISTINCT cell, period FROM base),
+m1 AS (
+  SELECT *, (cond IS DISTINCT FROM lag(cond)
+             OVER (PARTITION BY cell, period ORDER BY day)) AS chg
+  FROM (SELECT cell, day, period, qty > 25.0 AS cond FROM base)
+),
+r1 AS (
+  SELECT *, sum(CASE WHEN chg THEN 1 ELSE 0 END)
+              OVER (PARTITION BY cell, period ORDER BY day) AS rid
+  FROM m1
+),
+starts AS (
+  SELECT cell, period, min(run_start) AS season_start FROM (
+    SELECT cell, period, rid, count(*) AS len, min(day) AS run_start
+    FROM r1 WHERE cond GROUP BY 1, 2, 3
+  ) WHERE len >= 6 GROUP BY 1, 2
+),
+late AS (SELECT * FROM base WHERE day >= make_date(year(period), 7, 1)),
+m2 AS (
+  SELECT *, (cond IS DISTINCT FROM lag(cond)
+             OVER (PARTITION BY cell, period ORDER BY day)) AS chg
+  FROM (SELECT cell, day, period, NOT (qty > 25.0) AS cond FROM late)
+),
+r2 AS (
+  SELECT *, sum(CASE WHEN chg THEN 1 ELSE 0 END)
+              OVER (PARTITION BY cell, period ORDER BY day) AS rid
+  FROM m2
+),
+ends AS (
+  SELECT cell, period, min(run_start) AS season_end FROM (
+    SELECT cell, period, rid, count(*) AS len, min(day) AS run_start
+    FROM r2 WHERE cond GROUP BY 1, 2, 3
+  ) WHERE len >= 6 GROUP BY 1, 2
+)
+SELECT s.cell, s.period,
+       CASE WHEN st.season_start IS NULL THEN NULL
+            WHEN e.season_end IS NOT NULL
+              THEN date_diff('day', st.season_start, e.season_end)
+            ELSE date_diff('day', st.season_start,
+                           (s.period + INTERVAL 12 MONTH)::DATE)
+       END AS growing_season_length
+FROM scaffold s
+LEFT JOIN starts st ON s.cell = st.cell AND s.period = st.period
+LEFT JOIN ends e ON s.cell = e.cell AND s.period = e.period""",
+)
+def ind_gsl_ys(spark, sf_dir):
+    """growing_season_length by registry name: the full season automaton
+    (first >=6-day warm run, first >=6-day cold run after Jul 1;
+    ref _threshold.py:1096, run_length.py:891-1147)."""
+    return _ind("growing_season_length", tas="qty", thresh=25.0, window=6,
+                freq="YS", missing=None)(spark, sf_dir)
+
+
+@_register(
+    "ind_dry_spell_freq_ys",
+    f"""WITH {DAILY_SQL},
+masked AS (
+  SELECT cell, day,
+         coalesce(max(CASE WHEN hit THEN 1 ELSE 0 END)
+           OVER (PARTITION BY cell ORDER BY day
+                 ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING), 0) = 1
+           AS is_spell
+  FROM (
+    SELECT cell, day,
+           (sum(qty) OVER (PARTITION BY cell ORDER BY day
+                           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+              < 60.0
+            AND count(qty) OVER (PARTITION BY cell ORDER BY day
+                                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+              >= 3) AS hit
+    FROM daily
+  )
+),
+marked AS (
+  SELECT *, (is_spell IS DISTINCT FROM lag(is_spell)
+             OVER (PARTITION BY cell ORDER BY day)) AS chg
+  FROM masked
+),
+runs AS (
+  SELECT *, sum(CASE WHEN chg THEN 1 ELSE 0 END)
+              OVER (PARTITION BY cell ORDER BY day) AS rid
+  FROM marked
+),
+events AS (
+  SELECT cell, {_YS.replace('day', 'run_start')} AS period,
+         count(*) AS n FROM (
+    SELECT cell, rid, min(day) AS run_start
+    FROM runs WHERE is_spell GROUP BY 1, 2
+  ) GROUP BY 1, 2
+),
+scaffold AS (SELECT DISTINCT cell, {_YS} AS period FROM daily)
+SELECT s.cell, s.period,
+       CAST(coalesce(e.n, 0) AS BIGINT) AS dry_spell_frequency
+FROM scaffold s
+LEFT JOIN events e ON s.cell = e.cell AND s.period = e.period""",
+)
+def ind_dry_spell_freq_ys(spark, sf_dir):
+    """dry_spell_frequency by registry name: windowed-sum spell mask
+    (backshift trick) + event count (ref _threshold.py:3314,
+    generic.py:434-540)."""
+    return _ind("dry_spell_frequency", pr="qty", thresh=60.0, window=3,
+                freq="YS", missing=None)(spark, sf_dir)
+
+
+@_register(
     "ind_precip_acc_qs",
     f"""WITH {DAILY_SQL}
 SELECT cell,
@@ -1168,6 +1276,63 @@ def ind_tg90p_ys(spark, sf_dir):
 
 
 ORACLES["ind_tg90p_ys"] = _tg90p_oracle(alias="tg90p")
+
+
+def _wsdi_oracle() -> str:
+    from .operators.percentile import percentile_doy_sql
+    from .calendar import doy365_sql
+
+    per_ctes = percentile_doy_sql(
+        "daily", "qty", 0.9, window=5, time="day", cells="cell", alias="p90"
+    )
+    return f"""WITH {DAILY_SQL},
+{per_ctes},
+cond_tbl AS (
+  SELECT d.cell AS cell, d.day AS day,
+         CAST(date_trunc('year', d.day) AS DATE) AS period,
+         d.qty > per.p90 AS cond
+  FROM daily d JOIN per ON d.cell = per.cell
+                       AND {doy365_sql('d.day')} = per.dayofyear
+),
+marked AS (
+  SELECT *, (cond IS DISTINCT FROM lag(cond)
+             OVER (PARTITION BY cell, period ORDER BY day)) AS chg
+  FROM cond_tbl
+),
+runs AS (
+  SELECT *, sum(CASE WHEN chg THEN 1 ELSE 0 END)
+              OVER (PARTITION BY cell, period ORDER BY day) AS rid
+  FROM marked
+),
+rl AS (
+  SELECT cell, period, rid, count(*) AS len
+  FROM runs WHERE cond GROUP BY 1, 2, 3
+)
+SELECT s.cell, s.period,
+       CAST(coalesce(sum(CASE WHEN r.len >= 3 THEN r.len END), 0) AS BIGINT)
+         AS warm_spell_duration_index
+FROM (SELECT DISTINCT cell, {_YS} AS period FROM daily) s
+LEFT JOIN rl r ON s.cell = r.cell AND s.period = r.period
+GROUP BY 1, 2"""
+
+
+@_register("ind_wsdi_ys", None)  # oracle attached below (built dynamically)
+def ind_wsdi_ys(spark, sf_dir):
+    """warm_spell_duration_index by registry name: days inside >=3-day
+    runs over the doy-90th-percentile climatology (ref
+    _multivariate.py:1719)."""
+    from .indicators import registry
+    from .operators import percentile as pc
+
+    d = daily_series(spark, sf_dir)
+    per = pc.percentile_doy(d, "qty", 0.9, window=5, time="day",
+                            cells=["cell"], alias="per")
+    return registry["warm_spell_duration_index"](
+        d, tasmax="qty", per=per, window=3, freq="YS", time="day",
+        cells=["cell"], missing=None).df
+
+
+ORACLES["ind_wsdi_ys"] = _wsdi_oracle()
 
 
 # ---------------------------------------------------------------------------

@@ -206,6 +206,26 @@ def _auto_transform(from_dims: tuple, to_dims: tuple) -> float | None:
         return 1.0 / WATER_DENSITY
     if from_dims == lwe_amt and to_dims == mass_amt:
         return WATER_DENSITY
+    # amount <-> rate at daily grain (reference rate2amount/amount2rate,
+    # units.py:744-994 with a 1-day timestep — the engine's canonical
+    # source frequency): "1 mm" == "1 mm/d" over one day.
+    day = 86400.0
+    if from_dims == lwe_amt and to_dims == lwe_rate:
+        return 1.0 / day
+    if from_dims == lwe_rate and to_dims == lwe_amt:
+        return day
+    if from_dims == mass_amt and to_dims == mass_flux:
+        return 1.0 / day
+    if from_dims == mass_flux and to_dims == mass_amt:
+        return day
+    if from_dims == lwe_amt and to_dims == mass_flux:
+        return WATER_DENSITY / day
+    if from_dims == mass_flux and to_dims == lwe_amt:
+        return day / WATER_DENSITY
+    if from_dims == mass_amt and to_dims == lwe_rate:
+        return 1.0 / (WATER_DENSITY * day)
+    if from_dims == lwe_rate and to_dims == mass_amt:
+        return WATER_DENSITY * day
     return None
 
 
