@@ -371,3 +371,70 @@ def test_streamflow_indicators(spark):
     doy = L.doy_qmax(df, q="q", cells=["cell"], missing=None) \
         .df.collect()[0]
     assert doy["doy_qmax"] == 101
+
+
+def test_cf_module_complete():
+    from xclim_spark.indicators import cf
+
+    assert len(cf) == 55
+    for name in ("cdd", "cwd", "ctmgeTT", "ctxltTT", "cfd", "csu", "gd4",
+                 "hd17", "gddgrowTT", "txx", "tnn", "tmmean", "dtr",
+                 "maxdtr", "etr", "vdtr", "sdii", "fg", "fxx", "pp"):
+        assert hasattr(cf, name), name
+
+
+def test_cf_cdd_spell_length(spark):
+    from xclim_spark.indicators import cf
+
+    # dry (<1mm) runs: 3, then 2 -> cdd = 3
+    vals = [0.0, 0.2, 0.5, 5.0, 2.0, 0.0, 0.1, 3.0, 1.5, 2.0]
+    df = timeseries(spark, vals, start="2000-01-01")
+    out = cf.cdd(df, pr="value", cells=["cell"], missing=None).df.collect()
+    assert len(out) == 1 and out[0]["cdd"] == 3
+
+
+def test_cf_tt_threshold_required(spark):
+    from xclim_spark.indicators import cf
+
+    # ctxgeTT: longest run of tasmax > threshold (threshold injected)
+    vals = [21, 22, 23, 19, 25, 26, 18, 30, 10, 12]
+    df = timeseries(spark, vals, start="2000-01-01")
+    out = cf.ctxgeTT(df, tasmax="value", threshold="20 degree_Celsius",
+                     cells=["cell"], missing=None).df.collect()
+    assert out[0]["ctxgeTT"] == 3
+
+
+def test_cf_statistics_and_ranges(spark):
+    import datetime as dt
+
+    from xclim_spark.indicators import cf
+
+    vals = [5.0, 9.0, 3.0, 7.0]
+    df = timeseries(spark, vals, start="2000-01-01")
+    assert cf.txx(df, tasmax="value", cells=["cell"],
+                  missing=None).df.collect()[0]["txx"] == 9.0
+    assert cf.tnn(df, tasmin="value", cells=["cell"],
+                  missing=None).df.collect()[0]["tnn"] == 3.0
+
+    rows = [(1, dt.date(2001, 1, 1) + dt.timedelta(days=d),
+             20.0 + d, 10.0 - d) for d in range(4)]
+    two = spark.createDataFrame(
+        rows, "cell int, time date, hi double, lo double")
+    # etr = max(hi) - min(lo) = 23 - 7
+    assert cf.etr(two, tasmax="hi", tasmin="lo", cells=["cell"],
+                  missing=None).df.collect()[0]["etr"] == 16.0
+    # dtr mean of (hi-lo): diffs 10,12,14,16 -> 13
+    assert cf.dtr(two, tasmax="hi", tasmin="lo", cells=["cell"],
+                  missing=None).df.collect()[0]["dtr"] == 13.0
+    # vdtr mean |day-to-day dtr diff| = mean(2,2,2) = 2
+    assert cf.vdtr(two, tasmax="hi", tasmin="lo", cells=["cell"],
+                   missing=None).df.collect()[0]["vdtr"] == 2.0
+
+
+def test_cf_sdii(spark):
+    from xclim_spark.indicators import cf
+
+    vals = [0.0, 4.0, 0.5, 6.0, 0.0, 2.0]
+    df = timeseries(spark, vals, start="2000-01-01")
+    out = cf.sdii(df, pr="value", cells=["cell"], missing=None).df.collect()
+    assert out[0]["sdii"] == 4.0

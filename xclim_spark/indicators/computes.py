@@ -26,6 +26,13 @@ def _indexer(params: dict) -> dict:
     return {k: params[k] for k in _INDEXER_KEYS if params.get(k) is not None}
 
 
+def _thr(params: dict):
+    """Threshold under either spelling: ``thresh`` (atmos specs) or
+    ``threshold`` (clix-meta cf.yml naming)."""
+    v = params.get("thresh")
+    return v if v is not None else params.get("threshold")
+
+
 @register_compute("resample_op")
 def resample_op(df, cols, params, *, time, cells, alias):
     """select_resample_op (reference generic.py:83-125)."""
@@ -51,7 +58,7 @@ def count_occurrences(df, cols, params, *, time, cells, alias):
     """threshold_count (reference generic.py:329-361; cf.yml
     count_occurrences)."""
     return g.threshold_count(
-        df, cols["data"], params["op"], params["thresh"], params["freq"],
+        df, cols["data"], params["op"], _thr(params), params["freq"],
         time=time, cells=cells, alias=alias, **_indexer(params),
     )
 
@@ -69,7 +76,7 @@ def domain_count(df, cols, params, *, time, cells, alias):
 def temperature_sum(df, cols, params, *, time, cells, alias):
     """Signed degree-day sum (reference generic.py:1324-1357)."""
     return g.temperature_sum(
-        df, cols["data"], params["op"], params["thresh"], params["freq"],
+        df, cols["data"], params["op"], _thr(params), params["freq"],
         time=time, cells=cells, alias=alias, **_indexer(params),
     )
 
@@ -78,7 +85,7 @@ def temperature_sum(df, cols, params, *, time, cells, alias):
 def thresholded_statistics(df, cols, params, *, time, cells, alias):
     """Reducer over rows meeting a condition (reference generic.py:1279)."""
     return g.thresholded_statistics(
-        df, cols["data"], params["reducer"], params["op"], params["thresh"],
+        df, cols["data"], params["reducer"], params["op"], _thr(params),
         params["freq"], time=time, cells=cells, alias=alias,
         **_indexer(params),
     )
@@ -386,6 +393,60 @@ def base_flow_index(df, cols, params, *, time, cells, alias):
 
     return hy.base_flow_index(df, cols["data"], params["freq"],
                               time=time, cells=cells, alias=alias)
+
+
+@register_compute("statistics")
+def statistics(df, cols, params, *, time, cells, alias):
+    """clix-meta ``statistics`` (cf.yml; reference generic.py:83-125):
+    plain reducer over the period — same kernel as ``resample_op`` but
+    parameterized by ``reducer`` as in the YAML."""
+    return g.select_resample_op(
+        df, cols["data"], params["reducer"], params["freq"],
+        time=time, cells=cells, alias=alias, **_indexer(params),
+    )
+
+
+@register_compute("spell_length")
+def spell_length(df, cols, params, *, time, cells, alias):
+    """clix-meta ``spell_length`` (cf.yml cdd/cwd/ct**TT family): reducer
+    over lengths of runs where ``data op threshold`` (reference
+    run_length.py:275 rle_statistics)."""
+    cond = g.compare(cols["data"], params["op"], params["threshold"])
+    return rl.rle_statistics(
+        df, cond, params.get("reducer", "max"), 1, freq=params["freq"],
+        time=time, cells=cells, alias=alias,
+    )
+
+
+@register_compute("diurnal_temperature_range")
+def diurnal_temperature_range(df, cols, params, *, time, cells, alias):
+    """clix-meta ``diurnal_temperature_range`` (cf.yml dtr/maxdtr):
+    reducer over (high - low) — same kernel as ``range_statistics``."""
+    return range_statistics(df, cols, params, time=time, cells=cells,
+                            alias=alias)
+
+
+@register_compute("extreme_temperature_range")
+def extreme_temperature_range(df, cols, params, *, time, cells, alias):
+    """clix-meta ``extreme_temperature_range`` (cf.yml etr): per-period
+    max(high) - min(low) (reference _multivariate.py:615)."""
+    from ..calendar import period_start
+
+    per = period_start(time, params["freq"])
+    return (
+        df.groupBy(*cells, per.alias("period"))
+        .agg((F.max(cols["high_data"]) - F.min(cols["low_data"]))
+             .alias(alias))
+    )
+
+
+@register_compute("interday_diurnal_temperature_range")
+def interday_diurnal_temperature_range(df, cols, params, *, time, cells,
+                                       alias):
+    """clix-meta ``interday_diurnal_temperature_range`` (cf.yml vdtr) —
+    same kernel as ``interday_range_variability``."""
+    return interday_range_variability(df, cols, params, time=time,
+                                      cells=cells, alias=alias)
 
 
 @register_compute("rb_flashiness_index")

@@ -72,6 +72,11 @@ VARIABLES: dict[str, dict[str, str]] = {
     "ps": {"canonical_units": "Pa", "standard_name": "surface_air_pressure"},
     "discharge": {"canonical_units": "m3 s-1",
                   "standard_name": "water_volume_transport_in_river_channel"},
+    "wsgsmax": {"canonical_units": "m s-1",
+                "standard_name": "wind_speed_of_gust"},
+    "psl": {"canonical_units": "hPa",
+            "standard_name": "air_pressure_at_sea_level"},
+    "sund": {"canonical_units": "h", "standard_name": "duration_of_sunshine"},
     # harness variables (driver test tables are unitless)
     "data": {"canonical_units": "1", "standard_name": "data"},
 }

@@ -1728,6 +1728,36 @@ def mm_binary_stats(spark, sf_dir):
     )
 
 
+@_register(
+    "cf_cdd_ys",
+    f"""WITH {DAILY_SQL},
+{_runs_sql("price < 45000", _YS)}
+SELECT cell, period,
+       CAST(coalesce(max(run_length), 0) AS BIGINT) AS cdd
+FROM rl GROUP BY 1, 2""",
+)
+def cf_cdd_ys(spark, sf_dir):
+    """clix-meta ``cdd`` through the cf virtual module (ref
+    src/xclim/data/cf.yml:21, spell_length generic compute): longest dry
+    run per year."""
+    return _ind("cdd", pr="price", threshold=45000.0, freq="YS",
+                missing=None)(spark, sf_dir)
+
+
+@_register(
+    "cf_txx_ms",
+    f"""WITH {DAILY_SQL}
+SELECT cell, CAST(date_trunc('month', day) AS DATE) AS period,
+       ROUND(max(qty), 6) AS txx
+FROM daily GROUP BY 1, 2""",
+)
+def cf_txx_ms(spark, sf_dir):
+    """clix-meta ``txx`` through the cf virtual module (ref
+    src/xclim/data/cf.yml:891, statistics generic compute, max reducer)."""
+    out = _ind("txx", tasmax="qty", freq="MS", missing=None)(spark, sf_dir)
+    return out.withColumn("txx", F.round("txx", 6))
+
+
 def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

@@ -94,6 +94,7 @@ _UNITS: dict[str, UnitDef] = {
 _ALIASES = {
     "°C": "degC", "°F": "degF", "celsius": "degC", "fahrenheit": "degF",
     "kelvin": "K", "degK": "K", "deg_C": "degC", "deg_F": "degF",
+    "degree_celsius": "degC", "degree_fahrenheit": "degF",
     "meter": "m", "metre": "m", "millimeter": "mm", "millimetre": "mm",
     "second": "s", "seconds": "s", "hour": "h", "days": "day",
     "dimensionless": "1", "": "1", "count": "1",
