@@ -456,3 +456,58 @@ def test_cosine_solar_zenith_and_distance(spark):
     # earth-sun distance: ~1.014 AU in June, ~0.984 AU in December
     assert rows[1]["d"] == pytest.approx(1.014, abs=0.003)
     assert rows[2]["d"] == pytest.approx(0.984, abs=0.003)
+
+
+def test_cc_scaled_precipitation(spark):
+    df = spark.createDataFrame([(10.0, 2.0)], "pr double, dt double")
+    got = df.select(cv.clausius_clapeyron_scaled_precipitation(
+        "dt", "pr").alias("out")).collect()[0]["out"]
+    assert got == pytest.approx(10.0 * 1.07**2)
+
+
+def test_specific_humidity_from_dewpoint(spark):
+    # dewpoint 17 degC at standard pressure -> q ~ 0.0120 kg/kg
+    df = spark.createDataFrame([(290.15, 101325.0)],
+                               "tdps double, ps double")
+    got = df.select(cv.specific_humidity_from_dewpoint(
+        "tdps", "ps").alias("q")).collect()[0]["q"]
+    assert got == pytest.approx(0.0120, abs=3e-4)
+
+
+def test_fao_allen98_direct():
+    # FAO-56 example 17 values -> ETo ~ 3.88 mm/day
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    df = spark.createDataFrame(
+        [(13.28, 290.05, 2.078, 1.997, 1.409, 0.122, 0.0666)],
+        "rn double, tk double, u2 double, es double, ea double,"
+        " dsvp double, gamma double")
+    got = df.select(cv.fao_allen98(
+        "rn", "tk", "u2", "es", "ea", "dsvp", "gamma").alias("et")
+    ).collect()[0]["et"]
+    assert got == pytest.approx(3.88, abs=0.05)
+
+
+def test_clearness_index_roundtrip(spark):
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [(dt.date(2000, 7, 6), 45.0, 20.0), (dt.date(2000, 7, 6), 45.0, 0.0)],
+        "day date, lat double, rsds double")
+    out = df.withColumn(
+        "ci", cv.clearness_index("day", "lat", "rsds")
+    ).withColumn(
+        "back",
+        cv.shortwave_downwelling_radiation_from_clearness_index(
+            "day", "lat", F.col("ci")),
+    ).collect()
+    assert 0.0 < out[0]["ci"] < 1.0
+    assert out[0]["back"] == pytest.approx(20.0, rel=1e-9)
+    assert out[1]["ci"] == 0.0
+
+
+def test_tas_alias(spark):
+    df = spark.createDataFrame([(10.0, 20.0)], "tn double, tx double")
+    got = df.select(cv.tas("tn", "tx").alias("t")).collect()[0]["t"]
+    assert got == 15.0

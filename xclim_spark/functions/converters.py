@@ -24,6 +24,12 @@ from .solar import cosine_of_solar_zenith_angle, distance_from_sun
 
 __all__ = [
     "humidex",
+    "tas",
+    "clausius_clapeyron_scaled_precipitation",
+    "specific_humidity_from_dewpoint",
+    "clearness_index",
+    "shortwave_downwelling_radiation_from_clearness_index",
+    "fao_allen98",
     "heat_index",
     "tas_from_tasmin_tasmax",
     "uas_vas_to_sfcwind",
@@ -815,3 +821,66 @@ def universal_thermal_climate_index(
         )
     drop = [c for c in staged.columns if c.startswith("_u_")]
     return staged.withColumn(out, approx).drop(*drop)
+
+
+def tas(tasmin, tasmax) -> Column:
+    """Deprecated alias of :func:`tas_from_tasmin_tasmax` (reference
+    converters.py:226-240)."""
+    return tas_from_tasmin_tasmax(tasmin, tasmax)
+
+
+def clausius_clapeyron_scaled_precipitation(
+    delta_tas_c, pr_baseline, cc_scale_factor: float = 1.07
+) -> Column:
+    """Scale baseline precipitation by the Clausius-Clapeyron relation:
+    ``pr * factor**delta_T`` with delta_T in delta-degC (reference
+    converters.py:1751-1797)."""
+    return _c(pr_baseline) * F.pow(F.lit(float(cc_scale_factor)),
+                                   _c(delta_tas_c))
+
+
+def specific_humidity_from_dewpoint(
+    tdps_k, ps, method: str = "sonntag90"
+) -> Column:
+    """Specific humidity [kg/kg] from dewpoint temperature [K] and air
+    pressure [Pa]: ``q = eps*e / (p - e*(1-eps))`` with ``e`` the
+    saturation vapour pressure at the dewpoint (reference
+    converters.py:952-1026)."""
+    eps = 0.62198  # molar weight ratio water / dry air
+    e = saturation_vapor_pressure(tdps_k, method=method)
+    return eps * e / (_c(ps) - e * (1.0 - eps))
+
+
+def clearness_index(time, lat_deg, rsds) -> Column:
+    """Clearness index: rsds over daily extraterrestrial radiation, 0 where
+    rsds is 0 (reference converters.py:1589-1624).  ``time``/``lat_deg``
+    feed the solar-geometry Columns; ``rsds`` must be in MJ m-2 d-1 to
+    match :func:`xclim_spark.functions.solar.extraterrestrial_solar_radiation`
+    output."""
+    from .solar import extraterrestrial_solar_radiation
+
+    rtop = extraterrestrial_solar_radiation(time, lat_deg)
+    return F.when(_c(rsds) != 0, _c(rsds) / rtop).otherwise(F.lit(0.0))
+
+
+def shortwave_downwelling_radiation_from_clearness_index(
+    time, lat_deg, ci
+) -> Column:
+    """Inverse of :func:`clearness_index`: ``rsds = ci * rtop`` (reference
+    converters.py:1627-1659)."""
+    from .solar import extraterrestrial_solar_radiation
+
+    return _c(ci) * extraterrestrial_solar_radiation(time, lat_deg)
+
+
+def fao_allen98(net_radiation, tas_k, wind, es, ea, delta_svp, gamma,
+                G: float = 0.0) -> Column:
+    """FAO-56 Penman-Monteith reference evapotranspiration [mm/d] for the
+    hypothetical short-grass surface (reference converters.py:1825-1874):
+    net radiation [MJ m-2 d-1], air temperature [K], 2 m wind [m/s],
+    saturation/actual vapour pressure and svp slope [kPa], psychrometric
+    constant [kPa/degC]."""
+    a1 = 0.408 * _c(delta_svp) * (_c(net_radiation) - F.lit(float(G)))
+    a2 = _c(gamma) * 900.0 / _c(tas_k) * _c(wind) * (_c(es) - _c(ea))
+    a3 = _c(delta_svp) + _c(gamma) * (1.0 + 0.34 * _c(wind))
+    return (a1 + a2) / a3
