@@ -438,3 +438,56 @@ def test_cf_sdii(spark):
     df = timeseries(spark, vals, start="2000-01-01")
     out = cf.sdii(df, pr="value", cells=["cell"], missing=None).df.collect()
     assert out[0]["sdii"] == 4.0
+
+
+def test_anuclim_module(spark):
+    import datetime as dt
+
+    from xclim_spark.indicators import anuclim as A
+
+    assert len(A) == 19
+
+    # two years of monthly-constant data: tas ramps by month, pr inverse
+    rows = []
+    for y in (2001, 2002):
+        for m in range(1, 13):
+            t0 = dt.date(y, m, 1)
+            ndays = (dt.date(y + (m == 12), (m % 12) + 1, 1) - t0).days
+            for d in range(ndays):
+                rows.append((1, t0 + dt.timedelta(days=d),
+                             float(m), float(13 - m)))
+    df = spark.createDataFrame(rows, "cell int, time date, t double, p double")
+
+    # P1: annual mean of tas = mean weighted by month lengths
+    p1 = A.P1_AnnMeanTemp(df, tas="t", cells=["cell"],
+                          missing=None).df.collect()
+    assert len(p1) == 2 and p1[0]["P1_AnnMeanTemp"] == pytest.approx(
+        sum(m * (dt.date(2001 + (m == 12), (m % 12) + 1, 1)
+                 - dt.date(2001, m, 1)).days for m in range(1, 13)) / 365)
+
+    # P10: warmest quarter = Oct-Dec -> mean(10,11,12) = 11
+    p10 = A.P10_MeanTempWarmestQuarter(df, tas="t", cells=["cell"],
+                                       missing=None).df.collect()
+    assert all(abs(r["P10_MeanTempWarmestQuarter"] - 11.0) < 1e-9
+               for r in p10)
+    # P11: coldest quarter = Jan-Mar -> 2
+    p11 = A.P11_MeanTempColdestQuarter(df, tas="t", cells=["cell"],
+                                       missing=None).df.collect()
+    assert all(abs(r["P11_MeanTempColdestQuarter"] - 2.0) < 1e-9
+               for r in p11)
+
+    # P8: wettest quarter (pr peaks Jan-Mar) -> tas mean = 2
+    p8 = A.P8_MeanTempWettestQuarter(df, tas="t", pr="p", cells=["cell"],
+                                     missing=None).df.collect()
+    assert all(abs(r["P8_MeanTempWettestQuarter"] - 2.0) < 1e-9 for r in p8)
+
+    # P14: driest period (monthly sums; December: 1.0/day * 31)
+    p14 = A.P14_PrecipDriestPeriod(df, pr="p", cells=["cell"],
+                                   missing=None).df.collect()
+    assert all(r["P14_PrecipDriestPeriod"] == pytest.approx(31.0)
+               for r in p14)
+
+    # P7: annual extreme range = 12 - 1 = 11
+    p7 = A.P7_TempAnnualRange(df, tasmax="t", tasmin="t", cells=["cell"],
+                              missing=None).df.collect()
+    assert all(r["P7_TempAnnualRange"] == pytest.approx(11.0) for r in p7)

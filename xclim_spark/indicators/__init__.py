@@ -29,6 +29,7 @@ from .core import (
 from . import computes  # noqa: F401
 from .atmos import atmos
 from .icclim import icclim
+from .anuclim import anuclim
 from .cf import cf
 from .land import land
 from .seaice import seaIce
@@ -39,6 +40,7 @@ __all__ = [
     "IndicatorResult",
     "Parameter",
     "VARIABLES",
+    "anuclim",
     "atmos",
     "cf",
     "icclim",

@@ -456,3 +456,72 @@ def rb_flashiness_index(df, cols, params, *, time, cells, alias):
 
     return hy.rb_flashiness_index(df, cols["data"], params["freq"],
                                   time=time, cells=cells, alias=alias)
+
+
+@register_compute("temperature_seasonality")
+def temperature_seasonality(df, cols, params, *, time, cells, alias):
+    """ANUCLIM BIO4 (anuclim.yml P4; reference _anuclim.py:105)."""
+    from ..operators import anuclim as an
+
+    return an.temperature_seasonality(
+        df, cols["data"], params["freq"], time=time, cells=cells,
+        alias=alias)
+
+
+@register_compute("precip_seasonality")
+def precip_seasonality(df, cols, params, *, time, cells, alias):
+    """ANUCLIM BIO15 (anuclim.yml P15; reference _anuclim.py:161)."""
+    from ..operators import anuclim as an
+
+    return an.precip_seasonality(
+        df, cols["data"], params["freq"], time=time, cells=cells,
+        alias=alias)
+
+
+@register_compute("isothermality")
+def isothermality(df, cols, params, *, time, cells, alias):
+    """ANUCLIM BIO3 (anuclim.yml P3; reference _anuclim.py:66)."""
+    from ..operators import anuclim as an
+
+    return an.isothermality(
+        df, cols["low_data"], cols["high_data"], params["freq"],
+        time=time, cells=cells, alias=alias)
+
+
+@register_compute("quarter_stat")
+def quarter_stat(df, cols, params, *, time, cells, alias):
+    """Rolling 3-month quarter stat selected by another variable —
+    ANUCLIM BIO8-11/16-19 (reference _anuclim.py:215-526 via
+    _to_quarter/_from_other_arg :527-620).  ``cols['data']`` is reduced
+    (``op``), ``cols['sel_data']`` (default data) drives the warmest/
+    coldest/wettest/driest selection (``sel_op`` + ``select``)."""
+    from ..operators import anuclim as an
+
+    return an.quarter_stat(
+        df, cols["data"], op=params.get("op", "mean"),
+        sel_var=cols.get("sel_data"), sel_op=params.get("sel_op", "mean"),
+        select=params.get("select", "max"), freq=params["freq"],
+        time=time, cells=cells, alias=alias)
+
+
+@register_compute("period_extreme")
+def period_extreme(df, cols, params, *, time, cells, alias):
+    """Extreme of the per-subperiod reduction within each period —
+    ANUCLIM P13/P14 PrecipWettest/DriestPeriod (reference
+    _anuclim.py:330-420 with monthly src periods): monthly ``sub_op``
+    then ``select`` over months of the year."""
+    from ..calendar import period_start
+
+    sub = {"sum": F.sum, "mean": F.avg, "max": F.max, "min": F.min}[
+        params.get("sub_op", "sum")]
+    outer = F.max if params.get("select", "max") == "max" else F.min
+    monthly = (
+        df.withColumn("_m", period_start(time, params.get("subfreq", "MS")))
+        .groupBy(*cells, "_m")
+        .agg(sub(cols["data"]).alias("_v"))
+    )
+    return (
+        monthly.withColumn("period", period_start("_m", params["freq"]))
+        .groupBy(*cells, "period")
+        .agg(outer("_v").alias(alias))
+    )

@@ -1758,6 +1758,28 @@ def cf_txx_ms(spark, sf_dir):
     return out.withColumn("txx", F.round("txx", 6))
 
 
+@_register(
+    "anu_p13_ys",
+    f"""WITH {DAILY_SQL},
+monthly AS (
+  SELECT cell, CAST(date_trunc('month', day) AS DATE) AS m,
+         sum(qty) AS v
+  FROM daily GROUP BY 1, 2
+)
+SELECT cell, CAST(date_trunc('year', m) AS DATE) AS period,
+       ROUND(max(v), 6) AS P13_PrecipWettestPeriod
+FROM monthly GROUP BY 1, 2""",
+)
+def anu_p13_ys(spark, sf_dir):
+    """ANUCLIM P13 through the anuclim virtual module (ref anuclim.yml
+    P13_PrecipWettestPeriod, _anuclim.py:330): max monthly total per
+    year."""
+    out = _ind("P13_PrecipWettestPeriod", pr="qty", freq="YS",
+               missing=None)(spark, sf_dir)
+    return out.withColumn("P13_PrecipWettestPeriod",
+                          F.round("P13_PrecipWettestPeriod", 6))
+
+
 def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
