@@ -491,3 +491,48 @@ def test_anuclim_module(spark):
     p7 = A.P7_TempAnnualRange(df, tasmax="t", tasmin="t", cells=["cell"],
                               missing=None).df.collect()
     assert all(r["P7_TempAnnualRange"] == pytest.approx(11.0) for r in p7)
+
+
+def test_atmos_batch_variants(spark):
+    import datetime as dt
+
+    vals = [5, -2, 3, -1, 0, 2, 6, -3, 1, 4]
+    df = timeseries(spark, vals, start="2000-01-01")
+    assert atmos.tg_days_above(df, tas="value", thresh=0.0, cells=["cell"],
+                               missing=None).df.collect()[0][2] == 6
+    assert atmos.freezing_degree_days(
+        df, tas="value", cells=["cell"],
+        missing=None).df.collect()[0][2] == pytest.approx(6.0)
+    assert atmos.thawing_degree_days(
+        df, tas="value", cells=["cell"],
+        missing=None).df.collect()[0][2] == pytest.approx(21.0)
+    assert atmos.first_day_tg_above(df, tas="value", cells=["cell"],
+                                    missing=None).df.collect()[0][2] == 1
+    assert atmos.wetdays_prop(
+        df, pr="value", thresh=3.0, cells=["cell"],
+        missing=None).df.collect()[0][2] == pytest.approx(0.4)
+    assert atmos.tx_mean(df, tasmax="value", cells=["cell"],
+                         missing=None).df.collect()[0][2] == \
+        pytest.approx(1.5)
+
+    rows = [(1, dt.date(2001, 1, 1) + dt.timedelta(days=d),
+             float(hi), float(lo)) for d, (hi, lo) in
+            enumerate([(5, -1), (3, -2), (-1, -5), (4, 1), (6, -1)])]
+    two = spark.createDataFrame(rows,
+                                "cell int, time date, tx double, tn double")
+    assert atmos.daily_freezethaw_cycles(
+        two, tasmax="tx", tasmin="tn", cells=["cell"],
+        missing=None).df.collect()[0][2] == 3
+    assert atmos.freezethaw_spell_mean_length(
+        two, tasmax="tx", tasmin="tn", cells=["cell"],
+        missing=None).df.collect()[0][2] == pytest.approx(1.5)
+    assert atmos.freezethaw_spell_frequency(
+        two, tasmax="tx", tasmin="tn", cells=["cell"],
+        missing=None).df.collect()[0][2] == 2
+    assert atmos.snd_storm_days(two, snd="tx", thresh=2.0, cells=["cell"],
+                                missing=None).df.collect()[0][2] == 2
+    assert atmos.last_snowfall(two, prsn="tx", thresh=3.5, cells=["cell"],
+                               missing=None).df.collect()[0][2] == 5
+    assert atmos.tx_tn_days_above(
+        two, tasmax="tx", tasmin="tn", thresh_high=3.0, thresh_low=0.0,
+        cells=["cell"], missing=None).df.collect()[0][2] == 1

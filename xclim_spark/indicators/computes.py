@@ -525,3 +525,62 @@ def period_extreme(df, cols, params, *, time, cells, alias):
         .groupBy(*cells, "period")
         .agg(outer("_v").alias(alias))
     )
+
+
+@register_compute("occurrence_fraction")
+def occurrence_fraction(df, cols, params, *, time, cells, alias):
+    """Fraction (or %) of days meeting ``data op thresh`` per period —
+    wetdays_prop / snowfall_frequency (reference _threshold.py:2793,
+    :528).  ``params['percent']`` scales to 0-100."""
+    from ..calendar import period_start
+
+    cond = g.compare(cols["data"], params["op"], _thr(params))
+    scale = 100.0 if params.get("percent") else 1.0
+    per = period_start(time, params["freq"])
+    return (
+        df.groupBy(*cells, per.alias("period"))
+        .agg((F.avg(cond.cast("double")) * scale).alias(alias))
+    )
+
+
+@register_compute("last_run_doy")
+def last_run_doy(df, cols, params, *, time, cells, alias):
+    """Day-of-year of the last >=window run (reference run_length.py:693;
+    last_snowfall shape)."""
+    cond = g.compare(cols["data"], params["op"], _thr(params))
+    return rl.last_run(
+        df, cond, int(params.get("window", 1)), freq=params["freq"],
+        time=time, cells=cells, coord="doy", alias=alias,
+    )
+
+
+@register_compute("bivariate_spell_mean_length")
+def bivariate_spell_mean_length(df, cols, params, *, time, cells, alias):
+    """Mean length of >=window bivariate spells (freezethaw_spell_mean_length,
+    reference _multivariate.py multiday_temperature_swing op=mean)."""
+    cond = g.compare(
+        cols["low_data"], params["op_low"], params["thresh_low"]
+    ) & g.compare(cols["high_data"], params["op_high"], params["thresh_high"])
+    return rl.rle_statistics(
+        df, cond, "mean", int(params.get("window", 1)),
+        freq=params["freq"], time=time, cells=cells, alias=alias,
+    )
+
+
+@register_compute("increase_count")
+def increase_count(df, cols, params, *, time, cells, alias):
+    """Days where ``data`` increases by >= thresh versus the previous day
+    — snd/snw_storm_days (reference _threshold.py:2471-2535)."""
+    from pyspark.sql import Window
+
+    from ..calendar import period_start
+
+    w = Window.partitionBy(*cells).orderBy(time)
+    inc = F.col(cols["data"]) - F.lag(cols["data"]).over(w)
+    per = period_start(time, params["freq"])
+    return (
+        df.withColumn("_inc", inc)
+        .groupBy(*cells, per.alias("period"))
+        .agg(F.sum((F.col("_inc") >= F.lit(_thr(params)))
+                   .cast("long")).alias(alias))
+    )

@@ -1780,6 +1780,22 @@ def anu_p13_ys(spark, sf_dir):
                           F.round("P13_PrecipWettestPeriod", 6))
 
 
+@_register(
+    "ind_wetdays_prop_ms",
+    f"""WITH {DAILY_SQL}
+SELECT cell, CAST(date_trunc('month', day) AS DATE) AS period,
+       ROUND(avg(CASE WHEN price >= 50000 THEN 1.0 ELSE 0.0 END), 6)
+         AS wetdays_prop
+FROM daily GROUP BY 1, 2""",
+)
+def ind_wetdays_prop_ms(spark, sf_dir):
+    """wetdays_prop by registry name (ref _threshold.py:2793) — the
+    occurrence_fraction compute."""
+    out = _ind("wetdays_prop", pr="price", thresh=50000.0, freq="MS",
+               missing=None)(spark, sf_dir)
+    return out.withColumn("wetdays_prop", F.round("wetdays_prop", 6))
+
+
 def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
