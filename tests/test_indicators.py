@@ -536,3 +536,50 @@ def test_atmos_batch_variants(spark):
     assert atmos.tx_tn_days_above(
         two, tasmax="tx", tasmin="tn", thresh_high=3.0, thresh_low=0.0,
         cells=["cell"], missing=None).df.collect()[0][2] == 1
+
+
+def test_convert_realm(spark):
+    import datetime as dt
+
+    from xclim_spark.indicators import convert as C
+
+    assert len(C) == 28
+
+    day = dt.date(2000, 7, 6)
+    df = spark.createDataFrame(
+        [(1, day, 30.0, 25.0 + 273.15, 70.0, 101325.0, 0.005, 3.0, 4.0)],
+        "cell int, time date, t double, td double, h double, p double,"
+        " q double, u double, v double")
+
+    # humidex at T=30, Td=25 ~ 42 (definition table)
+    out = C.humidex(df, tas="t", tdps="td", cells=["cell"]).df.collect()
+    assert out[0]["humidex"] == pytest.approx(42.3, abs=0.5)
+
+    # tuple output: wind speed + direction
+    out = C.wind_speed_from_vector(df, uas="u", vas="v",
+                                   cells=["cell"]).df.collect()
+    assert out[0]["sfcWind"] == pytest.approx(5.0)
+    assert set(out[0].asDict()) == {"cell", "time", "sfcWind",
+                                    "sfcWindfromdir"}
+
+    # rh from specific humidity: q=0.005 at 30degC ~ 18.7%
+    out = C.relative_humidity(
+        df.withColumn("tk", F.col("t") + 273.15), tas="tk", huss="q",
+        ps="p", cells=["cell"]).df.collect()
+    assert out[0]["relative_humidity"] == pytest.approx(18.7, abs=1.0)
+
+    # water budget with given PET
+    df2 = spark.createDataFrame(
+        [(1, day, 10.0, 4.0)],
+        "cell int, time date, rain double, pet double")
+    out = C.water_budget(df2, pr="rain", evspsblpot="pet",
+                         cells=["cell"]).df.collect()
+    assert out[0]["water_budget"] == pytest.approx(6.0)
+
+    # PET hargreaves85 produces a positive mm/day value
+    df3 = spark.createDataFrame(
+        [(1, day, 45.0, 12.0, 25.0)],
+        "cell int, time date, la double, tn double, tx double")
+    out = C.potential_evapotranspiration(
+        df3, lat="la", tasmin="tn", tasmax="tx", cells=["cell"]).df.collect()
+    assert 2.0 < out[0]["potential_evapotranspiration"] < 10.0

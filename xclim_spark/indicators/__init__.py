@@ -31,6 +31,7 @@ from .atmos import atmos
 from .icclim import icclim
 from .anuclim import anuclim
 from .cf import cf
+from .convert import convert
 from .land import land
 from .seaice import seaIce
 
@@ -43,6 +44,7 @@ __all__ = [
     "anuclim",
     "atmos",
     "cf",
+    "convert",
     "icclim",
     "land",
     "seaIce",

@@ -584,3 +584,88 @@ def increase_count(df, cols, params, *, time, cells, alias):
         .agg(F.sum((F.col("_inc") >= F.lit(_thr(params)))
                    .cast("long")).alias(alias))
     )
+
+
+@register_compute("converter")
+def converter(df, cols, params, *, time, cells, alias):
+    """Per-timestep physical converter (reference indicators/convert realm,
+    src/xclim/indicators/convert/_conversion.py): applies a Column-builder
+    from :mod:`xclim_spark.functions.converters` row-wise, preserving the
+    time grain.  ``params['fn']`` names the function; ``params['args']``
+    lists input roles / parameter names in positional order;
+    ``params['outputs']`` names the columns for tuple-returning
+    converters."""
+    from ..functions import converters as cv
+    from ..functions import solar as sol
+
+    fn = getattr(cv, params["fn"], None) or getattr(sol, params["fn"])
+    args = []
+    for a in params.get("args", []):
+        if a == "_time":
+            args.append(time)
+        elif a in cols:
+            args.append(cols[a])
+        else:
+            args.append(params[a])
+    out = fn(*args)
+    keys = [*cells, time]
+    if isinstance(out, tuple):
+        names = params["outputs"]
+        return df.select(*keys, *[c.alias(n) for c, n in zip(out, names)])
+    return df.select(*keys, out.alias(alias))
+
+
+@register_compute("utci")
+def utci(df, cols, params, *, time, cells, alias):
+    """UTCI (reference converters.py:2389; staged multi-column build)."""
+    from ..functions import converters as cv
+
+    staged = cv.universal_thermal_climate_index(
+        df, cols["tas"], cols["hurs"], cols["sfcWind"], cols["mrt"],
+        out=alias, mask_invalid=params.get("mask_invalid", True),
+    )
+    return staged.select(*cells, time, alias)
+
+
+@register_compute("mean_radiant_temperature")
+def mean_radiant_temperature(df, cols, params, *, time, cells, alias):
+    """Mean radiant temperature (reference converters.py:2538)."""
+    from ..functions import converters as cv
+
+    out = cv.mean_radiant_temperature(
+        time, cols["lat"], cols["rsds"], cols["rsus"], cols["rlds"],
+        cols["rlus"], stat=params.get("stat", "sunlit"))
+    return df.select(*cells, time, out.alias(alias))
+
+
+@register_compute("potential_evapotranspiration")
+def potential_evapotranspiration_c(df, cols, params, *, time, cells, alias):
+    """PET converter indicator (reference converters.py:1890)."""
+    from ..functions import converters as cv
+
+    out = cv.potential_evapotranspiration(
+        time, cols["lat"],
+        tasmin_c=cols.get("tasmin"), tasmax_c=cols.get("tasmax"),
+        tas_c=cols.get("tas"), hurs_pct=cols.get("hurs"),
+        sfcwind_10m_ms=cols.get("sfcWind"), rsds_wm2=cols.get("rsds"),
+        rsus_wm2=cols.get("rsus"), rlds_wm2=cols.get("rlds"),
+        rlus_wm2=cols.get("rlus"),
+        method=params.get("method", "hargreaves85"))
+    return df.select(*cells, time, out.alias(alias))
+
+
+@register_compute("water_budget")
+def water_budget_c(df, cols, params, *, time, cells, alias):
+    """pr minus PET, from given PET or from temperature (reference
+    converters.py water_budget / water_budget_from_tas)."""
+    from ..functions import converters as cv
+
+    if cols.get("evspsblpot"):
+        pet = F.col(cols["evspsblpot"])
+    else:
+        pet = cv.potential_evapotranspiration(
+            time, cols["lat"], tasmin_c=cols.get("tasmin"),
+            tasmax_c=cols.get("tasmax"), tas_c=cols.get("tas"),
+            method=params.get("method") or "baierrobertson65")
+    out = F.col(cols["pr"]) - pet
+    return df.select(*cells, time, out.alias(alias))
