@@ -583,3 +583,90 @@ def test_convert_realm(spark):
     out = C.potential_evapotranspiration(
         df3, lat="la", tasmin="tn", tasmax="tx", cells=["cell"]).df.collect()
     assert 2.0 < out[0]["potential_evapotranspiration"] < 10.0
+
+
+def test_generic_land_wrapper_indicators(spark):
+    import datetime as dt
+    import math
+
+    from xclim_spark.indicators import generic, land
+
+    rows = [(1, dt.date(1990 + y, 6, 1) + dt.timedelta(days=d),
+             10.0 + math.sin(y * 2.1) * 3 + d * 0.01)
+            for y in range(30) for d in range(50)]
+    df = spark.createDataFrame(rows, "cell int, time date, v double")
+    out = generic.return_level(df, data="v", t=20, cells=["cell"]).df \
+        .collect()
+    assert len(out) == 1 and 13.0 < out[0]["return_level"] < 16.0
+    out = generic.fit(df, data="v", dist="norm", cells=["cell"]).df \
+        .collect()
+    assert out[0]["dparams"][0] == pytest.approx(10.237, abs=0.01)
+    out = generic.stats(df, data="v", op="max", cells=["cell"],
+                        missing=None).df.collect()
+    assert len(out) == 30
+
+    rows = [(1, dt.date(2001, 1, 1) + dt.timedelta(days=d), float(p),
+             float(t)) for d, (p, t) in
+            enumerate([(5, 2), (3, -1), (4, 1), (2, -3)])]
+    pp = spark.createDataFrame(rows,
+                               "cell int, time date, p double, t double")
+    api = sorted(land.antecedent_precipitation_index(
+        pp, pr="p", cells=["cell"]).df.collect(), key=lambda r: r[1])
+    assert api[1][2] == pytest.approx(3 + 5 * 0.935)
+    rr = land.runoff_ratio(pp, q="p", pr="t", cells=["cell"],
+                           missing=None).df.collect()
+    assert rr[0][2] == pytest.approx(-14.0)
+
+
+def test_heat_spell_and_magnitude(spark):
+    import datetime as dt
+
+    rows = [(1, dt.date(2001, 1, 1) + dt.timedelta(days=d), float(tx),
+             float(tn)) for d, (tx, tn) in
+            enumerate([(35, 22), (36, 23), (35, 21), (20, 10), (34, 22),
+                       (36, 21), (35, 22), (10, 5)])]
+    two = spark.createDataFrame(rows,
+                                "cell int, time date, tx double, tn double")
+    assert atmos.heat_spell_frequency(
+        two, tasmax="tx", tasmin="tn", cells=["cell"],
+        missing=None).df.collect()[0][2] == 2
+    assert atmos.hot_spell_max_magnitude(
+        two, tasmax="tx", cells=["cell"],
+        missing=None).df.collect()[0][2] == pytest.approx(31.0)
+
+
+def test_precip_phase_indicators(spark):
+    import datetime as dt
+
+    rows = [(1, dt.date(2001, 1, 1) + dt.timedelta(days=d), float(p),
+             float(t)) for d, (p, t) in
+            enumerate([(5, 2), (3, -1), (4, 1), (2, -3)])]
+    pp = spark.createDataFrame(rows,
+                               "cell int, time date, p double, t double")
+    assert atmos.liquid_precip_accumulation(
+        pp, pr="p", tas="t", cells=["cell"],
+        missing=None).df.collect()[0][2] == pytest.approx(9.0)
+    assert atmos.solid_precip_accumulation(
+        pp, pr="p", tas="t", cells=["cell"],
+        missing=None).df.collect()[0][2] == pytest.approx(5.0)
+    assert atmos.solid_precip_average(
+        pp, pr="p", tas="t", cells=["cell"],
+        missing=None).df.collect()[0][2] == pytest.approx(2.5)
+
+
+def test_fire_wrapper_indicators(spark):
+    import datetime as dt
+
+    rows = [(1, dt.date(2001, 6, 1) + dt.timedelta(days=d), 20.0 + d % 5,
+             28.0 + d % 4, 1.0 if d % 6 == 0 else 0.0, 45.0, 15.0)
+            for d in range(40)]
+    df = spark.createDataFrame(
+        rows, "cell int, time date, t double, tx double, p double,"
+              " h double, w double")
+    dc = atmos.drought_code(df, tas="t", pr="p", hurs="h", sfcWind="w",
+                            cells=["cell"]).df
+    assert dc.count() == 40 and dc.columns[-1] == "drought_code"
+    ff = atmos.mcarthur_forest_fire_danger_index(
+        df, pr="p", tasmax="tx", hurs="h", sfcWind="w", cells=["cell"]).df
+    row = ff.orderBy("time").collect()[-1]
+    assert row["mcarthur_forest_fire_danger_index"] > 0.0

@@ -32,6 +32,7 @@ from .icclim import icclim
 from .anuclim import anuclim
 from .cf import cf
 from .convert import convert
+from .generic import generic
 from .land import land
 from .seaice import seaIce
 
@@ -45,6 +46,7 @@ __all__ = [
     "atmos",
     "cf",
     "convert",
+    "generic",
     "icclim",
     "land",
     "seaIce",

@@ -669,3 +669,241 @@ def water_budget_c(df, cols, params, *, time, cells, alias):
             method=params.get("method") or "baierrobertson65")
     out = F.col(cols["pr"]) - pet
     return df.select(*cells, time, out.alias(alias))
+
+
+@register_compute("fit")
+def fit_c(df, cols, params, *, time, cells, alias):
+    """Distribution fit per cell (reference stats.py:115; generic
+    indicator `fit`)."""
+    from .. import stats as st
+
+    return st.fit(df, cols["data"], params.get("dist", "norm"),
+                  params.get("method", "ML"), time=time, cells=cells)
+
+
+@register_compute("return_level")
+def return_level(df, cols, params, *, time, cells, alias):
+    """Frequency analysis / return levels (reference stats.py:429;
+    generic indicator `return_level`)."""
+    from .. import stats as st
+
+    return st.fa(
+        df, cols["data"], params.get("t", 20),
+        dist=params.get("dist", "gumbel_r"), mode=params.get("mode", "max"),
+        method=params.get("method", "PWM"), freq=params.get("freq", "YS"),
+        time=time, cells=cells, alias=alias)
+
+
+@register_compute("standardized_index")
+def standardized_index_c(df, cols, params, *, time, cells, alias):
+    """SPI/SPEI/SSI/SGI (reference stats.py:770-1050, _agro.py:987,
+    _hydrology.py:136,447)."""
+    from .. import stats as st
+
+    d = df
+    offset = params.get("offset")
+    if offset:
+        d = d.withColumn(cols["data"], F.col(cols["data"]) + float(offset))
+    return st.standardized_index(
+        d, cols["data"], window=int(params.get("window", 1)),
+        dist=params.get("dist", "gamma"), freq=params.get("freq", "MS"),
+        cal_start=params.get("cal_start"), cal_end=params.get("cal_end"),
+        method=params.get("method", "ML"), time=time, cells=cells,
+        alias=alias)
+
+
+@register_compute("sen_slope")
+def sen_slope_c(df, cols, params, *, time, cells, alias):
+    """Theil-Sen slope (reference _hydrology.py:894)."""
+    from ..operators import hydrology as hy
+
+    return hy.sen_slope(df, cols["data"], time=time, cells=cells,
+                        alias=alias)
+
+
+@register_compute("flow_index")
+def flow_index_c(df, cols, params, *, time, cells, alias):
+    """Qp/Q50 flow index (reference _hydrology.py:577)."""
+    from ..operators import hydrology as hy
+
+    return hy.flow_index(df, cols["data"], float(params.get("p", 0.95)),
+                         cells=cells, alias=alias)
+
+
+@register_compute("high_flow_frequency")
+def high_flow_frequency_c(df, cols, params, *, time, cells, alias):
+    """Days with flow above factor x median (reference _hydrology.py:607)."""
+    from ..operators import hydrology as hy
+
+    return hy.high_flow_frequency(
+        df, cols["data"], float(params.get("threshold_factor", 9.0)),
+        params.get("freq", "YS"), time=time, cells=cells, alias=alias)
+
+
+@register_compute("low_flow_frequency")
+def low_flow_frequency_c(df, cols, params, *, time, cells, alias):
+    """Days with flow below factor x mean (reference _hydrology.py:640)."""
+    from ..operators import hydrology as hy
+
+    return hy.low_flow_frequency(
+        df, cols["data"], float(params.get("threshold_factor", 0.2)),
+        params.get("freq", "YS"), time=time, cells=cells, alias=alias)
+
+
+@register_compute("cffwis_field")
+def cffwis_field(df, cols, params, *, time, cells, alias):
+    """One (or all) of the six CFFWIS codes at daily grain (reference
+    _cffwis.py:1278 cffwis_indices).  ``params['field']`` selects a
+    single output column renamed to the indicator identifier; 'all'
+    keeps the full ffmc/dmc/dc/isi/bui/fwi set."""
+    from ..operators import fire as fr
+
+    out = fr.cffwis_indices(
+        df, tas=cols["tas"], pr=cols["pr"], hurs=cols["hurs"],
+        sfcWind=cols["sfcWind"], lat=params.get("lat", 45.0),
+        time=time, cells=cells,
+        ffmc0=float(params.get("ffmc0", 85.0)),
+        dmc0=float(params.get("dmc0", 6.0)),
+        dc0=float(params.get("dc0", 15.0)))
+    field = params.get("field", "all")
+    if field == "all":
+        return out
+    return out.select(*cells, time, F.col(field).alias(alias))
+
+
+@register_compute("ffdi_field")
+def ffdi_field(df, cols, params, *, time, cells, alias):
+    """KBDI / Griffiths drought factor / McArthur FFDI at daily grain
+    (reference fire/_ffdi.py)."""
+    from ..operators import fire as fr
+
+    out = fr.ffdi_indices(
+        df, pr=cols["pr"], tasmax=cols["tasmax"], hurs=cols["hurs"],
+        sfcWind=cols["sfcWind"],
+        pr_annual=float(params["pr_annual"]),
+        time=time, cells=cells, kbdi0=float(params.get("kbdi0", 0.0)),
+        limiting=params.get("limiting", "xlim"))
+    field = params.get("field", "ffdi")
+    name = {"kbdi": "kbdi", "drought_factor": "drought_factor",
+            "ffdi": "ffdi"}[field]
+    return out.select(*cells, time, F.col(name).alias(alias))
+
+
+@register_compute("bivariate_windowed_spell_stats")
+def bivariate_windowed_spell_stats(df, cols, params, *, time, cells, alias):
+    """heat_spell_* family (reference indicators/atmos/_temperature.py
+    heat_spell_frequency): spells where the ``window``-day ``win_reducer``
+    of BOTH variables exceeds its threshold."""
+    return rl.spell_length_statistics(
+        df, [cols["low_data"], cols["high_data"]], int(params["window"]),
+        params.get("win_reducer", "mean"), params.get("op", ">"),
+        [params["thresh_low"], params["thresh_high"]],
+        params["spell_reducer"], params["freq"],
+        time=time, cells=cells, alias=alias)
+
+
+@register_compute("spell_max_magnitude")
+def spell_max_magnitude(df, cols, params, *, time, cells, alias):
+    """hot_spell_max_magnitude (reference _threshold.py:2253): max over
+    spells of the cumulative exceedance above thresh."""
+    t = _thr(params)
+    d = df.withColumn("_exc", F.col(cols["data"]) - F.lit(float(t)))
+    cond = g.compare(cols["data"], ">", t)
+    ev = rl.find_events(d, cond, int(params["window"]), data_var="_exc",
+                        freq=params["freq"], time=time, cells=cells)
+    ev = ev.filter(F.col("event_length") >= int(params["window"]))
+    agg = ev.groupBy(*cells, "period").agg(F.max("event_sum").alias(alias))
+    return rl._on_scaffold(d, agg, cells, time, params["freq"],
+                           fills={alias: 0.0})
+
+
+@register_compute("conditional_stat")
+def conditional_stat(df, cols, params, *, time, cells, alias):
+    """Reducer over ``data`` on days where ``cond_data op thresh`` —
+    liquid/solid precip accumulation (reference _multivariate.py:930
+    precip_accumulation with phase filtering)."""
+    from ..calendar import period_start
+
+    cond = g.compare(cols.get("cond_data", cols["data"]), params["op"],
+                     _thr(params))
+    reducer = params.get("reducer", "sum")
+    red = {"sum": F.sum, "mean": F.avg, "max": F.max, "min": F.min}[reducer]
+    fill = F.lit(0.0) if reducer == "sum" else F.lit(None)
+    d = df.withColumn("_v", F.when(cond, F.col(cols["data"])).otherwise(fill))
+    per = period_start(time, params["freq"])
+    return d.groupBy(*cells, per.alias("period")).agg(red("_v").alias(alias))
+
+
+@register_compute("ratio_of_sums")
+def ratio_of_sums(df, cols, params, *, time, cells, alias):
+    """sum(num)/sum(den) per period — runoff_ratio / aridity_index shape
+    (reference _hydrology.py runoff_ratio, _agro.py aridity gauges)."""
+    from ..calendar import period_start
+
+    per = period_start(time, params["freq"])
+    return (
+        df.groupBy(*cells, per.alias("period"))
+        .agg((F.sum(cols["num"]) / F.sum(cols["den"])).alias(alias))
+    )
+
+
+@register_compute("sum_of_two")
+def sum_of_two(df, cols, params, *, time, cells, alias):
+    """sum(a + b) per period — water_cycle_intensity (reference
+    _hydrology.py water_cycle_intensity: pr + evapotranspiration)."""
+    from ..calendar import period_start
+
+    per = period_start(time, params["freq"])
+    return (
+        df.groupBy(*cells, per.alias("period"))
+        .agg(F.sum(F.col(cols["a"]) + F.col(cols["b"])).alias(alias))
+    )
+
+
+@register_compute("peak_lag")
+def peak_lag(df, cols, params, *, time, cells, alias):
+    """doy(max of a) - doy(max of b) per period — lag_snowpack_flow_peaks
+    (reference land/_streamflow.py)."""
+    from ..calendar import period_start
+
+    per = period_start(time, params["freq"])
+    doy = F.dayofyear(time)
+    return (
+        df.groupBy(*cells, per.alias("period"))
+        .agg((F.max_by(doy, F.struct(F.col(cols["a"]), doy)) -
+              F.max_by(doy, F.struct(F.col(cols["b"]), doy))).alias(alias))
+    )
+
+
+@register_compute("melt_and_precip_max")
+def melt_and_precip_max(df, cols, params, *, time, cells, alias):
+    """Max over period of the rolling ``window``-day sum of snow melt plus
+    precipitation (reference _hydrology.py:406-440)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*cells).orderBy(time)
+    melt = -(F.col(cols["snw"]) - F.lag(cols["snw"]).over(w))
+    d = df.withColumn("_mp", F.greatest(melt, F.lit(0.0)) +
+                      F.col(cols["pr"]))
+    return g.select_rolling_resample_op(
+        d, "_mp", "max", params["freq"], window=int(params["window"]),
+        window_op="sum", time=time, cells=cells, alias=alias,
+    )
+
+
+@register_compute("antecedent_precipitation_index")
+def antecedent_precipitation_index(df, cols, params, *, time, cells, alias):
+    """API_t = sum_{i<window} pr_{t-i} * p_exp^i at daily grain (reference
+    _hydrology.py antecedent_precipitation_index).  The window unrolls to
+    ``window`` lag expressions — pure codegen, no UDF."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*cells).orderBy(time)
+    p = float(params.get("p_exp", 0.935))
+    n = int(params.get("window", 7))
+    terms = [F.coalesce(F.lag(cols["data"], i).over(w), F.lit(0.0)) *
+             F.lit(p ** i) for i in range(n)]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return df.select(*cells, time, out.alias(alias))

@@ -280,8 +280,12 @@ class Indicator:
             k: v for k, v in disp.items()
             if v is not None and isinstance(v, (str, int, float, bool))
         }
+        try:
+            units_attr = self.units or to_agg_units("1", self.compute)
+        except ValueError:
+            units_attr = ""
         attrs = {
-            "units": self.units or to_agg_units("1", self.compute),
+            "units": units_attr,
             "standard_name": self.standard_name,
             "long_name": _safe_format(self.long_name, fmt),
             "description": _safe_format(self.description, fmt),
