@@ -670,3 +670,61 @@ def test_fire_wrapper_indicators(spark):
         df, pr="p", tasmax="tx", hurs="h", sfcWind="w", cells=["cell"]).df
     row = ff.orderBy("time").collect()[-1]
     assert row["mcarthur_forest_fire_danger_index"] > 0.0
+
+
+def test_final_batch_indicators(spark):
+    import datetime as dt
+
+    from xclim_spark.indicators import land, registry
+
+    # full reference name coverage except the 3 hardest
+    import glob as _g
+    import re as _re
+    allref = set()
+    for f in _g.glob('/root/reference/src/xclim/indicators/**/*.py',
+                     recursive=True):
+        for m in _re.finditer(r'^([a-z][a-z0-9_]*)\s*=\s*[A-Z][A-Za-z_]*\(',
+                              open(f).read(), _re.M):
+            allref.add(m.group(1))
+    missing = allref - set(registry)
+    assert missing <= {"dryness_index", "jetstream_metric_woollings",
+                       "rain_season"}, missing
+
+    df = spark.createDataFrame([(1, dt.date(2001, 7, 1), 25.0, 15.0, 20.0)],
+                               "cell int, time date, tx double, tn double,"
+                               " tg double")
+    r = atmos.cooling_degree_days_approximation(
+        df, tasmax="tx", tasmin="tn", tas="tg", cells=["cell"],
+        missing=None).df.collect()
+    assert r[0][2] == pytest.approx(2.75)
+
+    df2 = spark.createDataFrame([(1, dt.date(2001, 7, 1), 14.0, 24.0)],
+                                "cell int, time date, tn double, tx double")
+    r = atmos.corn_heat_units(df2, tasmin="tn", tasmax="tx",
+                              cells=["cell"]).df.collect()
+    assert r[0][2] == pytest.approx(23.682)
+
+    rows = [(1, dt.date(2001, 1, 1) + dt.timedelta(days=d), 15.0, 21.0,
+             45.0) for d in range(365)]
+    df3 = spark.createDataFrame(rows, "cell int, time date, t double,"
+                                " tx double, la double")
+    r = atmos.huglin_index(df3, tas="t", tasmax="tx", lat="la",
+                           cells=["cell"], missing=None).df.collect()
+    assert r[0][2] == pytest.approx(8.32 * 183, rel=1e-9)
+
+    rows = [(1, dt.date(2001, 1, 1) + dt.timedelta(days=d),
+             15.0 if 50 <= d < 200 else 2.0) for d in range(300)]
+    df5 = spark.createDataFrame(rows, "cell int, time date, tx double")
+    on = atmos.fire_season(df5, tasmax="tx",
+                           cells=["cell"]).df.filter("fire_season").count()
+    assert on == 150
+
+    # rain-on-frozen: 7 frozen days then a warm rainy day
+    rows = [(1, dt.date(2001, 1, 1) + dt.timedelta(days=d), p, t)
+            for d, (p, t) in enumerate(
+                [(0.0, -5.0)] * 7 + [(10.0, 2.0), (10.0, 2.0)])]
+    df6 = spark.createDataFrame(rows, "cell int, time date, p double,"
+                                " t double")
+    r = atmos.rain_on_frozen_ground_days(
+        df6, pr="p", tas="t", cells=["cell"], missing=None).df.collect()
+    assert r[0][2] == 1  # only the first warm day qualifies

@@ -907,3 +907,383 @@ def antecedent_precipitation_index(df, cols, params, *, time, cells, alias):
     for t in terms[1:]:
         out = out + t
     return df.select(*cells, time, out.alias(alias))
+
+
+@register_compute("degree_days_approximation")
+def degree_days_approximation(df, cols, params, *, time, cells, alias):
+    """UK-Met-style CDD/HDD approximation from tasmax/tasmin/tas
+    (reference _threshold.py:844 cooling_degree_days_approximation,
+    :2070 heating_degree_days_approximation)."""
+    from ..calendar import period_start
+
+    t = float(_thr(params))
+    tx, tn, tg = (F.col(cols["tasmax"]), F.col(cols["tasmin"]),
+                  F.col(cols["tas"]))
+    if params.get("mode", "cooling") == "cooling":
+        dd = (
+            F.when(tx < t, F.lit(0.0))
+            .when(tn >= t, tg - t)
+            .when(tg <= t, (tx - tn) / 4.0)
+            .otherwise((tx - t) / 2.0 - (t - tn) / 4.0)
+        )
+    else:
+        dd = (
+            F.when(tx <= t, t - tg)
+            .when(tn >= t, F.lit(0.0))
+            .when(tg <= t, (t - tn) / 2.0 - (tx - t) / 4.0)
+            .otherwise((t - tn) / 4.0)
+        )
+    per = period_start(time, params["freq"])
+    return df.groupBy(*cells, per.alias("period")) \
+        .agg(F.sum(dd).alias(alias))
+
+
+@register_compute("chill_units")
+def chill_units_c(df, cols, params, *, time, cells, alias):
+    """Sum of Utah-model chill units per period (reference _agro.py
+    chill_units; kernel operators/agro.py)."""
+    from ..calendar import period_start
+    from ..operators import agro as ag
+
+    cu = ag.chill_units(cols["data"],
+                        positive_only=bool(params.get("positive_only")))
+    per = period_start(time, params["freq"])
+    return df.groupBy(*cells, per.alias("period")) \
+        .agg(F.sum(cu).alias(alias))
+
+
+@register_compute("chill_portions")
+def chill_portions_c(df, cols, params, *, time, cells, alias):
+    """Dynamic-Model chill portions (reference _agro.py:1436)."""
+    from ..operators import agro as ag
+
+    return ag.chill_portions(df, cols["data"],
+                             params.get("freq", "YS"), time=time,
+                             cells=cells, alias=alias)
+
+
+@register_compute("hardiness_zones")
+def hardiness_zones(df, cols, params, *, time, cells, alias):
+    """USDA/ANBG hardiness zones (reference _agro.py hardiness_zones):
+    annual tasmin minimum -> rolling ``window``-year mean -> zone bands
+    via get_zones."""
+    from pyspark.sql import Window
+
+    from ..operators.generic import get_zones, select_resample_op
+
+    method = params.get("method", "usda")
+    if method == "usda":
+        # bands in degF (reference: -60..70 degF step 5): convert the
+        # rolling-mean degC value to degF at plan time
+        zmin, zmax, zstep = -60.0, 70.0, 5.0
+        conv = lambda c: c * 1.8 + 32.0  # noqa: E731
+    else:  # anbg
+        zmin, zmax, zstep = -15.0, 20.0, 5.0
+        conv = lambda c: c  # noqa: E731
+    tnn = select_resample_op(df, cols["data"], "min",
+                             params.get("freq", "YS"), time=time,
+                             cells=cells, alias="_tnn")
+    w = Window.partitionBy(*cells).orderBy("period") \
+        .rowsBetween(-(int(params.get("window", 30)) - 1), 0)
+    roll = tnn.withColumn("_m", F.avg("_tnn").over(w))
+    return roll.select(
+        *cells, "period",
+        get_zones(conv(F.col("_m")), zmin, zmax, zstep).alias(alias))
+
+
+@register_compute("days_over_percentile")
+def days_over_percentile(df, cols, params, *, time, cells, alias):
+    """days_over_precip_thresh (reference _multivariate.py:1176): count
+    days over a per-cell percentile threshold table
+    (``params['per']``: cells..., per)."""
+    from ..calendar import period_start
+
+    j = df.join(params["per"], on=list(cells), how="left")
+    cond = g.compare(cols["data"], params.get("op", ">"), F.col("per"))
+    per_col = period_start(time, params["freq"])
+    return j.groupBy(*cells, per_col.alias("period")) \
+        .agg(F.sum(cond.cast("long")).alias(alias))
+
+
+@register_compute("fraction_over_percentile")
+def fraction_over_percentile(df, cols, params, *, time, cells, alias):
+    """fraction_over_precip_thresh / *_doy_thresh (reference
+    _multivariate.py:1238): fraction of the total accumulation falling on
+    days over the percentile threshold.  ``params['doy']`` joins the
+    climatology on (cells, dayofyear) instead of cells alone."""
+    from ..calendar import period_start
+
+    if params.get("doy"):
+        from ..operators import percentile as pc
+
+        j = pc.resample_doy(df, params["per"], time=time, cells=cells,
+                            broadcast=params.get("broadcast"))
+    else:
+        j = df.join(params["per"], on=list(cells), how="left")
+    cond = g.compare(cols["data"], params.get("op", ">"), F.col("per"))
+    num = F.sum(F.when(cond, F.col(cols["data"])).otherwise(F.lit(0.0)))
+    per_col = period_start(time, params["freq"])
+    return j.groupBy(*cells, per_col.alias("period")) \
+        .agg((num / F.sum(cols["data"])).alias(alias))
+
+
+@register_compute("days_over_doy_percentile_pair")
+def days_over_doy_percentile_pair(df, cols, params, *, time, cells, alias):
+    """cold_and_dry/warm_and_wet_days family (reference
+    _multivariate.py:250-481): days where variable A is beyond its doy
+    percentile AND variable B is beyond its doy percentile.  Two
+    climatology tables ``per_a``/``per_b`` (cells..., dayofyear, per)."""
+    from ..calendar import period_start
+    from ..operators import percentile as pc
+
+    a = pc.resample_doy(df, params["per_a"].withColumnRenamed("per", "_pa"),
+                        time=time, cells=cells)
+    b = pc.resample_doy(a, params["per_b"].withColumnRenamed("per", "_pb"),
+                        time=time, cells=cells)
+    cond = g.compare(cols["data_a"], params["op_a"], F.col("_pa")) & \
+        g.compare(cols["data_b"], params["op_b"], F.col("_pb"))
+    per_col = period_start(time, params["freq"])
+    return b.groupBy(*cells, per_col.alias("period")) \
+        .agg(F.sum(cond.cast("long")).alias(alias))
+
+
+@register_compute("holiday_count")
+def holiday_count(df, cols, params, *, time, cells, alias):
+    """holiday_snow_days / holiday_snow_and_snowfall_days (reference
+    _threshold.py:3743): qualifying days within a calendar-date window."""
+    from ..calendar import period_start
+
+    mmdd = F.date_format(F.col(time), "MM-dd")
+    start = params.get("date_start", "12-25")
+    end = params.get("date_end") or start
+    sel = (mmdd >= start) & (mmdd <= end) if start <= end else \
+        (mmdd >= start) | (mmdd <= end)
+    cond = g.compare(cols["data"], params.get("op", ">="), _thr(params)) & sel
+    if cols.get("data2") is not None and params.get("thresh2") is not None:
+        cond = cond & g.compare(cols["data2"], params.get("op2", ">="),
+                                params["thresh2"])
+    per = period_start(time, params["freq"])
+    return df.groupBy(*cells, per.alias("period")) \
+        .agg(F.sum(cond.cast("long")).alias(alias))
+
+
+@register_compute("rain_on_frozen_ground")
+def rain_on_frozen_ground(df, cols, params, *, time, cells, alias):
+    """rain_on_frozen_ground_days (reference _multivariate.py:1059): rain
+    above thresh on a day above freezing preceded by ``window`` frozen
+    days."""
+    from pyspark.sql import Window
+
+    from ..calendar import period_start
+
+    w = Window.partitionBy(*cells).orderBy(time)
+    n = int(params.get("window", 7))
+    above = (F.col(cols["tas"]) > 0.0).cast("int")
+    d = df.withColumn("_above", above)
+    d = d.withColumn(
+        "_frozen_prior",
+        (F.sum("_above").over(w.rowsBetween(-n, -1)) == 0) &
+        (F.count("_above").over(w.rowsBetween(-n, -1)) == n))
+    cond = (F.col(cols["pr"]) > F.lit(float(_thr(params)))) & \
+        (F.col("_above") == 1) & F.col("_frozen_prior")
+    per = period_start(time, params["freq"])
+    return d.groupBy(*cells, per.alias("period")) \
+        .agg(F.sum(cond.cast("long")).alias(alias))
+
+
+@register_compute("blowing_snow")
+def blowing_snow(df, cols, params, *, time, cells, alias):
+    """blowing_snow (reference _multivariate.py:1833): net snow
+    accumulation over the last ``window`` days above thresh AND wind
+    above thresh."""
+    from pyspark.sql import Window
+
+    from ..calendar import period_start
+
+    w = Window.partitionBy(*cells).orderBy(time)
+    diff = F.col(cols["snd"]) - F.lag(cols["snd"]).over(w)
+    d = df.withColumn("_d", diff)
+    d = d.withColumn(
+        "_acc",
+        F.sum("_d").over(w.rowsBetween(-(int(params["window"]) - 1), 0)))
+    cond = (F.col("_acc") >= F.lit(float(params["snd_thresh"]))) & \
+        (F.col(cols["sfcWind"]) >= F.lit(float(params["sfcWind_thresh"])))
+    per = period_start(time, params["freq"])
+    return d.groupBy(*cells, per.alias("period")) \
+        .agg(F.sum(cond.cast("long")).alias(alias))
+
+
+@register_compute("latitude_temperature_index")
+def latitude_temperature_index(df, cols, params, *, time, cells, alias):
+    """LTI (reference _agro.py latitude_temperature_index): max monthly
+    mean temperature x (lat_factor - |lat|)."""
+    from ..calendar import period_start
+
+    monthly = (
+        df.withColumn("_m", period_start(time, "MS"))
+        .groupBy(*cells, "_m", cols["lat"])
+        .agg(F.avg(cols["data"]).alias("_v"))
+    )
+    lf = float(params.get("lat_factor", 75.0))
+    coeff = F.when(F.abs(F.col(cols["lat"])) <= lf,
+                   lf - F.abs(F.col(cols["lat"]))).otherwise(F.lit(0.0))
+    return (
+        monthly.withColumn("period", period_start("_m", params["freq"]))
+        .groupBy(*cells, "period")
+        .agg((F.max("_v") * F.first(coeff)).alias(alias))
+    )
+
+
+@register_compute("corn_heat_units")
+def corn_heat_units_c(df, cols, params, *, time, cells, alias):
+    """Daily corn heat units (reference _agro.py corn_heat_units)."""
+    tn, tx = F.col(cols["tasmin"]), F.col(cols["tasmax"])
+    t_tn = float(params.get("thresh_tasmin", 4.44))
+    t_tx = float(params.get("thresh_tasmax", 10.0))
+    chu = (
+        F.when(tn > t_tn, 1.8 * (tn - t_tn)).otherwise(F.lit(0.0))
+        + F.when(tx > t_tx, 3.33 * (tx - t_tx)
+                 - 0.084 * (tx - t_tx) * (tx - t_tx)).otherwise(F.lit(0.0))
+    ) / 2.0
+    return df.select(*cells, time, chu.alias(alias))
+
+
+def _huglin_k(lat_col):
+    """Stepwise Huglin day-length coefficient (reference
+    helpers.py huglin_day_length_latitude_coefficient, method 'huglin')."""
+    al = F.abs(lat_col)
+    return (
+        F.when(al <= 40.0, 1.0)
+        .when(al <= 42.0, 1.02)
+        .when(al <= 44.0, 1.03)
+        .when(al <= 46.0, 1.04)
+        .when(al <= 48.0, 1.05)
+        .when(al <= 50.0, 1.06)
+        .otherwise(F.lit(float("nan")))
+    )
+
+
+@register_compute("huglin_index")
+def huglin_index(df, cols, params, *, time, cells, alias):
+    """Huglin heliothermal index (reference _agro.py huglin_index, method
+    'huglin'): sum of k * max(((tas+tasmax)/2 - thresh), 0) over
+    [start_date, end_date)."""
+    from ..calendar import period_start
+
+    t = float(_thr(params) if _thr(params) is not None else 10.0)
+    mmdd = F.date_format(F.col(time), "MM-dd")
+    sel = (mmdd >= params.get("start_date", "04-01")) & \
+        (mmdd < params.get("end_date", "10-01"))
+    hi = F.greatest((F.col(cols["tas"]) + F.col(cols["tasmax"])) / 2.0 - t,
+                    F.lit(0.0)) * _huglin_k(F.col(cols["lat"]))
+    per = period_start(time, params["freq"])
+    return (
+        df.filter(sel).groupBy(*cells, per.alias("period"))
+        .agg(F.sum(hi).alias(alias))
+    )
+
+
+@register_compute("bedd")
+def bedd(df, cols, params, *, time, cells, alias):
+    """Biologically effective degree days, method 'icclim' (no latitude
+    adjustment, tr_adj=0) or 'huglin' (stepwise k + temperature-range
+    adjustment) — reference _agro.py biologically_effective_degree_days."""
+    from ..calendar import period_start
+
+    t = float(params.get("thresh_tasmin", 10.0))
+    cap = float(params.get("max_daily_degree_days", 9.0))
+    tn, tx = F.col(cols["tasmin"]), F.col(cols["tasmax"])
+    method = params.get("method", "icclim")
+    if method == "icclim":
+        k, tr_adj = F.lit(1.0), F.lit(0.0)
+    else:
+        low, high = (float(params.get("low_dtr", 10.0)),
+                     float(params.get("high_dtr", 13.0)))
+        dtr = tx - tn
+        tr_adj = 0.25 * (
+            F.when(dtr > high, dtr - high)
+            .when(dtr < low, dtr - low)
+            .otherwise(F.lit(0.0))
+        )
+        k = _huglin_k(F.col(cols["lat"]))
+    val = F.least(F.greatest((tn + tx) / 2.0 - t, F.lit(0.0)) * k + tr_adj,
+                  F.lit(cap))
+    mmdd = F.date_format(F.col(time), "MM-dd")
+    sel = (mmdd >= params.get("start_date", "04-01")) & \
+        (mmdd < params.get("end_date", "11-01"))
+    per = period_start(time, params["freq"])
+    return (
+        df.filter(sel).groupBy(*cells, per.alias("period"))
+        .agg(F.sum(val).alias(alias))
+    )
+
+
+@register_compute("cool_night_index")
+def cool_night_index(df, cols, params, *, time, cells, alias):
+    """Mean tasmin of September (NH) / March (SH) (reference _agro.py
+    cool_night_index)."""
+    month = 3 if params.get("hemisphere", "north") == "south" else 9
+    return g.select_resample_op(
+        df, cols["data"], "mean", params["freq"], time=time, cells=cells,
+        alias=alias, month=[month])
+
+
+@register_compute("effective_growing_degree_days")
+def effective_growing_degree_days(df, cols, params, *, time, cells, alias):
+    """EGDD, method 'bootsma' (reference _agro.py:1292): GDD over
+    (tasmin+tasmax)/2 summed from 10 days after the first day above
+    thresh until the first day below thresh after ``after_date``."""
+    from pyspark.sql import Window
+
+    from ..calendar import period_start
+
+    t = float(_thr(params) if _thr(params) is not None else 5.0)
+    tg = (F.col(cols["tasmin"]) + F.col(cols["tasmax"])) / 2.0
+    d = df.withColumn("_tg", tg).withColumn("period",
+                                            period_start(time,
+                                                         params["freq"]))
+    w = Window.partitionBy(*cells, "period").orderBy(time)
+    doy = F.dayofyear(time)
+    start_doy = F.min(F.when(F.col("_tg") > t, doy)).over(
+        Window.partitionBy(*cells, "period")) + 10
+    after = params.get("after_date", "07-01")
+    mmdd = F.date_format(F.col(time), "MM-dd")
+    end_doy = F.min(F.when((F.col("_tg") < t) & (mmdd >= after), doy)).over(
+        Window.partitionBy(*cells, "period"))
+    dd = F.when((doy >= start_doy) &
+                (end_doy.isNull() | (doy < end_doy)) &
+                (F.col("_tg") > t), F.col("_tg") - t).otherwise(F.lit(0.0))
+    d = d.withColumn("_dd", dd)
+    return d.groupBy(*cells, "period").agg(F.sum("_dd").alias(alias))
+
+
+@register_compute("fire_season")
+def fire_season(df, cols, params, *, time, cells, alias):
+    """WF93 fire-season mask (reference fire/_cffwis.py fire_season,
+    method WF93): ON after ``window`` days with tasmax > temp_start, OFF
+    after ``window`` days with tasmax < temp_end — the runs_with_holes
+    start/stop automaton at daily grain."""
+    hot = g.compare(cols["data"], ">", params.get("temp_start", 12.0))
+    cold = g.compare(cols["data"], "<", params.get("temp_end", 5.0))
+    out = rl.runs_with_holes(
+        df, hot, int(params.get("window", 3)), cold,
+        int(params.get("window", 3)), time=time, cells=cells)
+    return out.select(*cells, time, F.col("in_event").alias(alias))
+
+
+@register_compute("bfi_seasonal_ratio")
+def bfi_seasonal_ratio(df, cols, params, *, time, cells, alias):
+    """base_flow_index_seasonal_ratio (reference land/_streamflow.py):
+    summer BFI over winter BFI per year."""
+    from ..operators import hydrology as hy
+
+    m = F.month(time)
+    summer = df.filter(m.isin(*params.get("summer_months", [6, 7, 8])))
+    winter = df.filter(m.isin(*params.get("winter_months", [12, 1, 2])))
+    bs = hy.base_flow_index(summer, cols["data"], params["freq"],
+                            time=time, cells=cells, alias="_s")
+    bw = hy.base_flow_index(winter, cols["data"], params["freq"],
+                            time=time, cells=cells, alias="_w")
+    j = bs.join(bw, on=[*cells, "period"], how="inner")
+    return j.select(*cells, "period",
+                    (F.col("_s") / F.col("_w")).alias(alias))
