@@ -42,3 +42,106 @@ def test_chill_portions_spark_matches_kernel(spark):
     assert len(out) == 1
     expect = agro.chill_portions_1d(temps)
     assert out[0]["chill_portions"] == pytest.approx(expect, rel=1e-12)
+
+
+def _rain_year(spark, wet=(10.0, 10.0, 10.0), drizzle=2.0,
+               dry_from="2001-10-20"):
+    """One cell, year 2001: dry Jan-May 9, 3 wet days May 10-12,
+    drizzle through Oct 19, bone-dry after."""
+    days = [dt.date(2001, 1, 1) + dt.timedelta(d) for d in range(365)]
+    wet_days = {dt.date(2001, 5, 10 + i): w for i, w in enumerate(wet)}
+    dry_start = dt.date.fromisoformat(dry_from)
+    rows = []
+    for d in days:
+        if d in wet_days:
+            p = wet_days[d]
+        elif dt.date(2001, 5, 10 + len(wet)) <= d < dry_start:
+            p = drizzle
+        else:
+            p = 0.0
+        rows.append(("c1", d, p))
+    return spark.createDataFrame(rows, "cell string, time date, pr double")
+
+
+def test_rain_season_start_end_length(spark):
+    # ref _agro.py:796-981 semantics: start = first day of a 3-day >=25mm
+    # wet spell (May 12, doy 132) followed by 30 days without a 7-day dry
+    # run; end = first >=20-day dry run after the start in [09-01, 12-31]
+    # (Oct 20, doy 293); length = end - start = 161 days.
+    df = _rain_year(spark)
+    out = agro.rain_season(df, "pr", cells=["cell"]).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["rain_season_start"] == 132.0
+    assert r["rain_season_end"] == 293.0
+    assert r["rain_season_length"] == 161.0
+
+
+def test_rain_season_no_start_when_wet_spell_too_small(spark):
+    # 3-day accumulation 15 mm < 25 mm: no season at all
+    df = _rain_year(spark, wet=(5.0, 5.0, 5.0))
+    r = agro.rain_season(df, "pr", cells=["cell"]).collect()[0]
+    assert r["rain_season_start"] is None
+    assert r["rain_season_length"] is None
+
+
+def test_rain_season_dry_run_vetoes_start(spark):
+    # a 7-day dry run right after the wet spell (drizzle=0.5 <= 1.0 mm)
+    # kills the probation window: no start
+    df = _rain_year(spark, drizzle=0.5)
+    r = agro.rain_season(df, "pr", cells=["cell"]).collect()[0]
+    assert r["rain_season_start"] is None
+
+
+def test_rain_season_open_ended_runs_to_year_end(spark):
+    # drizzle continues to Dec 31: no dry run, length = days to Dec 31
+    df = _rain_year(spark, dry_from="2002-01-01")
+    r = agro.rain_season(df, "pr", cells=["cell"]).collect()[0]
+    assert r["rain_season_start"] == 132.0
+    assert r["rain_season_end"] is None
+    # May 12 .. Dec 31 inclusive = 234 days
+    assert r["rain_season_length"] == 234.0
+
+
+def test_rain_season_total_methods(spark):
+    # method 'total': dry start sequence judged on 7-day totals; dry end
+    # on 20-day totals <= thresh*window
+    df = _rain_year(spark)
+    r = agro.rain_season(
+        df, "pr", method_dry_start="total", thresh_dry_start=7.0,
+        method_dry_end="total", thresh_dry_end=10.0,
+        cells=["cell"]).collect()[0]
+    assert r["rain_season_start"] == 132.0
+    # end: first day whose trailing 20-day total <= 10 mm, after Sep 1;
+    # drizzle (2 mm/d) stops Oct 20, so the window ending Nov 3 (doy 307,
+    # spanning Oct 15..Nov 3) holds exactly 5*2 = 10 mm — first hit.
+    assert r["rain_season_end"] == 307.0
+
+
+def test_dryness_index_hand_computed(spark):
+    # pr = 1 mm/d, etp = 3 mm/d all of 2001 (non-leap):
+    # contrib(m) = P - 3n*k - 3*(1-k)*(n/5) for Apr..Sep else 0
+    # Apr 4.8, May -9.92, Jun -24, Jul -24.8, Aug -24.8, Sep -24
+    # DI = 200 + sum = 97.28
+    days = [dt.date(2001, 1, 1) + dt.timedelta(d) for d in range(365)]
+    df = spark.createDataFrame(
+        [("c1", d, 1.0, 3.0) for d in days],
+        "cell string, time date, pr double, etp double")
+    out = agro.dryness_index(df, "pr", "etp", cells=["cell"]).collect()
+    assert len(out) == 1
+    assert out[0]["dryness_index"] == pytest.approx(97.28, abs=1e-9)
+
+
+def test_dryness_index_south_labels_inside_jan(spark):
+    # Southern hemisphere: Oct 2000 - Mar 2001 season labelled 2001-01-01
+    days = [dt.date(2000, 7, 1) + dt.timedelta(d) for d in range(365)]
+    df = spark.createDataFrame(
+        [("c1", d, 2.0, 1.0) for d in days],
+        "cell string, time date, pr double, etp double")
+    out = agro.dryness_index(df, "pr", "etp", lat="south",
+                             cells=["cell"]).collect()
+    periods = {str(r["period"]) for r in out}
+    assert "2001-01-01" in periods
+    # Oct-Mar contributions are positive (P > ETP): DI > Wo for that season
+    di = {str(r["period"]): r["dryness_index"] for r in out}
+    assert di["2001-01-01"] > 200.0

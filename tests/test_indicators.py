@@ -728,3 +728,20 @@ def test_final_batch_indicators(spark):
     r = atmos.rain_on_frozen_ground_days(
         df6, pr="p", tas="t", cells=["cell"], missing=None).df.collect()
     assert r[0][2] == 1  # only the first warm day qualifies
+
+
+def test_reference_name_closure():
+    # every named indicator instantiated by the reference's indicator
+    # modules resolves in the registry (ref src/xclim/indicators/*)
+    for name in ("sfcWind_max", "sfcWindmax_mean", "dryness_index",
+                 "rain_season", "jetstream_metric_woollings"):
+        assert name in registry, name
+
+
+def test_wind_stats_by_name(spark):
+    vals = [4.0, 9.0, 2.0, 7.0]
+    df = timeseries(spark, vals, start="2000-01-01")
+    res = registry["sfcWind_max"](df, data="value", freq="YS",
+                                  cells=["cell"], missing=None)
+    assert res.df.collect()[0]["sfcWind_max"] == 9.0
+    assert res.attrs["units"] == "m s-1"

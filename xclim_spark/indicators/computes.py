@@ -1287,3 +1287,67 @@ def bfi_seasonal_ratio(df, cols, params, *, time, cells, alias):
     j = bs.join(bw, on=[*cells, "period"], how="inner")
     return j.select(*cells, "period",
                     (F.col("_s") / F.col("_w")).alias(alias))
+
+
+@register_compute("dryness_index")
+def dryness_index(df, cols, params, *, time, cells, alias):
+    """Viticulture dryness index (reference _agro.py:532-724)."""
+    from ..operators import agro as ag
+
+    return ag.dryness_index(
+        df, cols["pr"], cols["evspsblpot"],
+        lat=params.get("lat", "north"), wo=float(_thr(params)),
+        time=time, cells=cells, alias=alias,
+    )
+
+
+@register_compute("rain_season_field")
+def rain_season_field(df, cols, params, *, time, cells, alias):
+    """Rain-season start/end/length (reference _agro.py:796-981).
+    ``params['field']`` picks one of start/end/length, or 'all' keeps
+    the full triple."""
+    from ..operators import agro as ag
+
+    out = ag.rain_season(
+        df, cols["data"],
+        thresh_wet_start=params["thresh_wet_start"],
+        window_wet_start=int(params["window_wet_start"]),
+        window_not_dry_start=int(params["window_not_dry_start"]),
+        thresh_dry_start=params["thresh_dry_start"],
+        window_dry_start=int(params["window_dry_start"]),
+        method_dry_start=params["method_dry_start"],
+        date_min_start=params["date_min_start"],
+        date_max_start=params["date_max_start"],
+        thresh_dry_end=params["thresh_dry_end"],
+        window_dry_end=int(params["window_dry_end"]),
+        method_dry_end=params["method_dry_end"],
+        date_min_end=params["date_min_end"],
+        date_max_end=params["date_max_end"],
+        freq=params["freq"], time=time, cells=cells,
+        prefix="rain_season",
+    )
+    field = params.get("field", "all")
+    if field == "all":
+        return out
+    return out.select(*cells, "period",
+                      F.col(f"rain_season_{field}").alias(alias))
+
+
+@register_compute("jetstream_field")
+def jetstream_field(df, cols, params, *, time, cells, alias):
+    """Woollings jetstream latitude/strength (reference
+    _synoptic.py:24-104).  Daily output; ``field`` in {jetlat, jetstr,
+    all}.  ``cells`` must include the latitude column named by
+    params['lat_name'] (default 'lat')."""
+    from ..operators import synoptic as syn
+
+    out = syn.jetstream_metric_woollings(
+        df, cols["ua"], time=time,
+        lat=params.get("lat_name", "lat"),
+        window_size=int(params.get("window_size", 61)),
+        filter_freq=int(params.get("filter_freq", 10)),
+    )
+    field = params.get("field", "all")
+    if field == "all":
+        return out
+    return out.select(time, F.col(field).alias(alias))

@@ -67,6 +67,11 @@ VARIABLES: dict[str, dict[str, str]] = {
     "snw": {"canonical_units": "kg m-2",
             "standard_name": "surface_snow_amount"},
     "sfcWind": {"canonical_units": "m s-1", "standard_name": "wind_speed"},
+    "sfcWindmax": {"canonical_units": "m s-1", "standard_name": "wind_speed",
+                   "cell_methods": "time: maximum within days"},
+    "evspsblpot": {"canonical_units": "mm/d", "standard_name":
+                   "water_potential_evapotranspiration_flux"},
+    "ua": {"canonical_units": "m s-1", "standard_name": "eastward_wind"},
     "hurs": {"canonical_units": "%", "standard_name": "relative_humidity"},
     "huss": {"canonical_units": "1", "standard_name": "specific_humidity"},
     "ps": {"canonical_units": "Pa", "standard_name": "surface_air_pressure"},

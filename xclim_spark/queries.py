@@ -1796,6 +1796,58 @@ def ind_wetdays_prop_ms(spark, sf_dir):
     return out.withColumn("wetdays_prop", F.round("wetdays_prop", 6))
 
 
+@_register(
+    "agro_dryness_index_ys",
+    f"""WITH {DAILY_SQL},
+monthly AS (
+  SELECT cell, CAST(date_trunc('month', day) AS DATE) AS m,
+         sum(qty) AS prm, sum(qty * 0.4) AS etpm, count(*) AS n
+  FROM daily GROUP BY 1, 2
+),
+calc AS (
+  SELECT cell, CAST(date_trunc('year', m) AS DATE) AS period,
+         CASE WHEN month(m) = 4 THEN 0.1 WHEN month(m) = 5 THEN 0.3
+              WHEN month(m) BETWEEN 6 AND 9 THEN 0.5 ELSE 0.0 END AS k,
+         prm, etpm, n
+  FROM monthly
+)
+SELECT cell, period,
+       ROUND(200.0 + sum(
+         (CASE WHEN k > 0 THEN prm ELSE 0.0 END) - etpm * k
+         - (etpm / n) * (1 - k)
+           * least((CASE WHEN k > 0 THEN prm ELSE 0.0 END) / 5.0,
+                   CAST(n AS DOUBLE))
+       ), 4) AS dryness_index
+FROM calc GROUP BY 1, 2""",
+)
+def agro_dryness_index_ys(spark, sf_dir):
+    """dryness_index by registry name (ref _agro.py:532): monthly water
+    balance with radiative-absorption coefficients, yearly rollup.  Two
+    hash aggregations, no window — the cheapest possible distributed
+    shape."""
+    from .indicators import registry
+
+    d = daily_series(spark, sf_dir).withColumn("etp", F.col("qty") * 0.4)
+    out = registry["dryness_index"](
+        d, pr="qty", evspsblpot="etp", time="day", cells=["cell"],
+        missing=None).df
+    return out.withColumn("dryness_index", F.round("dryness_index", 4))
+
+
+@_register("agro_rain_season_ys", None)  # runs_with_holes automaton: rows-only
+def agro_rain_season_ys(spark, sf_dir):
+    """rain_season by registry name (ref _agro.py:796): start/end doy and
+    length of the wet season from the start/stop run automaton — the
+    whole pipeline shares one (cell, year) partitioning."""
+    from .indicators import registry
+
+    d = daily_series(spark, sf_dir)
+    return registry["rain_season"](
+        d, data="qty", thresh_wet_start=90.0, thresh_dry_start=10.0,
+        method_dry_end="total", thresh_dry_end=480.0,
+        time="day", cells=["cell"], missing=None).df
+
+
 def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
