@@ -41,6 +41,14 @@ def main() -> int:
     qs = build_queries()
     # warm the JVM + parquet footers once with the flagship query
     qs["tg_mean_ms"](spark, sf_dir).count()
+    # warm the Python UDF workers + Arrow serializers once: the first
+    # pandas stage of a session pays worker fork/import (~5-10 s on 32
+    # cores) that would otherwise be billed to one unlucky query
+    from pyspark.sql import functions as F
+    spark.range(int(cpus) * 4).withColumn(
+        "g", F.col("id") % int(cpus)
+    ).repartition(int(cpus), "g").groupBy("g").applyInPandas(
+        lambda p: p, schema="id long, g long").count()
 
     timings: dict[str, float] = {}
     t_all0 = time.time()
