@@ -72,3 +72,52 @@ def test_spatial_analogs_ranks_true_analog_first(spark):
                                   cells=["cell"], method="szekely_rizzo")
     d2 = {r["cell"]: r["dissimilarity"] for r in out2.collect()}
     assert d2[0] < d2[1] and d2[0] < d2[2]
+
+
+def test_zech_aslan_separates():
+    rng = np.random.RandomState(7)
+    x = rng.randn(80, 2)
+    same = rng.randn(80, 2)
+    far = rng.randn(80, 2) + 4.0
+    assert analog.zech_aslan(x, same) < analog.zech_aslan(x, far)
+
+
+def test_friedman_rafsky_bounds_and_separation():
+    rng = np.random.RandomState(8)
+    x = rng.randn(60, 2)
+    same = rng.randn(60, 2)
+    far = rng.randn(60, 2) + 6.0
+    d_same = analog.friedman_rafsky(x, same)
+    d_far = analog.friedman_rafsky(x, far)
+    # overlapping samples cross often (low stat); disjoint clouds cross
+    # once -> statistic near (n-1)/n
+    assert 0.0 <= d_same < d_far <= (120 - 1) / 120
+    assert d_far > 0.9
+
+
+def test_kolmogorov_smirnov_identical_and_shifted():
+    rng = np.random.RandomState(9)
+    x = rng.randn(200, 2)
+    assert analog.kolmogorov_smirnov(x, x.copy()) < 0.05
+    y = rng.randn(200, 2) + 3.0
+    assert analog.kolmogorov_smirnov(x, y) > 0.8
+
+
+def test_kldiv_1d_normals_close_to_analytic():
+    # D(N(0,1) || N(mu,1)) = mu^2/2; with mu=1 -> 0.5
+    rng = np.random.RandomState(10)
+    x = rng.randn(4000, 1)
+    y = rng.randn(4000, 1) + 1.0
+    est = analog.kldiv(x, y, k=5)
+    assert abs(est - 0.5) < 0.15
+    # identical distributions -> ~0
+    z = rng.randn(4000, 1)
+    assert abs(analog.kldiv(x, z, k=5)) < 0.1
+
+
+def test_kldiv_k_sequence_and_small_sample_nan():
+    rng = np.random.RandomState(11)
+    x, y = rng.randn(100, 2), rng.randn(100, 2)
+    out = analog.kldiv(x, y, k=[1, 2, 3])
+    assert len(out) == 3
+    assert np.isnan(analog.kldiv(x[:3], y))

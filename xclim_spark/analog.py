@@ -94,6 +94,114 @@ def szekely_rizzo(x: np.ndarray, y: np.ndarray, *,
 
 
 @metric
+def zech_aslan(x: np.ndarray, y: np.ndarray, *, dmin: float = 1e-12) -> float:
+    """Zech-Aslan energy dissimilarity (reference analog.py:255-321):
+    log-weighted standardized-Euclidean charge energy
+    ``phi_xx + phi_yy - phi_xy`` with pole cut-off ``dmin``."""
+    nx, ny = len(x), len(y)
+    v = (x.std(0, ddof=1) * y.std(0, ddof=1)).astype(float)
+    v[v == 0] = 1.0
+
+    def sed(a, b):
+        return np.sqrt((((a[:, None, :] - b[None, :, :]) ** 2) / v).sum(-1))
+
+    dx, dy, dxy = sed(x, x), sed(y, y), sed(x, y)
+    iux = np.triu_indices(nx, 1)
+    iuy = np.triu_indices(ny, 1)
+    phix = -np.log(dx[iux].clip(dmin)).sum() / (nx * (nx - 1))
+    phiy = -np.log(dy[iuy].clip(dmin)).sum() / (ny * (ny - 1))
+    phixy = -np.log(dxy.clip(dmin)).sum() / (nx * ny)
+    return float(phix + phiy - phixy)
+
+
+@metric
+def friedman_rafsky(x: np.ndarray, y: np.ndarray) -> float:
+    """Friedman-Rafsky MST runs statistic (reference analog.py:389-432):
+    build the minimal spanning tree of the pooled sample (Prim's
+    algorithm on the dense distance matrix — the reference's
+    scipy/sklearn path without the dependencies) and count edges
+    crossing samples; ``1 - (1 + crossings)/n``."""
+    nx = len(x)
+    xy = np.vstack([x, y])
+    n = len(xy)
+    d = ((xy[:, None, :] - xy[None, :, :]) ** 2).sum(-1)
+
+    in_tree = np.zeros(n, dtype=bool)
+    best = np.full(n, np.inf)
+    parent = np.full(n, -1)
+    in_tree[0] = True
+    best_upd = d[0]
+    mask = ~in_tree
+    best[mask] = best_upd[mask]
+    parent[mask] = 0
+    crossings = 0
+    for _ in range(n - 1):
+        j = int(np.where(mask, best, np.inf).argmin())
+        in_tree[j] = True
+        mask[j] = False
+        if (parent[j] < nx) != (j < nx):
+            crossings += 1
+        upd = d[j] < best
+        upd &= mask
+        best[upd] = d[j][upd]
+        parent[upd] = j
+    return float(1.0 - (1.0 + crossings) / n)
+
+
+@metric
+def kolmogorov_smirnov(x: np.ndarray, y: np.ndarray) -> float:
+    """Multivariate KS statistic, Fasano-Franceschini style (reference
+    analog.py:434-497): max quadrant-count difference over both pivot
+    choices."""
+    def pivot(_x, _y):
+        nx, d = _x.shape
+        ny, _ = _y.shape
+        mf = (2 ** np.arange(d)).reshape(1, d, 1)
+        minlength = 2 ** d
+        ix = ((_x.T <= np.atleast_3d(_x)) * mf).sum(1)
+        iy = ((_x.T <= np.atleast_3d(_y)) * mf).sum(1)
+        cx = np.apply_along_axis(
+            np.bincount, 0, ix, minlength=minlength) * 1.0 / nx
+        cy = np.apply_along_axis(
+            np.bincount, 0, iy, minlength=minlength) * 1.0 / ny
+        return float(np.max(np.abs(cx - cy)))
+
+    return max(pivot(x, y), pivot(y, x))
+
+
+@metric
+def kldiv(x: np.ndarray, y: np.ndarray, *,
+          k: int | Sequence[int] = 1) -> float | list[float]:
+    """Kullback-Leibler divergence D(P||Q) from samples via kth-NN
+    distances (Perez-Cruz 2008; reference analog.py:499-587).  Dense
+    distance matrices + ``np.partition`` replace the reference's KDTree
+    — same estimator, no scipy."""
+    mk = np.iterable(k)
+    ka = np.atleast_1d(k)
+    nx, d = x.shape
+    ny, _ = y.shape
+    if d > 10:
+        raise ValueError(f"Too many dimensions: {d}.")
+    if nx < 5 or ny < 5:
+        return [np.nan] * len(ka) if mk else np.nan
+
+    dxx = np.sqrt(((x[:, None, :] - x[None, :, :]) ** 2).sum(-1))
+    dxy = np.sqrt(((x[:, None, :] - y[None, :, :]) ** 2).sum(-1))
+    # row-sorted distances: dxx column 0 is the self-distance (0)
+    r = np.sort(dxx, axis=1)
+    s = np.sort(dxy, axis=1)
+    out = []
+    for ki in ka:
+        ki = int(ki)
+        # kth NN of x[i] within x excludes self -> column ki; within y
+        # there is no self -> column ki-1 (reference analog.py:577-581)
+        val = -np.log(r[:, ki] / s[:, ki - 1]).sum() * d / nx \
+            + np.log(ny / (nx - 1.0))
+        out.append(float(val))
+    return out if mk else out[0]
+
+
+@metric
 def mahalanobis(x: np.ndarray, y: np.ndarray) -> float:
     """Mahalanobis distance between sample means under the pooled
     covariance (reference analog.py mahalanobis)."""
