@@ -137,3 +137,119 @@ def test_robustness_categories(spark):
     assert out[1] == (1, "robust signal")
     assert out[2] == (2, "no change or no signal")
     assert out[3] == (3, "conflicting signal")
+
+
+import datetime as dt
+
+
+def _two_epochs(spark, shift=2.0, scale=1.0, n_members=8, n_steps=30,
+                seed=3):
+    rng = np.random.RandomState(seed)
+    fut_rows, ref_rows = [], []
+    for m in range(n_members):
+        for y in range(n_steps):
+            fut_rows.append((f"r{m}", "p1",
+                             dt.date(2070, 1, 1) + dt.timedelta(days=30 * y),
+                             float(shift + scale * rng.randn())))
+            ref_rows.append((f"r{m}", "p1",
+                             dt.date(1970, 1, 1) + dt.timedelta(days=30 * y),
+                             float(rng.randn())))
+    schema = "realization string, point string, time date, tas double"
+    return (spark.createDataFrame(fut_rows, schema),
+            spark.createDataFrame(ref_rows, schema))
+
+
+def test_robustness_fractions_significance_tests(spark):
+    # clear +1sigma mean shift: every mean-change test flags every member;
+    # equal variances: Brown-Forsythe (a variance test) flags none
+    fut, ref = _two_epochs(spark)
+    for test in ("ttest", "welch-ttest", "mannwhitney-utest", "ipcc-ar6-c"):
+        out = ens.robustness_fractions(
+            fut, ref, "tas", keys=["point"], test=test).collect()[0]
+        assert out["changed"] == 1.0, test
+        assert out["positive"] == 1.0, test
+        assert out["changed_positive"] == 1.0, test
+    bf = ens.robustness_fractions(
+        fut, ref, "tas", keys=["point"], test="brownforsythe-test"
+    ).collect()[0]
+    # equal variances: only alpha-level false positives allowed
+    assert bf["changed"] <= 0.25
+
+
+def test_robustness_fractions_no_change(spark):
+    # identical distributions: ttest flags ~alpha fraction (allow slack)
+    fut, ref = _two_epochs(spark, shift=0.0, seed=5)
+    out = ens.robustness_fractions(
+        fut, ref, "tas", keys=["point"], test="ttest").collect()[0]
+    assert out["changed"] <= 0.3
+
+
+def test_brownforsythe_detects_variance_change(spark):
+    fut, ref = _two_epochs(spark, shift=0.0, scale=4.0, seed=7)
+    out = ens.robustness_fractions(
+        fut, ref, "tas", keys=["point"], test="brownforsythe-test"
+    ).collect()[0]
+    assert out["changed"] >= 0.8
+
+
+def test_robustness_coefficient_ranges(spark):
+    # tight agreement -> R near 1; same construction with huge spread -> lower
+    fut, ref = _two_epochs(spark, shift=3.0, scale=0.1, seed=9)
+    r_tight = ens.robustness_coefficient(
+        fut, ref, "tas", keys=["point"]).collect()[0]["R"]
+    fut2, ref2 = _two_epochs(spark, shift=3.0, scale=4.0, seed=9)
+    r_loose = ens.robustness_coefficient(
+        fut2, ref2, "tas", keys=["point"]).collect()[0]["R"]
+    assert r_tight <= 1.0
+    assert r_loose < r_tight
+    assert r_tight > 0.9
+
+
+def test_lafferty_sriver_partition_components(spark):
+    # constructed ensemble: scenario trend spread dominates late-century,
+    # model offsets give ~var_pop({-.5,0,.5})=0.167, downscaling ~0,
+    # noise sigma=0.3 -> variability ~0.09
+    rng = np.random.RandomState(11)
+    rows = []
+    for s, trend in (("ssp1", 0.01), ("ssp5", 0.05)):
+        for m, off in (("m1", 0.0), ("m2", 0.5), ("m3", -0.5)):
+            for d in ("d1", "d2"):
+                for y in range(1980, 2100):
+                    v = off + trend * (y - 1980) + 0.3 * rng.randn()
+                    rows.append((s, m, d, dt.date(y, 1, 1), float(v)))
+    df = spark.createDataFrame(
+        rows, "scenario string, model string, downscaling string, "
+              "time date, tas double")
+    out = {r["time"]: r for r in
+           ens.lafferty_sriver(df, "tas").collect()}
+    mid = out[dt.date(2040, 1, 1)]
+    assert abs(mid["model"] - 0.167) < 0.08
+    assert mid["downscaling"] < 0.02
+    assert 0.03 < mid["variability"] < 0.2
+    late, early = out[dt.date(2095, 1, 1)], out[dt.date(1995, 1, 1)]
+    assert late["scenario"] > early["scenario"] + 1.0
+    assert abs(mid["total"] - (mid["model"] + mid["scenario"]
+               + mid["downscaling"] + mid["variability"])) < 1e-9
+
+
+def test_general_partition_defaults_match_lafferty(spark):
+    rng = np.random.RandomState(13)
+    rows = []
+    for s in ("a", "b"):
+        for m in ("m1", "m2"):
+            for d in ("d1", "d2"):
+                for y in range(2000, 2060):
+                    rows.append((s, m, d, dt.date(y, 1, 1),
+                                 float(rng.randn())))
+    df = spark.createDataFrame(
+        rows, "scenario string, model string, downscaling string, "
+              "time date, tas double")
+    a = ens.lafferty_sriver(df, "tas")
+    b = ens.general_partition(df, "tas", var_first=["model", "downscaling"],
+                              mean_first=["scenario"],
+                              weights=["model", "downscaling"])
+    da = {r["time"]: r["total"] for r in a.collect()}
+    db = {r["time"]: r["total"] for r in b.collect()}
+    for t, v in da.items():
+        if v is not None and db[t] is not None:
+            assert abs(v - db[t]) < 1e-9

@@ -150,3 +150,24 @@ def test_weighted_spell_mask_mean_and_reject(spark):
     with pytest.raises(ValueError):
         rl.spell_mask(df, ["value"], 2, "max", ">", 3.0,
                       weights=[1.0, 3.0], cells=["cell"])
+
+
+def test_missing_some_but_not_all(spark):
+    # Jan: full 31 valid -> valid; Feb: 10 of 28 -> missing;
+    # Mar: 31 rows all NULL -> valid (all-missing periods pass)
+    import datetime as dt
+
+    rows = []
+    for d in range(31):
+        rows.append(("c", dt.date(2001, 1, 1) + dt.timedelta(d), 1.0))
+    for d in range(10):
+        rows.append(("c", dt.date(2001, 2, 1) + dt.timedelta(d), 1.0))
+    for d in range(31):
+        rows.append(("c", dt.date(2001, 3, 1) + dt.timedelta(d), None))
+    df = spark.createDataFrame(rows, "cell string, time date, v double")
+    out = {str(r["period"]): r["is_missing"] for r in
+           miss.missing_some_but_not_all(
+               df, "v", "MS", cells=["cell"]).collect()}
+    assert out["2001-01-01"] is False
+    assert out["2001-02-01"] is True
+    assert out["2001-03-01"] is False

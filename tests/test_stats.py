@@ -209,3 +209,58 @@ def test_ssi_genextreme(spark):
     assert len(ssi) >= 200
     assert abs(ssi.mean()) < 0.2
     assert 0.75 < ssi.std() < 1.25
+
+
+def test_betainc_t_f_tails_known_values():
+    from xclim_spark.stats import distributions as D
+
+    # published checkpoints: I_0.5(2,3)=0.6875; t(df=10) two-sided p at
+    # t=2.228 is 0.05; F(1,10) upper tail at 4.965 is 0.05
+    assert abs(D.betainc(2, 3, 0.5)[0] - 0.6875) < 1e-10
+    assert abs(D.t_sf_two_sided(2.2281, 10)[0] - 0.05) < 1e-4
+    assert abs(D.f_sf(4.9646, 1, 10)[0] - 0.05) < 1e-4
+    assert abs(D.norm_sf_two_sided(1.959964) - 0.05) < 1e-6
+
+
+def test_parametric_cdf_pdf_and_dist_method(spark):
+    import numpy as np
+
+    from xclim_spark import stats
+
+    rng = np.random.RandomState(21)
+    rows = [("c", float(v)) for v in rng.normal(10.0, 2.0, 400)]
+    df = spark.createDataFrame(rows, "cell string, x double")
+    params = stats.fit(df, "x", dist="norm", cells=["cell"])
+    cdf = stats.parametric_cdf(params, 10.0, "norm",
+                               cells=["cell"]).collect()[0]
+    assert abs(cdf["cdf"] - 0.5) < 0.05
+    pdf = stats.parametric_pdf(params, 10.0, "norm",
+                               cells=["cell"]).collect()[0]
+    # N(10, 2) density at the mean = 1/(2*sqrt(2pi)) ~ 0.1995
+    assert abs(pdf["pdf"] - 0.1995) < 0.03
+    q = stats.dist_method("ppf", params, 0.5, "norm",
+                          cells=["cell"]).collect()[0]
+    assert abs(q["value"] - 10.0) < 0.3
+
+
+def test_standardized_index_fit_params_shape(spark):
+    import datetime as dt
+
+    import numpy as np
+
+    rng = np.random.RandomState(22)
+    rows = []
+    for y in range(1990, 2020):
+        for m in range(1, 13):
+            for d in (1, 10, 20):
+                rows.append(("c", dt.date(y, m, d),
+                             float(max(rng.gamma(2.0, 2.0), 0.0))))
+    df = spark.createDataFrame(rows, "cell string, time date, pr double")
+    from xclim_spark import stats
+
+    out = stats.standardized_index_fit_params(
+        df, "pr", dist="gamma", freq="MS", cells=["cell"]).collect()
+    assert len(out) == 12  # one row per month-of-year
+    for r in out:
+        assert r["prob_of_zero"] == 0.0
+        assert len(r["dparams"]) == 3

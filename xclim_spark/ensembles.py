@@ -24,11 +24,16 @@ __all__ = [
     "ensemble_mean_std_max_min",
     "ensemble_percentiles",
     "hawkins_sutton",
+    "lafferty_sriver",
+    "general_partition",
     "fractional_uncertainty",
     "kkz_reduce_ensemble",
     "kmeans_reduce_ensemble",
     "robustness_fractions",
     "robustness_categories",
+    "robustness_coefficient",
+    "member_change_significance",
+    "SIGNIFICANCE_TESTS",
     "PERCENTILE_METHODS",
 ]
 
@@ -330,11 +335,19 @@ def robustness_fractions(
     *,
     keys: Sequence[str],
     realization: str = "realization",
+    test: str | None = None,
+    time: str = "time",
+    **test_kwargs,
 ) -> DataFrame:
     """Agreement fractions on the sign of change (reference
-    robustness_fractions with ``test=None``, _robustness.py:74-335):
-    for each point, the fraction of members whose future mean exceeds /
-    falls below their reference mean.
+    robustness_fractions, _robustness.py:74-335).
+
+    With ``test=None`` (below): for each point, the fraction of members
+    whose future mean exceeds / falls below their reference mean —
+    inputs are per-member reduced values.  With a ``test`` name from
+    :data:`SIGNIFICANCE_TESTS`, inputs are per-member SERIES (a ``time``
+    column) and the member-level test drives the ``changed`` fractions
+    (delegates to :func:`robustness_fractions_test`).
 
     ``fut``/``ref`` carry one row per (realization, keys) — typically the
     output of a per-period reduction over each epoch.  Returns
@@ -344,6 +357,10 @@ def robustness_fractions(
     Plan: one broadcast-free equi-join on (realization, keys) — both
     sides are already reduced, so the join input is members x points, not
     raw data — then one aggregate."""
+    if test is not None:
+        return robustness_fractions_test(
+            fut, ref, var, keys=keys, test=test, realization=realization,
+            time=time, **test_kwargs)
     f = fut.select(realization, *keys, F.col(var).alias("_fut"))
     r = ref.select(realization, *keys, F.col(var).alias("_ref"))
     j = f.join(r, on=[realization, *keys])
@@ -356,3 +373,438 @@ def robustness_fractions(
     return out.withColumn(
         "agree", F.greatest("changed_positive", "changed_negative")
     )
+
+
+# ---------------------------------------------------------------------------
+# Member-level significance tests (reference _robustness.py:519-655).
+# Each test decides, for ONE ensemble member, whether its future sample
+# changed significantly from its reference sample.  The heavy part (the
+# member series) stays distributed: one pandas task per (keys,
+# realization); the p-value math is numpy + the repo's own incomplete-beta
+# tails (no scipy in this environment).
+# ---------------------------------------------------------------------------
+
+def _test_ttest(f, r, p_change=0.05, **_):
+    """One-sample t of fut against the ref mean (reference _ttest,
+    _robustness.py:519-550; Tebaldi et al. 2011)."""
+    import numpy as np
+
+    from .stats import distributions as D
+
+    nf = len(f)
+    if nf < 2:
+        return False, float("nan")
+    t = (f.mean() - r.mean()) / (f.std(ddof=1) / np.sqrt(nf))
+    p = float(D.t_sf_two_sided(t, nf - 1)[0])
+    return p < p_change, p
+
+
+def _test_welch(f, r, p_change=0.05, **_):
+    """Two-sample Welch t (reference _welch_ttest, _robustness.py:552-581)."""
+    import numpy as np
+
+    from .stats import distributions as D
+
+    nf, nr = len(f), len(r)
+    if nf < 2 or nr < 2:
+        return False, float("nan")
+    vf, vr = f.var(ddof=1), r.var(ddof=1)
+    se2 = vf / nf + vr / nr
+    if se2 == 0:
+        return False, float("nan")
+    t = (f.mean() - r.mean()) / np.sqrt(se2)
+    df = se2 ** 2 / ((vf / nf) ** 2 / (nf - 1) + (vr / nr) ** 2 / (nr - 1))
+    p = float(D.t_sf_two_sided(t, df)[0])
+    return p < p_change, p
+
+
+def _test_mannwhitney(f, r, p_change=0.05, **_):
+    """Two-sided Mann-Whitney U with normal approximation and tie
+    correction (reference _mannwhitney_utest, _robustness.py:583-612;
+    the reference's scipy call uses the same asymptotic path for tied
+    or moderately sized samples)."""
+    import numpy as np
+
+    from .stats import distributions as D
+
+    nf, nr = len(f), len(r)
+    if nf == 0 or nr == 0:
+        return False, float("nan")
+    pooled = np.concatenate([f, r])
+    order = pooled.argsort(kind="mergesort")
+    ranks = np.empty(len(pooled))
+    ranks[order] = np.arange(1, len(pooled) + 1)
+    # average ranks for ties
+    sorted_vals = pooled[order]
+    uniq, inv, counts = np.unique(sorted_vals, return_inverse=True,
+                                  return_counts=True)
+    csum = np.cumsum(counts)
+    avg_rank_of_uniq = csum - (counts - 1) / 2.0
+    ranks[order] = avg_rank_of_uniq[inv]
+    u1 = ranks[:nf].sum() - nf * (nf + 1) / 2.0
+    n = nf + nr
+    mu = nf * nr / 2.0
+    tie_term = ((counts ** 3 - counts).sum()) / (n * (n - 1)) if n > 1 else 0
+    sigma2 = nf * nr / 12.0 * ((n + 1) - tie_term)
+    if sigma2 <= 0:
+        return False, float("nan")
+    z = (abs(u1 - mu) - 0.5) / np.sqrt(sigma2)
+    p = float(D.norm_sf_two_sided(z))
+    return p < p_change, p
+
+
+def _test_brownforsythe(f, r, p_change=0.05, **_):
+    """Brown-Forsythe (median-centered Levene) equality-of-variance test
+    (reference _brownforsythe_test, _robustness.py:614-635)."""
+    import numpy as np
+
+    from .stats import distributions as D
+
+    nf, nr = len(f), len(r)
+    if nf < 2 or nr < 2:
+        return False, float("nan")
+    zf = np.abs(f - np.median(f))
+    zr = np.abs(r - np.median(r))
+    zbar = np.concatenate([zf, zr]).mean()
+    num = nf * (zf.mean() - zbar) ** 2 + nr * (zr.mean() - zbar) ** 2
+    den = ((zf - zf.mean()) ** 2).sum() + ((zr - zr.mean()) ** 2).sum()
+    if den == 0:
+        return False, float("nan")
+    n = nf + nr
+    w = (n - 2) * num / den
+    p = float(D.f_sf(w, 1, n - 2)[0])
+    return p < p_change, p
+
+
+def _test_ipcc_ar6_c(f, r, r_years=None, **_):
+    """IPCC AR6 Atlas criterion without pre-industrial control
+    (reference _ipcc_ar6_c, _robustness.py:637-655): change significant
+    when |delta| exceeds sqrt(2/20)*1.645*sigma_1yr of the linearly
+    detrended annual reference."""
+    import numpy as np
+
+    if r_years is not None:
+        # collapse to annual means first (reference resamples YS)
+        yrs = np.asarray(r_years)
+        uy = np.unique(yrs)
+        ann = np.array([r[yrs == y].mean() for y in uy])
+    else:
+        ann = r
+        uy = np.arange(len(r))
+    if len(ann) < 3:
+        return False, float("nan")
+    coef = np.polyfit(uy.astype(float), ann, 1)
+    resid = ann - np.polyval(coef, uy.astype(float))
+    gamma = np.sqrt(2.0 / 20.0) * 1.645 * resid.std()
+    delta = f.mean() - r.mean()
+    return bool(abs(delta) > gamma), float("nan")
+
+
+SIGNIFICANCE_TESTS = {
+    "ttest": _test_ttest,
+    "welch-ttest": _test_welch,
+    "mannwhitney-utest": _test_mannwhitney,
+    "brownforsythe-test": _test_brownforsythe,
+    "ipcc-ar6-c": _test_ipcc_ar6_c,
+}
+
+
+def member_change_significance(
+    fut: DataFrame,
+    ref: DataFrame,
+    var: str,
+    *,
+    keys: Sequence[str],
+    test: str,
+    realization: str = "realization",
+    time: str = "time",
+    **test_kwargs,
+) -> DataFrame:
+    """Per-member significance of change (the member-level half of
+    reference ``robustness_fractions`` with a ``test``,
+    _robustness.py:74-335): one row per (keys, realization) with the
+    change ``delta`` (future mean - reference mean), the test ``pval``
+    and the boolean ``changed``.
+
+    Both epochs are unioned with a flag and shuffled ONCE on
+    (keys, realization); each pandas task sees one member's two samples.
+    """
+    if test not in SIGNIFICANCE_TESTS:
+        raise ValueError(
+            f"Unknown test {test!r}; have {list(SIGNIFICANCE_TESTS)}")
+    fn = SIGNIFICANCE_TESTS[test]
+
+    f = fut.select(realization, *keys, F.col(time).alias("_t"),
+                   F.col(var).alias("_v"), F.lit(1).alias("_epoch"))
+    r = ref.select(realization, *keys, F.col(time).alias("_t"),
+                   F.col(var).alias("_v"), F.lit(0).alias("_epoch"))
+    u = f.unionByName(r)
+
+    import pandas as pd
+
+    fields = {fld.name: fld.dataType.simpleString()
+              for fld in fut.schema.fields}
+    schema = ", ".join(
+        [f"{realization} {fields[realization]}"]
+        + [f"{k} {fields[k]}" for k in keys]
+        + ["delta DOUBLE", "pval DOUBLE", "changed BOOLEAN"]
+    )
+
+    def _one(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values("_t")
+        fv = pdf.loc[pdf["_epoch"] == 1, "_v"].to_numpy(dtype=float)
+        rv = pdf.loc[pdf["_epoch"] == 0, "_v"].to_numpy(dtype=float)
+        fv, rv = fv[np.isfinite(fv)], rv[np.isfinite(rv)]
+        if len(fv) == 0 or len(rv) == 0:
+            changed, p, delta = None, float("nan"), float("nan")
+        else:
+            kw = dict(test_kwargs)
+            if test == "ipcc-ar6-c":
+                kw["r_years"] = pd.to_datetime(
+                    pdf.loc[pdf["_epoch"] == 0, "_t"]
+                ).dt.year.to_numpy()[
+                    np.isfinite(pdf.loc[pdf["_epoch"] == 0, "_v"]
+                                ).to_numpy()]
+            changed, p = fn(fv, rv, **kw)
+            delta = float(fv.mean() - rv.mean())
+        out = {realization: [pdf[realization].iloc[0]]}
+        for k in keys:
+            out[k] = [pdf[k].iloc[0]]
+        out["delta"] = [delta]
+        out["pval"] = [p]
+        out["changed"] = [changed]
+        return pd.DataFrame(out)
+
+    return repartition_for_apply(u, [realization, *keys]) \
+        .groupBy(realization, *keys).applyInPandas(_one, schema=schema)
+
+
+def robustness_fractions_test(
+    fut: DataFrame,
+    ref: DataFrame,
+    var: str,
+    *,
+    keys: Sequence[str],
+    test: str,
+    realization: str = "realization",
+    time: str = "time",
+    **test_kwargs,
+) -> DataFrame:
+    """Reference ``robustness_fractions`` with a significance test
+    (_robustness.py:74-335): per point, the fraction of members with
+    significant change, split by sign, plus sign-agreement.
+
+    Columns: ``keys..., changed, positive, changed_positive, negative,
+    changed_negative, valid_members, agree``.
+    """
+    m = member_change_significance(
+        fut, ref, var, keys=keys, test=test, realization=realization,
+        time=time, **test_kwargs)
+    chg = F.col("changed").cast("double")
+    pos = (F.col("delta") > 0).cast("double")
+    neg = (F.col("delta") < 0).cast("double")
+    out = m.groupBy(*keys).agg(
+        F.avg(chg).alias("changed"),
+        F.avg(pos).alias("positive"),
+        F.avg(chg * pos).alias("changed_positive"),
+        F.avg(neg).alias("negative"),
+        F.avg(chg * neg).alias("changed_negative"),
+        F.count("changed").alias("valid_members"),
+    )
+    return out.withColumn(
+        "agree", F.greatest("positive", "negative"))
+
+
+def robustness_coefficient(
+    fut: DataFrame,
+    ref: DataFrame,
+    var: str,
+    *,
+    keys: Sequence[str],
+    realization: str = "realization",
+    time: str = "time",
+    alias: str = "R",
+) -> DataFrame:
+    """Knutti-Sedlacek (2013) robustness coefficient R = 1 - A1/A2
+    (reference ``robustness_coefficient``, _robustness.py:430-517).
+
+    A1 integrates the squared difference between the empirical CDF of
+    all pooled future values and that of the per-member future means;
+    A2 the same between the reference series and the member means.  The
+    integral is exact: empirical CDFs are piecewise constant between
+    pooled sample points, so it reduces to a sorted merge + searchsorted
+    — one pandas task per point (keys), members x time rows each.
+    """
+    import pandas as pd
+
+    f = fut.select(*keys, F.col(realization).alias("_rlz"),
+                   F.col(var).alias("_v"), F.lit(1).alias("_epoch"))
+    r = ref.select(*keys, F.lit(None).cast("string").alias("_rlz"),
+                   F.col(var).alias("_v"), F.lit(0).alias("_epoch"))
+    u = f.unionByName(r)
+
+    fields = {fld.name: fld.dataType.simpleString()
+              for fld in fut.schema.fields}
+    schema = ", ".join([f"{k} {fields[k]}" for k in keys]
+                       + [f"{alias} DOUBLE"])
+
+    def _area(x1, x2):
+        import numpy as np
+
+        xs = np.sort(np.concatenate([x1, x2]))
+        f1 = np.searchsorted(np.sort(x1), xs, side="right") / x1.size
+        f2 = np.searchsorted(np.sort(x2), xs, side="right") / x2.size
+        d = (f1 - f2)[:-1]
+        return float(np.sum(np.diff(xs) * d * d))
+
+    def _one(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        fm = pdf[pdf["_epoch"] == 1]
+        rv = pdf.loc[pdf["_epoch"] == 0, "_v"].to_numpy(dtype=float)
+        v_all = fm["_v"].to_numpy(dtype=float)
+        means = fm.groupby("_rlz")["_v"].mean().to_numpy(dtype=float)
+        if len(means) < 2 or len(rv) < 2:
+            val = float("nan")
+        else:
+            a1 = _area(v_all, means)
+            a2 = _area(rv, means)
+            val = 1.0 - a1 / a2 if a2 > 0 else float("nan")
+        out = {k: [pdf[k].iloc[0]] for k in keys}
+        out[alias] = [val]
+        return pd.DataFrame(out)
+
+    return repartition_for_apply(u, keys).groupBy(*keys) \
+        .applyInPandas(_one, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Uncertainty partitioning beyond Hawkins-Sutton
+# (reference _partitioning.py:192-283 lafferty_sriver, :284-380
+# general_partition)
+# ---------------------------------------------------------------------------
+
+def _smooth_members(df, var, time, dims, deg):
+    """Per-member 4th-order polynomial forced response + residual
+    (shared by all partition methods; reference `.polyfit(deg=4)`)."""
+    import pandas as pd
+
+    fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    schema = ", ".join(
+        [f"{d} {fields[d]}" for d in dims]
+        + [f"{time} {fields[time]}", "_sm DOUBLE", "_res DOUBLE"]
+    )
+
+    def _sm(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values(time)
+        y = pdf[var].to_numpy(dtype=float)
+        t = pd.to_datetime(pdf[time]).dt.year.to_numpy(dtype=float)
+        ok = np.isfinite(y)
+        out = np.full(len(y), np.nan)
+        if ok.sum() > deg:
+            coefs = np.polyfit(t[ok], y[ok], deg)
+            out = np.polyval(coefs, t)
+            out[~ok] = np.nan
+        res = {d: pdf[d].to_numpy() for d in dims}
+        res[time] = pdf[time].to_numpy()
+        res["_sm"] = out
+        res["_res"] = y - out
+        return pd.DataFrame(res)
+
+    return repartition_for_apply(df, list(dims)).groupBy(*dims) \
+        .applyInPandas(_sm, schema=schema)
+
+
+def general_partition(
+    df: DataFrame,
+    var: str,
+    *,
+    time: str = "time",
+    var_first: Sequence[str] = ("model", "reference", "adjustment"),
+    mean_first: Sequence[str] = ("scenario",),
+    weights: Sequence[str] = ("model", "reference", "adjustment"),
+    deg: int = 4,
+) -> DataFrame:
+    """General variance partition over arbitrary ensemble dimensions
+    (reference ``general_partition``, _partitioning.py:284-380; Lavoie
+    et al. defaults).  Annual series expected.
+
+    Per dimension ``t``:
+    - in ``var_first``: variance over ``t`` within each combination of
+      the other dims, then (count-weighted if ``t`` in ``weights``)
+      mean over the others;
+    - in ``mean_first``: mean over the other dims first, then variance
+      over ``t``.
+    Internal variability = centered rolling 11-year variance of the
+    residual from the per-member smoothed response, averaged over all
+    members.  Output: one row per ``time`` with a variance column per
+    dimension, ``variability`` and ``total``.
+
+    Plan: one pandas smoothing pass per member, then pure hash
+    aggregates keyed by (time, dim-subsets) — nothing wider than the
+    member table ever shuffles.
+    """
+    dims = [*mean_first, *var_first]
+    sm = _smooth_members(df, var, time, dims, deg)
+
+    # internal variability: rolling 11-centered variance per member
+    w11 = Window.partitionBy(*dims).orderBy(time).rowsBetween(-5, 5)
+    cnt = F.count("_res").over(w11)
+    roll_var = F.when(cnt >= 11, F.var_pop("_res").over(w11))
+    with_nv = sm.withColumn("_rv", roll_var)
+    nv = with_nv.groupBy(time).agg(F.avg("_rv").alias("variability"))
+
+    out = nv
+    for t in var_first:
+        others = [d for d in dims if d != t]
+        per = sm.groupBy(time, *others).agg(
+            F.var_pop("_sm").alias("_v"), F.count("_sm").alias("_n"))
+        if t in weights:
+            comp = per.groupBy(time).agg(
+                (F.sum(F.col("_v") * F.col("_n")) / F.sum("_n")).alias(t))
+        else:
+            comp = per.groupBy(time).agg(F.avg("_v").alias(t))
+        out = out.join(comp, on=time)
+    for t in mean_first:
+        others = [d for d in dims if d != t]
+        comp = (
+            sm.groupBy(time, t).agg(F.avg("_sm").alias("_m"))
+            .groupBy(time).agg(F.var_pop("_m").alias(t))
+        )
+        out = out.join(comp, on=time)
+
+    total = F.col("variability")
+    for t in dims:
+        total = total + F.col(t)
+    return out.withColumn("total", total)
+
+
+def lafferty_sriver(
+    df: DataFrame,
+    var: str,
+    *,
+    time: str = "time",
+    scenario: str = "scenario",
+    model: str = "model",
+    downscaling: str = "downscaling",
+    bb13: bool = False,
+    deg: int = 4,
+) -> DataFrame:
+    """Lafferty & Sriver (2023) partition into scenario, model,
+    downscaling and internal variability (reference ``lafferty_sriver``,
+    _partitioning.py:192-283): the general engine with model and
+    downscaling variance-first (count-weighted) and scenario mean-first
+    — or variance-first unweighted under the Brekke-Barsugli 2013
+    variant (``bb13``)."""
+    if bb13:
+        return general_partition(
+            df, var, time=time,
+            var_first=[scenario, model, downscaling],
+            mean_first=[], weights=[model, downscaling], deg=deg)
+    return general_partition(
+        df, var, time=time, var_first=[model, downscaling],
+        mean_first=[scenario], weights=[model, downscaling], deg=deg)

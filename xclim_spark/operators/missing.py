@@ -28,6 +28,7 @@ __all__ = [
     "missing_pct",
     "missing_at_least_n",
     "missing_wmo",
+    "missing_some_but_not_all",
     "mask_missing",
     "register_missing_method",
     "MISSING_METHODS",
@@ -104,6 +105,22 @@ def missing_at_least_n(
     return g.withColumn("is_missing", F.col("_valid") < F.lit(n)).drop(
         "_valid", "_rows"
     )
+
+
+def missing_some_but_not_all(
+    df: DataFrame, var: str, freq: str, *, time: str = "time",
+    cells: Sequence[str] = (), src_freq: str = "D",
+) -> DataFrame:
+    """Invalid when a period is PARTIALLY missing: some expected values
+    absent but not all of them (reference ``MissingSomeButNotAll``,
+    missing.py:325-336).  All-present and all-missing periods are both
+    valid."""
+    g = _base(df, var, freq, time, cells)
+    exp = expected_count("period", freq, src_freq)
+    return g.withColumn(
+        "is_missing",
+        ~((F.col("_valid") == exp) | (F.col("_valid") == 0)),
+    ).drop("_valid", "_rows")
 
 
 _MONTHS_PER = {"M": 1, "Q": 3, "Y": 12}
@@ -201,6 +218,7 @@ MISSING_METHODS = {
     "pct": missing_pct,
     "at_least_n": missing_at_least_n,
     "wmo": missing_wmo,
+    "some_but_not_all": missing_some_but_not_all,
 }
 
 

@@ -22,8 +22,9 @@ from ..calendar import period_start
 from ..util import repartition_for_apply
 from . import distributions as D
 
-__all__ = ["fit", "parametric_quantile", "fa", "frequency_analysis",
-           "standardized_index",
+__all__ = ["fit", "parametric_quantile", "parametric_cdf",
+           "parametric_pdf", "dist_method", "fa", "frequency_analysis",
+           "standardized_index", "standardized_index_fit_params",
            "standardized_precipitation_index",
            "standardized_precipitation_evapotranspiration_index",
            "standardized_streamflow_index",
@@ -88,6 +89,127 @@ def parametric_quantile(
         return pd.DataFrame(rows, columns=[*cells, "quantile", "value"])
 
     return params_df.groupBy(*cells).applyInPandas(_q, schema=schema)
+
+
+def _parametric_eval(params_df, xs, dist, kernel, out_col, x_col, cells):
+    """Shared evaluator for cdf/pdf on a fitted-parameter table."""
+    xs = [xs] if isinstance(xs, (int, float)) else list(xs)
+    schema = _key_schema(params_df, cells) + \
+        f", {x_col} DOUBLE, {out_col} DOUBLE"
+
+    def _ev(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, r in pdf.iterrows():
+            p = r["dparams"]
+            ok = p is not None and not any(pd.isna(p))
+            for xx in xs:
+                v = float(kernel(p, dist, [xx])[0]) if ok else float("nan")
+                rows.append(tuple(r[c] for c in cells) + (float(xx), v))
+        return pd.DataFrame(rows, columns=[*cells, x_col, out_col])
+
+    return params_df.groupBy(*cells).applyInPandas(_ev, schema=schema)
+
+
+def parametric_cdf(
+    params_df: DataFrame, x: float | Sequence[float], dist: str, *,
+    cells: Sequence[str] = (),
+) -> DataFrame:
+    """Evaluate the fitted CDF at ``x`` (reference ``parametric_cdf``,
+    stats.py:297-360).  Returns ``cells..., x, cdf``."""
+    return _parametric_eval(params_df, x, dist, D.cdf, "cdf", "x", cells)
+
+
+def parametric_pdf(
+    params_df: DataFrame, x: float | Sequence[float], dist: str, *,
+    cells: Sequence[str] = (),
+) -> DataFrame:
+    """Evaluate the fitted PDF at ``x`` (reference ``parametric_pdf``).
+    Returns ``cells..., x, pdf``."""
+    return _parametric_eval(params_df, x, dist, D.pdf, "pdf", "x", cells)
+
+
+def dist_method(
+    function: str,
+    params_df: DataFrame,
+    arg: float | Sequence[float],
+    dist: str,
+    *,
+    cells: Sequence[str] = (),
+) -> DataFrame:
+    """Dispatch a distribution method over a fitted-parameter table
+    (reference ``dist_method``, stats.py:395-428): ``function`` in
+    {'ppf', 'cdf', 'pdf'}."""
+    if function == "ppf":
+        return parametric_quantile(params_df, arg, dist, cells=cells)
+    if function == "cdf":
+        return parametric_cdf(params_df, arg, dist, cells=cells)
+    if function == "pdf":
+        return parametric_pdf(params_df, arg, dist, cells=cells)
+    raise ValueError(f"Unsupported dist method: {function}")
+
+
+def standardized_index_fit_params(
+    df: DataFrame,
+    var: str,
+    *,
+    window: int = 1,
+    dist: str = "gamma",
+    freq: str = "MS",
+    cal_start: str | None = None,
+    cal_end: str | None = None,
+    method: str = "ML",
+    time: str = "time",
+    cells: Sequence[str] = (),
+) -> DataFrame:
+    """Calibration parameters of the standardized index (reference
+    ``standardized_index_fit_params``, stats.py:770-838): per
+    (cell, month-of-year), the zero-mass ``prob_of_zero`` and the fitted
+    ``dparams`` of the accumulation distribution.  The transform step
+    (:func:`standardized_index`) recomputes these inline; this entry
+    point exposes them for the reference's two-call pattern."""
+    from ..operators.generic import select_resample_op
+
+    acc = select_resample_op(df, var, "sum", freq, time=time, cells=cells,
+                             alias="_acc")
+    w = Window.partitionBy(*cells).orderBy("period") \
+        .rowsBetween(-(window - 1), 0)
+    cnt = F.count("_acc").over(w)
+    acc = acc.withColumn("_roll", F.when(cnt >= window,
+                                         F.sum("_acc").over(w)))
+    schema = _key_schema(df, cells) + \
+        ", month INT, prob_of_zero DOUBLE, dparams ARRAY<DOUBLE>"
+    lo = pd.Timestamp(cal_start) if cal_start else None
+    hi = pd.Timestamp(cal_end) if cal_end else None
+
+    def _fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values("period")
+        x = pdf["_roll"].to_numpy(dtype=float)
+        per = pd.to_datetime(pdf["period"])
+        months = per.dt.month.to_numpy()
+        cal_base = np.isfinite(x)
+        if lo is not None:
+            cal_base &= (per >= lo).to_numpy()
+        if hi is not None:
+            cal_base &= (per <= hi).to_numpy()
+        rows = []
+        key = tuple(pdf[c].iloc[0] for c in cells)
+        for m in np.unique(months):
+            xc = x[cal_base & (months == m)]
+            if len(xc) <= 1:
+                continue
+            p0 = float(np.mean(xc == 0.0)) if dist == "gamma" else 0.0
+            pos = xc[xc > 0] if dist == "gamma" else xc
+            if len(pos) <= 1:
+                continue
+            params = D.fit_params(pos, dist, method)
+            rows.append(key + (int(m), p0, list(map(float, params))))
+        return pd.DataFrame(
+            rows, columns=[*cells, "month", "prob_of_zero", "dparams"])
+
+    return repartition_for_apply(acc, cells).groupBy(*cells) \
+        .applyInPandas(_fit, schema=schema)
 
 
 def fa(

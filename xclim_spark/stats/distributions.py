@@ -409,3 +409,102 @@ def pdf(params, dist: str, x):
     if fn is None:
         raise NotImplementedError(f"pdf not implemented for {dist}")
     return fn(tuple(params), x)
+
+
+# ---------------------------------------------------------------------------
+# Regularized incomplete beta + Student-t / F tail probabilities.
+# Standard Numerical-Recipes-style continued fraction (Lentz), published
+# algorithm; powers the ensemble significance tests (reference
+# _robustness.py:519-655 via scipy.stats).
+# ---------------------------------------------------------------------------
+
+def _betacf(a: float, b: float, x: float, *, eps: float = 3e-14,
+            maxiter: int = 300) -> float:
+    tiny = 1e-300
+    qab, qap, qam = a + b, a + 1.0, a - 1.0
+    c = 1.0
+    d = 1.0 - qab * x / qap
+    if abs(d) < tiny:
+        d = tiny
+    d = 1.0 / d
+    h = d
+    for m in range(1, maxiter + 1):
+        m2 = 2 * m
+        aa = m * (b - m) * x / ((qam + m2) * (a + m2))
+        d = 1.0 + aa * d
+        if abs(d) < tiny:
+            d = tiny
+        c = 1.0 + aa / c
+        if abs(c) < tiny:
+            c = tiny
+        d = 1.0 / d
+        h *= d * c
+        aa = -(a + m) * (qab + m) * x / ((a + m2) * (qap + m2))
+        d = 1.0 + aa * d
+        if abs(d) < tiny:
+            d = tiny
+        c = 1.0 + aa / c
+        if abs(c) < tiny:
+            c = tiny
+        d = 1.0 / d
+        delta = d * c
+        h *= delta
+        if abs(delta - 1.0) < eps:
+            break
+    return h
+
+
+def betainc(a: float, b: float, x) -> np.ndarray:
+    """Regularized incomplete beta I_x(a, b)."""
+    x = np.atleast_1d(np.asarray(x, dtype=float))
+    out = np.full_like(x, np.nan)
+    out[x <= 0] = 0.0
+    out[x >= 1] = 1.0
+    mid = (x > 0) & (x < 1)
+    if mid.any():
+        lbeta = (math.lgamma(a + b) - math.lgamma(a) - math.lgamma(b))
+        for i in np.where(mid)[0]:
+            xx = float(x[i])
+            front = math.exp(lbeta + a * math.log(xx)
+                             + b * math.log(1.0 - xx))
+            if xx < (a + 1.0) / (a + b + 2.0):
+                out[i] = front * _betacf(a, b, xx) / a
+            else:
+                out[i] = 1.0 - front * _betacf(b, a, 1.0 - xx) / b
+    return out
+
+
+def t_sf_two_sided(t, df) -> np.ndarray:
+    """Two-sided Student-t p-value P(|T| > |t|) with ``df`` degrees of
+    freedom: I_{df/(df+t^2)}(df/2, 1/2)."""
+    t = np.atleast_1d(np.asarray(t, dtype=float))
+    df = np.broadcast_to(np.asarray(df, dtype=float), t.shape)
+    out = np.full_like(t, np.nan)
+    for i in range(t.size):
+        if not (np.isfinite(t.flat[i]) and df.flat[i] > 0):
+            continue
+        x = df.flat[i] / (df.flat[i] + t.flat[i] ** 2)
+        out.flat[i] = float(betainc(df.flat[i] / 2.0, 0.5, x)[0])
+    return out
+
+
+def f_sf(f, d1, d2) -> np.ndarray:
+    """F-distribution tail P(F > f) = I_{d2/(d2+d1*f)}(d2/2, d1/2)."""
+    f = np.atleast_1d(np.asarray(f, dtype=float))
+    d1 = np.broadcast_to(np.asarray(d1, dtype=float), f.shape)
+    d2 = np.broadcast_to(np.asarray(d2, dtype=float), f.shape)
+    out = np.full_like(f, np.nan)
+    for i in range(f.size):
+        fi = f.flat[i]
+        if not np.isfinite(fi) or fi < 0:
+            continue
+        x = d2.flat[i] / (d2.flat[i] + d1.flat[i] * fi)
+        out.flat[i] = float(betainc(d2.flat[i] / 2.0, d1.flat[i] / 2.0,
+                                    x)[0])
+    return out
+
+
+def norm_sf_two_sided(z) -> np.ndarray:
+    """Two-sided normal p-value P(|Z| > |z|)."""
+    z = np.abs(np.asarray(z, dtype=float))
+    return 2.0 * (1.0 - _norm_cdf(z))
