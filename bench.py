@@ -22,13 +22,15 @@ def main() -> int:
         SparkSession.builder.master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.adaptive.enabled", "true")
-        # AQE coalescing sizes partitions by BYTES; the pandas-UDF tiers
-        # (stats/fire/agro fits) are compute-bound on byte-tiny shuffles
-        # and would serialize onto one task. A small floor keeps
-        # parallelismFirst effective for them without touching large
-        # shuffles (which hit the advisory size path regardless).
+        # AQE coalescing sizes partitions by BYTES; climate workloads are
+        # compute-dense on byte-tiny numeric shuffles (a 600k-row daily
+        # series compresses to ~400 kB), so the default 1 MB floor — and
+        # even 64 kB, measured — serializes polynomial/pandas stages onto
+        # a handful of tasks. A 1 kB floor makes parallelismFirst fully
+        # effective (target = bytes/cores) without touching large
+        # shuffles, which hit the advisory-size path regardless.
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-                "64kb")
+                "1kb")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .appName("xclim-spark-bench")

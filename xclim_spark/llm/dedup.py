@@ -137,6 +137,7 @@ def near_duplicates(
     num_perm: int = 128,
     bands: int = 64,
     seed: int = 7,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
 
@@ -152,10 +153,22 @@ def near_duplicates(
     1-(1-0.36)^64 ~= 1-4e-13, so verified output matches the exact
     all-pairs answer (the DuckDB oracle) while never materializing all
     pairs.  Returns ``id_a, id_b, jaccard``.
+
+    ``parallelism``: shingling is compute-dense, so stage parallelism is
+    whatever the *scan* provides.  On a real corpus (many files / row
+    groups) that is already the cluster width — leave ``None``.  On a
+    single-file local input the scan is one task; passing the core count
+    redistributes ``(id, text)`` on ``id`` first (one bounded pass of
+    the corpus) and, because explode/groupBy(id) reuse that hash
+    partitioning, the signature aggregation then needs no further
+    shuffle.
     """
     rows = num_perm // bands
-    base = docs.select(
-        F.col(id_col).alias("_id"),
+    src = docs.select(F.col(id_col).alias("_id"), F.col(text_col))
+    if parallelism:
+        src = src.repartition(parallelism, "_id")
+    base = src.select(
+        "_id",
         shingle_hashes(word_shingles(F.col(text_col), n)).alias("_sh"),
     ).filter(F.size("_sh") > 0)
     # Signature via explode + k min-aggregates: nested higher-order
@@ -202,6 +215,7 @@ def simhash(
     id_col: str = "doc_id",
     n: int = 3,
     bits: int = 64,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """64-bit SimHash sketch per document: per-bit majority vote over word
     n-gram shingle hashes.  Near-dups differ in few bits (Hamming
@@ -210,8 +224,12 @@ def simhash(
     Same scale shape as the MinHash path: shingle hashes explode map-side,
     the per-bit counts are plain codegen'd sum-aggregates with map-side
     combine, and the shuffle carries one 64-counter partial per (task,
-    doc).  Returns ``id_col, simhash`` (long)."""
-    exploded = docs.select(
+    doc).  Returns ``id_col, simhash`` (long).  ``parallelism``: same
+    single-file-input escape hatch as :func:`near_duplicates`."""
+    src = docs.select(F.col(id_col), F.col(text_col))
+    if parallelism:
+        src = src.repartition(parallelism, id_col)
+    exploded = src.select(
         F.col(id_col),
         F.explode(
             F.transform(word_shingles(F.col(text_col), n),

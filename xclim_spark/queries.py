@@ -1580,7 +1580,10 @@ def dedup_fuzzy(spark, sf_dir):
     from .llm import dedup as dd
 
     docs = _read(spark, sf_dir, "documents")
-    out = dd.near_duplicates(docs, threshold=0.6, num_perm=128, bands=64)
+    out = dd.near_duplicates(
+        docs, threshold=0.6, num_perm=128, bands=64,
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
     return out.withColumn("jaccard", F.round("jaccard", 6))
 
 
