@@ -627,14 +627,17 @@ def user_sessions(spark, sf_dir):
     (30-minute inactivity gap): the same run-id window pattern the
     climate spells use, on event-time data.
 
-    The table stores TIMESTAMP(NANOS), which Spark's parquet reader
-    rejects by default — read nanos as long and truncate to microseconds
-    (the data carries none below the microsecond)."""
+    The table stores TIMESTAMP(NANOS): depending on the Spark version /
+    reader conf this surfaces as TIMESTAMP_NTZ (4.x truncates to micros)
+    or as raw epoch-nanos BIGINT (legacy nanosAsLong) — normalize both."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = _read(spark, sf_dir, "events")
-    # integer division: epoch-nanos exceed 2^53, double arithmetic would
-    # round the microsecond
-    ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dict(ev.dtypes).get("ts") in ("bigint", "long"):
+        # integer division: epoch-nanos exceed 2^53, double arithmetic
+        # would round the microsecond
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
     w = Window.partitionBy("user_id").orderBy("ts")
     gap = F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
     new_sess = (gap.isNull() | (gap > 1800)).cast("long")
