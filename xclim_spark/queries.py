@@ -1854,6 +1854,210 @@ def agro_rain_season_ys(spark, sf_dir):
         time="day", cells=["cell"], missing=None).df
 
 
+# ---------------------------------------------------------------------------
+# Spatial analogs (reference analog.py:21-130) — one pandas task per cell
+# ---------------------------------------------------------------------------
+
+@_register(
+    "analog_seuclidean",
+    f"""WITH {DAILY_SQL},
+tgt AS (
+  SELECT avg(qty) AS mq, var_samp(qty) AS vq,
+         avg(price) AS mp, var_samp(price) AS vp
+  FROM daily WHERE cell = 1
+),
+cand AS (SELECT cell, avg(qty) AS cq, avg(price) AS cp FROM daily GROUP BY 1)
+SELECT cand.cell AS cell,
+       ROUND(sqrt(power(tgt.mq - cand.cq, 2) / tgt.vq
+                  + power(tgt.mp - cand.cp, 2) / tgt.vp), 6) AS dissimilarity
+FROM cand, tgt""",
+)
+def analog_seuclidean(spark, sf_dir):
+    """spatial_analogs with the seuclidean metric (reference
+    analog.py:182-214): target = cell 1's bivariate (qty, price) series,
+    candidates = every cell.  The target is driver-collected (one site's
+    series — small by construction); the candidate grid fans out one
+    pandas task per cell with no all-pairs structure, which is the shape
+    that survives a million-cell grid."""
+    from .analog import spatial_analogs
+
+    d = daily_series(spark, sf_dir)
+    target = d.filter(F.col("cell") == 1).select("qty", "price")
+    out = spatial_analogs(target, d, ["qty", "price"], cells=["cell"],
+                          method="seuclidean")
+    return out.withColumn("dissimilarity", F.round("dissimilarity", 6))
+
+
+# ---------------------------------------------------------------------------
+# Ensemble robustness + uncertainty partitioning (reference
+# _robustness.py:74-335, _partitioning.py:57-191)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "ens_robustness_fracs",
+    f"""WITH {_ENS_SQL},
+fut AS (
+  SELECT realization, cell, avg(tg) AS f FROM ens
+  WHERE period >= DATE '1996-01-01' GROUP BY 1, 2
+),
+refp AS (
+  SELECT realization, cell, avg(tg) AS r FROM ens
+  WHERE period < DATE '1996-01-01' GROUP BY 1, 2
+),
+j AS (
+  SELECT fut.cell AS cell, f - r AS d
+  FROM fut JOIN refp USING (realization, cell)
+)
+SELECT cell,
+       ROUND(avg(CASE WHEN d > 0 THEN 1.0 ELSE 0.0 END), 6) AS changed_positive,
+       ROUND(avg(CASE WHEN d < 0 THEN 1.0 ELSE 0.0 END), 6) AS changed_negative,
+       CAST(count(*) AS BIGINT) AS valid_members,
+       ROUND(greatest(avg(CASE WHEN d > 0 THEN 1.0 ELSE 0.0 END),
+                      avg(CASE WHEN d < 0 THEN 1.0 ELSE 0.0 END)), 6) AS agree
+FROM j GROUP BY 1""",
+)
+def ens_robustness_fracs(spark, sf_dir):
+    """robustness_fractions (reference _robustness.py:74-335): fraction
+    of members agreeing on the sign of the 1996+ vs pre-1996 change of
+    the monthly mean.  Both sides are member-level reductions before the
+    join, so the join input is members x cells, never raw rows."""
+    from . import ensembles as es
+
+    m = _ens_members(spark, sf_dir)
+    fut = m.filter(F.col("period") >= F.lit("1996-01-01").cast("date")) \
+        .groupBy("realization", "cell").agg(F.avg("tg").alias("tg"))
+    ref = m.filter(F.col("period") < F.lit("1996-01-01").cast("date")) \
+        .groupBy("realization", "cell").agg(F.avg("tg").alias("tg"))
+    out = es.robustness_fractions(fut, ref, "tg", keys=["cell"])
+    for c in ("changed_positive", "changed_negative", "agree"):
+        out = out.withColumn(c, F.round(c, 6))
+    return out
+
+
+@_register(
+    "hs_partition_vars",
+    """WITH mem AS (
+  SELECT l_linenumber % 2 AS scenario, l_suppkey % 3 AS model,
+         make_date(CAST(year(l_shipdate) AS INT), 1, 1) AS time,
+         avg(l_quantity) AS tg
+  FROM lineitem GROUP BY 1, 2, 3
+),
+lin AS (
+  SELECT scenario, model,
+         regr_slope(tg, year(time)) AS b, regr_intercept(tg, year(time)) AS a
+  FROM mem GROUP BY 1, 2
+),
+sm AS (
+  SELECT m.scenario, m.model, m.time,
+         a + b * year(m.time) AS _sm, tg - (a + b * year(m.time)) AS _res
+  FROM mem m JOIN lin USING (scenario, model)
+),
+dec AS (
+  SELECT *, avg(_res) OVER (PARTITION BY scenario, model ORDER BY time
+                            ROWS BETWEEN 5 PRECEDING AND 4 FOLLOWING) AS _dres
+  FROM sm
+),
+nv AS (
+  SELECT avg(_v) AS variability FROM (
+    SELECT model, var_pop(_dres) AS _v FROM dec
+    WHERE year(time) >= 1998 GROUP BY model)
+),
+refm AS (
+  SELECT scenario, model, avg(_sm) AS _ref FROM sm
+  WHERE year(time) BETWEEN 1995 AND 1997 GROUP BY 1, 2
+),
+anom AS (
+  SELECT sm.time, sm.scenario, sm.model, _sm - _ref AS _a
+  FROM sm JOIN refm USING (scenario, model)
+),
+mu AS (
+  SELECT time, avg(_mv) AS model FROM (
+    SELECT time, scenario, var_pop(_a) AS _mv FROM anom GROUP BY 1, 2)
+  GROUP BY time
+),
+su AS (
+  SELECT time, var_pop(_sm2) AS scenario FROM (
+    SELECT time, scenario, avg(_a) AS _sm2 FROM anom GROUP BY 1, 2)
+  GROUP BY time
+)
+SELECT mu.time AS time, ROUND(nv.variability, 6) AS variability,
+       ROUND(mu.model, 6) AS model, ROUND(su.scenario, 6) AS scenario,
+       ROUND(nv.variability + mu.model + su.scenario, 6) AS total
+FROM mu JOIN su USING (time) CROSS JOIN nv""",
+)
+def hs_partition_vars(spark, sf_dir):
+    """hawkins_sutton uncertainty partitioning (reference
+    _partitioning.py:57-191) on a synthetic 2-scenario x 3-model
+    ensemble of annual means.  ``deg=1`` makes the per-member polynomial
+    smoothing exactly the least-squares line, which the DuckDB oracle
+    mirrors with ``regr_slope``/``regr_intercept`` — the one polynomial
+    degree where the pandas smoothing tier is SQL-checkable."""
+    from . import ensembles as es
+
+    li = _read(spark, sf_dir, "lineitem")
+    mem = li.groupBy(
+        (F.col("l_linenumber") % 2).alias("scenario"),
+        (F.col("l_suppkey") % 3).alias("model"),
+        F.make_date(F.year("l_shipdate"), F.lit(1), F.lit(1)).alias("time"),
+    ).agg(F.avg("l_quantity").alias("tg"))
+    out = es.hawkins_sutton(mem, "tg", baseline=(1995, 1997),
+                            variability_from=1998, deg=1)
+    for c in ("variability", "model", "scenario", "total"):
+        out = out.withColumn(c, F.round(c, 6))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Solar geometry (reference helpers.py:119-525) — pure trig expressions
+# ---------------------------------------------------------------------------
+
+@_register(
+    "solar_daylength_ms",
+    """WITH sites AS (
+  SELECT n_nationkey AS site, (n_nationkey - 12) * 6.0 AS lat FROM nation
+),
+days AS (SELECT DISTINCT CAST(l_shipdate AS DATE) AS day FROM lineitem),
+calc AS (
+  SELECT site, CAST(date_trunc('month', day) AS DATE) AS period,
+         -tan(radians(lat)) * tan(
+           0.006918
+           - 0.399912 * cos(da) + 0.070257 * sin(da)
+           - 0.006758 * cos(2 * da) + 0.000907 * sin(2 * da)
+           - 0.002697 * cos(3 * da) + 0.001480 * sin(3 * da)
+         ) AS tantan
+  FROM (
+    SELECT site, lat, day,
+           (dayofyear(day) - 1) * 2.0 * pi()
+             / (CASE WHEN (year(day) % 4 = 0 AND year(day) % 100 <> 0)
+                       OR year(day) % 400 = 0 THEN 366.0 ELSE 365.0 END) AS da
+    FROM sites, days)
+)
+SELECT site, period,
+       ROUND(avg(CASE WHEN abs(tantan) <= 1.0
+                      THEN 24.0 / pi() * acos(tantan) END), 6) AS daylength_h
+FROM calc GROUP BY 1, 2""",
+)
+def solar_daylength_ms(spark, sf_dir):
+    """day_lengths (reference helpers.py:450-525: Spencer declination +
+    sunset-hour-angle relation) over 25 synthetic sites spanning
+    -72..+72 deg latitude, averaged monthly.  Polar day/night yield NULL
+    and drop out of the monthly mean on both sides.  Pure codegen'd trig
+    — zero shuffles before the final aggregate."""
+    from .functions.solar import day_lengths
+
+    n = _read(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("site"),
+        ((F.col("n_nationkey") - 12) * 6.0).alias("lat"),
+    )
+    days = _read(spark, sf_dir, "lineitem") \
+        .select(F.to_date("l_shipdate").alias("day")).distinct()
+    df = days.crossJoin(F.broadcast(n))
+    dl = day_lengths("day", F.col("lat"))
+    return df.groupBy(
+        "site", period_start("day", "MS").alias("period")
+    ).agg(F.round(F.avg(dl), 6).alias("daylength_h"))
+
+
 def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
