@@ -1855,6 +1855,66 @@ def agro_rain_season_ys(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Zhang-2005 percentile bootstrap (reference bootstrapping.py:22-211)
+# ---------------------------------------------------------------------------
+
+def _boot_oracle() -> str:
+    from .calendar import doy365_sql
+    from .operators.percentile import hf_quantile_sql
+
+    d365 = doy365_sql("day")
+    q = hf_quantile_sql("qty", 0.9)
+    return f"""WITH {DAILY_SQL},
+years AS (SELECT unnest([1996, 1997, 1998]) AS y),
+pairs AS (SELECT a.y AS y, b.y AS r FROM years a, years b WHERE a.y <> b.y),
+base AS (
+  SELECT cell, qty, CAST(year(day) AS INT) AS v, {d365} AS doy0
+  FROM daily WHERE year(day) IN (1996, 1997, 1998)
+),
+pooled AS (
+  SELECT p.y, p.r, b.cell, b.qty,
+         ((b.doy0 - 1 + off.o + 365) % 365) + 1 AS dayofyear
+  FROM base b
+  JOIN pairs p ON b.v <> p.y
+  CROSS JOIN (SELECT unnest(range(-2, 3)) AS o) off
+  CROSS JOIN (SELECT unnest([1, 2]) AS dup) d
+  WHERE d.dup = 1 OR b.v = p.r
+),
+per AS (
+  SELECT cell, y AS year, r, dayofyear, {q} AS thresh
+  FROM pooled GROUP BY cell, y, r, dayofyear
+),
+fact AS (SELECT cell, v AS year, doy0 AS dayofyear, qty FROM base),
+per_rep AS (
+  SELECT f.cell, f.year, per.r,
+         sum(CASE WHEN f.qty > per.thresh THEN 1 ELSE 0 END) AS n
+  FROM fact f JOIN per ON f.cell = per.cell AND f.year = per.year
+                      AND f.dayofyear = per.dayofyear
+  GROUP BY 1, 2, 3
+)
+SELECT cell, year, ROUND(avg(n), 6) AS days_over
+FROM per_rep GROUP BY 1, 2"""
+
+
+@_register("boot_tg90p_ys", _boot_oracle())
+def boot_tg90p_ys(spark, sf_dir):
+    """Zhang-2005 bootstrapped in-base tg90p exceedance (reference
+    bootstrapping.py:22-211): each in-base year's doy-90th-percentile is
+    recomputed with that year replaced by every other base year, and the
+    exceedance count averaged over replacements.  The O(n_years^2)
+    bootstrap is a data-parallel explode factor (pairs x doy window),
+    NOT n_years plan copies — one shuffle for the pooled quantiles, one
+    join for the counts."""
+    from .operators.percentile import bootstrap_days_over_percentile
+
+    d = daily_series(spark, sf_dir)
+    out = bootstrap_days_over_percentile(
+        d, "qty", 0.9, base_years=[1996, 1997, 1998], window=5,
+        time="day", cells=["cell"], alias="days_over")
+    return out.withColumn("days_over", F.round("days_over", 6))
+
+
+# ---------------------------------------------------------------------------
 # Spatial analogs (reference analog.py:21-130) — one pandas task per cell
 # ---------------------------------------------------------------------------
 
