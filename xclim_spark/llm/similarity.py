@@ -95,17 +95,24 @@ def lsh_bucket(vec, dim: int, n_planes: int = 16, seed: int = 42) -> Column:
     distance collide with probability ``(1 - theta/pi)^n_planes``.  The
     hyperplanes are deterministic literals (driver-seeded) so buckets are
     reproducible across runs and engines.
+
+    The whole plane matrix is ONE nested-array literal and the signature
+    one ``transform``+``aggregate`` pair — a handful of py4j calls
+    instead of ``n_planes x dim`` scalar literals, which dominated
+    wall-clock at plan-build time.
     """
-    bits = []
-    for i, plane in enumerate(_planes(dim, n_planes, seed)):
-        p = F.array(*[F.lit(float(x)) for x in plane])
-        bits.append(
-            F.when(dot(vec, p) >= 0.0, F.lit(1 << i)).otherwise(F.lit(0))
-        )
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out
+    v = F.col(vec) if isinstance(vec, str) else vec
+    planes = F.lit([[float(x) for x in p]
+                    for p in _planes(dim, n_planes, seed)])
+    idx = F.lit(list(range(n_planes)))
+    bits = F.transform(
+        idx,
+        lambda i: F.when(
+            dot(v, F.element_at(planes, i + 1)) >= 0.0,
+            F.pow(F.lit(2.0), i).cast("int"),
+        ).otherwise(F.lit(0)),
+    )
+    return F.aggregate(bits, F.lit(0), lambda a, b: a + b)
 
 
 def knn_lsh(
@@ -130,15 +137,32 @@ def knn_lsh(
     Recall is tunable via n_planes (bucket granularity) x n_tables
     (probes).
     """
+    # one nested literal (tables x planes x dim) + nested transform:
+    # O(1) py4j calls for the whole multi-table signature
+    planes = F.lit([
+        [[float(x) for x in p] for p in _planes(dim, n_planes, seed + t)]
+        for t in range(n_tables)
+    ])
+    v = F.col(vec_col)
+
+    def _bucket(t):
+        tbl = F.element_at(planes, t + 1)
+        bits = F.transform(
+            F.lit(list(range(n_planes))),
+            lambda i: F.when(
+                dot(v, F.element_at(tbl, i + 1)) >= 0.0,
+                F.pow(F.lit(2.0), i).cast("int"),
+            ).otherwise(F.lit(0)),
+        )
+        return F.aggregate(bits, F.lit(0), lambda a, b: a + b)
+
     def with_buckets(df: DataFrame, idn: str) -> DataFrame:
-        buckets = F.array(*[
-            F.struct(
-                F.lit(t).alias("table"),
-                lsh_bucket(F.col(vec_col), dim, n_planes, seed + t)
-                .alias("bucket"),
-            )
-            for t in range(n_tables)
-        ])
+        buckets = F.transform(
+            F.lit(list(range(n_tables))),
+            lambda t: F.struct(
+                t.alias("table"), _bucket(t).alias("bucket")
+            ),
+        )
         return df.select(
             F.col(id_col).alias(idn), F.col(vec_col).alias(f"_{idn}_vec"),
             F.explode(buckets).alias("_tb"),

@@ -1553,6 +1553,56 @@ def knn_similar_docs(spark, sf_dir):
               .withColumn("rank", F.col("rank").cast("long"))
 
 
+def _knn_lsh_oracle(dim=64, n_planes=8, n_tables=4, seed=42) -> str:
+    """Oracle twin of :func:`xclim_spark.llm.similarity.knn_lsh`: the
+    hyperplanes are deterministic driver-seeded literals, so DuckDB can
+    recompute the exact same bucket signatures and the exact within-bucket
+    top-k — an *exact* check of the approximate index, not a recall bound."""
+    from .llm.similarity import _planes
+
+    def bucket(side: str, t: int) -> str:
+        terms = []
+        for i, plane in enumerate(_planes(dim, n_planes, seed + t)):
+            d = " + ".join(
+                f"CAST({side}.embedding[{j + 1}] AS DOUBLE)*({x!r})"
+                for j, x in enumerate(plane)
+            )
+            terms.append(f"CASE WHEN ({d}) >= 0.0 THEN {1 << i} ELSE 0 END")
+        return "(" + " + ".join(terms) + ")"
+
+    eb = ", ".join(f"{bucket('e', t)} AS b{t}" for t in range(n_tables))
+    on = " OR ".join(f"eh.b{t} = qh.b{t}" for t in range(n_tables))
+    return f"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+eh AS (SELECT vec_id, embedding, {eb} FROM e e),
+qh AS (SELECT * FROM eh WHERE vec_id % 100 = 0),
+p AS (
+  SELECT qh.vec_id AS query_id, eh.vec_id AS neighbor_id,
+         {_cos_pair_sql('qh.embedding', 'eh.embedding')} AS cos
+  FROM qh JOIN eh ON ({on}) AND qh.vec_id <> eh.vec_id
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rank
+      FROM p)
+SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos_sim,
+       CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 5"""
+
+
+@_register("knn_lsh_docs", _knn_lsh_oracle())
+def knn_lsh_docs(spark, sf_dir):
+    """LSH-bucketed approximate top-5 (the 100 TB scale path: signatures
+    map-side, one shuffle on the bucket key, cosine only within buckets).
+    The oracle recomputes the identical bucketing from the same seeded
+    hyperplanes, so this checks the index end-to-end, exactly."""
+    from .llm import similarity as sim
+
+    e = _read(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    out = sim.knn_lsh(e, q, k=5, dim=64, n_planes=8, n_tables=4, seed=42)
+    return out.withColumn("cos_sim", F.round("cos_sim", 6)) \
+              .withColumn("rank", F.col("rank").cast("long"))
+
+
 @_register(
     "dedup_fuzzy",
     """WITH w AS (
