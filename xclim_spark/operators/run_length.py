@@ -717,19 +717,44 @@ def season_bounds(
     between (end exclusive).  Returns one row per (cell, period) with
     ``season_start, season_end, season_length`` (dates may be NULL when no
     qualifying run exists — same as the reference's NaN).
+
+    Single-pass plan: the *first* >=window run starts at the earliest row
+    from which ``window`` consecutive rows all satisfy the condition — a
+    forward-looking rolling sum, no run-id assignment needed.  And because
+    the mid-point filter keeps a *contiguous tail* of each period, the
+    end-side anti-runs are exactly the runs of ``NOT cond AND late`` over
+    the unfiltered stream.  Both tests ride ONE sorted window pass and the
+    final groupBy reuses the same (cells, period) clustering — one
+    exchange total, versus two ``first_run`` pipelines joined (which also
+    scanned the source twice).
     """
-    starts = first_run(df, cond, window, freq=freq, time=time, cells=cells,
-                       order_extra=order_extra, alias="season_start")
     if mid_date is not None:
-        late = df.filter(F.to_date(time) >= _mid_date(time, freq, mid_date))
+        late = F.to_date(time) >= _mid_date(time, freq, mid_date)
     elif mid_doy is not None:
-        late = df.filter(F.dayofyear(time) >= mid_doy)
+        late = F.dayofyear(time) >= mid_doy
     else:
         raise ValueError("One of mid_doy or mid_date is required")
-    ends = first_run(late, ~cond, window, freq=freq, time=time, cells=cells,
-                     order_extra=order_extra, alias="season_end")
-    keys = [*cells, "period"]
-    out = starts.join(ends, on=keys, how="left")
+
+    df = df.withColumn("period", period_start(time, freq))
+    part = [*cells, "period"]
+    wseq = (
+        Window.partitionBy(*part)
+        .orderBy(*_order_cols(time, order_extra))
+        .rowsBetween(0, window - 1)
+    )
+    c1 = cond.cast("boolean")
+    c2 = (~c1) & late
+    # NULL cond contributes nothing to the sum, so NaN breaks runs like
+    # the reference; a short period tail can never reach `window` either.
+    q1 = F.sum(c1.cast("int")).over(wseq) == window
+    q2 = F.sum(c2.cast("int")).over(wseq) == window
+    out = (
+        df.withColumn("_q1", q1).withColumn("_q2", q2)
+        .groupBy(*part).agg(
+            F.min(F.when(F.col("_q1"), F.col(time))).alias("season_start"),
+            F.min(F.when(F.col("_q2"), F.col(time))).alias("season_end"),
+        )
+    )
     length = F.when(
         F.col("season_start").isNotNull(),
         F.when(
