@@ -45,6 +45,24 @@ __all__ = [
 ]
 
 
+def hf_interp_sorted(
+    arr: Column, p: float, *, alpha: float = 1 / 3, beta: float = 1 / 3
+) -> Column:
+    """Hyndman-Fan interpolation over an already-sorted array Column
+    (the shared kernel of :func:`hf_quantile` and the bootstrap's
+    merged-pool path)."""
+    n = F.size(arr)
+    h = (n.cast("double") - alpha - beta + 1.0) * p + alpha
+    h = F.greatest(F.lit(1.0), F.least(h, n.cast("double")))
+    j = F.floor(h).cast("int")
+    gamma = h - j
+    lo = F.element_at(arr, j)
+    hi = F.element_at(arr, F.least(j + 1, n))
+    return F.when(n == 0, F.lit(None).cast("double")).otherwise(
+        lo + gamma * (hi - lo)
+    )
+
+
 def hf_quantile(
     var: Column | str, p: float, *, alpha: float = 1 / 3, beta: float = 1 / 3
 ) -> Column:
@@ -61,17 +79,8 @@ def hf_quantile(
     per (cell, doy) — hundreds of values), not whole-table quantiles.
     """
     v = F.col(var) if isinstance(var, str) else var
-    arr = F.sort_array(F.collect_list(v))
-    n = F.size(arr)
-    h = (n.cast("double") - alpha - beta + 1.0) * p + alpha
-    # clamp virtual index into [1, n]
-    h = F.greatest(F.lit(1.0), F.least(h, n.cast("double")))
-    j = F.floor(h).cast("int")
-    gamma = h - j
-    lo = F.element_at(arr, j)
-    hi = F.element_at(arr, F.least(j + 1, n))
-    return F.when(n == 0, F.lit(None).cast("double")).otherwise(
-        lo + gamma * (hi - lo)
+    return hf_interp_sorted(
+        F.sort_array(F.collect_list(v)), p, alpha=alpha, beta=beta
     )
 
 
@@ -227,49 +236,67 @@ def bootstrap_days_over_percentile(
     count for year ``y`` is the average over all such replacements —
     removing the artificial discontinuity at the reference-period edges.
 
-    Plan shape: the fact rows explode into the (y, r) altered pools they
-    belong to (multiplicity 2 when v == r, via a second explode) — the
-    known O(n_years^2) bootstrap cost becomes a data-parallel explode
-    factor of ~n_years, NOT n_years plan copies; then one groupBy for the
-    pooled quantiles and one join+groupBy for the counts.  Returns
-    ``cells..., year, <alias>`` for the in-base years only (out-of-base
-    years use the plain climatology path).
+    Plan shape: the known O(n_years^2) bootstrap never copies the data
+    per pair.  Rows explode only by the doy window (x``window``), are
+    collected ONCE into per-(cell, doy, year) sorted arrays, and every
+    (y, r) replacement pool is then a JVM-side array merge of those
+    per-year arrays (years != y, with r's array concatenated twice) —
+    the shuffle carries the window-exploded rows once, and the n_years^2
+    factor lives entirely in map-side higher-order expressions over
+    arrays of ~window values per year.  Returns ``cells..., year,
+    <alias>`` for the in-base years only (out-of-base years use the
+    plain climatology path).
     """
     years = sorted(base_years)
     pairs = [(y, r) for y in years for r in years if r != y]
-    pair_lits = F.array(*[
-        F.struct(F.lit(y).alias("y"), F.lit(r).alias("r")) for y, r in pairs
-    ])
     base = df.filter(F.year(time).isin(years))
     half = window // 2
     offsets = F.sequence(F.lit(-half), F.lit(half))
 
-    pooled = (
-        base.withColumn("_v", F.year(time))
-        .withColumn("_pair", F.explode(pair_lits))
-        # row of year v participates in pool (y, r) iff v != y;
-        # replacement doubles year r's rows
-        .filter(F.col("_v") != F.col("_pair.y"))
-        .withColumn(
-            "_dup",
-            F.explode(
-                F.sequence(
-                    F.lit(1),
-                    F.when(F.col("_v") == F.col("_pair.r"), 2).otherwise(1),
-                )
-            ),
-        )
-        .withColumn("_doy0", doy365(time))
+    # per-(cell, doy, year) sorted sample arrays — the only wide stage
+    year_arrays = (
+        base.withColumn("_doy0", doy365(time))
         .withColumn("_off", F.explode(offsets))
         .withColumn(
             "dayofyear",
             ((F.col("_doy0") - 1 + F.col("_off") + 365) % 365) + 1,
         )
+        .groupBy(*cells, "dayofyear", F.year(time).alias("_yr"))
+        .agg(F.sort_array(F.collect_list(var)).alias("_arr"))
+        .groupBy(*cells, "dayofyear")
+        .agg(F.collect_list(F.struct("_yr", "_arr")).alias("_entries"))
     )
-    per = pooled.groupBy(
-        *cells, F.col("_pair.y").alias("year"), F.col("_pair.r").alias("_r"),
-        "dayofyear",
-    ).agg(hf_quantile(var, p, alpha=alpha, beta=beta).alias("_thresh"))
+
+    # Explode the pair list FIRST, materialize each merged pool in its own
+    # projection, and only then interpolate: ``hf_interp_sorted`` references
+    # its array five times, and higher-order-function expressions are
+    # interpreted (not codegen'd), so an inlined pool would be re-merged and
+    # re-sorted per reference.  CollapseProject keeps multiply-referenced
+    # expensive expressions in their own step, so this shape evaluates each
+    # pool exactly once per (cell, doy, pair) row.
+    pair_lits = F.array(*[
+        F.struct(F.lit(y).alias("year"), F.lit(r).alias("_r"))
+        for y, r in pairs
+    ])
+    ent = F.col("_entries")
+    y_, r_ = F.col("_pair.year"), F.col("_pair._r")
+    pool = F.array_sort(F.concat(
+        F.flatten(F.transform(
+            F.filter(ent, lambda e: e["_yr"] != y_), lambda e: e["_arr"])),
+        F.flatten(F.transform(
+            F.filter(ent, lambda e: e["_yr"] == r_), lambda e: e["_arr"])),
+    ))
+    per = (
+        year_arrays.withColumn("_pair", F.explode(pair_lits))
+        .withColumn("_pool", pool)
+        .select(
+            *cells, "dayofyear",
+            F.col("_pair.year").alias("year"),
+            F.col("_pair._r").alias("_r"),
+            hf_interp_sorted(F.col("_pool"), p, alpha=alpha, beta=beta)
+            .alias("_thresh"),
+        )
+    )
 
     from .generic import get_op
 
