@@ -247,15 +247,34 @@ def windowed_run_count(
     order_extra: Sequence[str] = (), resample_before_rl: bool = True,
     alias: str = "days",
 ) -> DataFrame:
-    """Total days belonging to runs >= window (reference run_length.py:437-490)."""
-    runs, single = _stat_runs(df, cond, time, cells, order_extra, freq,
-                              resample_before_rl)
+    """Total days belonging to runs >= window (reference run_length.py:437-490).
+
+    Period-truncated path: a day is in a qualifying run iff some
+    all-``cond`` block of ``window`` rows starts within the previous
+    ``window-1`` rows (incl. itself) — forward rolling sum + backward
+    rolling max, one sorted pass, and the groupBy inherently emits 0 for
+    runless periods (no runs table, no scaffold join).  Runs crossing
+    period bounds (``resample_before_rl=False``) keep the runs-table path.
+    """
+    single = freq is None or resample_before_rl
+    if single:
+        if freq is not None:
+            df = df.withColumn("period", period_start(time, freq))
+        part = [*cells] + (["period"] if freq is not None else [])
+        wseq = Window.partitionBy(*part).orderBy(
+            *_order_cols(time, order_extra))
+        fwd = F.sum(cond.cast("boolean").cast("int")).over(
+            wseq.rowsBetween(0, window - 1)) == window
+        in_run = F.max(fwd.cast("int")).over(
+            wseq.rowsBetween(-(window - 1), 0)) == 1
+        return df.withColumn("_in", in_run).groupBy(*part).agg(
+            F.sum(F.col("_in").cast("long")).alias(alias))
+    runs, _ = _stat_runs(df, cond, time, cells, order_extra, freq,
+                         resample_before_rl)
     qual = F.when(F.col("run_true") & (F.col("run_length") >= window),
                   F.col("run_length")).otherwise(0)
     agg = _runs_grouped(runs, cells, freq).agg(F.sum(qual).alias(alias))
-    if not single:
-        agg = _on_scaffold(df, agg, cells, time, freq, {alias: 0})
-    return agg
+    return _on_scaffold(df, agg, cells, time, freq, {alias: 0})
 
 
 def windowed_run_events(
@@ -264,16 +283,32 @@ def windowed_run_events(
     order_extra: Sequence[str] = (), resample_before_rl: bool = True,
     alias: str = "events",
 ) -> DataFrame:
-    """Number of runs >= window (reference run_length.py:381-436)."""
-    runs, single = _stat_runs(df, cond, time, cells, order_extra, freq,
-                              resample_before_rl)
+    """Number of runs >= window (reference run_length.py:381-436).
+
+    Period-truncated path: a qualifying run is counted at its start row —
+    ``window`` consecutive hits begin there and the previous row broke
+    the run — one sorted pass, no runs table, no scaffold join.
+    """
+    single = freq is None or resample_before_rl
+    if single:
+        if freq is not None:
+            df = df.withColumn("period", period_start(time, freq))
+        part = [*cells] + (["period"] if freq is not None else [])
+        wseq = Window.partitionBy(*part).orderBy(
+            *_order_cols(time, order_extra))
+        c = cond.cast("boolean")
+        fwd = F.sum(c.cast("int")).over(
+            wseq.rowsBetween(0, window - 1)) == window
+        is_start = fwd & ~F.coalesce(F.lag(c).over(wseq), F.lit(False))
+        return df.withColumn("_st", is_start).groupBy(*part).agg(
+            F.sum(F.col("_st").cast("long")).alias(alias))
+    runs, _ = _stat_runs(df, cond, time, cells, order_extra, freq,
+                         resample_before_rl)
     agg = _runs_grouped(runs, cells, freq).agg(
         F.sum((F.col("run_true") & (F.col("run_length") >= window))
               .cast("long")).alias(alias)
     )
-    if not single:
-        agg = _on_scaffold(df, agg, cells, time, freq, {alias: 0})
-    return agg
+    return _on_scaffold(df, agg, cells, time, freq, {alias: 0})
 
 
 def windowed_max_run_sum(
@@ -603,35 +638,27 @@ def runs_with_holes(
     length >= window_stop, stop wins on ties (``combine_first(stop, start)``),
     and the last signal is carried forward (``ffill``), defaulting to 0.
 
-    Implemented with two run-id layers producing signals, then
-    ``last(signal) IGNORE NULLS`` over the same (cell, time) ordering: one
-    shuffle on the cell key.
+    Implemented without run-ids: "remaining run length >= w at row t" is
+    equivalent to "rows t..t+w-1 all satisfy the condition" (remaining
+    >= w puts the next w rows inside the same run; conversely w
+    consecutive hits from t imply remaining >= w) — a forward-looking
+    rolling sum.  Both signals and the ``last IGNORE NULLS``
+    carry-forward ride ONE sorted window pass: single exchange, single
+    sort, versus two run-id layers + two per-run-length sorts.
     """
     part = [*cells, *partition_extra]
     order = _order_cols(time, order_extra)
     wspec = Window.partitionBy(*part).orderBy(*order)
 
-    def remaining(cond: Column, cname: str, rname: str, rem: str) -> None:
-        nonlocal df
-        df = with_run_id(df, cond, time=time, cells=cells,
-                         order_extra=order_extra,
-                         partition_extra=partition_extra,
-                         cond_name=cname, run_name=rname)
-        wrun = Window.partitionBy(*part, rname)
-        total = F.count(F.lit(1)).over(wrun)
-        pos = F.row_number().over(wrun.orderBy(*order))
-        df = df.withColumn(
-            rem, F.when(F.col(cname), total - pos + 1).otherwise(0)
-        )
-
-    remaining(cond_start, "_cs", "_rid_s", "_srem")
-    remaining(cond_stop, "_ce", "_rid_e", "_erem")
-
+    f_start = F.sum(cond_start.cast("boolean").cast("int")).over(
+        wspec.rowsBetween(0, window_start - 1)) == window_start
+    f_stop = F.sum(cond_stop.cast("boolean").cast("int")).over(
+        wspec.rowsBetween(0, window_stop - 1)) == window_stop
     # stop beats start on the same row (reference: stop_positions take
     # precedence via combine_first)
     signal = (
-        F.when(F.col("_erem") >= window_stop, F.lit(0))
-        .when(F.col("_srem") >= window_start, F.lit(1))
+        F.when(f_stop, F.lit(0))
+        .when(f_start, F.lit(1))
         .otherwise(F.lit(None).cast("int"))
     )
     df = df.withColumn("_sig", signal)
@@ -639,7 +666,7 @@ def runs_with_holes(
         wspec.rowsBetween(Window.unboundedPreceding, 0)
     )
     df = df.withColumn(state_name, F.coalesce(carried, F.lit(0)) == 1)
-    return df.drop("_cs", "_ce", "_rid_s", "_rid_e", "_srem", "_erem", "_sig")
+    return df.drop("_sig")
 
 
 def find_events(
