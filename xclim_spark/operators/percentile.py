@@ -137,17 +137,27 @@ def percentile_doy(
     )
     bucket = ((F.col("_doy0") - 1 + F.col("_off") + 365) % 365) + 1
     df = df.withColumn("dayofyear", bucket)
-    aggs = []
-    for p in pers:
-        name = alias if len(pers) == 1 else f"{alias}_p{int(round(p * 100))}"
-        if (alpha, beta) == (1, 1):
-            fn = "percentile" if exact else "approx_percentile"
-            aggs.append(F.expr(f"{fn}({var}, {p})").alias(name))
-        else:
-            aggs.append(
-                hf_quantile(var, p, alpha=alpha, beta=beta).alias(name)
-            )
-    return df.groupBy(*cells, "dayofyear").agg(*aggs)
+
+    def name(p):
+        return alias if len(pers) == 1 else f"{alias}_p{int(round(p * 100))}"
+
+    if (alpha, beta) == (1, 1):
+        fn = "percentile" if exact else "approx_percentile"
+        aggs = [F.expr(f"{fn}({var}, {p})").alias(name(p)) for p in pers]
+        return df.groupBy(*cells, "dayofyear").agg(*aggs)
+    # HF path: materialize the sorted sample array once per group, then
+    # interpolate in a separate projection — ``hf_interp_sorted``
+    # references its array five times, and an inlined
+    # sort_array(collect_list(...)) would be re-sorted per reference in
+    # the aggregate's result projection.
+    grouped = df.groupBy(*cells, "dayofyear").agg(
+        F.sort_array(F.collect_list(var)).alias("_sarr")
+    )
+    return grouped.select(
+        *cells, "dayofyear",
+        *[hf_interp_sorted(F.col("_sarr"), p, alpha=alpha, beta=beta)
+          .alias(name(p)) for p in pers],
+    )
 
 
 def percentile_doy_sql(
@@ -253,7 +263,11 @@ def bootstrap_days_over_percentile(
     half = window // 2
     offsets = F.sequence(F.lit(-half), F.lit(half))
 
-    # per-(cell, doy, year) sorted sample arrays — the only wide stage
+    # One groupBy pivots each base year's (window-pooled) samples into its
+    # own sorted-array column — the base-year list is a plan-time literal,
+    # so no second aggregation and no interpreted filter/transform lambdas
+    # are needed downstream: every replacement pool is a codegen'd
+    # concat+array_sort of 2-3 array columns.
     year_arrays = (
         base.withColumn("_doy0", doy365(time))
         .withColumn("_off", F.explode(offsets))
@@ -261,41 +275,34 @@ def bootstrap_days_over_percentile(
             "dayofyear",
             ((F.col("_doy0") - 1 + F.col("_off") + 365) % 365) + 1,
         )
-        .groupBy(*cells, "dayofyear", F.year(time).alias("_yr"))
-        .agg(F.sort_array(F.collect_list(var)).alias("_arr"))
         .groupBy(*cells, "dayofyear")
-        .agg(F.collect_list(F.struct("_yr", "_arr")).alias("_entries"))
+        .agg(*[
+            F.sort_array(F.collect_list(
+                F.when(F.year(time) == y, F.col(var)))).alias(f"_a{y}")
+            for y in years
+        ])
     )
 
-    # Explode the pair list FIRST, materialize each merged pool in its own
-    # projection, and only then interpolate: ``hf_interp_sorted`` references
-    # its array five times, and higher-order-function expressions are
-    # interpreted (not codegen'd), so an inlined pool would be re-merged and
-    # re-sorted per reference.  CollapseProject keeps multiply-referenced
-    # expensive expressions in their own step, so this shape evaluates each
-    # pool exactly once per (cell, doy, pair) row.
-    pair_lits = F.array(*[
-        F.struct(F.lit(y).alias("year"), F.lit(r).alias("_r"))
+    # Materialize each merged pool in its own projection before
+    # interpolating: ``hf_interp_sorted`` references its array five times
+    # and CollapseProject keeps multiply-referenced non-trivial
+    # expressions separate, so each pool is built exactly once per row.
+    pooled_cols = year_arrays
+    for y, r in pairs:
+        parts = [F.col(f"_a{v}") for v in years if v != y]
+        pool = F.array_sort(F.concat(*parts, F.col(f"_a{r}")))
+        pooled_cols = pooled_cols.withColumn(f"_p_{y}_{r}", pool)
+    pair_structs = F.array(*[
+        F.struct(
+            F.lit(y).alias("year"), F.lit(r).alias("_r"),
+            hf_interp_sorted(F.col(f"_p_{y}_{r}"), p, alpha=alpha,
+                             beta=beta).alias("_thresh"),
+        )
         for y, r in pairs
     ])
-    ent = F.col("_entries")
-    y_, r_ = F.col("_pair.year"), F.col("_pair._r")
-    pool = F.array_sort(F.concat(
-        F.flatten(F.transform(
-            F.filter(ent, lambda e: e["_yr"] != y_), lambda e: e["_arr"])),
-        F.flatten(F.transform(
-            F.filter(ent, lambda e: e["_yr"] == r_), lambda e: e["_arr"])),
-    ))
     per = (
-        year_arrays.withColumn("_pair", F.explode(pair_lits))
-        .withColumn("_pool", pool)
-        .select(
-            *cells, "dayofyear",
-            F.col("_pair.year").alias("year"),
-            F.col("_pair._r").alias("_r"),
-            hf_interp_sorted(F.col("_pool"), p, alpha=alpha, beta=beta)
-            .alias("_thresh"),
-        )
+        pooled_cols.withColumn("_pt", F.explode(pair_structs))
+        .select(*cells, "dayofyear", "_pt.year", "_pt._r", "_pt._thresh")
     )
 
     from .generic import get_op
