@@ -1890,6 +1890,67 @@ def agro_dryness_index_ys(spark, sf_dir):
     return out.withColumn("dryness_index", F.round("dryness_index", 4))
 
 
+@_register(
+    "agro_chill_units_ys",
+    f"""WITH {DAILY_SQL},
+cu AS (
+  SELECT cell, CAST(date_trunc('year', day) AS DATE) AS period,
+         CASE
+           WHEN (qty - 10.0) <= 1.4
+                OR ((qty - 10.0) > 12.4 AND (qty - 10.0) <= 15.9) THEN 0.0
+           WHEN ((qty - 10.0) > 1.4 AND (qty - 10.0) <= 2.4)
+                OR ((qty - 10.0) > 9.1 AND (qty - 10.0) <= 12.4) THEN 0.5
+           WHEN (qty - 10.0) > 2.4 AND (qty - 10.0) <= 9.1 THEN 1.0
+           WHEN (qty - 10.0) > 15.9 AND (qty - 10.0) <= 17.9 THEN -0.5
+           ELSE -1.0
+         END AS u
+  FROM daily
+)
+SELECT cell, period, ROUND(sum(CAST(u AS DOUBLE)), 6) AS chill_units
+FROM cu GROUP BY 1, 2""",
+)
+def agro_chill_units_ys(spark, sf_dir):
+    """Utah-model chill units (Richardson 1974; reference _agro.py
+    chill_units): the piecewise hourly mapping as a pure codegen'd CASE
+    expression, summed per season — the expression-tier complement of
+    the Dynamic-Model recursion."""
+    from .operators import agro
+
+    d = daily_series(spark, sf_dir)
+    cu = agro.chill_units(F.col("qty") - 10.0)
+    return d.groupBy(
+        "cell", period_start("day", "YS").alias("period")
+    ).agg(F.round(F.sum(cu), 6).alias("chill_units"))
+
+
+@_register("ffdi_max_ys", None)  # KBDI recursion: rows-only
+def ffdi_max_ys(spark, sf_dir):
+    """Annual max McArthur FFDI from the KBDI + Griffiths drought-factor
+    stateful kernels (reference fire/_ffdi.py) — the second stateful
+    fire system, per-cell pandas recursion like CFFWIS."""
+    from .operators import fire
+
+    d = daily_series(spark, sf_dir)
+    met = (
+        d.withColumn("tasmax", F.col("qty") + 5.0)
+        .withColumn("prcp", F.greatest(F.lit(0.0),
+                                       F.col("price") / 20000.0 - 2.0))
+        .withColumn("hurs", F.least(F.lit(99.0), 30.0 + F.col("qty")))
+        .withColumn("ws", 10.0 + F.col("qty") / 2.0)
+    )
+    ff = fire.ffdi_indices(met, pr="prcp", tasmax="tasmax", hurs="hurs",
+                           sfcWind="ws", pr_annual=900.0, time="day",
+                           cells=["cell"])
+    out = ff.withColumn(
+        "ffdi",
+        F.col("drought_factor") ** 0.987
+        * F.exp(0.0338 * F.col("tasmax") - 0.0345 * F.col("hurs")
+                + 0.0234 * F.col("ws") + 0.243147))
+    return g.select_resample_op(out, "ffdi", "max", "YS", time="day",
+                                cells=["cell"], alias="ffdi_max") \
+        .withColumn("ffdi_max", F.round("ffdi_max", 6))
+
+
 @_register("agro_rain_season_ys", None)  # runs_with_holes automaton: rows-only
 def agro_rain_season_ys(spark, sf_dir):
     """rain_season by registry name (ref _agro.py:796): start/end doy and
