@@ -339,13 +339,29 @@ def first_run(
 ) -> DataFrame:
     """Start of the first run >= window per period
     (reference ``first_run``/``_boundary_run``, run_length.py:543-692).
-    ``coord``: 'date' for the timestamp, 'doy' for day-of-year."""
-    runs, single = _stat_runs(df, cond, time, cells, order_extra, freq,
-                              resample_before_rl)
-    qual = F.when(F.col("run_true") & (F.col("run_length") >= window),
-                  F.col("run_start"))
-    out = _runs_grouped(runs, cells, freq).agg(F.min(qual).alias("_start"))
-    if not single:
+    ``coord``: 'date' for the timestamp, 'doy' for day-of-year.
+
+    Period-truncated path: the first qualifying run starts at the
+    earliest row with ``window`` consecutive hits — one forward rolling
+    sum on one sorted pass, no runs table, no scaffold join."""
+    single = freq is None or resample_before_rl
+    if single:
+        if freq is not None:
+            df = df.withColumn("period", period_start(time, freq))
+        part = [*cells] + (["period"] if freq is not None else [])
+        wseq = Window.partitionBy(*part).orderBy(
+            *_order_cols(time, order_extra))
+        fwd = F.sum(cond.cast("boolean").cast("int")).over(
+            wseq.rowsBetween(0, window - 1)) == window
+        out = df.withColumn("_q", fwd).groupBy(*part).agg(
+            F.min(F.when(F.col("_q"), F.col(time))).alias("_start"))
+    else:
+        runs, _ = _stat_runs(df, cond, time, cells, order_extra, freq,
+                             resample_before_rl)
+        qual = F.when(F.col("run_true") & (F.col("run_length") >= window),
+                      F.col("run_start"))
+        out = _runs_grouped(runs, cells, freq).agg(
+            F.min(qual).alias("_start"))
         out = _on_scaffold(df, out, cells, time, freq)  # NULL = ref NaN
     val = F.dayofyear("_start") if coord == "doy" else F.col("_start")
     return out.withColumn(alias, val).drop("_start")
@@ -361,13 +377,29 @@ def last_run(
 
     Note: like the reference, this returns the *last element* position of
     the final qualifying run when ``coord='date'`` maps to run_end.
+
+    Period-truncated path: the last qualifying run ENDS at the latest row
+    preceded by ``window`` consecutive hits (itself included) — one
+    backward rolling sum, no runs table, no scaffold join.
     """
-    runs, single = _stat_runs(df, cond, time, cells, order_extra, freq,
-                              resample_before_rl)
-    qual = F.when(F.col("run_true") & (F.col("run_length") >= window),
-                  F.col("run_end"))
-    out = _runs_grouped(runs, cells, freq).agg(F.max(qual).alias("_end"))
-    if not single:
+    single = freq is None or resample_before_rl
+    if single:
+        if freq is not None:
+            df = df.withColumn("period", period_start(time, freq))
+        part = [*cells] + (["period"] if freq is not None else [])
+        wseq = Window.partitionBy(*part).orderBy(
+            *_order_cols(time, order_extra))
+        bwd = F.sum(cond.cast("boolean").cast("int")).over(
+            wseq.rowsBetween(-(window - 1), 0)) == window
+        out = df.withColumn("_q", bwd).groupBy(*part).agg(
+            F.max(F.when(F.col("_q"), F.col(time))).alias("_end"))
+    else:
+        runs, _ = _stat_runs(df, cond, time, cells, order_extra, freq,
+                             resample_before_rl)
+        qual = F.when(F.col("run_true") & (F.col("run_length") >= window),
+                      F.col("run_end"))
+        out = _runs_grouped(runs, cells, freq).agg(
+            F.max(qual).alias("_end"))
         out = _on_scaffold(df, out, cells, time, freq)  # NULL = ref NaN
     val = F.dayofyear("_end") if coord == "doy" else F.col("_end")
     return out.withColumn(alias, val).drop("_end")

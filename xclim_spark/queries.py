@@ -1965,6 +1965,27 @@ def agro_rain_season_ys(spark, sf_dir):
         time="day", cells=["cell"], missing=None).df
 
 
+@_register(
+    "stacked_normals_3y",
+    f"""WITH {DAILY_SQL}
+SELECT cell, CAST(u.lab AS INT) AS period_label,
+       ROUND(avg(qty), 6) AS tg_norm
+FROM daily, unnest(generate_series(year(day) - 2, year(day))) AS u(lab)
+GROUP BY 1, 2""",
+)
+def stacked_normals_3y(spark, sf_dir):
+    """stack_periods (reference calendar.py:1396-1731): rolling 3-year
+    climate normals, stride 1.  The window/stride replication is a
+    map-side explode (factor window/stride), so the only shuffle is the
+    downstream (cell, period_label) aggregate."""
+    from .calendar import stack_periods
+
+    d = daily_series(spark, sf_dir)
+    st = stack_periods(d, "day", window=3, stride=1)
+    return st.groupBy("cell", "period_label").agg(
+        F.round(F.avg("qty"), 6).alias("tg_norm"))
+
+
 # ---------------------------------------------------------------------------
 # Zhang-2005 percentile bootstrap (reference bootstrapping.py:22-211)
 # ---------------------------------------------------------------------------
