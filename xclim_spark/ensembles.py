@@ -195,8 +195,12 @@ def hawkins_sutton(
             "_sm": sm, "_res": y - sm,
         })
 
+    # the smoothed member table is tiny (members x years) and feeds four
+    # independent aggregate branches — persist it or every branch re-runs
+    # the pandas smoothing AND re-scans the source
     smoothed = repartition_for_apply(df, [scenario, model]) \
-        .groupBy(scenario, model).applyInPandas(_smooth, schema=schema)
+        .groupBy(scenario, model).applyInPandas(_smooth, schema=schema) \
+        .persist()
     yr = F.year(time)
 
     # internal variability: decadal rolling mean of residuals, var over
@@ -749,7 +753,9 @@ def general_partition(
     member table ever shuffles.
     """
     dims = [*mean_first, *var_first]
-    sm = _smooth_members(df, var, time, dims, deg)
+    # persisted for the same reason as hawkins_sutton's smoothed table:
+    # one aggregate branch per partitioned dimension reuses it
+    sm = _smooth_members(df, var, time, dims, deg).persist()
 
     # internal variability: rolling 11-centered variance per member
     w11 = Window.partitionBy(*dims).orderBy(time).rowsBetween(-5, 5)

@@ -167,10 +167,15 @@ def near_duplicates(
     src = docs.select(F.col(id_col).alias("_id"), F.col(text_col))
     if parallelism:
         src = src.repartition(parallelism, "_id")
+    # persist the digest table: it feeds the signature path AND both
+    # sides of the verification join — without it the corpus text is
+    # re-scanned and re-shingled three times (the digests are ~10x
+    # smaller than the text they replace, so this is the cheap side of
+    # the trade at any scale)
     base = src.select(
         "_id",
         shingle_hashes(word_shingles(F.col(text_col), n)).alias("_sh"),
-    ).filter(F.size("_sh") > 0)
+    ).filter(F.size("_sh") > 0).persist()
     # Signature via explode + k min-aggregates: nested higher-order
     # lambdas are interpreted row-at-a-time in Spark, but plain aggregates
     # are whole-stage-codegen'd with map-side partial min — the shuffle
