@@ -245,3 +245,38 @@ def test_first_run_before_date(spark):
     out = rl.first_run_before_date(df, _cond(), 1, date="04-01", freq="YS",
                                    cells=["cell"], coord="doy").collect()
     assert out[0]["first_run_before_date"] is None
+
+
+def test_suspicious_run(spark):
+    import datetime as dt
+
+    rows = []
+    vals = [1.0, 5.0, 5.0, 5.0, 5.0, 2.0, 3.0, 3.0, 9.0, 9.0, 9.0, 9.0]
+    for i, v in enumerate(vals):
+        rows.append((1, dt.date(2000, 1, 1) + dt.timedelta(days=i), v))
+    df = spark.createDataFrame(rows, "cell INT, time DATE, v DOUBLE")
+    out = rl.suspicious_run(df, "v", window=4, time="time", cells=["cell"])
+    got = [r["suspicious"] for r in out.orderBy("time").collect()]
+    # runs: 1x1, 5x4, 2x1, 3x2, 9x4 -> the 5-run and 9-run are flagged
+    assert got == [False, True, True, True, True, False, False, False,
+                   True, True, True, True]
+    # thresh restricts to runs of values > 6 -> only the 9-run
+    out2 = rl.suspicious_run(df, "v", window=4, thresh=6.0,
+                             time="time", cells=["cell"])
+    got2 = [r["suspicious"] for r in out2.orderBy("time").collect()]
+    assert got2 == [False] * 8 + [True] * 4
+
+
+def test_rle_statistics_quantile_reducer(spark):
+    import datetime as dt
+
+    rows = []
+    # cell 1: runs of lengths 2, 3, 5 (separated by False days)
+    day = dt.date(2000, 1, 1)
+    pattern = [1, 1, 0, 1, 1, 1, 0, 1, 1, 1, 1, 1, 0]
+    for i, p in enumerate(pattern):
+        rows.append((1, day + dt.timedelta(days=i), float(p)))
+    df = spark.createDataFrame(rows, "cell INT, time DATE, v DOUBLE")
+    out = rl.rle_statistics(df, F.col("v") > 0.5, "q50", 1,
+                            time="time", cells=["cell"]).collect()
+    assert out[0]["rle_stat"] == 3.0  # median of run lengths {2, 3, 5}

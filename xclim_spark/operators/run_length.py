@@ -48,6 +48,7 @@ __all__ = [
     "spell_length_statistics",
     "runs_with_holes",
     "find_events",
+    "suspicious_run",
     "season_bounds",
 ]
 
@@ -219,8 +220,13 @@ def rle_statistics(
                               resample_before_rl)
     qual = F.when(F.col("run_true") & (F.col("run_length") >= window),
                   F.col("run_length"))
-    red = {"max": F.max, "min": F.min, "mean": F.avg, "sum": F.sum,
-           "count": F.count, "std": F.stddev_pop}[reducer]
+    if reducer.startswith("q"):  # "q90"-style quantile reducer (ref qNN)
+        p = float(reducer[1:]) / 100.0
+        def red(c, _p=p):
+            return F.percentile(c, F.lit(_p))
+    else:
+        red = {"max": F.max, "min": F.min, "mean": F.avg, "sum": F.sum,
+               "count": F.count, "std": F.stddev_pop}[reducer]
     agg = _runs_grouped(runs, cells, freq).agg(
         F.coalesce(red(qual), F.lit(0)).alias(alias)
     )
@@ -753,6 +759,44 @@ def find_events(
             F.sum(F.when(F.col("_cs_eff"), F.col(data_var))).alias("event_sum")
         )
     return ev.groupBy(*cells, *part_extra, "_eid").agg(*aggs).drop("_eid")
+
+
+def suspicious_run(
+    df: DataFrame,
+    var: str,
+    *,
+    window: int = 10,
+    op: str | None = None,
+    thresh: float | None = None,
+    time: str = "time",
+    cells: Sequence[str] = (),
+    order_extra: Sequence[str] = (),
+    alias: str = "suspicious",
+) -> DataFrame:
+    """Mark rows inside runs of >= window *identical values* (reference
+    ``suspicious_run``/``suspicious_run_1d``, run_length.py:1668-1759) —
+    the QC primitive behind repeating-value dataflags.
+
+    ``thresh`` (with ``op``, default '>') additionally restricts the flag
+    to runs whose repeated value satisfies the comparison.  Output: the
+    input rows plus a boolean ``<alias>`` column (same shape as the
+    input, like the reference).
+    """
+    w = Window.partitionBy(*cells).orderBy(*_order_cols(time, order_extra))
+    v = F.col(var)
+    chg = (
+        F.lag(v).over(w).isNull() | (v != F.lag(v).over(w))
+    ).cast("long")
+    df = df.withColumn(
+        "_vrid", F.sum(chg).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    length = F.count(F.lit(1)).over(Window.partitionBy(*cells, "_vrid"))
+    sus = length >= window
+    if thresh is not None:
+        from .generic import get_op
+
+        sus = sus & get_op(op or ">")(v, F.lit(float(thresh)))
+    return df.withColumn(alias, sus).drop("_vrid")
 
 
 def season_bounds(
