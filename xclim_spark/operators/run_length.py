@@ -489,28 +489,36 @@ def run_end_after_date(
     end = start of the first >=window anti-run at/after the date;
     beg = start of the first >=window run before the date;
     if beg exists but no anti-run follows, the period's last timestamp is
-    returned; NULL when no run began before the date.  Three aggregates
-    over the same (cell, period) keys — Catalyst shares the scan, the
-    joins are on reduced keyspaces."""
+    returned; NULL when no run began before the date.
+
+    Both first-run searches are forward-rolling hit tests over the SAME
+    (cell, period) sorted pass, so the whole kernel is one window
+    operator + one groupBy — one scan, one exchange (previously three
+    scans joined)."""
     mid = _mid_date(time, freq, date)
     tcol = F.to_date(time)
-    end = first_run(df, (~cond) & (tcol >= mid), window, freq=freq,
-                    time=time, cells=cells, coord=coord, alias="_end")
-    beg = first_run(df, cond & (tcol < mid), window, freq=freq, time=time,
-                    cells=cells, coord="date", alias="_beg")
-    last = (
-        df.withColumn("period", period_start(time, freq))
-        .groupBy(*cells, "period")
-        .agg(F.max(tcol).alias("_last"))
+    df = df.withColumn("period", period_start(time, freq))
+    part = [*cells, "period"]
+    wseq = Window.partitionBy(*part).orderBy(F.col(time))
+    c_end = ((~cond) & (tcol >= mid)).cast("boolean").cast("int")
+    c_beg = (cond & (tcol < mid)).cast("boolean").cast("int")
+    fwd_end = F.sum(c_end).over(wseq.rowsBetween(0, window - 1)) == window
+    fwd_beg = F.sum(c_beg).over(wseq.rowsBetween(0, window - 1)) == window
+    agg = (
+        df.withColumn("_qe", fwd_end).withColumn("_qb", fwd_beg)
+        .groupBy(*part).agg(
+            F.min(F.when(F.col("_qe"), F.col(time))).alias("_end"),
+            F.min(F.when(F.col("_qb"), F.col(time))).alias("_beg"),
+            F.max(tcol).alias("_last"),
+        )
     )
-    keys = [*cells, "period"]
-    j = end.join(beg, on=keys).join(last, on=keys)
+    end_val = F.dayofyear("_end") if coord == "doy" else F.col("_end")
     last_val = F.dayofyear("_last") if coord == "doy" else F.col("_last")
-    out = j.withColumn(
+    out = agg.withColumn(
         alias,
         F.when(F.col("_beg").isNull(), F.lit(None))
         .when(F.col("_end").isNull(), last_val)
-        .otherwise(F.col("_end")),
+        .otherwise(end_val),
     )
     return out.drop("_end", "_beg", "_last")
 
