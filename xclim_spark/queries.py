@@ -1767,6 +1767,31 @@ def dataflags_summary(spark, sf_dir):
        CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes
 FROM documents GROUP BY 1""",
 )
+@_register(
+    "mm_decode_stats",
+    """SELECT source, CAST(count(*) AS BIGINT) AS n_items,
+       ROUND(avg(ascii(substring(text, 1, 1)) % 64 + 1), 6) AS avg_w,
+       ROUND(avg(ascii(substring(text, 2, 1)) % 64 + 1), 6) AS avg_h
+FROM documents GROUP BY 1""",
+)
+def mm_decode_stats(spark, sf_dir):
+    """Multimodal decode path end-to-end: binary payloads through the
+    ``mapInPandas`` Arrow-batched FAKE decode (deterministic byte
+    arithmetic — the real decode slots in behind the same batch shape),
+    then a per-source aggregate.  The oracle recomputes the fake's
+    dimension arithmetic from the leading bytes."""
+    from .llm import multimodal as mm
+
+    docs = _read(spark, sf_dir, "documents")
+    b = docs.withColumn("data", F.encode("text", "UTF-8"))
+    d = mm.decode_image(b, "data", fake=True)
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.avg("width"), 6).alias("avg_w"),
+        F.round(F.avg("height"), 6).alias("avg_h"),
+    )
+
+
 def mm_binary_stats(spark, sf_dir):
     """Multimodal schema plumbing: documents as opaque binary payloads
     with typed metadata (xclim_spark.llm.multimodal) — per-source payload
