@@ -150,3 +150,52 @@ def test_runs_with_holes_parity(spark, series):
             want.append(state == 1)
         series_got = [b for _, b in sorted(got[c])]
         assert series_got == want, c
+
+
+def test_season_bounds_parity(spark, series):
+    """Fused season automaton vs brute force (start w=3, end after doy 60)."""
+    df, truth = series
+    w = 3
+    out = rl.season_bounds(df, F.col("v") > 0.5, w, mid_doy=61,
+                           time="time", cells=["cell"], freq="YS")
+    got = {r["cell"]: (r["season_start"], r["season_end"],
+                       r["season_length"]) for r in out.collect()}
+    base = dt.date(2000, 1, 1)
+    for c, flags in truth.items():
+        runs = [(s, ln) for s, ln in _runs(flags) if ln >= w]
+        ws_ = base + dt.timedelta(days=runs[0][0]) if runs else None
+        # end: first >=w anti-run starting at/after doy 61 (index 60)
+        anti = [None if v is None else (not v) for v in flags]
+        anti_late = [bool(a) and i >= 60 for i, a in enumerate(anti)]
+        aruns = [(s, ln) for s, ln in _runs(anti_late) if ln >= w]
+        we_ = base + dt.timedelta(days=aruns[0][0]) if aruns else None
+        assert got[c][0] == ws_, c
+        assert got[c][1] == we_, c
+        if ws_ is not None and we_ is not None:
+            assert got[c][2] == (we_ - ws_).days, c
+
+
+def test_run_end_after_date_parity(spark, series):
+    """Fused run_end_after_date vs brute force (w=2, date=Feb 15)."""
+    df, truth = series
+    w = 2
+    out = rl.run_end_after_date(df, F.col("v") > 0.5, w, date="02-15",
+                                freq="YS", time="time", cells=["cell"],
+                                coord="date")
+    got = {r["cell"]: r["run_end_after_date"] for r in out.collect()}
+    base = dt.date(2000, 1, 1)
+    mid_idx = (dt.date(2000, 2, 15) - base).days
+    n = DAYS_PER_PERIOD * N_PERIODS
+    for c, flags in truth.items():
+        beg = [bool(v) and i < mid_idx for i, v in enumerate(flags)]
+        begs = [(s, ln) for s, ln in _runs(beg) if ln >= w]
+        anti = [(v is not None and not v) and i >= mid_idx
+                for i, v in enumerate(flags)]
+        ends = [(s, ln) for s, ln in _runs(anti) if ln >= w]
+        if not begs:
+            want = None
+        elif not ends:
+            want = base + dt.timedelta(days=n - 1)
+        else:
+            want = base + dt.timedelta(days=ends[0][0])
+        assert got[c] == want, c
