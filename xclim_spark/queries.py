@@ -1760,14 +1760,6 @@ def dataflags_summary(spark, sf_dir):
 
 
 @_register(
-    "mm_binary_stats",
-    """SELECT source,
-       CAST(count(*) AS BIGINT) AS n_items,
-       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
-       CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes
-FROM documents GROUP BY 1""",
-)
-@_register(
     "mm_decode_stats",
     """SELECT source, CAST(count(*) AS BIGINT) AS n_items,
        ROUND(avg(ascii(substring(text, 1, 1)) % 64 + 1), 6) AS avg_w,
@@ -1792,6 +1784,14 @@ def mm_decode_stats(spark, sf_dir):
     )
 
 
+@_register(
+    "mm_binary_stats",
+    """SELECT source,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+       CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes
+FROM documents GROUP BY 1""",
+)
 def mm_binary_stats(spark, sf_dir):
     """Multimodal schema plumbing: documents as opaque binary payloads
     with typed metadata (xclim_spark.llm.multimodal) — per-source payload
