@@ -2151,6 +2151,53 @@ def ens_robustness_fracs(spark, sf_dir):
     return out
 
 
+@_register("ens_robustness_ttest", None)  # incomplete-beta p-values: rows-only
+def ens_robustness_ttest(spark, sf_dir):
+    """robustness_fractions with the member-level t-test (reference
+    _robustness.py:519-550, Tebaldi 2011): each member's future SERIES is
+    tested against its reference mean in one pandas task per (cell,
+    member) — p-values via the repo's own incomplete-beta tails (no
+    scipy).  Fractions of significantly-changed members per cell."""
+    from . import ensembles as es
+
+    m = _ens_members(spark, sf_dir)
+    cut = F.lit("1998-01-01").cast("date")
+    fut = m.filter(F.col("period") >= cut) \
+        .select("realization", "cell", F.col("period").alias("time"), "tg")
+    ref = m.filter(F.col("period") < cut) \
+        .select("realization", "cell", F.col("period").alias("time"), "tg")
+    out = es.robustness_fractions(fut, ref, "tg", keys=["cell"],
+                                  test="ttest", p_change=0.05)
+    for c in ("changed", "positive", "changed_positive", "negative",
+              "changed_negative", "agree"):
+        out = out.withColumn(c, F.round(c, 6))
+    return out
+
+
+@_register("ens_kkz_selection", None)  # driver-side argmin chain: rows-only
+def ens_kkz_selection(spark, sf_dir):
+    """KKZ ensemble reduction (reference _reduce.py:177): the per-member
+    criteria matrix (annual mean / std / max of the member series) is
+    reduced distributed, collected (members x 3 — tiny by construction,
+    exactly like the reference), and the KKZ argmin/argmax chain runs
+    driver-side.  Returns the selected members in selection order."""
+    from . import ensembles as es
+
+    m = _ens_members(spark, sf_dir)
+    crit = (
+        m.groupBy("realization").agg(
+            F.avg("tg").alias("c_mean"),
+            F.stddev_pop("tg").alias("c_std"),
+            F.max("tg").alias("c_max"),
+        ).orderBy("realization")
+    )
+    rows = crit.collect()  # members x 3: driver-sized, like the reference
+    picked = es.kkz_reduce_ensemble(
+        [[r["c_mean"], r["c_std"], r["c_max"]] for r in rows], k=2)
+    sel = [(i, int(rows[j]["realization"])) for i, j in enumerate(picked)]
+    return spark.createDataFrame(sel, "rank INT, realization INT")
+
+
 @_register(
     "hs_partition_vars",
     """WITH mem AS (
