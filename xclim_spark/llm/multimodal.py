@@ -57,17 +57,23 @@ def with_image_meta(
     )
 
 
-@pandas_udf("array<double>")
-def _byte_hist16(payload: pd.Series) -> pd.Series:
-    out = []
-    for b in payload:
-        if b is None or len(b) == 0:
-            out.append([0.0] * 16)
-            continue
-        arr = np.frombuffer(b, dtype=np.uint8)
-        h = np.bincount(arr >> 4, minlength=16).astype(float)
-        out.append(list(h / h.sum()))
-    return pd.Series(out)
+# The pandas_udf decorators validate types against the active session, so
+# they are created lazily inside the public builders — importing this
+# module must not require a SparkSession.
+
+def _byte_hist16():
+    @pandas_udf("array<double>")
+    def hist16(payload: pd.Series) -> pd.Series:
+        out = []
+        for b in payload:
+            if b is None or len(b) == 0:
+                out.append([0.0] * 16)
+                continue
+            arr = np.frombuffer(b, dtype=np.uint8)
+            h = np.bincount(arr >> 4, minlength=16).astype(float)
+            out.append(list(h / h.sum()))
+        return pd.Series(out)
+    return hist16
 
 
 def byte_histogram(bin_col) -> Column:
@@ -75,28 +81,30 @@ def byte_histogram(bin_col) -> Column:
     Arrow-batched feature extractor (numpy over the whole batch, no
     per-row Python object churn)."""
     c = bin_col if isinstance(bin_col, Column) else F.col(bin_col)
-    return _byte_hist16(c)
+    return _byte_hist16()(c)
 
 
-@pandas_udf("double")
-def _byte_entropy(payload: pd.Series) -> pd.Series:
-    out = []
-    for b in payload:
-        if b is None or len(b) == 0:
-            out.append(0.0)
-            continue
-        arr = np.frombuffer(b, dtype=np.uint8)
-        p = np.bincount(arr, minlength=256) / len(arr)
-        p = p[p > 0]
-        out.append(float(-(p * np.log2(p)).sum()))
-    return pd.Series(out)
+def _byte_entropy_udf():
+    @pandas_udf("double")
+    def entropy(payload: pd.Series) -> pd.Series:
+        out = []
+        for b in payload:
+            if b is None or len(b) == 0:
+                out.append(0.0)
+                continue
+            arr = np.frombuffer(b, dtype=np.uint8)
+            p = np.bincount(arr, minlength=256) / len(arr)
+            p = p[p > 0]
+            out.append(float(-(p * np.log2(p)).sum()))
+        return pd.Series(out)
+    return entropy
 
 
 def byte_entropy(bin_col) -> Column:
     """Shannon entropy (bits/byte) of the payload — compressed/encrypted
     media sits near 8, text near 4-5; a useful triage signal."""
     c = bin_col if isinstance(bin_col, Column) else F.col(bin_col)
-    return _byte_entropy(c)
+    return _byte_entropy_udf()(c)
 
 
 def decode_image(
