@@ -253,3 +253,12 @@ def test_general_partition_defaults_match_lafferty(spark):
     for t, v in da.items():
         if v is not None and db[t] is not None:
             assert abs(v - db[t]) < 1e-9
+
+
+def test_make_criteria_roundtrip(spark):
+    df = spark.createDataFrame(
+        [(2, 1.0, 5.0), (0, 3.0, 2.0), (1, 2.0, 4.0)],
+        "realization INT, a DOUBLE, b DOUBLE")
+    ids, mat = ens.make_criteria(df, ["a", "b"])
+    assert ids == [0, 1, 2]
+    assert mat == [[3.0, 2.0], [2.0, 4.0], [1.0, 5.0]]

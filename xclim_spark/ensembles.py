@@ -27,6 +27,7 @@ __all__ = [
     "lafferty_sriver",
     "general_partition",
     "fractional_uncertainty",
+    "make_criteria",
     "kkz_reduce_ensemble",
     "kmeans_reduce_ensemble",
     "robustness_fractions",
@@ -243,6 +244,26 @@ def fractional_uncertainty(partitioned: DataFrame) -> DataFrame:
     for c in ("variability", "model", "scenario"):
         out = out.withColumn(c, F.col(c) / F.col("total"))
     return out
+
+
+def make_criteria(
+    df: DataFrame, columns: Sequence[str], *,
+    realization: str = "realization",
+) -> tuple[list, list]:
+    """Reduce a per-member indicator table to the (member x criteria)
+    matrix for :func:`kkz_reduce_ensemble`/:func:`kmeans_reduce_ensemble`
+    (reference ``make_criteria``, _reduce.py:26).
+
+    The distributed reduction happens BEFORE this call — ``df`` holds one
+    row per member with one column per criterion, so the collect is
+    members x p: driver-sized by construction, exactly like the
+    reference's in-memory criteria DataArray.  Returns ``(member_ids,
+    matrix)`` in member order.
+    """
+    rows = df.select(realization, *columns).orderBy(realization).collect()
+    ids = [r[realization] for r in rows]
+    mat = [[float(r[c]) for c in columns] for r in rows]
+    return ids, mat
 
 
 def kkz_reduce_ensemble(criteria, k: int) -> list:

@@ -2191,10 +2191,9 @@ def ens_kkz_selection(spark, sf_dir):
             F.max("tg").alias("c_max"),
         ).orderBy("realization")
     )
-    rows = crit.collect()  # members x 3: driver-sized, like the reference
-    picked = es.kkz_reduce_ensemble(
-        [[r["c_mean"], r["c_std"], r["c_max"]] for r in rows], k=2)
-    sel = [(i, int(rows[j]["realization"])) for i, j in enumerate(picked)]
+    ids, mat = es.make_criteria(crit, ["c_mean", "c_std", "c_max"])
+    picked = es.kkz_reduce_ensemble(mat, k=2)
+    sel = [(i, int(ids[j])) for i, j in enumerate(picked)]
     return spark.createDataFrame(sel, "rank INT, realization INT")
 
 
