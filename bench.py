@@ -59,6 +59,9 @@ def main() -> int:
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+        # queries that persist intermediates (dedup digests, smoothed
+        # members) must not bill their cached blocks to later queries
+        spark.catalog.clearCache()
     total = round(time.time() - t_all0, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
