@@ -199,3 +199,33 @@ def test_run_end_after_date_parity(spark, series):
         else:
             want = base + dt.timedelta(days=ends[0][0])
         assert got[c] == want, c
+
+
+@pytest.mark.parametrize("window,reducer", [(1, "max"), (2, "mean"), (3, "sum")])
+def test_rle_statistics_parity(spark, series, window, reducer):
+    df, truth = series
+    out = rl.rle_statistics(df, F.col("v") > 0.5, reducer, window,
+                            time="time", cells=["cell"])
+    got = {r["cell"]: r["rle_stat"] for r in out.collect()}
+    for c, flags in truth.items():
+        lens = [ln for _, ln in _runs(flags) if ln >= window]
+        if reducer == "max":
+            want = max(lens) if lens else 0
+        elif reducer == "sum":
+            want = sum(lens) if lens else 0
+        else:
+            want = sum(lens) / len(lens) if lens else 0
+        assert got[c] == pytest.approx(want), (c, window, reducer)
+
+
+def test_windowed_max_run_sum_parity(spark, series):
+    df, truth = series
+    w = 2
+    out = rl.windowed_max_run_sum(df, F.col("v") > 0.5, w, "v",
+                                  time="time", cells=["cell"])
+    got = {r["cell"]: r["max_run_sum"] for r in out.collect()}
+    for c, flags in truth.items():
+        # v is 1.0 on True days, so a run's sum equals its length
+        sums = [float(ln) for _, ln in _runs(flags) if ln >= w]
+        want = max(sums) if sums else 0.0
+        assert got[c] == pytest.approx(want), c

@@ -77,9 +77,11 @@ def with_run_id(
     part = [*cells, *partition_extra]
     w = Window.partitionBy(*part).orderBy(*_order_cols(time, order_extra))
     df = df.withColumn(cond_name, cond.cast("boolean"))
+    # null-SAFE comparison: a NULL condition (the reference's NaN) must
+    # open its own run — a plain `!=` yields NULL there, the running sum
+    # skips it, and the NULL row would silently extend the previous run
     chg = (
-        F.lag(cond_name).over(w).isNull()
-        | (F.col(cond_name) != F.lag(cond_name).over(w))
+        ~F.col(cond_name).eqNullSafe(F.lag(cond_name).over(w))
     ).cast("long")
     wsum = w.rowsBetween(Window.unboundedPreceding, 0)
     return df.withColumn(run_name, F.sum(chg).over(wsum))
@@ -792,9 +794,9 @@ def suspicious_run(
     """
     w = Window.partitionBy(*cells).orderBy(*_order_cols(time, order_extra))
     v = F.col(var)
-    chg = (
-        F.lag(v).over(w).isNull() | (v != F.lag(v).over(w))
-    ).cast("long")
+    # null-safe: NULL values form their own runs instead of silently
+    # extending the previous one (see with_run_id)
+    chg = (~v.eqNullSafe(F.lag(v).over(w))).cast("long")
     df = df.withColumn(
         "_vrid", F.sum(chg).over(w.rowsBetween(Window.unboundedPreceding, 0))
     )
