@@ -138,6 +138,7 @@ def near_duplicates(
     bands: int = 64,
     seed: int = 7,
     parallelism: int | None = None,
+    lazy: bool = False,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
 
@@ -210,7 +211,18 @@ def near_duplicates(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return verified
+    if lazy:
+        # caller owns the digest cache: the returned plan reads ``base``
+        # (persisted) twice; call spark.catalog.clearCache() (or keep a
+        # handle via verified.sparkSession) after the last action
+        return verified
+    # Default: materialize the (dup-sized, corpus-bounded) pair table and
+    # release the corpus-sized digest cache before returning, so repeated
+    # library calls don't accumulate cached blocks (the pairs output is
+    # orders of magnitude smaller than the digests that produced it).
+    out = verified.localCheckpoint(eager=True)
+    base.unpersist()
+    return out
 
 
 def simhash(

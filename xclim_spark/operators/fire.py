@@ -153,9 +153,13 @@ def _bui(dmc, dc):
 
 
 def _fwi(isi, bui):
-    """Fire weather index (eqs. 28-30)."""
+    """Fire weather index (eqs. 28-30).  BUI is clamped at 0 like the
+    vectorized kernel (_fwi_v): Eq.27b can go fractionally negative for
+    small DMC with DC near 0, where a negative base to the 0.809 power
+    would go complex — both kernels must agree on that pathological
+    state."""
     if bui <= 80.0:
-        fwi = 0.1 * isi * (0.626 * bui ** 0.809 + 2.0)  # Eq.28a
+        fwi = 0.1 * isi * (0.626 * max(bui, 0.0) ** 0.809 + 2.0)  # Eq.28a
     else:
         fwi = 0.1 * isi * (1000.0 / (25.0 + 108.64 / math.exp(0.023 * bui)))
     if fwi > 1.0:
