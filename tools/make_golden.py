@@ -229,7 +229,83 @@ def golden_ens_robustness_ttest(con) -> pd.DataFrame:
         "changed_negative", "valid_members", "agree"])
 
 
+def golden_agro_rain_season_ys(con) -> pd.DataFrame:
+    """Sequential reimplementation of rain_season (query params:
+    thresh_wet_start=90, thresh_dry_start=10, method_dry_end='total',
+    thresh_dry_end=480) — plain per-(cell, year) loops over the same
+    DuckDB daily base, mirroring reference _agro.py:796 semantics."""
+    d = daily(con)
+    d["day"] = pd.to_datetime(d["day"])
+    d["year"] = d["day"].dt.year
+    wws, wnds, wds, wde = 3, 30, 7, 20
+    rows = []
+    for (cell, year), g in d.groupby(["cell", "year"]):
+        g = g.sort_values("day").reset_index(drop=True)
+        n = len(g)
+        pram = g["qty"].to_numpy(dtype=float)
+        mmdd = g["day"].dt.strftime("%m-%d").to_numpy()
+        in_slice = mmdd >= "05-01"
+        da_start = np.zeros(n, bool)
+        for i in range(wws - 1, n):
+            if (in_slice[i] and mmdd[i - wws + 1] >= "05-01"
+                    and pram[i - wws + 1: i + 1].sum() >= 90.0):
+                da_start[i] = True
+        da_stop = in_slice & (pram <= 10.0)
+        # runs_with_holes(start, 1, stop, wds): forward-complete runs
+        # emit signals, stop wins ties, last signal carried forward
+        state = np.zeros(n, bool)
+        cur = 0
+        for i in range(n):
+            if i + wds <= n and da_stop[i: i + wds].all():
+                cur = 0
+            elif da_start[i]:
+                cur = 1
+            state[i] = cur == 1
+        # qualifying start: first row of a state-run of length >= 33
+        start_t = None
+        i = 0
+        while i < n:
+            if state[i]:
+                j = i
+                while j < n and state[j]:
+                    j += 1
+                if (j - i >= wnds + wws and "05-01" <= mmdd[i] <= "12-31"):
+                    start_t = g["day"].iloc[i]
+                    break
+                i = j
+            else:
+                i += 1
+        end_t = None
+        if start_t is not None:
+            after = g["day"] > start_t
+            val = np.where(after, pram, np.nan)
+            for i in range(n):
+                lo = max(0, i - wde + 1)
+                wv = val[lo: i + 1]
+                if (np.isfinite(wv).sum() == wde
+                        and np.nansum(wv) <= 480.0
+                        and "09-01" <= mmdd[i] <= "12-31"):
+                    end_t = g["day"].iloc[i]
+                    break
+        per = pd.Timestamp(int(year), 1, 1).date()
+        if start_t is None:
+            rows.append((cell, per, np.nan, np.nan, np.nan))
+        else:
+            sd = float(start_t.dayofyear)
+            if end_t is not None:
+                rows.append((cell, per, sd, float(end_t.dayofyear),
+                             float((end_t - start_t).days)))
+            else:
+                last = g["day"].iloc[-1]
+                rows.append((cell, per, sd, np.nan,
+                             float((last - start_t).days) + 1))
+    return pd.DataFrame(rows, columns=[
+        "cell", "period", "rain_season_start", "rain_season_end",
+        "rain_season_length"])
+
+
 GOLDENS = {
+    "agro_rain_season_ys": golden_agro_rain_season_ys,
     "fwi_max_ys": golden_fwi_max_ys,
     "ffdi_max_ys": golden_ffdi_max_ys,
     "spi_ms": golden_spi_ms,

@@ -2025,7 +2025,15 @@ def ffdi_max_ys(spark, sf_dir):
         .withColumn("ffdi_max", F.round("ffdi_max", 6))
 
 
-@_register("agro_rain_season_ys", None)  # runs_with_holes automaton: rows-only
+@_register(
+    "agro_rain_season_ys",
+    """-- golden-fixture oracle: independently computed by DuckDB+pandas
+-- orchestration over the same sf0.01 inputs (tools/make_golden.py);
+-- sequential per-(cell, year) loops re-derive the start/stop automaton
+SELECT cell, CAST(period AS DATE) AS period, rain_season_start,
+       rain_season_end, rain_season_length
+FROM '/root/repo/tests/golden/agro_rain_season_ys.parquet'""",
+)
 def agro_rain_season_ys(spark, sf_dir):
     """rain_season by registry name (ref _agro.py:796): start/end doy and
     length of the wet season from the start/stop run automaton — the
