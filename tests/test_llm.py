@@ -239,3 +239,114 @@ def test_resize_and_frames_fake(spark):
     assert len(by_doc[0]) == 4
     assert sorted(r["frame_idx"] for r in by_doc[0]) == [0, 1, 2, 3]
     assert all(len(r["frame"]) > 0 for r in rows)
+
+
+def test_simhash_pairs_finds_near_dups(spark):
+    base = ("the quick brown fox jumps over the lazy dog again and again "
+            "while the rain falls softly on the quiet green meadow today")
+    texts = [
+        base,
+        base + " indeed",                      # near-dup of 0
+        base.replace("quick", "slow"),         # near-dup of 0 and 1
+        "completely different words here entirely unrelated content okay "
+        "nothing shared at all with anything else in this tiny corpus",
+        "another unrelated document about spark window functions and "
+        "structured streaming state stores with watermarks and triggers",
+    ]
+    out = dd.simhash_pairs(
+        _docs(spark, texts), bits=60, max_hamming=12, bands=13,
+        hasher=dd.md5_hash60,
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in out}
+    assert (0, 1) in pairs and (0, 2) in pairs
+    assert all(a in (0, 1, 2) and b in (0, 1, 2) for a, b in pairs)
+    for r in out:
+        assert 0 <= r["hamming"] <= 12
+
+
+def test_simhash_pairs_band_guarantee_validated():
+    # bands=4 guarantees recall only to hamming 3
+    with pytest.raises(ValueError):
+        dd.simhash_pairs(None, max_hamming=4, bands=4)
+
+
+def test_char_ngrams(spark):
+    df = _docs(spark, ["abcdef", "abc"])
+    out = df.select(dd.char_ngrams("text", 5).alias("g")).collect()
+    assert out[0]["g"] == ["abcde", "bcdef"]
+    assert out[1]["g"] == []
+
+
+def test_ngram_jaccard_pairs_matches_exact(spark):
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy dot",   # 1-char change
+        "a wholly different sentence with no shared substrings xyzw",
+        "the quick brown fox jumps over the lazy dog",   # exact dup of 0
+    ]
+    t = 0.5
+    out = dd.ngram_jaccard_pairs(_docs(spark, texts), n=5,
+                                 threshold=t).collect()
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out}
+
+    def grams(s):
+        return {s[i:i + 5] for i in range(len(s) - 4)}
+
+    expect = {}
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            a, b = grams(texts[i]), grams(texts[j])
+            jac = len(a & b) / len(a | b)
+            if jac >= t:
+                expect[(i, j)] = jac
+    assert set(got) == set(expect)
+    for k, v in expect.items():
+        assert abs(got[k] - v) < 1e-12
+    assert got[(0, 3)] == 1.0
+
+
+def test_embedding_near_duplicates(spark):
+    rng = np.random.RandomState(0)
+    vecs = rng.standard_normal((30, 16)).astype("float32")
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    # plant two near-identical clones
+    rows.append((100, [float(x) * 1.0001 for x in vecs[3]]))
+    rows.append((101, [float(x) * 0.9999 for x in vecs[7]]))
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    out = dd.embedding_near_duplicates(
+        df, threshold=0.99, n_planes=8, n_tables=4, dim=16).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in out}
+    assert (3, 100) in pairs and (7, 101) in pairs
+    assert len(pairs) == 2
+    for r in out:
+        assert r["cos_sim"] > 0.999
+
+
+def test_knn_ivf_candidates_come_from_probed_cells(spark):
+    rng = np.random.RandomState(1)
+    # three well-separated clusters of 10 vectors
+    centers = np.eye(3, 8) * 10
+    rows = []
+    for c in range(3):
+        for i in range(10):
+            v = centers[c] + rng.standard_normal(8) * 0.05
+            rows.append((c * 10 + i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    cents = df.filter(F.col("vec_id").isin([0, 10, 20]))
+    qs = df.filter(F.col("vec_id").isin([5, 15]))
+    out = sim.knn_ivf(df, qs, cents, k=3, nprobe=1).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    # with nprobe=1 every neighbour comes from the query's own cluster
+    for qid, neigh in by_q.items():
+        cluster = qid // 10
+        assert len(neigh) == 3
+        for r in neigh:
+            assert r["neighbor_id"] // 10 == cluster
+            assert r["cos_sim"] > 0.99
+    # ranks are 1..3 ordered by cosine desc
+    for qid, neigh in by_q.items():
+        ranked = sorted(neigh, key=lambda r: r["rank"])
+        coss = [r["cos_sim"] for r in ranked]
+        assert coss == sorted(coss, reverse=True)

@@ -23,11 +23,16 @@ from pyspark.sql import functions as F
 __all__ = [
     "exact_duplicates",
     "word_shingles",
+    "char_ngrams",
     "shingle_hashes",
     "minhash_signature",
     "lsh_band_buckets",
     "near_duplicates",
+    "ngram_jaccard_pairs",
     "simhash",
+    "simhash_pairs",
+    "md5_hash60",
+    "embedding_near_duplicates",
     "jaccard",
 ]
 
@@ -233,8 +238,9 @@ def simhash(
     n: int = 3,
     bits: int = 64,
     parallelism: int | None = None,
+    hasher=None,
 ) -> DataFrame:
-    """64-bit SimHash sketch per document: per-bit majority vote over word
+    """SimHash sketch per document: per-bit majority vote over word
     n-gram shingle hashes.  Near-dups differ in few bits (Hamming
     distance); candidate generation then groups on sketch prefixes.
 
@@ -242,29 +248,251 @@ def simhash(
     the per-bit counts are plain codegen'd sum-aggregates with map-side
     combine, and the shuffle carries one 64-counter partial per (task,
     doc).  Returns ``id_col, simhash`` (long).  ``parallelism``: same
-    single-file-input escape hatch as :func:`near_duplicates`."""
+    single-file-input escape hatch as :func:`near_duplicates`.
+
+    ``hasher``: Column -> long Column mapping a shingle string into the
+    hash domain; defaults to ``xxhash64``.  :func:`md5_hash60` is the
+    engine-neutral alternative (recomputable in any SQL engine that has
+    md5, which is how the correctness oracle re-derives the sketch)."""
+    if hasher is None:
+        def hasher(s):  # noqa: E731 - transform needs a 1-positional fn
+            return F.xxhash64(s)
     src = docs.select(F.col(id_col), F.col(text_col))
     if parallelism:
         src = src.repartition(parallelism, id_col)
     exploded = src.select(
         F.col(id_col),
         F.explode(
-            F.transform(word_shingles(F.col(text_col), n),
-                        lambda s: F.xxhash64(s))
+            F.transform(word_shingles(F.col(text_col), n), hasher)
         ).alias("_h"),
     )
-    aggs = [F.count(F.lit(1)).alias("_m")]
-    for i in range(bits):
-        aggs.append(
-            F.sum(F.shiftrightunsigned("_h", i).bitwiseAND(F.lit(1))
-                  .cast("long")).alias(f"_b{i}")
-        )
+    # one compact SQL string per aggregate / one for the sketch: plan
+    # BUILD time is py4j round-trips, and nested Column-API construction
+    # of 60+ expressions costs seconds of driver chatter at session start
+    aggs = [F.expr("count(1)").alias("_m")] + [
+        F.expr(f"sum(shiftrightunsigned(_h, {i}) & 1L)").alias(f"_b{i}")
+        for i in range(bits)
+    ]
     g = exploded.groupBy(id_col).agg(*aggs)
-    sketch = F.lit(0).cast("long")
-    for i in range(bits):
-        mask = F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long")
-        sketch = sketch.bitwiseOR(
-            F.when(F.col(f"_b{i}") * 2 >= F.col("_m"), mask)
-            .otherwise(F.lit(0).cast("long"))
+    terms = " | ".join(
+        f"(CASE WHEN 2 * _b{i} >= _m THEN "
+        + (f"{1 << i}L" if i < 63 else f"{-(1 << 63)}L")
+        + " ELSE 0L END)"
+        for i in range(bits)
+    )
+    return g.select(F.col(id_col), F.expr(terms).alias("simhash"))
+
+
+def md5_hash60(s) -> Column:
+    """Engine-neutral 60-bit shingle hash: the first 15 hex chars of
+    md5, parsed as an integer.  Unlike xxhash64 this is recomputable in
+    DuckDB/Trino/Postgres (md5 is universal), which lets an external SQL
+    oracle re-derive SimHash sketches bit-for-bit."""
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    bits: int = 60,
+    max_hamming: int = 3,
+    bands: int = 4,
+    parallelism: int | None = None,
+    hasher=None,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance (the classic
+    web-dedup design: Manku et al., WWW 2007).
+
+    The ``bits``-wide sketch is cut into ``bands`` contiguous bit-bands;
+    by pigeonhole, any pair within ``max_hamming <= bands - 1`` bit flips
+    shares at least one identical band, so the band-value self-join has
+    PERFECT recall while only ever comparing sketches that collide on a
+    band — no all-pairs join.  Shuffle carries (band, band_value, id,
+    sketch): fixed-width keys, text never moves.  Candidates are verified
+    with an exact popcount on the XOR.
+
+    Returns ``id_a, id_b, hamming``.
+    """
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"bands={bands} guarantees recall only up to hamming "
+            f"{bands - 1}; got max_hamming={max_hamming}")
+    sk = simhash(docs, text_col=text_col, id_col=id_col, n=n, bits=bits,
+                 parallelism=parallelism, hasher=hasher)
+    width = bits // bands
+    mask = (1 << width) - 1
+    band_arr = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftrightunsigned("simhash", b * width)
+            .bitwiseAND(F.lit(mask)).alias("val"),
         )
-    return g.select(F.col(id_col), sketch.alias("simhash"))
+        for b in range(bands)
+    ])
+    bb = sk.select(id_col, "simhash",
+                   F.explode(band_arr).alias("_bb")) \
+        .select(id_col, "simhash", "_bb.band", "_bb.val")
+    left = bb.select(F.col(id_col).alias("id_a"),
+                     F.col("simhash").alias("_ha"), "band", "val")
+    right = bb.select(F.col(id_col).alias("id_b"),
+                      F.col("simhash").alias("_hb"), "band", "val")
+    return (
+        left.join(right, on=["band", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b",
+                F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+                .alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def char_ngrams(text, n: int = 5) -> Column:
+    """Distinct character n-gram shingles of a text Column (pure
+    expressions; empty array below n chars)."""
+    t = F.col(text) if isinstance(text, str) else text
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(t) - (n - 1), F.lit(0))),
+        lambda i: t.substr(i, F.lit(n)),
+    )
+    return F.when(F.length(t) >= n, F.array_distinct(grams)) \
+        .otherwise(F.array().cast("array<string>"))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    threshold: float = 0.7,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Exact character-n-gram Jaccard similarity join via PREFIX
+    FILTERING (Chaudhuri et al. SSJoin 2006 / Bayardo AllPairs WWW 2007).
+
+    Every document keeps only its first ``|d| - ceil(t*|d|) + 1`` tokens
+    under a global token order as index keys: any pair with J >= t
+    provably shares an indexed token in BOTH prefixes, so joining the
+    prefixes has perfect recall while indexing only a (1-t) fraction of
+    each document.  Candidates are verified with the exact integer-ratio
+    Jaccard on the full token sets.
+
+    Scale shape: token sets + prefixes computed map-side; the index
+    shuffle carries (token_hash, id); verification joins candidate ids
+    back to the bounded token arrays.  No all-pairs join.  The global
+    order here is the token hash (uniform); ordering by ascending
+    document frequency instead is the classic skew refinement when a
+    corpus has hot n-grams.
+
+    Returns ``id_a, id_b, jaccard``.
+    """
+    src = docs.select(F.col(id_col).alias("_id"), F.col(text_col))
+    if parallelism:
+        src = src.repartition(parallelism, "_id")
+    base = src.select(
+        "_id",
+        F.array_sort(
+            F.transform(char_ngrams(F.col(text_col), n),
+                        lambda s: F.xxhash64(s))
+        ).alias("_tok"),
+    ).filter(F.size("_tok") > 0).persist()
+    sz = F.size("_tok")
+    pref_len = sz - F.ceil(sz * F.lit(float(threshold))).cast("int") + 1
+    pref = base.select(
+        "_id", F.explode(F.slice("_tok", 1, pref_len)).alias("_t"))
+    cand = (
+        pref.alias("a").join(pref.alias("b"), on="_t")
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    ta = base.select(F.col("_id").alias("id_a"), F.col("_tok").alias("_ta"))
+    tb = base.select(F.col("_id").alias("id_b"), F.col("_tok").alias("_tb"))
+    verified = (
+        cand.join(ta, "id_a").join(tb, "id_b")
+        .withColumn("jaccard", jaccard("_ta", "_tb"))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    out = verified.localCheckpoint(eager=True)
+    base.unpersist()
+    return out
+
+
+def embedding_near_duplicates(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.99,
+    n_planes: int = 16,
+    n_tables: int = 8,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: random-hyperplane LSH
+    candidates, exact-cosine verified.
+
+    Candidates are pairs colliding in at least one of ``n_tables``
+    sign-bucket tables (reusing :mod:`..llm.similarity`'s plane
+    machinery); near-identical vectors (theta ~ a few degrees at
+    threshold 0.99) miss all tables with probability
+    ``(1-(1-theta/pi)^n_planes)^n_tables`` — ~1e-6 at the defaults.  The
+    shuffle carries (table, bucket, id, vec); no all-pairs join.
+
+    Returns ``id_a, id_b, cos_sim``.
+    """
+    from .similarity import _planes, cosine_similarity, dot
+
+    if dim is None:
+        import pyspark.sql.types as T
+
+        for f in emb.schema.fields:
+            if f.name == vec_col and isinstance(f.dataType, T.ArrayType):
+                break
+        dim = len(emb.select(vec_col).first()[0])
+    planes = F.lit([
+        [[float(x) for x in p] for p in _planes(dim, n_planes, seed + t)]
+        for t in range(n_tables)
+    ])
+    v = F.col(vec_col)
+
+    def _bucket(t):
+        tbl = F.element_at(planes, t + 1)
+        bits = F.transform(
+            F.lit(list(range(n_planes))),
+            lambda i: F.when(
+                dot(v, F.element_at(tbl, i + 1)) >= 0.0,
+                F.pow(F.lit(2.0), i).cast("int"),
+            ).otherwise(F.lit(0)),
+        )
+        return F.aggregate(bits, F.lit(0), lambda a, b: a + b)
+
+    buckets = F.transform(
+        F.lit(list(range(n_tables))),
+        lambda t: F.struct(t.alias("table"), _bucket(t).alias("bucket")),
+    )
+    bb = emb.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"),
+        F.explode(buckets).alias("_tb"),
+    ).select("_id", "_vec", F.col("_tb.table").alias("table"),
+             F.col("_tb.bucket").alias("bucket"))
+    left = bb.select(F.col("_id").alias("id_a"),
+                     F.col("_vec").alias("_va"), "table", "bucket")
+    right = bb.select(F.col("_id").alias("id_b"),
+                      F.col("_vec").alias("_vb"), "table", "bucket")
+    cand = (
+        left.join(right, on=["table", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_va", "_vb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("cos_sim", cosine_similarity("_va", "_vb"))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )

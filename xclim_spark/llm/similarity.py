@@ -22,7 +22,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["dot", "l2_norm", "cosine_similarity", "knn_bruteforce",
-           "knn_lsh", "lsh_bucket"]
+           "knn_lsh", "knn_ivf", "lsh_bucket"]
 
 
 def dot(a, b) -> Column:
@@ -187,6 +187,99 @@ def knn_lsh(
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")
     )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def knn_ivf(
+    emb: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    *,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: a coarse quantizer assigns
+    every corpus vector to its nearest centroid cell; a query probes only
+    its ``nprobe`` nearest cells and ranks candidates there by exact
+    cosine.
+
+    ``centroids`` is the (small, driver-bounded) coarse codebook — in
+    production the output of a k-means training pass; any deterministic
+    subset works for the plumbing.  It is collected ONCE into a nested
+    array literal, so cell assignment is a zero-shuffle map-side
+    projection over the corpus: scores = one ``transform`` of dot
+    products, cell = argmax via ``array_max`` + ``array_position``
+    (exact, since array_max returns an element).  The only shuffles are
+    the (cell)-keyed candidate join and the per-query rank — at 100 TB
+    the corpus never moves except for the probed cells' rows.
+
+    Returns ``query_id, neighbor_id, cos_sim, rank`` (approximate:
+    neighbors outside probed cells are unseen, exactly like FAISS IVF).
+    """
+    cents = sorted(
+        (r[0], [float(x) for x in r[1]])
+        for r in centroids.select(id_col, vec_col).collect()
+    )
+    cent_ids = F.lit([int(c[0]) for c in cents])
+    norms = [float(np.sqrt(sum(x * x for x in c[1]))) for c in cents]
+    cent_vecs = F.lit([c[1] for c in cents])
+    cent_norms = F.lit(norms)
+    nc = len(cents)
+
+    def scores(v) -> Column:
+        vn = l2_norm(v)
+        return F.transform(
+            F.sequence(F.lit(1), F.lit(nc)),
+            lambda i: dot(v, F.element_at(cent_vecs, i))
+            / (vn * F.element_at(cent_norms, i)),
+        )
+
+    def argmax_cell(sc) -> Column:
+        # array_max returns an element of the array, so array_position
+        # compares exactly; first occurrence = lowest centroid index =
+        # lowest centroid id (cents sorted by id)
+        return F.element_at(
+            cent_ids, F.array_position(sc, F.array_max(sc)).cast("int"))
+
+    asg = emb.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nvec"),
+        argmax_cell(scores(F.col(vec_col))).alias("cell"),
+    )
+    qs = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec"),
+        scores(F.col(vec_col)).alias("_sc"),
+    )
+    # probe cells: top-nprobe centroid indices by score (ties -> lower id)
+    idx_sorted = F.array_sort(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(nc)),
+            lambda i: F.struct(
+                (-F.element_at(F.col("_sc"), i)).alias("neg"),
+                i.alias("idx")),
+        )
+    )
+    qs = qs.withColumn(
+        "cell",
+        F.explode(F.transform(
+            F.slice(idx_sorted, 1, nprobe),
+            lambda s: F.element_at(cent_ids, s["idx"].cast("int")))),
+    ).select("query_id", "_qvec", "cell")
+    cand = (
+        asg.join(qs, on="cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "_qvec", "_nvec")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    cand = cand.withColumn(
+        "cos_sim", cosine_similarity("_qvec", "_nvec"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
         cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

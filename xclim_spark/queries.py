@@ -1650,11 +1650,16 @@ sh AS (
   ) AS shingles
   FROM w WHERE len(words) >= 3
 ),
+sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+t AS (SELECT doc_id, unnest(shingles) AS tok FROM sh),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
 pairs AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
-         len(list_distinct(list_concat(a.shingles, b.shingles))) AS jac
-  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  SELECT id_a, id_b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jac
+  FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
 )
 SELECT id_a, id_b, ROUND(jac, 6) AS jaccard
 FROM pairs WHERE jac >= 0.6""",
@@ -2394,12 +2399,257 @@ def solar_daylength_ms(spark, sf_dir):
     ).agg(F.round(F.avg(dl), 6).alias("daylength_h"))
 
 
+
+
+# ---------------------------------------------------------------------------
+# LLM pipeline round 4: SimHash pairs, n-gram Jaccard join, embedding
+# near-dup, IVF ANN
+# ---------------------------------------------------------------------------
+
+@_register(
+    "dedup_simhash",
+    """-- re-derives the SimHash sketch from scratch: the shingle hash is the
+-- first 15 hex chars of md5 (engine-neutral; Spark side uses the same
+-- md5_hash60), per-bit majority vote, then all-pairs Hamming <= 3
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, list_distinct(
+    [words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+     FOR i IN range(1, len(words) - 1)]
+  ) AS shingles
+  FROM w WHERE len(words) >= 3
+),
+dig AS (SELECT doc_id, md5(unnest(shingles)) AS h FROM sh),
+bits AS (
+  SELECT doc_id, count(*) AS m,
+         sum(((strpos('0123456789abcdef', substring(h, 15, 1)) - 1) >> 0) & 1) AS b0,
+         sum(((strpos('0123456789abcdef', substring(h, 15, 1)) - 1) >> 1) & 1) AS b1,
+         sum(((strpos('0123456789abcdef', substring(h, 15, 1)) - 1) >> 2) & 1) AS b2,
+         sum(((strpos('0123456789abcdef', substring(h, 15, 1)) - 1) >> 3) & 1) AS b3,
+         sum(((strpos('0123456789abcdef', substring(h, 14, 1)) - 1) >> 0) & 1) AS b4,
+         sum(((strpos('0123456789abcdef', substring(h, 14, 1)) - 1) >> 1) & 1) AS b5,
+         sum(((strpos('0123456789abcdef', substring(h, 14, 1)) - 1) >> 2) & 1) AS b6,
+         sum(((strpos('0123456789abcdef', substring(h, 14, 1)) - 1) >> 3) & 1) AS b7,
+         sum(((strpos('0123456789abcdef', substring(h, 13, 1)) - 1) >> 0) & 1) AS b8,
+         sum(((strpos('0123456789abcdef', substring(h, 13, 1)) - 1) >> 1) & 1) AS b9,
+         sum(((strpos('0123456789abcdef', substring(h, 13, 1)) - 1) >> 2) & 1) AS b10,
+         sum(((strpos('0123456789abcdef', substring(h, 13, 1)) - 1) >> 3) & 1) AS b11,
+         sum(((strpos('0123456789abcdef', substring(h, 12, 1)) - 1) >> 0) & 1) AS b12,
+         sum(((strpos('0123456789abcdef', substring(h, 12, 1)) - 1) >> 1) & 1) AS b13,
+         sum(((strpos('0123456789abcdef', substring(h, 12, 1)) - 1) >> 2) & 1) AS b14,
+         sum(((strpos('0123456789abcdef', substring(h, 12, 1)) - 1) >> 3) & 1) AS b15,
+         sum(((strpos('0123456789abcdef', substring(h, 11, 1)) - 1) >> 0) & 1) AS b16,
+         sum(((strpos('0123456789abcdef', substring(h, 11, 1)) - 1) >> 1) & 1) AS b17,
+         sum(((strpos('0123456789abcdef', substring(h, 11, 1)) - 1) >> 2) & 1) AS b18,
+         sum(((strpos('0123456789abcdef', substring(h, 11, 1)) - 1) >> 3) & 1) AS b19,
+         sum(((strpos('0123456789abcdef', substring(h, 10, 1)) - 1) >> 0) & 1) AS b20,
+         sum(((strpos('0123456789abcdef', substring(h, 10, 1)) - 1) >> 1) & 1) AS b21,
+         sum(((strpos('0123456789abcdef', substring(h, 10, 1)) - 1) >> 2) & 1) AS b22,
+         sum(((strpos('0123456789abcdef', substring(h, 10, 1)) - 1) >> 3) & 1) AS b23,
+         sum(((strpos('0123456789abcdef', substring(h, 9, 1)) - 1) >> 0) & 1) AS b24,
+         sum(((strpos('0123456789abcdef', substring(h, 9, 1)) - 1) >> 1) & 1) AS b25,
+         sum(((strpos('0123456789abcdef', substring(h, 9, 1)) - 1) >> 2) & 1) AS b26,
+         sum(((strpos('0123456789abcdef', substring(h, 9, 1)) - 1) >> 3) & 1) AS b27,
+         sum(((strpos('0123456789abcdef', substring(h, 8, 1)) - 1) >> 0) & 1) AS b28,
+         sum(((strpos('0123456789abcdef', substring(h, 8, 1)) - 1) >> 1) & 1) AS b29,
+         sum(((strpos('0123456789abcdef', substring(h, 8, 1)) - 1) >> 2) & 1) AS b30,
+         sum(((strpos('0123456789abcdef', substring(h, 8, 1)) - 1) >> 3) & 1) AS b31,
+         sum(((strpos('0123456789abcdef', substring(h, 7, 1)) - 1) >> 0) & 1) AS b32,
+         sum(((strpos('0123456789abcdef', substring(h, 7, 1)) - 1) >> 1) & 1) AS b33,
+         sum(((strpos('0123456789abcdef', substring(h, 7, 1)) - 1) >> 2) & 1) AS b34,
+         sum(((strpos('0123456789abcdef', substring(h, 7, 1)) - 1) >> 3) & 1) AS b35,
+         sum(((strpos('0123456789abcdef', substring(h, 6, 1)) - 1) >> 0) & 1) AS b36,
+         sum(((strpos('0123456789abcdef', substring(h, 6, 1)) - 1) >> 1) & 1) AS b37,
+         sum(((strpos('0123456789abcdef', substring(h, 6, 1)) - 1) >> 2) & 1) AS b38,
+         sum(((strpos('0123456789abcdef', substring(h, 6, 1)) - 1) >> 3) & 1) AS b39,
+         sum(((strpos('0123456789abcdef', substring(h, 5, 1)) - 1) >> 0) & 1) AS b40,
+         sum(((strpos('0123456789abcdef', substring(h, 5, 1)) - 1) >> 1) & 1) AS b41,
+         sum(((strpos('0123456789abcdef', substring(h, 5, 1)) - 1) >> 2) & 1) AS b42,
+         sum(((strpos('0123456789abcdef', substring(h, 5, 1)) - 1) >> 3) & 1) AS b43,
+         sum(((strpos('0123456789abcdef', substring(h, 4, 1)) - 1) >> 0) & 1) AS b44,
+         sum(((strpos('0123456789abcdef', substring(h, 4, 1)) - 1) >> 1) & 1) AS b45,
+         sum(((strpos('0123456789abcdef', substring(h, 4, 1)) - 1) >> 2) & 1) AS b46,
+         sum(((strpos('0123456789abcdef', substring(h, 4, 1)) - 1) >> 3) & 1) AS b47,
+         sum(((strpos('0123456789abcdef', substring(h, 3, 1)) - 1) >> 0) & 1) AS b48,
+         sum(((strpos('0123456789abcdef', substring(h, 3, 1)) - 1) >> 1) & 1) AS b49,
+         sum(((strpos('0123456789abcdef', substring(h, 3, 1)) - 1) >> 2) & 1) AS b50,
+         sum(((strpos('0123456789abcdef', substring(h, 3, 1)) - 1) >> 3) & 1) AS b51,
+         sum(((strpos('0123456789abcdef', substring(h, 2, 1)) - 1) >> 0) & 1) AS b52,
+         sum(((strpos('0123456789abcdef', substring(h, 2, 1)) - 1) >> 1) & 1) AS b53,
+         sum(((strpos('0123456789abcdef', substring(h, 2, 1)) - 1) >> 2) & 1) AS b54,
+         sum(((strpos('0123456789abcdef', substring(h, 2, 1)) - 1) >> 3) & 1) AS b55,
+         sum(((strpos('0123456789abcdef', substring(h, 1, 1)) - 1) >> 0) & 1) AS b56,
+         sum(((strpos('0123456789abcdef', substring(h, 1, 1)) - 1) >> 1) & 1) AS b57,
+         sum(((strpos('0123456789abcdef', substring(h, 1, 1)) - 1) >> 2) & 1) AS b58,
+         sum(((strpos('0123456789abcdef', substring(h, 1, 1)) - 1) >> 3) & 1) AS b59
+  FROM dig GROUP BY doc_id
+),
+sk AS (SELECT doc_id, CASE WHEN 2*b0 >= m THEN (1::BIGINT << 0) ELSE 0 END + CASE WHEN 2*b1 >= m THEN (1::BIGINT << 1) ELSE 0 END + CASE WHEN 2*b2 >= m THEN (1::BIGINT << 2) ELSE 0 END + CASE WHEN 2*b3 >= m THEN (1::BIGINT << 3) ELSE 0 END + CASE WHEN 2*b4 >= m THEN (1::BIGINT << 4) ELSE 0 END + CASE WHEN 2*b5 >= m THEN (1::BIGINT << 5) ELSE 0 END + CASE WHEN 2*b6 >= m THEN (1::BIGINT << 6) ELSE 0 END + CASE WHEN 2*b7 >= m THEN (1::BIGINT << 7) ELSE 0 END + CASE WHEN 2*b8 >= m THEN (1::BIGINT << 8) ELSE 0 END + CASE WHEN 2*b9 >= m THEN (1::BIGINT << 9) ELSE 0 END + CASE WHEN 2*b10 >= m THEN (1::BIGINT << 10) ELSE 0 END + CASE WHEN 2*b11 >= m THEN (1::BIGINT << 11) ELSE 0 END + CASE WHEN 2*b12 >= m THEN (1::BIGINT << 12) ELSE 0 END + CASE WHEN 2*b13 >= m THEN (1::BIGINT << 13) ELSE 0 END + CASE WHEN 2*b14 >= m THEN (1::BIGINT << 14) ELSE 0 END + CASE WHEN 2*b15 >= m THEN (1::BIGINT << 15) ELSE 0 END + CASE WHEN 2*b16 >= m THEN (1::BIGINT << 16) ELSE 0 END + CASE WHEN 2*b17 >= m THEN (1::BIGINT << 17) ELSE 0 END + CASE WHEN 2*b18 >= m THEN (1::BIGINT << 18) ELSE 0 END + CASE WHEN 2*b19 >= m THEN (1::BIGINT << 19) ELSE 0 END + CASE WHEN 2*b20 >= m THEN (1::BIGINT << 20) ELSE 0 END + CASE WHEN 2*b21 >= m THEN (1::BIGINT << 21) ELSE 0 END + CASE WHEN 2*b22 >= m THEN (1::BIGINT << 22) ELSE 0 END + CASE WHEN 2*b23 >= m THEN (1::BIGINT << 23) ELSE 0 END + CASE WHEN 2*b24 >= m THEN (1::BIGINT << 24) ELSE 0 END + CASE WHEN 2*b25 >= m THEN (1::BIGINT << 25) ELSE 0 END + CASE WHEN 2*b26 >= m THEN (1::BIGINT << 26) ELSE 0 END + CASE WHEN 2*b27 >= m THEN (1::BIGINT << 27) ELSE 0 END + CASE WHEN 2*b28 >= m THEN (1::BIGINT << 28) ELSE 0 END + CASE WHEN 2*b29 >= m THEN (1::BIGINT << 29) ELSE 0 END + CASE WHEN 2*b30 >= m THEN (1::BIGINT << 30) ELSE 0 END + CASE WHEN 2*b31 >= m THEN (1::BIGINT << 31) ELSE 0 END + CASE WHEN 2*b32 >= m THEN (1::BIGINT << 32) ELSE 0 END + CASE WHEN 2*b33 >= m THEN (1::BIGINT << 33) ELSE 0 END + CASE WHEN 2*b34 >= m THEN (1::BIGINT << 34) ELSE 0 END + CASE WHEN 2*b35 >= m THEN (1::BIGINT << 35) ELSE 0 END + CASE WHEN 2*b36 >= m THEN (1::BIGINT << 36) ELSE 0 END + CASE WHEN 2*b37 >= m THEN (1::BIGINT << 37) ELSE 0 END + CASE WHEN 2*b38 >= m THEN (1::BIGINT << 38) ELSE 0 END + CASE WHEN 2*b39 >= m THEN (1::BIGINT << 39) ELSE 0 END + CASE WHEN 2*b40 >= m THEN (1::BIGINT << 40) ELSE 0 END + CASE WHEN 2*b41 >= m THEN (1::BIGINT << 41) ELSE 0 END + CASE WHEN 2*b42 >= m THEN (1::BIGINT << 42) ELSE 0 END + CASE WHEN 2*b43 >= m THEN (1::BIGINT << 43) ELSE 0 END + CASE WHEN 2*b44 >= m THEN (1::BIGINT << 44) ELSE 0 END + CASE WHEN 2*b45 >= m THEN (1::BIGINT << 45) ELSE 0 END + CASE WHEN 2*b46 >= m THEN (1::BIGINT << 46) ELSE 0 END + CASE WHEN 2*b47 >= m THEN (1::BIGINT << 47) ELSE 0 END + CASE WHEN 2*b48 >= m THEN (1::BIGINT << 48) ELSE 0 END + CASE WHEN 2*b49 >= m THEN (1::BIGINT << 49) ELSE 0 END + CASE WHEN 2*b50 >= m THEN (1::BIGINT << 50) ELSE 0 END + CASE WHEN 2*b51 >= m THEN (1::BIGINT << 51) ELSE 0 END + CASE WHEN 2*b52 >= m THEN (1::BIGINT << 52) ELSE 0 END + CASE WHEN 2*b53 >= m THEN (1::BIGINT << 53) ELSE 0 END + CASE WHEN 2*b54 >= m THEN (1::BIGINT << 54) ELSE 0 END + CASE WHEN 2*b55 >= m THEN (1::BIGINT << 55) ELSE 0 END + CASE WHEN 2*b56 >= m THEN (1::BIGINT << 56) ELSE 0 END + CASE WHEN 2*b57 >= m THEN (1::BIGINT << 57) ELSE 0 END + CASE WHEN 2*b58 >= m THEN (1::BIGINT << 58) ELSE 0 END + CASE WHEN 2*b59 >= m THEN (1::BIGINT << 59) ELSE 0 END AS s FROM bits),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         bit_count(xor(a.s, b.s)) AS ham
+  FROM sk a JOIN sk b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(ham AS INT) AS hamming FROM p WHERE ham <= 3""",
+)
+def dedup_simhash(spark, sf_dir):
+    """SimHash near-duplicate pairs (Manku et al. WWW 2007): 60-bit
+    majority-vote sketch over word trigram shingles, banded self-join
+    (4 bands x 15 bits -> pigeonhole-perfect recall at Hamming <= 3),
+    exact popcount verify.  The shingle hash is md5-derived so the
+    DuckDB oracle recomputes the sketch bit-for-bit."""
+    from .llm import dedup as dd
+
+    docs = _read(spark, sf_dir, "documents")
+    return dd.simhash_pairs(
+        docs, bits=60, max_hamming=3, bands=4, hasher=dd.md5_hash60,
+        parallelism=spark.sparkContext.defaultParallelism)
+
+
+@_register(
+    "dedup_ngram",
+    """WITH g AS (
+  SELECT doc_id, list_distinct(
+    [substring(text, i, 5) FOR i IN range(1, len(text) - 3)]) AS grams
+  FROM documents WHERE len(text) >= 5
+),
+sz AS (SELECT doc_id, len(grams) AS n FROM g),
+t AS (SELECT doc_id, unnest(grams) AS tok FROM g),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+p AS (
+  SELECT id_a, id_b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jac
+  FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+)
+SELECT id_a, id_b, ROUND(jac, 6) AS jaccard FROM p WHERE jac >= 0.7""",
+)
+def dedup_ngram(spark, sf_dir):
+    """Character-5-gram Jaccard similarity join via exact prefix
+    filtering (SSJoin/AllPairs): only the first |d|-ceil(t|d|)+1 tokens
+    of each document are indexed, which provably preserves every pair
+    with J >= t — the oracle's all-pairs answer without an all-pairs
+    join."""
+    from .llm import dedup as dd
+
+    docs = _read(spark, sf_dir, "documents")
+    out = dd.ngram_jaccard_pairs(
+        docs, n=5, threshold=0.7,
+        parallelism=spark.sparkContext.defaultParallelism)
+    return out.withColumn("jaccard", F.round("jaccard", 6))
+
+
+@_register(
+    "dedup_embed",
+    """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+u AS (
+  SELECT vec_id,
+         [CAST(embedding[i] AS DOUBLE) FOR i IN range(1, len(embedding)+1)]
+         AS v
+  FROM e
+  UNION ALL
+  SELECT vec_id + 1000000,
+         [CAST(embedding[i] AS DOUBLE)
+          * (CAST(1 AS DOUBLE) + CAST(0.001 AS DOUBLE) * (((i-1) % 7) - 3))
+          FOR i IN range(1, len(embedding)+1)]
+  FROM e WHERE vec_id % 25 = 0
+),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, list_sum([CAST(a.v[i] AS DOUBLE)*b.v[i] FOR i IN range(1, len(a.v)+1)]) / (sqrt(list_sum([CAST(a.v[i] AS DOUBLE)*a.v[i] FOR i IN range(1, len(a.v)+1)])) * sqrt(list_sum([CAST(b.v[i] AS DOUBLE)*b.v[i] FOR i IN range(1, len(b.v)+1)]))) AS cos
+  FROM u a JOIN u b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, ROUND(cos, 6) AS cos_sim FROM p WHERE cos >= 0.99""",
+)
+def dedup_embed(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs over a corpus with
+    deterministic perturbed clones (the synthetic embeddings have no
+    natural near-dups — every 25th vector gets a +-0.3% elementwise
+    clone, derivable identically in any engine).  Candidates come from
+    multi-table sign-LSH buckets, exact-cosine verified at 0.99; the
+    clone pairs sit at cos ~ 0.999995 (theta ~ 0.2 deg), where 4 tables
+    x 8 planes still miss with probability ~4e-9 per pair.  At a real
+    corpus' 0.99-threshold margin you would size up to 8 tables x 16
+    planes; the table/plane counts are the recall dial."""
+    from .llm import dedup as dd
+
+    e = _read(spark, sf_dir, "embeddings")
+    base = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double"))
+        .alias("embedding"))
+    clones = e.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x.cast("double")
+            * (F.lit(1.0).cast("double")
+               + F.lit(0.001).cast("double") * ((i % 7) - 3)),
+        ).alias("embedding"))
+    u = base.unionByName(clones)
+    out = dd.embedding_near_duplicates(u, threshold=0.99, dim=64,
+                                       n_planes=8, n_tables=4)
+    return out.withColumn("cos_sim", F.round("cos_sim", 6))
+
+
+@_register(
+    "knn_ivf_docs",
+    """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+cent AS (SELECT vec_id AS cid, embedding AS cvec FROM e
+         WHERE vec_id % 50 = 7),
+asgs AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY list_sum([CAST(e.embedding[i] AS DOUBLE)*c.cvec[i] FOR i IN range(1, len(e.embedding)+1)]) / (sqrt(list_sum([CAST(e.embedding[i] AS DOUBLE)*e.embedding[i] FOR i IN range(1, len(e.embedding)+1)])) * sqrt(list_sum([CAST(c.cvec[i] AS DOUBLE)*c.cvec[i] FOR i IN range(1, len(c.cvec)+1)]))) DESC, c.cid) AS rn
+  FROM e, cent c
+),
+asg AS (SELECT vec_id, embedding, cid AS cell FROM asgs WHERE rn = 1),
+q AS (SELECT vec_id, embedding FROM e WHERE vec_id % 100 = 0),
+qp AS (
+  SELECT q.vec_id AS query_id, q.embedding AS qvec, c.cid AS cell,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_sum([CAST(q.embedding[i] AS DOUBLE)*c.cvec[i] FOR i IN range(1, len(q.embedding)+1)]) / (sqrt(list_sum([CAST(q.embedding[i] AS DOUBLE)*q.embedding[i] FOR i IN range(1, len(q.embedding)+1)])) * sqrt(list_sum([CAST(c.cvec[i] AS DOUBLE)*c.cvec[i] FOR i IN range(1, len(c.cvec)+1)]))) DESC, c.cid) AS rn
+  FROM q, cent c
+),
+probe AS (SELECT query_id, qvec, cell FROM qp WHERE rn <= 2),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id, list_sum([CAST(p.qvec[i] AS DOUBLE)*a.embedding[i] FOR i IN range(1, len(p.qvec)+1)]) / (sqrt(list_sum([CAST(p.qvec[i] AS DOUBLE)*p.qvec[i] FOR i IN range(1, len(p.qvec)+1)])) * sqrt(list_sum([CAST(a.embedding[i] AS DOUBLE)*a.embedding[i] FOR i IN range(1, len(a.embedding)+1)]))) AS cos
+  FROM probe p JOIN asg a ON a.cell = p.cell AND a.vec_id <> p.query_id
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rank
+      FROM cand)
+SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos_sim,
+       CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 5""",
+)
+def knn_ivf_docs(spark, sf_dir):
+    """IVF approximate top-5: deterministic coarse codebook (every 50th
+    vector), map-side zero-shuffle cell assignment via an argmax over a
+    broadcast centroid literal, nprobe=2 probing, exact cosine rank
+    within probed cells only — the FAISS-IVF plan shape on DataFrames."""
+    from .llm import similarity as sim
+
+    e = _read(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") % 50 == 7)
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    out = sim.knn_ivf(e, q, cents, k=5, nprobe=2)
+    return out.withColumn("cos_sim", F.round("cos_sim", 6))
+
+
 # The driver's correctness harness evaluates queries in dict order and has
 # historically recorded only the first 50.  Emit the queries that have never
 # received a driver-side green row first (round 3 covered registration
 # positions 0-49), so coverage is guaranteed under either a count cap or a
 # time cap; the round-3-green queries follow.
 _PRIORITY = [
+    "dedup_simhash", "dedup_ngram", "dedup_embed", "knn_ivf_docs",
     "ens_stats_ms", "ens_percentiles_ms", "fa_gumbel_rp", "fwi_max_ys",
     "spi_ms", "spei_ms", "knn_similar_docs", "knn_lsh_docs", "dedup_fuzzy",
     "text_quality_by_source", "detrend_resid_std", "cal360_monthly_mean",
