@@ -331,6 +331,13 @@ def stack_periods(
     Map-side explode — the replication factor is ``window/stride`` and no
     shuffle happens here; downstream groupBys key on
     ``(cells..., period_label)``.
+
+    ``min_length`` (default ``window``): windows overlapping the data's
+    year extent by fewer than this many years are dropped, mirroring the
+    reference's short-window pruning — a 30-year "normal" labelled before
+    the data starts must not silently average 3 years.  The extent comes
+    from a broadcast 1-row min/max aggregate (column-pruned scan of the
+    time column), so the plan stays fully declarative.
     """
     t = F.col(time) if isinstance(time, str) else time
     y = F.year(t)
@@ -344,7 +351,17 @@ def stack_periods(
     out = df.withColumn("period_label", F.explode(labels))
     if min_length is None:
         min_length = window
-    return out
+    bounds = df.select(F.min(y).alias("_ymin"), F.max(y).alias("_ymax"))
+    lbl = F.col("period_label")
+    overlap = (
+        F.least(lbl + (window - 1), F.col("_ymax"))
+        - F.greatest(lbl, F.col("_ymin")) + 1
+    )
+    return (
+        out.crossJoin(F.broadcast(bounds))
+        .filter(overlap >= min_length)
+        .drop("_ymin", "_ymax")
+    )
 
 
 def doy365_sql(time_expr: str) -> str:

@@ -232,9 +232,15 @@ def hawkins_sutton(
         .groupBy(time).agg(F.var_pop("_sm2").alias("scenario"))
     )
     out = model_u.join(scen_u, on=time).crossJoin(F.broadcast(nv))
-    return out.withColumn(
+    out = out.withColumn(
         "total", F.col("variability") + F.col("model") + F.col("scenario")
     )
+    # the result is tiny (one row per year): materialize it and release
+    # the members-x-years cache so repeated library calls don't
+    # accumulate cached blocks
+    out = out.localCheckpoint(eager=True)
+    smoothed.unpersist()
+    return out
 
 
 def fractional_uncertainty(partitioned: DataFrame) -> DataFrame:
@@ -807,7 +813,11 @@ def general_partition(
     total = F.col("variability")
     for t in dims:
         total = total + F.col(t)
-    return out.withColumn("total", total)
+    out = out.withColumn("total", total)
+    # tiny per-year result: materialize, release the member-table cache
+    out = out.localCheckpoint(eager=True)
+    sm.unpersist()
+    return out
 
 
 def lafferty_sriver(

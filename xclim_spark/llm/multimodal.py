@@ -202,19 +202,32 @@ def sample_frames(
         ", frame_idx INT, frame BINARY"
 
     def _sample(batches):
+        # columnar explode: build the replicated passthrough columns with
+        # one numpy repeat per column instead of per-row dict appends
+        # (iterrows over an Arrow batch is the row-at-a-time trap)
+        import numpy as np
+
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                b = r[bin_col]
-                if b is None or len(b) == 0:
-                    continue
+            payloads = pdf[bin_col].to_numpy(dtype=object)
+            keep = np.array(
+                [b is not None and len(b) > 0 for b in payloads], dtype=bool)
+            if not keep.any():
+                continue
+            kept = pdf.loc[keep]
+            pl = payloads[keep]
+            out = {c: np.repeat(kept[c].to_numpy(dtype=object), n_frames)
+                   for c in pdf.columns}
+            out["frame_idx"] = np.tile(
+                np.arange(n_frames, dtype=np.int32), len(pl))
+            frames = np.empty(len(pl) * n_frames, dtype=object)
+            pos = 0
+            for b in pl:
                 step = max(len(b) // n_frames, 1)
                 for i in range(n_frames):
                     lo = min(i * step, len(b) - 1)
-                    rows.append(
-                        {**r.to_dict(), "frame_idx": i,
-                         "frame": bytes(b[lo:lo + step])}
-                    )
-            yield pd.DataFrame(rows)
+                    frames[pos] = bytes(b[lo:lo + step])
+                    pos += 1
+            out["frame"] = frames
+            yield pd.DataFrame(out)
 
     return df.mapInPandas(_sample, schema=schema)

@@ -1591,7 +1591,20 @@ def _knn_lsh_oracle(dim=64, n_planes=8, n_tables=4, seed=42) -> str:
     """Oracle twin of :func:`xclim_spark.llm.similarity.knn_lsh`: the
     hyperplanes are deterministic driver-seeded literals, so DuckDB can
     recompute the exact same bucket signatures and the exact within-bucket
-    top-k — an *exact* check of the approximate index, not a recall bound."""
+    top-k — an *exact* check of the approximate index, not a recall bound.
+
+    Tolerance assumption: each bucket bit is the SIGN of a float dot
+    product computed independently by both engines.  Both evaluate the
+    identical expression tree (sequential double adds over the same
+    literals), so the results are bitwise equal and the sign never
+    disagrees; if either engine ever reassociated float addition (e.g.
+    SIMD reduction), a projection within ~1e-16 of zero could flip a
+    bucket and break parity nondeterministically.  |v.h| for random
+    64-dim unit-ish vectors is ~0.1, so only an adversarially chosen
+    vector could sit near the boundary — accepted and documented rather
+    than defended (the alternative — comparing recall instead of exact
+    membership — would weaken the check for every run to tolerate an
+    event that doesn't occur)."""
     from .llm.similarity import _planes
 
     def bucket(side: str, t: int) -> str:
@@ -1807,10 +1820,30 @@ def dataflags_summary(spark, sf_dir):
 
 @_register(
     "mm_decode_stats",
-    """SELECT source, CAST(count(*) AS BIGINT) AS n_items,
-       ROUND(avg(ascii(substring(text, 1, 1)) % 64 + 1), 6) AS avg_w,
-       ROUND(avg(ascii(substring(text, 2, 1)) % 64 + 1), 6) AS avg_h
-FROM documents GROUP BY 1""",
+    """-- byte semantics, not character semantics: the fake decode reads the
+-- first two BYTES of the UTF-8 payload, so the oracle parses them from
+-- hex(encode(text)) and guards payloads shorter than 2 bytes with NULL,
+-- exactly like the decode path
+WITH b AS (
+  SELECT source, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+  FROM documents
+),
+d AS (
+  SELECT source,
+    CASE WHEN n >= 2 THEN
+      (16*(strpos('0123456789ABCDEF', substring(hx, 1, 1)) - 1)
+         + (strpos('0123456789ABCDEF', substring(hx, 2, 1)) - 1)) % 64 + 1
+    END AS w,
+    CASE WHEN n >= 2 THEN
+      (16*(strpos('0123456789ABCDEF', substring(hx, 3, 1)) - 1)
+         + (strpos('0123456789ABCDEF', substring(hx, 4, 1)) - 1)) % 64 + 1
+    END AS h
+  FROM b
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_items,
+       ROUND(avg(w), 6) AS avg_w,
+       ROUND(avg(h), 6) AS avg_h
+FROM d GROUP BY 1""",
 )
 def mm_decode_stats(spark, sf_dir):
     """Multimodal decode path end-to-end: binary payloads through the
@@ -2058,13 +2091,18 @@ def agro_rain_season_ys(spark, sf_dir):
 SELECT cell, CAST(u.lab AS INT) AS period_label,
        ROUND(avg(qty), 6) AS tg_norm
 FROM daily, unnest(generate_series(year(day) - 2, year(day))) AS u(lab)
+WHERE u.lab >= (SELECT min(year(day)) FROM daily)
+  AND u.lab + 2 <= (SELECT max(year(day)) FROM daily)
 GROUP BY 1, 2""",
 )
 def stacked_normals_3y(spark, sf_dir):
     """stack_periods (reference calendar.py:1396-1731): rolling 3-year
     climate normals, stride 1.  The window/stride replication is a
     map-side explode (factor window/stride), so the only shuffle is the
-    downstream (cell, period_label) aggregate."""
+    downstream (cell, period_label) aggregate.  Windows shorter than the
+    full 3 years (before the data start / past its end) are pruned by
+    ``min_length`` on both sides — a "3-year normal" averaged over one
+    year is not a normal."""
     from .calendar import stack_periods
 
     d = daily_series(spark, sf_dir)
