@@ -229,6 +229,7 @@ class Indicator:
         units: dict[str, str] | None = None,
         missing: str | None | type(...) = ...,
         missing_options: dict | None = None,
+        locale: str | None = None,
         **kwargs,
     ) -> IndicatorResult:
         """Bind variables + params, build the plan, post-process.
@@ -279,7 +280,19 @@ class Indicator:
                 out, mask, [self.identifier], keys=[*cells, "period"]
             )
 
-        # 5. metadata (reference _update_attrs, indicator.py:1085)
+        # 5. metadata (reference _update_attrs, indicator.py:1085):
+        # templates render through the AttrFormatter so known values
+        # ("YS" -> "annual", with locale declensions) read as prose, and
+        # the history line carries the timestamped call provenance
+        from ..formatting import (
+            default_formatter,
+            gen_call_string,
+            get_local_attrs,
+            get_local_formatter,
+            list_locales,
+            update_history,
+        )
+
         disp = params["_display"]
         fmt = {
             k: v for k, v in disp.items()
@@ -292,21 +305,28 @@ class Indicator:
         attrs = {
             "units": units_attr,
             "standard_name": self.standard_name,
-            "long_name": _safe_format(self.long_name, fmt),
-            "description": _safe_format(self.description, fmt),
+            "long_name": _safe_format(self.long_name, fmt,
+                                      default_formatter),
+            "description": _safe_format(self.description, fmt,
+                                        default_formatter),
             "cell_methods": self.cell_methods,
-            "history": (
-                f"{_dt.datetime.now(_dt.timezone.utc).isoformat()}: "
-                f"{self.identifier}("
-                + ", ".join(f"{k}={v!r}" for k, v in fmt.items())
-                + ") - xclim_spark"
-            ),
+            "history": update_history(
+                gen_call_string(self.identifier, **fmt),
+                new_name=self.identifier),
         }
+        # translations are opt-in (reference: set_options(metadata_locales))
+        locales = [locale] if locale in list_locales() else []
+        for loc in locales:
+            lf = get_local_formatter(loc)
+            for key, tmpl in get_local_attrs(self.identifier, loc).items():
+                attrs[key] = _safe_format(tmpl, fmt, lf)
         return IndicatorResult(out, attrs)
 
 
-def _safe_format(template: str, params: dict) -> str:
+def _safe_format(template: str, params: dict, formatter=None) -> str:
     try:
+        if formatter is not None:
+            return formatter.format(template, **params)
         return template.format(**params)
     except (KeyError, IndexError):
         return template
