@@ -86,12 +86,129 @@ def test_stack_periods(spark):
     rows = [(0, dt.date(1980 + i, 6, 1), float(i)) for i in range(40)]
     df = spark.createDataFrame(rows, "cell INT, time DATE, v DOUBLE")
     out = stack_periods(df, "time", window=30, stride=10)
-    # year 1995 belongs to labels 1970, 1980, 1990
+    # year 1995 maps to labels 1970/1980/1990, but label 1970 only
+    # overlaps the data (1980-2019) by 20 years < window -> pruned by
+    # min_length (a "30-year normal" with 20 years of data is not one)
     labs = sorted(
         r["period_label"] for r in
         out.filter(F.year("time") == 1995).collect()
     )
-    assert labs == [1970, 1980, 1990]
+    assert labs == [1980, 1990]
     # group sizes: label 1980 spans 1980-2009 -> 30 rows
     n = out.filter(F.col("period_label") == 1980).count()
     assert n == 30
+    # relaxing min_length restores the short edge windows
+    labs20 = sorted(
+        r["period_label"] for r in
+        stack_periods(df, "time", window=30, stride=10, min_length=20)
+        .filter(F.year("time") == 1995).collect()
+    )
+    assert labs20 == [1970, 1980, 1990]
+
+
+# ---------------------------------------------------------------------------
+# convert_calendar (reference calendar.py:138-361 / xarray semantics)
+# ---------------------------------------------------------------------------
+
+def _dates(spark, start, n, var_vals=None):
+    import datetime as dt
+
+    y, m, d = map(int, start.split("-"))
+    t0 = dt.date(y, m, d)
+    rows = [(t0 + dt.timedelta(days=i),
+             float(var_vals[i]) if var_vals else float(i))
+            for i in range(n)]
+    return spark.createDataFrame(rows, "time DATE, v DOUBLE")
+
+
+def test_convert_standard_to_noleap_drops_feb29(spark):
+    from xclim_spark.calendar360 import convert_calendar
+
+    df = _dates(spark, "2000-02-27", 4)  # 2000 is a leap year
+    out = convert_calendar(df, "noleap").collect()
+    assert len(out) == 3  # Feb 29 dropped
+    doys = sorted(r["doy"] for r in out)
+    # noleap doys: Feb 27 = 58, Feb 28 = 59, Mar 1 = 60
+    assert doys == [58, 59, 60]
+    assert all(r["year"] == 2000 for r in out)
+
+
+def test_convert_noleap_to_standard_roundtrip(spark):
+    from xclim_spark.calendar360 import convert_calendar
+
+    df = _dates(spark, "2001-01-01", 365)  # non-leap: lossless
+    nl = convert_calendar(df, "noleap")
+    back = convert_calendar(nl, "standard", source="noleap")
+    orig = {(r["time"], r["v"]) for r in df.collect()}
+    got = {(r["time"], r["v"]) for r in back.collect()}
+    assert got == orig
+
+
+def test_convert_standard_to_allleap_keeps_everything(spark):
+    from xclim_spark.calendar360 import convert_calendar
+
+    df = _dates(spark, "2001-02-27", 3)  # non-leap year
+    out = convert_calendar(df, "all_leap").collect()
+    assert len(out) == 3
+    doys = sorted(r["doy"] for r in out)
+    # all_leap: Feb 27 = 58, Feb 28 = 59, Mar 1 = 61 (Feb 29 = 60 skipped)
+    assert doys == [58, 59, 61]
+
+
+def test_convert_standard_to_360_drops_about_5_days(spark):
+    from xclim_spark.calendar360 import convert_calendar
+
+    df = _dates(spark, "2001-01-01", 365)
+    out = convert_calendar(df, "360_day", align_on="year").collect()
+    assert len(out) == 360
+    doys = sorted(r["doy"] for r in out)
+    assert doys == list(range(1, 361))  # exactly the full 360 axis
+
+
+def test_convert_360_to_standard_has_no_duplicates(spark):
+    from xclim_spark.calendar360 import convert_calendar
+
+    rows = [(1999, d, float(d)) for d in range(1, 361)]
+    df = spark.createDataFrame(rows, "year INT, doy INT, v DOUBLE")
+    out = convert_calendar(df, "standard", source="360_day",
+                           align_on="year").collect()
+    assert len(out) == 360
+    times = [r["time"] for r in out]
+    assert len(set(times)) == 360
+    assert min(times).month == 1 and max(times).month == 12
+
+
+def test_convert_calendar_missing_fills_gaps(spark):
+    from xclim_spark.calendar360 import convert_calendar
+
+    df = _dates(spark, "2000-02-27", 4)
+    out = convert_calendar(df, "noleap", missing=-999.0).collect()
+    assert len(out) == 365  # full noleap axis
+    filled = [r for r in out if r["v"] == -999.0]
+    assert len(filled) == 365 - 3
+
+
+def test_common_calendar_hierarchy():
+    from xclim_spark.calendar360 import common_calendar
+
+    assert common_calendar(["360_day", "noleap", "default"],
+                           join="outer") == "standard"
+    assert common_calendar(["360_day", "noleap", "default"],
+                           join="inner") == "360_day"
+    assert common_calendar(["all_leap", "standard"]) == "all_leap"
+
+
+def test_create_ensemble_mixed_calendars(spark):
+    from xclim_spark.calendar360 import convert_calendar
+    from xclim_spark.ensembles import create_ensemble
+
+    std = _dates(spark, "2001-01-01", 365)
+    nl_rows = [(2001, d, float(d)) for d in range(1, 366)]
+    nl = spark.createDataFrame(nl_rows, "year INT, doy INT, v DOUBLE")
+    ens = create_ensemble([std, nl], calendars=["standard", "noleap"])
+    # outer join of {standard, noleap} -> standard: both members become
+    # DATE-axis frames; 2001 is non-leap so both keep 365 rows
+    rows = ens.collect()
+    assert len(rows) == 730
+    assert {r["realization"] for r in rows} == {0, 1}
+    assert all(r["time"] is not None for r in rows)

@@ -53,14 +53,39 @@ def create_ensemble(
     members: Sequence[DataFrame] | dict[str, DataFrame],
     *,
     realization: str = "realization",
+    calendars: Sequence[str] | None = None,
+    target_calendar: str | None = None,
+    join: str = "outer",
+    time: str = "time",
+    year_col: str = "year",
+    doy_col: str = "doy",
 ) -> DataFrame:
     """Union members by name with a ``realization`` key (reference
     create_ensemble / _ens_align_datasets, _base.py:31-140).  Members may
-    have differing column order; missing columns error (align first)."""
+    have differing column order; missing columns error (align first).
+
+    ``calendars``: one CF calendar name per member (positional).  When
+    given, every member is converted to ``target_calendar`` (default:
+    :func:`~xclim_spark.calendar360.common_calendar` of the members under
+    ``join``) before the union — the reference's ``calendar=`` /
+    ``cal_kwargs`` path for heterogeneous model calendars.  Conversion is
+    a map-side projection per member; the union stays shuffle-free."""
     if isinstance(members, dict):
         items = list(members.items())
     else:
         items = list(enumerate(members))
+    if calendars is not None:
+        from .calendar360 import common_calendar, convert_calendar
+
+        if len(calendars) != len(items):
+            raise ValueError("need one calendar per member")
+        tgt = target_calendar or common_calendar(calendars, join)
+        items = [
+            (key, convert_calendar(
+                df, tgt, source=cal, time=time, year_col=year_col,
+                doy_col=doy_col))
+            for (key, df), cal in zip(items, calendars)
+        ]
     out = None
     for key, df in items:
         tagged = df.withColumn(realization, F.lit(key))

@@ -2681,12 +2681,54 @@ def knn_ivf_docs(spark, sf_dir):
     return out.withColumn("cos_sim", F.round("cos_sim", 6))
 
 
+@_register(
+    "ens_mixed_calendar_ms",
+    f"""WITH {DAILY_SQL},
+b AS (
+  SELECT cell, day, qty FROM daily
+  WHERE NOT (month(day) = 2 AND dayofmonth(day) = 29)
+),
+u AS (
+  SELECT 0 AS realization, cell, day, qty FROM daily
+  UNION ALL
+  SELECT 1, cell, day, qty FROM b
+)
+SELECT cell, CAST(date_trunc('month', day) AS DATE) AS period,
+       CAST(count(qty) AS BIGINT) AS n_obs,
+       ROUND(avg(qty), 6) AS tg_mean
+FROM u GROUP BY 1, 2""",
+)
+def ens_mixed_calendar_ms(spark, sf_dir):
+    """Heterogeneous-calendar ensemble: member 0 is the standard-calendar
+    daily series, member 1 the same series converted to noleap (Feb 29
+    dropped, integer year/doy axis); create_ensemble converts both to
+    their common calendar (outer join -> standard) before the union, so
+    the round-trip exercises convert_calendar in BOTH directions
+    (reference calendar.py:138-361 + _base.py calendar alignment).
+    Monthly mean + member-day count per cell follow."""
+    from .calendar360 import convert_calendar
+    from .ensembles import create_ensemble
+
+    d = daily_series(spark, sf_dir).select("cell", "day", "qty")
+    nl = convert_calendar(d, "noleap", time="day")
+    ens = create_ensemble([d, nl], calendars=["standard", "noleap"],
+                          time="day")
+    return ens.groupBy(
+        "cell", period_start("day", "MS").alias("period")
+    ).agg(
+        F.count("qty").alias("n_obs"),
+        F.round(F.avg("qty"), 6).alias("tg_mean"),
+    )
+
+
+
 # The driver's correctness harness evaluates queries in dict order and has
 # historically recorded only the first 50.  Emit the queries that have never
 # received a driver-side green row first (round 3 covered registration
 # positions 0-49), so coverage is guaranteed under either a count cap or a
 # time cap; the round-3-green queries follow.
 _PRIORITY = [
+    "ens_mixed_calendar_ms",
     "dedup_simhash", "dedup_ngram", "dedup_embed", "knn_ivf_docs",
     "ens_stats_ms", "ens_percentiles_ms", "fa_gumbel_rp", "fwi_max_ys",
     "spi_ms", "spei_ms", "knn_similar_docs", "knn_lsh_docs", "dedup_fuzzy",
