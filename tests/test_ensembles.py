@@ -262,3 +262,86 @@ def test_make_criteria_roundtrip(spark):
     ids, mat = ens.make_criteria(df, ["a", "b"])
     assert ids == [0, 1, 2]
     assert mat == [[3.0, 2.0], [2.0, 4.0], [1.0, 5.0]]
+
+
+# ---------------------------------------------------------------------------
+# Ensemble filters (reference _filters.py) + weighted percentiles
+# ---------------------------------------------------------------------------
+
+def test_concat_hist(spark):
+    import datetime as dt
+
+    
+    rows = []
+    for y in (1990, 1991):
+        rows.append(("historical", dt.date(y, 1, 1), float(y)))
+    for scen in ("ssp245", "ssp370"):
+        for y in (2020, 2021):
+            rows.append((scen, dt.date(y, 1, 1), float(y)))
+    df = spark.createDataFrame(rows, "scenario STRING, time DATE, v DOUBLE")
+    out = ens.concat_hist(df, hist="historical").collect()
+    assert len(out) == 8  # 2 hist years x 2 scens + 4 future rows
+    scens = {r["scenario"] for r in out}
+    assert scens == {"ssp245", "ssp370"}
+    s245 = sorted(r["time"].year for r in out if r["scenario"] == "ssp245")
+    assert s245 == [1990, 1991, 2020, 2021]
+
+
+def test_model_in_all_scens(spark):
+    rows = [
+        ("ssp245", "A", 1, 1.0), ("ssp370", "A", 1, 1.0),
+        ("ssp245", "B", 1, 1.0), ("ssp370", "B", 2, 1.0),
+        ("ssp245", "C", 1, 1.0),              # C missing in ssp370
+    ]
+    df = spark.createDataFrame(
+        rows, "scenario STRING, model STRING, member INT, v DOUBLE")
+    out = ens.model_in_all_scens(df).collect()
+    assert {r["model"] for r in out} == {"A", "B"}
+
+
+def test_single_member(spark):
+    rows = [
+        ("ssp245", "A", 1, 1.0), ("ssp245", "A", 2, 2.0),
+        ("ssp370", "A", 1, 3.0), ("ssp370", "A", 3, 4.0),
+        ("ssp245", "B", 2, 5.0), ("ssp245", "B", 5, 6.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "scenario STRING, model STRING, member INT, v DOUBLE")
+    out = ens.single_member(df).collect()
+    picked = {(r["model"], r["scenario"]): r["member"] for r in out}
+    assert picked == {("A", "ssp245"): 1, ("A", "ssp370"): 1,
+                      ("B", "ssp245"): 2}
+    assert len(out) == 3
+
+
+def test_weighted_percentiles_equal_weights_match_hazen(spark):
+    rows = [(0, "x", 1.0), (1, "x", 2.0), (2, "x", 3.0), (3, "x", 10.0)]
+    df = spark.createDataFrame(rows, "realization INT, k STRING, v DOUBLE")
+    w = ens.ensemble_percentiles(
+        df, "v", (50,), keys=["k"],
+        weights={0: 1.0, 1: 1.0, 2: 1.0, 3: 1.0}).collect()[0]
+    h = ens.ensemble_percentiles(
+        df, "v", (50,), keys=["k"], method="hazen").collect()[0]
+    assert abs(w["v_p50"] - h["v_p50"]) < 1e-12
+
+
+def test_weighted_percentiles_pull_toward_heavy_member(spark):
+    rows = [(0, "x", 1.0), (1, "x", 2.0), (2, "x", 3.0)]
+    df = spark.createDataFrame(rows, "realization INT, k STRING, v DOUBLE")
+    hi = ens.ensemble_percentiles(
+        df, "v", (50,), keys=["k"],
+        weights={0: 1.0, 1: 1.0, 2: 10.0}).collect()[0]["v_p50"]
+    lo = ens.ensemble_percentiles(
+        df, "v", (50,), keys=["k"],
+        weights={0: 10.0, 1: 1.0, 2: 1.0}).collect()[0]["v_p50"]
+    assert hi > 2.5 and lo < 1.5
+
+
+def test_weighted_percentiles_reject_other_methods(spark):
+    df = spark.createDataFrame([(0, "x", 1.0)],
+                               "realization INT, k STRING, v DOUBLE")
+    import pytest
+
+    with pytest.raises(ValueError):
+        ens.ensemble_percentiles(df, "v", (50,), keys=["k"],
+                                method="weibull", weights={0: 1.0})

@@ -146,12 +146,31 @@ def ensemble_percentiles(
     keys: Sequence[str],
     method: str = "linear",
     min_members: int | None = 1,
+    weights: dict | None = None,
     realization: str = "realization",
 ) -> DataFrame:
     """Percentiles across realizations (reference _base.py:214-375), one
     column per requested percentile (``split=True`` form:
     ``<var>_p10``…).  ``method`` selects the Hyndman-Fan plotting
-    positions (same six as numpy's interpolation methods)."""
+    positions (same six as numpy's interpolation methods).
+
+    ``weights`` maps realization key -> weight.  The weighted path (like
+    the reference's, which delegates to xarray and likewise restricts
+    ``method``) interpolates the midpoint weighted ECDF — position
+    ``(c_i - w_i/2) / W`` for the i-th value in (value, realization)
+    order — the standard 'weighted percentile' formulation, which
+    reduces to ``method='hazen'`` at equal weights.  It runs as one
+    grouped-aggregate pandas UDF per percentile: the shuffle is the same
+    single (keys)-exchange as the unweighted path, members stay tiny per
+    group."""
+    if weights is not None:
+        if method != "linear":
+            raise ValueError(
+                "weighted percentiles support only the default method "
+                "(the reference has the same restriction)")
+        return _weighted_ensemble_percentiles(
+            ens, var, values, keys=keys, min_members=min_members,
+            weights=weights, realization=realization)
     alpha, beta = PERCENTILE_METHODS[method]
     aggs = []
     for p in values:
@@ -175,6 +194,123 @@ def ensemble_percentiles(
                 c, F.when(F.col("_nvalid") >= need, F.col(c))
             )
     return out.drop("_nvalid")
+
+
+def _weighted_ensemble_percentiles(
+    ens, var, values, *, keys, min_members, weights, realization,
+):
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    wcol = F.coalesce(*[
+        F.when(F.col(realization) == k, F.lit(float(w)))
+        for k, w in weights.items()
+    ])
+    src = ens.withColumn("_w", wcol)
+
+    def make(q: float):
+        @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+        def wq(v, w, r):
+            import numpy as np
+
+            mask = v.notna().to_numpy()
+            if not mask.any():
+                return None
+            x = v.to_numpy(dtype=float)[mask]
+            ww = w.to_numpy(dtype=float)[mask]
+            rr = r.to_numpy()[mask]
+            o = np.lexsort((rr, x))  # deterministic tie-break
+            x, ww = x[o], ww[o]
+            c = np.cumsum(ww)
+            s = (c - ww / 2.0) / c[-1]
+            if q <= s[0]:
+                return float(x[0])
+            if q >= s[-1]:
+                return float(x[-1])
+            i = int(np.searchsorted(s, q, side="right")) - 1
+            # same expression shape as the SQL oracle
+            return float(x[i] + (q - s[i]) / (s[i + 1] - s[i])
+                         * (x[i + 1] - x[i]))
+        return wq
+
+    aggs = [
+        make(p / 100.0)(F.col(var), F.col("_w"), F.col(realization))
+        .alias(f"{var}_p{int(p)}")
+        for p in values
+    ]
+    aggs.append(F.count(F.col(var)).alias("_nvalid"))
+    n_members = ens.select(realization).distinct().count()
+    need = n_members if min_members is None else min_members
+    out = src.groupBy(*keys).agg(*aggs)
+    if need != 1:
+        for p in values:
+            c = f"{var}_p{int(p)}"
+            out = out.withColumn(
+                c, F.when(F.col("_nvalid") >= need, F.col(c)))
+    return out.drop("_nvalid")
+
+
+# ---------------------------------------------------------------------------
+# Ensemble filters (reference _filters.py)
+# ---------------------------------------------------------------------------
+
+def concat_hist(
+    ens: DataFrame,
+    *,
+    scenario: str = "scenario",
+    hist: str = "historical",
+    time: str = "time",
+) -> DataFrame:
+    """Prepend the historical scenario to every future scenario
+    (reference ``_concat_hist``, _filters.py:12-66): the hist rows are
+    replicated once per future scenario (broadcast of the tiny distinct
+    scenario list — no shuffle of the data), the hist label disappears.
+    """
+    futures = ens.filter(F.col(scenario) != hist)
+    scens = futures.select(scenario).distinct()
+    h = ens.filter(F.col(scenario) == hist).drop(scenario) \
+        .crossJoin(F.broadcast(scens))
+    return futures.unionByName(h.select(*futures.columns))
+
+
+def model_in_all_scens(
+    ens: DataFrame,
+    *,
+    scenario: str = "scenario",
+    model: str = "model",
+    var: str | None = None,
+) -> DataFrame:
+    """Keep only models present (with data, if ``var`` given) in every
+    scenario (reference ``_model_in_all_scens``, _filters.py:69-107).
+    Plan: tiny distinct (model, scenario) aggregate -> broadcast
+    left-semi join back — the data never shuffles."""
+    src = ens if var is None else ens.filter(F.col(var).isNotNull())
+    n_scens = src.select(scenario).distinct().count()
+    ok = (
+        src.select(model, scenario).distinct()
+        .groupBy(model).agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") == n_scens).select(model)
+    )
+    return ens.join(F.broadcast(ok), on=model, how="left_semi")
+
+
+def single_member(
+    ens: DataFrame,
+    *,
+    scenario: str = "scenario",
+    model: str = "model",
+    member: str = "member",
+    var: str | None = None,
+) -> DataFrame:
+    """Keep the first member (lowest id with data) per (model, scenario)
+    (reference ``_single_member``, _filters.py:110-155).  Same broadcast
+    semi-join shape as :func:`model_in_all_scens`."""
+    src = ens if var is None else ens.filter(F.col(var).isNotNull())
+    first = (
+        src.select(model, scenario, member).distinct()
+        .groupBy(model, scenario).agg(F.min(member).alias(member))
+    )
+    return ens.join(F.broadcast(first), on=[model, scenario, member],
+                    how="left_semi")
 
 
 def hawkins_sutton(

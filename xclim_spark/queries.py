@@ -2722,13 +2722,75 @@ def ens_mixed_calendar_ms(spark, sf_dir):
 
 
 
+@_register(
+    "ens_weighted_percentiles_ms",
+    """WITH ens AS (
+  SELECT l_linenumber % 3 AS realization, l_suppkey AS cell,
+         CAST(date_trunc('month', l_shipdate) AS DATE) AS period,
+         avg(l_quantity) AS tg
+  FROM lineitem GROUP BY 1, 2, 3
+),
+w AS (
+  SELECT *, CASE realization WHEN 0 THEN 0.5 WHEN 1 THEN 1.0
+            ELSE 1.5 END AS wt
+  FROM ens WHERE tg IS NOT NULL
+),
+o AS (
+  SELECT cell, period, tg, wt,
+         sum(wt) OVER (PARTITION BY cell, period
+                       ORDER BY tg, realization) AS cw,
+         sum(wt) OVER (PARTITION BY cell, period) AS tw
+  FROM w
+),
+pos AS (SELECT cell, period, tg, (cw - wt / 2) / tw AS s FROM o),
+seg AS (
+  SELECT cell, period, tg, s,
+         lead(s) OVER win AS s2, lead(tg) OVER win AS tg2
+  FROM pos WINDOW win AS (PARTITION BY cell, period ORDER BY s, tg)
+)
+SELECT cell, period,
+       ROUND(coalesce(
+    max(CASE WHEN s <= 0.1 AND (s2 IS NULL OR s2 >= 0.1) THEN
+          CASE WHEN s2 IS NULL OR s2 = s THEN tg
+               ELSE tg + (0.1 - s) / (s2 - s) * (tg2 - tg) END END),
+    arg_min(tg, s)), 6) AS tg_p10,
+       ROUND(coalesce(
+    max(CASE WHEN s <= 0.5 AND (s2 IS NULL OR s2 >= 0.5) THEN
+          CASE WHEN s2 IS NULL OR s2 = s THEN tg
+               ELSE tg + (0.5 - s) / (s2 - s) * (tg2 - tg) END END),
+    arg_min(tg, s)), 6) AS tg_p50,
+       ROUND(coalesce(
+    max(CASE WHEN s <= 0.9 AND (s2 IS NULL OR s2 >= 0.9) THEN
+          CASE WHEN s2 IS NULL OR s2 = s THEN tg
+               ELSE tg + (0.9 - s) / (s2 - s) * (tg2 - tg) END END),
+    arg_min(tg, s)), 6) AS tg_p90
+FROM seg GROUP BY 1, 2""",
+)
+def ens_weighted_percentiles_ms(spark, sf_dir):
+    """Weighted ensemble percentiles (reference _base.py:214-375 weights
+    path): midpoint weighted-ECDF interpolation per (cell, period), one
+    grouped-agg pandas task per percentile riding a single keyed
+    exchange.  The oracle re-derives the identical interpolation with
+    window SQL."""
+    from . import ensembles as es
+
+    m = _ens_members(spark, sf_dir)
+    out = es.ensemble_percentiles(
+        m, "tg", (10, 50, 90), keys=["cell", "period"],
+        weights={0: 0.5, 1: 1.0, 2: 1.5})
+    for c in ("tg_p10", "tg_p50", "tg_p90"):
+        out = out.withColumn(c, F.round(c, 6))
+    return out
+
+
+
 # The driver's correctness harness evaluates queries in dict order and has
 # historically recorded only the first 50.  Emit the queries that have never
 # received a driver-side green row first (round 3 covered registration
 # positions 0-49), so coverage is guaranteed under either a count cap or a
 # time cap; the round-3-green queries follow.
 _PRIORITY = [
-    "ens_mixed_calendar_ms",
+    "ens_weighted_percentiles_ms", "ens_mixed_calendar_ms",
     "dedup_simhash", "dedup_ngram", "dedup_embed", "knn_ivf_docs",
     "ens_stats_ms", "ens_percentiles_ms", "fa_gumbel_rp", "fwi_max_ys",
     "spi_ms", "spei_ms", "knn_similar_docs", "knn_lsh_docs", "dedup_fuzzy",
