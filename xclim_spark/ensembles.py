@@ -199,54 +199,55 @@ def ensemble_percentiles(
 def _weighted_ensemble_percentiles(
     ens, var, values, *, keys, min_members, weights, realization,
 ):
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
-
+    """Pure-expression weighted quantiles: one shuffle collects each
+    group's (value, realization, weight) triples into a sorted array,
+    then the midpoint-ECDF positions and the interpolation are plain
+    array arithmetic on rows of ensemble-sized arrays.  Grouped-agg
+    pandas UDFs on the (cell, period) grain paid per-group Arrow
+    overhead ~25k times for the same answer (6.9 s vs 1.5 s at sf0.1);
+    higher-order expressions are interpreted, but over n=members
+    elements that is noise."""
     wcol = F.coalesce(*[
-        F.when(F.col(realization) == k, F.lit(float(w)))
+        F.when(F.col("_r") == k, F.lit(float(w)))
         for k, w in weights.items()
     ])
-    src = ens.withColumn("_w", wcol)
-
-    def make(q: float):
-        @pandas_udf("double", PandasUDFType.GROUPED_AGG)
-        def wq(v, w, r):
-            import numpy as np
-
-            mask = v.notna().to_numpy()
-            if not mask.any():
-                return None
-            x = v.to_numpy(dtype=float)[mask]
-            ww = w.to_numpy(dtype=float)[mask]
-            rr = r.to_numpy()[mask]
-            o = np.lexsort((rr, x))  # deterministic tie-break
-            x, ww = x[o], ww[o]
-            c = np.cumsum(ww)
-            s = (c - ww / 2.0) / c[-1]
-            if q <= s[0]:
-                return float(x[0])
-            if q >= s[-1]:
-                return float(x[-1])
-            i = int(np.searchsorted(s, q, side="right")) - 1
-            # same expression shape as the SQL oracle
-            return float(x[i] + (q - s[i]) / (s[i + 1] - s[i])
-                         * (x[i + 1] - x[i]))
-        return wq
-
-    aggs = [
-        make(p / 100.0)(F.col(var), F.col("_w"), F.col(realization))
-        .alias(f"{var}_p{int(p)}")
-        for p in values
-    ]
-    aggs.append(F.count(F.col(var)).alias("_nvalid"))
+    src = ens.select(*keys, F.col(var).alias("_v"),
+                     F.col(realization).alias("_r")) \
+        .withColumn("_w", wcol)
     n_members = ens.select(realization).distinct().count()
     need = n_members if min_members is None else min_members
-    out = src.groupBy(*keys).agg(*aggs)
-    if need != 1:
-        for p in values:
-            c = f"{var}_p{int(p)}"
-            out = out.withColumn(
-                c, F.when(F.col("_nvalid") >= need, F.col(c)))
-    return out.drop("_nvalid")
+    # NULL values drop out here: a WHEN with no ELSE yields NULL and
+    # collect_list skips NULLs
+    item = F.when(
+        F.col("_v").isNotNull(),
+        F.struct(F.col("_v").alias("v"), F.col("_r").alias("r"),
+                 F.col("_w").alias("w")))
+    g = src.groupBy(*keys).agg(
+        F.sort_array(F.collect_list(item)).alias("_arr"))
+    g = g.withColumn(
+        "_s",
+        F.expr("""transform(
+            sequence(1, size(_arr)),
+            i -> (aggregate(slice(_arr, 1, i), 0d, (a, x) -> a + x.w)
+                  - element_at(_arr, i).w / 2)
+                 / aggregate(_arr, 0d, (a, x) -> a + x.w))"""))
+    for p in values:
+        q = p / 100.0
+        name = f"{var}_p{int(p)}"
+        # i = number of positions <= q; same interpolation expression
+        # shape as the SQL oracle
+        g = g.withColumn(name, F.expr(f"""CASE
+            WHEN size(_arr) < {max(need, 1)} THEN NULL
+            WHEN {q} <= element_at(_s, 1) THEN element_at(_arr, 1).v
+            WHEN {q} >= element_at(_s, -1) THEN element_at(_arr, -1).v
+            ELSE element_at(_arr, size(filter(_s, x -> x <= {q}))).v
+                 + ({q} - element_at(_s, size(filter(_s, x -> x <= {q}))))
+                 / (element_at(_s, size(filter(_s, x -> x <= {q})) + 1)
+                    - element_at(_s, size(filter(_s, x -> x <= {q}))))
+                 * (element_at(_arr, size(filter(_s, x -> x <= {q})) + 1).v
+                    - element_at(_arr, size(filter(_s, x -> x <= {q}))).v)
+            END"""))
+    return g.drop("_arr", "_s")
 
 
 # ---------------------------------------------------------------------------
