@@ -2646,8 +2646,16 @@ def dedup_embed(spark, sf_dir):
                + F.lit(0.001).cast("double") * ((i % 7) - 3)),
         ).alias("embedding"))
     u = base.unionByName(clones)
-    out = dd.embedding_near_duplicates(u, threshold=0.99, dim=64,
-                                       n_planes=8, n_tables=4)
+    # bucket granularity must grow with the corpus: at n_planes=8 there
+    # are only 256 buckets per table, so bucket occupancy — and the
+    # candidate join — grows ~n^2/256 (45 s at a 20k-vector rehearsal);
+    # 16 planes give 65k buckets and keep candidates ~ true pairs, while
+    # the clone pairs (theta ~ 0.2 deg, flip prob ~1e-3/bit) still miss
+    # all 4 tables with probability ~(16e-3)^4 ~ 7e-8
+    sf = _sf_of(sf_dir)
+    out = dd.embedding_near_duplicates(
+        u, threshold=0.99, dim=64,
+        n_planes=8 if sf <= 0.1 else 16, n_tables=4)
     return out.withColumn("cos_sim", F.round("cos_sim", 6))
 
 
