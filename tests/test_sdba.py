@@ -1,0 +1,128 @@
+"""Bias-adjustment tests (semantics per Cannon et al. 2015 / the
+reference's delegated xsdba surface)."""
+
+import datetime as dt
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from xclim_spark import sdba
+
+
+def _series(spark, values, start="2000-01-01", cell=0):
+    y, m, d = map(int, start.split("-"))
+    t0 = dt.date(y, m, d)
+    rows = [(cell, t0 + dt.timedelta(days=i), float(v))
+            for i, v in enumerate(values)]
+    return spark.createDataFrame(rows, "cell INT, time DATE, v DOUBLE")
+
+
+def test_eqm_recovers_constant_shift(spark):
+    rng = np.random.RandomState(0)
+    ref_v = rng.normal(20.0, 5.0, 300)
+    hist_v = ref_v + 3.0          # biased by exactly +3
+    sim_v = rng.normal(23.0, 5.0, 200)
+    ref, hist, sim = (_series(spark, v) for v in (ref_v, hist_v, sim_v))
+    eqm = sdba.EmpiricalQuantileMapping(nquantiles=15, kind="+")
+    eqm.train(ref, hist, "v", cells=["cell"])
+    out = eqm.adjust(sim, "v", cells=["cell"]).collect()
+    got = np.array([r["v_adj"] for r in out])
+    assert np.allclose(got, sim_v - 3.0, atol=1e-9)
+
+
+def test_eqm_multiplicative_recovers_scale(spark):
+    rng = np.random.RandomState(1)
+    ref_v = rng.gamma(2.0, 3.0, 300) + 0.1
+    hist_v = ref_v * 2.0          # 2x wet bias
+    sim_v = rng.gamma(2.0, 3.0, 200) * 2.0 + 0.1
+    ref, hist, sim = (_series(spark, v) for v in (ref_v, hist_v, sim_v))
+    eqm = sdba.EmpiricalQuantileMapping(nquantiles=15, kind="*")
+    eqm.train(ref, hist, "v", cells=["cell"])
+    out = eqm.adjust(sim, "v", cells=["cell"]).collect()
+    got = np.array([r["v_adj"] for r in out])
+    assert np.allclose(got, sim_v / 2.0, rtol=1e-9)
+
+
+def test_eqm_adjusting_hist_reproduces_ref_quantiles(spark):
+    rng = np.random.RandomState(2)
+    ref_v = rng.normal(10.0, 2.0, 400)
+    hist_v = rng.normal(14.0, 3.0, 400)   # different mean AND spread
+    ref, hist = _series(spark, ref_v), _series(spark, hist_v)
+    eqm = sdba.EmpiricalQuantileMapping(nquantiles=50, kind="+")
+    eqm.train(ref, hist, "v", cells=["cell"])
+    out = eqm.adjust(hist, "v", cells=["cell"]).collect()
+    got = np.array([r["v_adj"] for r in out])
+    for p in (25, 50, 75):
+        assert abs(np.percentile(got, p)
+                   - np.percentile(ref_v, p)) < 0.4
+
+
+def test_eqm_monthly_grouping(spark):
+    # bias of +1 in January, +5 in February
+    days = 59
+    ref_v = [10.0] * days
+    hist_v = [11.0 if i < 31 else 15.0 for i in range(days)]
+    ref, hist = _series(spark, ref_v), _series(spark, hist_v)
+    eqm = sdba.EmpiricalQuantileMapping(nquantiles=5, kind="+",
+                                        group="time.month")
+    eqm.train(ref, hist, "v", cells=["cell"])
+    out = eqm.adjust(hist, "v", cells=["cell"]).orderBy("time").collect()
+    assert all(abs(r["v_adj"] - 10.0) < 1e-9 for r in out)
+
+
+def test_qdm_preserves_sim_extremes_shape(spark):
+    rng = np.random.RandomState(3)
+    ref_v = rng.normal(0.0, 1.0, 500)
+    hist_v = rng.normal(1.0, 1.0, 500)
+    # future sim: shifted AND wider than hist
+    sim_v = rng.normal(3.0, 2.0, 500)
+    ref, hist, sim = (_series(spark, v) for v in (ref_v, hist_v, sim_v))
+    qdm = sdba.QuantileDeltaMapping(nquantiles=30, kind="+")
+    qdm.train(ref, hist, "v", cells=["cell"])
+    out = qdm.adjust(sim, "v", cells=["cell"]).collect()
+    got = np.array([r["v_adj"] for r in out])
+    # bias (hist - ref = +1) removed around the median...
+    assert abs(np.median(got) - (np.median(sim_v) - 1.0)) < 0.3
+    # ...while the simulated widening survives (QDM's defining property)
+    assert np.std(got) > 1.6
+
+
+def test_dqm_passes_trend_through(spark):
+    rng = np.random.RandomState(4)
+    base = rng.normal(10.0, 1.0, 400)
+    ref, hist = _series(spark, base), _series(spark, base + 2.0)
+    trend = np.linspace(0.0, 6.0, 400)          # strong warming
+    sim_v = base + 2.0 + trend
+    sim = _series(spark, sim_v)
+    dqm = sdba.DetrendedQuantileMapping(nquantiles=20, kind="+")
+    dqm.train(ref, hist, "v", cells=["cell"])
+    out = dqm.adjust(sim, "v", cells=["cell"]).orderBy("time").collect()
+    got = np.array([r["v_adj"] for r in out])
+    # bias removed: ~base + trend
+    resid = got - (base + trend)
+    assert abs(resid.mean()) < 0.15
+    # trend preserved: OLS slope of adjusted ~ slope of sim
+    t = np.arange(400, dtype=float)
+    slope = np.polyfit(t, got, 1)[0]
+    assert abs(slope - 6.0 / 399.0) < 0.002
+
+
+def test_scaling(spark):
+    ref = _series(spark, [10.0, 12.0, 14.0])
+    hist = _series(spark, [20.0, 22.0, 24.0])
+    sim = _series(spark, [30.0, 40.0, 50.0])
+    sc = sdba.Scaling(kind="+")
+    sc.train(ref, hist, "v", cells=["cell"])
+    out = sc.adjust(sim, "v", cells=["cell"]).orderBy("time").collect()
+    assert [r["v_adj"] for r in out] == [20.0, 30.0, 40.0]
+
+
+def test_grouper_and_kind_validation():
+    with pytest.raises(ValueError):
+        sdba.EmpiricalQuantileMapping(kind="/")
+    with pytest.raises(ValueError):
+        sdba.Grouper("time.dayofyear").key("time")
+    eqm = sdba.EmpiricalQuantileMapping()
+    with pytest.raises(ValueError):
+        eqm.adjust(None, "v")

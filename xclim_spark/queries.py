@@ -2868,12 +2868,103 @@ def stream_tx_days_above_30d(spark, sf_dir):
 
 
 
+@_register(
+    "sdba_eqm_adjust_ms",
+    f"""WITH {DAILY_SQL},
+ref AS (SELECT cell, day, qty AS v FROM daily WHERE year(day) < 1998),
+hist AS (SELECT cell, day, qty + 2.0 AS v FROM daily
+         WHERE year(day) < 1998),
+sim AS (SELECT cell, day, qty + 2.0 AS v FROM daily
+        WHERE year(day) >= 1998),
+rq AS (
+  SELECT cell, month(day) AS grp,
+         (list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.05 + 1.0, len(list_sort(list(v)))))) AS INT)) + ((GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.05 + 1.0, len(list_sort(list(v)))))) - floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.05 + 1.0, len(list_sort(list(v))))))) * (list_extract(list_sort(list(v)), LEAST(CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.05 + 1.0, len(list_sort(list(v)))))) AS INT) + 1, len(list_sort(list(v)))))    - list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.05 + 1.0, len(list_sort(list(v)))))) AS INT)))) AS q0,
+         (list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.15 + 1.0, len(list_sort(list(v)))))) AS INT)) + ((GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.15 + 1.0, len(list_sort(list(v)))))) - floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.15 + 1.0, len(list_sort(list(v))))))) * (list_extract(list_sort(list(v)), LEAST(CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.15 + 1.0, len(list_sort(list(v)))))) AS INT) + 1, len(list_sort(list(v)))))    - list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.15 + 1.0, len(list_sort(list(v)))))) AS INT)))) AS q1,
+         (list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.25 + 1.0, len(list_sort(list(v)))))) AS INT)) + ((GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.25 + 1.0, len(list_sort(list(v)))))) - floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.25 + 1.0, len(list_sort(list(v))))))) * (list_extract(list_sort(list(v)), LEAST(CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.25 + 1.0, len(list_sort(list(v)))))) AS INT) + 1, len(list_sort(list(v)))))    - list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.25 + 1.0, len(list_sort(list(v)))))) AS INT)))) AS q2,
+         (list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.35 + 1.0, len(list_sort(list(v)))))) AS INT)) + ((GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.35 + 1.0, len(list_sort(list(v)))))) - floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.35 + 1.0, len(list_sort(list(v))))))) * (list_extract(list_sort(list(v)), LEAST(CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.35 + 1.0, len(list_sort(list(v)))))) AS INT) + 1, len(list_sort(list(v)))))    - list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.35 + 1.0, len(list_sort(list(v)))))) AS INT)))) AS q3,
+         (list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.45 + 1.0, len(list_sort(list(v)))))) AS INT)) + ((GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.45 + 1.0, len(list_sort(list(v)))))) - floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.45 + 1.0, len(list_sort(list(v))))))) * (list_extract(list_sort(list(v)), LEAST(CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.45 + 1.0, len(list_sort(list(v)))))) AS INT) + 1, len(list_sort(list(v)))))    - list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.45 + 1.0, len(list_sort(list(v)))))) AS INT)))) AS q4,
+         (list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.55 + 1.0, len(list_sort(list(v)))))) AS INT)) + ((GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.55 + 1.0, len(list_sort(list(v)))))) - floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.55 + 1.0, len(list_sort(list(v))))))) * (list_extract(list_sort(list(v)), LEAST(CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.55 + 1.0, len(list_sort(list(v)))))) AS INT) + 1, len(list_sort(list(v)))))    - list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.55 + 1.0, len(list_sort(list(v)))))) AS INT)))) AS q5,
+         (list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.65 + 1.0, len(list_sort(list(v)))))) AS INT)) + ((GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.65 + 1.0, len(list_sort(list(v)))))) - floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.65 + 1.0, len(list_sort(list(v))))))) * (list_extract(list_sort(list(v)), LEAST(CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.65 + 1.0, len(list_sort(list(v)))))) AS INT) + 1, len(list_sort(list(v)))))    - list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.65 + 1.0, len(list_sort(list(v)))))) AS INT)))) AS q6,
+         (list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.75 + 1.0, len(list_sort(list(v)))))) AS INT)) + ((GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.75 + 1.0, len(list_sort(list(v)))))) - floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.75 + 1.0, len(list_sort(list(v))))))) * (list_extract(list_sort(list(v)), LEAST(CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.75 + 1.0, len(list_sort(list(v)))))) AS INT) + 1, len(list_sort(list(v)))))    - list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.75 + 1.0, len(list_sort(list(v)))))) AS INT)))) AS q7,
+         (list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.85 + 1.0, len(list_sort(list(v)))))) AS INT)) + ((GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.85 + 1.0, len(list_sort(list(v)))))) - floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.85 + 1.0, len(list_sort(list(v))))))) * (list_extract(list_sort(list(v)), LEAST(CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.85 + 1.0, len(list_sort(list(v)))))) AS INT) + 1, len(list_sort(list(v)))))    - list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.85 + 1.0, len(list_sort(list(v)))))) AS INT)))) AS q8,
+         (list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.95 + 1.0, len(list_sort(list(v)))))) AS INT)) + ((GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.95 + 1.0, len(list_sort(list(v)))))) - floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.95 + 1.0, len(list_sort(list(v))))))) * (list_extract(list_sort(list(v)), LEAST(CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.95 + 1.0, len(list_sort(list(v)))))) AS INT) + 1, len(list_sort(list(v)))))    - list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.95 + 1.0, len(list_sort(list(v)))))) AS INT)))) AS q9
+  FROM ref GROUP BY 1, 2
+),
+hq AS (
+  SELECT cell, month(day) AS grp,
+         (list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.05 + 1.0, len(list_sort(list(v)))))) AS INT)) + ((GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.05 + 1.0, len(list_sort(list(v)))))) - floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.05 + 1.0, len(list_sort(list(v))))))) * (list_extract(list_sort(list(v)), LEAST(CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.05 + 1.0, len(list_sort(list(v)))))) AS INT) + 1, len(list_sort(list(v)))))    - list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.05 + 1.0, len(list_sort(list(v)))))) AS INT)))) AS q0,
+         (list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.15 + 1.0, len(list_sort(list(v)))))) AS INT)) + ((GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.15 + 1.0, len(list_sort(list(v)))))) - floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.15 + 1.0, len(list_sort(list(v))))))) * (list_extract(list_sort(list(v)), LEAST(CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.15 + 1.0, len(list_sort(list(v)))))) AS INT) + 1, len(list_sort(list(v)))))    - list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.15 + 1.0, len(list_sort(list(v)))))) AS INT)))) AS q1,
+         (list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.25 + 1.0, len(list_sort(list(v)))))) AS INT)) + ((GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.25 + 1.0, len(list_sort(list(v)))))) - floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.25 + 1.0, len(list_sort(list(v))))))) * (list_extract(list_sort(list(v)), LEAST(CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.25 + 1.0, len(list_sort(list(v)))))) AS INT) + 1, len(list_sort(list(v)))))    - list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.25 + 1.0, len(list_sort(list(v)))))) AS INT)))) AS q2,
+         (list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.35 + 1.0, len(list_sort(list(v)))))) AS INT)) + ((GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.35 + 1.0, len(list_sort(list(v)))))) - floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.35 + 1.0, len(list_sort(list(v))))))) * (list_extract(list_sort(list(v)), LEAST(CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.35 + 1.0, len(list_sort(list(v)))))) AS INT) + 1, len(list_sort(list(v)))))    - list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.35 + 1.0, len(list_sort(list(v)))))) AS INT)))) AS q3,
+         (list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.45 + 1.0, len(list_sort(list(v)))))) AS INT)) + ((GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.45 + 1.0, len(list_sort(list(v)))))) - floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.45 + 1.0, len(list_sort(list(v))))))) * (list_extract(list_sort(list(v)), LEAST(CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.45 + 1.0, len(list_sort(list(v)))))) AS INT) + 1, len(list_sort(list(v)))))    - list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.45 + 1.0, len(list_sort(list(v)))))) AS INT)))) AS q4,
+         (list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.55 + 1.0, len(list_sort(list(v)))))) AS INT)) + ((GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.55 + 1.0, len(list_sort(list(v)))))) - floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.55 + 1.0, len(list_sort(list(v))))))) * (list_extract(list_sort(list(v)), LEAST(CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.55 + 1.0, len(list_sort(list(v)))))) AS INT) + 1, len(list_sort(list(v)))))    - list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.55 + 1.0, len(list_sort(list(v)))))) AS INT)))) AS q5,
+         (list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.65 + 1.0, len(list_sort(list(v)))))) AS INT)) + ((GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.65 + 1.0, len(list_sort(list(v)))))) - floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.65 + 1.0, len(list_sort(list(v))))))) * (list_extract(list_sort(list(v)), LEAST(CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.65 + 1.0, len(list_sort(list(v)))))) AS INT) + 1, len(list_sort(list(v)))))    - list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.65 + 1.0, len(list_sort(list(v)))))) AS INT)))) AS q6,
+         (list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.75 + 1.0, len(list_sort(list(v)))))) AS INT)) + ((GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.75 + 1.0, len(list_sort(list(v)))))) - floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.75 + 1.0, len(list_sort(list(v))))))) * (list_extract(list_sort(list(v)), LEAST(CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.75 + 1.0, len(list_sort(list(v)))))) AS INT) + 1, len(list_sort(list(v)))))    - list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.75 + 1.0, len(list_sort(list(v)))))) AS INT)))) AS q7,
+         (list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.85 + 1.0, len(list_sort(list(v)))))) AS INT)) + ((GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.85 + 1.0, len(list_sort(list(v)))))) - floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.85 + 1.0, len(list_sort(list(v))))))) * (list_extract(list_sort(list(v)), LEAST(CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.85 + 1.0, len(list_sort(list(v)))))) AS INT) + 1, len(list_sort(list(v)))))    - list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.85 + 1.0, len(list_sort(list(v)))))) AS INT)))) AS q8,
+         (list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.95 + 1.0, len(list_sort(list(v)))))) AS INT)) + ((GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.95 + 1.0, len(list_sort(list(v)))))) - floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.95 + 1.0, len(list_sort(list(v))))))) * (list_extract(list_sort(list(v)), LEAST(CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.95 + 1.0, len(list_sort(list(v)))))) AS INT) + 1, len(list_sort(list(v)))))    - list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.95 + 1.0, len(list_sort(list(v)))))) AS INT)))) AS q9
+  FROM hist GROUP BY 1, 2
+),
+tbl AS (
+  SELECT rq.cell, rq.grp,
+         [hq.q0, hq.q1, hq.q2, hq.q3, hq.q4, hq.q5, hq.q6, hq.q7, hq.q8, hq.q9] AS hq,
+         [rq.q0 - hq.q0, rq.q1 - hq.q1, rq.q2 - hq.q2, rq.q3 - hq.q3,
+          rq.q4 - hq.q4, rq.q5 - hq.q5, rq.q6 - hq.q6, rq.q7 - hq.q7,
+          rq.q8 - hq.q8, rq.q9 - hq.q9] AS af
+  FROM rq JOIN hq ON rq.cell = hq.cell AND rq.grp = hq.grp
+),
+adj AS (
+  SELECT s.cell, s.day,
+         s.v + (SELECT CASE
+      WHEN i = 0 THEN af[1]
+      WHEN i >= len(hq) THEN af[len(af)]
+      WHEN hq[LEAST(i + 1, len(hq))] = hq[i] THEN af[i]
+      ELSE af[i] + (s.v - hq[i])
+           / (hq[LEAST(i + 1, len(hq))] - hq[i])
+           * (af[LEAST(i + 1, len(af))] - af[i])
+    END
+                FROM (SELECT len(list_filter(t.hq, x -> x <= s.v)) AS i,
+                             t.hq AS hq, t.af AS af) ) AS v_adj
+  FROM sim s JOIN tbl t ON t.cell = s.cell AND t.grp = month(s.day)
+)
+SELECT cell, CAST(date_trunc('month', day) AS DATE) AS period,
+       ROUND(avg(v_adj), 6) AS sim_adj_mean
+FROM adj GROUP BY 1, 2""",
+)
+def sdba_eqm_adjust_ms(spark, sf_dir):
+    """Empirical quantile mapping end-to-end (reference sdba surface,
+    delegated to xsdba; Themessl 2012 semantics): a +2 synthetic bias is
+    trained out per (cell, month) on the pre-1998 calibration epoch
+    with 10 exact type-7 quantile nodes, the post-1998 'simulation' is
+    adjusted by pure-expression interpolation of the factors, and the
+    monthly means of the adjusted series are hash-checked against a
+    DuckDB oracle that re-derives the identical quantile/interpolation
+    arithmetic."""
+    from . import sdba
+
+    d = daily_series(spark, sf_dir)
+    cut = F.year("day") < 1998
+    ref = d.filter(cut).select("cell", "day", F.col("qty").alias("v"))
+    hist = d.filter(cut).select("cell", "day",
+                                (F.col("qty") + 2.0).alias("v"))
+    sim = d.filter(~cut).select("cell", "day",
+                                (F.col("qty") + 2.0).alias("v"))
+    eqm = sdba.EmpiricalQuantileMapping(nquantiles=10, kind="+",
+                                        group="time.month")
+    eqm.train(ref, hist, "v", time="day", cells=["cell"])
+    adj = eqm.adjust(sim, "v", time="day", cells=["cell"])
+    return adj.groupBy(
+        "cell", period_start("day", "MS").alias("period")
+    ).agg(F.round(F.avg("v_adj"), 6).alias("sim_adj_mean"))
+
+
+
 # The driver's correctness harness evaluates queries in dict order and has
 # historically recorded only the first 50.  Emit the queries that have never
 # received a driver-side green row first (round 3 covered registration
 # positions 0-49), so coverage is guaranteed under either a count cap or a
 # time cap; the round-3-green queries follow.
 _PRIORITY = [
+    "sdba_eqm_adjust_ms",
     "stream_tx_days_above_30d",
     "ens_weighted_percentiles_ms", "ens_mixed_calendar_ms",
     "dedup_simhash", "dedup_ngram", "dedup_embed", "knn_ivf_docs",

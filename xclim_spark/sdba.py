@@ -1,0 +1,293 @@
+"""Bias adjustment (statistical post-processing) tier.
+
+The reference delegates this surface to the split-out ``xsdba`` package
+(reference src/xclim/sdba.py — a compatibility shim); the algorithms
+themselves are published: empirical quantile mapping and its detrended /
+quantile-delta variants (Cannon et al. 2015, J. Climate 28;
+Themeßl et al. 2012), and mean scaling.  This module re-derives them
+Spark-first:
+
+* ``train`` is one aggregation per (cells..., group) producing an
+  ADJUSTMENT TABLE — arrays of the historical quantiles and the
+  per-quantile adjustment factors.  Exact type-7 quantiles via the
+  repo's Hyndman-Fan expression aggregate (no UDF, no approximation).
+* ``adjust`` joins the simulation to its (cells, group) row of the
+  adjustment table — a co-keyed shuffle (broadcast when the table is
+  dim-sized) — and interpolates the factor with pure Column
+  expressions over the nq-sized arrays.  Nothing leaves the JVM.
+
+Grouping supports ``"time"`` (one group per cell) and ``"time.month"``
+(the reference's most common choice for removing seasonal bias).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .operators.percentile import hf_quantile
+
+__all__ = [
+    "Grouper",
+    "EmpiricalQuantileMapping",
+    "DetrendedQuantileMapping",
+    "QuantileDeltaMapping",
+    "Scaling",
+    "equally_spaced_nodes",
+]
+
+
+def equally_spaced_nodes(n: int) -> list[float]:
+    """``n`` quantile nodes at the midpoints ``(k + 0.5) / n`` — every
+    node estimable from data, constant extrapolation beyond the ends
+    (the published EQM discretization choice)."""
+    return [(k + 0.5) / n for k in range(n)]
+
+
+@dataclass(frozen=True)
+class Grouper:
+    """Temporal grouping for adjustment factors: ``"time"`` (everything
+    in one group) or ``"time.month"``."""
+
+    name: str = "time"
+
+    def key(self, time) -> Column:
+        t = F.col(time) if isinstance(time, str) else time
+        if self.name == "time":
+            return F.lit(0)
+        if self.name == "time.month":
+            return F.month(t)
+        raise ValueError(f"Unsupported group {self.name!r}")
+
+
+def _interp_at(xs: str, ys: str, x: Column) -> Column:
+    """Piecewise-linear interpolation of the (xs, ys) node arrays at
+    ``x``, constant beyond the ends — pure expressions over nq-sized
+    arrays (same shape the weighted-percentile path uses)."""
+    i = F.size(F.filter(F.col(xs), lambda e: e <= x))
+    n = F.size(F.col(xs))
+    lo = F.element_at(F.col(xs), i)
+    hi = F.element_at(F.col(xs), F.least(i + 1, n))
+    ylo = F.element_at(F.col(ys), i)
+    yhi = F.element_at(F.col(ys), F.least(i + 1, n))
+    mid = F.when(
+        hi == lo, ylo
+    ).otherwise(ylo + (x - lo) / (hi - lo) * (yhi - ylo))
+    return (
+        F.when(i == 0, F.element_at(F.col(ys), 1))
+        .when(i >= n, F.element_at(F.col(ys), -1))
+        .otherwise(mid)
+    )
+
+
+class EmpiricalQuantileMapping:
+    """EQM (Themeßl 2012; reference xsdba ``EmpiricalQuantileMapping``):
+    adjustment factors between the reference and historical-simulation
+    quantiles, applied to the simulated value's position in the
+    TRAINING distribution.
+
+    ``kind``: ``"+"`` (additive, temperatures) or ``"*"``
+    (multiplicative, precipitation-like, hist quantiles clamped away
+    from zero).
+    """
+
+    def __init__(self, *, nquantiles: int = 20, kind: str = "+",
+                 group: str | Grouper = "time"):
+        if kind not in ("+", "*"):
+            raise ValueError("kind must be '+' or '*'")
+        self.nq = int(nquantiles)
+        self.kind = kind
+        self.group = group if isinstance(group, Grouper) else Grouper(group)
+        self.trained: DataFrame | None = None
+
+    # -- training --------------------------------------------------------
+    def train(
+        self, ref: DataFrame, hist: DataFrame, var: str, *,
+        time: str = "time", cells: Sequence[str] = (),
+    ) -> DataFrame:
+        """One aggregation per input per (cells, group): nq exact HF
+        type-7 quantiles of each; factors ``ref_q - hist_q`` (or ratio).
+        Returns (and stores) the adjustment table
+        ``cells..., _grp, hist_q, af``."""
+        qs = equally_spaced_nodes(self.nq)
+
+        def quantiles(df: DataFrame, alias: str) -> DataFrame:
+            g = df.withColumn("_grp", self.group.key(time))
+            aggs = [
+                hf_quantile(var, p, alpha=1.0, beta=1.0).alias(f"_q{i}")
+                for i, p in enumerate(qs)
+            ]
+            out = g.groupBy(*cells, "_grp").agg(*aggs)
+            return out.select(
+                *cells, "_grp",
+                F.array(*[f"_q{i}" for i in range(self.nq)]).alias(alias))
+
+        r = quantiles(ref, "_rq")
+        h = quantiles(hist, "hist_q")
+        j = r.join(h, on=[*cells, "_grp"])
+        if self.kind == "+":
+            af = F.zip_with("_rq", "hist_q", lambda a, b: a - b)
+        else:
+            af = F.zip_with("_rq", "hist_q", lambda a, b: a / b)
+        self.trained = j.select(*cells, "_grp", "hist_q",
+                                af.alias("af"))
+        return self.trained
+
+    # -- adjustment ------------------------------------------------------
+    def adjust(
+        self, sim: DataFrame, var: str, *,
+        time: str = "time", cells: Sequence[str] = (),
+        alias: str | None = None, broadcast: bool = False,
+    ) -> DataFrame:
+        """Join the adjustment table on (cells, group) and interpolate
+        the factor at the simulated value's position among the TRAINED
+        historical quantiles (linear between nodes, constant beyond —
+        the reference's interp='linear', extrapolation='constant').
+
+        ``broadcast=True`` broadcasts the table (cells x groups rows —
+        dim-sized for modest grids); default lets AQE decide."""
+        if self.trained is None:
+            raise ValueError("call train() first")
+        tbl = F.broadcast(self.trained) if broadcast else self.trained
+        out_col = alias or f"{var}_adj"
+        s = sim.withColumn("_grp", self.group.key(time))
+        j = s.join(tbl, on=[*cells, "_grp"], how="left")
+        x = F.col(var).cast("double")
+        a = _interp_at("hist_q", "af", x)
+        adj = x + a if self.kind == "+" else x * a
+        return j.withColumn(out_col, adj).drop("_grp", "hist_q", "af")
+
+
+class QuantileDeltaMapping(EmpiricalQuantileMapping):
+    """QDM (Cannon 2015): the factor is taken at the simulated value's
+    rank within the SIMULATION's own distribution (preserving the
+    simulated change signal in all quantiles), not at its position in
+    the training distribution."""
+
+    def adjust(
+        self, sim: DataFrame, var: str, *,
+        time: str = "time", cells: Sequence[str] = (),
+        alias: str | None = None, broadcast: bool = False,
+    ) -> DataFrame:
+        if self.trained is None:
+            raise ValueError("call train() first")
+        qs = equally_spaced_nodes(self.nq)
+        out_col = alias or f"{var}_adj"
+        s = sim.withColumn("_grp", self.group.key(time))
+        aggs = [
+            hf_quantile(var, p, alpha=1.0, beta=1.0).alias(f"_q{i}")
+            for i, p in enumerate(qs)
+        ]
+        sim_q = s.groupBy(*cells, "_grp").agg(*aggs).select(
+            *cells, "_grp",
+            F.array(*[f"_q{i}" for i in range(self.nq)]).alias("sim_q"))
+        tbl = self.trained.join(sim_q, on=[*cells, "_grp"])
+        tbl = F.broadcast(tbl) if broadcast else tbl
+        j = s.join(tbl, on=[*cells, "_grp"], how="left")
+        x = F.col(var).cast("double")
+        # rank of x among the sim quantile nodes -> af at that rank
+        nodes = F.lit(qs)
+        rank = _interp_at("sim_q", "_nodes_arr", x)
+        j = j.withColumn("_nodes_arr", nodes)
+        # af as a function of quantile node, evaluated at `rank`
+        j = j.withColumn("_rank", rank)
+        a = _interp_at("_nodes_arr", "af", F.col("_rank"))
+        adj = x + a if self.kind == "+" else x * a
+        return j.withColumn(out_col, adj) \
+            .drop("_grp", "hist_q", "af", "sim_q", "_nodes_arr", "_rank")
+
+
+class DetrendedQuantileMapping(EmpiricalQuantileMapping):
+    """DQM (Cannon et al. 2015, eq. 2): standard EQM factors trained on
+    the raw calibration data, but at adjustment the simulation is first
+    brought back to the calibration epoch — its per-(cells, group)
+    linear trend removed and the historical mean reinstated — mapped,
+    and the trend restored.  The simulated long-term trend thereby
+    passes through the mapping unchanged instead of being squashed onto
+    the calibration distribution's range.
+
+    Additive:       x' = x - trend(t) + mu_hist;  out = EQM(x')
+                    + trend(t) - mu_hist
+    Multiplicative: x' = x * mu_hist / trend(t);  out = EQM(x')
+                    * trend(t) / mu_hist
+
+    The linear detrend is the repo's closed-form OLS window (one
+    shuffle on the cell key, no UDF)."""
+
+    def train(self, ref: DataFrame, hist: DataFrame, var: str, *,
+              time: str = "time", cells: Sequence[str] = ()) -> DataFrame:
+        out = super().train(ref, hist, var, time=time, cells=cells)
+        mean_h = hist.withColumn("_grp", self.group.key(time)) \
+            .groupBy(*cells, "_grp").agg(F.avg(var).alias("_mh"))
+        self.trained = out.join(mean_h, on=[*cells, "_grp"])
+        return self.trained
+
+    def adjust(self, sim: DataFrame, var: str, *,
+               time: str = "time", cells: Sequence[str] = (),
+               alias: str | None = None, broadcast: bool = False
+               ) -> DataFrame:
+        from .operators.generic import detrend
+
+        if self.trained is None:
+            raise ValueError("call train() first")
+        out_col = alias or f"{var}_adj"
+        det = detrend(sim, var, time=time, cells=cells, alias="_anom")
+        det = det.withColumn("_trend",
+                             F.col(var).cast("double") - F.col("_anom"))
+        tbl = F.broadcast(self.trained) if broadcast else self.trained
+        s = det.withColumn("_grp", self.group.key(time))
+        j = s.join(tbl, on=[*cells, "_grp"], how="left")
+        if self.kind == "+":
+            xprime = F.col("_anom") + F.col("_mh")
+        else:
+            xprime = (F.col(var).cast("double") * F.col("_mh")
+                      / F.col("_trend"))
+        j = j.withColumn("_x", xprime)
+        a = _interp_at("hist_q", "af", F.col("_x"))
+        if self.kind == "+":
+            adj = (F.col("_x") + a) + F.col("_trend") - F.col("_mh")
+        else:
+            adj = (F.col("_x") * a) * F.col("_trend") / F.col("_mh")
+        return j.withColumn(out_col, adj).drop(
+            "_grp", "hist_q", "af", "_anom", "_trend", "_x", "_mh")
+
+
+class Scaling:
+    """Mean scaling (reference xsdba ``Scaling``): one additive or
+    multiplicative factor per (cells, group) from the ref/hist means."""
+
+    def __init__(self, *, kind: str = "+", group: str | Grouper = "time"):
+        if kind not in ("+", "*"):
+            raise ValueError("kind must be '+' or '*'")
+        self.kind = kind
+        self.group = group if isinstance(group, Grouper) else Grouper(group)
+        self.trained: DataFrame | None = None
+
+    def train(self, ref: DataFrame, hist: DataFrame, var: str, *,
+              time: str = "time", cells: Sequence[str] = ()) -> DataFrame:
+        r = ref.withColumn("_grp", self.group.key(time)) \
+            .groupBy(*cells, "_grp").agg(F.avg(var).alias("_mr"))
+        h = hist.withColumn("_grp", self.group.key(time)) \
+            .groupBy(*cells, "_grp").agg(F.avg(var).alias("_mh"))
+        j = r.join(h, on=[*cells, "_grp"])
+        af = (F.col("_mr") - F.col("_mh")) if self.kind == "+" \
+            else (F.col("_mr") / F.col("_mh"))
+        self.trained = j.select(*cells, "_grp", af.alias("af"))
+        return self.trained
+
+    def adjust(self, sim: DataFrame, var: str, *,
+               time: str = "time", cells: Sequence[str] = (),
+               alias: str | None = None, broadcast: bool = True
+               ) -> DataFrame:
+        if self.trained is None:
+            raise ValueError("call train() first")
+        out_col = alias or f"{var}_adj"
+        tbl = F.broadcast(self.trained) if broadcast else self.trained
+        s = sim.withColumn("_grp", self.group.key(time))
+        j = s.join(tbl, on=[*cells, "_grp"], how="left")
+        x = F.col(var).cast("double")
+        adj = x + F.col("af") if self.kind == "+" else x * F.col("af")
+        return j.withColumn(out_col, adj).drop("_grp", "af")
