@@ -2958,12 +2958,122 @@ def sdba_eqm_adjust_ms(spark, sf_dir):
 
 
 
+@_register(
+    "sdba_qdm_adjust_ms",
+    f"""WITH {DAILY_SQL},
+ref AS (SELECT cell, day, qty AS v FROM daily WHERE year(day) < 1998),
+hist AS (SELECT cell, day, qty + 2.0 AS v FROM daily
+         WHERE year(day) < 1998),
+sim AS (SELECT cell, day, qty + 2.0 AS v FROM daily
+        WHERE year(day) >= 1998),
+rq AS (SELECT cell, month(day) AS grp, (list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.05 + 1.0, len(list_sort(list(v)))))) AS INT)) + ((GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.05 + 1.0, len(list_sort(list(v)))))) - floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.05 + 1.0, len(list_sort(list(v))))))) * (list_extract(list_sort(list(v)), LEAST(CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.05 + 1.0, len(list_sort(list(v)))))) AS INT) + 1, len(list_sort(list(v)))))    - list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.05 + 1.0, len(list_sort(list(v)))))) AS INT)))) AS q0,
+         (list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.15 + 1.0, len(list_sort(list(v)))))) AS INT)) + ((GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.15 + 1.0, len(list_sort(list(v)))))) - floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.15 + 1.0, len(list_sort(list(v))))))) * (list_extract(list_sort(list(v)), LEAST(CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.15 + 1.0, len(list_sort(list(v)))))) AS INT) + 1, len(list_sort(list(v)))))    - list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.15 + 1.0, len(list_sort(list(v)))))) AS INT)))) AS q1,
+         (list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.25 + 1.0, len(list_sort(list(v)))))) AS INT)) + ((GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.25 + 1.0, len(list_sort(list(v)))))) - floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.25 + 1.0, len(list_sort(list(v))))))) * (list_extract(list_sort(list(v)), LEAST(CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.25 + 1.0, len(list_sort(list(v)))))) AS INT) + 1, len(list_sort(list(v)))))    - list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.25 + 1.0, len(list_sort(list(v)))))) AS INT)))) AS q2,
+         (list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.35 + 1.0, len(list_sort(list(v)))))) AS INT)) + ((GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.35 + 1.0, len(list_sort(list(v)))))) - floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.35 + 1.0, len(list_sort(list(v))))))) * (list_extract(list_sort(list(v)), LEAST(CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.35 + 1.0, len(list_sort(list(v)))))) AS INT) + 1, len(list_sort(list(v)))))    - list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.35 + 1.0, len(list_sort(list(v)))))) AS INT)))) AS q3,
+         (list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.45 + 1.0, len(list_sort(list(v)))))) AS INT)) + ((GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.45 + 1.0, len(list_sort(list(v)))))) - floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.45 + 1.0, len(list_sort(list(v))))))) * (list_extract(list_sort(list(v)), LEAST(CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.45 + 1.0, len(list_sort(list(v)))))) AS INT) + 1, len(list_sort(list(v)))))    - list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.45 + 1.0, len(list_sort(list(v)))))) AS INT)))) AS q4,
+         (list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.55 + 1.0, len(list_sort(list(v)))))) AS INT)) + ((GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.55 + 1.0, len(list_sort(list(v)))))) - floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.55 + 1.0, len(list_sort(list(v))))))) * (list_extract(list_sort(list(v)), LEAST(CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.55 + 1.0, len(list_sort(list(v)))))) AS INT) + 1, len(list_sort(list(v)))))    - list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.55 + 1.0, len(list_sort(list(v)))))) AS INT)))) AS q5,
+         (list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.65 + 1.0, len(list_sort(list(v)))))) AS INT)) + ((GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.65 + 1.0, len(list_sort(list(v)))))) - floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.65 + 1.0, len(list_sort(list(v))))))) * (list_extract(list_sort(list(v)), LEAST(CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.65 + 1.0, len(list_sort(list(v)))))) AS INT) + 1, len(list_sort(list(v)))))    - list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.65 + 1.0, len(list_sort(list(v)))))) AS INT)))) AS q6,
+         (list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.75 + 1.0, len(list_sort(list(v)))))) AS INT)) + ((GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.75 + 1.0, len(list_sort(list(v)))))) - floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.75 + 1.0, len(list_sort(list(v))))))) * (list_extract(list_sort(list(v)), LEAST(CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.75 + 1.0, len(list_sort(list(v)))))) AS INT) + 1, len(list_sort(list(v)))))    - list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.75 + 1.0, len(list_sort(list(v)))))) AS INT)))) AS q7,
+         (list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.85 + 1.0, len(list_sort(list(v)))))) AS INT)) + ((GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.85 + 1.0, len(list_sort(list(v)))))) - floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.85 + 1.0, len(list_sort(list(v))))))) * (list_extract(list_sort(list(v)), LEAST(CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.85 + 1.0, len(list_sort(list(v)))))) AS INT) + 1, len(list_sort(list(v)))))    - list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.85 + 1.0, len(list_sort(list(v)))))) AS INT)))) AS q8,
+         (list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.95 + 1.0, len(list_sort(list(v)))))) AS INT)) + ((GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.95 + 1.0, len(list_sort(list(v)))))) - floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.95 + 1.0, len(list_sort(list(v))))))) * (list_extract(list_sort(list(v)), LEAST(CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.95 + 1.0, len(list_sort(list(v)))))) AS INT) + 1, len(list_sort(list(v)))))    - list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.95 + 1.0, len(list_sort(list(v)))))) AS INT)))) AS q9 FROM ref GROUP BY 1, 2),
+hq AS (SELECT cell, month(day) AS grp, (list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.05 + 1.0, len(list_sort(list(v)))))) AS INT)) + ((GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.05 + 1.0, len(list_sort(list(v)))))) - floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.05 + 1.0, len(list_sort(list(v))))))) * (list_extract(list_sort(list(v)), LEAST(CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.05 + 1.0, len(list_sort(list(v)))))) AS INT) + 1, len(list_sort(list(v)))))    - list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.05 + 1.0, len(list_sort(list(v)))))) AS INT)))) AS q0,
+         (list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.15 + 1.0, len(list_sort(list(v)))))) AS INT)) + ((GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.15 + 1.0, len(list_sort(list(v)))))) - floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.15 + 1.0, len(list_sort(list(v))))))) * (list_extract(list_sort(list(v)), LEAST(CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.15 + 1.0, len(list_sort(list(v)))))) AS INT) + 1, len(list_sort(list(v)))))    - list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.15 + 1.0, len(list_sort(list(v)))))) AS INT)))) AS q1,
+         (list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.25 + 1.0, len(list_sort(list(v)))))) AS INT)) + ((GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.25 + 1.0, len(list_sort(list(v)))))) - floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.25 + 1.0, len(list_sort(list(v))))))) * (list_extract(list_sort(list(v)), LEAST(CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.25 + 1.0, len(list_sort(list(v)))))) AS INT) + 1, len(list_sort(list(v)))))    - list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.25 + 1.0, len(list_sort(list(v)))))) AS INT)))) AS q2,
+         (list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.35 + 1.0, len(list_sort(list(v)))))) AS INT)) + ((GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.35 + 1.0, len(list_sort(list(v)))))) - floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.35 + 1.0, len(list_sort(list(v))))))) * (list_extract(list_sort(list(v)), LEAST(CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.35 + 1.0, len(list_sort(list(v)))))) AS INT) + 1, len(list_sort(list(v)))))    - list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.35 + 1.0, len(list_sort(list(v)))))) AS INT)))) AS q3,
+         (list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.45 + 1.0, len(list_sort(list(v)))))) AS INT)) + ((GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.45 + 1.0, len(list_sort(list(v)))))) - floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.45 + 1.0, len(list_sort(list(v))))))) * (list_extract(list_sort(list(v)), LEAST(CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.45 + 1.0, len(list_sort(list(v)))))) AS INT) + 1, len(list_sort(list(v)))))    - list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.45 + 1.0, len(list_sort(list(v)))))) AS INT)))) AS q4,
+         (list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.55 + 1.0, len(list_sort(list(v)))))) AS INT)) + ((GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.55 + 1.0, len(list_sort(list(v)))))) - floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.55 + 1.0, len(list_sort(list(v))))))) * (list_extract(list_sort(list(v)), LEAST(CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.55 + 1.0, len(list_sort(list(v)))))) AS INT) + 1, len(list_sort(list(v)))))    - list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.55 + 1.0, len(list_sort(list(v)))))) AS INT)))) AS q5,
+         (list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.65 + 1.0, len(list_sort(list(v)))))) AS INT)) + ((GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.65 + 1.0, len(list_sort(list(v)))))) - floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.65 + 1.0, len(list_sort(list(v))))))) * (list_extract(list_sort(list(v)), LEAST(CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.65 + 1.0, len(list_sort(list(v)))))) AS INT) + 1, len(list_sort(list(v)))))    - list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.65 + 1.0, len(list_sort(list(v)))))) AS INT)))) AS q6,
+         (list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.75 + 1.0, len(list_sort(list(v)))))) AS INT)) + ((GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.75 + 1.0, len(list_sort(list(v)))))) - floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.75 + 1.0, len(list_sort(list(v))))))) * (list_extract(list_sort(list(v)), LEAST(CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.75 + 1.0, len(list_sort(list(v)))))) AS INT) + 1, len(list_sort(list(v)))))    - list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.75 + 1.0, len(list_sort(list(v)))))) AS INT)))) AS q7,
+         (list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.85 + 1.0, len(list_sort(list(v)))))) AS INT)) + ((GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.85 + 1.0, len(list_sort(list(v)))))) - floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.85 + 1.0, len(list_sort(list(v))))))) * (list_extract(list_sort(list(v)), LEAST(CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.85 + 1.0, len(list_sort(list(v)))))) AS INT) + 1, len(list_sort(list(v)))))    - list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.85 + 1.0, len(list_sort(list(v)))))) AS INT)))) AS q8,
+         (list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.95 + 1.0, len(list_sort(list(v)))))) AS INT)) + ((GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.95 + 1.0, len(list_sort(list(v)))))) - floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.95 + 1.0, len(list_sort(list(v))))))) * (list_extract(list_sort(list(v)), LEAST(CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.95 + 1.0, len(list_sort(list(v)))))) AS INT) + 1, len(list_sort(list(v)))))    - list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.95 + 1.0, len(list_sort(list(v)))))) AS INT)))) AS q9 FROM hist GROUP BY 1, 2),
+sq AS (SELECT cell, month(day) AS grp, (list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.05 + 1.0, len(list_sort(list(v)))))) AS INT)) + ((GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.05 + 1.0, len(list_sort(list(v)))))) - floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.05 + 1.0, len(list_sort(list(v))))))) * (list_extract(list_sort(list(v)), LEAST(CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.05 + 1.0, len(list_sort(list(v)))))) AS INT) + 1, len(list_sort(list(v)))))    - list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.05 + 1.0, len(list_sort(list(v)))))) AS INT)))) AS q0,
+         (list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.15 + 1.0, len(list_sort(list(v)))))) AS INT)) + ((GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.15 + 1.0, len(list_sort(list(v)))))) - floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.15 + 1.0, len(list_sort(list(v))))))) * (list_extract(list_sort(list(v)), LEAST(CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.15 + 1.0, len(list_sort(list(v)))))) AS INT) + 1, len(list_sort(list(v)))))    - list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.15 + 1.0, len(list_sort(list(v)))))) AS INT)))) AS q1,
+         (list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.25 + 1.0, len(list_sort(list(v)))))) AS INT)) + ((GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.25 + 1.0, len(list_sort(list(v)))))) - floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.25 + 1.0, len(list_sort(list(v))))))) * (list_extract(list_sort(list(v)), LEAST(CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.25 + 1.0, len(list_sort(list(v)))))) AS INT) + 1, len(list_sort(list(v)))))    - list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.25 + 1.0, len(list_sort(list(v)))))) AS INT)))) AS q2,
+         (list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.35 + 1.0, len(list_sort(list(v)))))) AS INT)) + ((GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.35 + 1.0, len(list_sort(list(v)))))) - floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.35 + 1.0, len(list_sort(list(v))))))) * (list_extract(list_sort(list(v)), LEAST(CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.35 + 1.0, len(list_sort(list(v)))))) AS INT) + 1, len(list_sort(list(v)))))    - list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.35 + 1.0, len(list_sort(list(v)))))) AS INT)))) AS q3,
+         (list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.45 + 1.0, len(list_sort(list(v)))))) AS INT)) + ((GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.45 + 1.0, len(list_sort(list(v)))))) - floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.45 + 1.0, len(list_sort(list(v))))))) * (list_extract(list_sort(list(v)), LEAST(CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.45 + 1.0, len(list_sort(list(v)))))) AS INT) + 1, len(list_sort(list(v)))))    - list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.45 + 1.0, len(list_sort(list(v)))))) AS INT)))) AS q4,
+         (list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.55 + 1.0, len(list_sort(list(v)))))) AS INT)) + ((GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.55 + 1.0, len(list_sort(list(v)))))) - floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.55 + 1.0, len(list_sort(list(v))))))) * (list_extract(list_sort(list(v)), LEAST(CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.55 + 1.0, len(list_sort(list(v)))))) AS INT) + 1, len(list_sort(list(v)))))    - list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.55 + 1.0, len(list_sort(list(v)))))) AS INT)))) AS q5,
+         (list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.65 + 1.0, len(list_sort(list(v)))))) AS INT)) + ((GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.65 + 1.0, len(list_sort(list(v)))))) - floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.65 + 1.0, len(list_sort(list(v))))))) * (list_extract(list_sort(list(v)), LEAST(CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.65 + 1.0, len(list_sort(list(v)))))) AS INT) + 1, len(list_sort(list(v)))))    - list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.65 + 1.0, len(list_sort(list(v)))))) AS INT)))) AS q6,
+         (list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.75 + 1.0, len(list_sort(list(v)))))) AS INT)) + ((GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.75 + 1.0, len(list_sort(list(v)))))) - floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.75 + 1.0, len(list_sort(list(v))))))) * (list_extract(list_sort(list(v)), LEAST(CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.75 + 1.0, len(list_sort(list(v)))))) AS INT) + 1, len(list_sort(list(v)))))    - list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.75 + 1.0, len(list_sort(list(v)))))) AS INT)))) AS q7,
+         (list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.85 + 1.0, len(list_sort(list(v)))))) AS INT)) + ((GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.85 + 1.0, len(list_sort(list(v)))))) - floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.85 + 1.0, len(list_sort(list(v))))))) * (list_extract(list_sort(list(v)), LEAST(CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.85 + 1.0, len(list_sort(list(v)))))) AS INT) + 1, len(list_sort(list(v)))))    - list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.85 + 1.0, len(list_sort(list(v)))))) AS INT)))) AS q8,
+         (list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.95 + 1.0, len(list_sort(list(v)))))) AS INT)) + ((GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.95 + 1.0, len(list_sort(list(v)))))) - floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.95 + 1.0, len(list_sort(list(v))))))) * (list_extract(list_sort(list(v)), LEAST(CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.95 + 1.0, len(list_sort(list(v)))))) AS INT) + 1, len(list_sort(list(v)))))    - list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.95 + 1.0, len(list_sort(list(v)))))) AS INT)))) AS q9 FROM sim GROUP BY 1, 2),
+tbl AS (
+  SELECT rq.cell, rq.grp,
+         [rq.q0 - hq.q0, rq.q1 - hq.q1, rq.q2 - hq.q2, rq.q3 - hq.q3,
+          rq.q4 - hq.q4, rq.q5 - hq.q5, rq.q6 - hq.q6, rq.q7 - hq.q7,
+          rq.q8 - hq.q8, rq.q9 - hq.q9] AS af,
+         [sq.q0, sq.q1, sq.q2, sq.q3, sq.q4, sq.q5, sq.q6, sq.q7,
+          sq.q8, sq.q9] AS simq
+  FROM rq
+  JOIN hq ON rq.cell = hq.cell AND rq.grp = hq.grp
+  JOIN sq ON rq.cell = sq.cell AND rq.grp = sq.grp
+),
+ranked AS (
+  SELECT s.cell, s.day, s.v, t.af, t.simq,
+         [0.05, 0.15, 0.25, 0.35, 0.45, 0.55, 0.65, 0.75, 0.85, 0.95] AS nodes,
+         len(list_filter(t.simq, x -> x <= s.v)) AS i
+  FROM sim s JOIN tbl t ON t.cell = s.cell AND t.grp = month(s.day)
+),
+rk AS (
+  SELECT cell, day, v, af, nodes,
+         CASE
+      WHEN i = 0 THEN nodes[1]
+      WHEN i >= len(simq) THEN nodes[len(nodes)]
+      WHEN simq[LEAST(i + 1, len(simq))] = simq[i] THEN nodes[i]
+      ELSE nodes[i] + (v - simq[i])
+           / (simq[LEAST(i + 1, len(simq))] - simq[i])
+           * (nodes[LEAST(i + 1, len(nodes))] - nodes[i])
+    END AS r
+  FROM ranked
+),
+adj AS (
+  SELECT cell, day,
+         v + (CASE
+      WHEN len(list_filter(nodes, x -> x <= r)) = 0 THEN af[1]
+      WHEN len(list_filter(nodes, x -> x <= r)) >= len(nodes) THEN af[len(af)]
+      WHEN nodes[LEAST(len(list_filter(nodes, x -> x <= r)) + 1, len(nodes))] = nodes[len(list_filter(nodes, x -> x <= r))] THEN af[len(list_filter(nodes, x -> x <= r))]
+      ELSE af[len(list_filter(nodes, x -> x <= r))] + (r - nodes[len(list_filter(nodes, x -> x <= r))])
+           / (nodes[LEAST(len(list_filter(nodes, x -> x <= r)) + 1, len(nodes))] - nodes[len(list_filter(nodes, x -> x <= r))])
+           * (af[LEAST(len(list_filter(nodes, x -> x <= r)) + 1, len(af))] - af[len(list_filter(nodes, x -> x <= r))])
+    END) AS v_adj
+  FROM rk
+)
+SELECT cell, CAST(date_trunc('month', day) AS DATE) AS period,
+       ROUND(avg(v_adj), 6) AS sim_adj_mean
+FROM adj GROUP BY 1, 2""",
+)
+def sdba_qdm_adjust_ms(spark, sf_dir):
+    """Quantile delta mapping (Cannon 2015; reference's delegated sdba
+    surface): the adjustment factor is interpolated at the simulated
+    value's rank within the SIMULATION's own per-(cell, month) quantile
+    nodes — preserving the simulated change signal in every quantile.
+    The oracle re-derives both interpolation passes (value -> rank,
+    rank -> factor) node-for-node."""
+    from . import sdba
+
+    d = daily_series(spark, sf_dir)
+    cut = F.year("day") < 1998
+    ref = d.filter(cut).select("cell", "day", F.col("qty").alias("v"))
+    hist = d.filter(cut).select("cell", "day",
+                                (F.col("qty") + 2.0).alias("v"))
+    sim = d.filter(~cut).select("cell", "day",
+                                (F.col("qty") + 2.0).alias("v"))
+    qdm = sdba.QuantileDeltaMapping(nquantiles=10, kind="+",
+                                    group="time.month")
+    qdm.train(ref, hist, "v", time="day", cells=["cell"])
+    adj = qdm.adjust(sim, "v", time="day", cells=["cell"])
+    return adj.groupBy(
+        "cell", period_start("day", "MS").alias("period")
+    ).agg(F.round(F.avg("v_adj"), 6).alias("sim_adj_mean"))
+
+
+
 # The driver's correctness harness evaluates queries in dict order and has
 # historically recorded only the first 50.  Emit the queries that have never
 # received a driver-side green row first (round 3 covered registration
 # positions 0-49), so coverage is guaranteed under either a count cap or a
 # time cap; the round-3-green queries follow.
 _PRIORITY = [
+    "sdba_qdm_adjust_ms",
     "sdba_eqm_adjust_ms",
     "stream_tx_days_above_30d",
     "ens_weighted_percentiles_ms", "ens_mixed_calendar_ms",

@@ -28,7 +28,7 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .operators.percentile import hf_quantile
+from .operators.percentile import hf_interp_sorted
 
 __all__ = [
     "Grouper",
@@ -115,15 +115,19 @@ class EmpiricalQuantileMapping:
         qs = equally_spaced_nodes(self.nq)
 
         def quantiles(df: DataFrame, alias: str) -> DataFrame:
+            # ONE sorted collect per group; the nq node quantiles are
+            # then O(1) interpolations over that array — nq separate
+            # quantile aggregates would sort the same group nq times
             g = df.withColumn("_grp", self.group.key(time))
-            aggs = [
-                hf_quantile(var, p, alpha=1.0, beta=1.0).alias(f"_q{i}")
-                for i, p in enumerate(qs)
-            ]
-            out = g.groupBy(*cells, "_grp").agg(*aggs)
+            out = g.groupBy(*cells, "_grp").agg(
+                F.sort_array(F.collect_list(F.col(var).cast("double")))
+                .alias("_xs"))
             return out.select(
                 *cells, "_grp",
-                F.array(*[f"_q{i}" for i in range(self.nq)]).alias(alias))
+                F.array(*[
+                    hf_interp_sorted(F.col("_xs"), p, alpha=1.0, beta=1.0)
+                    for p in qs
+                ]).alias(alias))
 
         r = quantiles(ref, "_rq")
         h = quantiles(hist, "hist_q")
@@ -177,13 +181,15 @@ class QuantileDeltaMapping(EmpiricalQuantileMapping):
         qs = equally_spaced_nodes(self.nq)
         out_col = alias or f"{var}_adj"
         s = sim.withColumn("_grp", self.group.key(time))
-        aggs = [
-            hf_quantile(var, p, alpha=1.0, beta=1.0).alias(f"_q{i}")
-            for i, p in enumerate(qs)
-        ]
-        sim_q = s.groupBy(*cells, "_grp").agg(*aggs).select(
+        sim_q = s.groupBy(*cells, "_grp").agg(
+            F.sort_array(F.collect_list(F.col(var).cast("double")))
+            .alias("_xs")
+        ).select(
             *cells, "_grp",
-            F.array(*[f"_q{i}" for i in range(self.nq)]).alias("sim_q"))
+            F.array(*[
+                hf_interp_sorted(F.col("_xs"), p, alpha=1.0, beta=1.0)
+                for p in qs
+            ]).alias("sim_q"))
         tbl = self.trained.join(sim_q, on=[*cells, "_grp"])
         tbl = F.broadcast(tbl) if broadcast else tbl
         j = s.join(tbl, on=[*cells, "_grp"], how="left")
