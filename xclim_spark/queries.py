@@ -3067,12 +3067,123 @@ def sdba_qdm_adjust_ms(spark, sf_dir):
 
 
 
+@_register(
+    "sdba_dqm_adjust_ms",
+    f"""WITH {DAILY_SQL},
+ref AS (SELECT cell, day, qty AS v FROM daily WHERE year(day) < 1998),
+hist AS (SELECT cell, day, qty + 2.0 AS v FROM daily
+         WHERE year(day) < 1998),
+sim AS (SELECT cell, day, qty + 2.0 AS v FROM daily
+        WHERE year(day) >= 1998),
+rq AS (SELECT cell, month(day) AS grp, (list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.05 + 1.0, len(list_sort(list(v)))))) AS INT)) + ((GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.05 + 1.0, len(list_sort(list(v)))))) - floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.05 + 1.0, len(list_sort(list(v))))))) * (list_extract(list_sort(list(v)), LEAST(CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.05 + 1.0, len(list_sort(list(v)))))) AS INT) + 1, len(list_sort(list(v)))))    - list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.05 + 1.0, len(list_sort(list(v)))))) AS INT)))) AS q0,
+         (list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.15 + 1.0, len(list_sort(list(v)))))) AS INT)) + ((GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.15 + 1.0, len(list_sort(list(v)))))) - floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.15 + 1.0, len(list_sort(list(v))))))) * (list_extract(list_sort(list(v)), LEAST(CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.15 + 1.0, len(list_sort(list(v)))))) AS INT) + 1, len(list_sort(list(v)))))    - list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.15 + 1.0, len(list_sort(list(v)))))) AS INT)))) AS q1,
+         (list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.25 + 1.0, len(list_sort(list(v)))))) AS INT)) + ((GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.25 + 1.0, len(list_sort(list(v)))))) - floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.25 + 1.0, len(list_sort(list(v))))))) * (list_extract(list_sort(list(v)), LEAST(CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.25 + 1.0, len(list_sort(list(v)))))) AS INT) + 1, len(list_sort(list(v)))))    - list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.25 + 1.0, len(list_sort(list(v)))))) AS INT)))) AS q2,
+         (list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.35 + 1.0, len(list_sort(list(v)))))) AS INT)) + ((GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.35 + 1.0, len(list_sort(list(v)))))) - floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.35 + 1.0, len(list_sort(list(v))))))) * (list_extract(list_sort(list(v)), LEAST(CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.35 + 1.0, len(list_sort(list(v)))))) AS INT) + 1, len(list_sort(list(v)))))    - list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.35 + 1.0, len(list_sort(list(v)))))) AS INT)))) AS q3,
+         (list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.45 + 1.0, len(list_sort(list(v)))))) AS INT)) + ((GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.45 + 1.0, len(list_sort(list(v)))))) - floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.45 + 1.0, len(list_sort(list(v))))))) * (list_extract(list_sort(list(v)), LEAST(CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.45 + 1.0, len(list_sort(list(v)))))) AS INT) + 1, len(list_sort(list(v)))))    - list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.45 + 1.0, len(list_sort(list(v)))))) AS INT)))) AS q4,
+         (list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.55 + 1.0, len(list_sort(list(v)))))) AS INT)) + ((GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.55 + 1.0, len(list_sort(list(v)))))) - floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.55 + 1.0, len(list_sort(list(v))))))) * (list_extract(list_sort(list(v)), LEAST(CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.55 + 1.0, len(list_sort(list(v)))))) AS INT) + 1, len(list_sort(list(v)))))    - list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.55 + 1.0, len(list_sort(list(v)))))) AS INT)))) AS q5,
+         (list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.65 + 1.0, len(list_sort(list(v)))))) AS INT)) + ((GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.65 + 1.0, len(list_sort(list(v)))))) - floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.65 + 1.0, len(list_sort(list(v))))))) * (list_extract(list_sort(list(v)), LEAST(CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.65 + 1.0, len(list_sort(list(v)))))) AS INT) + 1, len(list_sort(list(v)))))    - list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.65 + 1.0, len(list_sort(list(v)))))) AS INT)))) AS q6,
+         (list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.75 + 1.0, len(list_sort(list(v)))))) AS INT)) + ((GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.75 + 1.0, len(list_sort(list(v)))))) - floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.75 + 1.0, len(list_sort(list(v))))))) * (list_extract(list_sort(list(v)), LEAST(CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.75 + 1.0, len(list_sort(list(v)))))) AS INT) + 1, len(list_sort(list(v)))))    - list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.75 + 1.0, len(list_sort(list(v)))))) AS INT)))) AS q7,
+         (list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.85 + 1.0, len(list_sort(list(v)))))) AS INT)) + ((GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.85 + 1.0, len(list_sort(list(v)))))) - floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.85 + 1.0, len(list_sort(list(v))))))) * (list_extract(list_sort(list(v)), LEAST(CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.85 + 1.0, len(list_sort(list(v)))))) AS INT) + 1, len(list_sort(list(v)))))    - list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.85 + 1.0, len(list_sort(list(v)))))) AS INT)))) AS q8,
+         (list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.95 + 1.0, len(list_sort(list(v)))))) AS INT)) + ((GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.95 + 1.0, len(list_sort(list(v)))))) - floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.95 + 1.0, len(list_sort(list(v))))))) * (list_extract(list_sort(list(v)), LEAST(CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.95 + 1.0, len(list_sort(list(v)))))) AS INT) + 1, len(list_sort(list(v)))))    - list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.95 + 1.0, len(list_sort(list(v)))))) AS INT)))) AS q9 FROM ref GROUP BY 1, 2),
+hq AS (SELECT cell, month(day) AS grp, (list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.05 + 1.0, len(list_sort(list(v)))))) AS INT)) + ((GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.05 + 1.0, len(list_sort(list(v)))))) - floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.05 + 1.0, len(list_sort(list(v))))))) * (list_extract(list_sort(list(v)), LEAST(CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.05 + 1.0, len(list_sort(list(v)))))) AS INT) + 1, len(list_sort(list(v)))))    - list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.05 + 1.0, len(list_sort(list(v)))))) AS INT)))) AS q0,
+         (list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.15 + 1.0, len(list_sort(list(v)))))) AS INT)) + ((GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.15 + 1.0, len(list_sort(list(v)))))) - floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.15 + 1.0, len(list_sort(list(v))))))) * (list_extract(list_sort(list(v)), LEAST(CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.15 + 1.0, len(list_sort(list(v)))))) AS INT) + 1, len(list_sort(list(v)))))    - list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.15 + 1.0, len(list_sort(list(v)))))) AS INT)))) AS q1,
+         (list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.25 + 1.0, len(list_sort(list(v)))))) AS INT)) + ((GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.25 + 1.0, len(list_sort(list(v)))))) - floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.25 + 1.0, len(list_sort(list(v))))))) * (list_extract(list_sort(list(v)), LEAST(CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.25 + 1.0, len(list_sort(list(v)))))) AS INT) + 1, len(list_sort(list(v)))))    - list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.25 + 1.0, len(list_sort(list(v)))))) AS INT)))) AS q2,
+         (list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.35 + 1.0, len(list_sort(list(v)))))) AS INT)) + ((GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.35 + 1.0, len(list_sort(list(v)))))) - floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.35 + 1.0, len(list_sort(list(v))))))) * (list_extract(list_sort(list(v)), LEAST(CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.35 + 1.0, len(list_sort(list(v)))))) AS INT) + 1, len(list_sort(list(v)))))    - list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.35 + 1.0, len(list_sort(list(v)))))) AS INT)))) AS q3,
+         (list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.45 + 1.0, len(list_sort(list(v)))))) AS INT)) + ((GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.45 + 1.0, len(list_sort(list(v)))))) - floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.45 + 1.0, len(list_sort(list(v))))))) * (list_extract(list_sort(list(v)), LEAST(CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.45 + 1.0, len(list_sort(list(v)))))) AS INT) + 1, len(list_sort(list(v)))))    - list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.45 + 1.0, len(list_sort(list(v)))))) AS INT)))) AS q4,
+         (list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.55 + 1.0, len(list_sort(list(v)))))) AS INT)) + ((GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.55 + 1.0, len(list_sort(list(v)))))) - floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.55 + 1.0, len(list_sort(list(v))))))) * (list_extract(list_sort(list(v)), LEAST(CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.55 + 1.0, len(list_sort(list(v)))))) AS INT) + 1, len(list_sort(list(v)))))    - list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.55 + 1.0, len(list_sort(list(v)))))) AS INT)))) AS q5,
+         (list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.65 + 1.0, len(list_sort(list(v)))))) AS INT)) + ((GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.65 + 1.0, len(list_sort(list(v)))))) - floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.65 + 1.0, len(list_sort(list(v))))))) * (list_extract(list_sort(list(v)), LEAST(CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.65 + 1.0, len(list_sort(list(v)))))) AS INT) + 1, len(list_sort(list(v)))))    - list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.65 + 1.0, len(list_sort(list(v)))))) AS INT)))) AS q6,
+         (list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.75 + 1.0, len(list_sort(list(v)))))) AS INT)) + ((GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.75 + 1.0, len(list_sort(list(v)))))) - floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.75 + 1.0, len(list_sort(list(v))))))) * (list_extract(list_sort(list(v)), LEAST(CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.75 + 1.0, len(list_sort(list(v)))))) AS INT) + 1, len(list_sort(list(v)))))    - list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.75 + 1.0, len(list_sort(list(v)))))) AS INT)))) AS q7,
+         (list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.85 + 1.0, len(list_sort(list(v)))))) AS INT)) + ((GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.85 + 1.0, len(list_sort(list(v)))))) - floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.85 + 1.0, len(list_sort(list(v))))))) * (list_extract(list_sort(list(v)), LEAST(CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.85 + 1.0, len(list_sort(list(v)))))) AS INT) + 1, len(list_sort(list(v)))))    - list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.85 + 1.0, len(list_sort(list(v)))))) AS INT)))) AS q8,
+         (list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.95 + 1.0, len(list_sort(list(v)))))) AS INT)) + ((GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.95 + 1.0, len(list_sort(list(v)))))) - floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.95 + 1.0, len(list_sort(list(v))))))) * (list_extract(list_sort(list(v)), LEAST(CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.95 + 1.0, len(list_sort(list(v)))))) AS INT) + 1, len(list_sort(list(v)))))    - list_extract(list_sort(list(v)), CAST(floor(GREATEST(1.0, LEAST((len(list_sort(list(v))) - 1.0) * 0.95 + 1.0, len(list_sort(list(v)))))) AS INT)))) AS q9 FROM hist GROUP BY 1, 2),
+mh AS (SELECT cell, month(day) AS grp, avg(v) AS mh FROM hist
+       GROUP BY 1, 2),
+tbl AS (
+  SELECT rq.cell, rq.grp,
+         [hq.q0, hq.q1, hq.q2, hq.q3, hq.q4, hq.q5, hq.q6, hq.q7,
+          hq.q8, hq.q9] AS hq,
+         [rq.q0 - hq.q0, rq.q1 - hq.q1, rq.q2 - hq.q2, rq.q3 - hq.q3,
+          rq.q4 - hq.q4, rq.q5 - hq.q5, rq.q6 - hq.q6, rq.q7 - hq.q7,
+          rq.q8 - hq.q8, rq.q9 - hq.q9] AS af,
+         mh.mh AS mh
+  FROM rq
+  JOIN hq ON rq.cell = hq.cell AND rq.grp = hq.grp
+  JOIN mh ON rq.cell = mh.cell AND rq.grp = mh.grp
+),
+-- closed-form OLS trend per cell, the same covariance-of-averages
+-- arithmetic as the Spark detrend window
+det AS (
+  SELECT cell, day, v,
+         CAST(datediff('day', DATE '1970-01-01', day) AS DOUBLE) AS t,
+         avg(v) OVER w AS mx, avg(CAST(datediff('day', DATE '1970-01-01',
+                                                day) AS DOUBLE)) OVER w
+           AS mt,
+         avg(v * CAST(datediff('day', DATE '1970-01-01', day) AS DOUBLE))
+           OVER w AS mxt,
+         avg(CAST(datediff('day', DATE '1970-01-01', day) AS DOUBLE)
+             * CAST(datediff('day', DATE '1970-01-01', day) AS DOUBLE))
+           OVER w AS mtt
+  FROM sim WINDOW w AS (PARTITION BY cell)
+),
+trended AS (
+  SELECT cell, day, v,
+         mx + ((mxt - mx * mt) / (mtt - mt * mt)) * (t - mt) AS trend
+  FROM det
+),
+staged AS (
+  SELECT s.cell, s.day, s.v, s.trend, t.hq, t.af, t.mh,
+         (s.v - s.trend) + t.mh AS xp
+  FROM trended s JOIN tbl t ON t.cell = s.cell AND t.grp = month(s.day)
+),
+adj AS (
+  SELECT cell, day,
+         ((xp + (CASE
+      WHEN len(list_filter(hq, x -> x <= xp)) = 0 THEN af[1]
+      WHEN len(list_filter(hq, x -> x <= xp)) >= len(hq) THEN af[len(af)]
+      WHEN hq[LEAST(len(list_filter(hq, x -> x <= xp)) + 1, len(hq))] = hq[len(list_filter(hq, x -> x <= xp))] THEN af[len(list_filter(hq, x -> x <= xp))]
+      ELSE af[len(list_filter(hq, x -> x <= xp))] + (xp - hq[len(list_filter(hq, x -> x <= xp))])
+           / (hq[LEAST(len(list_filter(hq, x -> x <= xp)) + 1, len(hq))] - hq[len(list_filter(hq, x -> x <= xp))])
+           * (af[LEAST(len(list_filter(hq, x -> x <= xp)) + 1, len(af))] - af[len(list_filter(hq, x -> x <= xp))])
+    END))
+          + trend) - mh AS v_adj
+  FROM staged
+)
+SELECT cell, CAST(date_trunc('month', day) AS DATE) AS period,
+       ROUND(avg(v_adj), 6) AS sim_adj_mean
+FROM adj GROUP BY 1, 2""",
+)
+def sdba_dqm_adjust_ms(spark, sf_dir):
+    """Detrended quantile mapping (Cannon 2015 eq. 2; reference's
+    delegated sdba surface): the simulation is recentered to the
+    calibration epoch (closed-form OLS trend out, historical mean in),
+    quantile-mapped with the raw EQM factors, and the trend restored.
+    The oracle re-derives the OLS trend with the identical
+    covariance-of-averages arithmetic plus both mapping passes."""
+    from . import sdba
+
+    d = daily_series(spark, sf_dir)
+    cut = F.year("day") < 1998
+    ref = d.filter(cut).select("cell", "day", F.col("qty").alias("v"))
+    hist = d.filter(cut).select("cell", "day",
+                                (F.col("qty") + 2.0).alias("v"))
+    sim = d.filter(~cut).select("cell", "day",
+                                (F.col("qty") + 2.0).alias("v"))
+    dqm = sdba.DetrendedQuantileMapping(nquantiles=10, kind="+",
+                                        group="time.month")
+    dqm.train(ref, hist, "v", time="day", cells=["cell"])
+    adj = dqm.adjust(sim, "v", time="day", cells=["cell"])
+    return adj.groupBy(
+        "cell", period_start("day", "MS").alias("period")
+    ).agg(F.round(F.avg("v_adj"), 6).alias("sim_adj_mean"))
+
+
+
 # The driver's correctness harness evaluates queries in dict order and has
 # historically recorded only the first 50.  Emit the queries that have never
 # received a driver-side green row first (round 3 covered registration
 # positions 0-49), so coverage is guaranteed under either a count cap or a
 # time cap; the round-3-green queries follow.
 _PRIORITY = [
+    "sdba_dqm_adjust_ms",
     "sdba_qdm_adjust_ms",
     "sdba_eqm_adjust_ms",
     "stream_tx_days_above_30d",
