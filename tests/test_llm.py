@@ -350,3 +350,80 @@ def test_knn_ivf_candidates_come_from_probed_cells(spark):
         ranked = sorted(neigh, key=lambda r: r["rank"])
         coss = [r["cos_sim"] for r in ranked]
         assert coss == sorted(coss, reverse=True)
+
+
+# ---------------------------------------------------------------------------
+# pipeline tier: decontamination + mixture sampling
+# ---------------------------------------------------------------------------
+
+def test_word_ngrams_short_doc_empty(spark):
+    from xclim_spark.llm import pipeline as pl
+
+    df = _docs(spark, ["a b c", "a b c d"])
+    out = df.select(pl.word_ngrams("text", 4).alias("g")).collect()
+    assert out[0]["g"] == []            # 3 tokens < n=4
+    assert out[1]["g"] == ["a b c d"]
+
+
+def test_decontaminate_flags_overlap(spark):
+    from xclim_spark.llm import pipeline as pl
+
+    bench = _docs(spark, ["secret eval question about spark joins"])
+    corpus = _docs(spark, [
+        "totally clean document with no overlap at all",
+        "contains the secret eval question about spark joins verbatim",
+        "ab",  # shorter than n -> zero grams, never contaminated
+    ])
+    out = {r["doc_id"]: r for r in
+           pl.decontaminate(corpus, bench, n=5).collect()}
+    assert not out[0]["contaminated"]
+    assert out[1]["contaminated"] and out[1]["dirty_grams"] >= 1
+    assert out[2]["total_grams"] == 0 and not out[2]["contaminated"]
+
+
+def test_hex_threshold_bounds():
+    from xclim_spark.llm.pipeline import hex_threshold
+
+    assert hex_threshold(0.0) == "00000000"
+    assert hex_threshold(0.5) == "80000000"
+    assert hex_threshold(1.0) == "gggggggg"  # > any hex digest
+    assert hex_threshold(0.25) == "40000000"
+
+
+def test_mixture_sample_deterministic_and_monotone(spark):
+    from xclim_spark.llm import pipeline as pl
+
+    rows = [(i, "s%d" % (i % 3)) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id LONG, source STRING")
+    half = pl.mixture_sample(df, {"s0": 0.5, "s1": 1.0}, key_col="doc_id",
+                             default_rate=0.0)
+    full = pl.mixture_sample(df, {"s0": 1.0, "s1": 1.0}, key_col="doc_id",
+                             default_rate=0.0)
+    ids_half = {r["doc_id"] for r in half.collect()}
+    ids_full = {r["doc_id"] for r in full.collect()}
+    # deterministic: re-running yields the same sample
+    assert ids_half == {r["doc_id"] for r in half.collect()}
+    # monotone: raising a rate only adds documents
+    assert ids_half <= ids_full
+    # s1 kept wholesale, s2 dropped wholesale
+    assert {i for i in range(300) if i % 3 == 1} <= ids_full
+    assert all(i % 3 != 2 for i in ids_full)
+    # rate=0.5 keeps roughly half of s0 (100 docs; binomial 3-sigma)
+    n_s0 = sum(1 for i in ids_half if i % 3 == 0)
+    assert 30 <= n_s0 <= 70
+
+
+def test_map_over_nodes_tags_and_unions(spark):
+    from xclim_spark.indicators import registry
+    from xclim_spark.indicators.datatree import map_over_nodes
+    from xclim_spark.testing import timeseries
+
+    d = timeseries(spark, [28.0, 31.0, 35.0, 29.0], start="2000-01-01")
+    res = map_over_nodes(
+        registry["tx_days_above"], {"a": d, "b": d}, tasmax="value",
+        thresh="30 degC", freq="YS", time="time", cells=[], missing=None,
+    )
+    rows = res.df.collect()
+    assert sorted(r["node"] for r in rows) == ["a", "b"]
+    assert all(r["tx_days_above"] == 2 for r in rows)
+    assert "history" in res.attrs

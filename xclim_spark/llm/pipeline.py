@@ -1,0 +1,148 @@
+"""Training-data pipeline operators: benchmark decontamination,
+deterministic mixture sampling, catalog fan-out helpers.
+
+These are the corpus-curation steps a pretraining pipeline runs between
+dedup and shuffling into the training mix (cf. GPT-3 appendix A / Pile /
+Gopher section A1.2 descriptions of n-gram decontamination and per-source
+mixture weights).
+
+Scale design (the part that matters at 100 TB):
+
+* **decontaminate** — the benchmark side is tiny relative to the corpus
+  (eval sets are MBs, corpora are TBs), so its distinct n-gram set is
+  broadcast; corpus n-grams are generated map-side inside the scan
+  projection and hash-joined against the broadcast set without ever
+  shuffling document text.  The per-document verdict is a map-side
+  aggregation over the exploded grams keyed by ``doc_id`` — the only
+  exchange carries ``(doc_id, counters)``.
+* **mixture_sample** — pure stateless filter: the keep/drop decision is a
+  deterministic function of ``md5(source | id)`` compared against a
+  per-source hex threshold, so it needs **zero shuffles**, is reproducible
+  across engines and runs, and re-sampling with a different rate table
+  keeps maximal overlap between samples (threshold sampling is monotone:
+  raising a source's rate only adds documents).  No RNG state, no
+  ``sample()`` nondeterminism, no skew sensitivity.
+
+The md5-threshold trick also makes the operator *oracle-portable*: Spark
+and DuckDB produce identical lowercase hex digests, so correctness can be
+verified bit-for-bit by an independent engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "word_ngrams",
+    "decontaminate",
+    "hex_threshold",
+    "sample_hash",
+    "mixture_sample",
+]
+
+
+def word_ngrams(text, n: int = 13) -> Column:
+    """Lowercased whitespace-token word n-grams of ``text`` as an array of
+    space-joined strings.  Documents shorter than ``n`` tokens yield an
+    empty array.
+
+    The standard decontamination unit: GPT-3 used 13-gram overlap, The
+    Pile 13-grams, PaLM 8-grams.  Computed map-side (codegen'd
+    ``split``/``transform``), nothing shuffles.
+    """
+    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    # sequence(1, 0) would yield [1, 0] (Spark infers step -1), so short
+    # documents must short-circuit to an empty array explicitly
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i, n), " ")
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+    bench_text_col: str | None = None,
+) -> DataFrame:
+    """Flag training documents that share any word ``n``-gram with a
+    benchmark/eval set.
+
+    Returns one row per input document: ``(id_col, total_grams,
+    dirty_grams, contaminated)``.  ``contaminated`` is true when at least
+    one of the document's n-grams appears verbatim in the benchmark.
+
+    Plan shape: ``benchmark`` → distinct n-gram table (small; broadcast);
+    ``docs`` → explode n-grams map-side → broadcast left join → count
+    matches per document.  The corpus is read once; the only exchange is
+    the final per-``doc_id`` aggregation (and it is partial-aggregated
+    map-side first).
+    """
+    bench_text_col = bench_text_col or text_col
+    bench_grams = (
+        benchmark.select(
+            F.explode(word_ngrams(F.col(bench_text_col), n)).alias("gram")
+        )
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    grams = docs.select(
+        F.col(id_col),
+        F.explode_outer(word_ngrams(F.col(text_col), n)).alias("gram"),
+    )
+    joined = grams.join(F.broadcast(bench_grams), "gram", "left")
+    return joined.groupBy(id_col).agg(
+        F.count("gram").alias("total_grams"),
+        F.coalesce(F.sum("hit"), F.lit(0)).alias("dirty_grams"),
+        (F.coalesce(F.sum("hit"), F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
+def hex_threshold(rate: float, digits: int = 8) -> str:
+    """The ``digits``-char lowercase hex string ``t`` such that a uniform
+    ``digits``-nibble hex draw is ``< t`` with probability ``rate``."""
+    space = 16 ** digits
+    cut = min(max(int(round(rate * space)), 0), space)
+    if cut >= space:
+        # 'g' > 'f' lexicographically, so rate>=1.0 keeps everything
+        return "g" * digits
+    return format(cut, f"0{digits}x")
+
+
+def sample_hash(source, key) -> Column:
+    """Deterministic per-row sampling hash: first 8 hex chars of
+    ``md5(source || '|' || key)``.  Lowercase hex compares identically in
+    Spark and DuckDB, making the sample reproducible across engines."""
+    return F.substring(
+        F.md5(F.concat_ws("|", source.cast("string"), key.cast("string"))),
+        1, 8,
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic stratified sampling to a target per-source mixture.
+
+    ``rates`` maps source values to keep probabilities.  A row is kept
+    iff ``md5(source|key)[:8] < hex_threshold(rate[source])`` — stateless,
+    shuffle-free, reproducible, and monotone in the rate (raising a
+    source's weight strictly grows its sample).  Unlisted sources fall
+    back to ``default_rate``.
+    """
+    h = sample_hash(F.col(source_col), F.col(key_col))
+    thresh = F.lit(hex_threshold(default_rate))
+    for src, rate in sorted(rates.items()):
+        thresh = F.when(
+            F.col(source_col) == src, F.lit(hex_threshold(rate))
+        ).otherwise(thresh)
+    return df.filter(h < thresh)

@@ -3177,12 +3177,121 @@ def sdba_dqm_adjust_ms(spark, sf_dir):
 
 
 
+# ---------------------------------------------------------------------------
+# Training-data pipeline tier: decontamination, mixture sampling, tree fan-out
+# ---------------------------------------------------------------------------
+
+@_register(
+    "decontam_docs",
+    r"""WITH tok AS (
+  SELECT doc_id, source,
+         regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+  FROM documents
+),
+bg AS (
+  SELECT DISTINCT array_to_string(toks[i:i+7], ' ') AS gram
+  FROM tok, UNNEST(range(1, len(toks) - 6)) AS t(i)
+  WHERE source IN ('src0', 'src1') AND len(toks) >= 8
+),
+dg AS (
+  SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS gram
+  FROM tok, UNNEST(range(1, len(toks) - 6)) AS t(i)
+  WHERE source NOT IN ('src0', 'src1') AND len(toks) >= 8
+),
+hits AS (
+  SELECT dg.doc_id, dg.gram,
+         CASE WHEN bg.gram IS NULL THEN 0 ELSE 1 END AS hit
+  FROM dg LEFT JOIN bg ON dg.gram = bg.gram
+)
+SELECT t.doc_id,
+       CAST(count(h.gram) AS BIGINT) AS total_grams,
+       CAST(coalesce(sum(h.hit), 0) AS BIGINT) AS dirty_grams,
+       coalesce(sum(h.hit), 0) > 0 AS contaminated
+FROM (SELECT doc_id FROM tok WHERE source NOT IN ('src0', 'src1')) t
+LEFT JOIN hits h ON t.doc_id = h.doc_id
+GROUP BY 1""",
+)
+def decontam_docs(spark, sf_dir):
+    """Benchmark decontamination: flag corpus documents sharing any word
+    8-gram with an eval set (GPT-3 app. A / PaLM-style n-gram overlap).
+    Benchmark grams broadcast; corpus grams generated map-side; the only
+    exchange is the per-doc verdict aggregation."""
+    from .llm import pipeline as pl
+
+    docs = _read(spark, sf_dir, "documents")
+    is_bench = F.col("source").isin("src0", "src1")
+    return pl.decontaminate(
+        docs.filter(~is_bench), docs.filter(is_bench), n=8
+    )
+
+
+@_register(
+    "mixture_sample_src",
+    """WITH samp AS (
+  SELECT * FROM documents
+  WHERE substring(md5(concat(source, '|', CAST(doc_id AS VARCHAR))), 1, 8) <
+    CASE source WHEN 'src0' THEN 'gggggggg' WHEN 'src1' THEN '80000000'
+                WHEN 'src2' THEN '40000000' WHEN 'src3' THEN '20000000'
+                ELSE '0ccccccd' END
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(n_chars) AS BIGINT) AS chars_kept
+FROM samp GROUP BY 1""",
+)
+def mixture_sample_src(spark, sf_dir):
+    """Deterministic stratified mixture sampling: per-source keep rates
+    applied via an md5-threshold filter (stateless, shuffle-free,
+    engine-reproducible — the oracle recomputes the identical digests),
+    then per-source audit counts."""
+    from .llm import pipeline as pl
+
+    docs = _read(spark, sf_dir, "documents")
+    samp = pl.mixture_sample(
+        docs,
+        {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.125},
+        default_rate=0.05,
+    )
+    return samp.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").alias("chars_kept"),
+    )
+
+
+@_register(
+    "tree_tx_days_above",
+    f"""WITH {DAILY_SQL}
+SELECT cell, CAST(date_trunc('month', day) AS DATE) AS period,
+       CAST(sum(CASE WHEN qty > 30 THEN 1 ELSE 0 END) AS BIGINT)
+         AS tx_days_above,
+       CASE WHEN cell % 2 = 0 THEN 'land/a' ELSE 'land/b' END AS node
+FROM daily GROUP BY 1, 2, 4""",
+)
+def tree_tx_days_above(spark, sf_dir):
+    """DataTree fan-out (ref indicator.py:858-877): one indicator mapped
+    over a two-node catalog, unioned into a single Catalyst plan with a
+    node path column."""
+    from .indicators import registry
+    from .indicators.datatree import map_over_nodes
+
+    d = daily_series(spark, sf_dir)
+    nodes = {
+        "land/a": d.filter(F.col("cell") % 2 == 0),
+        "land/b": d.filter(F.col("cell") % 2 == 1),
+    }
+    res = map_over_nodes(
+        registry["tx_days_above"], nodes, tasmax="qty", thresh="30 degC",
+        freq="MS", time="day", cells=["cell"], missing=None,
+    )
+    return res.df
+
+
 # The driver's correctness harness evaluates queries in dict order and has
 # historically recorded only the first 50.  Emit the queries that have never
 # received a driver-side green row first (round 3 covered registration
 # positions 0-49), so coverage is guaranteed under either a count cap or a
 # time cap; the round-3-green queries follow.
 _PRIORITY = [
+    "decontam_docs", "mixture_sample_src", "tree_tx_days_above",
     "sdba_dqm_adjust_ms",
     "sdba_qdm_adjust_ms",
     "sdba_eqm_adjust_ms",
