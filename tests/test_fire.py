@@ -148,3 +148,54 @@ def test_ffdi_indices_spark(spark):
     got_f = np.array([r["ffdi"] for r in got], dtype=float)
     ok = ~np.isnan(ffdi)
     np.testing.assert_allclose(got_f[ok], ffdi[ok], rtol=1e-12)
+
+
+def test_column_component_forms_match_scalar_kernels(spark):
+    """ISI/BUI/FWI Column expressions must agree with the scalar kernels
+    used inside the stateful iterator."""
+    from xclim_spark.operators import fire
+
+    cases = [  # (ws, ffmc, dmc, dc)
+        (10.0, 85.0, 6.0, 15.0),
+        (25.0, 92.0, 80.0, 300.0),
+        (0.0, 60.0, 0.0, 0.0),
+        (40.0, 96.0, 2.0, 400.0),
+        (5.0, 75.0, 150.0, 100.0),
+    ]
+    df = spark.createDataFrame(cases, "ws DOUBLE, ffmc DOUBLE, dmc DOUBLE, dc DOUBLE")
+    isi = fire.initial_spread_index("ws", "ffmc")
+    bui = fire.build_up_index("dmc", "dc")
+    rows = df.select(
+        isi.alias("isi"), bui.alias("bui"),
+        fire.fire_weather_index(isi, bui).alias("fwi"),
+    ).collect()
+    for (ws, ffmc, dmc, dc), r in zip(cases, rows):
+        isi_s = fire._isi(ws, ffmc)
+        bui_s = fire._bui(dmc, dc)
+        assert r["isi"] == pytest.approx(isi_s, rel=1e-12)
+        assert r["bui"] == pytest.approx(bui_s, rel=1e-12)
+        assert r["fwi"] == pytest.approx(fire._fwi(isi_s, bui_s), rel=1e-12)
+
+
+def test_overwintering_drought_code_values(spark):
+    """wDC method (Cantin 2014): spot values from the closed form, plus
+    the min_dc floor and null propagation."""
+    import math
+
+    from xclim_spark.operators import fire
+
+    df = spark.createDataFrame(
+        [(300.0, 100.0), (15.0, 500.0), (None, 10.0)],
+        "dcf DOUBLE, wpr DOUBLE",
+    )
+    rows = df.select(
+        fire.overwintering_drought_code("dcf", "wpr").alias("odc")
+    ).collect()
+
+    def ref(dcf, wpr, a=0.75, b=0.75, mn=15.0):
+        qf = 800.0 * math.exp(-dcf / 400.0)
+        return max(400.0 * math.log(800.0 / (a * qf + b * 3.94 * wpr)), mn)
+
+    assert rows[0]["odc"] == pytest.approx(ref(300.0, 100.0), rel=1e-12)
+    assert rows[1]["odc"] == 15.0  # heavy winter rain floors at min_dc
+    assert rows[2]["odc"] is None  # null in, null out

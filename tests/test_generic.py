@@ -170,3 +170,15 @@ def test_detrend_removes_linear_trend(spark):
     t = np.arange(n)
     slope = np.polyfit(t, res2, 1)[0]
     assert abs(slope) < 1e-10
+
+
+def test_count_level_crossings(spark):
+    from xclim_spark.operators import generic as g
+    from xclim_spark.testing import timeseries
+
+    d = timeseries(spark, [5.0, 8.0, 12.0, 20.0], start="2000-01-01")
+    d = d.withColumn("hi", F.col("value") + 6.0)
+    # level 10: low<10 while hi>=10 -> days with 4<value<10 -> 5.0, 8.0
+    out = g.count_level_crossings(d, "value", "hi", 10.0, "YS",
+                                  cells=["cell"], alias="n").collect()
+    assert out[0]["n"] == 2

@@ -341,6 +341,21 @@ def thresholded_ratio(df, cols, params, *, time, cells, alias):
     return out
 
 
+@register_compute("winter_rain_ratio")
+def winter_rain_ratio(df, cols, params, *, time, cells, alias):
+    """Ratio of liquid to total precipitation over winter (DJF) — the
+    reference computes liquid_precip_ratio at QS-DEC and keeps the
+    December-anchored quarters (ref _multivariate.py:904-937).
+    ``cond_data`` (temperature) decides liquid vs solid when no prsn is
+    given, exactly the reference's fallback."""
+    p = dict(params)
+    p.setdefault("freq", "QS-DEC")
+    p.setdefault("op", ">=")
+    out = thresholded_ratio(df, cols, p, time=time, cells=cells,
+                            alias=alias)
+    return out.filter(F.month("period") == 12)
+
+
 @register_compute("degree_days_exceedance_date")
 def degree_days_exceedance_date(df, cols, params, *, time, cells, alias):
     """First day-of-year where cumulative degree days cross a sum

@@ -23,13 +23,15 @@ from collections.abc import Sequence
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
 
 from ..util import repartition_for_apply
 
 __all__ = ["cffwis_indices", "cffwis_1d", "daily_severity_rating",
            "kbdi_1d", "griffiths_drought_factor_1d", "mcarthur_ffdi",
-           "ffdi_indices"]
+           "ffdi_indices", "initial_spread_index", "build_up_index",
+           "fire_weather_index", "overwintering_drought_code"]
 
 DAY_LENGTHS = np.array([
     [11.5, 10.5, 9.2, 7.9, 6.8, 6.2, 6.5, 7.4, 8.7, 10, 11.2, 11.8],
@@ -579,3 +581,73 @@ def cffwis_indices(
     return blocked.repartitionByRange(nblocks, "_blk").groupBy("_blk") \
         .applyInPandas(lambda p: _calc(p.drop(columns=["_blk"])),
                        schema=schema)
+
+# ---------------------------------------------------------------------------
+# Public closed-form component equations as Column expressions.
+#
+# The reference exposes initial_spread_index / build_up_index /
+# fire_weather_index as standalone public functions (_cffwis.py:1040-1169)
+# so users can recombine stored moisture codes without re-running the
+# stateful iterator; here they are pure JVM-side expressions (whole-stage
+# codegen, no Python in the hot path).  Equation numbers are the Van
+# Wagner 1987 / CFFDRS forms, identical to the scalar kernels above.
+# ---------------------------------------------------------------------------
+
+def _c(x) -> Column:
+    return F.col(x) if isinstance(x, str) else x
+
+
+def initial_spread_index(ws, ffmc) -> Column:
+    """ISI from wind speed (km/h) and FFMC (ref _cffwis.py:1040)."""
+    ws, ffmc = _c(ws), _c(ffmc)
+    mo = 147.2 * (101.0 - ffmc) / (59.5 + ffmc)  # Eq.1
+    ff = 19.1152 * F.exp(mo * -0.1386) * (1.0 + F.pow(mo, 5.31) / 4.93e7)
+    return ff * F.exp(0.05039 * ws)  # Eq.26
+
+
+def build_up_index(dmc, dc) -> Column:
+    """BUI from DMC and DC (ref _cffwis.py:1072, Eq.27a/27b)."""
+    dmc, dc = _c(dmc), _c(dc)
+    denom = dmc + 0.4 * dc
+    low = 0.8 * dc * dmc / denom  # Eq.27a
+    high = dmc - (1.0 - 0.8 * dc / denom) * \
+        (0.92 + F.pow(0.0114 * dmc, 1.7))  # Eq.27b
+    return F.when((dmc == 0.0) & (dc == 0.0), F.lit(0.0)).otherwise(
+        F.when(dmc <= 0.4 * dc, low).otherwise(high)
+    )
+
+
+def fire_weather_index(isi, bui) -> Column:
+    """FWI from ISI and BUI (ref _cffwis.py:1105, Eqs.28-30).  BUI is
+    clamped at 0 exactly like the scalar/vectorized kernels."""
+    isi, bui = _c(isi), _c(bui)
+    b = F.greatest(bui, F.lit(0.0))
+    fwi = F.when(
+        b <= 80.0, 0.1 * isi * (0.626 * F.pow(b, 0.809) + 2.0)  # Eq.28a
+    ).otherwise(
+        0.1 * isi * (1000.0 / (25.0 + 108.64 / F.exp(0.023 * b)))  # Eq.28b
+    )
+    return F.when(
+        fwi > 1.0, F.exp(2.72 * F.pow(0.434 * F.log(fwi), 0.647))  # Eq.30b
+    ).otherwise(fwi)
+
+
+def overwintering_drought_code(
+    last_dc, winter_pr,
+    carry_over_fraction: float = 0.75,
+    wetting_efficiency_fraction: float = 0.75,
+    min_dc: float = 15.0,
+) -> Column:
+    """Season-starting Drought Code from the previous season's final DC
+    and accumulated winter precipitation in mm — the cffdrs "wDC" method
+    (ref _cffwis.py:522-553,1170-1260; Cantin 2014; Lawson & Armitage
+    2008 Table 9).  Null in, null out (the reference propagates NaN)."""
+    dcf, wpr = _c(last_dc), _c(winter_pr)
+    qf = 800.0 * F.exp(-dcf / 400.0)
+    qs = carry_over_fraction * qf + wetting_efficiency_fraction * (3.94 * wpr)
+    dcs = 400.0 * F.log(800.0 / qs)
+    # greatest() skips nulls, which would resurrect a null input as
+    # min_dc; the reference propagates missing state instead
+    return F.when(dcs.isNull(), F.lit(None).cast("double")).otherwise(
+        F.greatest(dcs, F.lit(float(min_dc)))
+    )

@@ -255,6 +255,23 @@ def domain_count(
     )
 
 
+def count_level_crossings(
+    df: DataFrame, low_var: str, high_var: str, thresh, freq: str, *,
+    time: str = "time", cells: Sequence[str] = (), alias: str = "count",
+    op_low: str = "<", op_high: str = ">=", **indexer,
+) -> DataFrame:
+    """Count of days where ``low_var op_low thresh`` AND ``high_var
+    op_high thresh`` per period (ref generic.py:914-963 — e.g. days the
+    daily min dips below a level the daily max still exceeds)."""
+    if indexer:
+        df = df.filter(select_time(time, **indexer))
+    cond = compare(low_var, op_low, thresh) & compare(high_var, op_high,
+                                                      thresh)
+    return _grouped(df, cells, time, freq).agg(
+        F.sum(cond.cast("long")).alias(alias)
+    )
+
+
 def get_zones(
     var: Column | str,
     zone_min: float,
