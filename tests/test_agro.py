@@ -145,3 +145,19 @@ def test_dryness_index_south_labels_inside_jan(spark):
     # Oct-Mar contributions are positive (P > ETP): DI > Wo for that season
     di = {str(r["period"]): r["dryness_index"] for r in out}
     assert di["2001-01-01"] > 200.0
+
+
+def test_qian_weighted_mean_average(spark):
+    from xclim_spark.operators import agro
+    from xclim_spark.testing import timeseries
+
+    vals = [10.0, 12.0, 14.0, 16.0, 18.0, 20.0]
+    d = timeseries(spark, vals, start="2000-01-01")
+    out = {r["time"].day: r["q"] for r in agro.qian_weighted_mean_average(
+        d, "value", cells=["cell"], alias="q").collect()}
+    # full windows: linear data -> smoothing preserves the value
+    assert out[3] == pytest.approx(14.0)
+    assert out[4] == pytest.approx(16.0)
+    # edges lack neighbours -> null (reference rolling(center).construct)
+    assert out[1] is None and out[2] is None
+    assert out[5] is None and out[6] is None

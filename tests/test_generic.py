@@ -182,3 +182,19 @@ def test_count_level_crossings(spark):
     out = g.count_level_crossings(d, "value", "hi", 10.0, "YS",
                                   cells=["cell"], alias="n").collect()
     assert out[0]["n"] == 2
+
+
+def test_first_last_occurrence(spark):
+    from xclim_spark.operators import generic as g
+    from xclim_spark.testing import timeseries
+
+    d = timeseries(spark, [1.0, 9.0, 3.0, 9.5, 2.0], start="2000-01-01")
+    f = g.first_occurrence(d, "value", ">", 8.0, "YS", cells=["cell"],
+                           alias="doy").collect()
+    l = g.last_occurrence(d, "value", ">", 8.0, "YS", cells=["cell"],
+                          alias="doy").collect()
+    assert f[0]["doy"] == 2 and l[0]["doy"] == 4
+    # condition never met -> null, matching the reference's NaN
+    f2 = g.first_occurrence(d, "value", ">", 99.0, "YS", cells=["cell"],
+                            alias="doy").collect()
+    assert f2[0]["doy"] is None

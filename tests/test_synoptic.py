@@ -63,3 +63,37 @@ def test_jetstream_filters_latitude_band(spark):
     df = spark.createDataFrame(rows, "time date, lat double, ua double")
     out = synoptic.jetstream_metric_woollings(df, "ua").collect()
     assert all(r["jetlat"] == 40.0 for r in out)
+
+
+def test_eccentricity_and_time_correction(spark):
+    """Spot-check the Spencer eccentricity factor and the solar-time
+    correction against the reference formulas evaluated in numpy."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from xclim_spark.functions import solar
+
+    df = spark.createDataFrame(
+        [("2001-01-03",), ("2001-07-04",), ("2000-02-29",)], "d STRING"
+    ).select(F.to_date("d").alias("d"))
+    rows = df.select(
+        solar.eccentricity_correction_factor("d").alias("ecf"),
+        solar.time_correction_for_solar_angle("d").alias("tc"),
+    ).collect()
+
+    def ref(doy, diy):
+        da = (doy - 1) / diy * 2 * math.pi
+        ecf = (1.0001100 + 0.034221 * math.cos(da) + 0.001280 * math.sin(da)
+               + 0.000719 * math.cos(2 * da) + 0.000077 * math.sin(2 * da))
+        tc_deg = (0.004297 + 0.107029 * math.cos(da) - 1.837877 * math.sin(da)
+                  - 0.837378 * math.cos(2 * da) - 2.340475 * math.sin(2 * da))
+        tc = (tc_deg * math.pi / 180.0 + math.pi) % (2 * math.pi) - math.pi
+        return ecf, tc
+
+    for (doy, diy), r in zip([(3, 365), (185, 365), (60, 366)], rows):
+        ecf, tc = ref(doy, diy)
+        assert r["ecf"] == pytest.approx(ecf, rel=1e-12)
+        assert r["tc"] == pytest.approx(tc, rel=1e-12)
+    # perihelion-ish: ecf near max (~1.035); aphelion: near min (~0.967)
+    assert rows[0]["ecf"] > 1.03 and rows[1]["ecf"] < 0.97

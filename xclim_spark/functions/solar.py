@@ -209,3 +209,35 @@ def make_hourly_temperature(
         .withColumn("tas", tas)
         .drop("_dl", "_next_tn", "_sunset", "_h")
     )
+
+def eccentricity_correction_factor(time, method: str = "spencer") -> Column:
+    """Eccentricity correction factor of Earth's orbit — squared ratio of
+    mean to instantaneous Earth-Sun distance (reference
+    helpers.py:195-242: Spencer 1971 five-term Fourier series, or the
+    Perrin de Brichambaut two-term 'simple' form)."""
+    da = day_angle(time)
+    if method == "simple":
+        return 1.0 + 0.033 * F.cos(da)
+    if method == "spencer":
+        return (
+            1.0001100
+            + 0.034221 * F.cos(da) + 0.001280 * F.sin(da)
+            + 0.000719 * F.cos(2 * da) + 0.000077 * F.sin(2 * da)
+        )
+    raise NotImplementedError("method must be 'simple' or 'spencer'")
+
+
+def time_correction_for_solar_angle(time) -> Column:
+    """Watch-time -> solar-time correction angle [rad], wrapped to
+    (-pi, pi] (reference helpers.py:166-193; Di Napoli 2020).  The
+    Fourier fit is evaluated in degrees then converted, exactly as the
+    reference does."""
+    da = day_angle(time)
+    tc_deg = (
+        0.004297 + 0.107029 * F.cos(da) - 1.837877 * F.sin(da)
+        - 0.837378 * F.cos(2 * da) - 2.340475 * F.sin(2 * da)
+    )
+    # numpy's % is sign-of-divisor; Spark's % is sign-of-dividend, so the
+    # wrap must use pmod to match _wrap_radians (helpers.py:88)
+    return F.pmod(tc_deg * (_PI / 180.0) + _PI, F.lit(2.0 * _PI)) - _PI
+

@@ -105,6 +105,25 @@ _DI_K_NORTH = {4: 0.1, 5: 0.3, 6: 0.5, 7: 0.5, 8: 0.5, 9: 0.5}
 _DI_K_SOUTH = {10: 0.1, 11: 0.3, 12: 0.5, 1: 0.5, 2: 0.5, 3: 0.5}
 
 
+def qian_weighted_mean_average(
+    df: DataFrame, var: str, *, time: str = "time",
+    cells: Sequence[str] = (), alias: str = "tas_qian",
+) -> DataFrame:
+    """Binomial five-day weighted moving average with emphasis on the
+    centre day: (x[n-2] + 4 x[n-1] + 6 x[n] + 4 x[n+1] + x[n+2]) / 16
+    (ref _agro.py:1245-1284, Qian 2010 / Bootsma 2005).  Edge days (and
+    neighbours of gaps) are null, matching the reference's centered
+    rolling with full-window requirement.  One sorted window pass per
+    cell — lag/lead over the same frame, no shuffle beyond the sort."""
+    w = Window.partitionBy(*cells).orderBy(time)
+    v = F.col(var)
+    sm = (
+        F.lag(v, 2).over(w) + 4.0 * F.lag(v, 1).over(w) + 6.0 * v
+        + 4.0 * F.lead(v, 1).over(w) + F.lead(v, 2).over(w)
+    ) / 16.0
+    return df.withColumn(alias, sm)
+
+
 def _month_map(mapping: dict[int, float], month: Column) -> Column:
     expr = F.lit(0.0)
     for m, v in mapping.items():

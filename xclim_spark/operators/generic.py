@@ -255,6 +255,41 @@ def domain_count(
     )
 
 
+def first_occurrence(
+    df: DataFrame, var: str, op: str, thresh, freq: str, *,
+    time: str = "time", cells: Sequence[str] = (), alias: str = "doy",
+    constrain: Sequence[str] | None = None, **indexer,
+) -> DataFrame:
+    """Day-of-year of the first day ``var op thresh`` per period (ref
+    generic.py:1109-1154 — first_run with window=1, coord=dayofyear).
+    One aggregation, no window pass: min over the conditional doy."""
+    if constrain and _OP_ALIASES[op] not in constrain:
+        raise ValueError(f"Operator {op!r} not permitted here")
+    if indexer:
+        df = df.filter(select_time(time, **indexer))
+    cond = compare(var, op, thresh)
+    return _grouped(df, cells, time, freq).agg(
+        F.min(F.when(cond, F.dayofyear(time))).alias(alias)
+    )
+
+
+def last_occurrence(
+    df: DataFrame, var: str, op: str, thresh, freq: str, *,
+    time: str = "time", cells: Sequence[str] = (), alias: str = "doy",
+    constrain: Sequence[str] | None = None, **indexer,
+) -> DataFrame:
+    """Day-of-year of the last day ``var op thresh`` per period (ref
+    generic.py:1157-1202 — last_run with window=1, coord=dayofyear)."""
+    if constrain and _OP_ALIASES[op] not in constrain:
+        raise ValueError(f"Operator {op!r} not permitted here")
+    if indexer:
+        df = df.filter(select_time(time, **indexer))
+    cond = compare(var, op, thresh)
+    return _grouped(df, cells, time, freq).agg(
+        F.max(F.when(cond, F.dayofyear(time))).alias(alias)
+    )
+
+
 def count_level_crossings(
     df: DataFrame, low_var: str, high_var: str, thresh, freq: str, *,
     time: str = "time", cells: Sequence[str] = (), alias: str = "count",

@@ -3405,6 +3405,101 @@ def fire_components_ms(spark, sf_dir):
     )
 
 
+@_register(
+    "occurrence_doy_ys",
+    f"""WITH {DAILY_SQL}
+SELECT cell, CAST(date_trunc('year', day) AS DATE) AS period,
+       min(CASE WHEN qty > 45 THEN dayofyear(day) END) AS first_doy,
+       max(CASE WHEN qty > 45 THEN dayofyear(day) END) AS last_doy
+FROM daily GROUP BY 1, 2""",
+)
+def occurrence_doy_ys(spark, sf_dir):
+    """first_occurrence + last_occurrence (ref generic.py:1109,1157):
+    doy bounds of a condition per year, joined into one result."""
+    d = daily_series(spark, sf_dir)
+    first = g.first_occurrence(d, "qty", ">", 45.0, "YS", time="day",
+                               cells=["cell"], alias="first_doy")
+    last = g.last_occurrence(d, "qty", ">", 45.0, "YS", time="day",
+                             cells=["cell"], alias="last_doy")
+    return first.join(last, ["cell", "period"])
+
+
+@_register(
+    "qian_smooth_ms",
+    f"""WITH {DAILY_SQL},
+sm AS (
+  SELECT cell, day,
+         (lag(qty, 2) OVER w + 4.0 * lag(qty, 1) OVER w + 6.0 * qty
+          + 4.0 * lead(qty, 1) OVER w + lead(qty, 2) OVER w) / 16.0 AS q
+  FROM daily
+  WINDOW w AS (PARTITION BY cell ORDER BY day)
+)
+SELECT cell, CAST(date_trunc('month', day) AS DATE) AS period,
+       ROUND(avg(q), 6) AS qian_mean
+FROM sm GROUP BY 1, 2""",
+)
+def qian_smooth_ms(spark, sf_dir):
+    """qian_weighted_mean_average (ref _agro.py:1245): binomial 5-day
+    centered smoothing, then monthly means.  Nulls at series edges drop
+    out of avg on both engines."""
+    from .operators import agro
+
+    d = daily_series(spark, sf_dir)
+    sm = agro.qian_weighted_mean_average(d, "qty", time="day",
+                                         cells=["cell"], alias="q")
+    return sm.groupBy(
+        "cell", period_start("day", "MS").alias("period")
+    ).agg(F.round(F.avg("q"), 6).alias("qian_mean"))
+
+
+@_register(
+    "solar_correction_ms",
+    f"""WITH {DAILY_SQL},
+d AS (
+  SELECT DISTINCT CAST(date_trunc('month', day) AS DATE) AS period, day
+  FROM daily
+),
+a AS (
+  SELECT period, day,
+         (dayofyear(day) - 1)
+           / (CASE WHEN (year(day) % 4 = 0 AND year(day) % 100 <> 0)
+                     OR year(day) % 400 = 0 THEN 366.0 ELSE 365.0 END)
+           * 2.0 * pi() AS da
+  FROM d
+),
+e AS (
+  SELECT period,
+         1.0001100 + 0.034221 * cos(da) + 0.001280 * sin(da)
+           + 0.000719 * cos(2 * da) + 0.000077 * sin(2 * da) AS ecf,
+         fmod((0.004297 + 0.107029 * cos(da) - 1.837877 * sin(da)
+               - 0.837378 * cos(2 * da) - 2.340475 * sin(2 * da))
+              * pi() / 180.0 + pi(), 2.0 * pi()) - pi() AS tc
+  FROM a
+)
+SELECT period, ROUND(avg(ecf), 9) AS ecf_mean, ROUND(avg(tc), 9) AS tc_mean
+FROM e GROUP BY 1""",
+)
+def solar_correction_ms(spark, sf_dir):
+    """eccentricity_correction_factor + time_correction_for_solar_angle
+    (ref helpers.py:166-242) — monthly means over the distinct calendar
+    days of the series; pure codegen'd trigonometry."""
+    from .functions import solar
+
+    d = daily_series(spark, sf_dir)
+    days = d.select(
+        period_start("day", "MS").alias("period"), "day"
+    ).distinct()
+    e = days.select(
+        "period",
+        solar.eccentricity_correction_factor("day").alias("ecf"),
+        solar.time_correction_for_solar_angle("day").alias("tc"),
+    )
+    return e.groupBy("period").agg(
+        F.round(F.avg("ecf"), 9).alias("ecf_mean"),
+        F.round(F.avg("tc"), 9).alias("tc_mean"),
+    )
+
+
 # The driver's correctness harness evaluates queries in dict order and has
 # historically recorded only the first 50.  Emit the queries that have never
 # received a driver-side green row first (round 3 covered registration
@@ -3413,6 +3508,7 @@ def fire_components_ms(spark, sf_dir):
 _PRIORITY = [
     "decontam_docs", "mixture_sample_src", "tree_tx_days_above",
     "level_crossings_ms", "winter_rain_ratio_qs", "fire_components_ms",
+    "occurrence_doy_ys", "qian_smooth_ms", "solar_correction_ms",
     "sdba_dqm_adjust_ms",
     "sdba_qdm_adjust_ms",
     "sdba_eqm_adjust_ms",
