@@ -280,3 +280,30 @@ def test_rle_statistics_quantile_reducer(spark):
     out = rl.rle_statistics(df, F.col("v") > 0.5, "q50", 1,
                             time="time", cells=["cell"]).collect()
     assert out[0]["rle_stat"] == 3.0  # median of run lengths {2, 3, 5}
+
+
+def test_spell_mask_min_gap_merges_short_breaks(spark):
+    """min_gap merging (ref generic.py:537-538): gaps shorter than
+    min_gap between spells are absorbed into one spell."""
+    from pyspark.sql import functions as F
+
+    from xclim_spark.operators import run_length as rl
+    from xclim_spark.testing import timeseries
+
+    # mask: T T F T T F F T -> with min_gap=2 the single-day gap fills
+    d = timeseries(spark, [5.0, 5.0, 0.0, 5.0, 5.0, 0.0, 0.0, 5.0],
+                   start="2000-01-01")
+    out = rl.spell_mask(d, "value", 1, "min", ">", 1.0, cells=["cell"],
+                        min_gap=2).orderBy("time").collect()
+    assert [r["is_spell"] for r in out] == [
+        True, True, True, True, True, False, False, True]
+
+    # and through spell_length_statistics: longest merged spell = 5
+    st = rl.spell_length_statistics(
+        d, "value", 1, "min", ">", 1.0, "max", "YS", cells=["cell"],
+        min_gap=2, alias="sl").collect()
+    assert st[0]["sl"] == 5
+    st1 = rl.spell_length_statistics(
+        d, "value", 1, "min", ">", 1.0, "max", "YS", cells=["cell"],
+        alias="sl").collect()
+    assert st1[0]["sl"] == 2  # without merging

@@ -567,6 +567,7 @@ def spell_mask(
     order_extra: Sequence[str] = (),
     var_reducer: str = "all",
     weights: Sequence[float] | None = None,
+    min_gap: int = 1,
     mask_name: str = "is_spell",
 ) -> DataFrame:
     """Boolean "day is part of a spell" column (reference generic.py:434-540).
@@ -621,7 +622,18 @@ def spell_mask(
         combined = (combined & c) if var_reducer == "all" else (combined | c)
     # A day is in a spell if any of the next window-1 trailing windows hit.
     in_spell = F.max(combined.cast("int")).over(fwd) == 1
-    return df.withColumn(mask_name, F.coalesce(in_spell, F.lit(False)))
+    out = df.withColumn(mask_name, F.coalesce(in_spell, F.lit(False)))
+    if min_gap > 1:
+        # merge spells separated by gaps shorter than min_gap (reference
+        # generic.py:537-538: runs_with_holes(mask, 1, ~mask, min_gap))
+        out = runs_with_holes(
+            out, F.col(mask_name), 1, ~F.col(mask_name), min_gap,
+            time=time, cells=cells, order_extra=order_extra,
+            state_name="_gapfilled",
+        )
+        out = out.drop(mask_name).withColumnRenamed("_gapfilled", mask_name)
+        out = out.withColumn(mask_name, F.col(mask_name).cast("boolean"))
+    return out
 
 
 def spell_length_statistics(
@@ -641,12 +653,14 @@ def spell_length_statistics(
     resample_before_rl: bool = False,
     alias: str = "spell_stat",
     min_window: int = 1,
+    min_gap: int = 1,
 ) -> DataFrame:
     """Period statistics of spell lengths (reference generic.py:543-769,
-    covering both the univariate and bivariate forms)."""
+    covering both the univariate and bivariate forms, incl. min_gap
+    merging of spells separated by short breaks)."""
     masked = spell_mask(df, var, window, win_reducer, op, thresh, time=time,
                         cells=cells, order_extra=order_extra,
-                        var_reducer=var_reducer)
+                        var_reducer=var_reducer, min_gap=min_gap)
     if spell_reducer == "count":
         return windowed_run_events(masked, F.col("is_spell"), min_window,
                                    freq=freq, time=time, cells=cells,
