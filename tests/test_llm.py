@@ -427,3 +427,21 @@ def test_map_over_nodes_tags_and_unions(spark):
     assert sorted(r["node"] for r in rows) == ["a", "b"]
     assert all(r["tx_days_above"] == 2 for r in rows)
     assert "history" in res.attrs
+
+
+def test_repetition_stats(spark):
+    from xclim_spark.llm import pipeline as pl
+
+    df = _docs(spark, [
+        "a a a a",            # one word repeated
+        "a b c d",            # all distinct
+        "x y x y x y",        # dominant bigram
+    ])
+    out = {r["doc_id"]: r for r in pl.repetition_stats(df).collect()}
+    assert out[0]["top_word_frac"] == pytest.approx(1.0)
+    assert out[0]["distinct_word_frac"] == pytest.approx(0.25)
+    assert out[0]["top_bigram_frac"] == pytest.approx(1.0)  # 'a a' x3
+    assert out[1]["top_word_frac"] == pytest.approx(0.25)
+    assert out[1]["distinct_word_frac"] == pytest.approx(1.0)
+    # 'x y' appears 3 of 5 bigrams
+    assert out[2]["top_bigram_frac"] == pytest.approx(3 / 5)

@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "word_ngrams",
+    "repetition_stats",
     "decontaminate",
     "hex_threshold",
     "sample_hash",
@@ -146,3 +147,34 @@ def mixture_sample(
             F.col(source_col) == src, F.lit(hex_threshold(rate))
         ).otherwise(thresh)
     return df.filter(h < thresh)
+
+def repetition_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Within-document repetition measures (Gopher section A1.1-style
+    quality filters): fraction of tokens taken by the most frequent
+    word / bigram, and the distinct-token fraction.
+
+    Shape: explode tokens -> two-level aggregation keyed by
+    ``(doc, token)`` then ``doc``.  Both levels partial-aggregate
+    map-side; the per-token frequency never needs the text after the
+    first projection, and no per-document O(len^2) array scan exists —
+    the relational form stays linear at 100 TB.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+
+    def _top_frac(grams: Column, out_prefix: str) -> DataFrame:
+        t = docs.select(F.col(id_col), F.explode(grams).alias("g"))
+        c = t.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("cnt"))
+        return c.groupBy(id_col).agg(
+            (F.max("cnt") / F.sum("cnt")).alias(f"top_{out_prefix}_frac"),
+            (F.count(F.lit(1)) / F.sum("cnt")).alias(
+                f"distinct_{out_prefix}_frac"),
+        )
+
+    uni = _top_frac(toks, "word")
+    bi = _top_frac(word_ngrams(F.col(text_col), 2), "bigram") \
+        .drop("distinct_bigram_frac")
+    return uni.join(bi, id_col, "left")
