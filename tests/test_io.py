@@ -65,3 +65,31 @@ def test_ingest_with_injected_reader(spark):
 def test_default_reader_raises_without_libs(spark):
     with pytest.raises(NotImplementedError):
         ingest_netcdf(spark, ["/fake/a.nc"], "time TIMESTAMP, tas DOUBLE")
+
+
+def test_bucketed_table_feeds_window_and_agg_without_exchange(spark, tmp_path):
+    """The bucketed+sorted layout must remove the shuffle from cell-keyed
+    window and aggregation plans — the engine's dominant access pattern."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from xclim_spark.io.dataset import write_bucketed_table
+    from xclim_spark.testing import timeseries
+
+    d = timeseries(spark, [float(i % 7) for i in range(200)],
+                   start="2000-01-01")
+    d = d.withColumn("cell", (F.dayofyear("time") % 5).cast("int"))
+    write_bucketed_table(d, "bucketed_t", cells=("cell",), buckets=4)
+    try:
+        t = spark.table("bucketed_t")
+        w = Window.partitionBy("cell").orderBy("time")
+        win_plan = (t.withColumn("lag", F.lag("value").over(w))
+                    ._jdf.queryExecution().executedPlan().toString())
+        agg_plan = (t.groupBy("cell").agg(F.sum("value"))
+                    ._jdf.queryExecution().executedPlan().toString())
+        assert "Exchange" not in win_plan
+        assert "Exchange" not in agg_plan
+        # and the data round-trips
+        assert t.count() == 200
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bucketed_t")

@@ -14,7 +14,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["write_dataset", "read_dataset"]
+__all__ = ["write_dataset", "read_dataset", "write_bucketed_table"]
 
 
 def write_dataset(
@@ -58,3 +58,36 @@ def read_dataset(
         keep = [c for c in df.columns if c in set(columns) | {"year"}]
         df = df.select(*keep)
     return df
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    *,
+    cells: Sequence[str] = ("cell",),
+    time: str = "time",
+    buckets: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Save as a managed table bucketed by the cell key and sorted by
+    (cells, time).
+
+    This is the zero-shuffle layout for this engine's dominant access
+    pattern: every run-length / spell / rolling / resample operator
+    windows or groups on the cell key, and a bucketed+sorted table feeds
+    them with NO Exchange in the physical plan (verified in
+    tests/test_io.py) — at 100 TB that deletes the per-query terabyte
+    shuffle entirely; co-bucketed tables additionally join shuffle-free.
+    ``buckets`` defaults to the session's shuffle partitions so the
+    bucket width matches downstream parallelism.
+    """
+    if buckets is None:
+        buckets = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+    (
+        df.write.mode(mode)
+        .bucketBy(buckets, *cells)
+        .sortBy(*cells, time)
+        .saveAsTable(table)
+    )
