@@ -199,3 +199,86 @@ def test_overwintering_drought_code_values(spark):
     assert rows[0]["odc"] == pytest.approx(ref(300.0, 100.0), rel=1e-12)
     assert rows[1]["odc"] == 15.0  # heavy winter rain floors at min_dc
     assert rows[2]["odc"] is None  # null in, null out
+
+
+def test_fire_season_mask_block_wf93_la08():
+    from xclim_spark.operators import fire
+
+    n = 20
+    tas = np.full((n, 1), 20.0)
+    tas[:6] = 0.0
+    tas[15:] = 0.0
+    m = fire.fire_season_mask_block(tas, method="WF93")[:, 0]
+    # WF93 window EXCLUDES today: start at first day whose previous 3
+    # days all exceeded 12degC -> day 9; end when previous 3 all below 5
+    assert not m[:9].any()
+    assert m[9:18].all()
+    assert not m[18:].any()
+
+    snd = np.zeros((n, 1))
+    snd[:5] = 0.5  # snow on ground
+    snd[16:] = 0.5
+    m2 = fire.fire_season_mask_block(tas, snd=snd, method="LA08")[:, 0]
+    # LA08: on once 3 days incl. today are snow-free; off on snow day
+    assert not m2[:7].any()
+    assert m2[7:16].all()
+    assert not m2[16:].any()
+
+
+def test_seasonal_cffwis_matches_segmented_1d_kernel():
+    """With a season mask, each ON segment must equal the 1-D kernel run
+    on that segment with start values; OFF days are NaN."""
+    from xclim_spark.operators import fire
+
+    n = 40
+    rng = np.random.default_rng(5)
+    tas = rng.uniform(10, 30, (n, 1))
+    pr = rng.exponential(1.0, (n, 1))
+    hurs = rng.uniform(30, 90, (n, 1))
+    ws = rng.uniform(0, 20, (n, 1))
+    months = np.full(n, 7)
+    mask = np.zeros((n, 1), dtype=bool)
+    mask[5:18, 0] = True
+    mask[25:36, 0] = True
+    out = fire.cffwis_block(tas, pr, hurs, ws, months, 45.0,
+                            season_mask=mask)
+    fwi = out["fwi"][:, 0]
+    assert np.isnan(fwi[:5]).all() and np.isnan(fwi[18:25]).all() \
+        and np.isnan(fwi[36:]).all()
+    for s0, s1 in ((5, 18), (25, 36)):
+        exp = fire.cffwis_1d(tas[s0:s1, 0], pr[s0:s1, 0], hurs[s0:s1, 0],
+                             ws[s0:s1, 0], months[s0:s1], 45.0)
+        np.testing.assert_allclose(fwi[s0:s1], exp["fwi"], rtol=1e-12)
+
+
+def test_seasonal_cffwis_overwintering_dc():
+    """With overwintering, the second season's DC starts from wDC of the
+    stored last DC and the off-season precipitation total."""
+    import math
+
+    from xclim_spark.operators import fire
+
+    n = 30
+    tas = np.full((n, 1), 20.0)
+    pr = np.full((n, 1), 0.4)
+    pr[12:20] = 3.0  # off-season rain accumulates into winter_pr
+    hurs = np.full((n, 1), 50.0)
+    ws = np.full((n, 1), 10.0)
+    months = np.full(n, 7)
+    mask = np.zeros((n, 1), dtype=bool)
+    mask[2:12, 0] = True
+    mask[20:, 0] = True
+    out = fire.cffwis_block(tas, pr, hurs, ws, months, 45.0,
+                            season_mask=mask, overwintering=True)
+    dc = out["dc"][:, 0]
+    last_dc = dc[11]
+    winter_pr = pr[12:20, 0].sum()  # shut-down day (12) through winter
+    qf = 800.0 * math.exp(-last_dc / 400.0)
+    qs = 0.75 * qf + 0.75 * 3.94 * winter_pr
+    wdc = max(400.0 * math.log(800.0 / qs), 15.0)
+    # day 20 output = one DC step applied to the overwintered start
+    from xclim_spark.operators.fire import _dc
+    assert out["dc"][20, 0] == pytest.approx(_dc(20.0, 0.4, 7, 45.0, wdc),
+                                             rel=1e-12)
+    # and it differs from the plain restart (dc0=15)
+    assert abs(wdc - 15.0) > 1.0

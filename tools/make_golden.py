@@ -75,6 +75,70 @@ def golden_fwi_max_ys(con) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["cell", "period", "fwi_max"])
 
 
+def golden_fwi_season_ys(con) -> pd.DataFrame:
+    """Seasonal+overwintered CFFWIS, independently orchestrated: the
+    season mask automaton runs per cell, each ON segment is computed by
+    the scalar 1-D kernel (cffwis_1d) from its start values, and the
+    Drought Code is overwintered with the closed-form wDC between
+    segments — a different orchestration from the library's vectorized
+    in-loop automaton (cffwis_block season path)."""
+    import math
+
+    from xclim_spark.operators.fire import cffwis_1d, fire_season_mask_block
+
+    d = daily(con)
+    rows = []
+    for cell, g in d.groupby("cell"):
+        g = g.sort_values("day")
+        qty = g["qty"].to_numpy()
+        price = g["price"].to_numpy()
+        tas = qty - 5.0
+        prcp = np.maximum(0.0, price / 20000.0 - 2.0)
+        hurs = np.minimum(99.0, 30.0 + qty)
+        ws = 5.0 + qty / 2.0
+        months = pd.to_datetime(g["day"]).dt.month.to_numpy()
+        years = pd.to_datetime(g["day"]).dt.year.to_numpy()
+        mask = fire_season_mask_block(tas[:, None], method="WF93")[:, 0]
+        n = len(tas)
+        fwi = np.full(n, np.nan)
+        ow_dc = None
+        winter_pr = 0.0
+        i = 0
+        prev = False
+        seg_start = None
+        for i in range(n + 1):
+            cur = bool(mask[i]) if i < n else False
+            if cur and not prev:
+                seg_start = i
+                winter_start = None
+            if prev and not cur:
+                # segment [seg_start, i): run the scalar kernel
+                if ow_dc is None:
+                    dc0 = 15.0
+                else:
+                    qf = 800.0 * math.exp(-ow_dc / 400.0)
+                    qs = 0.75 * qf + 0.75 * 3.94 * winter_pr
+                    dc0 = max(400.0 * math.log(800.0 / qs), 15.0)
+                seg = cffwis_1d(tas[seg_start:i], prcp[seg_start:i],
+                                hurs[seg_start:i], ws[seg_start:i],
+                                months[seg_start:i], 47.0, dc0=dc0)
+                fwi[seg_start:i] = seg["fwi"]
+                ow_dc = seg["dc"][-1]
+                winter_pr = 0.0
+            if not cur and i < n:
+                winter_pr += prcp[i]
+            prev = cur
+        for y in np.unique(years):
+            sel = fwi[years == y]
+            m = float(np.nanmax(sel)) if not np.all(np.isnan(sel)) \
+                else None
+            ndays = int(np.sum(mask[years == y]))
+            rows.append((cell, pd.Timestamp(int(y), 1, 1).date(),
+                         None if m is None else round(m, 6), ndays))
+    return pd.DataFrame(rows, columns=["cell", "period", "fwi_max",
+                                       "season_days"])
+
+
 def golden_ffdi_max_ys(con) -> pd.DataFrame:
     from xclim_spark.operators.fire import (
         griffiths_drought_factor_1d,
@@ -307,6 +371,7 @@ def golden_agro_rain_season_ys(con) -> pd.DataFrame:
 GOLDENS = {
     "agro_rain_season_ys": golden_agro_rain_season_ys,
     "fwi_max_ys": golden_fwi_max_ys,
+    "fwi_season_ys": golden_fwi_season_ys,
     "ffdi_max_ys": golden_ffdi_max_ys,
     "spi_ms": golden_spi_ms,
     "spei_ms": golden_spei_ms,

@@ -9,10 +9,11 @@ series for one cell in one task, a tight numpy loop inside.  A streaming
 deployment would swap the groupBy for ``transformWithStateInPandas``
 keyed the same way with the three moisture codes as state.
 
-This implements the "always on" season mode (``season_method=None``) of
-``fire_weather_ufunc`` (_cffwis.py:883-1169) — the overwintering and
-fire-season start/stop automata layer on top of the same per-day
-equations.  All equations are the published Van Wagner 1987 / cffdrs
+This implements ``fire_weather_ufunc`` (_cffwis.py:883-1169) including
+the fire-season start/stop automaton (WF93/LA08/GFWED masks), DC
+overwintering (cffdrs wDC), and the CFS dry-spring start, on top of the
+same per-day equations; only the GFWED snow-hybrid dry-start modes are
+omitted.  All equations are the published Van Wagner 1987 / cffdrs
 forms (equation numbers cited inline, as in the reference).
 """
 
@@ -31,7 +32,8 @@ from ..util import repartition_for_apply
 __all__ = ["cffwis_indices", "cffwis_1d", "daily_severity_rating",
            "kbdi_1d", "griffiths_drought_factor_1d", "mcarthur_ffdi",
            "ffdi_indices", "initial_spread_index", "build_up_index",
-           "fire_weather_index", "overwintering_drought_code"]
+           "fire_weather_index", "overwintering_drought_code",
+           "fire_season_mask_block"]
 
 DAY_LENGTHS = np.array([
     [11.5, 10.5, 9.2, 7.9, 6.8, 6.2, 6.5, 7.4, 8.7, 10, 11.2, 11.8],
@@ -292,10 +294,73 @@ def _fwi_v(isi, bui):
     return np.where(fwi > 1.0, big, fwi)
 
 
+def fire_season_mask_block(
+    tas, snd=None, method: str = "WF93",
+    temp_start_thresh: float = 12.0, temp_end_thresh: float = 5.0,
+    temp_condition_days: int = 3, snow_condition_days: int = 3,
+    snow_thresh: float = 0.01,
+):
+    """Fire-season mask over a (n_days, n_cells) block (reference
+    ``_fire_season``, _cffwis.py:569-655): WF93 (temperature runs,
+    window EXCLUDES the current day), LA08 (snow-cover runs, window
+    includes today), GFWED (windowed means).  Returns a bool matrix;
+    day i is ON if the previous day was on or a start-up fired, and no
+    shut-down fired."""
+    tas = np.asarray(tas, dtype=float)
+    n, k = tas.shape
+    if method in ("LA08", "GFWED"):
+        if snd is None:
+            raise ValueError(f"method {method!r} requires snow depth snd")
+        snd = np.asarray(snd, dtype=float)
+    mask = np.zeros((n, k), dtype=bool)
+    if method == "WF93":
+        start_index = temp_condition_days + 1
+    elif method in ("LA08", "GFWED"):
+        start_index = max(temp_condition_days, snow_condition_days)
+    else:
+        raise ValueError("method must be one of 'WF93', 'LA08', 'GFWED'")
+    with np.errstate(all="ignore"):
+        for it in range(start_index, n):
+            if method == "WF93":
+                temp = tas[it - temp_condition_days:it]
+                start_up = np.all(temp > temp_start_thresh, axis=0)
+                shut_down = np.all(temp < temp_end_thresh, axis=0)
+            elif method == "LA08":
+                snow = snd[it - snow_condition_days + 1:it + 1]
+                temp = tas[it - temp_condition_days + 1:it + 1]
+                start_up = np.all(snow <= snow_thresh, axis=0)
+                shut_down = (snd[it] > snow_thresh) | np.all(
+                    temp < temp_end_thresh, axis=0)
+            else:  # GFWED
+                msnow = np.mean(snd[it - snow_condition_days + 1:it + 1],
+                                axis=0)
+                mtemp = np.mean(tas[it - temp_condition_days + 1:it + 1],
+                                axis=0)
+                start_up = (mtemp > temp_start_thresh) & (msnow < snow_thresh)
+                shut_down = (msnow >= snow_thresh) | (mtemp < temp_end_thresh)
+            mask[it] = (mask[it - 1] | start_up) & ~shut_down
+    return mask
+
+
+def _overwinter_dc_v(dcf, wpr, a, b, min_dc):
+    """Vectorized wDC (reference _overwintering_drought_code,
+    _cffwis.py:522-553); NaN in, NaN out."""
+    qf = 800.0 * np.exp(-np.asarray(dcf, dtype=float) / 400.0)
+    qs = a * qf + b * (3.94 * np.asarray(wpr, dtype=float))
+    return np.maximum(400.0 * np.log(800.0 / qs), min_dc)
+
+
 def cffwis_block(
     tas, pr, hurs, ws, months, lat,
     ffmc0: float = 85.0, dmc0: float = 6.0, dc0: float = 15.0,
     present=None,
+    season_mask=None, overwintering: bool = False,
+    dry_start: str | None = None,
+    carry_over_fraction: float = 0.75,
+    wetting_efficiency_fraction: float = 0.75,
+    prec_thresh: float = 1.0,
+    dc_dry_factor: float = 5.0, dmc_dry_factor: float = 2.0,
+    initial_start_up: bool = True,
 ):
     """CFFWIS over a BLOCK of cells: inputs are (n_days, n_cells) arrays
     on a shared time axis; the day loop is Python but every step is a
@@ -305,7 +370,18 @@ def cffwis_block(
     ``present`` marks which (day, cell) slots exist in the source; absent
     slots carry state through unchanged and emit nothing (a cell's own
     series is processed exactly as the 1-D kernel would).
-    """
+
+    ``season_mask`` (bool, same shape) switches on the reference's
+    start-up/shut-down automaton (``_fire_weather_calc``,
+    _cffwis.py:655-880): outside the fire season all codes are NaN; at
+    shut-down the last DC is stored; at start-up FFMC/DMC reset to their
+    start values and DC either resets (plain), continues from the
+    dry-spring accumulator (``dry_start='CFS'``), or is overwintered
+    from the stored DC + accumulated off-season precipitation
+    (``overwintering=True``, the cffdrs wDC method).  ``ffmc0``/
+    ``dmc0``/``dc0`` double as the season start values, exactly like the
+    reference's ``*_start`` params.  The GFWED/snow dry-start hybrids
+    are not implemented (they need snow-cover history on top of LA08)."""
     tas = np.asarray(tas, dtype=float)
     n, k = tas.shape
     pr = np.asarray(pr, dtype=float)
@@ -317,9 +393,26 @@ def cffwis_block(
             else np.asarray(lat, dtype=float))
     dl_tab = [_day_length_v(latv, m) for m in range(1, 13)]
     fl_tab = [_day_length_factor_v(latv, m) for m in range(1, 13)]
-    f = np.full(k, ffmc0)
-    dm = np.full(k, dmc0)
-    dc_ = np.full(k, dc0)
+    if dry_start not in (None, "CFS"):
+        raise NotImplementedError(
+            "dry_start supports None or 'CFS' (GFWED/snow hybrids need "
+            "snow-cover history)")
+    seasonal = season_mask is not None
+    if seasonal:
+        smask = np.asarray(season_mask).astype(np.int16)
+        f = np.full(k, np.nan)
+        dm = np.full(k, np.nan)
+        dc_ = np.full(k, np.nan)
+        # previous season's DC (overwintering) or dry-spring accumulators
+        ow_dc = np.full(k, np.nan) if overwintering else np.full(k, dc0)
+        ow_dmc = np.full(k, dmc0)
+        winter_pr = np.zeros(k)
+        prev = (np.zeros(k, dtype=np.int16) if initial_start_up
+                else smask[0])
+    else:
+        f = np.full(k, ffmc0)
+        dm = np.full(k, dmc0)
+        dc_ = np.full(k, dc0)
     out = {key: np.full((n, k), np.nan)
            for key in ("ffmc", "dmc", "dc", "isi", "bui", "fwi")}
     with np.errstate(all="ignore"):
@@ -327,6 +420,50 @@ def cffwis_block(
             t, p, h, w = tas[i], pr[i], h_all[i], ws[i]
             pres = present[i]
             mth = int(months[i])
+            if seasonal:
+                cur = smask[i]
+                delta = cur - prev
+                shut_down = delta == -1
+                winter = (delta == 0) & (cur == 0)
+                start_up = delta == 1
+                p_safe = np.where(pres, p, 0.0)
+                # --- DC start-up/shut-down (ref _cffwis.py:760-812) ---
+                if overwintering:
+                    ow_dc[shut_down] = dc_[shut_down]
+                    winter_pr[shut_down] = p_safe[shut_down]
+                    winter_pr[winter] += p_safe[winter]
+                    wdc = _overwinter_dc_v(
+                        ow_dc, winter_pr, carry_over_fraction,
+                        wetting_efficiency_fraction, dc0)
+                    dc_[start_up] = np.where(
+                        np.isnan(ow_dc[start_up]), dc0, wdc[start_up])
+                    ow_dc[start_up] = np.nan
+                    winter_pr[start_up] = 0.0
+                elif dry_start == "CFS":
+                    wetpts = p_safe > prec_thresh
+                    ow_dc[shut_down] = dc0
+                    ow_dc[winter & wetpts] = dc0
+                    ow_dc[winter & ~wetpts] += dc_dry_factor
+                    dc_[start_up] = ow_dc[start_up]
+                    ow_dc[start_up] = np.nan
+                else:
+                    dc_[start_up] = dc0
+                dc_[shut_down] = np.nan
+                # --- DMC (ref :814-838) ---
+                if dry_start == "CFS":
+                    wetpts = p_safe > prec_thresh
+                    ow_dmc[shut_down] = dmc0
+                    ow_dmc[winter & wetpts] = dmc0
+                    ow_dmc[winter & ~wetpts] += dmc_dry_factor
+                    dm[start_up] = ow_dmc[start_up]
+                    ow_dmc[start_up] = np.nan
+                else:
+                    dm[start_up] = dmc0
+                dm[shut_down] = np.nan
+                # --- FFMC (ref :840-842) ---
+                f[start_up] = ffmc0
+                f[shut_down] = np.nan
+                prev = cur
             f = np.where(pres, _ffmc_v(t, p, w, h, f), f)
             dm = np.where(pres, _dmc_v(t, p, h, dl_tab[mth - 1], dm), dm)
             dc_ = np.where(pres, _dc_v(t, p, fl_tab[mth - 1], dc_), dc_)
@@ -504,9 +641,24 @@ def cffwis_indices(
     time: str = "time",
     cells: Sequence[str] = (),
     ffmc0: float = 85.0, dmc0: float = 6.0, dc0: float = 15.0,
+    snd: str | None = None,
+    season_method: str | None = None,
+    season_mask: str | None = None,
+    overwintering: bool = False,
+    dry_start: str | None = None,
+    season_params: dict | None = None,
 ) -> DataFrame:
     """Daily FFMC/DMC/DC/ISI/BUI/FWI per cell (reference
     ``cffwis_indices``, _cffwis.py:1278).
+
+    ``season_method`` — None ("always on"), 'WF93'/'LA08'/'GFWED'
+    (mask computed in-task from tas/snd via
+    :func:`fire_season_mask_block`), or 'mask' (read from the boolean
+    ``season_mask`` column).  ``overwintering`` carries the Drought Code
+    across seasons via the cffdrs wDC method; ``dry_start='CFS'``
+    accumulates the dry-spring factor instead.  ``season_params``
+    overrides the mask thresholds (temp_start_thresh, temp_end_thresh,
+    temp_condition_days, snow_condition_days, snow_thresh).
 
     ``lat`` is a scalar latitude or the name of a per-cell latitude
     column.  Plan: cells are hashed into ~2x-parallelism BLOCKS, one
@@ -526,6 +678,14 @@ def cffwis_indices(
     )
     cells_l = list(cells)
     variables = [tas, pr, hurs, sfcWind]
+    if snd is not None:
+        variables.append(snd)
+    if season_method == "mask":
+        if season_mask is None:
+            raise ValueError("season_method='mask' needs a season_mask "
+                             "column")
+        variables.append(season_mask)
+    sparams = dict(season_params or {})
 
     def _calc(pdf: pd.DataFrame) -> pd.DataFrame:
         # factorize-based pivot: ~10x faster than pivot_table for the
@@ -553,9 +713,46 @@ def cffwis_indices(
             latv[ccodes] = pdf[lat].to_numpy(dtype=float)
         else:
             latv = float(lat)
+        if season_method is None:
+            smask = None
+        elif season_method == "mask":
+            smask = np.nan_to_num(mats[season_mask]).astype(bool)
+        else:
+            # The block's time axis is the union of the block's cells'
+            # days; a cell absent on some axis rows must see the SAME
+            # automaton as its own compacted series (windows count the
+            # cell's own consecutive days, reference 1-D semantics).
+            # Compute per cell on the compacted rows, scatter back, and
+            # carry the mask across the cell's absent slots so the
+            # season state machine in cffwis_block sees no spurious
+            # transitions inside gaps.
+            # compact-to-top permutation: stable-sort each column so a
+            # cell's own present days stack contiguously from row 0 —
+            # then ONE vectorized automaton pass over (max_len, cells)
+            # gives every cell its compact-series mask (padding rows are
+            # NaN: comparisons are False, the mask just carries, and the
+            # scatter ignores them)
+            order = np.argsort(~present, axis=0, kind="stable")
+            lens = present.sum(axis=0)
+            lmax = int(lens.max()) if k else 0
+            comp_t = np.take_along_axis(mats[tas], order, axis=0)[:lmax]
+            comp_s = (np.take_along_axis(mats[snd], order, axis=0)[:lmax]
+                      if snd is not None else None)
+            mcomp = np.full((n, k), False)
+            mcomp[:lmax] = fire_season_mask_block(
+                comp_t, snd=comp_s, method=season_method, **sparams)
+            inv = np.argsort(order, axis=0, kind="stable")
+            scat = np.take_along_axis(mcomp.astype(float), inv, axis=0)
+            smf = np.where(present, scat, np.nan)
+            # carry the mask across a cell's absent slots so the season
+            # state machine sees no spurious transitions inside gaps
+            smask = (pd.DataFrame(smf).ffill().fillna(0.0)
+                     .to_numpy() > 0.5)
         res = cffwis_block(
             mats[tas], mats[pr], mats[hurs], mats[sfcWind], months, latv,
-            ffmc0=ffmc0, dmc0=dmc0, dc0=dc0, present=present)
+            ffmc0=ffmc0, dmc0=dmc0, dc0=dc0, present=present,
+            season_mask=smask, overwintering=overwintering,
+            dry_start=dry_start)
 
         flat = present.ravel()
         out = {}

@@ -3585,6 +3585,46 @@ def stream_dedup_exact(spark, sf_dir):
     return spark.table(sink)
 
 
+@_register(
+    "fwi_season_ys",
+    """-- golden-fixture oracle (tools/make_golden.py): independent
+-- orchestration — per-cell season automaton + segmented scalar kernel +
+-- closed-form wDC between segments; the library's vectorized in-loop
+-- automaton must reproduce it exactly
+SELECT cell, CAST(period AS DATE) AS period, fwi_max, season_days
+FROM '/root/repo/tests/golden/fwi_season_ys.parquet'""",
+)
+def fwi_season_ys(spark, sf_dir):
+    """Seasonal CFFWIS with WF93 start/stop automaton and overwintered
+    Drought Code (ref _cffwis.py:655-880 _fire_weather_calc +
+    fire_season): annual max FWI over in-season days plus the season-day
+    count."""
+    from .operators import fire
+
+    d = daily_series(spark, sf_dir)
+    met = (
+        d.withColumn("tas", F.col("qty") - 5.0)
+        .withColumn("prcp", F.greatest(F.lit(0.0),
+                                       F.col("price") / 20000.0 - 2.0))
+        .withColumn("hurs", F.least(F.lit(99.0), 30.0 + F.col("qty")))
+        .withColumn("ws", 5.0 + F.col("qty") / 2.0)
+    )
+    fwi = fire.cffwis_indices(met, tas="tas", pr="prcp", hurs="hurs",
+                              sfcWind="ws", lat=47.0, time="day",
+                              cells=["cell"], season_method="WF93",
+                              overwintering=True)
+    # off-season days come back as NULL (pandas NaN -> Arrow null); note
+    # Spark's isnan(NULL) is false, so the valid-day test must check
+    # BOTH null and NaN
+    valid = F.col("fwi").isNotNull() & ~F.isnan("fwi")
+    return fwi.groupBy(
+        "cell", period_start("day", "YS").alias("period")
+    ).agg(
+        F.round(F.max(F.when(valid, F.col("fwi"))), 6).alias("fwi_max"),
+        F.sum(valid.cast("long")).alias("season_days"),
+    )
+
+
 # The driver's correctness harness evaluates queries in dict order and has
 # historically recorded only the first 50.  Emit the queries that have never
 # received a driver-side green row first (round 3 covered registration
@@ -3594,7 +3634,7 @@ _PRIORITY = [
     "decontam_docs", "mixture_sample_src", "tree_tx_days_above",
     "level_crossings_ms", "winter_rain_ratio_qs", "fire_components_ms",
     "occurrence_doy_ys", "qian_smooth_ms", "solar_correction_ms",
-    "text_repetition_stats", "stream_dedup_exact",
+    "text_repetition_stats", "stream_dedup_exact", "fwi_season_ys",
     "sdba_dqm_adjust_ms",
     "sdba_qdm_adjust_ms",
     "sdba_eqm_adjust_ms",
