@@ -445,3 +445,25 @@ def test_repetition_stats(spark):
     assert out[1]["distinct_word_frac"] == pytest.approx(1.0)
     # 'x y' appears 3 of 5 bigrams
     assert out[2]["top_bigram_frac"] == pytest.approx(3 / 5)
+
+
+def test_pack_sequences_chunking(spark):
+    from xclim_spark.llm import pipeline as pl
+
+    # 4 docs of 3 tokens each, context 5: cumsum starts 0,3,6,9
+    df = spark.createDataFrame(
+        [(i, "a b c", "s") for i in range(4)],
+        "doc_id LONG, text STRING, source STRING")
+    rows = {r["doc_id"]: r["pack_id"]
+            for r in pl.pack_sequences(df, 5).collect()}
+    assert rows == {0: 0, 1: 0, 2: 1, 3: 1}
+    # deterministic: same result on re-run
+    assert rows == {r["doc_id"]: r["pack_id"]
+                    for r in pl.pack_sequences(df, 5).collect()}
+    # independent streams restart at pack 0
+    df2 = spark.createDataFrame(
+        [(0, "a b c", "s1"), (1, "a b c", "s2")],
+        "doc_id LONG, text STRING, source STRING")
+    out = {(r["source"], r["pack_id"])
+           for r in pl.pack_sequences(df2, 5).collect()}
+    assert out == {("s1", 0), ("s2", 0)}

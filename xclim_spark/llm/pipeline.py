@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "word_ngrams",
     "repetition_stats",
+    "pack_sequences",
     "decontaminate",
     "hex_threshold",
     "sample_hash",
@@ -178,3 +179,36 @@ def repetition_stats(
     bi = _top_frac(word_ngrams(F.col(text_col), 2), "bigram") \
         .drop("distinct_bigram_frac")
     return uni.join(bi, id_col, "left")
+
+
+def pack_sequences(
+    docs: DataFrame,
+    context_len: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stream_col: str | None = "source",
+) -> DataFrame:
+    """Assign documents to fixed-size training contexts — the GPT-style
+    "concatenate the stream, chunk every ``context_len`` tokens" packing,
+    expressed relationally: a running token total per stream (ordered by
+    ``id_col``, so the packing is deterministic and reproducible) and
+    ``pack_id = (cumsum - ntok) // context_len`` — the pack a document
+    STARTS in.
+
+    Scale shape: one window pass per stream partition (one sort, one
+    exchange keyed by ``stream_col``).  Streams are independent, so a
+    100 TB corpus packs in parallel across sources/shards; there is no
+    driver-side loop and no state beyond the running sum.  A document
+    longer than ``context_len`` simply spans packs, exactly like the
+    training-time chunker.
+    """
+    from pyspark.sql import Window
+
+    ntok = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    part = [stream_col] if stream_col else []
+    w = (Window.partitionBy(*part).orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cum = F.sum(ntok).over(w)
+    return docs.withColumn("ntok", ntok).withColumn(
+        "pack_id", F.floor((cum - ntok) / context_len).cast("long")
+    )

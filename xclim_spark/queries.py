@@ -3625,6 +3625,38 @@ def fwi_season_ys(spark, sf_dir):
     )
 
 
+@_register(
+    "pack_sequences_src",
+    r"""WITH t AS (
+  SELECT doc_id, source,
+         len(regexp_split_to_array(trim(text), '\s+')) AS ntok
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, ntok,
+         sum(ntok) OVER (PARTITION BY source ORDER BY doc_id
+                         ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT source, CAST(floor((cum - ntok) / 512) AS BIGINT) AS pack_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(ntok) AS BIGINT) AS toks
+FROM c GROUP BY 1, 2""",
+)
+def pack_sequences_src(spark, sf_dir):
+    """GPT-style sequence packing: deterministic per-source running token
+    total chunked into 512-token contexts; per-pack audit counts.  One
+    window pass per stream — no driver loop, no state."""
+    from .llm import pipeline as pl
+
+    docs = _read(spark, sf_dir, "documents")
+    packed = pl.pack_sequences(docs, 512)
+    return packed.groupBy("source", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ntok").alias("toks"),
+    )
+
+
 # The driver's correctness harness evaluates queries in dict order and has
 # historically recorded only the first 50.  Emit the queries that have never
 # received a driver-side green row first (round 3 covered registration
@@ -3635,6 +3667,7 @@ _PRIORITY = [
     "level_crossings_ms", "winter_rain_ratio_qs", "fire_components_ms",
     "occurrence_doy_ys", "qian_smooth_ms", "solar_correction_ms",
     "text_repetition_stats", "stream_dedup_exact", "fwi_season_ys",
+    "pack_sequences_src",
     "sdba_dqm_adjust_ms",
     "sdba_qdm_adjust_ms",
     "sdba_eqm_adjust_ms",
