@@ -48,6 +48,10 @@ HEADLINE = [
     # LLM-pipeline tier
     "dedup_exact", "dedup_fuzzy", "knn_similar_docs", "knn_lsh_docs",
     "text_stats_lang", "text_quality_by_source", "mm_decode_stats",
+    # round-4 session tier
+    "decontam_docs", "mixture_sample_src", "pack_sequences_src",
+    "text_repetition_stats", "tree_tx_days_above", "fwi_season_ys",
+    "fire_components_ms", "qian_smooth_ms", "sdba_dqm_adjust_ms",
 ]
 
 
