@@ -126,3 +126,29 @@ def test_grouper_and_kind_validation():
     eqm = sdba.EmpiricalQuantileMapping()
     with pytest.raises(ValueError):
         eqm.adjust(None, "v")
+
+
+def test_loci_matches_frequency_and_intensity(spark):
+    """LOCI on identical ref==hist must be the identity on wet days; on
+    a uniformly scaled hist it must restore the reference wet mean."""
+    import numpy as np
+
+    from xclim_spark import sdba
+    from xclim_spark.testing import timeseries
+
+    rng = np.random.default_rng(7)
+    vals = [float(v) for v in rng.gamma(2.0, 8.0, 200)]
+    d = timeseries(spark, vals, start="2000-01-01")
+    ref = d.select("cell", "time", F.col("value").alias("v"))
+    hist = d.select("cell", "time", (F.col("value") * 1.5).alias("v"))
+    loci = sdba.LOCI(thresh=10.0, group="time")
+    tr = loci.train(ref, hist, "v", cells=["cell"]).collect()[0]
+    # frequency matching: hist_thresh is the hist quantile at ref's dry
+    # fraction -> approx 1.5x the ref threshold for a scaled dist
+    assert tr["hist_thresh"] == pytest.approx(15.0, rel=0.15)
+    adj = loci.adjust(hist, "v", cells=["cell"])
+    got = adj.select(F.avg(F.when(F.col("v_adj") >= 10.0, F.col("v_adj")))
+                     .alias("m")).collect()[0]["m"]
+    want = ref.select(F.avg(F.when(F.col("v") >= 10.0, F.col("v")))
+                      .alias("m")).collect()[0]["m"]
+    assert got == pytest.approx(want, rel=0.05)

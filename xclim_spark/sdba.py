@@ -36,6 +36,7 @@ __all__ = [
     "DetrendedQuantileMapping",
     "QuantileDeltaMapping",
     "Scaling",
+    "LOCI",
     "equally_spaced_nodes",
 ]
 
@@ -297,3 +298,94 @@ class Scaling:
         x = F.col(var).cast("double")
         adj = x + F.col("af") if self.kind == "+" else x * F.col("af")
         return j.withColumn(out_col, adj).drop("_grp", "af")
+
+
+class LOCI:
+    """Local intensity scaling for precipitation (Schmidli, Frei &
+    Vidale 2006, Int. J. Climatol. 26 — the xsdba ``LOCI`` surface).
+
+    ``train``: per (cells, group), find the historical threshold whose
+    exceedance frequency matches the reference's wet-day frequency at
+    ``thresh`` (type-7 quantile of hist at the reference dry fraction),
+    then the scaling factor ``s = (mean ref wet - thresh) /
+    (mean hist above hist_thresh - hist_thresh)``.
+
+    ``adjust``: ``max(thresh + s * (sim - hist_thresh), 0)`` — dry days
+    stay dry, wet intensities rescale so the adjusted mean wet-day
+    intensity and wet-day frequency both match the reference.
+
+    Same plan shape as EQM: train is one aggregation producing a
+    dim-sized factor table; adjust is a co-keyed join + pure
+    expressions.
+    """
+
+    def __init__(self, *, thresh: float, group: str | Grouper = "time"):
+        self.thresh = float(thresh)
+        self.group = group if isinstance(group, Grouper) else Grouper(group)
+        self.trained: DataFrame | None = None
+
+    def train(
+        self, ref: DataFrame, hist: DataFrame, var: str, *,
+        time: str = "time", cells: Sequence[str] = (),
+    ) -> DataFrame:
+        from .operators.percentile import hf_interp_sorted
+
+        t = self.thresh
+        keys = [*cells, "grp"]
+        v = F.col(var)
+        # wet mean via a SORTED sequential fold: bitwise-identical to an
+        # independent engine summing the same sorted list (a distributed
+        # avg() can differ in the last ulp, which matters when a factor
+        # multiplies thousands of rows that then round)
+        refa = ref.groupBy(
+            *cells, self.group.key(time).alias("grp")
+        ).agg(
+            F.avg((v < t).cast("double")).alias("_dry_frac"),
+            F.array_sort(F.collect_list(F.when(v >= t, v)))
+            .alias("_rw"),
+        ).withColumn(
+            "_ref_wet_mean",
+            F.when(
+                F.size("_rw") > 0,
+                F.aggregate("_rw", F.lit(0.0), lambda a, e: a + e)
+                / F.size("_rw"),
+            ),
+        ).drop("_rw")
+        hista = hist.groupBy(
+            *cells, self.group.key(time).alias("grp")
+        ).agg(F.array_sort(F.collect_list(v)).alias("_hv"))
+        j = refa.join(hista, keys)
+        # type-7 (alpha=beta=1) quantile of hist at the ref dry fraction
+        ht = hf_interp_sorted(F.col("_hv"), F.col("_dry_frac"),
+                              alpha=1.0, beta=1.0)
+        j = j.withColumn("hist_thresh", ht)
+        wet = F.filter(F.col("_hv"), lambda e: e >= F.col("hist_thresh"))
+        hist_wet_mean = F.when(
+            F.size(wet) > 0,
+            F.aggregate(wet, F.lit(0.0), lambda a, e: a + e) / F.size(wet),
+        )
+        j = j.withColumn(
+            "af",
+            (F.col("_ref_wet_mean") - F.lit(t))
+            / (hist_wet_mean - F.col("hist_thresh")),
+        )
+        self.trained = j.select(*keys, "hist_thresh", "af")
+        return self.trained
+
+    def adjust(
+        self, sim: DataFrame, var: str, *,
+        time: str = "time", cells: Sequence[str] = (),
+    ) -> DataFrame:
+        if self.trained is None:
+            raise RuntimeError("call train() first")
+        keys = [*cells, "grp"]
+        s = sim.withColumn("grp", self.group.key(time))
+        out = s.join(self.trained, keys)
+        adj = F.greatest(
+            F.lit(self.thresh)
+            + F.col("af") * (F.col(var) - F.col("hist_thresh")),
+            F.lit(0.0),
+        )
+        return out.withColumn(f"{var}_adj", adj).drop(
+            "grp", "hist_thresh", "af")
+
