@@ -63,3 +63,31 @@ def test_cli_missing_mask_applied(spark, tmp_path):
 def test_cli_rejects_unknown_indicator():
     with pytest.raises(SystemExit):
         build_parser().parse_args(["definitely_not_an_indicator"])
+
+
+def test_cli_utility_commands(capsys):
+    from xclim_spark.cli import main
+
+    assert main(["indices"]) == 0
+    out = capsys.readouterr().out
+    assert "tx_days_above" in out and "CDD" in out
+    assert main(["info", "tx_days_above"]) == 0
+    out = capsys.readouterr().out
+    assert "title:" in out and "param" in out
+    assert main(["show_version_info"]) == 0
+    assert "pyspark" in capsys.readouterr().out
+
+
+def test_cli_dataflags(spark, tmp_path, capsys):
+    from pyspark.sql import functions as F
+
+    from xclim_spark.cli import main
+    from xclim_spark.testing import timeseries
+
+    d = timeseries(spark, [10.0, 20.0, -95.0], start="2000-01-01")
+    path = str(tmp_path / "in.parquet")
+    d.write.parquet(path)
+    rc = main(["dataflags", "-i", path, "--var", "tas=value",
+               "--master", "local[2]"])
+    assert rc == 0
+    assert "temperature_extremely_low" in capsys.readouterr().out

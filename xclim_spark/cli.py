@@ -28,6 +28,22 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="xclim_spark",
                                 description=__doc__.split("\n")[0])
     sub = p.add_subparsers(dest="indicator", required=True)
+    # utility commands mirroring the reference CLI (cli.py:159-348)
+    sp = sub.add_parser("indices", help="List indicators")
+    sp.add_argument("--info", action="store_true",
+                    help="include titles")
+    sp = sub.add_parser("info", help="Show an indicator's metadata")
+    sp.add_argument("names", nargs="+")
+    sp = sub.add_parser("show_version_info",
+                        help="Print dependency versions")
+    sp = sub.add_parser("dataflags", help="Run QC data flags")
+    sp.add_argument("-i", "--input", required=True)
+    sp.add_argument("--var", required=True,
+                    help="column to check, e.g. tas=qty")
+    sp.add_argument("--cells", default="")
+    sp.add_argument("--time", default="time")
+    sp.add_argument("--raise-flags", action="store_true")
+    sp.add_argument("--master", default="local[*]")
     for name, ind in sorted(registry.items()):
         sp = sub.add_parser(name, help=ind.title or name)
         sp.add_argument("-i", "--input", required=True,
@@ -52,12 +68,96 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _cmd_indices(args) -> int:
+    from .indicators import registry
+
+    for name, ind in sorted(registry.items()):
+        line = name if not args.info else f"{name}: {ind.title or ''}"
+        print(line)
+    return 0
+
+
+def _cmd_info(args) -> int:
+    from .indicators import registry
+
+    for n in args.names:
+        ind = registry[n]
+        print(f"{n}:")
+        print(f"  title: {ind.title}")
+        for k in ("units", "standard_name", "long_name", "description",
+                  "cell_methods", "references"):
+            v = getattr(ind, k, None)
+            if v:
+                print(f"  {k}: {v}")
+        for pname, par in ind.parameters.items():
+            print(f"  param {pname}: {par.kind} "
+                  f"(default {par.default!r})")
+    return 0
+
+
+def _cmd_version(_args) -> int:
+    import numpy
+    import pandas
+    import pyspark
+
+    import xclim_spark
+
+    print(f"xclim_spark: {getattr(xclim_spark, '__version__', 'dev')}")
+    print(f"pyspark: {pyspark.__version__}")
+    print(f"pandas: {pandas.__version__}")
+    print(f"numpy: {numpy.__version__}")
+    return 0
+
+
+def _cmd_dataflags(args) -> int:
+    from pyspark.sql import SparkSession
+
+    from .dataflags import REGISTRY, data_flags
+
+    spark = (SparkSession.builder.master(args.master)
+             .appName("xclim_spark:dataflags").getOrCreate())
+    df = spark.read.parquet(args.input)
+    var, col = args.var.split("=", 1)
+    # default per-variable suite, like the reference's variable->flags
+    # mapping (reference data/variables.yml + dataflags.py:581)
+    if var.startswith(("pr", "precip")):
+        checks = {
+            "negative_accumulation_values":
+                REGISTRY["negative_accumulation_values"](col),
+            "very_large_precipitation_events":
+                REGISTRY["very_large_precipitation_events"](col),
+        }
+    else:
+        checks = {
+            "temperature_extremely_low":
+                REGISTRY["temperature_extremely_low"](col),
+            "temperature_extremely_high":
+                REGISTRY["temperature_extremely_high"](col),
+        }
+    row = data_flags(df, checks).collect()[0].asDict()
+    bad = [k for k, v in row.items() if v]
+    for k in bad:
+        print(f"FLAG {k}")
+    if args.raise_flags and bad:
+        raise SystemExit(f"{len(bad)} data flags raised")
+    print(f"dataflags: {len(bad)} raised", file=sys.stderr)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     from pyspark.sql import SparkSession
 
     from .indicators import registry
 
     args = build_parser().parse_args(argv)
+    if args.indicator == "indices":
+        return _cmd_indices(args)
+    if args.indicator == "info":
+        return _cmd_info(args)
+    if args.indicator == "show_version_info":
+        return _cmd_version(args)
+    if args.indicator == "dataflags":
+        return _cmd_dataflags(args)
     ind = registry[args.indicator]
     spark = (
         SparkSession.builder.master(args.master)
