@@ -3733,6 +3733,48 @@ def sdba_loci_adjust_ms(spark, sf_dir):
     ).agg(F.round(F.avg("v_adj"), 5).alias("sim_adj_mean"))
 
 
+@_register(
+    "fire_season_days_ys",
+    f"""WITH {DAILY_SQL},
+f AS (
+  SELECT cell, day,
+         CASE WHEN sum(CASE WHEN qty - 5.0 > 12.0 THEN 1 ELSE 0 END)
+                   OVER w3 = 3 THEN 1 END AS s_start,
+         CASE WHEN sum(CASE WHEN qty - 5.0 < 5.0 THEN 1 ELSE 0 END)
+                   OVER w3 = 3 THEN 0 END AS s_stop
+  FROM daily
+  WINDOW w3 AS (PARTITION BY cell ORDER BY day
+                ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING)
+),
+sig AS (
+  SELECT cell, day, coalesce(s_stop, s_start) AS sig FROM f
+),
+st AS (
+  SELECT cell, day,
+         coalesce(last_value(sig IGNORE NULLS)
+                  OVER (PARTITION BY cell ORDER BY day
+                        ROWS UNBOUNDED PRECEDING), 0) AS m
+  FROM sig
+)
+SELECT cell, CAST(date_trunc('year', day) AS DATE) AS period,
+       CAST(sum(m) AS BIGINT) AS season_days
+FROM st GROUP BY 1, 2""",
+)
+def fire_season_days_ys(spark, sf_dir):
+    """fire_season indicator (WF93 start/stop automaton through the
+    registry): in-season day count per year.  The oracle re-derives the
+    automaton as forward-rolling signals + stop-wins carry-forward —
+    the same single-window-pass shape the operator compiles to."""
+    from .indicators import registry
+
+    d = daily_series(spark, sf_dir).withColumn("tx", F.col("qty") - 5.0)
+    mask = registry["fire_season"](d, tasmax="tx", time="day",
+                                   cells=["cell"], missing=None)
+    return mask.df.groupBy(
+        "cell", period_start("day", "YS").alias("period")
+    ).agg(F.sum(F.col("fire_season").cast("long")).alias("season_days"))
+
+
 # The driver's correctness harness evaluates queries in dict order and has
 # historically recorded only the first 50.  Emit the queries that have never
 # received a driver-side green row first (round 3 covered registration
@@ -3743,7 +3785,7 @@ _PRIORITY = [
     "level_crossings_ms", "winter_rain_ratio_qs", "fire_components_ms",
     "occurrence_doy_ys", "qian_smooth_ms", "solar_correction_ms",
     "text_repetition_stats", "stream_dedup_exact", "fwi_season_ys",
-    "pack_sequences_src", "sdba_loci_adjust_ms",
+    "pack_sequences_src", "sdba_loci_adjust_ms", "fire_season_days_ys",
     "sdba_dqm_adjust_ms",
     "sdba_qdm_adjust_ms",
     "sdba_eqm_adjust_ms",
