@@ -3704,7 +3704,12 @@ adj AS (
   FROM sim s JOIN fct f ON s.cell = f.cell AND month(s.day) = f.grp
 )
 SELECT cell, CAST(date_trunc('month', day) AS DATE) AS period,
-       ROUND(avg(v_adj), 5) AS sim_adj_mean
+       -- round via DECIMAL: duckdb's round(DOUBLE) scales through FP
+       -- (x*1e6 can land a hair under the .5 tie) while Spark rounds
+       -- the exact decimal expansion; DECIMAL half-up matches Spark
+       CAST(ROUND(CAST(list_sum(list_sort(list(v_adj))) / count(*)
+                       AS DECIMAL(24, 12)), 6) AS DOUBLE)
+         AS sim_adj_mean
 FROM adj GROUP BY 1, 2""",
 )
 def sdba_loci_adjust_ms(spark, sf_dir):
@@ -3725,12 +3730,19 @@ def sdba_loci_adjust_ms(spark, sf_dir):
     loci = sdba.LOCI(thresh=20.0, group="time.month")
     loci.train(ref, hist, "v", time="day", cells=["cell"])
     adj = loci.adjust(sim, "v", time="day", cells=["cell"])
-    # round(5): the train factors are bitwise identical across engines,
-    # but the monthly mean's summation order can differ by one ulp and
-    # this dataset has a row sitting exactly on a 6th-decimal boundary
-    return adj.groupBy(
-        "cell", period_start("day", "MS").alias("period")
-    ).agg(F.round(F.avg("v_adj"), 5).alias("sim_adj_mean"))
+    # The train factors are bitwise identical across engines, but a
+    # distributed avg() sums in partition order and this dataset lands
+    # rows EXACTLY on representable rounding boundaries (qty is a mean
+    # of quarters) — so the monthly mean is a sorted sequential fold,
+    # bitwise-reproducible by the oracle's list_sum(list_sort(...)).
+    per = period_start("day", "MS").alias("period")
+    return adj.groupBy("cell", per).agg(
+        F.round(
+            F.aggregate(F.array_sort(F.collect_list("v_adj")),
+                        F.lit(0.0), lambda a, e: a + e)
+            / F.count(F.lit(1)), 6
+        ).alias("sim_adj_mean")
+    )
 
 
 @_register(
