@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "word_ngrams",
+    "ngrams_from_tokens",
     "repetition_stats",
     "pack_sequences",
     "decontaminate",
@@ -44,16 +45,22 @@ __all__ = [
 ]
 
 
-def word_ngrams(text, n: int = 13) -> Column:
-    """Lowercased whitespace-token word n-grams of ``text`` as an array of
-    space-joined strings.  Documents shorter than ``n`` tokens yield an
-    empty array.
+def _tokens(text) -> Column:
+    return F.split(F.lower(F.trim(text)), r"\s+")
 
-    The standard decontamination unit: GPT-3 used 13-gram overlap, The
-    Pile 13-grams, PaLM 8-grams.  Computed map-side (codegen'd
-    ``split``/``transform``), nothing shuffles.
+
+def ngrams_from_tokens(toks, n: int) -> Column:
+    """Word n-grams from an ALREADY-MATERIALIZED token-array column.
+
+    ``toks`` must be a bound attribute (produced by a previous
+    projection), not an inline ``split(...)`` expression: Catalyst does
+    not hoist subexpressions out of higher-order-function lambdas, so an
+    inline split would re-tokenize the document once per n-gram —
+    measured 5-6x slower at corpus scale.  CollapseProject keeps the
+    two-step form intact because the alias is referenced multiple times
+    by a non-cheap expression.
     """
-    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    toks = F.col(toks) if isinstance(toks, str) else toks
     # sequence(1, 0) would yield [1, 0] (Spark infers step -1), so short
     # documents must short-circuit to an empty array explicitly
     idx = F.when(
@@ -61,6 +68,24 @@ def word_ngrams(text, n: int = 13) -> Column:
     ).otherwise(F.array().cast("array<int>"))
     return F.transform(
         idx, lambda i: F.array_join(F.slice(toks, i, n), " ")
+    )
+
+
+def word_ngrams(text, n: int = 13) -> Column:
+    """Lowercased whitespace-token word n-grams of ``text`` as an array of
+    space-joined strings.  Documents shorter than ``n`` tokens yield an
+    empty array.
+
+    The standard decontamination unit: GPT-3 used 13-gram overlap, The
+    Pile 13-grams, PaLM 8-grams.  The token array is BOUND as a lambda
+    variable (single-element transform, same trick as
+    ``dedup.word_shingles``) so the split runs once per row even in this
+    inline form — an outer expression referenced inside a higher-order
+    lambda would re-evaluate per n-gram.
+    """
+    return F.element_at(
+        F.transform(F.array(_tokens(text)),
+                    lambda w: ngrams_from_tokens(w, n)), 1
     )
 
 
@@ -87,15 +112,16 @@ def decontaminate(
     """
     bench_text_col = bench_text_col or text_col
     bench_grams = (
-        benchmark.select(
-            F.explode(word_ngrams(F.col(bench_text_col), n)).alias("gram")
-        )
+        benchmark.select(_tokens(F.col(bench_text_col)).alias("_toks"))
+        .select(F.explode(ngrams_from_tokens("_toks", n)).alias("gram"))
         .distinct()
         .withColumn("hit", F.lit(1))
     )
     grams = docs.select(
+        F.col(id_col), _tokens(F.col(text_col)).alias("_toks")
+    ).select(
         F.col(id_col),
-        F.explode_outer(word_ngrams(F.col(text_col), n)).alias("gram"),
+        F.explode_outer(ngrams_from_tokens("_toks", n)).alias("gram"),
     )
     joined = grams.join(F.broadcast(bench_grams), "gram", "left")
     return joined.groupBy(id_col).agg(
@@ -164,10 +190,12 @@ def repetition_stats(
     first projection, and no per-document O(len^2) array scan exists —
     the relational form stays linear at 100 TB.
     """
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    pre = docs.select(
+        F.col(id_col), _tokens(F.col(text_col)).alias("_toks")
+    )
 
     def _top_frac(grams: Column, out_prefix: str) -> DataFrame:
-        t = docs.select(F.col(id_col), F.explode(grams).alias("g"))
+        t = pre.select(F.col(id_col), F.explode(grams).alias("g"))
         c = t.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("cnt"))
         return c.groupBy(id_col).agg(
             (F.max("cnt") / F.sum("cnt")).alias(f"top_{out_prefix}_frac"),
@@ -175,8 +203,8 @@ def repetition_stats(
                 f"distinct_{out_prefix}_frac"),
         )
 
-    uni = _top_frac(toks, "word")
-    bi = _top_frac(word_ngrams(F.col(text_col), 2), "bigram") \
+    uni = _top_frac(F.col("_toks"), "word")
+    bi = _top_frac(ngrams_from_tokens("_toks", 2), "bigram") \
         .drop("distinct_bigram_frac")
     return uni.join(bi, id_col, "left")
 
