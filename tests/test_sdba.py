@@ -152,3 +152,31 @@ def test_loci_matches_frequency_and_intensity(spark):
     want = ref.select(F.avg(F.when(F.col("v") >= 10.0, F.col("v")))
                       .alias("m")).collect()[0]["m"]
     assert got == pytest.approx(want, rel=0.05)
+
+
+def test_properties_and_measures(spark):
+    import numpy as np
+
+    from xclim_spark import sdba
+    from xclim_spark.testing import timeseries
+
+    # linear series: known mean, trend=slope, acf1 ~ 1
+    vals = [float(10 + 0.5 * i) for i in range(40)]
+    d = timeseries(spark, vals, start="2000-01-01")
+    p = sdba.properties(d, "value", cells=["cell"],
+                        which=("mean", "std", "trend", "acf1", "wet_freq"),
+                        wet_thresh=15.0).collect()[0]
+    assert p["mean"] == pytest.approx(np.mean(vals))
+    assert p["std"] == pytest.approx(np.std(vals, ddof=1))
+    assert p["trend"] == pytest.approx(0.5)
+    assert p["acf1"] == pytest.approx(1.0, abs=1e-6)
+    assert p["wet_freq"] == pytest.approx(np.mean(np.array(vals) >= 15.0))
+
+    d2 = timeseries(spark, [v * 2 for v in vals], start="2000-01-01")
+    p2 = sdba.properties(d2, "value", cells=["cell"], which=("mean", "std"))
+    m = sdba.measures(p2, sdba.properties(d, "value", cells=["cell"],
+                                          which=("mean", "std")),
+                      keys=["cell", "grp"], stats=["mean", "std"],
+                      kind="*").collect()[0]
+    assert m["mean_ratio"] == pytest.approx(2.0)
+    assert m["std_ratio"] == pytest.approx(2.0)

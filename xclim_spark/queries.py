@@ -3787,6 +3787,61 @@ def fire_season_days_ys(spark, sf_dir):
     ).agg(F.sum(F.col("fire_season").cast("long")).alias("season_days"))
 
 
+@_register(
+    "sdba_properties_ms",
+    f"""WITH {DAILY_SQL},
+lagd AS (
+  SELECT cell, month(day) AS grp, day, qty,
+         lag(qty) OVER (PARTITION BY cell, month(day) ORDER BY day)
+           AS lq,
+         CAST(row_number() OVER (PARTITION BY cell, month(day)
+                                 ORDER BY day) AS DOUBLE) AS i
+  FROM daily
+),
+p AS (
+  SELECT cell, grp,
+         avg(qty) AS mean, stddev_samp(qty) AS std,
+         corr(qty, lq) AS acf1,
+         covar_samp(i, qty) / var_samp(i) AS trend,
+         avg(CASE WHEN qty >= 25.0 THEN 1.0 ELSE 0.0 END) AS wet_freq
+  FROM lagd GROUP BY 1, 2
+)
+SELECT cell, grp, ROUND(mean, 6) AS mean, ROUND(std, 6) AS std,
+       ROUND(acf1, 6) AS acf1, ROUND(trend, 6) AS trend,
+       ROUND(wet_freq, 6) AS wet_freq,
+       CAST(2.0 AS DOUBLE) AS mean_bias, CAST(0.0 AS DOUBLE) AS std_bias
+FROM p""",
+)
+def sdba_properties_ms(spark, sf_dir):
+    """sdba validation properties + measures (the xsdba properties /
+    measures surface): per-(cell, month) mean/std/lag-1 autocorrelation/
+    OLS trend/wet-day frequency, and the bias measures of a +2-shifted
+    simulation against the reference (exactly 2 for the mean, 0 for the
+    shift-invariant std — which the oracle states in closed form)."""
+    from . import sdba
+
+    d = daily_series(spark, sf_dir)
+    ref = d.select("cell", "day", F.col("qty").alias("v"))
+    sim = d.select("cell", "day", (F.col("qty") + 2.0).alias("v"))
+    which = ("mean", "std", "acf1", "trend", "wet_freq")
+    rp = sdba.properties(ref, "v", time="day", cells=["cell"],
+                         group="time.month", which=which, wet_thresh=25.0)
+    sp = sdba.properties(sim, "v", time="day", cells=["cell"],
+                         group="time.month", which=which, wet_thresh=25.0)
+    m = sdba.measures(sp, rp, keys=["cell", "grp"],
+                      stats=["mean", "std"], kind="+")
+    out = rp.join(
+        m.select("cell", "grp", "mean_bias", "std_bias"), ["cell", "grp"])
+    return out.select(
+        "cell", "grp", F.round("mean", 6).alias("mean"),
+        F.round("std", 6).alias("std"), F.round("acf1", 6).alias("acf1"),
+        F.round("trend", 6).alias("trend"),
+        F.round("wet_freq", 6).alias("wet_freq"),
+        F.round("mean_bias", 6).alias("mean_bias"),
+        F.round("std_bias", 6).alias("std_bias"),
+    )
+
+
 # The driver's correctness harness evaluates queries in dict order and has
 # historically recorded only the first 50.  Emit the queries that have never
 # received a driver-side green row first (round 3 covered registration
@@ -3798,6 +3853,7 @@ _PRIORITY = [
     "occurrence_doy_ys", "qian_smooth_ms", "solar_correction_ms",
     "text_repetition_stats", "stream_dedup_exact", "fwi_season_ys",
     "pack_sequences_src", "sdba_loci_adjust_ms", "fire_season_days_ys",
+    "sdba_properties_ms",
     "sdba_dqm_adjust_ms",
     "sdba_qdm_adjust_ms",
     "sdba_eqm_adjust_ms",

@@ -32,6 +32,8 @@ from .operators.percentile import hf_interp_sorted
 
 __all__ = [
     "Grouper",
+    "properties",
+    "measures",
     "EmpiricalQuantileMapping",
     "DetrendedQuantileMapping",
     "QuantileDeltaMapping",
@@ -388,4 +390,63 @@ class LOCI:
         )
         return out.withColumn(f"{var}_adj", adj).drop(
             "grp", "hist_thresh", "af")
+
+
+def properties(
+    df: DataFrame, var: str, *, time: str = "time",
+    cells: Sequence[str] = (), group: str | Grouper = "time",
+    which: Sequence[str] = ("mean", "std", "skewness", "acf1",
+                            "trend", "wet_freq"),
+    wet_thresh: float = 1.0,
+) -> DataFrame:
+    """Statistical properties of a climate series, per (cells, group) —
+    the xsdba ``properties`` surface used to validate adjustments
+    (mean/std/skewness, lag-1 autocorrelation, OLS trend per step,
+    wet-day relative frequency).  One aggregation; acf1/trend come from
+    sufficient statistics (lag pairs / index covariances), so nothing
+    leaves the JVM."""
+    from pyspark.sql import Window
+
+    grouper = group if isinstance(group, Grouper) else Grouper(group)
+    v = F.col(var)
+    w = Window.partitionBy(*cells, grouper.key(time)).orderBy(time)
+    d = df.withColumn("_lag", F.lag(v).over(w)).withColumn(
+        "_i", F.row_number().over(w).cast("double"))
+    aggs = []
+    if "mean" in which:
+        aggs.append(F.avg(v).alias("mean"))
+    if "std" in which:
+        aggs.append(F.stddev_samp(v).alias("std"))
+    if "skewness" in which:
+        aggs.append(F.skewness(v).alias("skewness"))
+    if "acf1" in which:
+        aggs.append(F.corr(v, F.col("_lag")).alias("acf1"))
+    if "trend" in which:
+        aggs.append((F.covar_samp(F.col("_i"), v)
+                     / F.var_samp(F.col("_i"))).alias("trend"))
+    if "wet_freq" in which:
+        aggs.append(F.avg((v >= wet_thresh).cast("double"))
+                    .alias("wet_freq"))
+    return d.groupBy(*cells, grouper.key(time).alias("grp")).agg(*aggs)
+
+
+def measures(
+    sim_props: DataFrame, ref_props: DataFrame, *,
+    keys: Sequence[str], stats: Sequence[str],
+    kind: str = "+",
+) -> DataFrame:
+    """Compare simulated vs reference property tables — the xsdba
+    ``measures`` surface: per property, ``bias`` (additive kind) or
+    ``ratio`` (multiplicative).  A co-keyed join of two dim-sized
+    tables."""
+    r = ref_props.select(
+        *keys, *[F.col(s).alias(f"_ref_{s}") for s in stats])
+    j = sim_props.join(r, list(keys))
+    for s in stats:
+        if kind == "+":
+            j = j.withColumn(f"{s}_bias", F.col(s) - F.col(f"_ref_{s}"))
+        else:
+            j = j.withColumn(f"{s}_ratio", F.col(s) / F.col(f"_ref_{s}"))
+        j = j.drop(f"_ref_{s}")
+    return j
 
