@@ -3843,21 +3843,42 @@ def sdba_properties_ms(spark, sf_dir):
 
 
 # The driver's correctness harness evaluates queries in dict order and has
-# historically recorded only the first 50.  Emit the queries that have never
-# received a driver-side green row first (round 3 covered registration
-# positions 0-49), so coverage is guaranteed under either a count cap or a
-# time cap; the round-3-green queries follow.
+# historically recorded only the first 50 per round.  Rounds 3+4 covered 100
+# of the 107 declared queries; the 7 below (positions 50-56 of the round-4
+# order) have never received a driver-side green row — they lead now.  Next
+# come the queries added this round (new code must be driver-checked first),
+# then the 50 queries whose last green row dates to round 3, as regression
+# re-confirmation; the round-4-green queries close the list.
 _PRIORITY = [
+    # -- never driver-checked (verified locally in r4; must appear in r05) --
+    "analog_seuclidean", "boot_tg90p_ys", "ens_kkz_selection",
+    "ens_robustness_fracs", "ens_robustness_ttest", "hs_partition_vars",
+    "solar_daylength_ms",
+    # -- new in round 5 --
+    "unstacked_normals_3y", "sdba_eqm_adaptfreq_ms", "ens_percentiles_interp_ms",
+    "occurrence_doy_ys_jul",
+    # -- last green in round 3 (longest-unchecked regression window) --
+    "tg_mean_ms", "tx_days_above_ms", "tx_max_ys_jul", "prcptot_qs_dec",
+    "djf_mean_ms", "gdd_ys", "dded_ys", "rx7day_ms", "doymax_ys",
+    "thresholded_mean_ys", "domain_count_ms", "zones_count", "missing_any_ms",
+    "tg90p_doy_ys", "p90_days_over_ys", "mcdd_ys", "spell_days_ys",
+    "spell_events_ys", "max_run_sum_ys", "first_spell_doy_ys", "gs_end_ys",
+    "run_bounds", "events_table_ys", "ind_tg_mean_ms", "ind_tg_mean_masked_ms",
+    "ind_tx_days_above_ms", "ind_frost_days_ys", "ind_gdd_ys", "ind_tg90p_ys",
+    "ind_wsdi_ys", "ind_heat_wave_freq_ys", "ind_hot_spell_freq_ys",
+    "ind_hot_spell_maxlen_ys", "ind_dry_spell_freq_ys", "ind_mcdd_ys",
+    "ind_gsl_ys", "ind_etr_ms", "ind_precip_acc_qs", "ind_wetdays_ms",
+    "conv_humidex_ms", "conv_utci_ms", "conv_windchill_ms", "conv_snowfrac_ys",
+    "anuclim_bio10_ys", "hydro_bfi_ys", "hydro_rbi_ys", "user_sessions",
+    "dedup_exact", "text_stats_lang", "mv_revenue_nation_ms",
+    # -- green in round 4 --
     "decontam_docs", "mixture_sample_src", "tree_tx_days_above",
     "level_crossings_ms", "winter_rain_ratio_qs", "fire_components_ms",
     "occurrence_doy_ys", "qian_smooth_ms", "solar_correction_ms",
     "text_repetition_stats", "stream_dedup_exact", "fwi_season_ys",
     "pack_sequences_src", "sdba_loci_adjust_ms", "fire_season_days_ys",
-    "sdba_properties_ms",
-    "sdba_dqm_adjust_ms",
-    "sdba_qdm_adjust_ms",
-    "sdba_eqm_adjust_ms",
-    "stream_tx_days_above_30d",
+    "sdba_properties_ms", "sdba_dqm_adjust_ms", "sdba_qdm_adjust_ms",
+    "sdba_eqm_adjust_ms", "stream_tx_days_above_30d",
     "ens_weighted_percentiles_ms", "ens_mixed_calendar_ms",
     "dedup_simhash", "dedup_ngram", "dedup_embed", "knn_ivf_docs",
     "ens_stats_ms", "ens_percentiles_ms", "fa_gumbel_rp", "fwi_max_ys",
@@ -3866,9 +3887,7 @@ _PRIORITY = [
     "dataflags_summary", "mm_decode_stats", "mm_binary_stats", "cf_cdd_ys",
     "cf_txx_ms", "anu_p13_ys", "ind_wetdays_prop_ms", "agro_dryness_index_ys",
     "agro_chill_units_ys", "ffdi_max_ys", "agro_rain_season_ys",
-    "stacked_normals_3y", "boot_tg90p_ys", "analog_seuclidean",
-    "ens_robustness_fracs", "ens_robustness_ttest", "ens_kkz_selection",
-    "hs_partition_vars", "solar_daylength_ms",
+    "stacked_normals_3y",
 ]
 
 
