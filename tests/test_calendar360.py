@@ -106,6 +106,49 @@ def test_stack_periods(spark):
     assert labs20 == [1970, 1980, 1990]
 
 
+def test_unstack_periods_roundtrip(spark):
+    # stack -> unstack must reproduce every original row exactly once
+    # (reference unstack_periods, calendar.py:1584-1731: center stride of
+    # each window, edges from first/last windows)
+    import datetime as dt
+    import pytest
+    from xclim_spark.calendar import unstack_periods
+
+    rows = [(0, dt.date(1980 + i, 6, 1), float(i)) for i in range(40)]
+    df = spark.createDataFrame(rows, "cell INT, time DATE, v DOUBLE")
+    st = stack_periods(df, "time", window=30, stride=10)
+    back = unstack_periods(st, "time", window=30, stride=10)
+    got = sorted((r["time"], r["v"]) for r in back.collect())
+    assert got == sorted((r[1], r[2]) for r in rows)
+    # window == stride: non-overlapping concat
+    st2 = stack_periods(df, "time", window=10, stride=10)
+    back2 = unstack_periods(st2, "time", window=10, stride=10)
+    assert back2.count() == 40
+    # even window/stride ratio is ambiguous, as in the reference
+    with pytest.raises(NotImplementedError):
+        unstack_periods(st, "time", window=20, stride=10)
+
+
+def test_unstack_periods_section_ownership(spark):
+    # 10 years, window=3 stride=1: interior year y must come from period
+    # y-1 (its center); edge years from the first/last periods
+    import datetime as dt
+    from pyspark.sql import functions as F
+    from xclim_spark.calendar import unstack_periods
+
+    rows = [(0, dt.date(1995 + i, 6, 1), float(i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "cell INT, time DATE, v DOUBLE")
+    st = stack_periods(df, "time", window=3, stride=1)
+    tagged = st.withColumn("src", F.col("period_label"))
+    # keep the label copy through the unstack filter to assert provenance
+    out = unstack_periods(tagged, "time", window=3, stride=1)
+    own = {r["time"].year: r["src"] for r in out.collect()}
+    assert len(own) == 10
+    assert own[1995] == 1995 and own[1996] == 1995          # first period
+    assert all(own[y] == y - 1 for y in range(1997, 2003))  # centers
+    assert own[2003] == 2002 and own[2004] == 2002          # last period
+
+
 # ---------------------------------------------------------------------------
 # convert_calendar (reference calendar.py:138-361 / xarray semantics)
 # ---------------------------------------------------------------------------

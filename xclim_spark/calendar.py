@@ -364,6 +364,52 @@ def stack_periods(
     )
 
 
+def unstack_periods(
+    df, time: Column | str = "time", *, window: int = 30, stride: int = 10,
+    label: str = "period_label",
+) -> "DataFrame":  # noqa: F821
+    """Inverse of :func:`stack_periods` (reference ``unstack_periods``,
+    calendar.py:1584-1731): map per-period rows back onto a single time
+    axis.  With ``stride < window`` only the center-most stride of each
+    window is kept, except the first/last periods which also contribute
+    their leading/trailing sections — exactly the reference's
+    non-ambiguous overlap rule (its slice table is reproduced by the
+    ``sec`` arithmetic below).
+
+    In the long-format model this is a **pure filter**: a row belongs to
+    section ``sec = (year - period_label) // stride`` of its period, and
+    is kept iff ``sec == mid`` (or ``sec <= mid`` / ``sec >= mid`` for the
+    first / last period).  Zero shuffle — the only extra plan node is a
+    broadcast of the 1-row min/max period-label aggregate.  The reference
+    requires ``window/stride`` to be an odd integer for the same
+    ambiguity reason; mirror that.
+    """
+    t = F.col(time) if isinstance(time, str) else time
+    lbl = F.col(label)
+    if window == stride:
+        # Non-overlapping windows: every row sits in exactly one period.
+        return df.drop(label)
+    if window % stride != 0 or (window // stride) % 2 != 1:
+        raise NotImplementedError(
+            "`unstack_periods` can't work with strides that do not divide "
+            f"the window into an odd number of parts. Got {window} / "
+            f"{stride}.")
+    nwin = window // stride
+    mid = (nwin - 1) // 2
+    sec = F.floor((F.year(t) - lbl).cast("double") / stride)
+    bounds = df.select(F.min(lbl).alias("_lmin"), F.max(lbl).alias("_lmax"))
+    keep = (
+        F.when(lbl == F.col("_lmin"), sec <= mid)
+        .when(lbl == F.col("_lmax"), sec >= mid)
+        .otherwise(sec == mid)
+    )
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .filter(keep)
+        .drop("_lmin", "_lmax", label)
+    )
+
+
 def doy365_sql(time_expr: str) -> str:
     """DuckDB twin of :func:`doy365`."""
     leap = (

@@ -2111,6 +2111,50 @@ def stacked_normals_3y(spark, sf_dir):
         F.round(F.avg("qty"), 6).alias("tg_norm"))
 
 
+@_register(
+    "unstacked_normals_3y",
+    f"""WITH {DAILY_SQL},
+ext AS (SELECT min(year(day)) AS ymin, max(year(day)) AS ymax FROM daily),
+normals AS (
+  SELECT cell, CAST(u.lab AS INT) AS lab, avg(qty) AS norm
+  FROM daily, ext, unnest(generate_series(year(day) - 2, year(day))) AS u(lab)
+  WHERE u.lab >= ymin AND u.lab + 2 <= ymax
+  GROUP BY 1, 2
+),
+owned AS (
+  SELECT d.cell, d.day, d.qty,
+         CAST(CASE WHEN year(d.day) - 1 < e.ymin THEN e.ymin
+                   WHEN year(d.day) - 1 > e.ymax - 2 THEN e.ymax - 2
+                   ELSE year(d.day) - 1 END AS INT) AS lab
+  FROM daily d, ext e
+)
+SELECT o.cell, CAST(year(o.day) AS INT) AS yr,
+       ROUND(avg(o.qty - n.norm), 6) AS anom
+FROM owned o JOIN normals n ON o.cell = n.cell AND o.lab = n.lab
+GROUP BY 1, 2""",
+)
+def unstacked_normals_3y(spark, sf_dir):
+    """stack -> per-period anomaly -> unstack_periods (reference
+    calendar.py:1584-1731): daily anomalies vs each 3-year rolling normal,
+    mapped back onto the single time axis by keeping each year's owning
+    window (its center, or the first/last window at the edges), then
+    reduced to yearly means.  The unstack is a pure filter plus one
+    broadcast 1-row label-extent aggregate — no new shuffle beyond the
+    per-period normal and the final (cell, year) rollup."""
+    from pyspark.sql import Window
+
+    from .calendar import stack_periods, unstack_periods
+
+    d = daily_series(spark, sf_dir)
+    st = stack_periods(d, "day", window=3, stride=1)
+    w = Window.partitionBy("cell", "period_label")
+    st = st.withColumn("anom", F.col("qty") - F.avg("qty").over(w))
+    un = unstack_periods(st, "day", window=3, stride=1)
+    return un.groupBy(
+        "cell", F.year("day").cast("int").alias("yr")
+    ).agg(F.round(F.avg("anom"), 6).alias("anom"))
+
+
 # ---------------------------------------------------------------------------
 # Zhang-2005 percentile bootstrap (reference bootstrapping.py:22-211)
 # ---------------------------------------------------------------------------
