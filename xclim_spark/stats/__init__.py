@@ -74,40 +74,47 @@ def parametric_quantile(
 ) -> DataFrame:
     """Evaluate fitted quantiles (reference stats.py:221-296).  Returns
     long format ``cells..., quantile, value``."""
-    qs = [q] if isinstance(q, (int, float)) else list(q)
-    schema = _key_schema(params_df, cells) + \
-        ", quantile DOUBLE, value DOUBLE"
-
-    def _q(pdf: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for _, r in pdf.iterrows():
-            p = r["dparams"]
-            for qq in qs:
-                v = float(D.ppf(p, dist, [qq])[0]) if p is not None and \
-                    not any(pd.isna(p)) else float("nan")
-                rows.append(tuple(r[c] for c in cells) + (qq, v))
-        return pd.DataFrame(rows, columns=[*cells, "quantile", "value"])
-
-    return params_df.groupBy(*cells).applyInPandas(_q, schema=schema)
+    return _parametric_eval(params_df, q, dist, D.ppf_rows, "value",
+                            "quantile", cells)
 
 
-def _parametric_eval(params_df, xs, dist, kernel, out_col, x_col, cells):
-    """Shared evaluator for cdf/pdf on a fitted-parameter table."""
+def _params_matrix(pdf: pd.DataFrame, dist: str):
+    """(n, k) float matrix from an Arrow ``dparams`` column (rows may be
+    None or ragged-null)."""
+    import numpy as np
+
+    k = D.nparams(dist)
+    nan = [float("nan")] * k
+    return np.array(
+        [list(p) if p is not None and len(p) == k else nan
+         for p in pdf["dparams"]], dtype=float).reshape(len(pdf), k)
+
+
+def _parametric_eval(params_df, xs, dist, row_kernel, out_col, x_col, cells):
+    """Shared evaluator for ppf/cdf/pdf on a fitted-parameter table.
+
+    ``mapInPandas`` over the params table — no shuffle at all (the old
+    ``groupBy(cells).applyInPandas`` paid a full exchange plus one pandas
+    task per cell); each Arrow batch evaluates every row at once through
+    the row-vectorized kernels (distributions.py ``*_rows``), so the cost
+    is O(batches), not O(cells)."""
     xs = [xs] if isinstance(xs, (int, float)) else list(xs)
     schema = _key_schema(params_df, cells) + \
         f", {x_col} DOUBLE, {out_col} DOUBLE"
+    key_cols = list(cells)
 
-    def _ev(pdf: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for _, r in pdf.iterrows():
-            p = r["dparams"]
-            ok = p is not None and not any(pd.isna(p))
+    def _ev(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            P = _params_matrix(pdf, dist)
             for xx in xs:
-                v = float(kernel(p, dist, [xx])[0]) if ok else float("nan")
-                rows.append(tuple(r[c] for c in cells) + (float(xx), v))
-        return pd.DataFrame(rows, columns=[*cells, x_col, out_col])
+                out = pdf[key_cols].copy()
+                out[x_col] = float(xx)
+                out[out_col] = row_kernel(P, dist, float(xx))
+                yield out
 
-    return params_df.groupBy(*cells).applyInPandas(_ev, schema=schema)
+    return params_df.mapInPandas(_ev, schema=schema)
 
 
 def parametric_cdf(
@@ -116,7 +123,8 @@ def parametric_cdf(
 ) -> DataFrame:
     """Evaluate the fitted CDF at ``x`` (reference ``parametric_cdf``,
     stats.py:297-360).  Returns ``cells..., x, cdf``."""
-    return _parametric_eval(params_df, x, dist, D.cdf, "cdf", "x", cells)
+    return _parametric_eval(params_df, x, dist, D.cdf_rows, "cdf", "x",
+                            cells)
 
 
 def parametric_pdf(
@@ -125,7 +133,8 @@ def parametric_pdf(
 ) -> DataFrame:
     """Evaluate the fitted PDF at ``x`` (reference ``parametric_pdf``).
     Returns ``cells..., x, pdf``."""
-    return _parametric_eval(params_df, x, dist, D.pdf, "pdf", "x", cells)
+    return _parametric_eval(params_df, x, dist, D.pdf_rows, "pdf", "x",
+                            cells)
 
 
 def dist_method(

@@ -94,26 +94,43 @@ def _norm_cdf(x):
     return 0.5 * (1.0 + v(np.asarray(x, dtype=float) / math.sqrt(2.0)))
 
 
-def gammainc_p(a: float, x):
+_lgamma_ufunc = np.frompyfunc(math.lgamma, 1, 1)
+
+
+def _lgamma(a):
+    """Elementwise ``math.lgamma`` — bitwise-identical to the scalar path
+    so array-shape evaluation can't drift from the scalar one."""
+    return _lgamma_ufunc(np.asarray(a, dtype=float)).astype(float)
+
+
+def gammainc_p(a, x):
     """Regularized lower incomplete gamma P(a, x) (series for x < a+1,
     Lentz continued fraction above, Wilson-Hilferty asymptotic for large
     shape — the series/CF need O(sqrt(a)) terms, which both costs and
-    loses accuracy for the near-Gaussian a > 1e4 regime)."""
-    x = np.asarray(x, dtype=float)
-    if a > 200.0:
+    loses accuracy for the near-Gaussian a > 1e4 regime).
+
+    ``a`` may be a scalar or an array broadcastable against ``x`` — the
+    array form powers the row-vectorized parameter-table evaluators
+    (:func:`ppf_rows` etc.); per-element arithmetic is identical to the
+    scalar path."""
+    a, x = np.broadcast_arrays(
+        np.asarray(a, dtype=float), np.asarray(x, dtype=float))
+    out = np.zeros(a.shape)
+    fin = np.isfinite(a) & (a > 0) & np.isfinite(x)
+    wh = fin & (a > 200.0)
+    if wh.any():
         # WH: ((x/a)^(1/3) - (1 - 1/(9a))) * 3 sqrt(a) ~ N(0,1);
         # relative error < 1e-4 well before a = 200
-        z = ((x / a) ** (1.0 / 3.0) - (1.0 - 1.0 / (9.0 * a))) * \
-            3.0 * math.sqrt(a)
-        return np.where(x > 0, _norm_cdf(z), 0.0)
-    out = np.zeros_like(x)
-    lg = math.lgamma(a)
-    ser = (x > 0) & (x < a + 1.0)
-    cf = x >= a + 1.0
+        aw, xw = a[wh], x[wh]
+        z = ((xw / aw) ** (1.0 / 3.0) - (1.0 - 1.0 / (9.0 * aw))) * \
+            3.0 * np.sqrt(aw)
+        out[wh] = np.where(xw > 0, _norm_cdf(z), 0.0)
+    ser = fin & ~wh & (x > 0) & (x < a + 1.0)
+    cf = fin & ~wh & (x >= a + 1.0)
     if ser.any():
-        xs = x[ser]
-        ap = a
-        s = np.full_like(xs, 1.0 / a)
+        xs, as_ = x[ser], a[ser]
+        ap = as_.copy()
+        s = 1.0 / as_
         delta = s.copy()
         for _ in range(800):
             ap += 1.0
@@ -121,15 +138,15 @@ def gammainc_p(a: float, x):
             s += delta
             if np.all(np.abs(delta) < np.abs(s) * 1e-15):
                 break
-        out[ser] = s * np.exp(-xs + a * np.log(xs) - lg)
+        out[ser] = s * np.exp(-xs + as_ * np.log(xs) - _lgamma(as_))
     if cf.any():
-        xc = x[cf]
-        b = xc + 1.0 - a
+        xc, ac = x[cf], a[cf]
+        b = xc + 1.0 - ac
         c = np.full_like(xc, 1e308)
         d = 1.0 / b
         h = d.copy()
         for i in range(1, 800):
-            an = -i * (i - a)
+            an = -i * (i - ac)
             b = b + 2.0
             d = an * d + b
             d[np.abs(d) < 1e-300] = 1e-300
@@ -140,16 +157,20 @@ def gammainc_p(a: float, x):
             h *= delta
             if np.all(np.abs(delta - 1.0) < 1e-15):
                 break
-        out[cf] = 1.0 - np.exp(-xc + a * np.log(xc) - lg) * h
+        out[cf] = 1.0 - np.exp(-xc + ac * np.log(xc) - _lgamma(ac)) * h
+    # non-finite a/x keep the legacy value 0 (NaN comparisons were False in
+    # the scalar masks); `fin` only guards the iteration loops from
+    # NaN-poisoned never-converging elements
     return np.clip(out, 0.0, 1.0)
 
 
-def _gamma_ppf_std(a: float, q):
-    """Standard-gamma quantile by bisection on P(a, x) (robust; groups are
-    small so the ~90 evaluations are cheap)."""
-    q = np.asarray(q, dtype=float)
-    lo = np.zeros_like(q)
-    hi = np.full_like(q, max(a * 20.0 + 100.0, 100.0))
+def _gamma_ppf_std(a, q):
+    """Standard-gamma quantile by bisection on P(a, x) (robust; batches are
+    bounded so the ~90 evaluations are cheap).  ``a`` scalar or array."""
+    a, q = np.broadcast_arrays(
+        np.asarray(a, dtype=float), np.asarray(q, dtype=float))
+    lo = np.zeros(q.shape)
+    hi = np.maximum(a * 20.0 + 100.0, 100.0)
     for _ in range(200):
         mid = 0.5 * (lo + hi)
         below = gammainc_p(a, mid) < q
@@ -398,6 +419,43 @@ def fit_params(x, dist: str, method: str = "ML"):
 
 def ppf(params, dist: str, q):
     return DISTS[dist]["ppf"](tuple(params), q)
+
+
+def _rows_eval(kernel, params2d, arg):
+    """Evaluate an elementwise distribution kernel across a (n, k) batch of
+    parameter rows at once — every kernel in ``DISTS`` is built from
+    broadcasting numpy primitives (incl. the array-shape ``gammainc_p`` /
+    ``_gamma_ppf_std``), so passing column arrays for ``p`` evaluates all
+    rows in one sweep.  Rows with any non-finite parameter yield NaN
+    without entering the iterative kernels."""
+    P = np.asarray(params2d, dtype=float)
+    n = P.shape[0]
+    out = np.full(n, np.nan)
+    if n == 0:
+        return out
+    x = np.broadcast_to(np.asarray(arg, dtype=float), (n,))
+    ok = np.isfinite(P).all(axis=1) & np.isfinite(x)
+    if ok.any():
+        cols = tuple(P[ok].T)
+        out[ok] = np.asarray(kernel(cols, x[ok]), dtype=float)
+    return out
+
+
+def ppf_rows(params2d, dist: str, q):
+    """Row-vectorized ppf over a parameter table: ``params2d`` is (n, k),
+    ``q`` a scalar or length-n array; returns length-n values."""
+    return _rows_eval(DISTS[dist]["ppf"], params2d, q)
+
+
+def cdf_rows(params2d, dist: str, x):
+    return _rows_eval(DISTS[dist]["cdf"], params2d, x)
+
+
+def pdf_rows(params2d, dist: str, x):
+    fn = DISTS[dist]["pdf"]
+    if fn is None:
+        raise NotImplementedError(f"pdf not implemented for {dist}")
+    return _rows_eval(fn, params2d, x)
 
 
 def cdf(params, dist: str, x):
