@@ -161,3 +161,22 @@ def test_qian_weighted_mean_average(spark):
     # edges lack neighbours -> null (reference rolling(center).construct)
     assert out[1] is None and out[2] is None
     assert out[5] is None and out[6] is None
+
+
+def test_qian_smoothing_null_next_to_gaps(spark):
+    """A missing calendar day must null the smoothed value wherever the
+    5-day window would span non-adjacent dates (reference's
+    calendar-complete centered rolling yields NaN near gaps)."""
+    import datetime as dt
+    from xclim_spark.operators import agro
+
+    days = [1, 2, 3, 4, 5, 7, 8, 9, 10, 11]  # Jan 6 missing
+    rows = [(0, dt.date(2000, 1, d), float(d)) for d in days]
+    d = spark.createDataFrame(rows, "cell INT, time DATE, value DOUBLE")
+    out = {r["time"].day: r["q"] for r in agro.qian_weighted_mean_average(
+        d, "value", cells=["cell"], alias="q").collect()}
+    # days 4,5,7,8 have the gap inside their +/-2 window -> null
+    for day in (1, 2, 4, 5, 7, 8, 10, 11):
+        assert out[day] is None, day
+    assert out[3] == pytest.approx(3.0)
+    assert out[9] == pytest.approx(9.0)

@@ -282,3 +282,51 @@ def test_seasonal_cffwis_overwintering_dc():
                                              rel=1e-12)
     # and it differs from the plain restart (dc0=15)
     assert abs(wdc - 15.0) > 1.0
+
+
+def test_user_mask_gap_carries_no_spurious_transition(spark):
+    """A (day, cell) gap inside the fire season with season_method='mask'
+    must carry state across the gap (like the computed-mask branch), not
+    read the absent slots as mask=False and reset FFMC/DMC/DC."""
+    import datetime as dt
+
+    rng = np.random.RandomState(7)
+    n = 60
+    base = []
+    for i in range(n):
+        base.append((dt.date(2000, 6, 1) + dt.timedelta(days=i),
+                     float(15 + 10 * rng.rand()),
+                     float(rng.gamma(0.4, 3.0)),
+                     float(35 + 50 * rng.rand()),
+                     float(3 + 15 * rng.rand())))
+    rows = []
+    for cell in (1, 2):
+        for i, (d, t, p, h, w) in enumerate(base):
+            if cell == 2 and 25 <= i < 35:
+                continue  # the gap: rows absent entirely
+            m = 1.0 if 10 <= i <= 50 else 0.0
+            rows.append((cell, d, t, p, h, w, m))
+    df = spark.createDataFrame(
+        rows, "cell INT, time DATE, tas DOUBLE, pr DOUBLE, hurs DOUBLE, "
+              "ws DOUBLE, m DOUBLE")
+    out = fire.cffwis_indices(
+        df, tas="tas", pr="pr", hurs="hurs", sfcWind="ws", lat=47.0,
+        cells=["cell"], season_method="mask", season_mask="m")
+    got = out.filter("cell = 2").orderBy("time").collect()
+    # expected: 1-D kernel over cell 2's own compacted series + mask
+    keep = [i for i in range(n) if not (25 <= i < 35)]
+    mask = np.array([[10 <= i <= 50] for i in keep])
+    r = fire.cffwis_block(
+        np.array([[base[i][1]] for i in keep]),
+        np.array([[base[i][2]] for i in keep]),
+        np.array([[base[i][3]] for i in keep]),
+        np.array([[base[i][4]] for i in keep]),
+        np.array([base[i][0].month for i in keep]), 47.0,
+        season_mask=mask)
+    def _f(v):
+        return float("nan") if v is None else v
+
+    np.testing.assert_allclose([_f(row["fwi"]) for row in got],
+                               r["fwi"][:, 0], rtol=1e-12)
+    np.testing.assert_allclose([_f(row["dc"]) for row in got],
+                               r["dc"][:, 0], rtol=1e-12)

@@ -198,3 +198,40 @@ def test_first_last_occurrence(spark):
     f2 = g.first_occurrence(d, "value", ">", 99.0, "YS", cells=["cell"],
                             alias="doy").collect()
     assert f2[0]["doy"] is None
+
+
+def test_first_last_occurrence_anchored_freq(spark):
+    """On YS-JUL the period spans the year boundary: the chronological
+    first event (Dec, doy ~350) must win over a later January event
+    (doy ~5) even though its doy is larger."""
+    import datetime as dt
+    from xclim_spark.operators import generic as g
+
+    rows = [
+        (0, dt.date(2000, 12, 15), 9.0),   # doy 350 — chronologically first
+        (0, dt.date(2001, 1, 5), 9.0),     # doy 5
+        (0, dt.date(2001, 3, 1), 9.0),     # doy 60 — chronologically last
+        (0, dt.date(2000, 8, 1), 1.0),     # below thresh
+    ]
+    d = spark.createDataFrame(rows, "cell INT, time DATE, value DOUBLE")
+    f = g.first_occurrence(d, "value", ">", 8.0, "YS-JUL", cells=["cell"],
+                           alias="doy").collect()
+    l = g.last_occurrence(d, "value", ">", 8.0, "YS-JUL", cells=["cell"],
+                          alias="doy").collect()
+    assert f[0]["doy"] == 350
+    assert l[0]["doy"] == 60
+
+
+def test_count_level_crossings_validates_ops(spark):
+    import pytest as _pytest
+    from xclim_spark.operators import generic as g
+    from xclim_spark.testing import timeseries
+
+    d = timeseries(spark, [5.0, 8.0], start="2000-01-01")
+    d = d.withColumn("hi", F.col("value") + 6.0)
+    with _pytest.raises(ValueError, match="op_low"):
+        g.count_level_crossings(d, "value", "hi", 10.0, "YS",
+                                cells=["cell"], op_low=">")
+    with _pytest.raises(ValueError, match="op_high"):
+        g.count_level_crossings(d, "value", "hi", 10.0, "YS",
+                                cells=["cell"], op_high="<=")

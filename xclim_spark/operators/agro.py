@@ -117,11 +117,20 @@ def qian_weighted_mean_average(
     cell — lag/lead over the same frame, no shuffle beyond the sort."""
     w = Window.partitionBy(*cells).orderBy(time)
     v = F.col(var)
+    t = F.col(time)
     sm = (
         F.lag(v, 2).over(w) + 4.0 * F.lag(v, 1).over(w) + 6.0 * v
         + 4.0 * F.lead(v, 1).over(w) + F.lead(v, 2).over(w)
     ) / 16.0
-    return df.withColumn(alias, sm)
+    # lag/lead are row-positional: near a missing day the 5-row window
+    # would silently span non-adjacent dates.  Require the +/-2 rows to be
+    # exactly +/-2 calendar days, else null — the reference's
+    # calendar-complete centered rolling yields NaN there.
+    contiguous = (
+        (F.datediff(t, F.lag(t, 2).over(w)) == 2)
+        & (F.datediff(F.lead(t, 2).over(w), t) == 2)
+    )
+    return df.withColumn(alias, F.when(contiguous, sm))
 
 
 def _month_map(mapping: dict[int, float], month: Column) -> Column:

@@ -716,7 +716,13 @@ def cffwis_indices(
         if season_method is None:
             smask = None
         elif season_method == "mask":
-            smask = np.nan_to_num(mats[season_mask]).astype(bool)
+            # absent (day, cell) slots are NaN in the pivoted matrix; carry
+            # the last seen mask value across them (same ffill the computed
+            # branch applies below) — nan_to_num would read a gap as
+            # mask=False and fabricate shut-down/start-up transitions
+            # (FFMC/DMC/DC resets, bogus winter_pr under overwintering)
+            smask = (pd.DataFrame(mats[season_mask]).ffill().fillna(0.0)
+                     .to_numpy() > 0.5)
         else:
             # The block's time axis is the union of the block's cells'
             # days; a cell absent on some axis rows must see the SAME

@@ -268,8 +268,12 @@ def first_occurrence(
     if indexer:
         df = df.filter(select_time(time, **indexer))
     cond = compare(var, op, thresh)
+    # reduce on the timestamp, project its doy: min(doy) is only the
+    # chronological first event when the period is calendar-year-aligned;
+    # for anchored freqs (YS-JUL, QS-DEC) a period spans the year boundary
+    # and e.g. Dec 15 (doy 350) precedes Jan 5 (doy 5)
     return _grouped(df, cells, time, freq).agg(
-        F.min(F.when(cond, F.dayofyear(time))).alias(alias)
+        F.min_by(F.dayofyear(time), F.when(cond, F.col(time))).alias(alias)
     )
 
 
@@ -286,7 +290,7 @@ def last_occurrence(
         df = df.filter(select_time(time, **indexer))
     cond = compare(var, op, thresh)
     return _grouped(df, cells, time, freq).agg(
-        F.max(F.when(cond, F.dayofyear(time))).alias(alias)
+        F.max_by(F.dayofyear(time), F.when(cond, F.col(time))).alias(alias)
     )
 
 
@@ -297,7 +301,16 @@ def count_level_crossings(
 ) -> DataFrame:
     """Count of days where ``low_var op_low thresh`` AND ``high_var
     op_high thresh`` per period (ref generic.py:914-963 — e.g. days the
-    daily min dips below a level the daily max still exceeds)."""
+    daily min dips below a level the daily max still exceeds).
+
+    The reference restricts ``op_low`` to {<, <=} and ``op_high`` to
+    {>, >=} (constrain= in its wrapped compare calls) — a swapped-argument
+    call would otherwise return plausible but meaningless counts."""
+    if _OP_ALIASES.get(op_low) not in ("<", "<="):
+        raise ValueError(f"op_low must be one of '<', '<='; got {op_low!r}")
+    if _OP_ALIASES.get(op_high) not in (">", ">="):
+        raise ValueError(
+            f"op_high must be one of '>', '>='; got {op_high!r}")
     if indexer:
         df = df.filter(select_time(time, **indexer))
     cond = compare(low_var, op_low, thresh) & compare(high_var, op_high,

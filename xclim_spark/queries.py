@@ -3469,12 +3469,39 @@ def occurrence_doy_ys(spark, sf_dir):
 
 
 @_register(
+    "occurrence_doy_ys_jul",
+    f"""WITH {DAILY_SQL}
+SELECT cell,
+       CAST(date_trunc('year', day - INTERVAL 6 MONTH) + INTERVAL 6 MONTH AS DATE) AS period,
+       arg_min(dayofyear(day), day) FILTER (qty > 45.0) AS first_doy,
+       arg_max(dayofyear(day), day) FILTER (qty > 45.0) AS last_doy
+FROM daily GROUP BY 1, 2""",
+)
+def occurrence_doy_ys_jul(spark, sf_dir):
+    """first/last_occurrence on an ANCHORED year (YS-JUL): the period
+    spans the calendar-year boundary, so the chronological first event
+    can carry a larger doy than later events (Dec 15 = doy 349 precedes
+    Jan 5 = doy 5).  min_by/max_by on the timestamp — not min/max of the
+    doy — keeps the reference's first_run/last_run coord='dayofyear'
+    semantics (ref generic.py:1109-1202)."""
+    d = daily_series(spark, sf_dir)
+    first = g.first_occurrence(d, "qty", ">", 45.0, "YS-JUL", time="day",
+                               cells=["cell"], alias="first_doy")
+    last = g.last_occurrence(d, "qty", ">", 45.0, "YS-JUL", time="day",
+                             cells=["cell"], alias="last_doy")
+    return first.join(last, ["cell", "period"])
+
+
+@_register(
     "qian_smooth_ms",
     f"""WITH {DAILY_SQL},
 sm AS (
   SELECT cell, day,
-         (lag(qty, 2) OVER w + 4.0 * lag(qty, 1) OVER w + 6.0 * qty
-          + 4.0 * lead(qty, 1) OVER w + lead(qty, 2) OVER w) / 16.0 AS q
+         CASE WHEN datediff('day', lag(day, 2) OVER w, day) = 2
+               AND datediff('day', day, lead(day, 2) OVER w) = 2
+         THEN (lag(qty, 2) OVER w + 4.0 * lag(qty, 1) OVER w + 6.0 * qty
+               + 4.0 * lead(qty, 1) OVER w + lead(qty, 2) OVER w) / 16.0
+         END AS q
   FROM daily
   WINDOW w AS (PARTITION BY cell ORDER BY day)
 )
@@ -3484,8 +3511,9 @@ FROM sm GROUP BY 1, 2""",
 )
 def qian_smooth_ms(spark, sf_dir):
     """qian_weighted_mean_average (ref _agro.py:1245): binomial 5-day
-    centered smoothing, then monthly means.  Nulls at series edges drop
-    out of avg on both engines."""
+    centered smoothing, then monthly means.  Nulls at series edges and
+    next to calendar gaps (the +/-2-day contiguity guard) drop out of avg
+    on both engines."""
     from .operators import agro
 
     d = daily_series(spark, sf_dir)
