@@ -68,6 +68,25 @@ def test_percentiles_methods(spark):
         np.percentile(x, 90, method="median_unbiased"))
 
 
+def test_percentiles_all_six_methods_match_numpy(spark):
+    """Parity table: every interpolation method the reference exposes
+    (_base.py:214-375) against numpy's same-named estimator, on an
+    uneven sample and off-grid percentiles."""
+    vals = [[float(v)] for v in (3.1, 0.2, 7.7, 7.7, 1.5, 9.9, 4.4)]
+    e = _ensemble(spark, vals)
+    x = np.array([v[0] for v in vals])
+    for method in ("linear", "interpolated_inverted_cdf", "hazen",
+                   "weibull", "median_unbiased", "normal_unbiased"):
+        out = ens.ensemble_percentiles(
+            e, "value", (5, 25, 50, 75, 95), keys=["cell", "time"],
+            method=method)
+        row = out.collect()[0]
+        for p in (5, 25, 50, 75, 95):
+            assert row[f"value_p{p}"] == pytest.approx(
+                np.percentile(x, p, method=method), rel=1e-12), \
+                (method, p)
+
+
 def test_robustness_fractions(spark):
     # 4 members: 3 increase, 1 decreases
     ref = _ensemble(spark, [[10.0], [10.0], [10.0], [10.0]])

@@ -42,6 +42,7 @@ __all__ = [
 # (reference ensemble_percentiles ``method`` param, _base.py:214-375)
 PERCENTILE_METHODS = {
     "linear": (1.0, 1.0),
+    "interpolated_inverted_cdf": (0.0, 1.0),
     "hazen": (0.5, 0.5),
     "weibull": (0.0, 0.0),
     "median_unbiased": (1 / 3, 1 / 3),

@@ -1420,6 +1420,38 @@ def ens_percentiles_ms(spark, sf_dir):
     return out
 
 
+def _ens_interp_oracle() -> str:
+    from .operators.percentile import hf_quantile_sql
+
+    # interpolated_inverted_cdf = Hyndman-Fan alpha=0, beta=1 (numpy's
+    # method table; virtual index h = n*p)
+    cols = ",\n       ".join(
+        f"ROUND({hf_quantile_sql('tg', p / 100.0, alpha=0.0, beta=1.0)}, 6)"
+        f" AS tg_p{p}" for p in (10, 50, 90))
+    return f"""WITH {_ENS_SQL}
+SELECT cell, period,
+       {cols}
+FROM ens GROUP BY 1, 2"""
+
+
+@_register("ens_percentiles_interp_ms", _ens_interp_oracle())
+def ens_percentiles_interp_ms(spark, sf_dir):
+    """ensemble_percentiles pinned to a NON-default interpolation method
+    (reference _base.py:214-375 exposes numpy's six; here
+    ``interpolated_inverted_cdf``, Hyndman-Fan alpha=0 beta=1).  Same
+    single (cell, period) exchange as the linear path — the method only
+    changes the JVM-side interpolation expression."""
+    from . import ensembles as es
+
+    m = _ens_members(spark, sf_dir)
+    out = es.ensemble_percentiles(
+        m, "tg", (10, 50, 90), keys=["cell", "period"],
+        method="interpolated_inverted_cdf")
+    for c in ("tg_p10", "tg_p50", "tg_p90"):
+        out = out.withColumn(c, F.round(c, 6))
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Stats tier (reference stats.py): frequency analysis + SPI
 # ---------------------------------------------------------------------------
