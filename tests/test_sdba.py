@@ -180,3 +180,67 @@ def test_properties_and_measures(spark):
                       kind="*").collect()[0]
     assert m["mean_ratio"] == pytest.approx(2.0)
     assert m["std_ratio"] == pytest.approx(2.0)
+
+
+def test_jitter_under_thresh(spark):
+    import datetime as dt
+    from xclim_spark import sdba
+
+    rows = [(0, dt.date(2000, 1, 1) + dt.timedelta(days=i),
+             0.0 if i % 2 == 0 else 5.0 + i) for i in range(40)]
+    df = spark.createDataFrame(rows, "cell INT, time DATE, v DOUBLE")
+    out = sdba.jitter_under_thresh(df, "v", thresh=1.0, cells=["cell"])
+    got = {r["time"]: r["v"] for r in out.collect()}
+    for (c, d, orig) in rows:
+        if orig == 0.0:
+            assert 0.0 <= got[d] < 1.0 and got[d] != 0.0
+        else:
+            assert got[d] == orig
+    # deterministic: second run identical
+    got2 = {r["time"]: r["v"] for r in
+            sdba.jitter_under_thresh(df, "v", thresh=1.0,
+                                     cells=["cell"]).collect()}
+    assert got == got2
+
+
+def test_adapt_freq_matches_reference_dry_fraction(spark):
+    import datetime as dt
+    from xclim_spark import sdba
+
+    n = 200
+    rng = np.random.RandomState(3)
+    wet = rng.gamma(2.0, 5.0, n) + 1.0
+    ref_rows, sim_rows = [], []
+    for i in range(n):
+        d = dt.date(2000, 1, 1) + dt.timedelta(days=i)
+        # ref: 20% dry; sim: 50% dry (drier simulation)
+        ref_rows.append((0, d, 0.0 if i % 5 == 0 else float(wet[i])))
+        sim_rows.append((0, d, 0.0 if i % 2 == 0 else float(wet[i])))
+    ref = spark.createDataFrame(ref_rows, "cell INT, time DATE, v DOUBLE")
+    sim = spark.createDataFrame(sim_rows, "cell INT, time DATE, v DOUBLE")
+    simj = sdba.jitter_under_thresh(sim, "v", thresh=1.0, cells=["cell"])
+    out = sdba.adapt_freq(ref, simj, "v", thresh=1.0, cells=["cell"])
+    vals = np.array([r["v_ad"] for r in out.collect()])
+    orig = np.array([r[2] for r in sim_rows])
+    # dry fraction adapted from 0.5 down to ~ref's 0.2 (rank granularity)
+    assert abs((vals < 1.0).mean() - 0.2) < 0.02
+    # untouched wet days preserved exactly
+    kept = orig >= 1.0
+    got_wet = np.array(sorted(vals[vals >= 1.0]))
+    # the new drizzle lies in [thresh, pth): below ref's wet quantile
+    drizzle = vals[(vals >= 1.0) & ~np.isin(
+        np.round(vals, 9), np.round(orig[kept], 9))]
+    pth = np.quantile(np.array([r[2] for r in ref_rows]), 0.5)
+    assert (drizzle >= 1.0).all() and (drizzle <= pth + 1e-9).all()
+    assert len(got_wet) == kept.sum() + len(drizzle)
+
+
+def test_adapt_freq_noop_when_sim_not_drier(spark):
+    import datetime as dt
+    from xclim_spark import sdba
+
+    rows = [(0, dt.date(2000, 1, 1) + dt.timedelta(days=i),
+             float(i % 7)) for i in range(70)]
+    ref = spark.createDataFrame(rows, "cell INT, time DATE, v DOUBLE")
+    out = sdba.adapt_freq(ref, ref, "v", thresh=1.0, cells=["cell"])
+    assert all(r["v_ad"] == r["v"] for r in out.collect())

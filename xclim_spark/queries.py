@@ -3034,6 +3034,161 @@ def sdba_eqm_adjust_ms(spark, sf_dir):
 
 
 
+def _hash_u_sql(salt: str, prefix: str = "") -> str:
+    """DuckDB twin of sdba.hash_uniform: 6 md5 hex nibbles decoded by
+    ascii arithmetic — bit-identical doubles on both engines."""
+    h = (f"md5(concat_ws('|', CAST({prefix}cell AS VARCHAR), "
+         f"CAST({prefix}day AS VARCHAR), '{salt}'))")
+    terms = []
+    for i in range(1, 7):
+        a = f"ascii(substring({h}, {i}, 1))"
+        terms.append(f"(({a}) - 48 - (CASE WHEN ({a}) >= 97 THEN 39 "
+                     f"ELSE 0 END)) * {16 ** (6 - i)}")
+    return f"(CAST({' + '.join(terms)} AS DOUBLE) / 16777216.0)"
+
+
+def _t7_var_p_sql(arr: str, p: str) -> str:
+    """Type-7 (HF alpha=beta=1) interpolation over a sorted-list SQL
+    expression at a VARIABLE probability expression ``p`` — mirrors
+    hf_interp_sorted's arithmetic exactly."""
+    n = f"len({arr})"
+    h = f"GREATEST(1.0, LEAST((CAST({n} AS DOUBLE) - 1.0) * ({p}) + 1.0, CAST({n} AS DOUBLE)))"
+    j = f"CAST(floor({h}) AS INT)"
+    lo = f"list_extract({arr}, {j})"
+    hi = f"list_extract({arr}, LEAST({j} + 1, {n}))"
+    return f"({lo} + ({h} - floor({h})) * ({hi} - {lo}))"
+
+
+def _adaptfreq_oracle() -> str:
+    qs = [(k + 0.5) / 5 for k in range(5)]  # equally_spaced_nodes(5)
+    rs = "list_sort(list(v))"
+    ref_q = ",\n         ".join(
+        f"{_t7_var_p_sql(rs, repr(p))} AS q{i}" for i, p in enumerate(qs))
+    return f"""WITH {DAILY_SQL},
+ref0 AS (SELECT cell, day, GREATEST(qty - 20.0, 0.0) AS v FROM daily
+         WHERE year(day) < 1998),
+hist0 AS (SELECT cell, day, GREATEST(qty - 26.0, 0.0) AS v FROM daily
+          WHERE year(day) < 1998),
+sim0 AS (SELECT cell, day, GREATEST(qty - 26.0, 0.0) AS v FROM daily
+         WHERE year(day) >= 1998),
+refj AS (SELECT cell, day, CASE WHEN v < 1.0
+           THEN {_hash_u_sql('jitter')} * 1.0 ELSE v END AS v FROM ref0),
+histj AS (SELECT cell, day, CASE WHEN v < 1.0
+           THEN {_hash_u_sql('jitter')} * 1.0 ELSE v END AS v FROM hist0),
+simj AS (SELECT cell, day, CASE WHEN v < 1.0
+           THEN {_hash_u_sql('jitter')} * 1.0 ELSE v END AS v FROM sim0),
+rstat AS (
+  SELECT cell, month(day) AS grp,
+         avg(CASE WHEN v < 1.0 THEN 1.0 ELSE 0.0 END) AS p0_ref,
+         {rs} AS rs
+  FROM refj GROUP BY 1, 2
+),
+sstat AS (
+  SELECT cell, month(day) AS grp,
+         avg(CASE WHEN v < 1.0 THEN 1.0 ELSE 0.0 END) AS p0_sim,
+         count(v) AS n
+  FROM histj GROUP BY 1, 2
+),
+factors AS (
+  SELECT r.cell, r.grp, r.p0_ref, s.p0_sim, s.n,
+         {_t7_var_p_sql('r.rs', 's.p0_sim')} AS pth
+  FROM rstat r JOIN sstat s ON r.cell = s.cell AND r.grp = s.grp
+),
+ranked AS (
+  SELECT cell, day, v,
+         rank() OVER (PARTITION BY cell, month(day) ORDER BY v) AS rk
+  FROM histj
+),
+hista AS (
+  SELECT h.cell, h.day,
+         CASE WHEN f.p0_sim <= f.p0_ref THEN h.v
+              WHEN CAST(h.rk AS DOUBLE) / f.n < f.p0_ref
+                OR CAST(h.rk AS DOUBLE) / f.n > f.p0_sim THEN h.v
+              ELSE 1.0 + {_hash_u_sql('adapt_freq', 'h.')} * (f.pth - 1.0)
+         END AS v
+  FROM ranked h JOIN factors f
+    ON f.cell = h.cell AND f.grp = month(h.day)
+),
+rq AS (
+  SELECT cell, month(day) AS grp,
+         {ref_q}
+  FROM refj GROUP BY 1, 2
+),
+hq AS (
+  SELECT cell, month(day) AS grp,
+         {ref_q}
+  FROM hista GROUP BY 1, 2
+),
+tbl AS (
+  SELECT rq.cell, rq.grp,
+         [hq.q0, hq.q1, hq.q2, hq.q3, hq.q4] AS hq,
+         [rq.q0 / hq.q0, rq.q1 / hq.q1, rq.q2 / hq.q2,
+          rq.q3 / hq.q3, rq.q4 / hq.q4] AS af
+  FROM rq JOIN hq ON rq.cell = hq.cell AND rq.grp = hq.grp
+),
+adj AS (
+  SELECT s.cell, s.day,
+         s.v * (SELECT CASE
+      WHEN i = 0 THEN af[1]
+      WHEN i >= len(hq) THEN af[len(af)]
+      WHEN hq[LEAST(i + 1, len(hq))] = hq[i] THEN af[i]
+      ELSE af[i] + (s.v - hq[i])
+           / (hq[LEAST(i + 1, len(hq))] - hq[i])
+           * (af[LEAST(i + 1, len(af))] - af[i])
+    END
+                FROM (SELECT len(list_filter(t.hq, x -> x <= s.v)) AS i,
+                             t.hq AS hq, t.af AS af) ) AS v_adj
+  FROM simj s JOIN tbl t ON t.cell = s.cell AND t.grp = month(s.day)
+)
+SELECT cell, CAST(date_trunc('month', day) AS DATE) AS period,
+       ROUND(avg(v_adj), 6) AS sim_adj_mean
+FROM adj GROUP BY 1, 2"""
+
+
+@_register("sdba_eqm_adaptfreq_ms", _adaptfreq_oracle())
+def sdba_eqm_adaptfreq_ms(spark, sf_dir):
+    """Precip-style EQM with the published preprocessing pair (xsdba
+    ``jitter_under_thresh`` + ``adapt_freq``; Themeßl 2012, Cannon 2015
+    §3): the thresholded series has a large dry mass and the 'model' is
+    drier than the reference, so plain multiplicative EQM cannot create
+    the missing wet days.  Jitter breaks the rank tie at zero,
+    adapt_freq converts the excess dry band of the training simulation
+    into drizzle drawn deterministically from [thresh, pth), and the
+    5-node multiplicative EQM is trained on the adapted series and
+    applied to the out-of-sample epoch.  Every stochastic draw is an
+    md5-hash uniform the DuckDB oracle recomputes bit-identically."""
+    from . import sdba
+
+    d = daily_series(spark, sf_dir)
+    cut = F.year("day") < 1998
+    ref0 = d.filter(cut).select(
+        "cell", "day", F.greatest(F.col("qty") - 20.0, F.lit(0.0))
+        .alias("v"))
+    hist0 = d.filter(cut).select(
+        "cell", "day", F.greatest(F.col("qty") - 26.0, F.lit(0.0))
+        .alias("v"))
+    sim0 = d.filter(~cut).select(
+        "cell", "day", F.greatest(F.col("qty") - 26.0, F.lit(0.0))
+        .alias("v"))
+    refj = sdba.jitter_under_thresh(ref0, "v", thresh=1.0, time="day",
+                                    cells=["cell"])
+    histj = sdba.jitter_under_thresh(hist0, "v", thresh=1.0, time="day",
+                                     cells=["cell"])
+    simj = sdba.jitter_under_thresh(sim0, "v", thresh=1.0, time="day",
+                                    cells=["cell"])
+    hista = sdba.adapt_freq(refj, histj, "v", thresh=1.0,
+                            group="time.month", time="day",
+                            cells=["cell"], alias="v")
+    eqm = sdba.EmpiricalQuantileMapping(nquantiles=5, kind="*",
+                                        group="time.month")
+    eqm.train(refj, hista.select("cell", "day", "v"), "v", time="day",
+              cells=["cell"])
+    adj = eqm.adjust(simj, "v", time="day", cells=["cell"])
+    return adj.groupBy(
+        "cell", period_start("day", "MS").alias("period")
+    ).agg(F.round(F.avg("v_adj"), 6).alias("sim_adj_mean"))
+
+
 @_register(
     "sdba_qdm_adjust_ms",
     f"""WITH {DAILY_SQL},

@@ -40,6 +40,8 @@ __all__ = [
     "Scaling",
     "LOCI",
     "equally_spaced_nodes",
+    "jitter_under_thresh",
+    "adapt_freq",
 ]
 
 
@@ -390,6 +392,118 @@ class LOCI:
         )
         return out.withColumn(f"{var}_adj", adj).drop(
             "grp", "hist_thresh", "af")
+
+
+# ---------------------------------------------------------------------------
+# Preprocessing: jitter_under_thresh + adapt_freq (published wet-day
+# frequency adaptation — Themeßl et al. 2012 "frequency adaptation";
+# Cannon et al. 2015 §3; the reference exposes them via xsdba.processing)
+# ---------------------------------------------------------------------------
+
+def hash_uniform(cols: Sequence[Column], salt: str) -> Column:
+    """Deterministic engine-reproducible U[0, 1) draw per row: the first
+    6 hex nibbles of ``md5(col|col|...|salt)`` decoded with plain ascii
+    arithmetic (``ascii``/``substring`` behave identically in Spark and
+    DuckDB, so the oracle recomputes the identical doubles — same
+    pattern as the LLM tier's md5-threshold sampling).  24 bits of
+    mantissa; the draw is i.i.d.-uniform in the Random-Oracle sense and
+    reproducible across engines, runs, and partitionings — which true
+    RNG jitter is not."""
+    h = F.md5(F.concat_ws(
+        "|", *[c.cast("string") for c in cols], F.lit(salt)))
+    val = F.lit(0)
+    for i in range(1, 7):
+        a = F.ascii(F.substring(h, i, 1))
+        digit = a - 48 - F.when(a >= 97, F.lit(39)).otherwise(F.lit(0))
+        val = val + digit * (16 ** (6 - i))
+    return val.cast("double") / float(16 ** 6)
+
+
+def jitter_under_thresh(
+    df: DataFrame, var: str, *, thresh: float, time: str = "time",
+    cells: Sequence[str] = (), alias: str | None = None,
+    salt: str = "jitter",
+) -> DataFrame:
+    """Replace values strictly under ``thresh`` with a deterministic
+    uniform draw in ``[0, thresh)`` (xsdba ``jitter_under_thresh``):
+    breaks the massive rank tie at zero precipitation so rank-based
+    algorithms (:func:`adapt_freq`, multiplicative EQM) see a total
+    order.  Stateless per-row expression — zero shuffle."""
+    out_col = alias or var
+    u = hash_uniform([F.col(c) for c in cells] + [F.col(time)], salt)
+    v = F.col(var).cast("double")
+    return df.withColumn(
+        out_col, F.when(v < thresh, u * thresh).otherwise(v))
+
+
+def adapt_freq(
+    ref: DataFrame, sim: DataFrame, var: str, *, thresh: float,
+    group: str | Grouper = "time", time: str = "time",
+    cells: Sequence[str] = (), alias: str | None = None,
+) -> DataFrame:
+    """Adapt the frequency of values under ``thresh`` in ``sim`` to match
+    ``ref`` (xsdba ``adapt_freq``; Themeßl 2012): when the simulation has
+    MORE dry days than the reference (``P0_sim > P0_ref``), quantile
+    mapping alone cannot create the missing wet days — so the
+    smallest-ranked sim values between the two dry fractions become
+    drizzle drawn from ``[thresh, pth)``, where ``pth = F_ref^{-1}
+    (P0_sim)`` is the reference value at the simulation's dry fraction.
+
+    Per-row decision: with ``pct = rank/n`` of the value within its
+    (cells, group), values with ``pct < P0_ref`` stay dry, ``pct >
+    P0_sim`` stay untouched, and the band between is replaced by
+    ``thresh + u * (pth - thresh)`` with a deterministic
+    :func:`hash_uniform` draw (the published algorithm draws true
+    uniforms; a seeded hash keeps the operator reproducible across
+    engines and partitionings).  If ``P0_sim <= P0_ref`` the group is
+    returned unchanged.  Ties above the threshold share a rank and
+    therefore a decision, so results don't depend on sort order —
+    jitter the input (:func:`jitter_under_thresh`) to break the
+    sub-threshold tie first.
+
+    Plan: two dim-sized aggregations (one per input, the ref side
+    carrying its sorted per-group sample for the ``pth`` interpolation),
+    one dim-table join, a broadcast of the factor table onto ``sim``,
+    and ONE rank window on the same (cells, group) key — no other
+    shuffle.  Assumes no NULLs in ``var`` (drop them first; nulls would
+    shift the rank/count alignment)."""
+    from pyspark.sql import Window
+
+    g = group if isinstance(group, Grouper) else Grouper(group)
+    out_col = alias or f"{var}_ad"
+    v = F.col(var).cast("double")
+    dry = (v < thresh).cast("double")
+
+    r = ref.withColumn("_grp", g.key(time)).groupBy(*cells, "_grp").agg(
+        F.avg((F.col(var).cast("double") < thresh).cast("double"))
+        .alias("_p0_ref"),
+        F.sort_array(F.collect_list(F.col(var).cast("double")))
+        .alias("_rs"),
+    )
+    s_stats = sim.withColumn("_grp", g.key(time)) \
+        .groupBy(*cells, "_grp").agg(
+            F.avg(dry).alias("_p0_sim"), F.count(v).alias("_n"))
+    # pth: type-7 (alpha=beta=1) quantile of ref at the per-group P0_sim
+    # — hf_interp_sorted takes the probability as a Column
+    factors = r.join(s_stats, on=[*cells, "_grp"]).select(
+        *cells, "_grp", "_p0_ref", "_p0_sim", "_n",
+        hf_interp_sorted(F.col("_rs"), F.col("_p0_sim"),
+                         alpha=1.0, beta=1.0).alias("_pth"),
+    )
+    w = Window.partitionBy(*cells, "_grp").orderBy(v)
+    u = hash_uniform(
+        [F.col(c) for c in cells] + [F.col(time)], "adapt_freq")
+    s = sim.withColumn("_grp", g.key(time)) \
+        .join(F.broadcast(factors), on=[*cells, "_grp"]) \
+        .withColumn("_pct", F.rank().over(w).cast("double") / F.col("_n"))
+    adapted = (
+        F.when(F.col("_p0_sim") <= F.col("_p0_ref"), v)
+        .when((F.col("_pct") < F.col("_p0_ref"))
+              | (F.col("_pct") > F.col("_p0_sim")), v)
+        .otherwise(F.lit(thresh) + u * (F.col("_pth") - F.lit(thresh)))
+    )
+    return s.withColumn(out_col, adapted).drop(
+        "_grp", "_p0_ref", "_p0_sim", "_n", "_pth", "_pct")
 
 
 def properties(
