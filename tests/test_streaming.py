@@ -68,3 +68,42 @@ def test_streaming_spell_events(spark, tmp_path):
     assert res[0]["event_sum"] == pytest.approx(90.0)
     assert res[1]["event_length"] == 2
     assert res[1]["event_sum"] == pytest.approx(57.0)
+
+
+def test_streaming_spell_events_cross_batch(spark, tmp_path):
+    """A spell spanning micro-batches must merge through state: file 1
+    ends inside an active run, file 2 continues then closes it.
+    maxFilesPerTrigger=1 forces one batch per file."""
+    from xclim_spark.streaming import streaming_spell_events
+
+    base = dt.datetime(2000, 1, 1, 12)
+    p = tmp_path / "in2"
+    p.mkdir()
+    # batch 1: days 0-3 -> run opens on days 2-3 (30, 31)
+    rows1 = [(1, base + dt.timedelta(days=i), float(v))
+             for i, v in enumerate([10, 10, 30, 31])]
+    # batch 2: days 4-6 -> run continues (28) then closes (10); plus a
+    # whole-batch closed spell afterwards (29, but single -> below min)
+    rows2 = [(1, base + dt.timedelta(days=4 + i), float(v))
+             for i, v in enumerate([28, 10, 29])]
+    schema = "cell LONG, time TIMESTAMP, tas DOUBLE"
+    import pandas as _pd
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    for name, rows in (("a.parquet", rows1), ("b.parquet", rows2)):
+        pdf = _pd.DataFrame(rows, columns=["cell", "time", "tas"])
+        _pq.write_table(_pa.Table.from_pandas(pdf), str(p / name),
+                        coerce_timestamps="us",
+                        allow_truncated_timestamps=True)
+        _time.sleep(1.1)  # distinct mtimes -> deterministic batch order
+    sdf = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", 1).parquet(str(p)))
+    out = streaming_spell_events(sdf, "tas", ">", 25.0, min_length=2)
+    _run_to_memory(out, "spells_xb")
+    res = spark.sql(
+        "select * from spells_xb order by event_start").collect()
+    assert len(res) == 1
+    assert res[0]["event_length"] == 3          # 30, 31 | 28
+    assert res[0]["event_sum"] == pytest.approx(89.0)
+    assert res[0]["event_start"] == base + dt.timedelta(days=2)

@@ -90,26 +90,52 @@ def streaming_spell_events(
     state_schema = "len INT, start TIMESTAMP, total DOUBLE"
 
     def _fn(key, pdfs, state: GroupState):
+        # Vectorized within each micro-batch: numpy run-boundary diff
+        # finds the in-batch segments in one pass; only the carry-in /
+        # carry-out state is handled scalar (the cross-batch seam).
+        import numpy as np
+
         events = []
         if state.exists:
             run_len, run_start, run_sum = state.get
         else:
             run_len, run_start, run_sum = 0, None, 0.0
         for pdf in pdfs:
+            if not len(pdf):
+                continue
             pdf = pdf.sort_values(time)
-            for _, row in pdf.iterrows():
-                active = bool(cmp(row[var], thresh))
-                if active:
-                    if run_len == 0:
-                        run_start = row[time]
-                        run_sum = 0.0
-                    run_len += 1
-                    run_sum += float(row[var])
-                elif run_len > 0:
+            v = pdf[var].to_numpy(dtype=float)
+            t = pdf[time].to_numpy()
+            a = np.asarray(cmp(v, thresh), dtype=bool)
+            pad = np.concatenate(([False], a, [False])).astype(np.int8)
+            d = np.diff(pad)
+            starts = np.flatnonzero(d == 1)
+            ends = np.flatnonzero(d == -1) - 1  # inclusive
+            cs = np.concatenate(([0.0], np.cumsum(np.where(a, v, 0.0))))
+            seg_len = (ends - starts + 1).tolist()
+            seg_sum = (cs[ends + 1] - cs[starts]).tolist()
+            seg_start = [pd.Timestamp(t[i]) for i in starts]
+            if run_len > 0:
+                if len(starts) and starts[0] == 0:
+                    # open run continues into the batch's first segment
+                    seg_len[0] += run_len
+                    seg_sum[0] += run_sum
+                    seg_start[0] = run_start
+                else:
                     if run_len >= min_length:
                         events.append((key[0], run_start, run_len,
                                        run_sum))
-                    run_len, run_start, run_sum = 0, None, 0.0
+                run_len, run_start, run_sum = 0, None, 0.0
+            open_tail = len(ends) and ends[-1] == len(a) - 1
+            n_closed = len(seg_len) - (1 if open_tail else 0)
+            for i in range(n_closed):
+                if seg_len[i] >= min_length:
+                    events.append((key[0], seg_start[i], int(seg_len[i]),
+                                   float(seg_sum[i])))
+            if open_tail:
+                run_len = int(seg_len[-1])
+                run_start = seg_start[-1]
+                run_sum = float(seg_sum[-1])
         state.update((run_len, run_start, run_sum))
         if events:
             yield pd.DataFrame(
