@@ -175,15 +175,18 @@ def knn_lsh(
 
     e = with_buckets(emb, "neighbor_id")
     q = with_buckets(queries, "query_id")
+    # cosine is computed BEFORE the pair-dedup so the dedup exchange
+    # carries (query_id, neighbor_id, cos_sim) — one double per pair —
+    # instead of two dim-sized arrays; a pair colliding in t tables costs
+    # t map-side dot products (identical doubles), far cheaper at scale
+    # than shuffling the vectors
     cand = (
         e.join(q, on=["table", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", "_query_id_vec",
-                "_neighbor_id_vec")
-        .dropDuplicates(["query_id", "neighbor_id"])
-    )
-    cand = cand.withColumn(
-        "cos_sim", cosine_similarity("_query_id_vec", "_neighbor_id_vec")
+        .withColumn("cos_sim", cosine_similarity(
+            "_query_id_vec", "_neighbor_id_vec"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.max("cos_sim").alias("cos_sim"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")

