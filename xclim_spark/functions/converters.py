@@ -805,13 +805,39 @@ def universal_thermal_climate_index(
             )
             pows[(name, e)] = F.col(f"_u_{name}{e}")
 
-    approx = F.lit(0.0)
+    # The 210-term sum as ONE expression compiles into a single generated
+    # Java method far past HotSpot's 8 KB JIT bytecode limit
+    # (DontCompileHugeMethods), so the hot loop runs interpreted —
+    # measured ~5 us/row.  Stage the sum as JIT-sized partial-sum
+    # projections instead.  Each partial is referenced twice in the
+    # chained accumulation below (a + a-referencing-`when`), which keeps
+    # CollapseProject from inlining the alias back into one giant
+    # projection (it only collapses aliases that are cheap or referenced
+    # once) — each partial stays its own codegen'd, JIT-compilable method.
+    chunk = 35
+    terms = []
     for i, j, k, p, coef in UTCI_POLYNOMIAL_COEFFICIENTS:
         term = F.lit(coef)
         for name, e in (("t", i), ("v", j), ("d", k), ("p", p)):
             if e:
                 term = term * pows[(name, e)]
-        approx = approx + term
+        terms.append(term)
+    n_parts = 0
+    for c0 in range(0, len(terms), chunk):
+        part = terms[c0]
+        for t_ in terms[c0 + 1:c0 + chunk]:
+            part = part + t_
+        staged = staged.withColumn(f"_u_s{n_parts}", part)
+        n_parts += 1
+    approx = F.lit(0.0)
+    for idx in range(n_parts):
+        s = F.col(f"_u_s{idx}")
+        # s*0.5 + s*0.5 == s exactly in IEEE-754 (halving only decrements
+        # the exponent), and no Catalyst rule rewrites it — a `when`
+        # identity barrier gets erased by SimplifyConditionals, after
+        # which CollapseProject inlines the single-reference alias and
+        # the giant method comes back
+        approx = approx + (s * 0.5 + s * 0.5)
     if mask_invalid:
         approx = F.when(
             (F.col("_u_t") > -50.0) & (F.col("_u_t") < 50.0)
