@@ -77,13 +77,6 @@ def main() -> int:
         # touching large shuffles.
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
                 "1kb")
-        # HotSpot refuses to JIT methods over 8000 bytecode bytes
-        # (DontCompileHugeMethods), so a fused whole-stage method past
-        # that size runs INTERPRETED (the UTCI stage fused to ~30 kB:
-        # ~7 us/row).  Falling back to per-operator codegen at exactly
-        # the JIT threshold keeps every generated method compilable —
-        # measured 1.7x on conv_utci_ms, no effect on small stages.
-        .config("spark.sql.codegen.hugeMethodLimit", "8000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")

