@@ -1,0 +1,204 @@
+"""Round-5 API-parity batch: small public helpers the reference exposes
+(units transforms, calendar doy utilities, options context, accessors)."""
+
+import datetime as dt
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_units_transforms(spark):
+    from xclim_spark import units as u
+
+    df = spark.range(1).select(F.lit(2.0).alias("x"))
+    got = df.select(
+        u.amount2lwethickness(F.col("x")).alias("lwe"),          # kg/m2 -> mm
+        u.lwethickness2amount(F.col("x")).alias("amt"),
+        u.rate2flux(F.col("x"), "312 kg m-3").alias("flux"),
+        u.flux2rate(F.col("x"), 312.0).alias("rate"),
+        u.pint_multiply(F.col("x"), "3 d").alias("mult"),
+    ).collect()[0]
+    assert got["lwe"] == pytest.approx(2.0)     # 1 kg/m2 == 1 mm lwe
+    assert got["amt"] == pytest.approx(2.0)
+    assert got["flux"] == pytest.approx(624.0)
+    assert got["rate"] == pytest.approx(2.0 / 312.0)
+    assert got["mult"] == pytest.approx(6.0)
+
+
+def test_infer_sampling_units_and_temp_helpers():
+    from xclim_spark import units as u
+
+    assert u.infer_sampling_units("D") == (1, "d")
+    assert u.infer_sampling_units("MS") == (1, "month")
+    assert u.infer_sampling_units("QS-DEC") == (3, "month")
+    assert u.infer_sampling_units("YS") == (1, "a")
+    assert u.ensure_absolute_temperature("degC") == "K"
+    assert u.ensure_absolute_temperature("degF") == "degR"
+    assert u.ensure_absolute_temperature("mm") == "mm"
+    assert u.ensure_delta("degC") == "delta_degC"
+    assert u.ensure_delta("K") == "K"
+    assert u.infer_context("lwe_thickness_of_precipitation_amount") == "hydro"
+    assert u.infer_context("air_temperature") == "none"
+
+
+def test_doy_from_string():
+    from xclim_spark.calendar import doy_from_string
+
+    assert doy_from_string("03-01", 2001) == 60        # non-leap
+    assert doy_from_string("03-01", 2000) == 61        # leap
+    assert doy_from_string("03-01", 2000, "noleap") == 60
+    assert doy_from_string("03-01", 2001, "all_leap") == 61
+    assert doy_from_string("03-01", 2000, "360_day") == 61  # 2*30+1
+    assert doy_from_string("12-30", 2001, "360_day") == 360
+
+
+def test_build_climatology_bounds(spark):
+    from xclim_spark.calendar import build_climatology_bounds
+
+    rows = [(dt.date(1991, 1, 1),), (dt.date(1995, 6, 2),),
+            (dt.date(2020, 12, 31),)]
+    df = spark.createDataFrame(rows, "time DATE")
+    assert build_climatology_bounds(df) == ["1991-01-01", "2020-12-31"]
+
+
+def test_climatological_mean_doy_and_within_bnds(spark):
+    from xclim_spark.calendar import (climatological_mean_doy,
+                                      within_bnds_doy)
+
+    rows = [(0, dt.date(2000, 1, 1) + dt.timedelta(days=i), float(i % 10))
+            for i in range(730)]
+    df = spark.createDataFrame(rows, "cell INT, time DATE, v DOUBLE")
+    clim = climatological_mean_doy(df, "v", window=5, cells=["cell"])
+    r = clim.filter("dayofyear = 100").collect()[0]
+    assert r["clim_std"] >= 0.0 and 0.0 <= r["clim_mean"] <= 9.0
+    bounds = clim.select(
+        "cell", "dayofyear",
+        (F.col("clim_mean") - 3 * F.col("clim_std")).alias("low"),
+        (F.col("clim_mean") + 3 * F.col("clim_std")).alias("high"))
+    flagged = within_bnds_doy(df, "v", bounds, cells=["cell"])
+    vals = flagged.select("within").collect()
+    assert all(r["within"] is not None for r in vals)
+
+
+def test_adjust_doy_calendar(spark):
+    from xclim_spark.calendar import adjust_doy_calendar
+
+    # linear source over doy 1..360 -> interpolated onto 1..365
+    src = spark.createDataFrame(
+        [(d, float(d)) for d in range(1, 361)], "dayofyear INT, v DOUBLE")
+    out = adjust_doy_calendar(src, 365, source_max=360)
+    got = {r["dayofyear"]: r["v"] for r in out.collect()}
+    assert len(got) == 365
+    assert got[1] == pytest.approx(1.0)
+    assert got[365] == pytest.approx(360.0)
+    # midpoint maps linearly
+    assert got[183] == pytest.approx((183 - 1) / 364 * 359 + 1, rel=1e-9)
+
+
+def test_mask_between_doys(spark):
+    from xclim_spark.calendar import mask_between_doys
+
+    rows = [(dt.date(2001, 1, 1) + dt.timedelta(days=i),)
+            for i in range(365)]
+    df = spark.createDataFrame(rows, "time DATE")
+    n = df.filter(mask_between_doys("time", (100, 200))).count()
+    assert n == 101
+    # wrap-around window spans the year boundary
+    nw = df.filter(mask_between_doys("time", (360, 5))).count()
+    assert nw == 11
+
+
+def test_set_options_and_missing_from_context(spark):
+    from xclim_spark.operators.missing import missing_from_context
+    from xclim_spark.options import set_options
+
+    rows = [(0, dt.date(2001, 1, d), 1.0) for d in range(1, 17)]  # half of Jan
+    df = spark.createDataFrame(rows, "cell INT, time DATE, v DOUBLE")
+    m_any = missing_from_context(df, "v", "MS", cells=["cell"]).collect()
+    assert m_any[0]["is_missing"] is True
+    with set_options(check_missing="at_least_n",
+                     missing_options={"at_least_n": {"n": 10}}):
+        m_n = missing_from_context(df, "v", "MS", cells=["cell"]).collect()
+        assert m_n[0]["is_missing"] is False
+    with pytest.raises(ValueError):
+        set_options(check_missing="not_a_method")
+    with pytest.raises(ValueError):
+        set_options(no_such_option=1)
+
+
+def test_get_dist_and_significance_registry():
+    from xclim_spark import ensembles as ens
+    from xclim_spark.stats import get_dist
+
+    assert get_dist("gumbel_r")["nparams"] == 2
+    with pytest.raises(ValueError):
+        get_dist("cauchy_nope")
+
+    @ens.significance_test
+    def _test_always(fut, ref):
+        return True, 0.0
+
+    assert ens.SIGNIFICANCE_TESTS["always"] is _test_always
+    del ens.SIGNIFICANCE_TESTS["always"]
+
+
+def test_hawkins_sutton_09_weighting(spark):
+    from xclim_spark.ensembles import hawkins_sutton_09_weighting
+
+    rows = []
+    for m, slope in (("a", 1.0), ("b", 2.0)):
+        for y in range(1971, 2001):
+            rows.append((m, dt.date(y, 6, 1), slope * (y - 1971)))
+    df = spark.createDataFrame(rows, "model STRING, time DATE, value DOUBLE")
+    w = {r["model"]: r["weight"] for r in
+         hawkins_sutton_09_weighting(df, obs=14.5).collect()}
+    # model a: baseline mean 14.5, 2000-value 29 -> xm = 14.5 == obs -> w = 1/14.5
+    assert w["a"] == pytest.approx(1 / 14.5)
+    # model b: mean 29, end 58 -> xm 29; |29-14.5|=14.5 -> w = 1/29
+    assert w["b"] == pytest.approx(1 / 29.0)
+
+
+def test_check_valid():
+    from xclim_spark.datachecks import ValidationError, check_valid
+
+    check_valid({"standard_name": "air_temperature"}, "standard_name",
+                "air_temperature")
+    check_valid({"cell_methods": "time: mean"}, "cell_methods",
+                ["time: mean", "time: point"])
+    with pytest.raises(ValidationError):
+        check_valid({}, "standard_name", "air_temperature")
+    with pytest.raises(ValidationError):
+        check_valid({"standard_name": "x"}, "standard_name", "y")
+
+
+def test_first_day_threshold_reached(spark):
+    from xclim_spark.operators import generic as g
+    from xclim_spark.testing import timeseries
+
+    # condition true on days 50-60 and 200-210; after 07-01 (doy 182)
+    vals = [1.0 if (50 <= i + 1 <= 60 or 200 <= i + 1 <= 210) else 0.0
+            for i in range(365)]
+    df = timeseries(spark, vals, start="2001-01-01")
+    out = g.first_day_threshold_reached(
+        df, "value", ">", 0.5, "07-01", window=3, cells=["cell"]).collect()
+    assert out[0]["doy"] == 200
+
+
+def test_bivariate_spell_length_statistics(spark):
+    import datetime as _dt
+    from xclim_spark.operators import run_length as rl
+
+    rows = []
+    for i in range(60):
+        d = _dt.date(2001, 6, 1) + _dt.timedelta(days=i)
+        tx = 30.0 if 10 <= i < 20 else 20.0   # >= 25 on days 10..19
+        hu = 80.0 if 12 <= i < 25 else 40.0   # >= 60 on days 12..24
+        rows.append((0, d, tx, hu))
+    df = spark.createDataFrame(rows,
+                               "cell INT, time DATE, tx DOUBLE, hu DOUBLE")
+    out = rl.bivariate_spell_length_statistics(
+        df, "tx", 25.0, "hu", 60.0, 1, "min", ">=", "max", "YS",
+        cells=["cell"])
+    # both conditions hold on days 12..19 -> longest joint spell = 8
+    assert out.collect()[0]["spell_stat"] == 8

@@ -85,3 +85,33 @@ def test_outside_n_std_climatology(spark):
 def test_registry(spark):
     assert "tasmax_below_tasmin" in dfl.REGISTRY
     assert "very_large_precipitation_events" in dfl.REGISTRY
+
+
+def test_values_op_thresh_repeating_flag(spark):
+    import datetime as dt
+    from xclim_spark.dataflags import (
+        values_op_thresh_repeating_for_n_or_more_days)
+
+    # pr pinned at exactly 5.0 for 5 days (suspicious), a 5-run of 3.0
+    # (not at the threshold), and varied values
+    vals = [1.0, 5.0, 5.0, 5.0, 5.0, 5.0, 2.0, 3.0, 3.0, 3.0, 3.0, 3.0,
+            4.0]
+    rows = [(0, dt.date(2000, 1, 1) + dt.timedelta(days=i), v)
+            for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "cell INT, time DATE, pr DOUBLE")
+    out = values_op_thresh_repeating_for_n_or_more_days(
+        df, "pr", 5, 5.0, op="==", cells=["cell"], flag_name="flag")
+    got = {r["time"].day: r["flag"] for r in out.collect()}
+    assert all(got[d] for d in range(2, 7))          # the 5.0 run
+    assert not any(got[d] for d in (1, 7, 13))
+    assert not any(got[d] for d in range(8, 13))     # 3.0 run: wrong value
+
+
+def test_specific_discharge_extremely_high_flag(spark):
+    from pyspark.sql import functions as F
+    from xclim_spark.dataflags import specific_discharge_extremely_high
+
+    df = spark.createDataFrame([(50.0,), (150.0,)], "q DOUBLE")
+    out = df.select(specific_discharge_extremely_high("q").alias("f")) \
+        .collect()
+    assert [r["f"] for r in out] == [False, True]

@@ -21,6 +21,7 @@ never drift apart.
 from __future__ import annotations
 
 import re
+from collections.abc import Sequence
 from dataclasses import dataclass
 
 from pyspark.sql import Column
@@ -41,8 +42,15 @@ __all__ = [
     "is_leap_year",
     "time_bnds",
     "stack_periods",
+    "unstack_periods",
     "doy_to_days_since",
     "days_since_to_doy",
+    "doy_from_string",
+    "build_climatology_bounds",
+    "mask_between_doys",
+    "within_bnds_doy",
+    "climatological_mean_doy",
+    "adjust_doy_calendar",
     "SEASONS",
 ]
 
@@ -408,6 +416,139 @@ def unstack_periods(
         .filter(keep)
         .drop("_lmin", "_lmax", label)
     )
+
+
+# cumulative days before each month, non-leap
+_MONTH_CUMDAYS = (0, 31, 59, 90, 120, 151, 181, 212, 243, 273, 304, 334)
+
+
+def doy_from_string(doy: str, year: int, calendar: str = "standard") -> int:
+    """Day-of-year of an 'MM-DD' string in a given year and calendar
+    (reference ``doy_from_string``, calendar.py:114-131) — a plan-build
+    scalar, evaluated driver-side like all Quantified parsing."""
+    mm, dd = (int(p) for p in doy.split("-"))
+    if calendar in ("360_day",):
+        return (mm - 1) * 30 + dd
+    base = _MONTH_CUMDAYS[mm - 1] + dd
+    leap = (year % 4 == 0 and year % 100 != 0) or year % 400 == 0
+    if calendar in ("noleap", "365_day"):
+        leap = False
+    elif calendar in ("all_leap", "366_day"):
+        leap = True
+    return base + (1 if leap and mm > 2 else 0)
+
+
+def build_climatology_bounds(df, time: str = "time") -> list:
+    """['first date', 'last date'] of the time axis (reference
+    ``build_climatology_bounds``, calendar.py:497-513) — a 1-row
+    column-pruned min/max aggregate, collected driver-side (two scalars,
+    the CF ``climatology_bounds`` attribute payload)."""
+    row = df.select(
+        F.date_format(F.min(time), "yyyy-MM-dd").alias("lo"),
+        F.date_format(F.max(time), "yyyy-MM-dd").alias("hi"),
+    ).collect()[0]
+    return [row["lo"], row["hi"]]
+
+
+def mask_between_doys(
+    time: Column | str,
+    doy_bounds: tuple,
+    include_bounds: tuple = (True, True),
+) -> Column:
+    """Predicate Column: time inside the doy window (reference
+    ``mask_between_doys``, calendar.py:1166-1240; wrap-around windows —
+    start > end — span the year boundary).  Same kernel as
+    ``select_time(doy_bounds=...)``; exposed under the reference's
+    name."""
+    return select_time(time, doy_bounds=tuple(doy_bounds),
+                       include_bounds=tuple(include_bounds))
+
+
+def climatological_mean_doy(
+    df, var: str, *, window: int = 5, time: str = "time",
+    cells: Sequence[str] = (),
+) -> "DataFrame":  # noqa: F821
+    """Per-(cell, doy365) climatological mean and std over a centered
+    ``window``-day pool (reference ``climatological_mean_doy``,
+    calendar.py:907-933).  The window pool is a map-side explode of the
+    day offsets (same shape as ``percentile_doy``); one aggregation on
+    (cells, doy) follows.  Returns ``cells..., dayofyear, clim_mean,
+    clim_std``."""
+    half = window // 2
+    offs = F.array(*[F.lit(o) for o in range(-half, half + 1)])
+    pooled = df.select(
+        *cells, F.col(var).alias("_v"), doy365(time).alias("_d0"),
+        F.explode(offs).alias("_off"),
+    ).select(
+        *cells, "_v",
+        ((F.col("_d0") - 1 + F.col("_off") + 365) % 365 + 1)
+        .alias("dayofyear"),
+    )
+    return pooled.groupBy(*cells, "dayofyear").agg(
+        F.avg("_v").alias("clim_mean"),
+        F.stddev_pop("_v").alias("clim_std"),
+    )
+
+
+def within_bnds_doy(
+    df, var: str, bounds, *, time: str = "time",
+    cells: Sequence[str] = (),
+    low: str = "low", high: str = "high", alias: str = "within",
+) -> "DataFrame":  # noqa: F821
+    """Boolean per row: value within its day-of-year's [low, high] bounds
+    (reference ``within_bnds_doy``, calendar.py:934-965).  ``bounds`` is
+    a doy-keyed table (``cells..., dayofyear, low, high``) — dim-sized,
+    broadcast onto the facts; the join key uses the same leap-safe
+    doy365 axis as the climatology builders."""
+    b = F.broadcast(bounds)
+    j = df.withColumn("dayofyear", doy365(time)) \
+        .join(b, on=[*cells, "dayofyear"], how="left")
+    return j.withColumn(
+        alias, (F.col(var) >= F.col(low)) & (F.col(var) <= F.col(high)))
+
+
+def adjust_doy_calendar(
+    source, target_max: int, *, source_max: int | None = None,
+    doy_col: str = "dayofyear", cells: Sequence[str] = (),
+) -> "DataFrame":  # noqa: F821
+    """Linearly interpolate a doy-keyed table onto another doy range
+    (reference ``adjust_doy_calendar``, calendar.py:729-786, e.g. a
+    360-day climatology onto 365 days).  The target axis is generated
+    with ``sequence`` + explode and each target doy joins its floor and
+    ceil source rows — two broadcast joins of dim-sized tables, value
+    columns interpolated as expressions."""
+    from pyspark.sql import DataFrame as _DF
+
+    assert isinstance(source, _DF)
+    if source_max is None:
+        source_max = source.agg(F.max(doy_col)).collect()[0][0]
+    vals = [c for c in source.columns
+            if c != doy_col and c not in cells]
+    keys = list(cells)
+    tgt = (source.select(*keys).distinct() if keys
+           else source.limit(1).select(F.lit(1).alias("_one")))
+    tgt = tgt.select(
+        *keys, F.explode(F.sequence(F.lit(1), F.lit(int(target_max))))
+        .alias(doy_col))
+    # fractional source position of each target doy
+    pos = (F.col(doy_col) - 1.0) / (target_max - 1.0) * (source_max - 1.0) \
+        + 1.0
+    lo_i = F.floor(pos).cast("int")
+    tgt = tgt.withColumn("_pos", pos).withColumn("_lo", lo_i) \
+        .withColumn("_hi", F.least(lo_i + 1, F.lit(int(source_max))))
+    s_lo = source.select(
+        *keys, F.col(doy_col).alias("_lo"),
+        *[F.col(v).alias(f"_lo_{v}") for v in vals])
+    s_hi = source.select(
+        *keys, F.col(doy_col).alias("_hi"),
+        *[F.col(v).alias(f"_hi_{v}") for v in vals])
+    j = tgt.join(F.broadcast(s_lo), on=[*keys, "_lo"]) \
+           .join(F.broadcast(s_hi), on=[*keys, "_hi"])
+    g = F.col("_pos") - F.col("_lo")
+    out_cols = [*keys, F.col(doy_col)] + [
+        (F.col(f"_lo_{v}") + g * (F.col(f"_hi_{v}") - F.col(f"_lo_{v}")))
+        .alias(v) for v in vals]
+    return j.select(*out_cols)
 
 
 def doy365_sql(time_expr: str) -> str:

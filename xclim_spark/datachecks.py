@@ -16,7 +16,8 @@ from pyspark.sql import functions as F
 from .calendar import parse_offset
 
 __all__ = ["ValidationError", "infer_freq_seconds", "check_freq",
-           "check_daily", "check_common_time", "cfcheck_from_name"]
+           "check_daily", "check_common_time", "cfcheck_from_name",
+           "check_valid"]
 
 _BASE_SECONDS = {"D": 86400, "H": 3600, "T": 60, "W": 7 * 86400}
 
@@ -94,6 +95,18 @@ def check_common_time(
         raise ValidationError(
             f"Inputs have mismatched time axes: {sorted(map(str, seen))}"
         )
+
+
+def check_valid(attrs: dict, key: str, expected) -> None:
+    """Check one metadata attribute against expected value(s) (reference
+    ``check_valid``, cfchecks.py:22-45): raises :class:`ValidationError`
+    when ``attrs[key]`` is absent or not among ``expected`` (a string or
+    sequence of strings)."""
+    exp = [expected] if isinstance(expected, str) else list(expected)
+    got = attrs.get(key)
+    if got is None or got not in exp:
+        raise ValidationError(
+            f"Attribute {key!r} is {got!r}, expected one of {exp}")
 
 
 def cfcheck_from_name(varname: str, units: str | None = None,

@@ -28,6 +28,8 @@ __all__ = [
     "wind_values_outside_of_bounds",
     "percentage_values_outside_of_bounds",
     "values_repeating_for_n_or_more_days",
+    "values_op_thresh_repeating_for_n_or_more_days",
+    "specific_discharge_extremely_high",
     "outside_n_standard_deviations_of_climatology",
     "data_flags",
     "ecad_compliant",
@@ -124,6 +126,30 @@ def values_repeating_for_n_or_more_days(
     wrun = Window.partitionBy(*cells, "_vrun")
     df = df.withColumn(name, F.count(F.lit(1)).over(wrun) >= n)
     return df.drop("_vrun")
+
+
+def values_op_thresh_repeating_for_n_or_more_days(
+    df: DataFrame, var: str, n: int, thresh: float, *, op: str = "==",
+    time: str = "time", cells: Sequence[str] = (),
+    flag_name: str | None = None,
+) -> DataFrame:
+    """Values repeating AT a threshold for ``n``-plus days (reference
+    dataflags.py:377-416, e.g. pr pinned at exactly 5 mm/d for 5 days —
+    a typical gauge-encoding artifact): ``suspicious_run`` restricted to
+    runs whose repeated value satisfies ``op thresh``."""
+    from .operators.run_length import suspicious_run
+
+    name = flag_name or (
+        f"values_{op}_{thresh}_repeating_for_{n}_or_more_days")
+    return suspicious_run(df, var, window=n, op=op, thresh=thresh,
+                          time=time, cells=cells, alias=name)
+
+
+@register_flag
+def specific_discharge_extremely_high(da, thresh: float = 100.0) -> Column:
+    """Specific discharge above ``thresh`` (reference
+    dataflags.py:823-851; default 100 mm/d)."""
+    return _c(da) > thresh
 
 
 def outside_n_standard_deviations_of_climatology(

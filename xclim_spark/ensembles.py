@@ -35,6 +35,8 @@ __all__ = [
     "robustness_coefficient",
     "member_change_significance",
     "SIGNIFICANCE_TESTS",
+    "significance_test",
+    "hawkins_sutton_09_weighting",
     "PERCENTILE_METHODS",
 ]
 
@@ -701,6 +703,45 @@ SIGNIFICANCE_TESTS = {
     "brownforsythe-test": _test_brownforsythe,
     "ipcc-ar6-c": _test_ipcc_ar6_c,
 }
+
+
+def significance_test(func):
+    """Register a custom significance test for
+    :func:`robustness_fractions` / :func:`member_change_significance`
+    (reference ``significance_test`` decorator, _robustness.py:48-68).
+    The function name (leading ``_test_`` stripped, underscores kept)
+    becomes the registry key; it receives two 1-D numpy arrays (fut,
+    ref) and returns ``(changed: bool, pvalue: float)``."""
+    name = func.__name__
+    if name.startswith("_test_"):
+        name = name[len("_test_"):]
+    SIGNIFICANCE_TESTS[name] = func
+    return func
+
+
+def hawkins_sutton_09_weighting(
+    da: DataFrame, obs: float, baseline: tuple = ("1971", "2000"), *,
+    var: str = "value", time: str = "time", model: str = "model",
+) -> DataFrame:
+    """Model weights from ability to simulate observed change (reference
+    ``hawkins_sutton_09_weighting``, _partitioning.py:165-189):
+    ``w_m = 1 / (obs + |x_m - obs|)`` where ``x_m`` is the baseline-end
+    value minus the baseline mean.  One aggregation over the baseline
+    epoch per model — a models-sized table."""
+    y = F.year(F.col(time))
+    lo, hi = int(baseline[0]), int(baseline[1])
+    base = da.filter((y >= lo) & (y <= hi))
+    agg = base.groupBy(model).agg(
+        F.avg(var).alias("_mm"),
+        F.avg(F.when(F.year(F.col(time)) == hi, F.col(var)))
+        .alias("_end"),
+    )
+    xm = F.col("_end") - F.col("_mm")
+    return agg.select(
+        model,
+        (F.lit(1.0) / (F.lit(float(obs)) + F.abs(xm - F.lit(float(obs)))))
+        .alias("weight"),
+    )
 
 
 def member_change_significance(

@@ -43,6 +43,7 @@ __all__ = [
     "cumulative_difference",
     "detrend",
     "aggregate_between_dates",
+    "first_day_threshold_reached",
     "REDUCERS",
 ]
 
@@ -318,6 +319,27 @@ def count_level_crossings(
     return _grouped(df, cells, time, freq).agg(
         F.sum(cond.cast("long")).alias(alias)
     )
+
+
+def first_day_threshold_reached(
+    df: DataFrame, var: str, op: str, thresh, after_date: str, *,
+    window: int = 1, freq: str = "YS",
+    time: str = "time", cells: Sequence[str] = (),
+    constrain: Sequence[str] | None = None, alias: str = "doy",
+) -> DataFrame:
+    """Day-of-year the condition first holds for ``window`` days at or
+    after ``after_date`` ('MM-DD') in each period (reference
+    ``first_day_threshold_reached``, generic.py:1556-1612) — compare +
+    first_run_after_date, sharing the run-length family's single
+    (cell) sort."""
+    from .run_length import first_run_after_date
+
+    if constrain and _OP_ALIASES[op] not in constrain:
+        raise ValueError(f"Operator {op!r} not permitted here")
+    cond = compare(var, op, thresh)
+    return first_run_after_date(df, cond, window, date=after_date,
+                                freq=freq, time=time, cells=cells,
+                                coord="doy", alias=alias)
 
 
 def get_zones(

@@ -32,6 +32,7 @@ __all__ = [
     "mask_missing",
     "register_missing_method",
     "MISSING_METHODS",
+    "missing_from_context",
 ]
 
 
@@ -231,3 +232,20 @@ def register_missing_method(name: str):
         return fn
 
     return deco
+
+
+def missing_from_context(
+    df: DataFrame, var: str, freq: str, *, time: str = "time",
+    cells: Sequence[str] = (), src_freq: str = "D",
+) -> DataFrame:
+    """Mask periods using the method and kwargs from the global options
+    (reference ``missing_from_context``, missing.py:572-601):
+    ``set_options(check_missing=..., missing_options=...)`` chooses the
+    algorithm at plan-build time."""
+    from ..options import CHECK_MISSING, MISSING_OPTIONS, OPTIONS
+
+    method = OPTIONS[CHECK_MISSING]
+    fn = MISSING_METHODS[method]
+    opts = OPTIONS[MISSING_OPTIONS].get(method, {})
+    return fn(df, var, freq, time=time, cells=cells, src_freq=src_freq,
+              **opts)

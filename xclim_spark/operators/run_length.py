@@ -46,6 +46,7 @@ __all__ = [
     "keep_longest_run",
     "spell_mask",
     "spell_length_statistics",
+    "bivariate_spell_length_statistics",
     "runs_with_holes",
     "find_events",
     "suspicious_run",
@@ -671,6 +672,28 @@ def spell_length_statistics(
                           freq=freq, time=time, cells=cells,
                           order_extra=order_extra,
                           resample_before_rl=resample_before_rl, alias=alias)
+
+
+def bivariate_spell_length_statistics(
+    df: DataFrame,
+    var1: str, thresh1, var2: str, thresh2,
+    window: int, win_reducer: str, op: str, spell_reducer: str, freq: str,
+    *,
+    min_gap: int = 1,
+    time: str = "time",
+    cells: Sequence[str] = (),
+    resample_before_rl: bool = False,
+    alias: str = "spell_stat",
+) -> DataFrame:
+    """Spell statistics where conditions on BOTH variables must hold
+    (reference ``bivariate_spell_length_statistics``, generic.py:690-769)
+    — the reference's named entry point for the two-variable form of
+    :func:`spell_length_statistics` (same kernel, ``var_reducer='all'``)."""
+    return spell_length_statistics(
+        df, [var1, var2], window, win_reducer, op, [thresh1, thresh2],
+        spell_reducer, freq, time=time, cells=cells, var_reducer="all",
+        resample_before_rl=resample_before_rl, min_gap=min_gap,
+        alias=alias)
 
 
 # ---------------------------------------------------------------------------

@@ -22,7 +22,7 @@ from ..calendar import period_start
 from ..util import repartition_for_apply
 from . import distributions as D
 
-__all__ = ["fit", "parametric_quantile", "parametric_cdf",
+__all__ = ["fit", "get_dist", "parametric_quantile", "parametric_cdf",
            "parametric_pdf", "dist_method", "fa", "frequency_analysis",
            "standardized_index", "standardized_index_fit_params",
            "standardized_precipitation_index",
@@ -37,6 +37,17 @@ distributions = D
 def _key_schema(df: DataFrame, cells: Sequence[str]) -> str:
     fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     return ", ".join(f"{c} {fields[c]}" for c in cells)
+
+
+def get_dist(dist: str):
+    """Validated accessor for a named distribution's kernel table
+    (reference ``get_dist``, stats.py:551-570 — there a scipy
+    rv_continuous; here the scipy-free kernel entry of
+    distributions.DISTS)."""
+    if dist not in D.DISTS:
+        raise ValueError(f"Unknown distribution {dist!r}; "
+                         f"available: {sorted(D.DISTS)}")
+    return D.DISTS[dist]
 
 
 def fit(

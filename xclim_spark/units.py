@@ -35,6 +35,15 @@ __all__ = [
     "to_agg_units",
     "rate2amount",
     "amount2rate",
+    "amount2lwethickness",
+    "lwethickness2amount",
+    "rate2flux",
+    "flux2rate",
+    "pint_multiply",
+    "infer_sampling_units",
+    "ensure_absolute_temperature",
+    "ensure_delta",
+    "infer_context",
     "declare_units",
     "check_units",
     "DimensionalityError",
@@ -318,6 +327,112 @@ def rate2amount(col: Column, rate_units: str, *, src_freq: str = "D",
 def amount2rate(col: Column, *, src_freq: str = "D") -> Column:
     """Amount per period -> mean rate (reference units.py:995-1064)."""
     return col / F.lit(_FREQ_SECONDS[src_freq.upper()])
+
+
+def amount2lwethickness(col: Column, *, out_units: str | None = None) -> Column:
+    """Liquid-water amount [kg m-2] -> liquid-water-equivalent thickness
+    (reference units.py:995-1050): divide by the CF water density
+    1000 kg/m3.  1 kg/m2 == 1 mm lwe, so in mm this is numerically the
+    identity; ``out_units`` other than mm rescale."""
+    thick_mm = col / F.lit(WATER_DENSITY / 1000.0)  # kg/m2 -> mm
+    if out_units is not None and out_units != "mm":
+        f, off = units_convert_factor("mm", out_units)
+        return thick_mm * F.lit(f) + F.lit(off)
+    return thick_mm
+
+
+def lwethickness2amount(col: Column, *, in_units: str = "mm") -> Column:
+    """Inverse of :func:`amount2lwethickness` (reference
+    units.py:1051-1108): thickness -> amount [kg m-2]."""
+    if in_units != "mm":
+        f, off = units_convert_factor(in_units, "mm")
+        col = col * F.lit(f) + F.lit(off)
+    return col * F.lit(WATER_DENSITY / 1000.0)
+
+
+def rate2flux(col: Column, density: str | float,
+              *, out_units: str | None = None) -> Column:
+    """Rate x density -> flux (reference units.py:1109-1166), e.g. snow
+    thickness rate [m s-1] x 312 kg/m3 -> mass flux [kg m-2 s-1].
+    ``density`` is a quantified string or plain factor applied as one
+    literal multiply."""
+    q = str2pint(density) if isinstance(density, str) else None
+    factor = q.magnitude if q is not None else float(density)
+    return col * F.lit(factor)
+
+
+def flux2rate(col: Column, density: str | float) -> Column:
+    """Inverse of :func:`rate2flux` (reference units.py:1167-1224)."""
+    q = str2pint(density) if isinstance(density, str) else None
+    factor = q.magnitude if q is not None else float(density)
+    return col / F.lit(factor)
+
+
+def pint_multiply(col: Column, q: str | float,
+                  *, out_units: str | None = None) -> Column:
+    """Multiply a Column by a quantified scalar (reference
+    units.py:280-318): the quantity is parsed at plan-build time and the
+    product optionally converted to ``out_units`` — one literal multiply
+    in the plan, nothing executor-side."""
+    quant = str2pint(q) if isinstance(q, str) else None
+    mag = quant.magnitude if quant is not None else float(q)
+    out = col * F.lit(mag)
+    if out_units is not None and quant is not None:
+        f, off = units_convert_factor(quant.units, out_units)
+        out = out * F.lit(f) + F.lit(off)
+    return out
+
+
+# keyed by parse_offset().base letters
+_FREQ_SAMPLING_UNITS = {
+    "D": (1, "d"), "H": (1, "h"), "W": (1, "week"), "M": (1, "month"),
+    "Q": (3, "month"), "Y": (1, "a"), "T": (1, "min"),
+}
+
+
+def infer_sampling_units(freq: str) -> tuple[int, str]:
+    """(multiplier, unit string) of one sampling period (reference
+    ``infer_sampling_units``, units.py:503-561 — there inferred from the
+    time coordinate; the engine carries explicit freq strings, so the
+    offset is parsed instead)."""
+    from .calendar import parse_offset
+
+    off = parse_offset(freq)
+    base = _FREQ_SAMPLING_UNITS.get(off.base)
+    if base is None:
+        base = _FREQ_SAMPLING_UNITS.get(freq)
+    if base is None:
+        raise ValueError(f"Cannot infer sampling units of freq {freq!r}")
+    m, u = base
+    return m * off.mult, u
+
+
+def ensure_absolute_temperature(units_str: str) -> str:
+    """Delta temperature units -> absolute counterpart (reference
+    units.py:562-589): degC -> K, degF -> degR; all else unchanged."""
+    return {"degC": "K", "delta_degC": "K",
+            "degF": "degR", "delta_degF": "degR"}.get(units_str, units_str)
+
+
+def ensure_delta(units_str: str) -> str:
+    """Temperature units -> delta form (reference units.py:590-620):
+    degC -> delta_degC, degF -> delta_degF, K unchanged; other
+    dimensionalities pass through."""
+    return {"degC": "delta_degC", "degF": "delta_degF"}.get(
+        units_str, units_str)
+
+
+def infer_context(standard_name: str | None = None,
+                  dimension: str | None = None) -> str:
+    """'hydro' when the variable smells like water (reference
+    units.py:1502-1540: standard_name containing precipitation / rainfall
+    / lwe, or a [precipitation]-ish dimension), else 'none'."""
+    hydro_names = ("rainfall", "lwe", "precipitation")
+    if standard_name and any(s in standard_name for s in hydro_names):
+        return "hydro"
+    if dimension and "[precipitation]" in dimension:
+        return "hydro"
+    return "none"
 
 
 def check_units(value_units: str, dim_units: str) -> None:
