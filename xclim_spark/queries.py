@@ -3188,7 +3188,9 @@ def sdba_eqm_adaptfreq_ms(spark, sf_dir):
                                         group="time.month")
     eqm.train(refj, hista.select("cell", "day", "v"), "v", time="day",
               cells=["cell"])
-    adj = eqm.adjust(simj, "v", time="day", cells=["cell"])
+    # the trained table is cells x 12 rows of nq-sized arrays — dim-sized
+    # at any corpus scale; broadcasting keeps the sim side shuffle-free
+    adj = eqm.adjust(simj, "v", time="day", cells=["cell"], broadcast=True)
     return adj.groupBy(
         "cell", period_start("day", "MS").alias("period")
     ).agg(F.round(F.avg("v_adj"), 6).alias("sim_adj_mean"))
