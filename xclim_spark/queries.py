@@ -3039,6 +3039,115 @@ def sdba_eqm_adjust_ms(spark, sf_dir):
 
 
 
+def _clim_doy_oracle() -> str:
+    from .calendar import doy365_sql
+
+    d365 = doy365_sql("day")
+    return f"""WITH {DAILY_SQL},
+pooled AS (
+  SELECT cell, qty,
+         (({d365} - 1 + u.o + 365) % 365) + 1 AS dayofyear
+  FROM daily, unnest([-2, -1, 0, 1, 2]) AS u(o)
+)
+SELECT cell, CAST(dayofyear AS INT) AS dayofyear,
+       ROUND(avg(qty), 6) AS clim_mean,
+       ROUND(stddev_pop(qty), 6) AS clim_std
+FROM pooled GROUP BY 1, 2"""
+
+
+@_register("clim_mean_doy", _clim_doy_oracle())
+def clim_mean_doy(spark, sf_dir):
+    """climatological_mean_doy (reference calendar.py:907-933): per-cell
+    day-of-year mean and std over a centered 5-day pool on the leap-safe
+    doy365 axis.  The pool is a map-side offset explode; one (cell, doy)
+    aggregation — the same shape percentile_doy uses."""
+    from .calendar import climatological_mean_doy
+
+    d = daily_series(spark, sf_dir)
+    out = climatological_mean_doy(d, "qty", window=5, time="day",
+                                  cells=["cell"])
+    return out.select(
+        "cell", F.col("dayofyear").cast("int").alias("dayofyear"),
+        F.round("clim_mean", 6).alias("clim_mean"),
+        F.round("clim_std", 6).alias("clim_std"))
+
+
+@_register(
+    "adjust_doy_cal360",
+    f"""WITH {DAILY_SQL},
+src AS (
+  SELECT cell, CAST(((month(day) - 1) * 30
+         + LEAST(dayofmonth(day), 30)) AS INT) AS dayofyear,
+         avg(qty) AS v
+  FROM daily GROUP BY 1, 2
+),
+ext AS (SELECT cell, max(dayofyear) AS mx FROM src GROUP BY 1),
+tgt AS (
+  SELECT s.cell, CAST(u.d AS INT) AS dayofyear,
+         (CAST(u.d AS DOUBLE) - 1.0) / (365.0 - 1.0) * (360.0 - 1.0) + 1.0
+           AS pos
+  FROM (SELECT DISTINCT cell FROM src) s, unnest(range(1, 366)) AS u(d)
+),
+j AS (
+  SELECT t.cell, t.dayofyear, t.pos,
+         CAST(floor(t.pos) AS INT) AS lo,
+         LEAST(CAST(floor(t.pos) AS INT) + 1, 360) AS hi
+  FROM tgt t
+)
+SELECT j.cell, j.dayofyear,
+       ROUND(a.v + (j.pos - j.lo) * (b.v - a.v), 6) AS v
+FROM j JOIN src a ON a.cell = j.cell AND a.dayofyear = j.lo
+       JOIN src b ON b.cell = j.cell AND b.dayofyear = j.hi""",
+)
+def adjust_doy_cal360(spark, sf_dir):
+    """adjust_doy_calendar (reference calendar.py:729-786): a per-cell
+    360-day doy climatology linearly interpolated onto the 365-day axis
+    — two broadcast joins of the dim-sized doy table against a generated
+    target axis, value interpolation as pure expressions."""
+    from .calendar import adjust_doy_calendar
+
+    d = daily_series(spark, sf_dir)
+    src = d.groupBy(
+        "cell",
+        ((F.month("day") - 1) * 30
+         + F.least(F.dayofmonth("day"), F.lit(30))).cast("int")
+        .alias("dayofyear"),
+    ).agg(F.avg("qty").alias("v"))
+    out = adjust_doy_calendar(src, 365, source_max=360, cells=["cell"])
+    return out.select("cell", F.col("dayofyear").cast("int")
+                      .alias("dayofyear"), F.round("v", 6).alias("v"))
+
+
+@_register(
+    "hawkins_weights",
+    f"""WITH {DAILY_SQL},
+models AS (
+  SELECT CAST(cell % 4 AS INT) AS model, day, qty AS value FROM daily
+  WHERE year(day) BETWEEN 1992 AND 1998
+),
+agg AS (
+  SELECT model, avg(value) AS mm,
+         avg(CASE WHEN year(day) = 1998 THEN value END) AS v_end
+  FROM models GROUP BY 1
+)
+SELECT model, ROUND(1.0 / (5.0 + abs((v_end - mm) - 5.0)), 6) AS weight
+FROM agg""",
+)
+def hawkins_weights(spark, sf_dir):
+    """hawkins_sutton_09_weighting (reference _partitioning.py:165-189):
+    w_m = 1 / (obs + |x_m - obs|) with x_m the baseline-end value minus
+    the baseline mean — one models-sized aggregation."""
+    from .ensembles import hawkins_sutton_09_weighting
+
+    d = daily_series(spark, sf_dir)
+    models = d.select(
+        (F.col("cell") % 4).cast("int").alias("model"),
+        F.col("day").alias("time"), F.col("qty").alias("value"))
+    out = hawkins_sutton_09_weighting(
+        models, obs=5.0, baseline=("1992", "1998"))
+    return out.select("model", F.round("weight", 6).alias("weight"))
+
+
 def _hash_u_sql(salt: str, prefix: str = "") -> str:
     """DuckDB twin of sdba.hash_uniform: 6 md5 hex nibbles decoded by
     ascii arithmetic — bit-identical doubles on both engines."""
@@ -4122,7 +4231,8 @@ _PRIORITY = [
     "solar_daylength_ms",
     # -- new in round 5 --
     "unstacked_normals_3y", "sdba_eqm_adaptfreq_ms", "ens_percentiles_interp_ms",
-    "occurrence_doy_ys_jul",
+    "occurrence_doy_ys_jul", "clim_mean_doy", "adjust_doy_cal360",
+    "hawkins_weights",
     # -- last green in round 3 (longest-unchecked regression window) --
     "tg_mean_ms", "tx_days_above_ms", "tx_max_ys_jul", "prcptot_qs_dec",
     "djf_mean_ms", "gdd_ys", "dded_ys", "rx7day_ms", "doymax_ys",
