@@ -202,3 +202,48 @@ def test_bivariate_spell_length_statistics(spark):
         cells=["cell"])
     # both conditions hold on days 12..19 -> longest joint spell = 8
     assert out.collect()[0]["spell_stat"] == 8
+
+
+def test_add_season_coord_and_split(spark):
+    import datetime as _dt
+    from xclim_spark.calendar import (add_season_coord,
+                                      split_time_to_season_year)
+
+    rows = [(_dt.date(2001, m, 15),) for m in range(1, 13)]
+    df = spark.createDataFrame(rows, "time DATE")
+    # QS-DEC -> meteorological seasons
+    got = {r["time"].month: r["season"] for r in
+           add_season_coord(df, "QS-DEC").collect()}
+    assert got[12] == "DJF" and got[1] == "DJF" and got[2] == "DJF"
+    assert got[3] == "MAM" and got[6] == "JJA" and got[9] == "SON"
+    # monthly -> month abbreviations; yearly -> 'annual'
+    gm = {r["time"].month: r["season"] for r in
+          add_season_coord(df, "MS").collect()}
+    assert gm[1] == "JAN" and gm[12] == "DEC"
+    ga = add_season_coord(df, "YS").select("season").distinct().collect()
+    assert [r["season"] for r in ga] == ["annual"]
+    # split: Dec 2001 belongs to year 2001 (anchor DEC); Jan 2001 to 2000
+    sp = {r["time"].month: r["year"] for r in
+          split_time_to_season_year(df, "QS-DEC").collect()}
+    assert sp[12] == 2001 and sp[1] == 2000 and sp[11] == 2000
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        add_season_coord(df, "W")
+    with _pytest.raises(ValueError):
+        add_season_coord(df, "5MS")
+
+
+def test_attr_prefix_helpers():
+    from xclim_spark.formatting import (get_percentile_metadata,
+                                        prefix_attrs, unprefix_attrs)
+
+    src = {"units": "K", "window": 5, "other": 1}
+    p = prefix_attrs(src, ["units", "window"], "tas_")
+    assert p == {"tas_units": "K", "tas_window": 5, "other": 1}
+    assert unprefix_attrs(p, ["units", "window"], "tas_") == src
+    meta = get_percentile_metadata(
+        {"percentiles": [90], "window": 5,
+         "climatology_bounds": ["1991-01-01", "2020-12-31"]}, "tas_per")
+    assert meta["tas_per_thresh"] == [90]
+    assert meta["tas_per_window"] == 5
+    assert meta["tas_per_period"] == ["1991-01-01", "2020-12-31"]

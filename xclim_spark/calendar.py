@@ -51,6 +51,8 @@ __all__ = [
     "within_bnds_doy",
     "climatological_mean_doy",
     "adjust_doy_calendar",
+    "add_season_coord",
+    "split_time_to_season_year",
     "SEASONS",
 ]
 
@@ -549,6 +551,64 @@ def adjust_doy_calendar(
         (F.col(f"_lo_{v}") + g * (F.col(f"_hi_{v}") - F.col(f"_lo_{v}")))
         .alias(v) for v in vals]
     return j.select(*out_cols)
+
+
+_MONTH_INITIALS = "JFMAMJJASOND"
+
+
+def add_season_coord(df, freq: str, *, time: str = "time") -> "DataFrame":  # noqa: F821
+    """Add a ``season`` label column for a sub-yearly resampling freq
+    (reference ``add_season_coord``, calendar.py:1732-1774): 'annual' for
+    yearly freqs, the 3-letter month abbreviation for monthly, and the
+    month-initial string ('DJF', 'JFM', …) for multi-month periods.  A
+    plan-time CASE over the 12 months — no resample needed in long
+    format (each row's season follows from its month and the freq
+    anchor)."""
+    off = parse_offset(freq)
+    if off.base not in "YQM":
+        raise ValueError(
+            f"Only monthly or coarser freqs are supported. Got: {freq}.")
+    if (off.base == "M" and 12 % off.mult != 0) or \
+            (off.base == "Q" and off.mult not in (1, 2, 4)) or \
+            (off.base == "Y" and off.mult > 1):
+        raise ValueError(
+            f"Only periods that divide the year evenly work. Got {freq}.")
+    m = F.month(F.col(time) if isinstance(time, str) else time)
+    if off.base == "Y":
+        return df.withColumn("season", F.lit("annual"))
+    n = off.mult * (3 if off.base == "Q" else 1)
+    if n == 1:
+        label = {i + 1: _ABBR_MONTH[i + 1] for i in range(12)}
+    else:
+        # periods anchor at month s = anchor + k*n; each month belongs to
+        # the period starting at the anchored month at or before it
+        anchor = off.anchor_month
+        label = {}
+        for k in range(12 // n):
+            s = (anchor - 1 + k * n) % 12
+            lab = "".join(_MONTH_INITIALS[(s + i) % 12] for i in range(n))
+            for i in range(n):
+                label[(s + i) % 12 + 1] = lab
+    expr = F.lit(None).cast("string")
+    for month, lab in label.items():
+        expr = F.when(m == month, F.lit(lab)).otherwise(expr)
+    return df.withColumn("season", expr)
+
+
+def split_time_to_season_year(
+    df, freq: str, *, time: str = "time",
+) -> "DataFrame":  # noqa: F821
+    """Split the time axis into (year, season) keys (reference
+    ``split_time_to_season_year``, calendar.py:1775-1815): rows keep a
+    ``season`` label plus the anchored ``year`` their period belongs to
+    (months before the anchor roll back one year).  The reference's
+    unstack-to-wide is the long format's groupBy on these keys."""
+    off = parse_offset(freq)
+    df = add_season_coord(df, freq, time=time)
+    t = F.col(time) if isinstance(time, str) else time
+    anchor = off.anchor_month if off.base != "Y" else 1
+    year = F.when(F.month(t) < anchor, F.year(t) - 1).otherwise(F.year(t))
+    return df.withColumn("year", year.cast("int"))
 
 
 def doy365_sql(time_expr: str) -> str:

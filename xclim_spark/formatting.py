@@ -25,6 +25,9 @@ __all__ = [
     "register_locale",
     "merge_attributes",
     "update_history",
+    "prefix_attrs",
+    "unprefix_attrs",
+    "get_percentile_metadata",
     "gen_call_string",
     "TRANSLATABLE_ATTRS",
 ]
@@ -217,6 +220,45 @@ def merge_attributes(attribute: str, *inputs, new_line: str = "\n",
                 else ""
             parts.append(f"{prefix}{val}")
     return new_line.join(parts)
+
+
+def prefix_attrs(source: dict, keys, prefix: str) -> dict:
+    """Rename selected keys of an attrs dict by adding ``prefix``
+    (reference ``prefix_attrs``, formatting.py:544-568)."""
+    return {(f"{prefix}{k}" if k in keys else k): v
+            for k, v in source.items()}
+
+
+def unprefix_attrs(source: dict, keys, prefix: str) -> dict:
+    """Inverse of :func:`prefix_attrs` (reference formatting.py:571-597):
+    strips ``prefix`` from matching keys; un-prefixed keys keep their
+    value unless the stripped key already claimed the slot."""
+    out: dict = {}
+    n = len(prefix)
+    for key, val in source.items():
+        k = key[n:]
+        if k in keys and key.startswith(prefix):
+            out[k] = val
+        elif key not in out:
+            out[key] = val
+    return out
+
+
+def get_percentile_metadata(attrs: dict, prefix: str) -> dict:
+    """Percentile-configuration metadata mapping (reference
+    ``get_percentile_metadata``, formatting.py:743-775): the threshold
+    percentile(s), pooling window and climatology bounds recorded by the
+    climatology builders, keyed under ``prefix`` (e.g. ``tasmin_per``).
+    ``attrs`` is the climatology's metadata sidecar dict (the engine's
+    long-format stand-in for DataArray attrs/coords)."""
+    percs = attrs.get("percentiles",
+                      attrs.get("quantile", "<unknown percentiles>"))
+    return {
+        f"{prefix}_thresh": percs,
+        f"{prefix}_window": attrs.get("window", "<unknown window>"),
+        f"{prefix}_period": attrs.get("climatology_bounds",
+                                      "<unknown bounds>"),
+    }
 
 
 def update_history(hist_str: str, *inputs, new_name: str | None = None,
