@@ -467,3 +467,43 @@ def test_pack_sequences_chunking(spark):
     out = {(r["source"], r["pack_id"])
            for r in pl.pack_sequences(df2, 5).collect()}
     assert out == {("s1", 0), ("s2", 0)}
+
+
+def test_rolling_gram_hashes_jaccard_parity(spark):
+    """Byte rolling-hash shingles must reproduce char-gram Jaccard on
+    ASCII text (same 31-bit domain; prime base so no structured
+    collisions)."""
+    from pyspark.sql import functions as F
+    from xclim_spark.llm import dedup as dd
+
+    rows = [(1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely unrelated text with other grams here")]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    hashed = dd.rolling_gram_hashes(
+        docs.select(F.col("doc_id").alias("_id"), "text"), n=5)
+    got = {r["_id"]: set(r["_sh"]) for r in hashed.collect()}
+    grams = {i: set(t[j:j + 5] for j in range(len(t) - 4))
+             for i, t in rows}
+    for i in (1, 2, 3):
+        assert len(got[i]) == len(grams[i])  # no within-doc collisions
+    for a, b in ((1, 2), (1, 3)):
+        j_gram = len(grams[a] & grams[b]) / len(grams[a] | grams[b])
+        j_hash = len(got[a] & got[b]) / len(got[a] | got[b])
+        assert abs(j_gram - j_hash) < 1e-12
+
+
+def test_near_duplicates_bytes_shingler_matches_expr(spark):
+    from pyspark.sql import functions as F
+    from xclim_spark.llm import dedup as dd
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    kw = dict(threshold=0.7, num_perm=64, bands=16, parallelism=4)
+    a = dd.near_duplicates(
+        docs, tokenizer=lambda t: dd.char_ngrams(t, 5), **kw)
+    b = dd.near_duplicates(docs, shingler="bytes", char_n=5, **kw)
+    pa = sorted((r["id_a"], r["id_b"], round(r["jaccard"], 9))
+                for r in a.collect())
+    pb = sorted((r["id_a"], r["id_b"], round(r["jaccard"], 9))
+                for r in b.collect())
+    assert pa == pb and len(pa) > 0

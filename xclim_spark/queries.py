@@ -2672,9 +2672,11 @@ def dedup_ngram(spark, sf_dir):
     # pair (recall 1 - 1.4e-3), the wrong side of the curve for a
     # correctness-gated query.  At the sf0.01 gate 4-row bands keep a
     # wider margin (recall 1 - 4e-8 at J=0.93) for negligible cost.
+    # shingler='bytes': the vectorized rolling-hash shingler (~10x the
+    # expression shingler's throughput; same 31-bit hash domain, byte
+    # grams == char grams on this ASCII corpus)
     out = dd.near_duplicates(
-        docs, threshold=0.7,
-        tokenizer=lambda t: dd.char_ngrams(t, 5),
+        docs, threshold=0.7, shingler="bytes", char_n=5,
         num_perm=64 if small else 96, bands=16 if small else 12,
         parallelism=spark.sparkContext.defaultParallelism)
     return out.withColumn("jaccard", F.round("jaccard", 6))
