@@ -184,6 +184,70 @@ def rolling_gram_hashes(
         _batches, schema=f"{id_col} long, _sh array<long>")
 
 
+def rolling_word_gram_hashes(
+    docs: DataFrame, *, n: int = 3, text_col: str = "text",
+    id_col: str = "_id",
+) -> DataFrame:
+    """Distinct word n-gram hashes per document, fully vectorized
+    (the word-shingle counterpart of :func:`rolling_gram_hashes`):
+
+    1. word hashes — polynomial over each word's bytes with a power
+       LOOKUP by in-word position, summed per word with
+       ``np.add.reduceat`` at the word boundaries;
+    2. gram hashes — the ``n`` consecutive word hashes combined with a
+       second polynomial (per-term products reduced mod 2^31-1 before
+       summing, so nothing overflows int64);
+    3. ``np.unique`` per doc.
+
+    Word splitting matches :func:`word_shingles` (any whitespace run
+    separates words).  Collisions: vocabulary-sized word sets into a
+    31-bit domain — the same regime as :func:`shingle_hashes`."""
+    import numpy as np
+    import pandas as pd
+
+    base = 1_000_003
+    maxw = 256  # words longer than this reuse the last power (still injective-ish)
+    powtab = np.array([pow(base, i, _MERSENNE31) for i in range(maxw)],
+                      dtype=np.int64)
+    C = np.array([pow(base, n - 1 - i, _MERSENNE31) for i in range(n)],
+                 dtype=np.int64)
+
+    def _doc(t):
+        words = t.split()
+        if len(words) < n:
+            return None
+        blob = " ".join(words).encode("utf-8", "surrogatepass")
+        b = np.frombuffer(blob, dtype=np.uint8).astype(np.int64)
+        is_sp = b == 32
+        starts = np.flatnonzero(
+            np.concatenate(([True], is_sp[:-1])) & ~is_sp)
+        # in-word position of every byte (0 at word start)
+        idx = np.arange(len(b))
+        start_of = starts[np.searchsorted(starts, idx, side="right") - 1]
+        pos = np.minimum(idx - start_of, maxw - 1)
+        terms = np.where(is_sp, 0, (b * powtab[pos]) % _MERSENNE31)
+        wh = np.add.reduceat(terms, starts) % _MERSENNE31
+        W = np.lib.stride_tricks.sliding_window_view(wh, n)
+        g = ((W * C[None, :]) % _MERSENNE31).sum(axis=1) % _MERSENNE31
+        return np.unique(g)
+
+    def _batches(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            ids, out = [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                u = _doc(t)
+                if u is None:
+                    continue
+                ids.append(i)
+                out.append(u)
+            yield pd.DataFrame({id_col: ids, "_sh": out})
+
+    return docs.mapInPandas(
+        _batches, schema=f"{id_col} long, _sh array<long>")
+
+
 def near_duplicates(
     docs: DataFrame,
     *,
@@ -247,6 +311,9 @@ def near_duplicates(
     if shingler == "bytes":
         base = rolling_gram_hashes(src, n=char_n, text_col=text_col,
                                    id_col="_id").persist()
+    elif shingler == "word_bytes":
+        base = rolling_word_gram_hashes(src, n=n, text_col=text_col,
+                                        id_col="_id").persist()
     else:
         base = src.select(
             "_id",
