@@ -16,6 +16,7 @@ reserved for scipy-tier math and stateful kernels.
 __version__ = "0.3.0"
 
 from . import analog, calendar, calendar360, dataflags, datachecks  # noqa: F401
-from . import ensembles, stats, units  # noqa: F401
+from . import ensembles, options, stats, units  # noqa: F401
 from .operators import agro, fire, generic, missing, percentile  # noqa: F401
 from .operators import run_length  # noqa: F401
+from .options import set_options  # noqa: F401  (reference: xclim.set_options)
