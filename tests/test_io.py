@@ -93,3 +93,75 @@ def test_bucketed_table_feeds_window_and_agg_without_exchange(spark, tmp_path):
         assert t.count() == 200
     finally:
         spark.sql("DROP TABLE IF EXISTS bucketed_t")
+
+
+def test_zarr_roundtrip_multichunk(spark, tmp_path):
+    """Write a 2-var (time, cell) Zarr v2 store with partial edge chunks
+    and CF day-offset time, read it back via the chunk-manifest path,
+    and compare every value."""
+    import numpy as np
+    from xclim_spark.io.zarr import read_zarr, write_zarr_array
+
+    store = str(tmp_path / "store")
+    nt, nc = 37, 11          # deliberately not multiples of the chunks
+    rng = np.random.RandomState(3)
+    tas = rng.uniform(-20, 30, (nt, nc))
+    pr = rng.gamma(0.7, 4.0, (nt, nc))
+    write_zarr_array(store, "tas", tas, chunks=[10, 4],
+                     dims=["time", "cell"])
+    write_zarr_array(store, "pr", pr, chunks=[10, 4],
+                     dims=["time", "cell"])
+    write_zarr_array(store, "time", np.arange(nt, dtype="int64"),
+                     chunks=[10], dims=["time"])
+    write_zarr_array(store, "cell", np.arange(100, 100 + nc,
+                                              dtype="int64"),
+                     chunks=[4], dims=["cell"])
+    df = read_zarr(spark, store, ["tas", "pr"],
+                   time_units_epoch="2000-01-01")
+    rows = df.collect()
+    assert len(rows) == nt * nc
+    got = {(r["time"].isoformat(), r["cell"]): (r["tas"], r["pr"])
+           for r in rows}
+    import datetime as dt
+
+    for i in range(nt):
+        d = (dt.date(2000, 1, 1) + dt.timedelta(days=i)).isoformat()
+        for j in range(nc):
+            gt, gp = got[(d, 100 + j)]
+            assert gt == tas[i, j] and gp == pr[i, j]
+    # a downstream aggregate runs straight off the ingest plan
+    n = df.groupBy("cell").count().count()
+    assert n == nc
+
+
+def test_zarr_missing_chunk_fills(spark, tmp_path):
+    import os
+    import numpy as np
+    from xclim_spark.io.zarr import read_zarr, write_zarr_array
+
+    store = str(tmp_path / "s2")
+    arr = np.arange(12, dtype="float64").reshape(6, 2)
+    write_zarr_array(store, "v", arr, chunks=[3, 2], dims=["t", "x"])
+    os.remove(os.path.join(store, "v", "1.0"))  # drop second time chunk
+    df = read_zarr(spark, store, ["v"])
+    vals = {(r["t"], r["x"]): r["v"] for r in df.collect()}
+    assert vals[(0, 0)] == 0.0 and vals[(2, 1)] == 5.0
+    # fill_value None -> NaN in the chunk -> NULL through Arrow (the
+    # engine's standard missing representation)
+    assert vals[(3, 0)] is None and vals[(5, 1)] is None
+
+
+def test_zarr_unsupported_codec_raises(tmp_path):
+    import json
+    import os
+    import pytest
+    from xclim_spark.io.zarr import zarr_array_meta
+
+    path = tmp_path / "s3" / "v"
+    os.makedirs(path)
+    meta = {"zarr_format": 2, "shape": [2], "chunks": [2],
+            "dtype": "<f8", "compressor": {"id": "blosc"},
+            "fill_value": None, "order": "C", "filters": None}
+    (path / ".zarray").write_text(json.dumps(meta))
+    with pytest.raises(NotImplementedError, match="blosc"):
+        zarr_array_meta(str(tmp_path / "s3"), "v")

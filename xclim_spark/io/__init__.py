@@ -7,6 +7,7 @@ manifest-parallel converter (reference CLI open path,
 """
 
 from .netcdf import ingest_netcdf, netcdf_manifest
+from .zarr import read_zarr, write_zarr_array, zarr_chunk_manifest
 from .dataset import write_dataset, read_dataset
 
 __all__ = ["ingest_netcdf", "netcdf_manifest", "write_dataset",

@@ -1,0 +1,250 @@
+"""Zarr v2 ingest: chunk-manifest-parallel conversion to long rows.
+
+Zarr is the cloud-native array format the climate stack standardized on
+(the reference consumes Zarr stores through ``xarray.open_zarr`` — its
+CLI/docs pipelines routinely start from one).  The format itself is
+deliberately simple: a directory tree where each array holds a
+``.zarray`` JSON (shape, chunk shape, dtype, compressor, fill_value,
+order) next to flat chunk files named ``"i.j.k"`` by chunk grid index.
+That simplicity is what makes it the RIGHT source format for a
+distributed engine: every chunk is an independent, byte-addressable unit
+— no shared file handle, no HDF5 global lock — so the ingest plan is
+
+    manifest DataFrame (one row per (variable, chunk))  ->  mapInPandas:
+    read + decompress + unpack chunk  ->  long rows (dims..., var)
+
+with one task per chunk, no shuffle, and no driver bottleneck at any
+archive size.  Dimension coordinates (1-D arrays like time/lat/lon) are
+read driver-side (they are metadata-sized) and carried into the tasks
+as numpy closures, so emitted rows carry real coordinate values.
+
+Codecs: ``zlib``/``gzip`` and uncompressed chunks decode with the
+stdlib; ``blosc``/``zstd`` (not in this container) raise an honest
+``NotImplementedError`` naming the chunk — the same environment-gate
+policy as :mod:`.netcdf`.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import zlib
+from collections.abc import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["zarr_array_meta", "zarr_chunk_manifest", "read_zarr",
+           "write_zarr_array"]
+
+
+def zarr_array_meta(store: str, name: str) -> dict:
+    """Parse ``<store>/<name>/.zarray`` (Zarr v2 array metadata)."""
+    with open(os.path.join(store, name, ".zarray")) as f:
+        meta = json.load(f)
+    if meta.get("zarr_format") != 2:
+        raise ValueError(f"{name}: only Zarr format 2 is supported")
+    if meta.get("order", "C") != "C":
+        raise NotImplementedError(f"{name}: only C-order arrays")
+    comp = meta.get("compressor")
+    if comp is not None and comp.get("id") not in ("zlib", "gzip"):
+        raise NotImplementedError(
+            f"{name}: compressor {comp.get('id')!r} not available in "
+            "this environment (stdlib decodes zlib/gzip/None)")
+    if meta.get("filters"):
+        raise NotImplementedError(f"{name}: filters not supported")
+    return meta
+
+
+def _grid(shape: Sequence[int], chunks: Sequence[int]):
+    """All chunk-grid indices of an array (C-order nested ranges)."""
+    import itertools
+
+    counts = [(s + c - 1) // c for s, c in zip(shape, chunks)]
+    return list(itertools.product(*[range(n) for n in counts]))
+
+
+def zarr_chunk_manifest(
+    spark: SparkSession, store: str, variables: Sequence[str],
+) -> DataFrame:
+    """One row per (variable, chunk file): the unit of ingest
+    parallelism.  Missing chunk files are kept in the manifest — Zarr
+    semantics fill absent chunks with ``fill_value``, and the reader
+    materializes that (an archive with sparse chunks still produces the
+    dense logical grid)."""
+    rows = []
+    for var in variables:
+        meta = zarr_array_meta(store, var)
+        sep = meta.get("dimension_separator", ".")
+        for idx in _grid(meta["shape"], meta["chunks"]):
+            key = sep.join(str(i) for i in idx)
+            rows.append((var, key))
+    df = spark.createDataFrame(rows, "var STRING, chunk_key STRING")
+    return df.repartition(min(len(rows), 2048) or 1)
+
+
+def _decode_chunk(raw: bytes | None, meta: dict) -> np.ndarray:
+    """Chunk bytes -> dense C-order ndarray of the chunk shape."""
+    chunks = tuple(meta["chunks"])
+    dtype = np.dtype(meta["dtype"])
+    if raw is None:
+        fill = meta.get("fill_value")
+        return np.full(chunks, np.nan if fill is None else fill,
+                       dtype=dtype)
+    comp = meta.get("compressor")
+    if comp is not None:
+        # zlib/gzip share the zlib inflate; wbits=47 auto-detects both
+        raw = zlib.decompress(raw, 47) if comp["id"] == "gzip" \
+            else zlib.decompress(raw)
+    return np.frombuffer(raw, dtype=dtype).reshape(chunks)
+
+
+def _read_coord(store: str, name: str) -> np.ndarray:
+    """Driver-side read of a 1-D coordinate array (metadata-sized)."""
+    meta = zarr_array_meta(store, name)
+    if len(meta["shape"]) != 1:
+        raise ValueError(f"coordinate {name} must be 1-D")
+    parts = []
+    sep = meta.get("dimension_separator", ".")
+    for (i,) in _grid(meta["shape"], meta["chunks"]):
+        p = os.path.join(store, name, sep.join([str(i)]))
+        raw = open(p, "rb").read() if os.path.exists(p) else None
+        parts.append(_decode_chunk(raw, meta))
+    return np.concatenate(parts)[: meta["shape"][0]]
+
+
+def read_zarr(
+    spark: SparkSession,
+    store: str,
+    variables: Sequence[str],
+    *,
+    dims: Sequence[str] | None = None,
+    time_dim: str = "time",
+    time_units_epoch: str | None = None,
+) -> DataFrame:
+    """Read Zarr v2 arrays into a long DataFrame ``dims..., <var>...``.
+
+    All ``variables`` must share shape and dims (the common single-grid
+    case; heterogeneous stores: call per group and join).  ``dims``
+    defaults to the ``_ARRAY_DIMENSIONS`` attribute xarray writes.  A
+    dim with a same-named 1-D coordinate array in the store gets real
+    coordinate values; others get integer indices.  If
+    ``time_units_epoch`` is given (e.g. ``"1990-01-01"``), the
+    ``time_dim`` coordinate is interpreted as days since that epoch and
+    emitted as a DATE column — the common CF encoding.
+    """
+    metas = {v: zarr_array_meta(store, v) for v in variables}
+    first = metas[variables[0]]
+    for v, m in metas.items():
+        if m["shape"] != first["shape"] or m["chunks"] != first["chunks"]:
+            raise ValueError(
+                f"{v}: all variables must share shape/chunks "
+                f"({m['shape']} vs {first['shape']})")
+    if dims is None:
+        attr_path = os.path.join(store, variables[0], ".zattrs")
+        if os.path.exists(attr_path):
+            with open(attr_path) as f:
+                dims = json.load(f).get("_ARRAY_DIMENSIONS")
+        if dims is None:
+            dims = [f"dim_{i}" for i in range(len(first["shape"]))]
+    dims = list(dims)
+    shape = list(first["shape"])
+    chunks = list(first["chunks"])
+    coords = {}
+    for d in dims:
+        if os.path.exists(os.path.join(store, d, ".zarray")):
+            coords[d] = _read_coord(store, d)
+
+    manifest = zarr_chunk_manifest(spark, store, [variables[0]]) \
+        .select("chunk_key")
+    sep = first.get("dimension_separator", ".")
+    epoch = np.datetime64(time_units_epoch) if time_units_epoch else None
+
+    def _emit(batches):
+        for pdf in batches:
+            for key in pdf["chunk_key"]:
+                idx = [int(i) for i in key.split(sep)]
+                arrs = {}
+                for v in variables:
+                    p = os.path.join(store, v, key)
+                    raw = open(p, "rb").read() if os.path.exists(p) \
+                        else None
+                    arrs[v] = _decode_chunk(raw, metas[v])
+                # dense coordinates of this chunk, trimmed at array edge
+                axes = []
+                for ax, (i0, c, s) in enumerate(zip(idx, chunks, shape)):
+                    lo = i0 * c
+                    hi = min(lo + c, s)
+                    axes.append((lo, hi))
+                mesh = np.meshgrid(*[np.arange(lo, hi) for lo, hi in axes],
+                                   indexing="ij")
+                out = {}
+                for d, m in zip(dims, mesh):
+                    flat = m.ravel()
+                    if d in coords:
+                        vals = coords[d][flat]
+                        if d == time_dim and epoch is not None:
+                            vals = epoch + vals.astype("timedelta64[D]")
+                        out[d] = vals
+                    else:
+                        out[d] = flat
+                sl = tuple(slice(0, hi - lo) for lo, hi in axes)
+                for v in variables:
+                    out[v] = arrs[v][sl].ravel()
+                yield pd.DataFrame(out)
+
+    fields = []
+    for d in dims:
+        if d == time_dim and epoch is not None:
+            fields.append(f"{d} DATE")
+        elif d in coords and coords[d].dtype.kind == "f":
+            fields.append(f"{d} DOUBLE")
+        else:
+            fields.append(f"{d} LONG")
+    fields += [f"{v} DOUBLE" for v in variables]
+    return manifest.mapInPandas(_emit, schema=", ".join(fields))
+
+
+def write_zarr_array(
+    store: str, name: str, arr: np.ndarray, *,
+    chunks: Sequence[int] | None = None,
+    dims: Sequence[str] | None = None,
+    compress: bool = True,
+) -> None:
+    """Minimal Zarr v2 array writer (driver-side; used by tests and for
+    exporting small climatologies back to the xarray world).  C-order,
+    zlib compression."""
+    chunks = list(chunks or arr.shape)
+    path = os.path.join(store, name)
+    os.makedirs(path, exist_ok=True)
+    meta = {
+        "zarr_format": 2,
+        "shape": list(arr.shape),
+        "chunks": chunks,
+        "dtype": arr.dtype.str,
+        "compressor": {"id": "zlib", "level": 5} if compress else None,
+        "fill_value": None,
+        "order": "C",
+        "filters": None,
+    }
+    with open(os.path.join(path, ".zarray"), "w") as f:
+        json.dump(meta, f)
+    if dims is not None:
+        with open(os.path.join(path, ".zattrs"), "w") as f:
+            json.dump({"_ARRAY_DIMENSIONS": list(dims)}, f)
+    for idx in _grid(arr.shape, chunks):
+        sl = tuple(slice(i * c, min((i + 1) * c, s))
+                   for i, c, s in zip(idx, chunks, arr.shape))
+        block = arr[sl]
+        # pad partial edge chunks to the full chunk shape (Zarr stores
+        # whole chunks; readers trim at the array bounds)
+        if block.shape != tuple(chunks):
+            full = np.full(chunks, 0, dtype=arr.dtype)
+            full[tuple(slice(0, b) for b in block.shape)] = block
+            block = full
+        raw = np.ascontiguousarray(block).tobytes()
+        if compress:
+            raw = zlib.compress(raw, 5)
+        with open(os.path.join(path, ".".join(map(str, idx))), "wb") as f:
+            f.write(raw)

@@ -3045,6 +3045,67 @@ def sdba_eqm_adjust_ms(spark, sf_dir):
 
 
 
+@_register(
+    "zarr_ingest_ms",
+    f"""WITH {DAILY_SQL}
+SELECT cell, CAST(date_trunc('month', day) AS DATE) AS period,
+       ROUND(avg(qty), 6) AS tg_mean
+FROM daily GROUP BY 1, 2""",
+)
+def zarr_ingest_ms(spark, sf_dir):
+    """End-to-end Zarr v2 ingest (io/zarr.py; the reference consumes
+    Zarr via xarray.open_zarr): the daily series is densified to a
+    (time x cell) chunked Zarr store (driver-side DuckDB pivot, built
+    once per sf and cached), then read back through the chunk-manifest
+    mapInPandas path — one task per chunk, absent days decode to NULL —
+    and reduced to monthly means, hash-checked against the parquet
+    oracle.  Proves the full decode chain (zlib chunks, edge-chunk
+    trimming, CF day-offset time, coordinate mapping) inside the gate."""
+    import hashlib
+    import os
+
+    import numpy as np
+
+    from .io.zarr import read_zarr, write_zarr_array
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    store = f"/tmp/xclim_spark_zarr_{tag}"
+    if not os.path.exists(os.path.join(store, "qty", ".zarray")):
+        import duckdb
+
+        con = duckdb.connect()
+        rows = con.execute(
+            f"""SELECT l_suppkey AS cell,
+                       CAST(date_trunc('day', l_shipdate) AS DATE) AS day,
+                       avg(l_quantity) AS qty
+                FROM '{sf_dir}/lineitem.parquet' GROUP BY 1, 2"""
+        ).fetchnumpy()
+        cells = np.unique(rows["cell"])
+        day = rows["day"].astype("datetime64[D]")
+        d0, d1 = day.min(), day.max()
+        days = np.arange(d0, d1 + np.timedelta64(1, "D"),
+                         dtype="datetime64[D]")
+        mat = np.full((len(days), len(cells)), np.nan)
+        ti = (day - d0).astype(int)
+        ci = np.searchsorted(cells, rows["cell"])
+        mat[ti, ci] = rows["qty"]
+        epoch = np.datetime64("1970-01-01")
+        write_zarr_array(store, "qty", mat, chunks=[512, 64],
+                         dims=["time", "cell"])
+        write_zarr_array(store, "time",
+                         (days - epoch).astype("int64"),
+                         chunks=[512], dims=["time"])
+        write_zarr_array(store, "cell", cells.astype("int64"),
+                         chunks=[64], dims=["cell"])
+    df = read_zarr(spark, store, ["qty"],
+                   time_units_epoch="1970-01-01")
+    # absent days decode to NULL; drop them so the dense grid reduces to
+    # exactly the parquet fact table (months with no data emit no row)
+    return df.filter(F.col("qty").isNotNull()).groupBy(
+        "cell", period_start("time", "MS").alias("period")
+    ).agg(F.round(F.avg("qty"), 6).alias("tg_mean"))
+
+
 def _clim_doy_oracle() -> str:
     from .calendar import doy365_sql
 
@@ -4238,7 +4299,7 @@ _PRIORITY = [
     # -- new in round 5 --
     "unstacked_normals_3y", "sdba_eqm_adaptfreq_ms", "ens_percentiles_interp_ms",
     "occurrence_doy_ys_jul", "clim_mean_doy", "adjust_doy_cal360",
-    "hawkins_weights",
+    "hawkins_weights", "zarr_ingest_ms",
     # -- last green in round 3 (longest-unchecked regression window) --
     "tg_mean_ms", "tx_days_above_ms", "tx_max_ys_jul", "prcptot_qs_dec",
     "djf_mean_ms", "gdd_ys", "dded_ys", "rx7day_ms", "doymax_ys",
