@@ -90,3 +90,76 @@ def test_overwintering_dc_vector_matches_scalar(vals, thresh):
 
     for i, (d, w) in enumerate(zip(np.maximum(dcf, 0.0), wpr)):
         assert v[i] == pytest.approx(scalar(d, w), rel=1e-12)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    stride=st.integers(1, 5),
+    ratio=st.sampled_from([1, 3, 5, 7]),
+    y0=st.integers(1900, 2050),
+    nyears=st.integers(1, 80),
+)
+def test_unstack_ownership_partitions_years(stride, ratio, y0, nyears):
+    """The unstack keep-rule must assign every covered year to EXACTLY
+    one period (pure-python mirror of calendar.unstack_periods's
+    section arithmetic)."""
+    window = stride * ratio
+    years = list(range(y0, y0 + nyears))
+    # stack: labels L (multiples of stride) fully inside the data span
+    labels = [L for L in range(((y0 - window + 1) // stride) * stride,
+                               y0 + nyears + stride, stride)
+              if L % stride == 0 and L >= y0
+              and L + window - 1 <= y0 + nyears - 1]
+    if not labels:
+        return
+    lmin, lmax = min(labels), max(labels)
+    mid = (ratio - 1) // 2
+    owners = {}
+    for L in labels:
+        for y in range(L, L + window):
+            sec = (y - L) // stride
+            keep = (sec == mid) or (L == lmin and sec <= mid) \
+                or (L == lmax and sec >= mid)
+            if keep:
+                owners.setdefault(y, []).append(L)
+    covered = [y for y in years if lmin <= y <= lmax + window - 1]
+    for y in covered:
+        assert len(owners.get(y, [])) == 1, (y, owners.get(y))
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    a=st.lists(st.floats(0.05, 300.0, allow_nan=False,
+                         allow_infinity=False), min_size=1, max_size=8),
+    x=st.floats(0.0, 500.0, allow_nan=False, allow_infinity=False),
+)
+def test_gammainc_array_shape_matches_scalar(a, x):
+    """The array-shape gammainc_p (round-5 vectorization) must agree
+    elementwise with per-element scalar calls."""
+    from xclim_spark.stats.distributions import gammainc_p
+
+    arr = np.array(a)
+    vec = gammainc_p(arr, np.full(len(a), x))
+    for i, ai in enumerate(a):
+        assert vec[i] == pytest.approx(
+            float(np.asarray(gammainc_p(ai, np.array([x])))[0]),
+            rel=1e-12, abs=1e-300)
+
+
+@settings(max_examples=200, deadline=None)
+@given(s=st.text(alphabet=st.characters(min_codepoint=32,
+                                        max_codepoint=126),
+                 min_size=5, max_size=400))
+def test_rolling_hash_gram_count_matches_char_grams(s):
+    """The byte rolling hash must produce exactly one hash per distinct
+    5-gram on ASCII text (no structured collisions — the base-256
+    defect class this round fixed)."""
+    M31 = (1 << 31) - 1
+    base = 1_000_003
+    pows = np.array([pow(base, 4 - i, M31) for i in range(5)],
+                    dtype=np.int64)
+    b = np.frombuffer(s.encode(), dtype=np.uint8).astype(np.int64)
+    w = np.lib.stride_tricks.sliding_window_view(b, 5)
+    h = np.unique((w * pows[None, :]).sum(axis=1) % M31)
+    grams = set(s[i:i + 5] for i in range(len(s) - 4))
+    assert len(h) == len(grams)
