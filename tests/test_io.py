@@ -165,3 +165,39 @@ def test_zarr_unsupported_codec_raises(tmp_path):
     (path / ".zarray").write_text(json.dumps(meta))
     with pytest.raises(NotImplementedError, match="blosc"):
         zarr_array_meta(str(tmp_path / "s3"), "v")
+
+
+def test_zarr_distributed_sink_roundtrip(spark, tmp_path):
+    """Long frame -> distributed chunked Zarr sink -> manifest reader:
+    values round-trip exactly, including sparse slots (NULL) and
+    non-dense cell ids."""
+    import datetime as dt
+    import numpy as np
+    from xclim_spark.io.zarr import read_zarr, write_zarr_dataset
+
+    rng = np.random.RandomState(5)
+    rows = []
+    cells = [3, 17, 42, 99, 256]          # deliberately non-dense
+    for i in range(23):
+        d = dt.date(2002, 3, 1) + dt.timedelta(days=i)
+        for c in cells:
+            if (i + c) % 7 == 0:
+                continue                  # sparse slots
+            rows.append((d, c, float(rng.uniform(-5, 5)),
+                         float(rng.gamma(1.0, 2.0))))
+    df = spark.createDataFrame(
+        rows, "time DATE, cell LONG, tas DOUBLE, pr DOUBLE")
+    store = str(tmp_path / "sink")
+    out = write_zarr_dataset(df, store, ["tas", "pr"], chunks=(10, 2))
+    assert out["shape"] == (23, 5)
+    back = read_zarr(spark, store, ["tas", "pr"],
+                     time_units_epoch="1970-01-01")
+    got = {(r["time"], r["cell"]): (r["tas"], r["pr"])
+           for r in back.collect()}
+    assert len(got) == 23 * 5
+    exp = {(d, c): (t, p) for d, c, t, p in rows}
+    for (d, c), (t, p) in exp.items():
+        assert got[(d, c)] == (t, p)
+    # sparse slots come back NULL
+    missing = [(d, c) for (d, c) in got if (d, c) not in exp]
+    assert missing and all(got[k] == (None, None) for k in missing)

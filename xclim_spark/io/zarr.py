@@ -36,7 +36,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 __all__ = ["zarr_array_meta", "zarr_chunk_manifest", "read_zarr",
-           "write_zarr_array"]
+           "write_zarr_array", "write_zarr_dataset"]
 
 
 def zarr_array_meta(store: str, name: str) -> dict:
@@ -204,6 +204,105 @@ def read_zarr(
             fields.append(f"{d} LONG")
     fields += [f"{v} DOUBLE" for v in variables]
     return manifest.mapInPandas(_emit, schema=", ".join(fields))
+
+
+def write_zarr_dataset(
+    df: DataFrame,
+    store: str,
+    variables: Sequence[str],
+    *,
+    time: str = "time",
+    cell: str = "cell",
+    chunks: tuple = (512, 64),
+    time_units_epoch: str = "1970-01-01",
+) -> dict:
+    """Distributed Zarr v2 SINK for a long (time, cell, vars...) frame.
+
+    The write plan is the ingest plan in reverse: each row gets its
+    exact (time-index, cell-index) via two broadcast joins against the
+    driver-built axis tables (metadata-sized by definition), rows are
+    then keyed by their (time-chunk, cell-chunk) grid cell — ONE
+    shuffle — and each ``applyInPandas`` task densifies its chunk to
+    the (ct, cc) block, zlib-compresses, and writes the chunk file for
+    every variable directly to the (shared) store.  The driver writes
+    only metadata (coordinate arrays, ``.zarray``/``.zattrs``).  Absent
+    (time, cell) slots become NaN, Zarr's missing representation.
+    Exact-index keying keeps the plan correct for sparse/non-dense
+    axes.  Returns ``{"shape": (nt, nc), "chunks_written": n}``."""
+    import pandas as _pd
+    from pyspark.sql import functions as F
+
+    ct, cc = chunks
+    times = np.sort(np.array(
+        [r[0] for r in df.select(time).distinct().collect()],
+        dtype="datetime64[D]"))
+    cells = np.sort(np.array(
+        [r[0] for r in df.select(cell).distinct().collect()],
+        dtype="int64"))
+    nt, nc = len(times), len(cells)
+    epoch = np.datetime64(time_units_epoch)
+    os.makedirs(store, exist_ok=True)
+    for v in variables:
+        _write_zarr_meta(store, v, (nt, nc), [ct, cc], "<f8",
+                         dims=[time, cell])
+    write_zarr_array(store, time, (times - epoch).astype("int64"),
+                     chunks=[ct], dims=[time])
+    write_zarr_array(store, cell, cells, chunks=[cc], dims=[cell])
+
+    spark = df.sparkSession
+    t_tbl = spark.createDataFrame(
+        [(t.item(), i) for i, t in enumerate(times)],
+        f"{time} DATE, _ti LONG")
+    c_tbl = spark.createDataFrame(
+        [(int(c), i) for i, c in enumerate(cells)],
+        f"{cell} LONG, _ci LONG")
+    keyed = (
+        df.join(F.broadcast(t_tbl), time)
+        .join(F.broadcast(c_tbl), cell)
+        .withColumn("_tc", (F.col("_ti") / ct).cast("int"))
+        .withColumn("_cc", (F.col("_ci") / cc).cast("int"))
+    )
+    var_list = list(variables)
+
+    def _write_chunk(pdf: _pd.DataFrame) -> _pd.DataFrame:
+        it = int(pdf["_tc"].iloc[0])
+        ic = int(pdf["_cc"].iloc[0])
+        ti = pdf["_ti"].to_numpy() - it * ct
+        ci = pdf["_ci"].to_numpy() - ic * cc
+        for v in var_list:
+            # whole chunks on disk; slots past the array edge are
+            # padding the readers trim, NaN marks absent rows
+            block = np.full((ct, cc), np.nan)
+            block[ti, ci] = pdf[v].to_numpy(dtype=float)
+            raw = zlib.compress(np.ascontiguousarray(block).tobytes(), 5)
+            with open(os.path.join(store, v, f"{it}.{ic}"), "wb") as f:
+                f.write(raw)
+        return _pd.DataFrame({"it": [it], "ic": [ic]})
+
+    receipts = keyed.groupBy("_tc", "_cc").applyInPandas(
+        _write_chunk, schema="it INT, ic INT")
+    n = receipts.count()
+    return {"shape": (nt, nc), "chunks_written": int(n)}
+
+
+def _write_zarr_meta(store, name, shape, chunks, dtype_str, *, dims=None):
+    path = os.path.join(store, name)
+    os.makedirs(path, exist_ok=True)
+    meta = {
+        "zarr_format": 2,
+        "shape": list(shape),
+        "chunks": list(chunks),
+        "dtype": dtype_str,
+        "compressor": {"id": "zlib", "level": 5},
+        "fill_value": None,
+        "order": "C",
+        "filters": None,
+    }
+    with open(os.path.join(path, ".zarray"), "w") as f:
+        json.dump(meta, f)
+    if dims is not None:
+        with open(os.path.join(path, ".zattrs"), "w") as f:
+            json.dump({"_ARRAY_DIMENSIONS": list(dims)}, f)
 
 
 def write_zarr_array(
