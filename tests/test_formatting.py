@@ -100,3 +100,49 @@ def test_register_custom_locale():
             "long_name_xx": "XX {freq}"}
     finally:
         fmt._LOCALES.pop("xx", None)
+
+
+def test_parse_doc_sections():
+    from xclim_spark.formatting import parse_doc
+
+    doc = """
+    Number of hot days.
+
+    The annual count of days where daily maximum temperature
+    exceeds a threshold.
+
+    Parameters
+    ----------
+    tasmax : str
+        Daily maximum temperature column.
+    thresh : str
+        Threshold temperature, e.g. "30 degC".
+
+    Notes
+    -----
+    Counting is calendar-aligned.
+
+    References
+    ----------
+    ETCCDI climate indices.
+    """
+    out = parse_doc(doc)
+    assert out["title"] == "Number of hot days."
+    assert out["abstract"].startswith("The annual count")
+    assert set(out["parameters"]) == {"tasmax", "thresh"}
+    assert "Threshold temperature" in out["parameters"]["thresh"][
+        "description"]
+    assert out["notes"].startswith("Counting")
+    assert "ETCCDI" in out["references"]
+    assert parse_doc(None) == {}
+
+
+def test_generate_indicator_docstring():
+    from xclim_spark.formatting import generate_indicator_docstring
+    from xclim_spark.indicators import registry
+
+    ind = registry["tx_days_above"]
+    doc = generate_indicator_docstring(ind)
+    assert "realm:" in doc and "Based on compute" in doc
+    assert "Parameters" in doc
+    assert ind.identifier in doc or (ind.title and ind.title in doc)

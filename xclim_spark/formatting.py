@@ -25,6 +25,8 @@ __all__ = [
     "register_locale",
     "merge_attributes",
     "update_history",
+    "parse_doc",
+    "generate_indicator_docstring",
     "prefix_attrs",
     "unprefix_attrs",
     "get_percentile_metadata",
@@ -220,6 +222,74 @@ def merge_attributes(attribute: str, *inputs, new_line: str = "\n",
                 else ""
             parts.append(f"{prefix}{val}")
     return new_line.join(parts)
+
+
+def parse_doc(doc: str | None) -> dict:
+    """Parse a numpydoc-style indice docstring into the metadata an
+    indicator constructor needs (reference ``parse_doc``,
+    formatting.py:239-286): title + abstract from the intro,
+    ``parameters`` as name -> {'description'}, ``notes`` /
+    ``references`` verbatim."""
+    import re
+    import textwrap
+
+    if not doc:
+        return {}
+    doc = textwrap.dedent(doc)
+    out: dict = {}
+    sections = re.split(r"(\w+\s?\w+)\n-{3,50}", doc)
+    intro = sections.pop(0)
+    if intro:
+        parts = [p.strip() for p in intro.strip().split("\n\n")]
+        if len(parts) == 1:
+            out["title"] = parts[0]
+        elif len(parts) >= 2:
+            out["title"] = parts[0]
+            out["abstract"] = " ".join(
+                s.strip() for s in parts[1].splitlines())
+    for i in range(0, len(sections) - 1, 2):
+        header, content = sections[i], sections[i + 1]
+        if header in ("Notes", "References"):
+            out[header.lower()] = content.replace("\n    ", "\n").strip()
+        elif header == "Parameters":
+            params: dict = {}
+            cur = None
+            for line in content.split("\n"):
+                if line.startswith(" ") and cur:
+                    sep = " " if params[cur]["description"] else ""
+                    params[cur]["description"] += sep + line.strip()
+                elif line and not line.startswith(" ") and ":" in line:
+                    cur = line.split(":", 1)[0].strip()
+                    params[cur] = {"description": ""}
+            out["parameters"] = params
+    return out
+
+
+def generate_indicator_docstring(ind) -> str:
+    """Build a human-readable docstring for a registered indicator
+    (reference ``generate_indicator_docstring``, formatting.py:701-742):
+    title/realm header, abstract, missing-method note, compute
+    reference, and the declared parameters with defaults."""
+    lines = [f"{ind.title or ind.identifier} (realm: {ind.realm})", ""]
+    if ind.description:
+        lines += [ind.description, ""]
+    if getattr(ind, "missing", None):
+        lines.append("This indicator will check for missing values "
+                     f'according to the method "{ind.missing}".')
+    lines.append(f"Based on compute :py:func:`{ind.compute}`.")
+    if ind.parameters:
+        lines += ["", "Parameters", "----------"]
+        for name, p in ind.parameters.items():
+            default = getattr(p, "default", None)
+            units = getattr(p, "units", "") or ""
+            annot = f" [{units}]" if units else ""
+            lines.append(f"{name}{annot} : default {default!r}")
+    if ind.units:
+        lines += ["", "Returns", "-------",
+                  f"{ind.identifier} [{ind.units}]"]
+    if ind.references:
+        lines += ["", "References", "----------", ind.references]
+    return "\n".join(lines) + "\n"
 
 
 def prefix_attrs(source: dict, keys, prefix: str) -> dict:
