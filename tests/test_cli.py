@@ -91,3 +91,11 @@ def test_cli_dataflags(spark, tmp_path, capsys):
                "--master", "local[2]"])
     assert rc == 0
     assert "temperature_extremely_low" in capsys.readouterr().out
+
+
+def test_cli_describe(capsys):
+    from xclim_spark.cli import main
+
+    assert main(["describe", "tx_days_above"]) == 0
+    out = capsys.readouterr().out
+    assert "realm:" in out and "Based on compute" in out

@@ -34,6 +34,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="include titles")
     sp = sub.add_parser("info", help="Show an indicator's metadata")
     sp.add_argument("names", nargs="+")
+    sp = sub.add_parser("describe",
+                        help="Render an indicator's full docstring")
+    sp.add_argument("names", nargs="+")
     sp = sub.add_parser("show_version_info",
                         help="Print dependency versions")
     sp = sub.add_parser("dataflags", help="Run QC data flags")
@@ -154,6 +157,13 @@ def main(argv: list[str] | None = None) -> int:
         return _cmd_indices(args)
     if args.indicator == "info":
         return _cmd_info(args)
+    if args.indicator == "describe":
+        from .formatting import generate_indicator_docstring
+        from .indicators import registry as _reg
+
+        for n in args.names:
+            print(generate_indicator_docstring(_reg[n]))
+        return 0
     if args.indicator == "show_version_info":
         return _cmd_version(args)
     if args.indicator == "dataflags":
