@@ -247,3 +247,80 @@ def test_attr_prefix_helpers():
     assert meta["tas_per_thresh"] == [90]
     assert meta["tas_per_window"] == 5
     assert meta["tas_per_period"] == ["1991-01-01", "2020-12-31"]
+
+
+def test_cf_unit_serialization():
+    from xclim_spark import units as u
+
+    assert u.pint2cfunits("mm/d") == "mm d-1"
+    assert u.pint2cfunits("kg m-2 s-1") == "kg m-2 s-1"
+    assert u.pint2cfunits("°C") == "degC"
+    assert u.pint2cfunits("W/m^2") == "W m-2"
+    assert u.ensure_cf_units("celsius") == "degC"
+    assert u.pint2cfattrs("5 mm/d") == {"units": "mm d-1"}
+    assert u.pint2cfattrs("2 degC", is_difference=True) == \
+        {"units": "delta_degC"}
+    assert u.cf_conversion("precipitation_amount", "amount2rate",
+                           "to") == "precipitation_flux"
+    assert u.cf_conversion("precipitation_flux", "amount2rate",
+                           "from") == "precipitation_amount"
+    assert u.cf_conversion("nope", "amount2rate", "to") is None
+
+
+def test_declare_relative_units():
+    import pytest as _pytest
+    from xclim_spark.units import declare_relative_units
+
+    @declare_relative_units(thresh="<data>")
+    def op(*, data, thresh):
+        return 1
+
+    assert op(data=("col", "degC"), thresh="25 degC") == 1
+    assert op.relative_units == {"thresh": "<data>"}
+    with _pytest.raises(Exception):
+        op(data=("col", "degC"), thresh="10 mm")
+
+
+def test_default_freq():
+    import pytest as _pytest
+    from xclim_spark.operators.generic import default_freq
+
+    assert default_freq() == "YS-JAN"
+    assert default_freq(season="DJF") == "YS-DEC"
+    assert default_freq(month=[6, 7, 8]) == "YS-JUN"
+    assert default_freq(doy_bounds=(100, 200)) == "YS-APR"  # doy 100 = Apr 9
+    assert default_freq(date_bounds=("07-01", "09-30")) == "YS-JUL"
+    with _pytest.raises(ValueError):
+        default_freq(bogus=1)
+
+
+def test_season_length_from_boundaries(spark):
+    from xclim_spark.operators.generic import season_length_from_boundaries
+
+    start = spark.createDataFrame(
+        [(0, 2001, 100), (0, 2002, 350), (0, 2003, None)],
+        "cell INT, period INT, season_start INT")
+    end = spark.createDataFrame(
+        [(0, 2001, 250), (0, 2002, 40), (0, 2003, 120)],
+        "cell INT, period INT, season_end INT")
+    out = {r["period"]: r["season_length"] for r in
+           season_length_from_boundaries(start, end).collect()}
+    assert out[2001] == 150
+    assert out[2002] == 55        # wraps the year end: 40 + 365 - 350
+    assert out[2003] is None
+
+
+def test_preprocess_standardized_index(spark):
+    from xclim_spark.stats import preprocess_standardized_index
+    from xclim_spark.testing import timeseries
+
+    vals = [float(i) for i in range(90)]
+    df = timeseries(spark, vals, start="2001-01-01")
+    out = preprocess_standardized_index(
+        df, "value", "MS", 2, cells=["cell"]).orderBy("period").collect()
+    assert out[0]["_roll"] is None                 # window not yet full
+    jan = sum(range(0, 31))
+    feb = sum(range(31, 59))
+    mar = sum(range(59, 90))
+    assert out[1]["_roll"] == jan + feb
+    assert out[2]["_roll"] == feb + mar

@@ -321,6 +321,57 @@ def count_level_crossings(
     )
 
 
+def default_freq(**indexer) -> str:
+    """Default resampling frequency implied by a temporal indexer
+    (reference ``default_freq``, generic.py:224-253): plain ``YS-JAN``,
+    or a year anchored at the selection's first month so every selected
+    window falls inside one period (seasons anchor at December)."""
+    from ..calendar import _ABBR_MONTH
+
+    if not indexer:
+        return "YS-JAN"
+    group, value = indexer.popitem()
+    if group == "season":
+        month = 12
+    elif group == "month":
+        month = value[0] if isinstance(value, (list, tuple)) else value
+    elif group == "doy_bounds":
+        import datetime as _dt
+
+        # 2004 is a leap year, so doy 1-366 all resolve
+        month = (_dt.date(2004, 1, 1)
+                 + _dt.timedelta(days=int(value[0]) - 1)).month
+    elif group == "date_bounds":
+        month = int(str(value[0])[:2])
+    else:
+        raise ValueError(f"Unknown group `{group}`.")
+    return "YS-" + _ABBR_MONTH[int(month)]
+
+
+def season_length_from_boundaries(
+    start_df: DataFrame, end_df: DataFrame, *,
+    keys: Sequence[str] = ("cell", "period"),
+    start_col: str = "season_start", end_col: str = "season_end",
+    alias: str = "season_length",
+) -> DataFrame:
+    """Season length from pre-computed start/end boundaries (reference
+    ``season_length_from_boundaries``, generic.py:856-906): join the two
+    per-period tables on ``keys`` and difference the boundaries — dates
+    difference directly; day-of-year boundaries wrap across the year
+    end (``end < start`` reads as next year's doy).  NULL boundaries
+    (no season) yield NULL length, like the reference's NaN."""
+    j = start_df.select(*keys, start_col).join(
+        end_df.select(*keys, end_col), on=list(keys))
+    s, e = F.col(start_col), F.col(end_col)
+    fields = {f.name: f.dataType.simpleString()
+              for f in j.schema.fields}
+    if fields[start_col] in ("date", "timestamp"):
+        length = F.datediff(e, s)
+    else:
+        length = F.when(e >= s, e - s).otherwise(e + 365 - s)
+    return j.withColumn(alias, length.cast("int"))
+
+
 def first_day_threshold_reached(
     df: DataFrame, var: str, op: str, thresh, after_date: str, *,
     window: int = 1, freq: str = "YS",

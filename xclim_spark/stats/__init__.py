@@ -25,6 +25,7 @@ from . import distributions as D
 __all__ = ["fit", "get_dist", "parametric_quantile", "parametric_cdf",
            "parametric_pdf", "dist_method", "fa", "frequency_analysis",
            "standardized_index", "standardized_index_fit_params",
+           "preprocess_standardized_index",
            "standardized_precipitation_index",
            "standardized_precipitation_evapotranspiration_index",
            "standardized_streamflow_index",
@@ -166,6 +167,34 @@ def dist_method(
     if function == "pdf":
         return parametric_pdf(params_df, arg, dist, cells=cells)
     raise ValueError(f"Unsupported dist method: {function}")
+
+
+def preprocess_standardized_index(
+    df: DataFrame, var: str, freq: str | None, window: int, *,
+    time: str = "time", cells: Sequence[str] = (),
+    alias: str = "_roll",
+) -> DataFrame:
+    """Resample + rolling accumulation step of the standardized indices
+    (reference ``preprocess_standardized_index``, stats.py:770-838):
+    sum to ``freq`` (skipped when ``freq=None`` — already resampled),
+    then a ``window``-period rolling sum, NULL until the window fills.
+    Exposed as the named entry point the reference's two-call pattern
+    uses; :func:`standardized_index` fuses the same steps inline.
+    Returns ``cells..., period, <alias>``."""
+    from ..operators.generic import select_resample_op
+
+    if freq is not None:
+        acc = select_resample_op(df, var, "sum", freq, time=time,
+                                 cells=cells, alias="_acc")
+    else:
+        acc = df.select(*cells, F.col(time).alias("period"),
+                        F.col(var).alias("_acc"))
+    w = Window.partitionBy(*cells).orderBy("period") \
+        .rowsBetween(-(window - 1), 0)
+    cnt = F.count("_acc").over(w)
+    return acc.withColumn(
+        alias, F.when(cnt >= window, F.sum("_acc").over(w))
+    ).drop("_acc")
 
 
 def standardized_index_fit_params(

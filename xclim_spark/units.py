@@ -35,6 +35,12 @@ __all__ = [
     "to_agg_units",
     "rate2amount",
     "amount2rate",
+    "pint2cfunits",
+    "pint2cfattrs",
+    "ensure_cf_units",
+    "cf_conversion",
+    "CF_CONVERSIONS",
+    "declare_relative_units",
     "amount2lwethickness",
     "lwethickness2amount",
     "rate2flux",
@@ -327,6 +333,118 @@ def rate2amount(col: Column, rate_units: str, *, src_freq: str = "D",
 def amount2rate(col: Column, *, src_freq: str = "D") -> Column:
     """Amount per period -> mean rate (reference units.py:995-1064)."""
     return col / F.lit(_FREQ_SECONDS[src_freq.upper()])
+
+
+def pint2cfunits(value) -> str:
+    """CF-symbol form of a unit string or :class:`Quantity` (reference
+    ``pint2cfunits``, units.py:205-260): aliases resolved to canonical
+    symbols, denominators flipped into CF negative-exponent suffixes
+    (``'mm/d'`` -> ``'mm d-1'``)."""
+    units_str = value.units if isinstance(value, Quantity) else str(value)
+    units_str = units_str.strip()
+    if units_str in ("", "1", "dimensionless"):
+        return "1"
+    parse_units(units_str)  # validate
+    if "/" in units_str:
+        num_s, den_s = units_str.split("/", 1)
+    else:
+        num_s, den_s = units_str, ""
+    parts = []
+    for part, sign in ((num_s, 1), (den_s, -1)):
+        for m in _TOKEN.finditer(part):
+            tok, exp_s = m.group(1), m.group(2)
+            canon = _ALIASES.get(tok, _ALIASES.get(tok.lower(), tok))
+            e = sign * (int(exp_s) if exp_s else 1)
+            parts.append(canon if e == 1 else f"{canon}{e}")
+    return " ".join(parts)
+
+
+def pint2cfattrs(value, is_difference: bool | None = None) -> dict:
+    """Attrs dict for a quantity (reference ``pint2cfattrs``,
+    units.py:261-300): ``{"units": <CF string>}``, with delta form for
+    temperature differences."""
+    u = pint2cfunits(value)
+    if is_difference:
+        u = ensure_delta(u)
+    return {"units": u}
+
+
+def ensure_cf_units(units_str: str) -> str:
+    """Normalize any accepted unit spelling to the CF-symbol form
+    (reference ``ensure_cf_units``, units.py:301-320)."""
+    return pint2cfunits(units_str)
+
+
+# Standard-name pairs for automatic conversions (reference
+# data/variables.yml `conversions:`; the common precipitation family —
+# extend per deployment vocabulary).
+CF_CONVERSIONS: dict[str, list[tuple[str, str]]] = {
+    "amount2rate": [
+        ("precipitation_amount", "precipitation_flux"),
+        ("rainfall_amount", "rainfall_flux"),
+        ("snowfall_amount", "snowfall_flux"),
+        ("lwe_thickness_of_precipitation_amount", "lwe_precipitation_rate"),
+        ("lwe_thickness_of_snowfall_amount", "lwe_snowfall_rate"),
+        ("runoff_amount", "runoff_flux"),
+    ],
+    "amount2lwethickness": [
+        ("precipitation_amount", "lwe_thickness_of_precipitation_amount"),
+        ("precipitation_flux", "lwe_precipitation_rate"),
+        ("snowfall_amount", "lwe_thickness_of_snowfall_amount"),
+        ("snowfall_flux", "lwe_snowfall_rate"),
+    ],
+}
+
+
+def cf_conversion(standard_name: str, conversion: str,
+                  direction: str) -> str | None:
+    """Standard name after applying ``conversion`` in ``direction``
+    (reference ``cf_conversion``, units.py:454-500): e.g.
+    ``('precipitation_amount', 'amount2rate', 'to') ->
+    'precipitation_flux'``; None when no pair is registered."""
+    if direction not in ("to", "from"):
+        raise ValueError("direction must be 'to' or 'from'")
+    for a, b in CF_CONVERSIONS.get(conversion, []):
+        if direction == "to" and standard_name == a:
+            return b
+        if direction == "from" and standard_name == b:
+            return a
+    return None
+
+
+def declare_relative_units(**units_by_name: str):
+    """Decorator checking that argument units are mutually compatible
+    (reference ``declare_relative_units``, units.py:1313-1423):
+    contracts reference OTHER parameters, e.g. ``thresh="<da>"`` or
+    ``rate="<da> / [time]"``.  Dimensionality is checked at call time
+    against the referenced argument's units; the contract is stored as
+    ``relative_units`` for the indicator builder."""
+    import re as _re
+
+    def deco(fn):
+        def wrapper(*args, **kwargs):
+            resolved: dict[str, str] = {}
+            for name, val in kwargs.items():
+                if isinstance(val, tuple) and len(val) == 2 and \
+                        isinstance(val[1], str):
+                    resolved[name] = val[1]
+                elif isinstance(val, str) and any(c.isdigit()
+                                                  for c in val):
+                    resolved[name] = str2pint(val).units
+            for name, contract in units_by_name.items():
+                if name not in resolved:
+                    continue
+                m = _re.match(r"^<(\w+)>$", contract.strip())
+                if m and m.group(1) in resolved:
+                    check_units(resolved[name], resolved[m.group(1)])
+            return fn(*args, **kwargs)
+
+        wrapper.relative_units = dict(units_by_name)
+        wrapper.__name__ = fn.__name__
+        wrapper.__doc__ = fn.__doc__
+        return wrapper
+
+    return deco
 
 
 def amount2lwethickness(col: Column, *, out_units: str | None = None) -> Column:
