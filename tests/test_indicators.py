@@ -543,7 +543,7 @@ def test_convert_realm(spark):
 
     from xclim_spark.indicators import convert as C
 
-    assert len(C) == 28
+    assert len(C) == 33  # 28 + 5 reference short-identifier aliases
 
     day = dt.date(2000, 7, 6)
     df = spark.createDataFrame(
@@ -745,3 +745,47 @@ def test_wind_stats_by_name(spark):
                                   cells=["cell"], missing=None)
     assert res.df.collect()[0]["sfcWind_max"] == 9.0
     assert res.attrs["units"] == "m s-1"
+
+
+def test_reference_short_identifier_parity(spark):
+    """The reference's short registry identifiers (dlyfrzthw, dtrmax,
+    liquidprcptot, prlp, ...) must resolve and compute sensibly."""
+    import datetime as dt
+
+    from xclim_spark.indicators import registry
+
+    for name in ("dlyfrzthw", "dtrmax", "dtrvar", "prcpavg", "wet_prcptot",
+                 "liquidprcptot", "solidprcptot", "liquidprcpavg",
+                 "solidprcpavg", "rain_frzgr", "e_sat", "hurs_fromdewpoint",
+                 "huss_fromdewpoint", "tdps_from_huss", "prlp"):
+        assert name in registry, name
+
+    rows = []
+    for i in range(60):
+        d = dt.date(2001, 1, 1) + dt.timedelta(days=i)
+        rows.append((0, d, -1.0 if i < 30 else 2.0, -5.0,
+                     5.0 if i % 2 == 0 else -2.0,
+                     5.0 if i % 3 == 0 else 0.0))
+    df = spark.createDataFrame(
+        rows, "cell INT, time DATE, tas DOUBLE, tasmin DOUBLE, "
+              "tasmax DOUBLE, pr DOUBLE")
+    u = {"tas": "degC", "tasmin": "degC", "tasmax": "degC", "pr": "mm/d"}
+    frzthw = registry["dlyfrzthw"](
+        df, tasmin="tasmin", tasmax="tasmax", units=u, cells=["cell"],
+        missing=None).df.collect()[0]
+    assert frzthw["dlyfrzthw"] == 30          # even days cross freezing
+    dtrmax = registry["dtrmax"](
+        df, tasmin="tasmin", tasmax="tasmax", units=u, cells=["cell"],
+        missing=None).df.collect()[0]
+    assert dtrmax["dtrmax"] == 10.0
+    liq = registry["liquidprcptot"](
+        df, pr="pr", tas="tas", units=u, cells=["cell"],
+        missing=None).df.collect()[0]
+    sol = registry["solidprcptot"](
+        df, pr="pr", tas="tas", units=u, cells=["cell"],
+        missing=None).df.collect()[0]
+    assert liq["liquidprcptot"] + sol["solidprcptot"] == 100.0
+    assert liq["liquidprcptot"] == 50.0       # wet days in the warm half
+    wet = registry["wet_prcptot"](
+        df, pr="pr", units=u, cells=["cell"], missing=None).df.collect()[0]
+    assert wet["wet_prcptot"] == 100.0

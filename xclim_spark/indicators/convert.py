@@ -106,6 +106,31 @@ _SPECS = [
            "Rainfall approximated from total precipitation", "mm/d",
            params={"thresh": {"default": 273.15, "kind": "number"},
                    "method": {"default": "binary", "kind": "string"}}),
+    # reference short identifiers (convert/_conversion.py) for the same
+    # kernels — registry parity so users can call by either name
+    _cspec("e_sat", "saturation_vapor_pressure",
+           {"tas": "tas"}, ["tas", "method"],
+           "Saturation vapour pressure", "Pa",
+           params={"method": {"default": "sonntag90", "kind": "string"}},
+           ref="ref convert/_conversion.py:181 e_sat"),
+    _cspec("hurs_fromdewpoint", "relative_humidity_from_dewpoint",
+           {"tas": "tas", "tdps": "tdps"}, ["tas", "tdps"],
+           "Relative humidity from dewpoint", "%",
+           ref="ref convert/_conversion.py:200 hurs_fromdewpoint"),
+    _cspec("huss_fromdewpoint", "specific_humidity_from_dewpoint",
+           {"tdps": "tdps", "ps": "ps"}, ["tdps", "ps"],
+           "Specific humidity from dewpoint", "1",
+           ref="ref convert/_conversion.py:284 huss_fromdewpoint"),
+    _cspec("tdps_from_huss", "dewpoint_from_specific_humidity",
+           {"huss": "huss", "ps": "ps"}, ["huss", "ps"],
+           "Dewpoint temperature from specific humidity", "K",
+           ref="ref convert/_conversion.py:299 tdps_from_huss"),
+    _cspec("prlp", "rain_approximation",
+           {"pr": "pr", "tas": "tas"}, ["pr", "tas", "thresh", "method"],
+           "Rainfall approximated from total precipitation", "mm/d",
+           params={"thresh": {"default": 273.15, "kind": "number"},
+                   "method": {"default": "binary", "kind": "string"}},
+           ref="ref convert/_conversion.py:380 prlp"),
     _cspec("snd_to_snw", "snd_to_snw", {"snd": "snd"}, ["snd"],
            "Snow amount from snow depth", "kg m-2"),
     _cspec("snw_to_snd", "snw_to_snd", {"snw": "snw"}, ["snw"],
