@@ -10,7 +10,7 @@ import math
 
 import numpy as np
 import pytest
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from xclim_spark.operators import fire
@@ -30,6 +30,16 @@ finite = dict(allow_nan=False, allow_infinity=False)
     dc0=st.floats(0.0, 900.0, **finite),
     mth=st.integers(1, 12),
 )
+@example(
+    t=-2.0,
+    p=0.0,
+    w=0.0,
+    h=0.0,
+    f0=0.0,
+    dm0=0.0,
+    dc0=5e-324,
+    mth=1,
+).via('discovered failure')
 def test_scalar_and_vector_cffwis_kernels_agree(t, p, w, h, f0, dm0, dc0,
                                                 mth):
     lat = 47.0

@@ -501,12 +501,15 @@ def within_bnds_doy(
     (reference ``within_bnds_doy``, calendar.py:934-965).  ``bounds`` is
     a doy-keyed table (``cells..., dayofyear, low, high``) — dim-sized,
     broadcast onto the facts; the join key uses the same leap-safe
-    doy365 axis as the climatology builders."""
+    doy365 axis as the climatology builders.  Bounds are strict
+    (``low < v < high``), matching the reference's
+    ``(low < arr) * (arr < high)`` — values exactly at a bound are
+    flagged outside."""
     b = F.broadcast(bounds)
     j = df.withColumn("dayofyear", doy365(time)) \
         .join(b, on=[*cells, "dayofyear"], how="left")
     return j.withColumn(
-        alias, (F.col(var) >= F.col(low)) & (F.col(var) <= F.col(high)))
+        alias, (F.col(var) > F.col(low)) & (F.col(var) < F.col(high)))
 
 
 def adjust_doy_calendar(

@@ -709,13 +709,19 @@ def significance_test(func):
     """Register a custom significance test for
     :func:`robustness_fractions` / :func:`member_change_significance`
     (reference ``significance_test`` decorator, _robustness.py:48-68).
-    The function name (leading ``_test_`` stripped, underscores kept)
-    becomes the registry key; it receives two 1-D numpy arrays (fut,
-    ref) and returns ``(changed: bool, pvalue: float)``."""
+    The registry key mirrors the reference's convention (one leading
+    underscore stripped, remaining underscores mapped to dashes, e.g.
+    ``_welch_ttest`` -> ``"welch-ttest"``) so custom tests land in the
+    same namespace style as the built-ins; the longer ``_test_`` prefix
+    this module uses internally is also accepted.  The function receives
+    two 1-D numpy arrays (fut, ref) and returns
+    ``(changed: bool, pvalue: float)``."""
     name = func.__name__
     if name.startswith("_test_"):
         name = name[len("_test_"):]
-    SIGNIFICANCE_TESTS[name] = func
+    elif name.startswith("_"):
+        name = name[1:]
+    SIGNIFICANCE_TESTS[name.replace("_", "-")] = func
     return func
 
 

@@ -54,6 +54,7 @@ def zarr_array_meta(store: str, name: str) -> dict:
             "this environment (stdlib decodes zlib/gzip/None)")
     if meta.get("filters"):
         raise NotImplementedError(f"{name}: filters not supported")
+    meta["_name"] = name
     return meta
 
 
@@ -90,6 +91,12 @@ def _decode_chunk(raw: bytes | None, meta: dict) -> np.ndarray:
     dtype = np.dtype(meta["dtype"])
     if raw is None:
         fill = meta.get("fill_value")
+        if fill is None and dtype.kind in "iub":
+            raise ValueError(
+                f"zarr array {meta.get('_name', '<unknown>')!r}: missing "
+                f"chunk with fill_value null and integer dtype {dtype} — "
+                "cannot materialize NaN; rewrite the store with an "
+                "explicit fill_value")
         return np.full(chunks, np.nan if fill is None else fill,
                        dtype=dtype)
     comp = meta.get("compressor")

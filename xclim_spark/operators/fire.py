@@ -147,9 +147,12 @@ def _isi(ws, ffmc):
 
 def _bui(dmc, dc):
     """Build-up index (eq. 27)."""
-    if dmc == 0.0 and dc == 0.0:
-        return 0.0
     denom = dmc + 0.4 * dc
+    # Guard denom == 0.0 (not just dmc == dc == 0): a subnormal dc can
+    # underflow 0.4 * dc to 0.0, and _bui_v guards on the summed
+    # denominator — the two kernels must agree (hypothesis-found).
+    if denom == 0.0:
+        return 0.0
     if dmc <= 0.4 * dc:
         return 0.8 * dc * dmc / denom  # Eq.27a
     return dmc - (1.0 - 0.8 * dc / denom) * \

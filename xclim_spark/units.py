@@ -468,22 +468,29 @@ def lwethickness2amount(col: Column, *, in_units: str = "mm") -> Column:
     return col * F.lit(WATER_DENSITY / 1000.0)
 
 
-def rate2flux(col: Column, density: str | float,
-              *, out_units: str | None = None) -> Column:
+def _density_kg_m3(density: str | float) -> float:
+    """Parse a density given as a quantified string or plain float and
+    normalize it to kg/m3 — a density in g/cm3 (or any other mass/volume
+    unit) converts before the magnitude is taken; plain floats are
+    assumed kg/m3."""
+    if isinstance(density, str):
+        q = str2pint(density)
+        scale, _ = units_convert_factor(q.units, "kg m-3")
+        return q.magnitude * scale
+    return float(density)
+
+
+def rate2flux(col: Column, density: str | float) -> Column:
     """Rate x density -> flux (reference units.py:1109-1166), e.g. snow
     thickness rate [m s-1] x 312 kg/m3 -> mass flux [kg m-2 s-1].
-    ``density`` is a quantified string or plain factor applied as one
-    literal multiply."""
-    q = str2pint(density) if isinstance(density, str) else None
-    factor = q.magnitude if q is not None else float(density)
-    return col * F.lit(factor)
+    ``density`` is a quantified string (normalized to kg/m3) or a plain
+    kg/m3 factor, applied as one literal multiply."""
+    return col * F.lit(_density_kg_m3(density))
 
 
 def flux2rate(col: Column, density: str | float) -> Column:
     """Inverse of :func:`rate2flux` (reference units.py:1167-1224)."""
-    q = str2pint(density) if isinstance(density, str) else None
-    factor = q.magnitude if q is not None else float(density)
-    return col / F.lit(factor)
+    return col / F.lit(_density_kg_m3(density))
 
 
 def pint_multiply(col: Column, q: str | float,
