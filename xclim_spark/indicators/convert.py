@@ -192,3 +192,13 @@ _SPECS = [
 ]
 
 convert = build_indicator_module("convert", _SPECS)
+
+# reference short identifiers (convert/_conversion.py registers the
+# converters under the CF variable names / short forms)
+from .core import register_alias as _alias  # noqa: E402
+
+_alias("hurs", "relative_humidity")
+_alias("huss", "specific_humidity")
+_alias("prsn", "snowfall_approximation")
+_alias("wind_chill", "wind_chill_index")
+_alias("utci", "universal_thermal_climate_index")

@@ -45,6 +45,7 @@ __all__ = [
     "build_indicator_module_from_yaml",
     "COMPUTES",
     "register_compute",
+    "register_alias",
 ]
 
 # ---------------------------------------------------------------------------
@@ -353,6 +354,46 @@ def from_dict(spec: dict) -> Indicator:
             applies_to=p.get("applies_to"),
         )
     return Indicator(parameters=parameters, **spec)
+
+
+def register_alias(identifier: str, base: str, **overrides) -> Indicator:
+    """Register ``identifier`` as a clone of the ``base`` registry entry —
+    the reference registers many computes under short identifiers (e.g.
+    ``spi`` for ``standardized_precipitation_index``, atmos/_precip.py;
+    ``utci`` for the UTCI converter, convert/_conversion.py).  The clone
+    is a full Indicator (output column named after the alias, same
+    compute/inputs/parameters) with optional spec overrides; parameter
+    overrides are plain ``{name: default}`` merges."""
+    b = registry[base]
+    spec = dict(
+        identifier=identifier,
+        compute=b.compute,
+        realm=b.realm,
+        title=b.title,
+        units=b.units,
+        standard_name=b.standard_name,
+        long_name=b.long_name,
+        description=b.description,
+        cell_methods=b.cell_methods,
+        input=dict(b.input),
+        missing=b.missing,
+        missing_options=dict(b.missing_options),
+        src_freq=b.src_freq,
+        references=b.references or f"alias of {base}",
+    )
+    params = {
+        k: Parameter(name=k, default=p.default, kind=p.kind, units=p.units,
+                     description=p.description, applies_to=p.applies_to)
+        for k, p in b.parameters.items()
+    }
+    pover = overrides.pop("parameters", {})
+    for pk, pv in pover.items():
+        if pk in params:
+            params[pk].default = pv
+        else:
+            params[pk] = Parameter(name=pk, default=pv)
+    spec.update(overrides)
+    return Indicator(parameters=params, **spec)
 
 
 class VirtualModule:

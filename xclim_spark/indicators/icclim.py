@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from .core import build_indicator_module_from_yaml
 from . import atmos as _atmos  # noqa: F401  (registers base specs first)
+from . import land as _land  # noqa: F401  (SD/SD1/SD5cm/SD50cm bases)
 
 _ICCLIM_YML = """
 indicators:
@@ -109,6 +110,125 @@ indicators:
   vDTR:
     base: daily_temperature_range_variability
     title: Mean absolute day-to-day difference of DTR
+  TGx:
+    base: tg_max
+    title: Maximum of daily mean temperature
+  TGn:
+    base: tg_min
+    title: Minimum of daily mean temperature
+  TXn:
+    base: tx_min
+    title: Minimum of daily maximum temperature
+  TNx:
+    base: tn_max
+    title: Maximum of daily minimum temperature
+  TG90p:
+    base: tg90p
+    title: Days with TG above the 90th percentile (warm days)
+  TG10p:
+    base: tg10p
+    title: Days with TG below the 10th percentile (cold days)
+  TX90p:
+    base: tx90p
+    title: Days with TX above the 90th percentile (warm day-times)
+  TX10p:
+    base: tx10p
+    title: Days with TX below the 10th percentile (cold day-times)
+  TN90p:
+    base: tn90p
+    title: Days with TN above the 90th percentile (warm nights)
+  TN10p:
+    base: tn10p
+    title: Days with TN below the 10th percentile (cold nights)
+  CSDI:
+    base: cold_spell_duration_index
+    title: Cold-spell duration index
+    parameters:
+      window: 6
+  WSDI:
+    base: warm_spell_duration_index
+    title: Warm-spell duration index
+    parameters:
+      window: 6
+  GSL:
+    base: growing_season_length
+    title: Growing season length
+    parameters:
+      thresh: "5.0 degC"
+      window: 6
+  HI:
+    base: huglin_index
+    title: Huglin heliothermal index
+    parameters:
+      thresh: "10 degC"
+      start_date: "04-01"
+      end_date: "11-01"
+  BEDD:
+    base: biologically_effective_degree_days
+    title: Biologically effective growing degree days
+    parameters:
+      method: icclim
+      thresh_tasmin: "10 degC"
+      max_daily_degree_days: "9 degC"
+      start_date: "04-01"
+      end_date: "10-01"
+      low_dtr: null
+      high_dtr: null
+  RR:
+    base: prcptot
+    title: Precipitation sum
+  R75p:
+    base: days_over_precip_thresh
+    title: Days with precipitation over the 75th percentile of wet days
+  R95p:
+    base: days_over_precip_thresh
+    title: Days with precipitation over the 95th percentile of wet days
+  R99p:
+    base: days_over_precip_thresh
+    title: Days with precipitation over the 99th percentile of wet days
+  R75pTOT:
+    base: fraction_over_precip_thresh
+    title: Precipitation fraction due to moderate wet days (>75th percentile)
+  R95pTOT:
+    base: fraction_over_precip_thresh
+    title: Precipitation fraction due to very wet days (>95th percentile)
+  R99pTOT:
+    base: fraction_over_precip_thresh
+    title: Precipitation fraction due to extremely wet days (>99th percentile)
+  SD:
+    base: snow_depth
+    realm: land
+    title: Mean of daily snow depth
+  SD1:
+    base: snd_season_length
+    realm: land
+    title: Snow days (SD >= 1 cm)
+    parameters:
+      thresh: "1 cm"
+  SD5cm:
+    base: snd_season_length
+    realm: land
+    title: Snow days (SD >= 5 cm)
+    parameters:
+      thresh: "5 cm"
+  SD50cm:
+    base: snd_season_length
+    realm: land
+    title: Snow days (SD >= 50 cm)
+    parameters:
+      thresh: "50 cm"
+  CD:
+    base: cold_and_dry_days
+    title: Cold and dry days
+  CW:
+    base: cold_and_wet_days
+    title: Cold and wet days
+  WD:
+    base: warm_and_dry_days
+    title: Warm and dry days
+  WW:
+    base: warm_and_wet_days
+    title: Warm and wet days
 """
 
 icclim = build_indicator_module_from_yaml("icclim", _ICCLIM_YML)

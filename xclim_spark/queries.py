@@ -4284,6 +4284,82 @@ def sdba_properties_ms(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# ICCLIM compound quartile family (CD/CW/WD/WW — reference
+# _multivariate.py:162-481 cold_and_dry_days ... warm_and_wet_days)
+# ---------------------------------------------------------------------------
+
+def _doy_per_sql(var: str, p: float, cte: str, alias: str) -> str:
+    """percentile_doy_sql with renamed CTEs so two climatologies can
+    coexist in one oracle."""
+    from .operators.percentile import percentile_doy_sql
+
+    s = percentile_doy_sql("daily", var, p, window=5, time="day",
+                           cells="cell", alias=alias)
+    return (s.replace("pooled AS", f"pooled_{cte} AS")
+             .replace("FROM pooled", f"FROM pooled_{cte}")
+             .replace("per AS", f"{cte} AS"))
+
+
+def _compound_quartile_oracle(op_a: str, op_b: str, qa: float, qb: float,
+                              alias: str) -> str:
+    from .calendar import doy365_sql
+
+    d365 = doy365_sql("d.day")
+    return f"""WITH {DAILY_SQL},
+{_doy_per_sql('qty', qa, 'per_a', 'pa')},
+{_doy_per_sql('price', qb, 'per_b', 'pb')}
+SELECT d.cell AS cell, CAST(date_trunc('year', d.day) AS DATE) AS period,
+       CAST(sum(CASE WHEN d.qty {op_a} a.pa AND d.price {op_b} b.pb
+                THEN 1 ELSE 0 END) AS BIGINT) AS {alias}
+FROM daily d
+JOIN per_a a ON d.cell = a.cell AND {d365} = a.dayofyear
+JOIN per_b b ON d.cell = b.cell AND {d365} = b.dayofyear
+GROUP BY 1, 2"""
+
+
+@_register("ind_cold_dry_days_ys",
+           _compound_quartile_oracle("<", "<", 0.25, 0.25, "cd_days"))
+def ind_cold_dry_days_ys(spark, sf_dir):
+    """ICCLIM CD through the registry (reference _multivariate.py:162
+    cold_and_dry_days; icclim.yml CD): days where tas is under its daily
+    25th percentile AND pr under its daily 25th percentile.  Two doy
+    climatologies (cells x 365 rows each) joined onto the facts — AQE
+    picks broadcast vs shuffle by dim size, same as the tg90p family."""
+    from .indicators import registry
+    from .operators import percentile as pc
+
+    d = daily_series(spark, sf_dir)
+    per_a = pc.percentile_doy(d, "qty", 0.25, window=5, time="day",
+                              cells=["cell"], alias="per")
+    per_b = pc.percentile_doy(d, "price", 0.25, window=5, time="day",
+                              cells=["cell"], alias="per")
+    out = registry["CD"](d, tas="qty", pr="price", per_a=per_a,
+                         per_b=per_b, freq="YS", time="day",
+                         cells=["cell"], missing=None).df
+    return out.withColumnRenamed("CD", "cd_days")
+
+
+@_register("ind_warm_wet_days_ys",
+           _compound_quartile_oracle(">", ">", 0.75, 0.75, "ww_days"))
+def ind_warm_wet_days_ys(spark, sf_dir):
+    """ICCLIM WW (reference _multivariate.py:440 warm_and_wet_days;
+    icclim.yml WW): tas over its daily 75th percentile AND pr over its
+    daily 75th percentile."""
+    from .indicators import registry
+    from .operators import percentile as pc
+
+    d = daily_series(spark, sf_dir)
+    per_a = pc.percentile_doy(d, "qty", 0.75, window=5, time="day",
+                              cells=["cell"], alias="per")
+    per_b = pc.percentile_doy(d, "price", 0.75, window=5, time="day",
+                              cells=["cell"], alias="per")
+    out = registry["WW"](d, tas="qty", pr="price", per_a=per_a,
+                         per_b=per_b, freq="YS", time="day",
+                         cells=["cell"], missing=None).df
+    return out.withColumnRenamed("WW", "ww_days")
+
+
 # The driver's correctness harness evaluates queries in dict order and has
 # historically recorded only the first 50 per round.  Rounds 3+4 covered 100
 # of the 107 declared queries; the 7 below (positions 50-56 of the round-4
