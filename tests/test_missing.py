@@ -1,5 +1,7 @@
 """Missing-mask tests (mirrors reference tests/test_missing.py)."""
 
+import pytest
+
 from xclim_spark.operators import missing as miss
 from xclim_spark.testing import timeseries
 
@@ -171,3 +173,66 @@ def test_missing_some_but_not_all(spark):
     assert out["2001-01-01"] is False
     assert out["2001-02-01"] is True
     assert out["2001-03-01"] is False
+
+
+def test_expected_count_subdaily(spark):
+    """Calendar-exact denominators for sub-daily sources (reference
+    core/missing.py:64-160 src_timestep): hourly February (leap and
+    non-leap), 6-hourly month, minutes inside an hourly target."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(dt.date(2001, 2, 1),), (dt.date(2004, 2, 1),),
+         (dt.date(2001, 1, 1),)], "period DATE")
+    got = df.select(
+        "period",
+        miss.expected_count("period", "MS", "h").alias("hourly"),
+        miss.expected_count("period", "MS", "6h").alias("sixh"),
+        miss.expected_count("period", "YS", "h").alias("hourly_y"),
+        miss.expected_count("period", "MS", "30min").alias("halfhour"),
+    ).collect()
+    by = {str(r["period"]): r for r in got}
+    assert by["2001-02-01"]["hourly"] == 28 * 24
+    assert by["2004-02-01"]["hourly"] == 29 * 24
+    assert by["2001-02-01"]["sixh"] == 28 * 4
+    assert by["2001-01-01"]["hourly_y"] == 365 * 24
+    assert by["2004-02-01"]["hourly_y"] == 366 * 24
+    assert by["2001-01-01"]["halfhour"] == 31 * 48
+
+    # hourly steps in a sub-daily target period
+    row = df.select(
+        miss.expected_count("period", "6h", "h").alias("n"),
+        miss.expected_count("period", "6h", "30min").alias("m"),
+    ).collect()[0]
+    assert row["n"] == 6 and row["m"] == 12
+
+    # weekly source only aligns with weekly targets
+    row = df.select(
+        miss.expected_count("period", "W", "W").alias("w")).collect()[0]
+    assert row["w"] == 1
+    with pytest.raises(NotImplementedError):
+        miss.expected_count("period", "MS", "W")
+    with pytest.raises(NotImplementedError):
+        miss.expected_count("period", "MS", "7h")  # does not divide a day
+    with pytest.raises(NotImplementedError):
+        miss.missing_wmo(df, "period", "YS", src_freq="h")
+
+
+def test_missing_any_hourly(spark):
+    """missing_any with src_freq='h': a day with 23 of 24 hours present
+    flags, a complete day does not."""
+    import datetime as dt
+
+    rows = []
+    for h in range(24):
+        rows.append(("c", dt.datetime(2001, 1, 1, h), 1.0))
+    for h in range(23):  # Jan 2 is short one hour
+        rows.append(("c", dt.datetime(2001, 1, 2, h), 1.0))
+    df = spark.createDataFrame(rows, "cell string, time timestamp, v double")
+    out = {str(r["period"]): r["is_missing"] for r in
+           miss.missing_any(df, "v", "D", cells=["cell"],
+                            src_freq="h").collect()}
+    assert out["2001-01-01"] is False
+    assert out["2001-01-02"] is True

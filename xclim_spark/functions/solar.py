@@ -195,9 +195,11 @@ def make_hourly_temperature(
     day_t = (F.col(tasmax) - F.col(tasmin)) * F.sin(
         (math.pi * h) / (F.col("_dl") + 4.0)) + F.col(tasmin)
     nh = F.greatest(h + 1.0 - F.col("_dl"), F.lit(1.0))
+    # the reference evaluates the night profile with daylength-1
+    # (helpers.py:1117-1121), so the log denominator is 24-(dl-1)=25-dl
     night_t = F.col("_sunset") - (
         (F.col("_sunset") - F.col("_next_tn"))
-        / F.log(24.0 - F.col("_dl"))
+        / F.log(25.0 - F.col("_dl"))
     ) * F.log(nh)
     tas = F.when(h < F.col("_dl"), day_t).otherwise(night_t)
     return (

@@ -38,25 +38,69 @@ __all__ = [
 
 def expected_count(period_col: str, freq: str, src_freq: str = "D"):
     """Expression: number of ``src_freq`` steps in the ``freq`` period
-    starting at ``period_col`` (reference missing.py:64-160)."""
+    starting at ``period_col`` (reference missing.py:64-160).
+
+    Calendar-exact for daily and sub-daily sources: the day count comes
+    from the actual period bounds (``datediff(next_period_start,
+    period_start)``, leap-aware) and sub-daily sources multiply by the
+    steps-per-day (requires the step to divide a day evenly, which covers
+    the reference's hourly paths, e.g. ``make_hourly_temperature``).
+    Weekly sources are supported for weekly targets; aligning a weekly
+    grid inside month-anchored periods is ambiguous without the grid's
+    phase, so it raises (same restriction surfaces as a resample error
+    in the reference)."""
     off = parse_offset(freq)
     src = parse_offset(src_freq)
-    if src.base != "D" or src.mult != 1:
-        raise NotImplementedError("expected_count supports daily sources")
     p = F.col(period_col)
+    if src.base == "W":
+        if off.base == "W":
+            if off.mult % src.mult:
+                raise NotImplementedError(
+                    f"weekly source {src_freq!r} does not divide {freq!r}")
+            return F.lit(off.mult // src.mult)
+        raise NotImplementedError(
+            "weekly sources need a phase-aligned weekly target frequency")
+    if src.base == "D" and src.mult != 1:
+        raise NotImplementedError(
+            "multi-day sources are not phase-alignable with calendar "
+            "periods")
+    if src.base == "H":
+        if 24 % src.mult:
+            raise NotImplementedError(
+                f"{src_freq!r} does not divide a day evenly")
+        steps_per_day = 24 // src.mult
+    elif src.base == "T":
+        if 1440 % src.mult:
+            raise NotImplementedError(
+                f"{src_freq!r} does not divide a day evenly")
+        steps_per_day = 1440 // src.mult
+    elif src.base == "D":
+        steps_per_day = 1
+    else:
+        raise NotImplementedError(f"source frequency {src_freq!r}")
     if off.base == "D":
-        return F.lit(off.mult)
-    if off.base == "W":
-        return F.lit(7)
-    if off.base == "M":
-        nxt = F.add_months(p, 1)
+        days = F.lit(off.mult)
+    elif off.base == "W":
+        days = F.lit(7 * off.mult)
+    elif off.base == "M":
+        days = F.datediff(F.add_months(p, off.mult), F.to_date(p))
     elif off.base == "Q":
-        nxt = F.add_months(p, 3)
+        days = F.datediff(F.add_months(p, 3 * off.mult), F.to_date(p))
     elif off.base == "Y":
-        nxt = F.add_months(p, 12)
+        days = F.datediff(F.add_months(p, 12 * off.mult), F.to_date(p))
+    elif off.base == "H":
+        # sub-daily target: steps = target span / source step (minutes)
+        if src.base not in ("H", "T"):
+            raise NotImplementedError(
+                f"source {src_freq!r} coarser than target {freq!r}")
+        mins_t = off.mult * 60
+        mins_s = src.mult * 60 if src.base == "H" else src.mult
+        if mins_t % mins_s:
+            raise NotImplementedError(f"{src_freq!r} does not divide {freq!r}")
+        return F.lit(mins_t // mins_s)
     else:
         raise NotImplementedError(freq)
-    return F.datediff(nxt, p)
+    return days * F.lit(steps_per_day) if steps_per_day != 1 else days
 
 
 def _base(df: DataFrame, var: str, freq: str, time: str, cells: Sequence[str]):
@@ -172,6 +216,9 @@ def missing_wmo(
     shows up as ``datediff - 1 == k`` — so runs are detected without
     materializing absent rows (scales: no calendar explode of the fact
     table)."""
+    if parse_offset(src_freq).base != "D":
+        raise NotImplementedError(
+            "the WMO rule is defined on daily observations")
     w = Window.partitionBy(*cells, "period").orderBy(time)
     df = df.withColumn("period", period_start(time, "MS"))
     # gap before this row (within month), in src steps; NULL-valued rows

@@ -4360,6 +4360,110 @@ def ind_warm_wet_days_ys(spark, sf_dir):
     return out.withColumnRenamed("WW", "ww_days")
 
 
+# ---------------------------------------------------------------------------
+# Hourly tier: make_hourly_temperature + sub-daily missing masks
+# (reference helpers.py:1059-1135; core/missing.py:64-160 src_timestep)
+# ---------------------------------------------------------------------------
+
+# Shared SQL: re-derive the Linvill-1990 hourly profile in DuckDB — daily
+# series, spencer day length, sinusoidal day / logarithmic night.
+_HOURLY_SQL = f"""{DAILY_SQL},
+dl_tbl AS (
+  SELECT cell, day, qty AS tn, qty + 8.0 AS tx,
+         ((cell % 13) - 6) * 10.0 AS lat,
+         (dayofyear(day) - 1) * 2.0 * pi()
+           / (CASE WHEN (year(day) % 4 = 0 AND year(day) % 100 <> 0)
+                     OR year(day) % 400 = 0 THEN 366.0 ELSE 365.0 END) AS da
+  FROM daily
+),
+dl2 AS (
+  SELECT *, -tan(radians(lat)) * tan(
+           0.006918
+           - 0.399912 * cos(da) + 0.070257 * sin(da)
+           - 0.006758 * cos(2 * da) + 0.000907 * sin(2 * da)
+           - 0.002697 * cos(3 * da) + 0.001480 * sin(3 * da)) AS tantan
+  FROM dl_tbl
+),
+dl3 AS (
+  SELECT cell, day, tn, tx,
+         CASE WHEN abs(tantan) <= 1.0 THEN 24.0 / pi() * acos(tantan)
+              WHEN tantan < -1.0 THEN 24.0 ELSE 0.0 END AS dl
+  FROM dl2
+),
+prof AS (
+  SELECT *, (tx - tn) * sin(pi() * dl / (dl + 4.0)) + tn AS sunset,
+         coalesce(lead(tn) OVER (PARTITION BY cell ORDER BY day), tn)
+           AS next_tn
+  FROM dl3
+),
+hourly AS (
+  SELECT cell, day, h.h AS h,
+         day + to_hours(h.h) AS time_h,
+         CASE WHEN h.h < dl
+              THEN (tx - tn) * sin(pi() * h.h / (dl + 4.0)) + tn
+              ELSE sunset - ((sunset - next_tn) / ln(25.0 - dl))
+                   * ln(greatest(h.h + 1.0 - dl, 1.0))
+         END AS tas
+  FROM prof, (SELECT unnest(range(0, 24)) AS h) h
+)""".strip()
+
+
+def hourly_series(spark, sf_dir):
+    """Hourly temperature derived from the daily series with the
+    reference's Linvill (1990) profile — the Spark twin of _HOURLY_SQL.
+    Latitude is synthesized from the cell id (-60..+60)."""
+    from .functions.solar import make_hourly_temperature
+
+    d = daily_series(spark, sf_dir).select(
+        "cell", "day",
+        F.col("qty").alias("tn"),
+        (F.col("qty") + 8.0).alias("tx"),
+        (((F.col("cell") % 13) - 6) * 10.0).alias("lat"),
+    )
+    return make_hourly_temperature(d, "tn", "tx", F.col("lat"),
+                                   time="day", cells=["cell"])
+
+
+@_register(
+    "hourly_tas_mean_ms",
+    f"""WITH {_HOURLY_SQL}
+SELECT cell, CAST(date_trunc('month', day) AS DATE) AS period,
+       ROUND(avg(tas), 6) AS tas_mean
+FROM hourly GROUP BY 1, 2""",
+)
+def hourly_tas_mean_ms(spark, sf_dir):
+    """make_hourly_temperature end-to-end (reference helpers.py:1059):
+    24x map-side explode of the daily series (zero extra shuffles — the
+    lead() window reuses the cell ordering), aggregated back to monthly
+    means.  At 100 TB the explode happens after the daily aggregate, so
+    the shuffle is daily-sized, never hourly-sized."""
+    h = hourly_series(spark, sf_dir)
+    return (
+        h.groupBy("cell", period_start("day", "MS").alias("period"))
+        .agg(F.round(F.avg("tas"), 6).alias("tas_mean"))
+    )
+
+
+@_register(
+    "missing_any_hourly_ms",
+    f"""WITH {_HOURLY_SQL}
+SELECT cell, CAST(date_trunc('month', time_h) AS DATE) AS period,
+       CAST(CASE WHEN count(*) < 24 * date_diff('day',
+              CAST(date_trunc('month', time_h) AS DATE),
+              CAST(date_trunc('month', time_h) AS DATE) + INTERVAL 1 MONTH)
+            THEN 1 ELSE 0 END AS INTEGER) AS is_missing
+FROM hourly GROUP BY 1, 2""",
+)
+def missing_any_hourly_ms(spark, sf_dir):
+    """MissingAny with an hourly source (reference missing.py src_timestep
+    'h'): the calendar-exact denominator is 24 x days-in-month, so months
+    with absent days (the daily series has gaps) flag as missing."""
+    h = hourly_series(spark, sf_dir)
+    m = miss.missing_any(h, "tas", "MS", time="time_h", cells=["cell"],
+                         src_freq="h")
+    return m.withColumn("is_missing", F.col("is_missing").cast("int"))
+
+
 # The driver's correctness harness evaluates queries in dict order and has
 # historically recorded only the first 50 per round.  Rounds 3+4 covered 100
 # of the 107 declared queries; the 7 below (positions 50-56 of the round-4
