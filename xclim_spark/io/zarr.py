@@ -34,6 +34,7 @@ from collections.abc import Sequence
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 __all__ = ["zarr_array_meta", "zarr_chunk_manifest", "read_zarr",
            "write_zarr_array", "write_zarr_dataset"]
@@ -213,6 +214,78 @@ def read_zarr(
     return manifest.mapInPandas(_emit, schema=", ".join(fields))
 
 
+def _ranked_axis(df: DataFrame, col: str):
+    """Distributed dense-rank dictionary for one axis: ``value ->
+    0-based index in global sort order`` WITHOUT collecting the axis to
+    the driver (a 10^7-10^8-entry cell axis must never materialize as
+    driver rows).  Classic two-pass distributed ranking:
+
+    1. ``distinct`` + ``repartitionByRange`` + ``sortWithinPartitions``
+       — globally sorted, range partition ids ascending;
+    2. per-partition counts (ONE row per partition to the driver) turn
+       into cumulative offsets broadcast back;
+    3. a streaming ``mapInPandas`` assigns ``offset + local position``.
+
+    Returns ``(index_df[col, _idx], axis_length)``.  The axis table is
+    persisted (it feeds the coordinate-chunk write AND the fact join);
+    caller unpersists."""
+    spark = df.sparkSession
+    n_parts = max(spark.sparkContext.defaultParallelism, 1)
+    d = (
+        df.select(col).distinct()
+        .repartitionByRange(n_parts, col)
+        .sortWithinPartitions(col)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = {r["_pid"]: r["cnt"] for r in
+              d.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt"))
+              .collect()}
+    offs, acc = {}, 0
+    for pid in sorted(counts):
+        offs[pid] = acc
+        acc += counts[pid]
+    offs_b = spark.sparkContext.broadcast(offs)
+    typ = d.schema[col].dataType.simpleString()
+
+    def _assign(batches):
+        pos = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if pos is None:
+                pos = offs_b.value[int(pdf["_pid"].iloc[0])]
+            yield pd.DataFrame({col: pdf[col],
+                                "_idx": np.arange(pos, pos + len(pdf))})
+            pos += len(pdf)
+
+    idx = d.mapInPandas(_assign, schema=f"{col} {typ}, _idx LONG")
+    return d, idx, acc
+
+
+def _write_coord_chunks(idx: DataFrame, col: str, chunk: int,
+                        store: str, to_int64) -> None:
+    """Write a coordinate array's chunk files from EXECUTORS: the axis
+    dictionary is grouped by chunk-grid index and each task densifies,
+    compresses and writes its chunk.  The driver handles only
+    ``.zarray`` metadata — no axis values ever cross to it."""
+    import pandas as _pd
+
+    def _write(pdf: _pd.DataFrame) -> _pd.DataFrame:
+        i = int(pdf["_chunk"].iloc[0])
+        pdf = pdf.sort_values("_idx")
+        block = np.zeros(chunk, dtype="int64")
+        block[: len(pdf)] = to_int64(pdf[col])
+        raw = zlib.compress(np.ascontiguousarray(block).tobytes(), 5)
+        with open(os.path.join(store, col, str(i)), "wb") as f:
+            f.write(raw)
+        return _pd.DataFrame({"i": [i]})
+
+    (idx.withColumn("_chunk", (F.col("_idx") / chunk).cast("int"))
+        .groupBy("_chunk").applyInPandas(_write, schema="i INT")
+        .count())
+
+
 def write_zarr_dataset(
     df: DataFrame,
     store: str,
@@ -225,47 +298,43 @@ def write_zarr_dataset(
 ) -> dict:
     """Distributed Zarr v2 SINK for a long (time, cell, vars...) frame.
 
-    The write plan is the ingest plan in reverse: each row gets its
-    exact (time-index, cell-index) via two broadcast joins against the
-    driver-built axis tables (metadata-sized by definition), rows are
-    then keyed by their (time-chunk, cell-chunk) grid cell — ONE
-    shuffle — and each ``applyInPandas`` task densifies its chunk to
-    the (ct, cc) block, zlib-compresses, and writes the chunk file for
-    every variable directly to the (shared) store.  The driver writes
-    only metadata (coordinate arrays, ``.zarray``/``.zattrs``).  Absent
-    (time, cell) slots become NaN, Zarr's missing representation.
-    Exact-index keying keeps the plan correct for sparse/non-dense
-    axes.  Returns ``{"shape": (nt, nc), "chunks_written": n}``."""
+    The write plan is the ingest plan in reverse: both axes become
+    distributed rank dictionaries (:func:`_ranked_axis` — per-partition
+    counts are the only axis data the driver ever sees), coordinate
+    chunk files are written from executors, each fact row gets its
+    (time-index, cell-index) via joins against the dictionaries (AQE
+    picks broadcast vs shuffle by axis size), rows are then keyed by
+    their (time-chunk, cell-chunk) grid cell — ONE fact-sized shuffle —
+    and each ``applyInPandas`` task densifies its chunk to the (ct, cc)
+    block, zlib-compresses, and writes the chunk file for every
+    variable directly to the (shared) store.  The driver writes only
+    ``.zarray``/``.zattrs`` JSON.  Absent (time, cell) slots become
+    NaN, Zarr's missing representation.  Exact-index keying keeps the
+    plan correct for sparse/non-dense axes.  Returns ``{"shape":
+    (nt, nc), "chunks_written": n}``."""
     import pandas as _pd
-    from pyspark.sql import functions as F
 
     ct, cc = chunks
-    times = np.sort(np.array(
-        [r[0] for r in df.select(time).distinct().collect()],
-        dtype="datetime64[D]"))
-    cells = np.sort(np.array(
-        [r[0] for r in df.select(cell).distinct().collect()],
-        dtype="int64"))
-    nt, nc = len(times), len(cells)
     epoch = np.datetime64(time_units_epoch)
+    t_axis, t_idx, nt = _ranked_axis(df, time)
+    c_axis, c_idx, nc = _ranked_axis(df, cell)
     os.makedirs(store, exist_ok=True)
     for v in variables:
         _write_zarr_meta(store, v, (nt, nc), [ct, cc], "<f8",
                          dims=[time, cell])
-    write_zarr_array(store, time, (times - epoch).astype("int64"),
-                     chunks=[ct], dims=[time])
-    write_zarr_array(store, cell, cells, chunks=[cc], dims=[cell])
+    _write_zarr_meta(store, time, (nt,), [ct], "<i8", dims=[time])
+    _write_zarr_meta(store, cell, (nc,), [cc], "<i8", dims=[cell])
+    ep_days = (epoch - np.datetime64("1970-01-01")).astype("int64")
+    _write_coord_chunks(
+        t_idx, time, ct, store,
+        lambda s: pd.to_datetime(s).to_numpy()
+        .astype("datetime64[D]").astype("int64") - ep_days)
+    _write_coord_chunks(c_idx, cell, cc, store,
+                        lambda s: s.to_numpy(dtype="int64"))
 
-    spark = df.sparkSession
-    t_tbl = spark.createDataFrame(
-        [(t.item(), i) for i, t in enumerate(times)],
-        f"{time} DATE, _ti LONG")
-    c_tbl = spark.createDataFrame(
-        [(int(c), i) for i, c in enumerate(cells)],
-        f"{cell} LONG, _ci LONG")
     keyed = (
-        df.join(F.broadcast(t_tbl), time)
-        .join(F.broadcast(c_tbl), cell)
+        df.join(t_idx.withColumnRenamed("_idx", "_ti"), time)
+        .join(c_idx.withColumnRenamed("_idx", "_ci"), cell)
         .withColumn("_tc", (F.col("_ti") / ct).cast("int"))
         .withColumn("_cc", (F.col("_ci") / cc).cast("int"))
     )
@@ -289,6 +358,8 @@ def write_zarr_dataset(
     receipts = keyed.groupBy("_tc", "_cc").applyInPandas(
         _write_chunk, schema="it INT, ic INT")
     n = receipts.count()
+    t_axis.unpersist()
+    c_axis.unpersist()
     return {"shape": (nt, nc), "chunks_written": int(n)}
 
 
