@@ -30,19 +30,51 @@ def netcdf_manifest(spark: SparkSession, paths: Sequence[str]) -> DataFrame:
 
 
 def default_netcdf_reader(variables: Sequence[str] | None = None):
-    """Build a reader using xarray/h5netcdf if available.
+    """Build a reader using xarray/h5netcdf if available; without the
+    NetCDF4 stack, *classic* (CDF-1/CDF-2) files still read through the
+    stdlib parser in :mod:`.netcdf3` (NetCDF4/HDF5 files raise an honest
+    ``NotImplementedError`` there).
 
     Returns ``reader(path) -> Iterator[pandas.DataFrame]`` with columns
-    ``time, lat, lon, <var>...`` (long layout).  Raises
-    ``NotImplementedError`` in environments without the NetCDF stack.
+    ``time, lat, lon, <var>...`` (long layout).
     """
     try:  # pragma: no cover - not installed in this container
         import xarray as xr
-    except ImportError as err:
-        raise NotImplementedError(
-            "NetCDF ingest needs xarray+h5netcdf (not present in this "
-            "environment); pass a custom reader instead."
-        ) from err
+    except ImportError:
+        from . import netcdf3 as n3
+
+        def _read_classic(path: str) -> Iterator[pd.DataFrame]:
+            import numpy as np
+
+            h = n3.read_nc3_header(path)
+            names = list(variables or
+                         [v for v in h["order"]
+                          if v not in h["dims"]
+                          and len(h["variables"][v]["dims"]) > 1])
+            dims = list(h["variables"][names[0]]["dims"])
+            coords = {}
+            for d in dims:
+                if d in h["variables"] and \
+                        len(h["variables"][d]["dims"]) == 1:
+                    vals = n3.read_nc3_var(path, d, h)
+                    if d == "time":
+                        u = h["variables"][d]["attrs"].get("units", "")
+                        vals, _ = n3._decode_cf_time(vals, u)
+                    coords[d] = vals
+            shape = [h["numrecs"] if s == 0 else s
+                     for s in h["variables"][names[0]]["shape"]]
+            mesh = np.meshgrid(*[np.arange(s) for s in shape],
+                               indexing="ij")
+            out = {}
+            for d, m in zip(dims, mesh):
+                flat = m.ravel()
+                out[d] = coords[d][flat] if d in coords else flat
+            for v in names:
+                out[v] = n3.read_nc3_var(path, v, h) \
+                    .astype("float64").ravel()
+            yield pd.DataFrame(out)
+
+        return _read_classic
 
     def _read(path: str) -> Iterator[pd.DataFrame]:  # pragma: no cover
         ds = xr.open_dataset(path, engine="h5netcdf",

@@ -4464,6 +4464,75 @@ def missing_any_hourly_ms(spark, sf_dir):
     return m.withColumn("is_missing", F.col("is_missing").cast("int"))
 
 
+@_register(
+    "nc3_ingest_ms",
+    f"""WITH {DAILY_SQL}
+SELECT cell, CAST(date_trunc('month', day) AS DATE) AS period,
+       ROUND(avg(qty), 6) AS tg_mean
+FROM daily GROUP BY 1, 2""",
+)
+def nc3_ingest_ms(spark, sf_dir):
+    """End-to-end NetCDF3-classic ingest (io/netcdf3.py; the reference's
+    primary IO is NetCDF, cli.py:55-73): the daily series is densified
+    into per-year classic .nc files (driver-side DuckDB pivot, built
+    once per sf and cached), then read back through the one-task-per-
+    file manifest path — CF day-offset time decode, _FillValue to NULL
+    — and reduced to monthly means, hash-checked against the parquet
+    oracle.  Proves the stdlib binary parser (header walk, big-endian
+    data, record-free layout) inside the gate."""
+    import hashlib
+    import os
+
+    import numpy as np
+
+    from .io.netcdf3 import ingest_netcdf3, write_nc3
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    root = f"/tmp/xclim_spark_nc3_{tag}"
+    done = os.path.join(root, "_done")
+    if not os.path.exists(done):
+        import duckdb
+
+        con = duckdb.connect()
+        rows = con.execute(
+            f"""SELECT l_suppkey AS cell,
+                       CAST(date_trunc('day', l_shipdate) AS DATE) AS day,
+                       avg(l_quantity) AS qty
+                FROM '{sf_dir}/lineitem.parquet' GROUP BY 1, 2"""
+        ).fetchnumpy()
+        cells = np.unique(rows["cell"]).astype("int32")
+        day = rows["day"].astype("datetime64[D]")
+        ci = np.searchsorted(cells, rows["cell"])
+        os.makedirs(root, exist_ok=True)
+        epoch = np.datetime64("1970-01-01")
+        for y in np.unique(day.astype("datetime64[Y]")):
+            sel = day.astype("datetime64[Y]") == y
+            d0 = y.astype("datetime64[D]")
+            d1 = (y + 1).astype("datetime64[D]")
+            ndays = int((d1 - d0).astype(int))
+            mat = np.full((ndays, len(cells)), -9.96921e36)
+            mat[(day[sel] - d0).astype(int), ci[sel]] = rows["qty"][sel]
+            times = (d0 + np.arange(ndays)).astype("datetime64[D]")
+            write_nc3(
+                os.path.join(root, f"qty_{y}.nc"),
+                {"time": ndays, "cell": len(cells)},
+                {"time": (["time"],
+                          (times - epoch).astype("int64").astype("int32")),
+                 "cell": (["cell"], cells),
+                 "qty": (["time", "cell"], mat)},
+                var_attrs={
+                    "time": {"units": "days since 1970-01-01"},
+                    "qty": {"_FillValue": np.array([-9.96921e36])}},
+            )
+        open(done, "w").close()
+    paths = sorted(os.path.join(root, f) for f in os.listdir(root)
+                   if f.endswith(".nc"))
+    df = ingest_netcdf3(spark, paths, ["qty"])
+    return df.filter(F.col("qty").isNotNull()).groupBy(
+        "cell", period_start("time", "MS").alias("period")
+    ).agg(F.round(F.avg("qty"), 6).alias("tg_mean"))
+
+
 # The driver's correctness harness evaluates queries in dict order and has
 # historically recorded only the first 50 per round.  Rounds 3+4 covered 100
 # of the 107 declared queries; the 7 below (positions 50-56 of the round-4
