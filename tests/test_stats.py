@@ -264,3 +264,148 @@ def test_standardized_index_fit_params_shape(spark):
     for r in out:
         assert r["prob_of_zero"] == 0.0
         assert len(r["dparams"]) == 3
+
+
+def test_weibull_fit_recovers_params():
+    """Deterministic Weibull(c=2.5, scale=4) quantile lattice; both PWM
+    and ML recover the parameters.  Closed-form anchors: c=2 (Rayleigh)
+    has cdf(scale) = 1 - 1/e and median = scale*ln(2)^(1/2)."""
+    import math
+
+    import numpy as np
+
+    from xclim_spark.stats import distributions as D
+
+    q = (np.arange(400) + 0.5) / 400
+    x = 4.0 * np.power(-np.log1p(-q), 1.0 / 2.5)
+    for method in ("PWM", "ML"):
+        c, loc, sc = D.fit_params(x, "weibull_min", method)
+        assert abs(c - 2.5) < 0.1, method
+        assert loc == 0.0
+        assert abs(sc - 4.0) < 0.05, method
+    # Rayleigh pins (exact closed forms, not fit-dependent)
+    p = (2.0, 0.0, 3.0)
+    assert D.cdf(p, "weibull_min", [3.0])[0] == pytest.approx(
+        1.0 - math.exp(-1.0))
+    assert D.ppf(p, "weibull_min", [0.5])[0] == pytest.approx(
+        3.0 * math.sqrt(math.log(2.0)))
+    # pdf integrates to ~1
+    xs = np.linspace(0.001, 15, 4000)
+    assert np.trapz(D.pdf(p, "weibull_min", xs), xs) == pytest.approx(
+        1.0, abs=1e-3)
+
+
+def test_pearson3_exponential_special_case():
+    """Pearson III with skew=2 is a unit-rate shifted exponential:
+    alpha=4/skew^2=1, beta=scale*skew/2=1, zeta=loc-2*scale/skew=1.
+    With loc=2, scale=1 -> X ~ 1 + Exp(1): cdf(2) = 1-1/e,
+    ppf(0.5) = 1+ln 2 — exact pins."""
+    import math
+
+    import numpy as np
+
+    from xclim_spark.stats import distributions as D
+
+    p = (2.0, 2.0, 1.0)  # skew, loc(mean), scale(std)
+    assert D.cdf(p, "pearson3", [2.0])[0] == pytest.approx(
+        1.0 - math.exp(-1.0), abs=1e-10)
+    assert D.ppf(p, "pearson3", [0.5])[0] == pytest.approx(
+        1.0 + math.log(2.0), abs=1e-8)
+    assert D.pdf(p, "pearson3", [1.5])[0] == pytest.approx(
+        math.exp(-0.5), abs=1e-10)
+    # negative skew mirrors: X = 3 - Exp(1), so cdf(2) = 1/e
+    pn = (-2.0, 2.0, 1.0)
+    assert D.cdf(pn, "pearson3", [2.0])[0] == pytest.approx(
+        math.exp(-1.0), abs=1e-10)
+    # skew -> 0 degenerates to the normal
+    p0 = (0.0, 5.0, 2.0)
+    assert D.ppf(p0, "pearson3", [0.5])[0] == pytest.approx(5.0, abs=1e-9)
+    assert D.cdf(p0, "pearson3", [7.0])[0] == pytest.approx(
+        0.8413447, abs=1e-6)
+
+
+def test_pearson3_fit_recovers_params():
+    import numpy as np
+
+    from xclim_spark.stats import distributions as D
+
+    q = (np.arange(2000) + 0.5) / 2000
+    x = np.asarray(D.ppf((1.2, 10.0, 3.0), "pearson3", q))
+    sk, loc, sc = D.fit_params(x, "pearson3", "PWM")
+    assert abs(sk - 1.2) < 0.1
+    assert abs(loc - 10.0) < 0.1
+    assert abs(sc - 3.0) < 0.1
+    sk2, loc2, sc2 = D.fit_params(x, "pearson3", "ML")  # MOM stand-in
+    assert abs(loc2 - 10.0) < 0.1
+    assert abs(sc2 - 3.0) < 0.15
+
+
+def test_dist_method_extended_surface(spark):
+    """sf/isf/log variants agree with their defining identities on a
+    fitted table."""
+    import math
+
+    import numpy as np
+
+    from xclim_spark import stats
+
+    rng = np.random.RandomState(5)
+    rows = [("c", float(v)) for v in rng.gumbel(20.0, 4.0, size=200)]
+    df = spark.createDataFrame(rows, "cell string, x double")
+    params = stats.fit(df, "x", "gumbel_r", "PWM", cells=["cell"])
+    ppf90 = stats.dist_method("ppf", params, 0.9, "gumbel_r",
+                              cells=["cell"]).collect()[0]["value"]
+    isf10 = stats.dist_method("isf", params, 0.1, "gumbel_r",
+                              cells=["cell"]).collect()[0]["isf"]
+    assert isf10 == pytest.approx(ppf90, rel=1e-12)
+    cdf = stats.dist_method("cdf", params, 25.0, "gumbel_r",
+                            cells=["cell"]).collect()[0]["cdf"]
+    sf = stats.dist_method("sf", params, 25.0, "gumbel_r",
+                           cells=["cell"]).collect()[0]["sf"]
+    assert sf == pytest.approx(1.0 - cdf, abs=1e-12)
+    logsf = stats.dist_method("logsf", params, 25.0, "gumbel_r",
+                              cells=["cell"]).collect()[0]["logsf"]
+    assert logsf == pytest.approx(math.log(sf), rel=1e-9)
+    with pytest.raises(ValueError, match="Unsupported"):
+        stats.dist_method("entropy", params, 0.5, "gumbel_r",
+                          cells=["cell"])
+
+
+def test_fa_weibull_and_pearson3_paths(spark):
+    """fa runs end-to-end on the two new distributions and the weibull
+    return level obeys the closed-form PWM algebra."""
+    import math
+
+    import numpy as np
+
+    from xclim_spark import stats
+    from xclim_spark.stats import distributions as D
+
+    rng = np.random.RandomState(9)
+    rows = []
+    for y in range(2000, 2020):
+        for d in range(1, 360, 10):
+            rows.append(("c", f"{y}-{(d - 1) // 30 + 1:02d}-{(d - 1) % 28 + 1:02d}",
+                         float(rng.weibull(2.0) * 10.0)))
+    df = spark.createDataFrame(rows, "cell string, t string, v double") \
+        .selectExpr("cell", "CAST(t AS DATE) AS t", "v")
+    out = {r["return_period"]: r["value"]
+           for r in stats.fa(df, "v", [2, 50], "weibull_min", "max",
+                             "PWM", time="t", cells=["cell"]).collect()}
+    # re-derive from the annual maxima directly
+    ann = df.groupBy("cell", pyspark_year("t")).agg({"v": "max"})
+    xs = np.array([r[2] for r in ann.collect()])
+    c, _, sc = D.fit_params(xs, "weibull_min", "PWM")
+    assert out[2] == pytest.approx(sc * math.log(2.0) ** (1.0 / c),
+                                   rel=1e-9)
+    assert out[50] == pytest.approx(sc * math.log(50.0) ** (1.0 / c),
+                                    rel=1e-9)
+    p3 = stats.fa(df, "v", [10], "pearson3", "max", "PWM",
+                  time="t", cells=["cell"]).collect()
+    assert len(p3) == 1 and p3[0]["value"] > float(np.mean(xs))
+
+
+def pyspark_year(col):
+    from pyspark.sql import functions as F
+
+    return F.year(col).alias("y")

@@ -1498,6 +1498,129 @@ def fa_gumbel_rp(spark, sf_dir):
 
 
 @_register(
+    "fa_weibull_rp",
+    f"""WITH {DAILY_SQL},
+ext AS (
+  SELECT cell, CAST(date_trunc('year', day) AS DATE) AS period,
+         max(price) / 1000.0 AS x
+  FROM daily GROUP BY 1, 2
+),
+ranked AS (
+  SELECT cell, x,
+         row_number() OVER (PARTITION BY cell ORDER BY x) - 1 AS i,
+         count(*) OVER (PARTITION BY cell) AS n
+  FROM ext
+),
+lmom AS (
+  SELECT cell, avg(x) AS l1,
+         2.0 * sum(i * x) / (max(n) * (max(n) - 1)) - avg(x) AS l2
+  FROM ranked GROUP BY cell
+),
+-- Weibull PWM (loc=0): t = l2/l1 = 1 - 2^(-1/c)  =>
+-- 1/c = -ln(1-t)/ln(2); scale = l1 / Gamma(1 + 1/c)
+params AS (
+  SELECT cell,
+         -ln(1.0 - l2 / l1) / ln(2) AS cinv,
+         l1 / gamma(1.0 - ln(1.0 - l2 / l1) / ln(2)) AS scale
+  FROM lmom
+),
+rp AS (SELECT unnest([2, 20]) AS return_period)
+SELECT p.cell AS cell, CAST(rp.return_period AS INT) AS return_period,
+       ROUND(p.scale * pow(ln(CAST(rp.return_period AS DOUBLE)), p.cinv),
+             6) AS rv
+FROM params p CROSS JOIN rp""",
+)
+def fa_weibull_rp(spark, sf_dir):
+    """Return-period values via PWM-fitted 2-parameter Weibull on annual
+    maxima (reference stats.py:429-560 with dist='weibull_min' — the
+    hydrology/wind ask).  The PWM estimator is closed-form
+    (Stedinger et al. 1993), so the oracle spells out the identical
+    algebra in SQL including the Gamma function — a full value-hash
+    check of the new distribution's fit + ppf."""
+    from . import stats
+
+    d = daily_series(spark, sf_dir).withColumn(
+        "kprice", F.col("price") / 1000.0)
+    out = stats.fa(d, "kprice", [2, 20], "weibull_min", "max", "PWM",
+                   time="day", cells=["cell"], alias="rv")
+    return out.withColumn("rv", F.round("rv", 6))
+
+
+@_register(
+    "fit_pearson3_ms",
+    f"""WITH {DAILY_SQL},
+mx AS (
+  SELECT cell, CAST(date_trunc('month', day) AS DATE) AS period,
+         avg(qty) AS x
+  FROM daily GROUP BY 1, 2
+),
+ranked AS (
+  SELECT cell, x,
+         row_number() OVER (PARTITION BY cell ORDER BY x) - 1 AS i,
+         count(*) OVER (PARTITION BY cell) AS n
+  FROM mx
+),
+pwm AS (
+  SELECT cell, avg(x) AS b0,
+         sum(i * x) / (max(n) * (max(n) - 1.0)) AS b1,
+         sum(i * (i - 1.0) * x)
+           / (max(n) * (max(n) - 1.0) * (max(n) - 2.0)) AS b2
+  FROM ranked GROUP BY cell
+),
+lmom AS (
+  SELECT cell, b0 AS l1, 2.0 * b1 - b0 AS l2,
+         (6.0 * b2 - 6.0 * b1 + b0) / (2.0 * b1 - b0) AS t3
+  FROM pwm
+),
+-- Hosking & Wallis 1997 App. A.9 rational approximations for alpha
+alphas AS (
+  SELECT cell, l1, l2, t3,
+         CASE
+           WHEN abs(t3) < 1e-9 THEN NULL
+           WHEN abs(t3) < 1.0/3.0 THEN
+             (1.0 + 0.2906 * (3.0 * pi() * t3 * t3))
+             / ((3.0 * pi() * t3 * t3)
+                + 0.1882 * pow(3.0 * pi() * t3 * t3, 2)
+                + 0.0442 * pow(3.0 * pi() * t3 * t3, 3))
+           ELSE
+             (0.36067 * (1.0 - abs(t3))
+              - 0.59567 * pow(1.0 - abs(t3), 2)
+              + 0.25361 * pow(1.0 - abs(t3), 3))
+             / (1.0 - 2.78861 * (1.0 - abs(t3))
+                + 2.56096 * pow(1.0 - abs(t3), 2)
+                - 0.77045 * pow(1.0 - abs(t3), 3))
+         END AS a
+  FROM lmom
+)
+SELECT cell,
+       ROUND(CASE WHEN a IS NULL THEN 0.0
+                  ELSE sign(t3) * 2.0 / sqrt(a) END, 6) AS skew,
+       ROUND(l1, 6) AS loc,
+       ROUND(CASE WHEN a IS NULL THEN l2 * sqrt(pi())
+                  ELSE l2 * sqrt(pi() * a)
+                       * exp(lgamma(a) - lgamma(a + 0.5)) END, 6) AS scale
+FROM alphas""",
+)
+def fit_pearson3_ms(spark, sf_dir):
+    """Pearson III L-moment fit on the monthly-mean series (reference
+    stats.py:115-220 with dist='pearson3' — the flood-frequency
+    standard).  The Hosking-Wallis rational approximation is pure
+    algebra, so the oracle re-derives skew/loc/scale per cell in SQL —
+    a full value-hash check of the new distribution's estimator."""
+    from . import stats
+
+    d = daily_series(spark, sf_dir)
+    monthly = (d.groupBy("cell", F.trunc("day", "month").alias("period"))
+               .agg(F.avg("qty").alias("x")))
+    p = stats.fit(monthly, "x", "pearson3", "PWM", cells=["cell"])
+    return p.select(
+        "cell",
+        F.round(F.col("dparams")[0], 6).alias("skew"),
+        F.round(F.col("dparams")[1], 6).alias("loc"),
+        F.round(F.col("dparams")[2], 6).alias("scale"))
+
+
+@_register(
     "fwi_max_ys",
     """-- golden-fixture oracle: independently computed by DuckDB+pandas
 -- orchestration over the same sf0.01 inputs (tools/make_golden.py);
@@ -4541,7 +4664,7 @@ def nc3_ingest_ms(spark, sf_dir):
 # Rotate this list every round so every query re-earns a recent green row.
 _PRIORITY = [
     # -- round 7 additions (never driver-checked) --
-    "fa_pearson3_rp", "fa_weibull_rp", "stream_events_table",
+    "fit_pearson3_ms", "fa_weibull_rp", "stream_events_table",
     "nc3_subdaily_ingest",
     # -- round 6 additions (never driver-checked; local 5/5 green) --
     "nc3_ingest_ms", "hourly_tas_mean_ms", "missing_any_hourly_ms",

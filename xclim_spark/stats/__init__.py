@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -158,14 +159,31 @@ def dist_method(
     cells: Sequence[str] = (),
 ) -> DataFrame:
     """Dispatch a distribution method over a fitted-parameter table
-    (reference ``dist_method``, stats.py:395-428): ``function`` in
-    {'ppf', 'cdf', 'pdf'}."""
+    (reference ``dist_method``, stats.py:395-428, which forwards to any
+    ``rv_continuous`` method).  Supported here for every registered
+    distribution: ``ppf``, ``cdf``, ``pdf``, ``sf`` (survival, 1-cdf),
+    ``isf`` (inverse survival, ppf(1-q)), ``logcdf``, ``logsf``,
+    ``logpdf`` — the full set the reference's indicator/analysis code
+    actually calls through ``dist_method``."""
     if function == "ppf":
         return parametric_quantile(params_df, arg, dist, cells=cells)
     if function == "cdf":
         return parametric_cdf(params_df, arg, dist, cells=cells)
     if function == "pdf":
         return parametric_pdf(params_df, arg, dist, cells=cells)
+    derived = {
+        "sf": (lambda P, d, x: 1.0 - D.cdf_rows(P, d, x), "sf"),
+        "isf": (lambda P, d, q: D.ppf_rows(P, d, 1.0 - q), "isf"),
+        "logcdf": (lambda P, d, x: np.log(D.cdf_rows(P, d, x)), "logcdf"),
+        "logsf": (lambda P, d, x: np.log(1.0 - D.cdf_rows(P, d, x)),
+                  "logsf"),
+        "logpdf": (lambda P, d, x: np.log(D.pdf_rows(P, d, x)), "logpdf"),
+    }
+    if function in derived:
+        kernel, out_col = derived[function]
+        x_col = "q" if function == "isf" else "x"
+        return _parametric_eval(params_df, arg, dist, kernel, out_col,
+                                x_col, cells)
     raise ValueError(f"Unsupported dist method: {function}")
 
 

@@ -2,8 +2,10 @@
 
 Implements the subset of ``scipy.stats`` machinery the reference's stats
 tier uses (``src/xclim/indices/stats.py:45-113`` fits per 1-D series;
-``parametric_quantile/cdf/pdf`` :221-428): fit + ppf + cdf for
-norm / lognorm / expon / gumbel_r / genextreme / gamma.
+``parametric_quantile/cdf/pdf`` :221-428): fit + ppf + cdf + pdf for
+norm / lognorm / expon / gumbel_r / genextreme / gamma / fisk /
+weibull_min / pearson3 (the last two: L-moment estimators from
+Stedinger et al. 1993 and Hosking & Wallis 1997 App. A.9).
 
 Methods: "ML" (closed form where exact, profiled Newton for gumbel,
 Greenwood-Durand for gamma — the reference's "APP" start values,
@@ -100,7 +102,8 @@ _lgamma_ufunc = np.frompyfunc(math.lgamma, 1, 1)
 def _lgamma(a):
     """Elementwise ``math.lgamma`` — bitwise-identical to the scalar path
     so array-shape evaluation can't drift from the scalar one."""
-    return _lgamma_ufunc(np.asarray(a, dtype=float)).astype(float)
+    return np.asarray(_lgamma_ufunc(np.asarray(a, dtype=float)),
+                      dtype=float)
 
 
 def gammainc_p(a, x):
@@ -326,6 +329,136 @@ def _fit_fisk(x, method):
     return (beta, gamma_loc, alpha)
 
 
+def _fit_weibull(x, method):
+    """2-parameter Weibull (loc fixed at 0 — the natural-zero variables
+    the reference fits weibull_min to: wind speed, precipitation).
+
+    PWM: with loc=0, t = l2/l1 = 1 - 2**(-1/c) exactly, so
+    c = -ln2 / ln(1-t) and scale = l1 / Gamma(1+1/c) (Stedinger et al.
+    1993).  ML: profile Newton on c for the standard Weibull MLE system
+    g(c) = sum(x^c ln x)/sum(x^c) - 1/c - mean(ln x) = 0, then
+    scale = mean(x^c)^(1/c)."""
+    x = np.asarray(x, dtype=float)
+    x = x[x > 0]
+    if len(x) <= 1:
+        return (np.nan, np.nan, np.nan)
+    l1, l2, _ = lmoments(x)
+    t = l2 / l1
+    if not (0.0 < t < 1.0):
+        return (np.nan, np.nan, np.nan)
+    c = -LN2 / math.log1p(-t)
+    if method == "PWM":
+        return (c, 0.0, l1 / math.gamma(1.0 + 1.0 / c))
+    lx = np.log(x)
+    mlx = float(np.mean(lx))
+    for _ in range(100):
+        xc = np.power(x, c)
+        g = float(np.sum(xc * lx) / np.sum(xc)) - 1.0 / c - mlx
+        h = c * 1e-6
+        xch = np.power(x, c + h)
+        g2 = float(np.sum(xch * lx) / np.sum(xch)) - 1.0 / (c + h) - mlx
+        d = (g2 - g) / h
+        if d == 0:
+            break
+        step = g / d
+        c -= step
+        if not (c > 0):
+            return (np.nan, np.nan, np.nan)
+        if abs(step) < 1e-12 * c:
+            break
+    scale = float(np.mean(np.power(x, c))) ** (1.0 / c)
+    return (c, 0.0, scale)
+
+
+def _fit_pearson3(x, method):
+    """Pearson III, scipy layout (skew, loc=mean, scale=std).
+
+    PWM: Hosking & Wallis (1997, Appendix A.9) rational approximations
+    for the shape alpha from |t3|, then skew = 2/sqrt(alpha),
+    std = l2 sqrt(pi a) Gamma(a)/Gamma(a+1/2) (via lgamma — no
+    overflow at small skew), loc = l1.  ML/MOM: moment estimators with
+    the bias-adjusted Fisher-Pearson skew G1 = g1 sqrt(n(n-1))/(n-2)
+    (the standard hydrology estimator; a closed-form stand-in for
+    scipy's iterative MLE, same APP policy as the gamma fit)."""
+    x = np.asarray(x, dtype=float)
+    n = len(x)
+    if method == "PWM":
+        l1, l2, t3 = lmoments(x)
+        if l2 <= 0:
+            return (np.nan, np.nan, np.nan)
+        at3 = abs(t3)
+        if at3 < 1e-9:
+            return (0.0, l1, l2 * math.sqrt(math.pi))
+        if at3 < 1.0 / 3.0:
+            z = 3.0 * math.pi * t3 * t3
+            a = (1.0 + 0.2906 * z) / (
+                z + 0.1882 * z * z + 0.0442 * z ** 3)
+        else:
+            z = 1.0 - at3
+            a = (0.36067 * z - 0.59567 * z * z + 0.25361 * z ** 3) / (
+                1.0 - 2.78861 * z + 2.56096 * z * z - 0.77045 * z ** 3)
+        skew = math.copysign(2.0 / math.sqrt(a), t3)
+        std = l2 * math.sqrt(math.pi * a) * math.exp(
+            math.lgamma(a) - math.lgamma(a + 0.5))
+        return (skew, l1, std)
+    mu = float(np.mean(x))
+    sd = float(np.std(x))
+    if sd == 0 or n < 3:
+        return (np.nan, np.nan, np.nan)
+    g1 = float(np.mean((x - mu) ** 3)) / sd ** 3
+    G1 = g1 * math.sqrt(n * (n - 1.0)) / (n - 2.0)
+    return (G1, mu, sd)
+
+
+def _p3_split(p):
+    """(skew, loc, scale) columns -> (near-zero-skew mask, alpha, beta,
+    zeta) of the shifted-gamma representation: X = zeta + beta*G(alpha)
+    with beta carrying skew's sign (scipy's internal transform)."""
+    skew, loc, scale = (np.asarray(v, dtype=float) for v in p)
+    small = np.abs(skew) < 1e-8
+    sk = np.where(small, 1.0, skew)  # dummy, masked out downstream
+    alpha = 4.0 / (sk * sk)
+    beta = 0.5 * scale * sk
+    zeta = loc - 2.0 * scale / sk
+    return small, alpha, beta, zeta, loc, scale
+
+
+def _p3_ppf(p, q):
+    small, a, b, z, loc, scale = _p3_split(p)
+    q = np.asarray(q, dtype=float)
+    qq = np.where(b >= 0, q, 1.0 - q)
+    with np.errstate(all="ignore"):
+        g = z + b * _gamma_ppf_std(a, qq)
+        n = loc + scale * probit(q)
+    return np.where(small, n, g)
+
+
+def _p3_cdf(p, x):
+    small, a, b, z, loc, scale = _p3_split(p)
+    x = np.asarray(x, dtype=float)
+    with np.errstate(all="ignore"):
+        t = np.maximum((x - z) / np.where(b == 0, 1.0, b), 0.0)
+        gp = gammainc_p(a, t)
+        g = np.where(b >= 0, gp, 1.0 - gp)
+        n = _norm_cdf((x - loc) / scale)
+    return np.where(small, n, g)
+
+
+def _p3_pdf(p, x):
+    small, a, b, z, loc, scale = _p3_split(p)
+    x = np.asarray(x, dtype=float)
+    with np.errstate(all="ignore"):
+        t = (x - z) / np.where(b == 0, 1.0, b)
+        g = np.where(
+            t > 0,
+            np.exp((a - 1.0) * np.log(np.maximum(t, 1e-300)) - t
+                   - _lgamma(a)) / np.abs(b),
+            0.0)
+        n = np.exp(-((x - loc) ** 2) / (2.0 * scale ** 2)) / (
+            scale * math.sqrt(2.0 * math.pi))
+    return np.where(small, n, g)
+
+
 DISTS = {
     "norm": {
         "nparams": 2,
@@ -362,7 +495,11 @@ DISTS = {
         "cdf": lambda p, x: np.exp(
             -np.power(np.maximum(1.0 - p[0] * (np.asarray(x, float) - p[1])
                                  / p[2], 1e-300), 1.0 / p[0])),
-        "pdf": None,
+        # scipy c-convention: t = (1-cz)^(1/c); pdf = e^-t t^(1-c)/scale
+        "pdf": lambda p, x: (lambda t: np.exp(-t) * np.power(t, 1.0 - p[0])
+                             / p[2])(
+            np.power(np.maximum(1.0 - p[0] * (np.asarray(x, float) - p[1])
+                                / p[2], 1e-300), 1.0 / p[0])),
     },
     "gamma": {
         "nparams": 3,
@@ -371,7 +508,30 @@ DISTS = {
             p[0], np.asarray(q, float)),
         "cdf": lambda p, x: gammainc_p(
             p[0], np.maximum((np.asarray(x, float) - p[1]) / p[2], 0.0)),
-        "pdf": None,
+        "pdf": lambda p, x: (lambda z: np.where(
+            z > 0, np.exp((p[0] - 1.0) * np.log(np.maximum(z, 1e-300)) - z
+                          - _lgamma(p[0])) / p[2], 0.0))(
+            (np.asarray(x, float) - p[1]) / p[2]),
+    },
+    "weibull_min": {
+        "nparams": 3,
+        "fit": _fit_weibull,
+        "ppf": lambda p, q: p[1] + p[2] * np.power(
+            -np.log1p(-np.asarray(q, float)), 1.0 / p[0]),
+        "cdf": lambda p, x: 1.0 - np.exp(-np.power(
+            np.maximum((np.asarray(x, float) - p[1]) / p[2], 0.0), p[0])),
+        "pdf": lambda p, x: (lambda z: np.where(
+            z > 0, (p[0] / p[2]) * np.power(np.maximum(z, 1e-300),
+                                            p[0] - 1.0)
+            * np.exp(-np.power(np.maximum(z, 1e-300), p[0])), 0.0))(
+            (np.asarray(x, float) - p[1]) / p[2]),
+    },
+    "pearson3": {
+        "nparams": 3,
+        "fit": _fit_pearson3,
+        "ppf": _p3_ppf,
+        "cdf": _p3_cdf,
+        "pdf": _p3_pdf,
     },
     "fisk": {
         "nparams": 3,
@@ -391,7 +551,11 @@ DISTS = {
         "cdf": lambda p, x: _norm_cdf(
             np.log(np.maximum(np.asarray(x, float) - p[1], 1e-300) / p[2])
             / p[0]),
-        "pdf": None,
+        "pdf": lambda p, x: (lambda y: np.where(
+            y > 0, np.exp(-np.log(np.maximum(y / p[2], 1e-300)) ** 2
+                          / (2.0 * p[0] ** 2))
+            / (np.maximum(y, 1e-300) * p[0] * math.sqrt(2 * math.pi)),
+            0.0))(np.asarray(x, float) - p[1]),
     },
 }
 
