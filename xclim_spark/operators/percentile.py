@@ -283,26 +283,35 @@ def bootstrap_days_over_percentile(
         ])
     )
 
-    # Materialize each merged pool in its own projection before
-    # interpolating: ``hf_interp_sorted`` references its array five times
-    # and CollapseProject keeps multiply-referenced non-trivial
-    # expressions separate, so each pool is built exactly once per row.
-    pooled_cols = year_arrays
-    for y, r in pairs:
-        parts = [F.col(f"_a{v}") for v in years if v != y]
-        pool = F.array_sort(F.concat(*parts, F.col(f"_a{r}")))
-        pooled_cols = pooled_cols.withColumn(f"_p_{y}_{r}", pool)
+    # Explode the (y, r) pair lattice as TINY int structs and build each
+    # replacement pool AFTER the explode, one row at a time, from a
+    # single array-of-arrays column: per-row memory is O(B*window)
+    # (one pool + the year stack), not the O(B^2*window) of
+    # materializing every pool as its own column — a 30-year base
+    # period stays ~1 KB/row instead of ~1 MB/row, with identical
+    # results and the same single shuffle (the pool never leaves the
+    # map side; only the scalar threshold survives the projection).
+    # ``hf_interp_sorted`` references its array five times and
+    # CollapseProject keeps multiply-referenced non-trivial expressions
+    # separate, so each pool is still built exactly once per row.
+    idx = {y: i for i, y in enumerate(years)}
     pair_structs = F.array(*[
-        F.struct(
-            F.lit(y).alias("year"), F.lit(r).alias("_r"),
-            hf_interp_sorted(F.col(f"_p_{y}_{r}"), p, alpha=alpha,
-                             beta=beta).alias("_thresh"),
-        )
+        F.struct(F.lit(y).alias("year"), F.lit(r).alias("_r"),
+                 F.lit(idx[y]).alias("_yi"), F.lit(idx[r]).alias("_ri"))
         for y, r in pairs
     ])
     per = (
-        pooled_cols.withColumn("_pt", F.explode(pair_structs))
-        .select(*cells, "dayofyear", "_pt.year", "_pt._r", "_pt._thresh")
+        year_arrays
+        .withColumn("_yrs", F.array(*[F.col(f"_a{y}") for y in years]))
+        .drop(*[f"_a{y}" for y in years])
+        .withColumn("_pt", F.explode(pair_structs))
+        .withColumn("_pool", F.array_sort(F.concat(
+            F.flatten(F.filter(
+                "_yrs", lambda x, i: i != F.col("_pt._yi"))),
+            F.element_at("_yrs", F.col("_pt._ri") + 1))))
+        .select(*cells, "dayofyear", "_pt.year", "_pt._r",
+                hf_interp_sorted(F.col("_pool"), p, alpha=alpha,
+                                 beta=beta).alias("_thresh"))
     )
 
     from .generic import get_op
