@@ -293,3 +293,48 @@ def test_iter_frames_batching_bounded(tmp_path):
     pd.testing.assert_frame_equal(got, whole)
     assert np.allclose(got["tas"].to_numpy(),
                        tas.ravel())
+
+
+def _name5(s: str) -> bytes:
+    b = s.encode()
+    return struct.pack(">q", len(b)) + b + b"\x00" * (-len(b) % 4)
+
+
+def test_parse_handwritten_cdf5_file(tmp_path):
+    """A CDF-5 file assembled byte-by-byte from the pnetcdf spec:
+    NON_NEG fields are 8 bytes (counts, name lengths, dim lengths,
+    dimids, vsize), tags/nc_type stay 4, begin is 8, and the int64 data
+    type (nc_type 10) exists.  One record dim (time), one fixed dim,
+    one int64 record variable."""
+    header = b"CDF\x05"
+    header += struct.pack(">q", 2)                      # numrecs = 2
+    header += struct.pack(">I", 0x0A) + struct.pack(">q", 2)
+    header += _name5("time") + struct.pack(">q", 0)     # record dim
+    header += _name5("x") + struct.pack(">q", 3)
+    header += struct.pack(">Iq", 0, 0)                  # no global attrs
+    header += struct.pack(">I", 0x0B) + struct.pack(">q", 1)
+    var = _name5("v") + struct.pack(">q", 2)            # rank 2
+    var += struct.pack(">qq", 0, 1)                     # dimids (8 bytes)
+    # one attribute: units = "W" (count is NON_NEG = 8 bytes)
+    var += struct.pack(">I", 0x0C) + struct.pack(">q", 1)
+    var += _name5("units") + struct.pack(">I", 2) + struct.pack(">q", 1)
+    var += b"W\x00\x00\x00"
+    slab = 3 * 8                                        # 3 int64 per rec
+    begin = len(header) + len(var) + 4 + 8 + 8          # type+vsize+begin
+    var += struct.pack(">I", 10)                        # nc_type int64
+    var += struct.pack(">q", slab) + struct.pack(">q", begin)
+    data = np.arange(6, dtype=">i8").tobytes()          # 2 recs x 3
+    p = tmp_path / "h5hand.nc"
+    p.write_bytes(header + var + data)
+
+    h = n3.read_nc3_header(str(p))
+    assert h["version"] == 5
+    assert h["numrecs"] == 2
+    assert h["dims"] == {"time": 0, "x": 3}
+    v = h["variables"]["v"]
+    assert v["record"] and v["dims"] == ["time", "x"]
+    assert v["attrs"]["units"] == "W"
+    got = n3.read_nc3_var(str(p), "v", h)
+    assert got.tolist() == [[0, 1, 2], [3, 4, 5]]
+    # leading-dim slice works through the same path
+    assert n3.read_nc3_var(str(p), "v", h, 1, 2).tolist() == [[3, 4, 5]]

@@ -11,7 +11,10 @@ that made the Zarr source real (:mod:`.zarr`).
 Format (NetCDF classic format specification):
 
     header  = magic numrecs dim_list gatt_list var_list
-    magic   = 'C' 'D' 'F' version        (1 = 32-bit offsets, 2 = 64-bit)
+    magic   = 'C' 'D' 'F' version        (1 = 32-bit offsets, 2 = 64-bit
+                                          offsets, 5 = CDF-5: 64-bit
+                                          NON_NEG fields + int64/uint
+                                          data types)
     dim     = name  length               (length 0 => record dimension)
     attr    = name  nc_type n  values    (padded to 4-byte boundary)
     var     = name  ndims dimids  vatt_list  nc_type  vsize  begin
@@ -59,15 +62,21 @@ _NC_DIMENSION = 0x0A
 _NC_VARIABLE = 0x0B
 _NC_ATTRIBUTE = 0x0C
 
-# nc_type -> (numpy dtype, size); big-endian on disk
+# nc_type -> (numpy dtype, size); big-endian on disk.  7-11 are the
+# CDF-5 additions (ubyte/ushort/uint/int64/uint64).
 _TYPES = {1: ("b", 1), 2: ("S1", 1), 3: (">i2", 2),
-          4: (">i4", 4), 5: (">f4", 4), 6: (">f8", 8)}
+          4: (">i4", 4), 5: (">f4", 4), 6: (">f8", 8),
+          7: ("B", 1), 8: (">u2", 2), 9: (">u4", 4),
+          10: (">i8", 8), 11: (">u8", 8)}
 
 
 class _Cursor:
-    def __init__(self, buf: bytes):
+    def __init__(self, buf: bytes, version: int = 1):
         self.buf = buf
         self.pos = 0
+        # CDF-5 widens every NON_NEG field (counts, name lengths, dim
+        # lengths, vsize) to 8 bytes; tags and nc_type stay 4 bytes
+        self.nn = self.i64 if version == 5 else self.u32
 
     def u32(self) -> int:
         v = struct.unpack_from(">I", self.buf, self.pos)[0]
@@ -80,7 +89,7 @@ class _Cursor:
         return v
 
     def name(self) -> str:
-        n = self.u32()
+        n = self.nn()
         raw = self.buf[self.pos:self.pos + n]
         if len(raw) < n:
             raise _Truncated
@@ -100,7 +109,7 @@ class _Cursor:
 
     def attrs(self) -> dict:
         tag = self.u32()
-        n = self.u32()
+        n = self.nn()
         if tag == 0:  # ABSENT
             return {}
         if tag != _NC_ATTRIBUTE:
@@ -109,7 +118,7 @@ class _Cursor:
         for _ in range(n):
             nm = self.name()
             t = self.u32()
-            cnt = self.u32()
+            cnt = self.nn()
             out[nm] = self.values(t, cnt)
         return out
 
@@ -136,37 +145,39 @@ def _parse_header(head: bytes, path: str) -> dict:
         if head[:8] == b"\x89HDF\r\n\x1a\n":
             raise NotImplementedError(
                 f"{path}: NetCDF4/HDF5 file — the stdlib reader handles "
-                "classic (CDF-1/CDF-2) only; use the injected-reader path "
-                "with an h5netcdf environment")
+                "classic (CDF-1/CDF-2/CDF-5) only; use the "
+                "injected-reader path with an h5netcdf environment")
         raise ValueError(f"{path}: not a NetCDF file")
     version = head[3]
-    if version not in (1, 2):
+    if version not in (1, 2, 5):
         raise NotImplementedError(
-            f"{path}: CDF version {version} (CDF-5) not supported")
-    c = _Cursor(head)
+            f"{path}: CDF version {version} not supported")
+    c = _Cursor(head, version)
     c.pos = 4
-    numrecs = c.u32()
+    numrecs = c.nn()
+    if numrecs in (-1, 2**32 - 1):  # STREAMING sentinel (all 1-bits)
+        numrecs = 0
     tag = c.u32()
-    n = c.u32()
+    n = c.nn()
     dims = []
     if tag == _NC_DIMENSION:
         for _ in range(n):
-            dims.append((c.name(), c.u32()))
+            dims.append((c.name(), c.nn()))
     elif tag != 0:
         raise ValueError(f"{path}: bad dim list tag 0x{tag:x}")
     gattrs = c.attrs()
     tag = c.u32()
-    n = c.u32()
+    n = c.nn()
     variables = {}
     order = []
     if tag == _NC_VARIABLE:
         for _ in range(n):
             nm = c.name()
-            nd = c.u32()
-            dimids = [c.u32() for _ in range(nd)]
+            nd = c.nn()
+            dimids = [c.nn() for _ in range(nd)]
             vattrs = c.attrs()
             nc_type = c.u32()
-            c.u32()  # vsize: unreliable for big vars, recomputed below
+            c.nn()  # vsize: unreliable for big vars, recomputed below
             begin = c.u32() if version == 1 else c.i64()
             dnames = [dims[i][0] for i in dimids]
             dsizes = [dims[i][1] for i in dimids]

@@ -1621,6 +1621,65 @@ def fit_pearson3_ms(spark, sf_dir):
 
 
 @_register(
+    "fa_low_flow_7q10",
+    f"""WITH {DAILY_SQL},
+cma AS (
+  SELECT cell, day,
+         CASE WHEN count(price) OVER w >= 7
+              THEN avg(price) OVER w / 1000.0 END AS m7
+  FROM daily
+  WINDOW w AS (PARTITION BY cell ORDER BY day
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+),
+ext AS (
+  SELECT cell, CAST(date_trunc('year', day) AS DATE) AS period,
+         min(m7) AS x
+  FROM cma GROUP BY 1, 2
+),
+ranked AS (
+  SELECT cell, x,
+         row_number() OVER (PARTITION BY cell ORDER BY x) - 1 AS i,
+         count(*) OVER (PARTITION BY cell) AS n
+  FROM ext
+),
+lmom AS (
+  SELECT cell, avg(x) AS l1,
+         2.0 * sum(i * x) / (max(n) * (max(n) - 1)) - avg(x) AS l2
+  FROM ranked GROUP BY cell
+),
+params AS (
+  SELECT cell,
+         -ln(1.0 - l2 / l1) / ln(2) AS cinv,
+         l1 / gamma(1.0 - ln(1.0 - l2 / l1) / ln(2)) AS scale
+  FROM lmom
+),
+rp AS (SELECT unnest([2, 10]) AS return_period)
+SELECT p.cell AS cell, CAST(rp.return_period AS INT) AS return_period,
+       ROUND(p.scale * pow(-ln(1.0 - 1.0 / rp.return_period), p.cinv),
+             6) AS q7
+FROM params p CROSS JOIN rp""",
+)
+def fa_low_flow_7q10(spark, sf_dir):
+    """7Q10-style low-flow frequency analysis (reference
+    land._streamflow / stats.py fa with mode='min'): trailing 7-day
+    mean flow, annual minima, Weibull PWM fit, quantile at 1/T — the
+    drought-design statistic water agencies compute.  One cell-key
+    shuffle feeds the rolling window, the annual-min groupBy AND the
+    per-cell fit (the partitioning is reused); the oracle re-derives
+    the entire chain including the Gamma closed form in SQL."""
+    from . import stats
+
+    d = daily_series(spark, sf_dir)
+    w = Window.partitionBy("cell").orderBy("day").rowsBetween(-6, 0)
+    rolled = d.withColumn(
+        "m7", F.when(F.count("price").over(w) >= 7,
+                     F.avg("price").over(w) / 1000.0))
+    out = stats.fa(rolled, "m7", [2, 10], "weibull_min", "min", "PWM",
+                   time="day", cells=["cell"], alias="q7")
+    return out.withColumn("q7", F.round("q7", 6))
+
+
+@_register(
     "fwi_max_ys",
     """-- golden-fixture oracle: independently computed by DuckDB+pandas
 -- orchestration over the same sf0.01 inputs (tools/make_golden.py);
@@ -4807,7 +4866,7 @@ def nc3_subdaily_ingest(spark, sf_dir):
 _PRIORITY = [
     # -- round 7 additions (never driver-checked) --
     "fit_pearson3_ms", "fa_weibull_rp", "stream_events_table",
-    "nc3_subdaily_ingest",
+    "nc3_subdaily_ingest", "fa_low_flow_7q10",
     # -- round 6 additions (never driver-checked; local 5/5 green) --
     "nc3_ingest_ms", "hourly_tas_mean_ms", "missing_any_hourly_ms",
     "ind_cold_dry_days_ys", "ind_warm_wet_days_ys",
