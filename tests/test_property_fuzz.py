@@ -173,3 +173,60 @@ def test_rolling_hash_gram_count_matches_char_grams(s):
     h = np.unique((w * pows[None, :]).sum(axis=1) % M31)
     grams = set(s[i:i + 5] for i in range(len(s) - 4))
     assert len(h) == len(grams)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    c=st.floats(0.3, 20.0, **finite),
+    scale=st.floats(0.01, 1e4, **finite),
+    q=st.floats(0.001, 0.999, **finite),
+)
+def test_weibull_cdf_ppf_roundtrip_and_monotone(c, scale, q):
+    from xclim_spark.stats import distributions as D
+
+    p = (c, 0.0, scale)
+    x = float(D.ppf(p, "weibull_min", [q])[0])
+    assert x > 0
+    back = float(D.cdf(p, "weibull_min", [x])[0])
+    assert back == pytest.approx(q, abs=1e-9)
+    # monotone: a higher quantile maps to a higher value
+    x2 = float(D.ppf(p, "weibull_min", [min(q + 1e-3, 0.9995)])[0])
+    assert x2 >= x
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    skew=st.floats(-3.0, 3.0, **finite),
+    loc=st.floats(-100.0, 100.0, **finite),
+    scale=st.floats(0.01, 100.0, **finite),
+    q=st.floats(0.01, 0.99, **finite),
+)
+def test_pearson3_cdf_ppf_roundtrip(skew, loc, scale, q):
+    from xclim_spark.stats import distributions as D
+
+    p = (skew, loc, scale)
+    x = float(D.ppf(p, "pearson3", [q])[0])
+    assert math.isfinite(x)
+    back = float(D.cdf(p, "pearson3", [x])[0])
+    # bisection ppf + series/CF cdf: 1e-6 round-trip across the whole
+    # skew range (incl. the near-normal |skew|->0 switchover)
+    assert back == pytest.approx(q, abs=1e-6)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    data=st.lists(st.floats(0.1, 1e3, **finite), min_size=8,
+                  max_size=60),
+    method=st.sampled_from(["PWM", "ML"]),
+)
+def test_weibull_fit_never_invalid(data, method):
+    """Any positive sample yields either finite valid params (c>0,
+    scale>0) or all-NaN — never a crash, never a mixed row."""
+    from xclim_spark.stats import distributions as D
+
+    p = D.fit_params(np.asarray(data), "weibull_min", method)
+    assert len(p) == 3
+    if np.isnan(p).any():
+        assert np.isnan(p).all()
+    else:
+        assert p[0] > 0 and p[2] > 0
