@@ -1680,6 +1680,216 @@ def fa_low_flow_7q10(spark, sf_dir):
 
 
 @_register(
+    "ind_api_ms",
+    f"""WITH {DAILY_SQL},
+api AS (
+  SELECT cell, day,
+         coalesce(qty, 0)
+         + coalesce(lag(qty, 1) OVER w, 0) * 0.935
+         + coalesce(lag(qty, 2) OVER w, 0) * pow(0.935, 2)
+         + coalesce(lag(qty, 3) OVER w, 0) * pow(0.935, 3)
+         + coalesce(lag(qty, 4) OVER w, 0) * pow(0.935, 4)
+         + coalesce(lag(qty, 5) OVER w, 0) * pow(0.935, 5)
+         + coalesce(lag(qty, 6) OVER w, 0) * pow(0.935, 6) AS api
+  FROM daily
+  WINDOW w AS (PARTITION BY cell ORDER BY day)
+)
+SELECT cell, CAST(date_trunc('month', day) AS DATE) AS period,
+       ROUND(avg(api), 6) AS api_mean
+FROM api GROUP BY 1, 2""",
+)
+def ind_api_ms(spark, sf_dir):
+    """antecedent_precipitation_index by registry name (reference
+    _hydrology.py): API_t = sum pr_(t-i) * p_exp^i, the 7 lag terms
+    unrolled as codegen expressions (no UDF), reduced to monthly means;
+    the oracle unrolls the same decay-weighted lags in SQL."""
+    out = _ind("antecedent_precipitation_index", pr="qty")(spark, sf_dir)
+    return out.groupBy(
+        "cell", period_start("day", "MS").alias("period")
+    ).agg(F.round(F.avg("antecedent_precipitation_index"), 6)
+          .alias("api_mean"))
+
+
+@_register(
+    "keep_longest_run_stats",
+    f"""WITH {DAILY_SQL},
+{_runs_sql("qty > 30", "0", "cell")},
+best AS (
+  SELECT cell, min(run_id) AS run_id FROM rl
+  WHERE run_length = (SELECT max(run_length) FROM rl r2
+                      WHERE r2.cell = rl.cell)
+  GROUP BY cell
+)
+SELECT r.cell AS cell, CAST(r.run_length AS BIGINT) AS kept_days,
+       r.run_start AS kept_start,
+       ROUND((SELECT sum(d.price) FROM runs d
+              WHERE d.cell = r.cell AND d.run_id = r.run_id AND d.cond),
+             4) AS kept_price
+FROM rl r JOIN best b ON b.cell = r.cell AND b.run_id = r.run_id""",
+)
+def keep_longest_run_stats(spark, sf_dir):
+    """keep_longest_run (reference run_length.py:805-843): mask keeping
+    only each cell's longest run (earliest on ties), then aggregate the
+    kept days — count, start, in-run price sum.  Exercises the rank-1
+    masking + tie rule the pytest tier covered alone until now."""
+    d = daily_series(spark, sf_dir)
+    kept = rl.keep_longest_run(d, F.col("qty") > 30.0, time="day",
+                               cells=["cell"])
+    return (kept.filter("kept").groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("kept_days"),
+                 F.min("day").alias("kept_start"),
+                 F.round(F.sum("price"), 4).alias("kept_price")))
+
+
+@_register(
+    "rle_stamped_ms",
+    f"""WITH {DAILY_SQL},
+{_runs_sql("qty > 30", "0", "cell")}
+SELECT r.cell AS cell,
+       CAST(date_trunc('month', r.day) AS DATE) AS period,
+       ROUND(avg(l.run_length), 6) AS mean_stamped_len
+FROM runs r
+JOIN rl l ON l.cell = r.cell AND l.run_id = r.run_id
+WHERE r.cond
+GROUP BY 1, 2""",
+)
+def rle_stamped_ms(spark, sf_dir):
+    """rle (reference run_length.py:223-272): every row stamped with its
+    FULL run length (runs cross month boundaries; rows keep their own
+    month), then the monthly mean of the stamp over condition days —
+    distinguishes the stamping semantics from windowed counts."""
+    d = daily_series(spark, sf_dir)
+    stamped = rl.rle(d, F.col("qty") > 30.0, time="day", cells=["cell"])
+    return (stamped.filter(F.col("run_length").isNotNull())
+            .groupBy("cell", period_start("day", "MS").alias("period"))
+            .agg(F.round(F.avg("run_length"), 6)
+                 .alias("mean_stamped_len")))
+
+
+@_register(
+    "first_day_reached_ys",
+    f"""WITH {DAILY_SQL},
+base AS (
+  SELECT cell, day, CAST(date_trunc('year', day) AS DATE) AS period,
+         (qty > 35 AND day >= make_date(year(day), 3, 1)) AS cond
+  FROM daily
+),
+fwd AS (
+  SELECT cell, period, day,
+         sum(CASE WHEN cond THEN 1 ELSE 0 END)
+           OVER (PARTITION BY cell, period ORDER BY day
+                 ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING) = 3 AS q
+  FROM base
+)
+SELECT cell, period,
+       CAST(dayofyear(min(CASE WHEN q THEN day END)) AS INT) AS doy
+FROM fwd GROUP BY 1, 2""",
+)
+def first_day_reached_ys(spark, sf_dir):
+    """first_day_threshold_reached (reference generic.py:1556-1612): doy
+    of the first 3-consecutive-row exceedance at or after Mar 1 each
+    year (NULL when never reached) — the forward-window first_run path
+    re-derived in SQL."""
+    d = daily_series(spark, sf_dir)
+    out = g.first_day_threshold_reached(
+        d, "qty", ">", 35.0, "03-01", window=3, freq="YS",
+        time="day", cells=["cell"], alias="doy")
+    return out.select("cell", "period", F.col("doy").cast("int"))
+
+
+@_register(
+    "agg_between_doys_ys",
+    f"""WITH {DAILY_SQL}
+SELECT cell, CAST(date_trunc('year', day) AS DATE) AS period,
+       ROUND(sum(qty), 4) AS grow_sum
+FROM daily WHERE dayofyear(day) BETWEEN 91 AND 273
+GROUP BY 1, 2""",
+)
+def agg_between_doys_ys(spark, sf_dir):
+    """aggregate_between_dates (reference generic.py:1417-1512,
+    scalar-bounds form): sum inside the doy-91..273 growing window per
+    year — the between-dates filter + resample reduce in one pass."""
+    d = daily_series(spark, sf_dir)
+    out = g.aggregate_between_dates(
+        d, "qty", "sum", start_doy=91, end_doy=273, freq="YS",
+        time="day", cells=["cell"], alias="grow_sum")
+    return out.withColumn("grow_sum", F.round("grow_sum", 4))
+
+
+@_register(
+    "suspicious_runs_ys",
+    f"""WITH {DAILY_SQL},
+q AS (
+  SELECT cell, day, round(qty / 10.0, 0) AS v FROM daily
+),
+marked AS (
+  SELECT *, (v IS DISTINCT FROM lag(v)
+             OVER (PARTITION BY cell ORDER BY day)) AS chg
+  FROM q
+),
+vruns AS (
+  SELECT *, sum(CASE WHEN chg THEN 1 ELSE 0 END)
+              OVER (PARTITION BY cell ORDER BY day) AS vrid
+  FROM marked
+),
+lens AS (
+  SELECT cell, vrid, count(*) AS n FROM vruns GROUP BY 1, 2
+)
+SELECT r.cell AS cell,
+       CAST(date_trunc('year', r.day) AS DATE) AS period,
+       CAST(count(*) AS BIGINT) AS n_suspicious
+FROM vruns r JOIN lens l ON l.cell = r.cell AND l.vrid = r.vrid
+WHERE l.n >= 4
+GROUP BY 1, 2""",
+)
+def suspicious_runs_ys(spark, sf_dir):
+    """suspicious_run (reference run_length.py:1668-1759, the QC
+    primitive behind repeating-value dataflags): rows inside runs of
+    >= 4 identical (decile-quantized) values, counted per year — runs cross year
+    boundaries but rows keep their own year, which the oracle
+    reproduces with the same value-change sessionization."""
+    d = daily_series(spark, sf_dir).withColumn(
+        "v", F.round(F.col("qty") / 10.0, 0))
+    flagged = rl.suspicious_run(d, "v", window=4, time="day",
+                                cells=["cell"])
+    return (flagged.filter("suspicious")
+            .groupBy("cell", period_start("day", "YS").alias("period"))
+            .agg(F.count(F.lit(1)).alias("n_suspicious")))
+
+
+@_register(
+    "missing_two_steps_ys",
+    f"""WITH {DAILY_SQL},
+months AS (
+  SELECT cell, CAST(date_trunc('month', day) AS DATE) AS m,
+         count(qty) AS valid,
+         date_diff('day', CAST(date_trunc('month', day) AS DATE),
+                   CAST(date_trunc('month', day) AS DATE)
+                   + INTERVAL 1 MONTH) AS exp
+  FROM daily GROUP BY 1, 2
+),
+mm AS (
+  SELECT cell, m,
+         (exp - valid) * 1.0 / exp >= 0.05 AS miss
+  FROM months
+)
+SELECT cell, CAST(date_trunc('year', m) AS DATE) AS period,
+       sum(CASE WHEN NOT miss THEN 1 ELSE 0 END) < 12 AS is_missing
+FROM mm GROUP BY 1, 2""",
+)
+def missing_two_steps_ys(spark, sf_dir):
+    """MissingTwoSteps (reference missing.py:338-391): the monthly
+    missing_pct(5%) mask rolled up to years with the 'any' rule, where
+    a year is also invalid when a whole month is ABSENT (valid months
+    < 12) — the absent-subperiod branch the pytest tier covered
+    alone."""
+    d = daily_series(spark, sf_dir)
+    mask = miss.missing_pct(d, "qty", "MS", 0.05, time="day",
+                            cells=["cell"])
+    return miss.missing_two_steps(mask, "YS", "MS", cells=["cell"])
+
+
+@_register(
     "fwi_max_ys",
     """-- golden-fixture oracle: independently computed by DuckDB+pandas
 -- orchestration over the same sf0.01 inputs (tools/make_golden.py);
@@ -4866,7 +5076,9 @@ def nc3_subdaily_ingest(spark, sf_dir):
 _PRIORITY = [
     # -- round 7 additions (never driver-checked) --
     "fit_pearson3_ms", "fa_weibull_rp", "stream_events_table",
-    "nc3_subdaily_ingest", "fa_low_flow_7q10",
+    "nc3_subdaily_ingest", "fa_low_flow_7q10", "ind_api_ms",
+    "keep_longest_run_stats", "rle_stamped_ms", "first_day_reached_ys",
+    "agg_between_doys_ys", "suspicious_runs_ys", "missing_two_steps_ys",
     # -- round 6 additions (never driver-checked; local 5/5 green) --
     "nc3_ingest_ms", "hourly_tas_mean_ms", "missing_any_hourly_ms",
     "ind_cold_dry_days_ys", "ind_warm_wet_days_ys",
