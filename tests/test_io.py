@@ -67,7 +67,7 @@ def test_default_reader_contract_without_libs(spark, tmp_path):
     h5netcdf (the stdlib CDF-1/2 parser is the default), errors surface
     lazily at action time — a missing file errors, and an HDF5-magic file
     raises NotImplementedError naming the injected-reader path."""
-# plan construction no longer raises
+    # plan construction no longer raises
     df = ingest_netcdf(spark, ["/fake/a.nc"], "time TIMESTAMP, tas DOUBLE")
     # ... but acting on a nonexistent path errors at execution time
     with pytest.raises(Exception):
@@ -214,3 +214,15 @@ def test_zarr_distributed_sink_roundtrip(spark, tmp_path):
     # sparse slots come back NULL
     missing = [(d, c) for (d, c) in got if (d, c) not in exp]
     assert missing and all(got[k] == (None, None) for k in missing)
+
+
+def test_session_helper_reuses_active_and_documents_config(spark):
+    """session() must never replace or mutate a running session; the
+    recommended config set stays importable + stringly typed for
+    spark-submit --conf reuse."""
+    from xclim_spark.session import RECOMMENDED, session
+
+    assert session() is spark  # active session returned untouched
+    assert RECOMMENDED["spark.sql.adaptive.enabled"] == "true"
+    assert all(isinstance(k, str) and isinstance(v, str)
+               for k, v in RECOMMENDED.items())

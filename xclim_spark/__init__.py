@@ -20,3 +20,4 @@ from . import ensembles, options, stats, units  # noqa: F401
 from .operators import agro, fire, generic, missing, percentile  # noqa: F401
 from .operators import run_length  # noqa: F401
 from .options import set_options  # noqa: F401  (reference: xclim.set_options)
+from .session import session  # noqa: F401  (recommended Spark config)

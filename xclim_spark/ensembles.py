@@ -288,11 +288,15 @@ def model_in_all_scens(
     Plan: tiny distinct (model, scenario) aggregate -> broadcast
     left-semi join back — the data never shuffles."""
     src = ens if var is None else ens.filter(F.col(var).isNotNull())
-    n_scens = src.select(scenario).distinct().count()
+    # the total-scenario count stays IN the plan (tiny aggregate crossed
+    # onto the tiny per-model aggregate) — no eager driver action, so
+    # building this filter never triggers a 100 TB scan by itself
+    tot = src.agg(F.countDistinct(scenario).alias("_tot"))
     ok = (
         src.select(model, scenario).distinct()
         .groupBy(model).agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") == n_scens).select(model)
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("_n") == F.col("_tot")).select(model)
     )
     return ens.join(F.broadcast(ok), on=model, how="left_semi")
 

@@ -1890,6 +1890,68 @@ def missing_two_steps_ys(spark, sf_dir):
 
 
 @_register(
+    "ens_filters_pipeline",
+    f"""WITH {DAILY_SQL},
+ens AS (
+  SELECT cell, day, qty, CAST(cell % 4 AS BIGINT) AS model,
+         CAST(cell AS BIGINT) AS member,
+         CASE WHEN year(day) < 1995 THEN 'historical'
+              WHEN cell % 37 = 0 THEN 's1' ELSE 's2' END AS scenario
+  FROM daily
+),
+futures AS (SELECT * FROM ens WHERE scenario <> 'historical'),
+scens AS (SELECT DISTINCT scenario FROM futures),
+hist2 AS (
+  SELECT e.cell, e.day, e.qty, e.model, e.member, s.scenario
+  FROM ens e CROSS JOIN scens s WHERE e.scenario = 'historical'
+),
+cat AS (SELECT * FROM futures UNION ALL SELECT * FROM hist2),
+okm AS (
+  SELECT model FROM (SELECT DISTINCT model, scenario FROM cat)
+  GROUP BY model
+  HAVING count(*) = (SELECT count(DISTINCT scenario) FROM cat)
+),
+f1 AS (SELECT c.* FROM cat c JOIN okm USING (model)),
+fm AS (
+  SELECT model, scenario, min(member) AS member
+  FROM f1 GROUP BY 1, 2
+),
+f2 AS (SELECT c.* FROM f1 c JOIN fm USING (model, scenario, member))
+SELECT scenario, model, CAST(year(day) AS INT) AS yr,
+       ROUND(avg(qty), 6) AS tg, CAST(count(*) AS BIGINT) AS n_days
+FROM f2 GROUP BY 1, 2, 3""",
+)
+def ens_filters_pipeline(spark, sf_dir):
+    """The reference's ensemble-building filter chain (_filters.py:
+    _concat_hist -> _model_in_all_scens -> _single_member) end to end:
+    historical rows replicate onto every future scenario via a
+    broadcast of the distinct-scenario list, models absent from a
+    scenario drop through a broadcast semi-join, then the lowest member
+    id survives per (model, scenario) — the data itself never shuffles
+    until the final reduce.  The oracle re-derives the whole chain in
+    SQL on a deterministic (model, member, scenario) labeling of the
+    daily series (cell % 37 puts only two models in scenario s1, so the
+    model filter genuinely bites)."""
+    from . import ensembles as es
+
+    d = daily_series(spark, sf_dir)
+    ens = d.select(
+        "cell", "day", "qty",
+        (F.col("cell") % 4).cast("long").alias("model"),
+        F.col("cell").cast("long").alias("member"),
+        F.when(F.year("day") < 1995, "historical")
+         .when(F.col("cell") % 37 == 0, "s1")
+         .otherwise("s2").alias("scenario"))
+    cat = es.concat_hist(ens, time="day")
+    f1 = es.model_in_all_scens(cat)
+    f2 = es.single_member(f1)
+    return f2.groupBy("scenario", "model",
+                      F.year("day").cast("int").alias("yr")).agg(
+        F.round(F.avg("qty"), 6).alias("tg"),
+        F.count(F.lit(1)).alias("n_days"))
+
+
+@_register(
     "fwi_max_ys",
     """-- golden-fixture oracle: independently computed by DuckDB+pandas
 -- orchestration over the same sf0.01 inputs (tools/make_golden.py);
@@ -5079,6 +5141,7 @@ _PRIORITY = [
     "nc3_subdaily_ingest", "fa_low_flow_7q10", "ind_api_ms",
     "keep_longest_run_stats", "rle_stamped_ms", "first_day_reached_ys",
     "agg_between_doys_ys", "suspicious_runs_ys", "missing_two_steps_ys",
+    "ens_filters_pipeline",
     # -- round 6 additions (never driver-checked; local 5/5 green) --
     "nc3_ingest_ms", "hourly_tas_mean_ms", "missing_any_hourly_ms",
     "ind_cold_dry_days_ys", "ind_warm_wet_days_ys",
