@@ -96,6 +96,22 @@ def create_ensemble(
     return out
 
 
+def _with_need(out: DataFrame, ens: DataFrame, realization: str,
+               min_members: int | None) -> DataFrame:
+    """Attach the min-valid-members threshold as a ``_need`` column.
+
+    ``min_members=None`` means "require every member": the total member
+    count stays IN the plan — a one-row ``countDistinct`` aggregate
+    cross-joined as a broadcast — instead of an eager
+    ``distinct().count()`` driver action, so building an ensemble
+    statistic never triggers a full scan by itself (and the count scan
+    that does run at execution prunes to the realization column)."""
+    if min_members is not None:
+        return out.withColumn("_need", F.lit(int(min_members)))
+    tot = ens.agg(F.countDistinct(realization).alias("_need"))
+    return out.crossJoin(F.broadcast(tot))
+
+
 def ensemble_mean_std_max_min(
     ens: DataFrame,
     var: str,
@@ -123,8 +139,6 @@ def ensemble_mean_std_max_min(
         mean = F.sum(v * w) / F.sum(w)
         std = F.sqrt(F.sum(w * v * v) / F.sum(w) -
                      (F.sum(v * w) / F.sum(w)) ** 2)
-    n_members = ens.select(realization).distinct().count()
-    need = n_members if min_members is None else min_members
     out = ens.groupBy(*keys).agg(
         mean.alias(f"{var}_mean"),
         std.alias(f"{var}_stdev"),
@@ -132,12 +146,14 @@ def ensemble_mean_std_max_min(
         F.min(v).alias(f"{var}_min"),
         F.count(v).alias("_nvalid"),
     )
-    if need != 1:
+    if min_members != 1:
+        out = _with_need(out, ens, realization, min_members)
         for stat in ("mean", "stdev", "max", "min"):
             c = f"{var}_{stat}"
             out = out.withColumn(
-                c, F.when(F.col("_nvalid") >= need, F.col(c))
+                c, F.when(F.col("_nvalid") >= F.col("_need"), F.col(c))
             )
+        out = out.drop("_need")
     return out.drop("_nvalid")
 
 
@@ -187,15 +203,15 @@ def ensemble_percentiles(
                 .alias(name)
             )
     aggs.append(F.count(F.col(var)).alias("_nvalid"))
-    n_members = ens.select(realization).distinct().count()
-    need = n_members if min_members is None else min_members
     out = ens.groupBy(*keys).agg(*aggs)
-    if need != 1:
+    if min_members != 1:
+        out = _with_need(out, ens, realization, min_members)
         for p in values:
             c = f"{var}_p{int(p)}"
             out = out.withColumn(
-                c, F.when(F.col("_nvalid") >= need, F.col(c))
+                c, F.when(F.col("_nvalid") >= F.col("_need"), F.col(c))
             )
+        out = out.drop("_need")
     return out.drop("_nvalid")
 
 
@@ -217,8 +233,6 @@ def _weighted_ensemble_percentiles(
     src = ens.select(*keys, F.col(var).alias("_v"),
                      F.col(realization).alias("_r")) \
         .withColumn("_w", wcol)
-    n_members = ens.select(realization).distinct().count()
-    need = n_members if min_members is None else min_members
     # NULL values drop out here: a WHEN with no ELSE yields NULL and
     # collect_list skips NULLs
     item = F.when(
@@ -227,6 +241,7 @@ def _weighted_ensemble_percentiles(
                  F.col("_w").alias("w")))
     g = src.groupBy(*keys).agg(
         F.sort_array(F.collect_list(item)).alias("_arr"))
+    g = _with_need(g, ens, realization, min_members)
     g = g.withColumn(
         "_s",
         F.expr("""transform(
@@ -240,7 +255,7 @@ def _weighted_ensemble_percentiles(
         # i = number of positions <= q; same interpolation expression
         # shape as the SQL oracle
         g = g.withColumn(name, F.expr(f"""CASE
-            WHEN size(_arr) < {max(need, 1)} THEN NULL
+            WHEN size(_arr) < greatest(_need, 1) THEN NULL
             WHEN {q} <= element_at(_s, 1) THEN element_at(_arr, 1).v
             WHEN {q} >= element_at(_s, -1) THEN element_at(_arr, -1).v
             ELSE element_at(_arr, size(filter(_s, x -> x <= {q}))).v
@@ -250,7 +265,7 @@ def _weighted_ensemble_percentiles(
                  * (element_at(_arr, size(filter(_s, x -> x <= {q})) + 1).v
                     - element_at(_arr, size(filter(_s, x -> x <= {q}))).v)
             END"""))
-    return g.drop("_arr", "_s")
+    return g.drop("_arr", "_s", "_need")
 
 
 # ---------------------------------------------------------------------------
