@@ -336,6 +336,66 @@ def single_member(
                     how="left_semi")
 
 
+def build_filtered_ensemble(
+    ens: DataFrame,
+    *,
+    scenario: str = "scenario",
+    model: str = "model",
+    member: str = "member",
+    hist: str = "historical",
+    var: str | None = None,
+) -> DataFrame:
+    """The reference's full ensemble-building chain — ``_concat_hist``
+    -> ``_model_in_all_scens`` -> ``_single_member`` — fused into one
+    plan with bounded scans.
+
+    Composing the three standalone filters re-derives the upstream
+    lineage once per internal reference (measured: 49 source scans for
+    the three-step chain — each step's tiny aggregates re-expand the
+    previous step's whole tree, and the trees differ enough that
+    exchange reuse never fires; routing the algebra through lazy tiny
+    tables still re-roots every reference, 37 scans).  The
+    (model, scenario, member) dimension of a real ensemble is
+    driver-bounded BY DEFINITION (at most a few thousand rows — the
+    same justification as the KKZ criteria matrix), so this builder
+    collects that one column-pruned distinct eagerly, runs the filter
+    algebra in plain Python, and ships the surviving
+    (model, scenario, member) keys back as a broadcast semi-join: the
+    big table is scanned exactly three times (the distinct, the
+    futures branch, the hist branch).  Semantics are identical to the
+    composed chain (oracle-checked in ``ens_filters_pipeline``)."""
+    src = ens if var is None else ens.filter(F.col(var).isNotNull())
+    dims = src.select(model, scenario, member).distinct().collect()
+    fut = {(r[model], r[scenario], r[member]) for r in dims
+           if r[scenario] != hist}
+    hist_members = {(r[model], r[member]) for r in dims
+                    if r[scenario] == hist}
+    scens = sorted({s for _, s, _ in fut})
+    # concat semantics: hist members exist in every future scenario
+    cat_dims = fut | {(m, s, e) for (m, e) in hist_members
+                      for s in scens}
+    per_model = {}
+    for m, s, _ in cat_dims:
+        per_model.setdefault(m, set()).add(s)
+    kept = {m for m, ss in per_model.items() if len(ss) == len(scens)}
+    firsts = {}
+    for m, s, e in cat_dims:
+        if m in kept:
+            k = (m, s)
+            firsts[k] = e if k not in firsts else min(firsts[k], e)
+    keep_keys = ens.sparkSession.createDataFrame(
+        [(m, s, e) for (m, s), e in firsts.items()],
+        schema=ens.select(model, scenario, member).schema)
+    futures = ens.filter(F.col(scenario) != hist)
+    scens_df = ens.sparkSession.createDataFrame(
+        [(s,) for s in scens], schema=ens.select(scenario).schema)
+    h = ens.filter(F.col(scenario) == hist).drop(scenario) \
+        .crossJoin(F.broadcast(scens_df))
+    cat = futures.unionByName(h.select(*futures.columns))
+    return cat.join(F.broadcast(keep_keys),
+                    on=[model, scenario, member], how="left_semi")
+
+
 def hawkins_sutton(
     df: DataFrame,
     var: str,

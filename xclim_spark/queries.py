@@ -1942,9 +1942,7 @@ def ens_filters_pipeline(spark, sf_dir):
         F.when(F.year("day") < 1995, "historical")
          .when(F.col("cell") % 37 == 0, "s1")
          .otherwise("s2").alias("scenario"))
-    cat = es.concat_hist(ens, time="day")
-    f1 = es.model_in_all_scens(cat)
-    f2 = es.single_member(f1)
+    f2 = es.build_filtered_ensemble(ens)
     return f2.groupBy("scenario", "model",
                       F.year("day").cast("int").alias("yr")).agg(
         F.round(F.avg("qty"), 6).alias("tg"),
