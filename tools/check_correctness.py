@@ -8,12 +8,13 @@ values.  Usage:  python tools/check_correctness.py [name ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 
 sys.path.insert(0, "/root/repo")
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = os.environ.get("CHECK_SF_DIR", "/root/testdata/sf0.01")
 TABLES = ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split()
 
