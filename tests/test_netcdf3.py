@@ -338,3 +338,23 @@ def test_parse_handwritten_cdf5_file(tmp_path):
     assert got.tolist() == [[0, 1, 2], [3, 4, 5]]
     # leading-dim slice works through the same path
     assert n3.read_nc3_var(str(p), "v", h, 1, 2).tolist() == [[3, 4, 5]]
+
+
+def test_cdf2_write_read_roundtrip(tmp_path):
+    """version=2 writes 64-bit begin offsets; our own reader (and the
+    spec'd CDF-2 layout) round-trips, including a record dimension."""
+    rng = np.random.RandomState(5)
+    tas = rng.uniform(-5, 5, size=(9, 3))
+    p = str(tmp_path / "v2.nc")
+    n3.write_nc3(
+        p, {"time": 0, "cell": 3},
+        {"time": (["time"], np.arange(9, dtype="int32")),
+         "cell": (["cell"], np.arange(3, dtype="int32")),
+         "tas": (["time", "cell"], tas)},
+        version=2,
+    )
+    raw = open(p, "rb").read(4)
+    assert raw == b"CDF\x02"
+    h = n3.read_nc3_header(p)
+    assert h["version"] == 2 and h["numrecs"] == 9
+    assert np.allclose(n3.read_nc3_var(p, "tas", h), tas)

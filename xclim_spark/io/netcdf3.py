@@ -311,8 +311,10 @@ def write_nc3(
     *,
     gattrs: dict | None = None,
     var_attrs: dict[str, dict] | None = None,
+    version: int = 1,
 ) -> None:
-    """Write a classic (CDF-1) NetCDF file.
+    """Write a classic NetCDF file — CDF-1 by default, CDF-2 (64-bit
+    begin offsets, for data regions past 2 GiB) with ``version=2``.
 
     ``dims`` maps name -> length; a length of ``0`` (or ``None``)
     declares the record (unlimited) dimension, and variables whose
@@ -346,7 +348,10 @@ def write_nc3(
             raise ValueError(f"{nm}: record dim must be the first dim")
         arrays[nm] = (list(dnames), a, t, record)
 
-    header = b"CDF\x01" + struct.pack(">I", numrecs)
+    if version not in (1, 2):
+        raise NotImplementedError(f"write_nc3 writes CDF-1/2, not "
+                                  f"version {version}")
+    header = b"CDF" + bytes([version]) + struct.pack(">I", numrecs)
     header += struct.pack(">II", _NC_DIMENSION, len(dim_names))
     for d in dim_names:
         header += _w_name(d) + struct.pack(">I", dims[d] or 0)
@@ -368,7 +373,8 @@ def write_nc3(
                 out += struct.pack(">I", dim_names.index(d))
             out += _w_attrs(var_attrs.get(nm, {}))
             vsize = (_slab(a, t, record) + 3) // 4 * 4
-            out += struct.pack(">III", t, min(vsize, 2**32 - 1),
+            out += struct.pack(">II", t, min(vsize, 2**32 - 1))
+            out += struct.pack(">I" if version == 1 else ">q",
                                begins.get(nm, 0))
         return out
 
@@ -383,9 +389,9 @@ def write_nc3(
         begins[nm] = off
         s = _slab(a, t, True)
         off += s if len(rec_names) == 1 else (s + 3) // 4 * 4
-    if off > 2**31 - 1:
+    if version == 1 and off > 2**31 - 1:
         raise NotImplementedError(
-            "file exceeds CDF-1 offset range; split across files")
+            "file exceeds CDF-1 offset range; write with version=2")
     body = header + _var_block(begins)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "wb") as f:
