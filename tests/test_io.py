@@ -226,3 +226,95 @@ def test_session_helper_reuses_active_and_documents_config(spark):
     assert RECOMMENDED["spark.sql.adaptive.enabled"] == "true"
     assert all(isinstance(k, str) and isinstance(v, str)
                for k, v in RECOMMENDED.items())
+
+
+def test_zarr_v3_read(spark, tmp_path):
+    """A Zarr v3 store assembled by hand from the public v3 core spec:
+    zarr.json array documents, 'c/i/j' default chunk keys, bytes+gzip
+    codec chain, string 'NaN' fill, dimension_names — read through the
+    same chunk-manifest path as v2, including a missing chunk and a
+    partial edge chunk."""
+    import gzip
+    import json
+    import math
+    import os
+
+    import numpy as np
+
+    from xclim_spark.io.zarr import read_zarr, zarr_array_meta
+
+    store = tmp_path / "v3store"
+    nt, nc = 5, 3
+    data = np.arange(nt * nc, dtype="<f8").reshape(nt, nc)
+
+    def write_array(name, arr, chunk_shape, dims, codecs, skip=()):
+        d = store / name
+        os.makedirs(d)
+        doc = {
+            "zarr_format": 3, "node_type": "array",
+            "shape": list(arr.shape), "data_type": "float64",
+            "chunk_grid": {"name": "regular", "configuration":
+                           {"chunk_shape": list(chunk_shape)}},
+            "chunk_key_encoding": {"name": "default", "configuration":
+                                   {"separator": "/"}},
+            "fill_value": "NaN",
+            "codecs": codecs,
+            "dimension_names": dims,
+        }
+        (d / "zarr.json").write_text(json.dumps(doc))
+        grid = [range((s + c - 1) // c)
+                for s, c in zip(arr.shape, chunk_shape)]
+        import itertools
+        for idx in itertools.product(*grid):
+            if idx in skip:
+                continue
+            sl = tuple(slice(i * c, i * c + c)
+                       for i, c in zip(idx, chunk_shape))
+            block = np.full(chunk_shape, np.nan)
+            part = arr[sl]
+            block[tuple(slice(0, s) for s in part.shape)] = part
+            raw = block.astype("<f8").tobytes()
+            if any(c.get("name") == "gzip" for c in codecs):
+                raw = gzip.compress(raw)
+            key = "c/" + "/".join(str(i) for i in idx)
+            p = d / key
+            os.makedirs(p.parent, exist_ok=True)
+            p.write_bytes(raw)
+
+    gz = [{"name": "bytes", "configuration": {"endian": "little"}},
+          {"name": "gzip", "configuration": {"level": 5}}]
+    plain = [{"name": "bytes", "configuration": {"endian": "little"}}]
+    write_array("tas", data, (2, 2), ["time", "cell"], gz,
+                skip={(1, 0)})  # drop one interior chunk -> fill
+    write_array("time", np.arange(nt, dtype="<f8"), (3,), ["time"],
+                plain)
+    write_array("cell", np.arange(7, 7 + nc, dtype="<f8"), (2,),
+                ["cell"], plain)
+
+    m = zarr_array_meta(str(store), "tas")
+    assert m["zarr_format"] == 3 and m["chunks"] == [2, 2]
+    assert math.isnan(m["fill_value"])
+
+    df = read_zarr(spark, str(store), ["tas"])  # dims from v3 metadata
+    rows = {(int(r["time"]), int(r["cell"])): r["tas"]
+            for r in df.collect()}
+    assert len(rows) == nt * nc
+    assert rows[(0, 7)] == 0.0 and rows[(4, 9)] == 14.0
+    # the skipped chunk (times 2-3, cells 0-1) reads as NULL fill
+    assert rows[(2, 7)] is None and rows[(3, 8)] is None
+    # everything outside it is intact
+    assert rows[(2, 9)] == 8.0
+
+    # unsupported v3 codec gates honestly
+    import pytest as _pytest
+    bad = store / "zs"
+    os.makedirs(bad)
+    (bad / "zarr.json").write_text(json.dumps({
+        "zarr_format": 3, "node_type": "array", "shape": [2],
+        "data_type": "float64",
+        "chunk_grid": {"name": "regular",
+                       "configuration": {"chunk_shape": [2]}},
+        "fill_value": 0,
+        "codecs": [{"name": "bytes"}, {"name": "zstd"}]}))
+    with _pytest.raises(NotImplementedError, match="zstd"):
+        zarr_array_meta(str(store), "zs")

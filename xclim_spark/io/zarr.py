@@ -1,4 +1,4 @@
-"""Zarr v2 ingest: chunk-manifest-parallel conversion to long rows.
+"""Zarr v2 + v3 ingest: chunk-manifest-parallel conversion to long rows.
 
 Zarr is the cloud-native array format the climate stack standardized on
 (the reference consumes Zarr stores through ``xarray.open_zarr`` — its
@@ -40,12 +40,79 @@ __all__ = ["zarr_array_meta", "zarr_chunk_manifest", "read_zarr",
            "write_zarr_array", "write_zarr_dataset"]
 
 
+# Zarr v3 data_type -> numpy base code (endianness from the bytes codec)
+_V3_DTYPES = {"float64": "f8", "float32": "f4", "float16": "f2",
+              "int8": "i1", "int16": "i2", "int32": "i4", "int64": "i8",
+              "uint8": "u1", "uint16": "u2", "uint32": "u4",
+              "uint64": "u8", "bool": "b1"}
+
+
+def _normalize_v3(m3: dict, name: str) -> dict:
+    """Map a Zarr v3 ``zarr.json`` array document onto the v2-shaped
+    meta dict the chunk decoders consume (public v3 core spec): regular
+    chunk grid only; codec chain = one ``bytes`` (endian) codec plus an
+    optional ``gzip``/``zlib`` compressor — ``zstd``/``blosc``/sharding
+    raise the same honest environment gate as v2."""
+    if m3.get("node_type") != "array":
+        raise ValueError(f"{name}: zarr.json is not an array node")
+    grid = m3.get("chunk_grid", {})
+    if grid.get("name") != "regular":
+        raise NotImplementedError(
+            f"{name}: v3 chunk grid {grid.get('name')!r}")
+    endian, comp = "<", None
+    for c in m3.get("codecs", [{"name": "bytes"}]):
+        nm, cfg = c.get("name"), c.get("configuration") or {}
+        if nm == "bytes":
+            endian = "<" if cfg.get("endian", "little") == "little" \
+                else ">"
+        elif nm in ("gzip", "zlib"):
+            comp = {"id": nm}
+        else:
+            raise NotImplementedError(
+                f"{name}: v3 codec {nm!r} not available in this "
+                "environment (stdlib decodes bytes/gzip/zlib)")
+    base = _V3_DTYPES.get(m3.get("data_type"))
+    if base is None:
+        raise NotImplementedError(
+            f"{name}: v3 data_type {m3.get('data_type')!r}")
+    fv = m3.get("fill_value")
+    if isinstance(fv, str):  # v3 spells non-finite floats as strings
+        fv = {"NaN": float("nan"), "Infinity": float("inf"),
+              "-Infinity": float("-inf")}.get(fv, float(fv))
+    cke = m3.get("chunk_key_encoding", {"name": "default"})
+    cfg = cke.get("configuration") or {}
+    if cke.get("name") == "default":
+        sep, prefix = cfg.get("separator", "/"), ["c"]
+    elif cke.get("name") == "v2":
+        sep, prefix = cfg.get("separator", "."), []
+    else:
+        raise NotImplementedError(
+            f"{name}: chunk_key_encoding {cke.get('name')!r}")
+    return {
+        "zarr_format": 3, "_name": name,
+        "shape": list(m3["shape"]),
+        "chunks": list(grid["configuration"]["chunk_shape"]),
+        "dtype": base if base in ("i1", "u1", "b1") else endian + base,
+        "compressor": comp, "fill_value": fv, "order": "C",
+        "filters": None, "dimension_separator": sep,
+        "_key_prefix": prefix,
+        "_dims": m3.get("dimension_names"),
+    }
+
+
 def zarr_array_meta(store: str, name: str) -> dict:
-    """Parse ``<store>/<name>/.zarray`` (Zarr v2 array metadata)."""
-    with open(os.path.join(store, name, ".zarray")) as f:
+    """Parse array metadata — ``<name>/.zarray`` (Zarr v2) or
+    ``<name>/zarr.json`` (Zarr v3), normalized to one meta shape."""
+    p2 = os.path.join(store, name, ".zarray")
+    p3 = os.path.join(store, name, "zarr.json")
+    if not os.path.exists(p2) and os.path.exists(p3):
+        with open(p3) as f:
+            return _normalize_v3(json.load(f), name)
+    with open(p2) as f:
         meta = json.load(f)
     if meta.get("zarr_format") != 2:
-        raise ValueError(f"{name}: only Zarr format 2 is supported")
+        raise ValueError(f"{name}: only Zarr formats 2 and 3 are "
+                         "supported")
     if meta.get("order", "C") != "C":
         raise NotImplementedError(f"{name}: only C-order arrays")
     comp = meta.get("compressor")
@@ -57,6 +124,19 @@ def zarr_array_meta(store: str, name: str) -> dict:
         raise NotImplementedError(f"{name}: filters not supported")
     meta["_name"] = name
     return meta
+
+
+def _chunk_key(meta: dict, idx) -> str:
+    """Chunk file key for a grid index under the array's key encoding
+    (v2: ``"i.j"``; v3 default: ``"c/i/j"``; v3 v2-style: ``"i.j"``)."""
+    sep = meta.get("dimension_separator", ".")
+    return sep.join([*meta.get("_key_prefix", []),
+                     *(str(i) for i in idx)])
+
+
+def _has_array(store: str, name: str) -> bool:
+    return (os.path.exists(os.path.join(store, name, ".zarray"))
+            or os.path.exists(os.path.join(store, name, "zarr.json")))
 
 
 def _grid(shape: Sequence[int], chunks: Sequence[int]):
@@ -78,10 +158,8 @@ def zarr_chunk_manifest(
     rows = []
     for var in variables:
         meta = zarr_array_meta(store, var)
-        sep = meta.get("dimension_separator", ".")
         for idx in _grid(meta["shape"], meta["chunks"]):
-            key = sep.join(str(i) for i in idx)
-            rows.append((var, key))
+            rows.append((var, _chunk_key(meta, idx)))
     df = spark.createDataFrame(rows, "var STRING, chunk_key STRING")
     return df.repartition(min(len(rows), 2048) or 1)
 
@@ -114,9 +192,8 @@ def _read_coord(store: str, name: str) -> np.ndarray:
     if len(meta["shape"]) != 1:
         raise ValueError(f"coordinate {name} must be 1-D")
     parts = []
-    sep = meta.get("dimension_separator", ".")
     for (i,) in _grid(meta["shape"], meta["chunks"]):
-        p = os.path.join(store, name, sep.join([str(i)]))
+        p = os.path.join(store, name, _chunk_key(meta, (i,)))
         raw = open(p, "rb").read() if os.path.exists(p) else None
         parts.append(_decode_chunk(raw, meta))
     return np.concatenate(parts)[: meta["shape"][0]]
@@ -155,24 +232,27 @@ def read_zarr(
             with open(attr_path) as f:
                 dims = json.load(f).get("_ARRAY_DIMENSIONS")
         if dims is None:
+            dims = first.get("_dims")  # v3 dimension_names
+        if dims is None:
             dims = [f"dim_{i}" for i in range(len(first["shape"]))]
     dims = list(dims)
     shape = list(first["shape"])
     chunks = list(first["chunks"])
     coords = {}
     for d in dims:
-        if os.path.exists(os.path.join(store, d, ".zarray")):
+        if _has_array(store, d):
             coords[d] = _read_coord(store, d)
 
     manifest = zarr_chunk_manifest(spark, store, [variables[0]]) \
         .select("chunk_key")
     sep = first.get("dimension_separator", ".")
+    npref = len(first.get("_key_prefix", []))
     epoch = np.datetime64(time_units_epoch) if time_units_epoch else None
 
     def _emit(batches):
         for pdf in batches:
             for key in pdf["chunk_key"]:
-                idx = [int(i) for i in key.split(sep)]
+                idx = [int(i) for i in key.split(sep)[npref:]]
                 arrs = {}
                 for v in variables:
                     p = os.path.join(store, v, key)
