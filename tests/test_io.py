@@ -318,3 +318,27 @@ def test_zarr_v3_read(spark, tmp_path):
         "codecs": [{"name": "bytes"}, {"name": "zstd"}]}))
     with _pytest.raises(NotImplementedError, match="zstd"):
         zarr_array_meta(str(store), "zs")
+
+
+def test_zarr_v3_writer_roundtrip(spark, tmp_path):
+    """write_zarr3_array -> read_zarr round-trip, values exact."""
+    import numpy as np
+
+    from xclim_spark.io.zarr import read_zarr, write_zarr3_array
+
+    store = str(tmp_path / "w3")
+    nt, nc = 13, 4
+    rng = np.random.RandomState(8)
+    tas = rng.uniform(-10, 10, (nt, nc))
+    write_zarr3_array(store, "tas", tas, chunks=[5, 3],
+                      dims=["time", "cell"])
+    write_zarr3_array(store, "time", np.arange(nt, dtype="int64"),
+                      chunks=[5], dims=["time"], compress=False)
+    write_zarr3_array(store, "cell", np.arange(nc, dtype="int64"),
+                      chunks=[3], dims=["cell"])
+    df = read_zarr(spark, store, ["tas"])
+    got = {(r["time"], r["cell"]): r["tas"] for r in df.collect()}
+    assert len(got) == nt * nc
+    for i in range(nt):
+        for j in range(nc):
+            assert got[(i, j)] == tas[i, j]

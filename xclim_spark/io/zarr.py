@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 __all__ = ["zarr_array_meta", "zarr_chunk_manifest", "read_zarr",
-           "write_zarr_array", "write_zarr_dataset"]
+           "write_zarr_array", "write_zarr3_array", "write_zarr_dataset"]
 
 
 # Zarr v3 data_type -> numpy base code (endianness from the bytes codec)
@@ -461,6 +461,62 @@ def _write_zarr_meta(store, name, shape, chunks, dtype_str, *, dims=None):
     if dims is not None:
         with open(os.path.join(path, ".zattrs"), "w") as f:
             json.dump({"_ARRAY_DIMENSIONS": list(dims)}, f)
+
+
+def write_zarr3_array(
+    store: str, name: str, arr: np.ndarray, *,
+    chunks: Sequence[int] | None = None,
+    dims: Sequence[str] | None = None,
+    compress: bool = True,
+) -> None:
+    """Minimal Zarr v3 array writer (driver-side twin of
+    :func:`write_zarr_array`): zarr.json array document, default
+    ``c/i/j`` chunk keys, bytes(little)+gzip codec chain, NaN fill for
+    floats."""
+    import gzip as _gzip
+
+    _V3_NAMES = {v: k for k, v in _V3_DTYPES.items()}
+    base = arr.dtype.str.lstrip("<>|=")
+    if base not in _V3_NAMES:
+        raise NotImplementedError(f"{name}: dtype {arr.dtype} in v3")
+    chunks = list(chunks or arr.shape)
+    path = os.path.join(store, name)
+    os.makedirs(path, exist_ok=True)
+    codecs = [{"name": "bytes", "configuration": {"endian": "little"}}]
+    if compress:
+        codecs.append({"name": "gzip", "configuration": {"level": 5}})
+    doc = {
+        "zarr_format": 3, "node_type": "array",
+        "shape": list(arr.shape), "data_type": _V3_NAMES[base],
+        "chunk_grid": {"name": "regular",
+                       "configuration": {"chunk_shape": chunks}},
+        "chunk_key_encoding": {"name": "default",
+                               "configuration": {"separator": "/"}},
+        "fill_value": "NaN" if arr.dtype.kind == "f" else 0,
+        "codecs": codecs,
+    }
+    if dims is not None:
+        doc["dimension_names"] = list(dims)
+    with open(os.path.join(path, "zarr.json"), "w") as f:
+        json.dump(doc, f)
+    fill = np.nan if arr.dtype.kind == "f" else 0
+    for idx in _grid(arr.shape, chunks):
+        sl = tuple(slice(i * c, min((i + 1) * c, s))
+                   for i, c, s in zip(idx, chunks, arr.shape))
+        block = arr[sl]
+        if block.shape != tuple(chunks):
+            full = np.full(chunks, fill, dtype=arr.dtype)
+            full[tuple(slice(0, b) for b in block.shape)] = block
+            block = full
+        raw = np.ascontiguousarray(
+            block.astype(arr.dtype.newbyteorder("<"))).tobytes()
+        if compress:
+            raw = _gzip.compress(raw, 5)
+        key = "/".join(["c", *(str(i) for i in idx)])
+        p = os.path.join(path, key)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with open(p, "wb") as f:
+            f.write(raw)
 
 
 def write_zarr_array(
