@@ -342,3 +342,46 @@ def test_zarr_v3_writer_roundtrip(spark, tmp_path):
     for i in range(nt):
         for j in range(nc):
             assert got[(i, j)] == tas[i, j]
+
+
+def test_zarr_cf_time_units_auto_decode(spark, tmp_path):
+    """Without time_units_epoch, a CF units attribute on the time
+    coordinate decodes automatically — DATE for day offsets (v2 store),
+    TIMESTAMP for hourly units (v3 store), same machinery as NetCDF."""
+    import numpy as np
+
+    from xclim_spark.io.zarr import (read_zarr, write_zarr3_array,
+                                     write_zarr_array)
+
+    s2 = str(tmp_path / "cf2")
+    arr = np.arange(6, dtype="float64").reshape(3, 2)
+    write_zarr_array(s2, "v", arr, chunks=[2, 2], dims=["time", "x"])
+    write_zarr_array(s2, "time", np.array([0, 1, 2], dtype="int64"),
+                     chunks=[3], dims=["time"],
+                     attrs={"units": "days since 2010-03-01"})
+    df = read_zarr(spark, s2, ["v"])
+    assert dict(df.dtypes)["time"] == "date"
+    assert sorted({str(r["time"]) for r in df.collect()}) == [
+        "2010-03-01", "2010-03-02", "2010-03-03"]
+
+    s3 = str(tmp_path / "cf3")
+    write_zarr3_array(s3, "v", arr, chunks=[2, 2], dims=["time", "x"])
+    write_zarr3_array(s3, "time", np.array([0, 6, 12], dtype="int64"),
+                      chunks=[3], dims=["time"],
+                      attrs={"units": "hours since 2010-03-01"})
+    df3 = read_zarr(spark, s3, ["v"])
+    assert dict(df3.dtypes)["time"] == "timestamp"
+    assert sorted({str(r["time"]) for r in df3.collect()}) == [
+        "2010-03-01 00:00:00", "2010-03-01 06:00:00",
+        "2010-03-01 12:00:00"]
+
+    # non-standard calendar gates honestly
+    import pytest as _pytest
+    s4 = str(tmp_path / "cf4")
+    write_zarr_array(s4, "v", arr, chunks=[2, 2], dims=["time", "x"])
+    write_zarr_array(s4, "time", np.array([0, 1, 2], dtype="int64"),
+                     chunks=[3], dims=["time"],
+                     attrs={"units": "days since 2010-03-01",
+                            "calendar": "360_day"})
+    with _pytest.raises(NotImplementedError, match="calendar"):
+        read_zarr(spark, s4, ["v"])

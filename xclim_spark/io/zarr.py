@@ -139,6 +139,20 @@ def _has_array(store: str, name: str) -> bool:
             or os.path.exists(os.path.join(store, name, "zarr.json")))
 
 
+def _coord_attr(store: str, name: str, key: str):
+    """A coordinate array's attribute: v2 ``.zattrs`` or v3
+    ``zarr.json`` ``attributes``."""
+    p2 = os.path.join(store, name, ".zattrs")
+    if os.path.exists(p2):
+        with open(p2) as f:
+            return json.load(f).get(key)
+    p3 = os.path.join(store, name, "zarr.json")
+    if os.path.exists(p3):
+        with open(p3) as f:
+            return (json.load(f).get("attributes") or {}).get(key)
+    return None
+
+
 def _grid(shape: Sequence[int], chunks: Sequence[int]):
     """All chunk-grid indices of an array (C-order nested ranges)."""
     import itertools
@@ -217,7 +231,12 @@ def read_zarr(
     coordinate values; others get integer indices.  If
     ``time_units_epoch`` is given (e.g. ``"1990-01-01"``), the
     ``time_dim`` coordinate is interpreted as days since that epoch and
-    emitted as a DATE column — the common CF encoding.
+    emitted as a DATE column — the common CF encoding.  Without it, a
+    CF ``units`` attribute on the time coordinate (v2 ``.zattrs`` /
+    v3 ``attributes``) decodes automatically through the same
+    units/calendar machinery as the NetCDF path — DATE for day offsets
+    from a midnight epoch, TIMESTAMP for sub-daily units, an honest
+    error for non-standard calendars.
     """
     metas = {v: zarr_array_meta(store, v) for v in variables}
     first = metas[variables[0]]
@@ -242,6 +261,15 @@ def read_zarr(
     for d in dims:
         if _has_array(store, d):
             coords[d] = _read_coord(store, d)
+    tkind = None
+    if time_units_epoch is None and time_dim in coords:
+        from .netcdf3 import _decode_cf_time, _time_kind
+
+        units = _coord_attr(store, time_dim, "units")
+        if units:
+            cal = _coord_attr(store, time_dim, "calendar") or ""
+            coords[time_dim], tkind = _decode_cf_time(
+                coords[time_dim], units, cal, f"{store}/{time_dim}")
 
     manifest = zarr_chunk_manifest(spark, store, [variables[0]]) \
         .select("chunk_key")
@@ -284,8 +312,10 @@ def read_zarr(
 
     fields = []
     for d in dims:
-        if d == time_dim and epoch is not None:
+        if d == time_dim and (epoch is not None or tkind == "date"):
             fields.append(f"{d} DATE")
+        elif d == time_dim and tkind == "timestamp":
+            fields.append(f"{d} TIMESTAMP")
         elif d in coords and coords[d].dtype.kind == "f":
             fields.append(f"{d} DOUBLE")
         else:
@@ -468,6 +498,7 @@ def write_zarr3_array(
     chunks: Sequence[int] | None = None,
     dims: Sequence[str] | None = None,
     compress: bool = True,
+    attrs: dict | None = None,
 ) -> None:
     """Minimal Zarr v3 array writer (driver-side twin of
     :func:`write_zarr_array`): zarr.json array document, default
@@ -497,6 +528,8 @@ def write_zarr3_array(
     }
     if dims is not None:
         doc["dimension_names"] = list(dims)
+    if attrs:
+        doc["attributes"] = dict(attrs)
     with open(os.path.join(path, "zarr.json"), "w") as f:
         json.dump(doc, f)
     fill = np.nan if arr.dtype.kind == "f" else 0
@@ -524,6 +557,7 @@ def write_zarr_array(
     chunks: Sequence[int] | None = None,
     dims: Sequence[str] | None = None,
     compress: bool = True,
+    attrs: dict | None = None,
 ) -> None:
     """Minimal Zarr v2 array writer (driver-side; used by tests and for
     exporting small climatologies back to the xarray world).  C-order,
@@ -543,9 +577,12 @@ def write_zarr_array(
     }
     with open(os.path.join(path, ".zarray"), "w") as f:
         json.dump(meta, f)
-    if dims is not None:
+    if dims is not None or attrs:
+        za = dict(attrs or {})
+        if dims is not None:
+            za["_ARRAY_DIMENSIONS"] = list(dims)
         with open(os.path.join(path, ".zattrs"), "w") as f:
-            json.dump({"_ARRAY_DIMENSIONS": list(dims)}, f)
+            json.dump(za, f)
     for idx in _grid(arr.shape, chunks):
         sl = tuple(slice(i * c, min((i + 1) * c, s))
                    for i, c, s in zip(idx, chunks, arr.shape))
