@@ -107,3 +107,47 @@ def test_streaming_spell_events_cross_batch(spark, tmp_path):
     assert res[0]["event_length"] == 3          # 30, 31 | 28
     assert res[0]["event_sum"] == pytest.approx(89.0)
     assert res[0]["event_start"] == base + dt.timedelta(days=2)
+
+
+def test_session_window_merges_across_micro_batches(spark, tmp_path):
+    """A session whose events straddle two micro-batch files must emerge
+    as ONE session (native session-window state merge), and the
+    far-future sentinel flushes it in append mode."""
+    import pandas as pd
+
+    d = tmp_path / "sess"
+    d.mkdir()
+    t0 = pd.Timestamp("2024-01-01 10:00:00")
+    pd.DataFrame({
+        "user_id": [1, 1, 2],
+        "ts": [t0, t0 + pd.Timedelta(minutes=10),
+               t0 + pd.Timedelta(minutes=5)],
+        "value": [1.0, 2.0, 5.0],
+    }).to_parquet(d / "a.parquet", coerce_timestamps="us")
+    # second file: user 1 continues within the 30-min gap (merge!),
+    # then a sentinel far in the future to flush everything
+    pd.DataFrame({
+        "user_id": [1, -1],
+        "ts": [t0 + pd.Timedelta(minutes=35),
+               t0 + pd.Timedelta(hours=6)],
+        "value": [4.0, 0.0],
+    }).to_parquet(d / "b.parquet", coerce_timestamps="us")
+
+    from xclim_spark.streaming.sessions import streaming_sessionize
+
+    sdf = (spark.readStream
+           .schema("user_id BIGINT, ts TIMESTAMP, value DOUBLE")
+           .option("maxFilesPerTrigger", 1)
+           .parquet(str(d / "*.parquet")))
+    out = streaming_sessionize(sdf, keys=["user_id"], time="ts",
+                               gap="30 minutes",
+                               watermark="10 minutes", value="value")
+    q = (out.writeStream.format("memory").queryName("sess_merge_t")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    rows = {r["user_id"]: r for r in
+            spark.table("sess_merge_t").collect() if r["user_id"] >= 0}
+    assert rows[1]["n_events"] == 3          # merged across the seam
+    assert rows[1]["total_value"] == 7.0
+    assert str(rows[1]["sess_start"]) == "2024-01-01 10:00:00"
+    assert rows[2]["n_events"] == 1 and rows[2]["total_value"] == 5.0
