@@ -3406,6 +3406,51 @@ def stream_tx_days_above_30d(spark, sf_dir):
     )
 
 
+def _stage_stream_daily(sf_dir: str) -> str:
+    """Stage the daily series as one parquet file PER YEAR plus a
+    below-threshold sentinel file (built once per sf and cached) — the
+    replay substrate of the streaming gate queries.  Files are written
+    in year order so FileStreamSource's mtime ordering replays time
+    forward."""
+    import hashlib
+    import os
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    root = f"/tmp/xclim_spark_streamev2_{tag}"
+    done = os.path.join(root, "_done")
+    if not os.path.exists(done):
+        import duckdb
+
+        os.makedirs(root, exist_ok=True)
+        con = duckdb.connect()
+        con.execute(
+            f"""CREATE VIEW daily AS
+                SELECT CAST(l_suppkey AS BIGINT) AS cell,
+                       CAST(date_trunc('day', l_shipdate) AS TIMESTAMP)
+                         AS ts,
+                       avg(l_quantity) AS qty
+                FROM '{sf_dir}/lineitem.parquet' GROUP BY 1, 2""")
+        years = [r[0] for r in con.execute(
+            "SELECT DISTINCT year(ts) FROM daily ORDER BY 1").fetchall()]
+        for y in years:  # written in order: mtimes define stream order
+            con.execute(
+                f"""COPY (SELECT cell, ts, qty FROM daily
+                          WHERE year(ts) = {y} ORDER BY cell, ts)
+                    TO '{root}/part_{y}.parquet' (FORMAT PARQUET)""")
+        # sentinel: one below-threshold row per cell, stamped past the
+        # series end and marked qty=-1 so consumers can drop it; it
+        # arrives LAST (mtime order) and closes every open run/state
+        con.execute(
+            f"""COPY (SELECT cell,
+                             (SELECT max(ts) FROM daily)
+                               + INTERVAL 1 DAY AS ts,
+                             -1.0 AS qty
+                      FROM (SELECT DISTINCT cell FROM daily))
+                TO '{root}/part_zzz_flush.parquet' (FORMAT PARQUET)""")
+        open(done, "w").close()
+    return root
+
+
 @_register(
     "stream_events_table",
     f"""WITH {DAILY_SQL},
@@ -3430,37 +3475,7 @@ def stream_events_table(spark, sf_dir):
     is hash-checked against the batch run-length oracle over the same
     rows (reference ``find_events``, run_length.py:1760-1901) — the
     streaming/batch parity gate round 5 asked for."""
-    import hashlib
-    import os
-
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    root = f"/tmp/xclim_spark_streamev_{tag}"
-    done = os.path.join(root, "_done")
-    if not os.path.exists(done):
-        import duckdb
-
-        os.makedirs(root, exist_ok=True)
-        con = duckdb.connect()
-        con.execute(
-            f"""CREATE VIEW daily AS
-                SELECT CAST(l_suppkey AS BIGINT) AS cell,
-                       CAST(date_trunc('day', l_shipdate) AS TIMESTAMP)
-                         AS ts,
-                       avg(l_quantity) AS qty
-                FROM '{sf_dir}/lineitem.parquet' GROUP BY 1, 2""")
-        years = [r[0] for r in con.execute(
-            "SELECT DISTINCT year(ts) FROM daily ORDER BY 1").fetchall()]
-        for y in years:  # written in order: mtimes define stream order
-            con.execute(
-                f"""COPY (SELECT cell, ts, qty FROM daily
-                          WHERE year(ts) = {y} ORDER BY cell, ts)
-                    TO '{root}/part_{y}.parquet' (FORMAT PARQUET)""")
-        con.execute(
-            f"""COPY (SELECT DISTINCT cell,
-                             TIMESTAMP '1999-06-01' AS ts, 0.0 AS qty
-                      FROM daily)
-                TO '{root}/part_zzz_flush.parquet' (FORMAT PARQUET)""")
-        open(done, "w").close()
+    root = _stage_stream_daily(sf_dir)
 
     from .streaming.spells import streaming_spell_events
 
@@ -3482,6 +3497,49 @@ def stream_events_table(spark, sf_dir):
         F.round("event_sum", 4).alias("event_sum"),
     )
 
+
+
+@_register(
+    "stream_p90_days_over",
+    f"""WITH {DAILY_SQL},
+per AS (
+  SELECT cell, quantile_cont(qty, 0.9) AS p90 FROM daily GROUP BY 1
+)
+SELECT d.cell AS cell, CAST(date_trunc('year', d.day) AS DATE) AS period,
+       CAST(sum(CASE WHEN d.qty > per.p90 THEN 1 ELSE 0 END) AS BIGINT)
+         AS days_over
+FROM daily d JOIN per USING (cell)
+GROUP BY 1, 2""",
+)
+def stream_p90_days_over(spark, sf_dir):
+    """Stream-STATIC broadcast join — the remaining core Structured
+    Streaming pattern in the tier: the per-cell p90 climatology is a
+    static batch DataFrame broadcast against the live daily feed (the
+    production shape for threshold-vs-climatology monitoring); per-year
+    exceedance counts aggregate in complete mode and are hash-checked
+    against the batch p90_days_over_ys oracle.  At scale the static
+    side refreshes independently of the stream and the join stays
+    map-side."""
+    root = _stage_stream_daily(sf_dir)
+    per = (daily_series(spark, sf_dir).groupBy("cell")
+           .agg(F.expr("percentile(qty, 0.9)").alias("p90")))
+    sdf = (spark.readStream
+           .schema("cell BIGINT, ts TIMESTAMP, qty DOUBLE")
+           .option("maxFilesPerTrigger", 1)
+           .parquet(f"{root}/part_*.parquet")
+           .filter(F.col("qty") >= 0))  # drop the marked sentinel rows
+    j = sdf.join(F.broadcast(per), on="cell")
+    agg = (j.groupBy("cell", F.year("ts").alias("yr"))
+           .agg(F.sum((F.col("qty") > F.col("p90")).cast("long"))
+                .alias("days_over")))
+    _STREAM_SEQ[0] += 1
+    sink = f"_stream_p90_{_STREAM_SEQ[0]}"
+    q = (agg.writeStream.format("memory").queryName(sink)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(sink).select(
+        "cell", F.make_date("yr", F.lit(1), F.lit(1)).alias("period"),
+        "days_over")
 
 
 @_register(
@@ -5278,7 +5336,7 @@ _PRIORITY = [
     "nc3_subdaily_ingest", "fa_low_flow_7q10", "ind_api_ms",
     "keep_longest_run_stats", "rle_stamped_ms", "first_day_reached_ys",
     "agg_between_doys_ys", "suspicious_runs_ys", "missing_two_steps_ys",
-    "ens_filters_pipeline", "zarr3_ingest_ms", "stream_user_sessions",
+    "ens_filters_pipeline", "zarr3_ingest_ms", "stream_user_sessions", "stream_p90_days_over",
     # -- round 6 additions (never driver-checked; local 5/5 green) --
     "nc3_ingest_ms", "hourly_tas_mean_ms", "missing_any_hourly_ms",
     "ind_cold_dry_days_ys", "ind_warm_wet_days_ys",
