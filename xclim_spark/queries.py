@@ -3523,9 +3523,11 @@ def stream_p90_days_over(spark, sf_dir):
     root = _stage_stream_daily(sf_dir)
     per = (daily_series(spark, sf_dir).groupBy("cell")
            .agg(F.expr("percentile(qty, 0.9)").alias("p90")))
+    # no per-file trigger here: this gate tests the stream-static JOIN,
+    # not batch seams (the spell/session gates cover those), and
+    # complete mode re-emits all state per trigger — one batch suffices
     sdf = (spark.readStream
            .schema("cell BIGINT, ts TIMESTAMP, qty DOUBLE")
-           .option("maxFilesPerTrigger", 1)
            .parquet(f"{root}/part_*.parquet")
            .filter(F.col("qty") >= 0))  # drop the marked sentinel rows
     j = sdf.join(F.broadcast(per), on="cell")
