@@ -1798,6 +1798,37 @@ def first_day_reached_ys(spark, sf_dir):
 
 
 @_register(
+    "last_spell_end_before_jul",
+    f"""WITH {DAILY_SQL},
+base AS (
+  SELECT cell, day, CAST(date_trunc('year', day) AS DATE) AS period,
+         (qty > 32 AND day <= make_date(year(day), 7, 1)) AS cond
+  FROM daily
+),
+bwd AS (
+  SELECT cell, period, day,
+         sum(CASE WHEN cond THEN 1 ELSE 0 END)
+           OVER (PARTITION BY cell, period ORDER BY day
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) = 3 AS q
+  FROM base
+)
+SELECT cell, period,
+       CAST(dayofyear(max(CASE WHEN q THEN day END)) AS INT) AS doy
+FROM bwd GROUP BY 1, 2""",
+)
+def last_spell_end_before_jul(spark, sf_dir):
+    """last_run_before_date (reference run_length.py:1245-1287): doy
+    where the last >=3-row exceedance run ENDS at or before Jul 1 each
+    year (NULL when none) — the backward-window last_run path with the
+    date mask, re-derived in SQL."""
+    d = daily_series(spark, sf_dir)
+    out = rl.last_run_before_date(
+        d, F.col("qty") > 32.0, 3, date="07-01", freq="YS",
+        time="day", cells=["cell"], coord="doy", alias="doy")
+    return out.select("cell", "period", F.col("doy").cast("int"))
+
+
+@_register(
     "agg_between_doys_ys",
     f"""WITH {DAILY_SQL}
 SELECT cell, CAST(date_trunc('year', day) AS DATE) AS period,
@@ -5337,7 +5368,7 @@ _PRIORITY = [
     "fit_pearson3_ms", "fa_weibull_rp", "stream_events_table",
     "nc3_subdaily_ingest", "fa_low_flow_7q10", "ind_api_ms",
     "keep_longest_run_stats", "rle_stamped_ms", "first_day_reached_ys",
-    "agg_between_doys_ys", "suspicious_runs_ys", "missing_two_steps_ys",
+    "agg_between_doys_ys", "suspicious_runs_ys", "missing_two_steps_ys", "last_spell_end_before_jul",
     "ens_filters_pipeline", "zarr3_ingest_ms", "stream_user_sessions", "stream_p90_days_over",
     # -- round 6 additions (never driver-checked; local 5/5 green) --
     "nc3_ingest_ms", "hourly_tas_mean_ms", "missing_any_hourly_ms",
