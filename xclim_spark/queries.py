@@ -1798,6 +1798,50 @@ def first_day_reached_ys(spark, sf_dir):
 
 
 @_register(
+    "daily_events_bnds_qs",
+    f"""WITH {DAILY_SQL},
+e AS (
+  SELECT cell, day,
+         CASE WHEN price > 900000 THEN NULL
+              WHEN qty > 30 THEN 1 ELSE 0 END AS ev
+  FROM daily
+),
+agg AS (
+  SELECT cell, CAST(date_trunc('quarter', day) AS DATE) AS period,
+         CAST(sum(ev) AS BIGINT) AS n_events,
+         CAST(count(*) - count(ev) AS BIGINT) AS n_null
+  FROM e GROUP BY 1, 2
+)
+SELECT cell, period, period AS bnd_start,
+       CAST(period + INTERVAL 3 MONTH - INTERVAL 1 DAY AS DATE)
+         AS bnd_end,
+       n_events, n_null
+FROM agg""",
+)
+def daily_events_bnds_qs(spark, sf_dir):
+    """get_daily_events (reference generic.py:395-431 — the 0/1 event
+    column with NULL propagation, here over a deterministically
+    nullified input) summed per quarter, with the quarter's
+    ``time_bnds`` interval (reference calendar.py:793-905) emitted as
+    bound columns — both calendar utilities value-hash-checked in one
+    row set."""
+    from .calendar import time_bnds
+
+    d = daily_series(spark, sf_dir).withColumn(
+        "qty2", F.when(F.col("price") > 900000, None)
+                 .otherwise(F.col("qty")))
+    ev = g.get_daily_events("qty2", ">", 30.0)
+    out = (d.withColumn("ev", ev)
+           .groupBy("cell", period_start("day", "QS").alias("period"))
+           .agg(F.sum("ev").alias("n_events"),
+                (F.count(F.lit(1)) - F.count("ev")).alias("n_null")))
+    b = time_bnds("period", "QS")
+    return out.select(
+        "cell", "period", b["start"].alias("bnd_start"),
+        b["end"].alias("bnd_end"), "n_events", "n_null")
+
+
+@_register(
     "last_spell_end_before_jul",
     f"""WITH {DAILY_SQL},
 base AS (
@@ -5368,7 +5412,7 @@ _PRIORITY = [
     "fit_pearson3_ms", "fa_weibull_rp", "stream_events_table",
     "nc3_subdaily_ingest", "fa_low_flow_7q10", "ind_api_ms",
     "keep_longest_run_stats", "rle_stamped_ms", "first_day_reached_ys",
-    "agg_between_doys_ys", "suspicious_runs_ys", "missing_two_steps_ys", "last_spell_end_before_jul",
+    "agg_between_doys_ys", "suspicious_runs_ys", "missing_two_steps_ys", "last_spell_end_before_jul", "daily_events_bnds_qs",
     "ens_filters_pipeline", "zarr3_ingest_ms", "stream_user_sessions", "stream_p90_days_over",
     # -- round 6 additions (never driver-checked; local 5/5 green) --
     "nc3_ingest_ms", "hourly_tas_mean_ms", "missing_any_hourly_ms",
