@@ -15,6 +15,7 @@ driver's value-hash comparison is robust to summation-order ULPs.
 from __future__ import annotations
 
 from collections.abc import Callable
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -3426,6 +3427,28 @@ def ens_weighted_percentiles_ms(spark, sf_dir):
 _STREAM_SEQ = [0]
 
 
+@contextmanager
+def _stream_state_partitions(spark, n: int = 8):
+    """Scope ``spark.sql.shuffle.partitions`` down for a streaming gate.
+
+    A Structured Streaming query pins its STATE partition count from
+    this conf at first trigger, and every micro-batch then pays a fixed
+    per-partition cost (state-store open/commit + one Arrow round-trip
+    per ``applyInPandas*`` partition) regardless of row volume.  The
+    local gates replay a handful of micro-batches over ~10^3 keys, so 32
+    state partitions are pure overhead — 8 keeps every core busy at
+    gate scale while quartering the per-batch fixed cost.  Production
+    streams should NOT inherit this: the helper restores the session
+    conf on exit, and a real deployment sizes state partitions to the
+    cluster (they are fixed for the life of the checkpoint)."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 @_register(
     "stream_tx_days_above_30d",
     """SELECT l_suppkey AS cell,
@@ -3467,13 +3490,14 @@ def stream_tx_days_above_30d(spark, sf_dir):
         watermark="1 day", alias="n_above")
     _STREAM_SEQ[0] += 1
     sink = f"_stream_txda_{_STREAM_SEQ[0]}"
-    q = (
-        agg.writeStream.format("memory").queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory").queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink).select(
         "cell",
         F.to_date(F.col("period.start")).alias("period"),
@@ -3482,16 +3506,20 @@ def stream_tx_days_above_30d(spark, sf_dir):
 
 
 def _stage_stream_daily(sf_dir: str) -> str:
-    """Stage the daily series as one parquet file PER YEAR plus a
-    below-threshold sentinel file (built once per sf and cached) — the
+    """Stage the daily series as one parquet file per TWO-YEAR span plus
+    a below-threshold sentinel file (built once per sf and cached) — the
     replay substrate of the streaming gate queries.  Files are written
-    in year order so FileStreamSource's mtime ordering replays time
-    forward."""
+    in time order so FileStreamSource's mtime ordering replays time
+    forward.  Two-year chunks give the seam gate 4-5 genuine
+    micro-batch boundaries (runs crossing a chunk edge must flow
+    through the carried state) while halving the per-batch fixed cost
+    of the replay — seam coverage needs several boundaries, not one
+    per year."""
     import hashlib
     import os
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    root = f"/tmp/xclim_spark_streamev2_{tag}"
+    root = f"/tmp/xclim_spark_streamev3_{tag}"
     done = os.path.join(root, "_done")
     if not os.path.exists(done):
         import duckdb
@@ -3507,11 +3535,14 @@ def _stage_stream_daily(sf_dir: str) -> str:
                 FROM '{sf_dir}/lineitem.parquet' GROUP BY 1, 2""")
         years = [r[0] for r in con.execute(
             "SELECT DISTINCT year(ts) FROM daily ORDER BY 1").fetchall()]
-        for y in years:  # written in order: mtimes define stream order
+        spans = [years[i:i + 2] for i in range(0, len(years), 2)]
+        for span in spans:  # written in order: mtimes define stream order
+            lo, hi = span[0], span[-1]
             con.execute(
                 f"""COPY (SELECT cell, ts, qty FROM daily
-                          WHERE year(ts) = {y} ORDER BY cell, ts)
-                    TO '{root}/part_{y}.parquet' (FORMAT PARQUET)""")
+                          WHERE year(ts) BETWEEN {lo} AND {hi}
+                          ORDER BY cell, ts)
+                    TO '{root}/part_{lo}.parquet' (FORMAT PARQUET)""")
         # sentinel: one below-threshold row per cell, stamped past the
         # series end and marked qty=-1 so consumers can drop it; it
         # arrives LAST (mtime order) and closes every open run/state
@@ -3562,9 +3593,10 @@ def stream_events_table(spark, sf_dir):
                                 time="ts", cell="cell")
     _STREAM_SEQ[0] += 1
     sink = f"_stream_events_{_STREAM_SEQ[0]}"
-    q = (ev.writeStream.format("memory").queryName(sink)
-         .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination()
+    with _stream_state_partitions(spark):
+        q = (ev.writeStream.format("memory").queryName(sink)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
     return spark.table(sink).select(
         "cell",
         F.to_date("event_start").alias("event_start"),
@@ -3611,9 +3643,10 @@ def stream_p90_days_over(spark, sf_dir):
                 .alias("days_over")))
     _STREAM_SEQ[0] += 1
     sink = f"_stream_p90_{_STREAM_SEQ[0]}"
-    q = (agg.writeStream.format("memory").queryName(sink)
-         .outputMode("complete").trigger(availableNow=True).start())
-    q.awaitTermination()
+    with _stream_state_partitions(spark):
+        q = (agg.writeStream.format("memory").queryName(sink)
+             .outputMode("complete").trigger(availableNow=True).start())
+        q.awaitTermination()
     return spark.table(sink).select(
         "cell", F.make_date("yr", F.lit(1), F.lit(1)).alias("period"),
         "days_over")
@@ -3693,9 +3726,10 @@ def stream_user_sessions(spark, sf_dir):
                                 value="value")
     _STREAM_SEQ[0] += 1
     sink = f"_stream_sessions_{_STREAM_SEQ[0]}"
-    q = (sess.writeStream.format("memory").queryName(sink)
-         .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination()
+    with _stream_state_partitions(spark):
+        q = (sess.writeStream.format("memory").queryName(sink)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
     return (spark.table(sink).filter(F.col("user_id") >= 0)
             .select("user_id", "sess_start", "n_events",
                     F.round("total_value", 6).alias("total_value")))
@@ -4820,13 +4854,14 @@ def stream_dedup_exact(spark, sf_dir):
     )
     _STREAM_SEQ[0] += 1
     sink = f"_stream_dedup_{_STREAM_SEQ[0]}"
-    q = (
-        sdf.writeStream.format("memory").queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_state_partitions(spark):
+        q = (
+            sdf.writeStream.format("memory").queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink)
 
 
