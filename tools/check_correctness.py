@@ -57,6 +57,7 @@ def main(names):
     n_pass = n_fail = 0
     for name in sel:
         t0 = time.time()
+        spark.catalog.clearCache()
         try:
             sdf = qs[name](spark, SF_DIR)
             spark_rows = sdf.collect()

@@ -55,6 +55,23 @@ def daily_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def daily_series_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``daily_series`` persisted, for plans that consume it on 3+
+    branches (sdba ref/hist/sim epochs, multivariate percentile + fact
+    sides, stack/unstack).  Distinct pushed filters make the branch
+    subplans unequal, so Catalyst's ReuseExchange cannot dedupe them and
+    each branch would re-run the source scan + groupBy — a 3-5x read
+    amplification of the dominant input, which at 100 TB is the whole
+    cost of the query.  MEMORY_AND_DISK persist materializes the daily
+    table once and every branch reads cached blocks (a production
+    pipeline would stage it once via io.dataset's layout instead).  The
+    bench/driver clears the cache between queries, so nothing leaks
+    across measurements."""
+    from pyspark import StorageLevel
+
+    return daily_series(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+
+
 DAILY_SQL = """
 daily AS (
   SELECT l_suppkey AS cell,
@@ -2709,7 +2726,7 @@ def unstacked_normals_3y(spark, sf_dir):
 
     from .calendar import stack_periods, unstack_periods
 
-    d = daily_series(spark, sf_dir)
+    d = daily_series_shared(spark, sf_dir)
     st = stack_periods(d, "day", window=3, stride=1)
     w = Window.partitionBy("cell", "period_label")
     st = st.withColumn("anom", F.col("qty") - F.avg("qty").over(w))
@@ -3260,7 +3277,9 @@ def dedup_embed(spark, sf_dir):
             * (F.lit(1.0).cast("double")
                + F.lit(0.001).cast("double") * ((i % 7) - 3)),
         ).alias("embedding"))
-    u = base.unionByName(clones)
+    # LSH bucketing and exact-cosine verification both consume the
+    # union; persist it so the embeddings scan + vec transforms run once
+    u = base.unionByName(clones).persist()
     # bucket granularity must grow with the corpus: at n_planes=8 there
     # are only 256 buckets per table, so bucket occupancy — and the
     # candidate join — grows ~n^2/256 (45 s at a 20k-vector rehearsal);
@@ -3808,7 +3827,7 @@ def sdba_eqm_adjust_ms(spark, sf_dir):
     arithmetic."""
     from . import sdba
 
-    d = daily_series(spark, sf_dir)
+    d = daily_series_shared(spark, sf_dir)
     cut = F.year("day") < 1998
     ref = d.filter(cut).select("cell", "day", F.col("qty").alias("v"))
     hist = d.filter(cut).select("cell", "day",
@@ -4017,6 +4036,9 @@ def adjust_doy_cal360(spark, sf_dir):
          + F.least(F.dayofmonth("day"), F.lit(30))).cast("int")
         .alias("dayofyear"),
     ).agg(F.avg("qty").alias("v"))
+    # the doy climatology is consumed by both interpolation joins;
+    # persist the dim-sized table so the fact scan+agg runs once
+    src = src.persist()
     out = adjust_doy_calendar(src, 365, source_max=360, cells=["cell"])
     return out.select("cell", F.col("dayofyear").cast("int")
                       .alias("dayofyear"), F.round("v", 6).alias("v"))
@@ -4177,7 +4199,7 @@ def sdba_eqm_adaptfreq_ms(spark, sf_dir):
     md5-hash uniform the DuckDB oracle recomputes bit-identically."""
     from . import sdba
 
-    d = daily_series(spark, sf_dir)
+    d = daily_series_shared(spark, sf_dir)
     cut = F.year("day") < 1998
     ref0 = d.filter(cut).select(
         "cell", "day", F.greatest(F.col("qty") - 20.0, F.lit(0.0))
@@ -4301,7 +4323,7 @@ def sdba_qdm_adjust_ms(spark, sf_dir):
     rank -> factor) node-for-node."""
     from . import sdba
 
-    d = daily_series(spark, sf_dir)
+    d = daily_series_shared(spark, sf_dir)
     cut = F.year("day") < 1998
     ref = d.filter(cut).select("cell", "day", F.col("qty").alias("v"))
     hist = d.filter(cut).select("cell", "day",
@@ -4411,7 +4433,7 @@ def sdba_dqm_adjust_ms(spark, sf_dir):
     covariance-of-averages arithmetic plus both mapping passes."""
     from . import sdba
 
-    d = daily_series(spark, sf_dir)
+    d = daily_series_shared(spark, sf_dir)
     cut = F.year("day") < 1998
     ref = d.filter(cut).select("cell", "day", F.col("qty").alias("v"))
     hist = d.filter(cut).select("cell", "day",
@@ -5000,7 +5022,7 @@ def sdba_loci_adjust_ms(spark, sf_dir):
     from the same sorted lists."""
     from . import sdba
 
-    d = daily_series(spark, sf_dir)
+    d = daily_series_shared(spark, sf_dir)
     cut = F.year("day") < 1998
     ref = d.filter(cut).select("cell", "day", F.col("qty").alias("v"))
     hist = d.filter(cut).select("cell", "day",
@@ -5100,7 +5122,7 @@ def sdba_properties_ms(spark, sf_dir):
     shift-invariant std — which the oracle states in closed form)."""
     from . import sdba
 
-    d = daily_series(spark, sf_dir)
+    d = daily_series_shared(spark, sf_dir)
     ref = d.select("cell", "day", F.col("qty").alias("v"))
     sim = d.select("cell", "day", (F.col("qty") + 2.0).alias("v"))
     which = ("mean", "std", "acf1", "trend", "wet_freq")
@@ -5167,7 +5189,7 @@ def ind_cold_dry_days_ys(spark, sf_dir):
     from .indicators import registry
     from .operators import percentile as pc
 
-    d = daily_series(spark, sf_dir)
+    d = daily_series_shared(spark, sf_dir)
     per_a = pc.percentile_doy(d, "qty", 0.25, window=5, time="day",
                               cells=["cell"], alias="per")
     per_b = pc.percentile_doy(d, "price", 0.25, window=5, time="day",
@@ -5187,7 +5209,7 @@ def ind_warm_wet_days_ys(spark, sf_dir):
     from .indicators import registry
     from .operators import percentile as pc
 
-    d = daily_series(spark, sf_dir)
+    d = daily_series_shared(spark, sf_dir)
     per_a = pc.percentile_doy(d, "qty", 0.75, window=5, time="day",
                               cells=["cell"], alias="per")
     per_b = pc.percentile_doy(d, "price", 0.75, window=5, time="day",
