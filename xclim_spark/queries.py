@@ -3071,7 +3071,7 @@ def solar_daylength_ms(spark, sf_dir):
 
 @_register(
     "dedup_simhash",
-    """-- re-derives the SimHash sketch from scratch: the shingle hash is the
+    r"""-- re-derives the SimHash sketch from scratch: the shingle hash is the
 -- first 15 hex chars of md5 (engine-neutral; Spark side uses the same
 -- md5_hash60), per-bit majority vote, then all-pairs Hamming <= 3
 WITH w AS (
