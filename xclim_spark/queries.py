@@ -989,6 +989,199 @@ def conv_snowfrac_ys(spark, sf_dir):
     return out.withColumn("snow_frac", F.round("snow_frac", 6))
 
 
+@_register(
+    "conv_heat_index_ms",
+    f"""WITH {DAILY_SQL}
+SELECT cell, CAST(date_trunc('month', day) AS DATE) AS period,
+       ROUND(avg(
+         -8.78469475556
+         + 1.61139411 * (21.0 + qty/4.0)
+         + 2.33854883889 * LEAST(100.0, qty*2.0)
+         - 0.14611605 * (21.0 + qty/4.0) * LEAST(100.0, qty*2.0)
+         - 0.012308094 * (21.0 + qty/4.0) * (21.0 + qty/4.0)
+         - 0.0164248277778 * LEAST(100.0, qty*2.0) * LEAST(100.0, qty*2.0)
+         + 0.002211732 * (21.0 + qty/4.0) * (21.0 + qty/4.0)
+             * LEAST(100.0, qty*2.0)
+         + 0.00072546 * (21.0 + qty/4.0) * LEAST(100.0, qty*2.0)
+             * LEAST(100.0, qty*2.0)
+         - 0.000003582 * (21.0 + qty/4.0) * (21.0 + qty/4.0)
+             * LEAST(100.0, qty*2.0) * LEAST(100.0, qty*2.0)
+       ), 6) AS hi_mean
+FROM daily GROUP BY 1, 2""",
+)
+def conv_heat_index_ms(spark, sf_dir):
+    """Monthly mean NWS heat index (Rothfusz regression, reference
+    converters.py:176-225) on a synthetic (tas, hurs) pair kept inside
+    the > 20 degC validity branch so neither engine masks rows."""
+    from .functions import converters as cv
+
+    d = daily_series(spark, sf_dir)
+    t = 21.0 + F.col("qty") / 4.0
+    hurs = F.least(F.lit(100.0), F.col("qty") * 2.0)
+    d = d.withColumn("_hi", cv.heat_index(t, hurs))
+    out = g.select_resample_op(d, "_hi", "mean", "MS", time="day",
+                               cells=["cell"], alias="hi_mean")
+    return out.withColumn("hi_mean", F.round("hi_mean", 6))
+
+
+# sonntag90 over-water saturation vapour pressure, as a SQL macro body
+# (t_expr must be a Kelvin expression) — the oracle twin of
+# converters.saturation_vapor_pressure(method="sonntag90")
+def _esat_s90_sql(t: str) -> str:
+    return (f"(100.0 * exp(-6096.9385 / {t} + 16.635794"
+            f" - 2.711193e-2 * {t} + 1.673952e-5 * {t} * {t}"
+            f" + 2.433502 * ln({t})))")
+
+
+@_register(
+    "conv_dewpoint_rh_ms",
+    f"""WITH {DAILY_SQL},
+b AS (
+  SELECT cell, day, 283.15 + qty/2.0 AS tk,
+         283.15 + qty/2.0 - 2.0 - (qty % 7.0) AS td
+  FROM daily
+)
+SELECT cell, CAST(date_trunc('month', day) AS DATE) AS period,
+       ROUND(avg(100.0 * {_esat_s90_sql('td')} / {_esat_s90_sql('tk')}),
+             6) AS rh_mean
+FROM b GROUP BY 1, 2""",
+)
+def conv_dewpoint_rh_ms(spark, sf_dir):
+    """Monthly mean relative humidity from dewpoint, sonntag90 e_sat
+    (reference converters.py:702-843): RH = 100 e_sat(Td)/e_sat(T); the
+    oracle restates the published Sonntag-1990 exponential in SQL."""
+    from .functions import converters as cv
+
+    d = daily_series(spark, sf_dir)
+    tk = 283.15 + F.col("qty") / 2.0
+    td = tk - 2.0 - (F.col("qty") % 7.0)
+    d = d.withColumn("_rh", cv.relative_humidity_from_dewpoint(tk, td))
+    out = g.select_resample_op(d, "_rh", "mean", "MS", time="day",
+                               cells=["cell"], alias="rh_mean")
+    return out.withColumn("rh_mean", F.round("rh_mean", 6))
+
+
+@_register(
+    "conv_spec_humidity_ms",
+    f"""WITH {DAILY_SQL},
+b AS (
+  SELECT cell, day, 283.15 + qty/2.0 AS tk,
+         LEAST(100.0, qty*2.0) AS hurs, 101325.0 - 50.0*qty AS ps
+  FROM daily
+),
+q AS (
+  SELECT cell, day, ps,
+         (0.622 * {_esat_s90_sql('tk')} / (ps - {_esat_s90_sql('tk')}))
+           * hurs / 100.0 AS w
+  FROM b
+),
+e AS (
+  SELECT cell, day, w / (1.0 + w) AS q,
+         (w/(1.0+w)) * ps
+           / (0.62198 * (1.0 + (w/(1.0+w)) * (1.0/0.62198 - 1.0))) AS vp
+  FROM q
+)
+SELECT cell, CAST(date_trunc('month', day) AS DATE) AS period,
+       ROUND(1000.0 * avg(q), 6) AS q_g_kg,
+       ROUND(avg((-273.16 + 32.19 * (ln(vp / 611.21) / 17.502))
+                 / (ln(vp / 611.21) / 17.502 - 1.0)), 6) AS dew_mean
+FROM e GROUP BY 1, 2""",
+)
+def conv_spec_humidity_ms(spark, sf_dir):
+    """Monthly mean specific humidity (WMO-2008 mixing-ratio form,
+    reference converters.py:847-950) and the buck81-ice Magnus dewpoint
+    inversion of that same humidity (reference converters.py:1025-1086)
+    — a two-converter chain whose oracle re-derives both closed forms."""
+    from .functions import converters as cv
+
+    d = daily_series(spark, sf_dir)
+    tk = 283.15 + F.col("qty") / 2.0
+    hurs = F.least(F.lit(100.0), F.col("qty") * 2.0)
+    ps = 101325.0 - 50.0 * F.col("qty")
+    q = cv.specific_humidity(tk, hurs, ps)
+    d = d.withColumn("_q", q).withColumn(
+        "_dew", cv.dewpoint_from_specific_humidity(F.col("_q"), ps,
+                                                   method="buck81"))
+    out = d.groupBy(
+        "cell", F.date_trunc("month", "day").cast("date").alias("period")
+    ).agg(F.round(1000.0 * F.avg("_q"), 6).alias("q_g_kg"),
+          F.round(F.avg("_dew"), 6).alias("dew_mean"))
+    return out
+
+
+@_register(
+    "conv_wind_dir_ms",
+    f"""WITH {DAILY_SQL},
+b AS (
+  SELECT cell, day, qty/3.0 - 5.0 AS u, qty/2.0 - 7.0 AS v FROM daily
+),
+w AS (
+  SELECT cell, day, sqrt(u*u + v*v) AS wind,
+         degrees(atan2(u, v)) + 180.0 AS ang
+  FROM b
+)
+SELECT cell, CAST(date_trunc('month', day) AS DATE) AS period,
+       ROUND(avg(wind), 6) AS wind_mean,
+       ROUND(avg(CASE WHEN wind < 0.5 THEN 0.0
+                      WHEN ang <= 0.0 THEN ang + 360.0
+                      ELSE ang END), 6) AS dir_mean
+FROM w GROUP BY 1, 2""",
+)
+def conv_wind_dir_ms(spark, sf_dir):
+    """Monthly mean wind speed and meteorological from-direction from
+    synthetic (uas, vas) components (reference converters.py:273-335),
+    exercising the calm-wind threshold branch on real rows."""
+    from .functions import converters as cv
+
+    d = daily_series(spark, sf_dir)
+    u = F.col("qty") / 3.0 - 5.0
+    v = F.col("qty") / 2.0 - 7.0
+    wind, direction = cv.uas_vas_to_sfcwind(u, v)
+    # sqrt(u^2+v^2) keeps the oracle bit-identical; hypot differs by
+    # <=1 ulp which only matters within 1 ulp of the 0.5 calm threshold
+    wind = F.sqrt(u * u + v * v)
+    d = d.withColumn("_w", wind).withColumn("_dir", direction)
+    out = d.groupBy(
+        "cell", F.date_trunc("month", "day").cast("date").alias("period")
+    ).agg(F.round(F.avg("_w"), 6).alias("wind_mean"),
+          F.round(F.avg("_dir"), 6).alias("dir_mean"))
+    return out
+
+
+@_register(
+    "conv_vpd_ms",
+    f"""WITH {DAILY_SQL},
+b AS (
+  SELECT cell, day, 268.15 + qty/2.0 AS tk,
+         LEAST(100.0, qty*2.0) AS hurs
+  FROM daily
+)
+SELECT cell, CAST(date_trunc('month', day) AS DATE) AS period,
+       ROUND(avg(
+         (CASE WHEN tk > 273.16
+               THEN 610.78 * exp(17.269388 * (tk - 273.16) / (tk - 35.86))
+               ELSE 610.78 * exp(21.8745584 * (tk - 273.16) / (tk - 7.66))
+          END) * (1.0 - hurs / 100.0)), 6) AS vpd_mean
+FROM b GROUP BY 1, 2""",
+)
+def conv_vpd_ms(spark, sf_dir):
+    """Monthly mean vapour-pressure deficit with the tetens30 Magnus fit
+    and a binary over-ice transition at 273.16 K (reference
+    converters.py:410-693) — the synthetic temperature straddles the
+    threshold so both branches execute on real rows."""
+    from .functions import converters as cv
+
+    d = daily_series(spark, sf_dir)
+    tk = 268.15 + F.col("qty") / 2.0
+    hurs = F.least(F.lit(100.0), F.col("qty") * 2.0)
+    vpd = cv.vapor_pressure_deficit(tk, hurs, method="tetens30",
+                                    ice_thresh_k=273.16)
+    d = d.withColumn("_vpd", vpd)
+    out = g.select_resample_op(d, "_vpd", "mean", "MS", time="day",
+                               cells=["cell"], alias="vpd_mean")
+    return out.withColumn("vpd_mean", F.round("vpd_mean", 6))
+
+
 # ---------------------------------------------------------------------------
 # Indicator-registry path (SURVEY §2.B): the same computations reached BY
 # NAME through xclim_spark.indicators.registry — what a reference user calls
@@ -5466,6 +5659,8 @@ def nc3_subdaily_ingest(spark, sf_dir):
 # Rotate this list every round so every query re-earns a recent green row.
 _PRIORITY = [
     # -- round 7 additions (never driver-checked) --
+    "conv_heat_index_ms", "conv_dewpoint_rh_ms", "conv_spec_humidity_ms",
+    "conv_wind_dir_ms", "conv_vpd_ms",
     "fit_pearson3_ms", "fa_weibull_rp", "stream_events_table",
     "nc3_subdaily_ingest", "fa_low_flow_7q10", "ind_api_ms",
     "keep_longest_run_stats", "rle_stamped_ms", "first_day_reached_ys",
