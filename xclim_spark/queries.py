@@ -1182,6 +1182,68 @@ def conv_vpd_ms(spark, sf_dir):
     return out.withColumn("vpd_mean", F.round("vpd_mean", 6))
 
 
+@_register(
+    "conv_pet_ms",
+    f"""WITH {DAILY_SQL},
+b AS (
+  SELECT cell, day, ((cell % 25) - 12) * 6.0 AS lat,
+         qty/2.0 + 5.0 AS tmax, qty/2.0 - 5.0 - (qty % 5.0) AS tmin,
+         (dayofyear(day) - 1) * 2.0 * pi()
+           / (CASE WHEN (year(day) % 4 = 0 AND year(day) % 100 <> 0)
+                     OR year(day) % 400 = 0 THEN 366.0 ELSE 365.0 END) AS da
+  FROM daily
+),
+s AS (
+  SELECT *, 0.4091 * sin(da - 1.39) AS decl,
+         acos(GREATEST(-1.0, LEAST(1.0,
+             -tan(radians(lat)) * tan(0.4091 * sin(da - 1.39))))) AS ws
+  FROM b
+),
+r AS (
+  SELECT cell, day, tmax, tmin,
+         (24.0 * 60.0 / pi()) * 0.0820 * (1.0 + 0.033 * cos(da))
+           * (ws * sin(radians(lat)) * sin(decl)
+              + cos(radians(lat)) * cos(decl) * sin(ws)) AS ra
+  FROM s
+)
+SELECT cell, CAST(date_trunc('month', day) AS DATE) AS period,
+       ROUND(avg(GREATEST(0.0,
+         0.094 * (-87.03 + 0.928 * (tmax * 1.8 + 32.0)
+                  + 0.933 * ((tmax * 1.8 + 32.0) - (tmin * 1.8 + 32.0))
+                  + 0.0486 * ra * 23.8845897))), 6) AS pet_br65,
+       ROUND(avg(GREATEST(0.0,
+         0.0023 * (ra * 0.408) * ((tmin + tmax) / 2.0 + 17.8)
+           * sqrt(GREATEST(tmax - tmin, 0.0)))), 6) AS pet_hg85
+FROM r GROUP BY 1, 2""",
+)
+def conv_pet_ms(spark, sf_dir):
+    """Monthly mean daily PET by Baier-Robertson-1965 and
+    Hargreaves-Samani-1985 (reference converters.py:1890-2155), both
+    riding one FAO-56 extraterrestrial-radiation expression (simple
+    declination, helpers.py:400-449) with per-cell synthetic latitudes
+    spanning -72..+72 deg.  Pure codegen'd trig + one aggregate; the
+    oracle re-derives Ra and both closed forms in SQL."""
+    from .functions import converters as cv
+
+    d = daily_series(spark, sf_dir)
+    lat = ((F.col("cell") % 25) - 12) * 6.0
+    tmax = F.col("qty") / 2.0 + 5.0
+    tmin = F.col("qty") / 2.0 - 5.0 - (F.col("qty") % 5.0)
+    d = d.withColumn(
+        "_br", cv.potential_evapotranspiration(
+            "day", lat, tasmin_c=tmin, tasmax_c=tmax,
+            method="baierrobertson65"),
+    ).withColumn(
+        "_hg", cv.potential_evapotranspiration(
+            "day", lat, tasmin_c=tmin, tasmax_c=tmax,
+            method="hargreaves85"),
+    )
+    return d.groupBy(
+        "cell", F.date_trunc("month", "day").cast("date").alias("period")
+    ).agg(F.round(F.avg("_br"), 6).alias("pet_br65"),
+          F.round(F.avg("_hg"), 6).alias("pet_hg85"))
+
+
 # ---------------------------------------------------------------------------
 # Indicator-registry path (SURVEY §2.B): the same computations reached BY
 # NAME through xclim_spark.indicators.registry — what a reference user calls
@@ -5660,7 +5722,7 @@ def nc3_subdaily_ingest(spark, sf_dir):
 _PRIORITY = [
     # -- round 7 additions (never driver-checked) --
     "conv_heat_index_ms", "conv_dewpoint_rh_ms", "conv_spec_humidity_ms",
-    "conv_wind_dir_ms", "conv_vpd_ms",
+    "conv_wind_dir_ms", "conv_vpd_ms", "conv_pet_ms",
     "fit_pearson3_ms", "fa_weibull_rp", "stream_events_table",
     "nc3_subdaily_ingest", "fa_low_flow_7q10", "ind_api_ms",
     "keep_longest_run_stats", "rle_stamped_ms", "first_day_reached_ys",
