@@ -66,10 +66,16 @@ def daily_series_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     table once and every branch reads cached blocks (a production
     pipeline would stage it once via io.dataset's layout instead).  The
     bench/driver clears the cache between queries, so nothing leaks
-    across measurements."""
+    across measurements.  ``XCLIM_SPARK_NO_PERSIST=1`` disables the
+    persist (A/B measurement knob)."""
+    import os
+
     from pyspark import StorageLevel
 
-    return daily_series(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    d = daily_series(spark, sf_dir)
+    if os.environ.get("XCLIM_SPARK_NO_PERSIST"):
+        return d
+    return d.persist(StorageLevel.MEMORY_AND_DISK)
 
 
 DAILY_SQL = """
