@@ -180,3 +180,37 @@ def test_qian_smoothing_null_next_to_gaps(spark):
         assert out[day] is None, day
     assert out[3] == pytest.approx(3.0)
     assert out[9] == pytest.approx(9.0)
+
+
+def test_pet_thornthwaite_matches_hand_formula(spark):
+    """One cell, one year, constant 10 degC at the equator: dl = 12 h
+    (dl12 = 1), I = 12 * (10/5)^1.514, PET = 16 * (10*10/I)^a."""
+    import pandas as pd
+
+    days = pd.date_range("2001-01-01", "2001-12-31", freq="D")
+    df = spark.createDataFrame(
+        pd.DataFrame({"cell": 1, "time": days, "tas": 10.0}))
+    out = agro.potential_evapotranspiration_monthly(
+        df, lat=F.lit(0.0), tas="tas", method="thornthwaite48",
+        cells=["cell"]).toPandas().sort_values("period")
+    assert len(out) == 12
+    i_y = 12 * (10.0 / 5.0) ** 1.514
+    a = 6.75e-7 * i_y**3 - 7.71e-5 * i_y**2 + 0.01791 * i_y + 0.49239
+    expected = 16.0 * 1.0 * (10.0 * 10.0 / i_y) ** a
+    # dl12 is not exactly 1 at lat=0 (spencer declination wobbles the
+    # sunset angle by <1e-6 rad at the equator), so compare loosely
+    np.testing.assert_allclose(out["pet"].to_numpy(), expected, rtol=1e-6)
+
+
+def test_pet_da02_negative_base_zeroes(spark):
+    """A pr rate big enough to push (tr - 0.0123 pr) negative must give
+    PET = 0 (the reference's NaN guard, converters.py:2056-2058)."""
+    import pandas as pd
+
+    days = pd.date_range("2001-06-01", "2001-06-30", freq="D")
+    df = spark.createDataFrame(pd.DataFrame(
+        {"cell": 1, "time": days, "tn": 10.0, "tx": 15.0, "pr": 1000.0}))
+    out = agro.potential_evapotranspiration_monthly(
+        df, lat=F.lit(45.0), tasmin="tn", tasmax="tx", pr="pr",
+        method="droogersallen02", cells=["cell"]).toPandas()
+    assert out["pet"].tolist() == [0.0]

@@ -21,7 +21,8 @@ from ..calendar import period_start
 from ..util import repartition_for_apply
 
 __all__ = ["chill_units", "chill_portions", "chill_portions_1d",
-           "dryness_index", "rain_season"]
+           "dryness_index", "rain_season",
+           "potential_evapotranspiration_monthly"]
 
 # Dynamic Model constants (Fishman et al. 1987 / Luedeling et al. 2009;
 # reference _agro.py:1445-1450)
@@ -326,3 +327,83 @@ def rain_season(
         end_doy.alias(f"{prefix}_end"),
         length.alias(f"{prefix}_length"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Monthly-resample PET methods (Thornthwaite 1948, Droogers & Allen 2002)
+# reference src/xclim/indices/converters.py:2030-2135 — these two methods
+# are DataFrame-level (monthly resample + annual heat index), unlike the
+# daily elementwise methods in functions.converters.
+# ---------------------------------------------------------------------------
+
+def potential_evapotranspiration_monthly(
+    df: DataFrame, *, lat, tasmin=None, tasmax=None, tas=None, pr=None,
+    method: str = "thornthwaite48", time: str = "time",
+    cells: Sequence[str] = (), alias: str = "pet",
+) -> DataFrame:
+    """Monthly PET [mm/month] (reference converters.py:2030-2135).
+
+    ``thornthwaite48`` / ``TW48``: daily mean temperature clipped at
+    0 degC and half-day lengths are averaged monthly; the annual heat
+    index ``I = sum_m (tas_m/5)^1.514`` feeds the Thornthwaite exponent
+    ``a = 6.75e-7 I^3 - 7.71e-5 I^2 + 0.01791 I + 0.49239`` and
+    ``PET = 16 dl_m (10 tas_m / I)^a``.
+
+    ``droogersallen02`` / ``DA02``: monthly means of tasmin/tasmax/tas
+    and of ``pr`` (daily series carrying an mm/month rate, as the
+    reference's unit conversion produces), monthly-summed FAO-56
+    extraterrestrial radiation times 0.408, then
+    ``PET = 0.0013 Ra (tas_m + 17) (tr - 0.0123 pr_m)^0.76`` with
+    ``tr = max(tasmax_m - tasmin_m, 0)``, zero where the base is
+    negative (the reference's NaN guard) and clipped at 0.
+
+    Plan shape: one daily->monthly hash aggregation; TW48 adds one
+    window over the dim-sized monthly table for the annual heat index
+    (partitioned by (cells, year) — no second scan of the daily input).
+    """
+    from ..functions.solar import (
+        day_lengths,
+        extraterrestrial_solar_radiation,
+    )
+
+    c = lambda x: x if isinstance(x, Column) else F.col(x)  # noqa: E731
+    part = [F.col(k) for k in cells]
+    month = F.trunc(F.col(time), "month").alias("period")
+
+    if method in ("thornthwaite48", "TW48"):
+        tas_c = c(tas) if tas is not None else (c(tasmin) + c(tasmax)) / 2.0
+        tclip = F.greatest(tas_c, F.lit(0.0))
+        dl12 = day_lengths(time, lat) / 12.0
+        monthly = (
+            df.select(*part, month, tclip.alias("_tc"), dl12.alias("_dl"))
+            .groupBy(*cells, "period")
+            .agg(F.avg("_tc").alias("_tas_m"), F.avg("_dl").alias("_dl_m"))
+        )
+        idm = F.pow(F.col("_tas_m") / 5.0, 1.514)
+        w = Window.partitionBy(*cells, F.year("period"))
+        iy = F.sum(idm).over(w)
+        a = ((6.75e-7 * iy - 7.71e-5) * iy + 0.01791) * iy + 0.49239
+        pet = 16.0 * F.col("_dl_m") * F.pow(10.0 * F.col("_tas_m") / iy, a)
+        return monthly.select(*cells, "period", pet.alias(alias))
+
+    if method in ("droogersallen02", "DA02"):
+        tmin, tmax = c(tasmin), c(tasmax)
+        tas_c = c(tas) if tas is not None else (tmin + tmax) / 2.0
+        ra = extraterrestrial_solar_radiation(time, lat)
+        monthly = (
+            df.select(*part, month, tmin.alias("_tn"), tmax.alias("_tx"),
+                      tas_c.alias("_ta"), c(pr).alias("_pr"),
+                      ra.alias("_ra"))
+            .groupBy(*cells, "period")
+            .agg(F.avg("_tn").alias("_tn"), F.avg("_tx").alias("_tx"),
+                 F.avg("_ta").alias("_ta"), F.avg("_pr").alias("_pr"),
+                 (F.sum("_ra") * 0.408).alias("_ras"))
+        )
+        tr = F.greatest(F.col("_tx") - F.col("_tn"), F.lit(0.0))
+        ab = tr - 0.0123 * F.col("_pr")
+        pet = F.when(ab < 0.0, F.lit(0.0)).otherwise(
+            F.greatest(0.0013 * F.col("_ras") * (F.col("_ta") + 17.0)
+                       * F.pow(ab, 0.76), F.lit(0.0)))
+        return monthly.select(*cells, "period", pet.alias(alias))
+
+    raise ValueError(f"Unknown monthly PET method {method!r}")

@@ -1250,6 +1250,120 @@ def conv_pet_ms(spark, sf_dir):
           F.round(F.avg("_hg"), 6).alias("pet_hg85"))
 
 
+@_register(
+    "agro_pet_tw48_ms",
+    f"""WITH {DAILY_SQL},
+b AS (
+  SELECT cell, day, GREATEST(qty/2.0 - 2.0, 0.0) AS tc,
+         ((cell % 21) - 10) * 6.0 AS lat,
+         (dayofyear(day) - 1) * 2.0 * pi()
+           / (CASE WHEN (year(day) % 4 = 0 AND year(day) % 100 <> 0)
+                     OR year(day) % 400 = 0 THEN 366.0 ELSE 365.0 END) AS da
+  FROM daily
+),
+d AS (
+  SELECT cell, day, tc,
+         (24.0 / pi()) * acos(-tan(radians(lat)) * tan(
+           0.006918
+           - 0.399912 * cos(da) + 0.070257 * sin(da)
+           - 0.006758 * cos(2 * da) + 0.000907 * sin(2 * da)
+           - 0.002697 * cos(3 * da) + 0.001480 * sin(3 * da)
+         )) / 12.0 AS dl12
+  FROM b
+),
+m AS (
+  SELECT cell, CAST(date_trunc('month', day) AS DATE) AS period,
+         avg(tc) AS tas_m, avg(dl12) AS dl_m
+  FROM d GROUP BY 1, 2
+),
+y AS (
+  SELECT *, sum(pow(tas_m / 5.0, 1.514))
+              OVER (PARTITION BY cell, year(period)) AS iy
+  FROM m
+)
+SELECT cell, period,
+       ROUND(16.0 * dl_m * pow(10.0 * tas_m / iy,
+         ((6.75e-7 * iy - 7.71e-5) * iy + 0.01791) * iy + 0.49239),
+         6) AS pet_tw48
+FROM y""",
+)
+def agro_pet_tw48_ms(spark, sf_dir):
+    """Thornthwaite-1948 monthly PET (reference converters.py:2082-2115):
+    clipped monthly mean temperature, monthly mean half-day lengths
+    (spencer declination), annual heat index via a window over the
+    dim-sized monthly table — one daily aggregation, no second scan.
+    Latitudes stay inside -60..+60 so no polar NULLs arise."""
+    from .operators.agro import potential_evapotranspiration_monthly
+
+    d = daily_series(spark, sf_dir)
+    lat = ((F.col("cell") % 21) - 10) * 6.0
+    out = potential_evapotranspiration_monthly(
+        d, lat=lat, tas=F.col("qty") / 2.0 - 2.0,
+        method="thornthwaite48", time="day", cells=["cell"],
+        alias="pet_tw48")
+    return out.withColumn("pet_tw48", F.round("pet_tw48", 6)) \
+        .withColumn("period", F.col("period").cast("date"))
+
+
+@_register(
+    "agro_pet_da02_ms",
+    f"""WITH {DAILY_SQL},
+b AS (
+  SELECT cell, day, qty/2.0 + 5.0 AS tmax,
+         qty/2.0 - 5.0 - (qty % 5.0) AS tmin, qty * 30.0 AS pr,
+         ((cell % 21) - 10) * 6.0 AS lat,
+         (dayofyear(day) - 1) * 2.0 * pi()
+           / (CASE WHEN (year(day) % 4 = 0 AND year(day) % 100 <> 0)
+                     OR year(day) % 400 = 0 THEN 366.0 ELSE 365.0 END) AS da
+  FROM daily
+),
+s AS (
+  SELECT *, 0.4091 * sin(da - 1.39) AS decl,
+         acos(GREATEST(-1.0, LEAST(1.0,
+             -tan(radians(lat)) * tan(0.4091 * sin(da - 1.39))))) AS ws
+  FROM b
+),
+r AS (
+  SELECT cell, day, tmax, tmin, pr,
+         (24.0 * 60.0 / pi()) * 0.0820 * (1.0 + 0.033 * cos(da))
+           * (ws * sin(radians(lat)) * sin(decl)
+              + cos(radians(lat)) * cos(decl) * sin(ws)) AS ra
+  FROM s
+),
+m AS (
+  SELECT cell, CAST(date_trunc('month', day) AS DATE) AS period,
+         avg(tmin) AS tnm, avg(tmax) AS txm,
+         avg((tmin + tmax) / 2.0) AS tam, avg(pr) AS prm,
+         sum(ra) * 0.408 AS ras
+  FROM r GROUP BY 1, 2
+)
+SELECT cell, period,
+       ROUND(CASE WHEN GREATEST(txm - tnm, 0.0) - 0.0123 * prm < 0.0
+                  THEN 0.0
+                  ELSE GREATEST(0.0013 * ras * (tam + 17.0)
+                    * pow(GREATEST(txm - tnm, 0.0) - 0.0123 * prm, 0.76),
+                    0.0) END, 6) AS pet_da02
+FROM m""",
+)
+def agro_pet_da02_ms(spark, sf_dir):
+    """Droogers-Allen-2002 monthly PET (reference
+    converters.py:2020-2058): monthly temperature/precipitation means,
+    monthly-summed FAO-56 radiation, and the (tr - 0.0123 pr)^0.76
+    adjustment whose negative base zeroes PET (the reference's NaN
+    guard) — the synthetic pr rate is sized so both branches run."""
+    from .operators.agro import potential_evapotranspiration_monthly
+
+    d = daily_series(spark, sf_dir)
+    lat = ((F.col("cell") % 21) - 10) * 6.0
+    out = potential_evapotranspiration_monthly(
+        d, lat=lat, tasmin=F.col("qty") / 2.0 - 5.0 - (F.col("qty") % 5.0),
+        tasmax=F.col("qty") / 2.0 + 5.0, pr=F.col("qty") * 30.0,
+        method="droogersallen02", time="day", cells=["cell"],
+        alias="pet_da02")
+    return out.withColumn("pet_da02", F.round("pet_da02", 6)) \
+        .withColumn("period", F.col("period").cast("date"))
+
+
 # ---------------------------------------------------------------------------
 # Indicator-registry path (SURVEY §2.B): the same computations reached BY
 # NAME through xclim_spark.indicators.registry — what a reference user calls
@@ -5729,6 +5843,7 @@ _PRIORITY = [
     # -- round 7 additions (never driver-checked) --
     "conv_heat_index_ms", "conv_dewpoint_rh_ms", "conv_spec_humidity_ms",
     "conv_wind_dir_ms", "conv_vpd_ms", "conv_pet_ms",
+    "agro_pet_tw48_ms", "agro_pet_da02_ms",
     "fit_pearson3_ms", "fa_weibull_rp", "stream_events_table",
     "nc3_subdaily_ingest", "fa_low_flow_7q10", "ind_api_ms",
     "keep_longest_run_stats", "rle_stamped_ms", "first_day_reached_ys",
