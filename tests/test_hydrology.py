@@ -48,16 +48,42 @@ def test_flow_and_frequency(spark):
     assert lf["low_flow_days"] == sum(v < 0.2 * mean for v in vals)
 
 
-def test_sen_slope(spark):
-    # perfect linear trend -> slope recovered exactly
-    vals = [2.0 + 0.25 * i for i in range(50)]
+def test_sen_slope_annual_means_and_mk_p(spark):
+    # 5 years whose annual means are exactly 1,2,3,4,5 -> slope 1/year;
+    # the Mann-Kendall p for a strictly increasing n=5 series is the
+    # published textbook value 2*(1-Phi((10-1)/sqrt(50/3))) = 0.027486
+    vals = []
+    for yr in range(5):
+        n = 366 if yr == 0 else 365  # 2000 is a leap year
+        vals += [float(yr + 1)] * n
     df = timeseries(spark, vals, start="2000-01-01")
-    out = hy.sen_slope(df, "value", cells=["cell"]).collect()
-    assert out[0]["sen_slope"] == pytest.approx(0.25, rel=1e-12)
-    # trend + outliers: Theil-Sen is robust where OLS is not
-    vals2 = list(vals)
-    vals2[10] = 100.0
-    vals2[40] = -100.0
-    df2 = timeseries(spark, vals2, start="2000-01-01")
-    out2 = hy.sen_slope(df2, "value", cells=["cell"]).collect()
-    assert out2[0]["sen_slope"] == pytest.approx(0.25, rel=0.05)
+    out = hy.sen_slope(df, "value", freq="YS", cells=["cell"]).collect()
+    assert len(out) == 1 and out[0]["season"] == 1
+    assert out[0]["sen_slope"] == pytest.approx(1.0, rel=1e-12)
+    assert out[0]["p_value"] == pytest.approx(0.0274863, abs=1e-6)
+
+
+def test_sen_slope_robust_to_outlier_year(spark):
+    # Theil-Sen over annual means shrugs off one outlier year
+    vals = []
+    for yr in range(9):
+        n = 366 if yr % 4 == 0 else 365
+        v = 100.0 if yr == 4 else 2.0 + 0.5 * yr
+        vals += [v] * n
+    df = timeseries(spark, vals, start="2000-01-01")
+    out = hy.sen_slope(df, "value", freq="YS", cells=["cell"]).collect()
+    assert out[0]["sen_slope"] == pytest.approx(0.5, rel=1e-9)
+
+
+def test_sen_slope_ratio_seasonal(spark):
+    # sim = 2x obs -> per-season slopes double, ratio exactly 0.5;
+    # QS-DEC splits into 4 seasons (anchor months 12, 3, 6, 9)
+    vals = [float(i % 37) + 0.1 * (i // 365) for i in range(4 * 365 + 1)]
+    df = timeseries(spark, vals, start="2000-01-01")
+    df = df.withColumn("sim", F.col("value") * 2.0)
+    out = hy.sen_slope_ratio(df, "value", "sim", freq="QS-DEC",
+                             cells=["cell"]).collect()
+    assert sorted(r["season"] for r in out) == [3, 6, 9, 12]
+    for r in out:
+        assert r["ratio"] == pytest.approx(0.5, rel=1e-9)
+        assert r["p_value"] == r["p_value_sim"]  # same sign pattern

@@ -729,11 +729,22 @@ def standardized_index_c(df, cols, params, *, time, cells, alias):
 
 @register_compute("sen_slope")
 def sen_slope_c(df, cols, params, *, time, cells, alias):
-    """Theil-Sen slope (reference _hydrology.py:894)."""
+    """Theil-Sen slope + Mann-Kendall p (reference _hydrology.py:893)."""
     from ..operators import hydrology as hy
 
-    return hy.sen_slope(df, cols["data"], time=time, cells=cells,
-                        alias=alias)
+    return hy.sen_slope(df, cols["data"],
+                        freq=params.get("freq", "YS"), time=time,
+                        cells=cells, alias=alias)
+
+
+@register_compute("sen_slope_ratio")
+def sen_slope_ratio_c(df, cols, params, *, time, cells, alias):
+    """Observed/simulated Sen-slope ratio (reference _hydrology.py:949)."""
+    from ..operators import hydrology as hy
+
+    return hy.sen_slope_ratio(df, cols["q"], cols["qsim"],
+                              freq=params.get("freq", "YS"), time=time,
+                              cells=cells)
 
 
 @register_compute("flow_index")

@@ -1364,6 +1364,57 @@ def agro_pet_da02_ms(spark, sf_dir):
         .withColumn("period", F.col("period").cast("date"))
 
 
+@_register(
+    "hydro_sen_slope_qs",
+    f"""WITH {DAILY_SQL},
+p AS (
+  SELECT cell,
+         CAST(date_trunc('quarter', day - INTERVAL 2 MONTH)
+              + INTERVAL 2 MONTH AS DATE) AS p,
+         avg(qty) AS v, avg(price / 50000.0) AS v2
+  FROM daily GROUP BY 1, 2
+),
+r AS (
+  SELECT cell, month(p) AS season,
+         row_number() OVER (PARTITION BY cell, month(p) ORDER BY p) - 1
+           AS i, v, v2
+  FROM p
+),
+pairs AS (
+  SELECT a.cell, a.season,
+         (b.v - a.v) / (b.i - a.i) AS s1,
+         (b.v2 - a.v2) / (b.i - a.i) AS s2
+  FROM r a JOIN r b ON a.cell = b.cell AND a.season = b.season
+                   AND b.i > a.i
+)
+SELECT cell, CAST(season AS INT) AS season,
+       ROUND(median(s1), 6) AS sen_slope,
+       ROUND(median(s2), 6) AS sen_slope_sim,
+       ROUND(median(s1) / median(s2), 6) AS ratio
+FROM pairs GROUP BY 1, 2""",
+)
+def hydro_sen_slope_qs(spark, sf_dir):
+    """Seasonal Sen-slope robustness ratio (reference
+    _hydrology.py:893-994): QS-DEC quarter means split into one yearly
+    sequence per season, Theil-Sen slope over the year index for the
+    observed and simulated series plus their ratio.  The Mann-Kendall
+    p-values ride the same kernel but are pinned by unit test (no
+    normal CDF in the oracle engine); the oracle re-derives the median
+    pairwise slopes with window SQL."""
+    from .operators.hydrology import sen_slope_ratio
+
+    d = daily_series(spark, sf_dir)
+    d = d.withColumn("_sim", F.col("price") / 50000.0)
+    out = sen_slope_ratio(d, "qty", "_sim", freq="QS-DEC", time="day",
+                          cells=["cell"])
+    return out.select(
+        "cell", "season",
+        F.round("sen_slope", 6).alias("sen_slope"),
+        F.round("sen_slope_sim", 6).alias("sen_slope_sim"),
+        F.round("ratio", 6).alias("ratio"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Indicator-registry path (SURVEY §2.B): the same computations reached BY
 # NAME through xclim_spark.indicators.registry — what a reference user calls
@@ -5843,7 +5894,7 @@ _PRIORITY = [
     # -- round 7 additions (never driver-checked) --
     "conv_heat_index_ms", "conv_dewpoint_rh_ms", "conv_spec_humidity_ms",
     "conv_wind_dir_ms", "conv_vpd_ms", "conv_pet_ms",
-    "agro_pet_tw48_ms", "agro_pet_da02_ms",
+    "agro_pet_tw48_ms", "agro_pet_da02_ms", "hydro_sen_slope_qs",
     "fit_pearson3_ms", "fa_weibull_rp", "stream_events_table",
     "nc3_subdaily_ingest", "fa_low_flow_7q10", "ind_api_ms",
     "keep_longest_run_stats", "rle_stamped_ms", "first_day_reached_ys",
