@@ -214,3 +214,47 @@ def test_pet_da02_negative_base_zeroes(spark):
         df, lat=F.lit(45.0), tasmin="tn", tasmax="tx", pr="pr",
         method="droogersallen02", cells=["cell"]).toPandas()
     assert out["pet"].tolist() == [0.0]
+
+
+def test_bedd_gladstones_equals_icclim_at_neutral_latitude(spark):
+    """At lat 40 the Gladstones day-length ratio is exactly 1 and with
+    dtr pinned inside [low_dtr, high_dtr] the range adjustment is 0, so
+    methods 'gladstones' and 'icclim' coincide (reference
+    _agro.py:275-446)."""
+    import pandas as pd
+
+    from xclim_spark.indicators import registry
+
+    days = pd.date_range("2001-01-01", "2001-12-31", freq="D")
+    pdf = pd.DataFrame({"cell": 1, "day": days, "tn": 8.0, "tx": 18.0})
+    df = spark.createDataFrame(pdf).withColumn("lat", F.lit(40.0))
+    kw = dict(time="day", cells=["cell"], tasmin="tn", tasmax="tx",
+              lat="lat", missing=None)
+    icc = registry["biologically_effective_degree_days"](
+        df, method="icclim", **kw).df.collect()
+    gla = registry["biologically_effective_degree_days"](
+        df, method="gladstones", **kw).df.collect()
+    assert icc[0]["biologically_effective_degree_days"] == pytest.approx(
+        gla[0]["biologically_effective_degree_days"], rel=1e-9)
+    # value: 214 days in [04-01, 11-01), (8+18)/2 - 10 = 3 K/day
+    assert icc[0]["biologically_effective_degree_days"] == pytest.approx(
+        214 * 3.0)
+
+
+def test_bedd_jones_multiplies_annual_coefficient(spark):
+    import pandas as pd
+
+    from xclim_spark.functions import solar
+    from xclim_spark.indicators import registry
+
+    days = pd.date_range("2001-01-01", "2001-12-31", freq="D")
+    pdf = pd.DataFrame({"cell": 1, "day": days, "tn": 8.0, "tx": 18.0})
+    df = spark.createDataFrame(pdf).withColumn("lat", F.lit(45.0))
+    out = registry["biologically_effective_degree_days"](
+        df, time="day", cells=["cell"], tasmin="tn", tasmax="tx",
+        lat="lat", method="jones", missing=None).df.collect()
+    k = solar.jones_day_length_latitude_coefficient(
+        df, F.col("lat"), method="jones", time="day",
+        cells=["cell"]).collect()[0]["k"]
+    assert out[0]["biologically_effective_degree_days"] == pytest.approx(
+        214 * 3.0 * k, rel=1e-9)

@@ -1,6 +1,7 @@
 """Converter tests mirroring the reference's expected values
 (reference tests/test_converters.py)."""
 
+import datetime as dt
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
@@ -511,3 +512,78 @@ def test_tas_alias(spark):
     df = spark.createDataFrame([(10.0, 20.0)], "tn double, tx double")
     got = df.select(cv.tas("tn", "tx").alias("t")).collect()[0]["t"]
     assert got == 15.0
+
+
+def test_huglin_latitude_coefficients(spark):
+    from xclim_spark.functions import solar
+
+    df = spark.createDataFrame(
+        [(39.0,), (41.0,), (45.0,), (49.0,), (55.0,)], "lat double")
+    rows = df.select(
+        "lat",
+        solar.huglin_day_length_latitude_coefficient("lat", "huglin")
+        .alias("step"),
+        solar.huglin_day_length_latitude_coefficient("lat", "interpolated")
+        .alias("smooth"),
+    ).collect()
+    by = {r["lat"]: r for r in rows}
+    assert by[39.0]["step"] == 1.0 and by[39.0]["smooth"] == 1.0
+    assert by[41.0]["step"] == 1.02
+    assert by[41.0]["smooth"] == pytest.approx(1.006)
+    assert by[45.0]["step"] == 1.04
+    assert by[45.0]["smooth"] == pytest.approx(1.03)
+    assert by[49.0]["step"] == 1.06
+    assert by[49.0]["smooth"] == pytest.approx(1.054)
+    import math
+    assert math.isnan(by[55.0]["step"]) and math.isnan(by[55.0]["smooth"])
+
+
+def test_gladstones_coefficient_neutral_is_one(spark):
+    from xclim_spark.functions import solar
+
+    df = spark.createDataFrame(
+        [(dt.date(2001, 6, 1), 40.0), (dt.date(2001, 6, 1), -40.0),
+         (dt.date(2001, 6, 1), 50.0), (dt.date(2001, 6, 1), 10.0)],
+        "time date, lat double")
+    rows = df.select(
+        "lat",
+        solar.gladstones_day_length_latitude_coefficient("time", "lat")
+        .alias("k"),
+        solar.gladstones_day_length_latitude_coefficient(
+            "time", "lat", constrain=25.0).alias("kc"),
+    ).collect()
+    by = {r["lat"]: r for r in rows}
+    # at the neutral latitude the ratio is exactly 1 in each hemisphere
+    assert by[40.0]["k"] == pytest.approx(1.0)
+    assert by[-40.0]["k"] == pytest.approx(1.0)
+    # June day at 50N is longer than at 40N
+    assert by[50.0]["k"] > 1.0
+    # inside the constrain band the coefficient pins to 1
+    assert by[10.0]["kc"] == 1.0 and by[10.0]["k"] < 1.0
+
+
+def test_jones_coefficient_formula_and_gladstones_transform(spark):
+    import pandas as pd
+
+    from xclim_spark.functions import solar
+
+    days = pd.date_range("2001-01-01", "2001-12-31", freq="D")
+    pdf = pd.DataFrame({"cell": 1, "time": days})
+    df = spark.createDataFrame(pdf).withColumn("lat", F.lit(45.0))
+    kj = solar.jones_day_length_latitude_coefficient(
+        df, F.col("lat"), method="jones", cells=["cell"]).collect()
+    kg = solar.jones_day_length_latitude_coefficient(
+        df, F.col("lat"), method="gladstones", cells=["cell"]).collect()
+    # re-derive: sum of spencer day lengths over [04-01, 11-01)
+    import numpy as np
+    doy = np.array([d.dayofyear for d in days
+                    if "04-01" <= d.strftime("%m-%d") < "11-01"])
+    da = (doy - 1) / 365.0 * 2 * np.pi
+    decl = (0.006918 - 0.399912 * np.cos(da) + 0.070257 * np.sin(da)
+            - 0.006758 * np.cos(2 * da) + 0.000907 * np.sin(2 * da)
+            - 0.002697 * np.cos(3 * da) + 0.001480 * np.sin(3 * da))
+    dl = 24 / np.pi * np.arccos(-np.tan(np.radians(45.0)) * np.tan(decl))
+    k_expected = 2.8311e-4 * dl.sum() + 0.30834
+    assert kj[0]["k"] == pytest.approx(k_expected, rel=1e-12)
+    assert kg[0]["k"] == pytest.approx(1.1135 * k_expected - 0.1352,
+                                       rel=1e-12)

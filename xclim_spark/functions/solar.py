@@ -18,7 +18,10 @@ from ..calendar import is_leap_year
 __all__ = ["day_angle", "solar_declination", "day_lengths",
            "extraterrestrial_solar_radiation", "make_hourly_temperature",
            "distance_from_sun", "cosine_of_solar_zenith_angle",
-           "wind_speed_height_conversion"]
+           "wind_speed_height_conversion",
+           "huglin_day_length_latitude_coefficient",
+           "gladstones_day_length_latitude_coefficient",
+           "jones_day_length_latitude_coefficient"]
 
 _PI = math.pi
 
@@ -243,3 +246,106 @@ def time_correction_for_solar_angle(time) -> Column:
     # wrap must use pmod to match _wrap_radians (helpers.py:88)
     return F.pmod(tc_deg * (_PI / 180.0) + _PI, F.lit(2.0 * _PI)) - _PI
 
+
+
+# ---------------------------------------------------------------------------
+# Viticulture day-length latitude coefficients
+# (reference helpers.py:528-790: Huglin 1978 / Gladstones 1992 /
+# Hall & Jones 2010)
+# ---------------------------------------------------------------------------
+
+def huglin_day_length_latitude_coefficient(
+    lat_deg, method: str = "huglin", cap_value: float = float("nan"),
+) -> Column:
+    """Simple day-length latitude coefficient k (reference
+    helpers.py:528-616): 'huglin' is the stepwise 1.0..1.06 table over
+    |lat| 40..50 deg; 'interpolated' the smoothed
+    ``1 + clip((|lat|-40)/10, 0) * 0.06``; beyond 50 deg both return
+    ``cap_value`` (NaN by default, as the reference)."""
+    al = F.abs(_c(lat_deg))
+    if method in ("huglin", "icclim"):
+        return (
+            F.when(al <= 40.0, 1.0)
+            .when(al <= 42.0, 1.02)
+            .when(al <= 44.0, 1.03)
+            .when(al <= 46.0, 1.04)
+            .when(al <= 48.0, 1.05)
+            .when(al <= 50.0, 1.06)
+            .otherwise(F.lit(float(cap_value)))
+        )
+    if method == "interpolated":
+        k = 1.0 + F.greatest((al - 40.0) / 10.0, F.lit(0.0)) * 0.06
+        return F.when(al <= 50.0, k).otherwise(F.lit(float(cap_value)))
+    raise NotImplementedError(
+        "huglin_day_length_latitude_coefficient supports 'huglin' and "
+        "'interpolated'")
+
+
+def gladstones_day_length_latitude_coefficient(
+    time, lat_deg, neutral_latitude: float = 40.0,
+    constrain: float | None = None, day_length_method: str = "spencer",
+) -> Column:
+    """Daily Gladstones day-length coefficient (reference
+    helpers.py:618-687): the ratio of the day length at ``lat`` to the
+    day length at the hemisphere-matched neutral latitude (default
+    40 deg).  ``constrain`` pins k to 1.0 inside +-constrain deg."""
+    lat = _c(lat_deg)
+    dl = day_lengths(time, lat, method=day_length_method)
+    pn = day_lengths(time, abs(float(neutral_latitude)),
+                     method=day_length_method)
+    ps = day_lengths(time, -abs(float(neutral_latitude)),
+                     method=day_length_method)
+    if constrain is None:
+        return F.when(lat >= 0.0, dl / pn).otherwise(dl / ps)
+    c = abs(float(constrain))
+    return (
+        F.when(lat >= c, dl / pn)
+        .when(lat <= -c, dl / ps)
+        .otherwise(F.lit(1.0))
+    )
+
+
+def jones_day_length_latitude_coefficient(
+    df, lat_deg, *, method: str = "jones", floor: bool = False,
+    start_date: str = "04-01", end_date: str = "11-01",
+    freq: str = "YS", time: str = "time", cells=(),
+):
+    """Season-aggregated Hall & Jones 2010 day-length coefficient
+    (reference helpers.py:688-790): per (cells, year), the sum of
+    spencer day lengths over [start_date, end_date) gives
+    ``k_jones = 2.8311e-4 * sum + 0.30834``; the 'gladstones' variant is
+    the published linear transform ``1.1135 k - 0.1352``.  A season
+    where EVERY cell's k is below 1.0 nulls out (the reference's
+    all-below-1 guard), via one window over the year-sized aggregate;
+    ``floor`` clamps k to >= 1 instead.  Returns a DataFrame of
+    (cells, period, k) — dim-sized, broadcastable against the fact
+    side."""
+    from pyspark.sql import Window
+
+    from ..calendar import period_start
+
+    if freq not in ("YS", "YS-JAN", "YS-JUL"):
+        raise NotImplementedError(
+            "jones coefficient needs an annual freq (YS/YS-JAN/YS-JUL)")
+    mmdd = F.date_format(F.col(time), "MM-dd")
+    sel = (mmdd >= start_date) & (mmdd < end_date)
+    dl = day_lengths(time, lat_deg, method="spencer")
+    agg = (
+        df.filter(sel)
+        .groupBy(*cells, period_start(time, freq).alias("period"))
+        .agg(F.sum(dl).alias("_sdl"))
+    )
+    k = 2.8311e-4 * F.col("_sdl") + 0.30834
+    if method == "gladstones":
+        k = 1.1135 * k - 0.1352
+    elif method != "jones":
+        raise NotImplementedError("method must be 'jones' or 'gladstones'")
+    agg = agg.withColumn("_k", k)
+    if floor:
+        return agg.select(*cells, "period",
+                          F.greatest("_k", F.lit(1.0)).alias("k"))
+    w = Window.partitionBy("period")
+    all_below = F.max("_k").over(w) < 1.0
+    return agg.select(*cells, "period",
+                      F.when(all_below, F.lit(None)).otherwise(F.col("_k"))
+                      .alias("k"))

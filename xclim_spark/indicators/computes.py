@@ -1174,34 +1174,63 @@ def corn_heat_units_c(df, cols, params, *, time, cells, alias):
     return df.select(*cells, time, chu.alias(alias))
 
 
-def _huglin_k(lat_col):
-    """Stepwise Huglin day-length coefficient (reference
-    helpers.py huglin_day_length_latitude_coefficient, method 'huglin')."""
-    al = F.abs(lat_col)
-    return (
-        F.when(al <= 40.0, 1.0)
-        .when(al <= 42.0, 1.02)
-        .when(al <= 44.0, 1.03)
-        .when(al <= 46.0, 1.04)
-        .when(al <= 48.0, 1.05)
-        .when(al <= 50.0, 1.06)
-        .otherwise(F.lit(float("nan")))
+def _huglin_k(lat_col, method: str = "huglin"):
+    """Day-length latitude coefficient (reference helpers.py:528-616)."""
+    from ..functions.solar import huglin_day_length_latitude_coefficient
+
+    return huglin_day_length_latitude_coefficient(lat_col, method=method)
+
+
+def _annual_k_times_sum(df, val, dl, params, *, time, cells, alias,
+                        jones_method: str = "jones"):
+    """Fused jones-coefficient aggregation (reference helpers.py:688-790
+    composed into the index): the growing-season day-length sum rides
+    the SAME groupBy as the index sum, so the annual k needs no second
+    scan or join — then ``k = 2.8311e-4 sum(dl) + 0.30834`` (times the
+    Gladstones linear transform if asked) with the all-cells-below-1
+    NULL guard as one window over the year-sized aggregate."""
+    from pyspark.sql import Window
+
+    from ..calendar import period_start
+
+    per = period_start(time, params["freq"])
+    agg = (
+        df.groupBy(*cells, per.alias("period"))
+        .agg(F.sum(val).alias("_s"), F.sum(dl).alias("_sdl"))
     )
+    k = 2.8311e-4 * F.col("_sdl") + 0.30834
+    if jones_method == "gladstones":
+        k = 1.1135 * k - 0.1352
+    agg = agg.withColumn("_k", k)
+    all_below = F.max("_k").over(Window.partitionBy("period")) < 1.0
+    return agg.select(
+        *cells, "period",
+        F.when(all_below, F.lit(None))
+        .otherwise(F.col("_s") * F.col("_k")).alias(alias))
 
 
 @register_compute("huglin_index")
 def huglin_index(df, cols, params, *, time, cells, alias):
-    """Huglin heliothermal index (reference _agro.py huglin_index, method
-    'huglin'): sum of k * max(((tas+tasmax)/2 - thresh), 0) over
-    [start_date, end_date)."""
+    """Huglin heliothermal index (reference _agro.py:151-273): sum of
+    k * max(((tas+tasmax)/2 - thresh), 0) over [start_date, end_date);
+    k is the stepwise ('huglin'/'icclim'), smoothed ('interpolated'),
+    or season-aggregated Hall-Jones ('jones') latitude coefficient."""
     from ..calendar import period_start
+    from ..functions.solar import day_lengths
 
     t = float(_thr(params) if _thr(params) is not None else 10.0)
+    method = params.get("method", "huglin")
     mmdd = F.date_format(F.col(time), "MM-dd")
     sel = (mmdd >= params.get("start_date", "04-01")) & \
         (mmdd < params.get("end_date", "10-01"))
-    hi = F.greatest((F.col(cols["tas"]) + F.col(cols["tasmax"])) / 2.0 - t,
-                    F.lit(0.0)) * _huglin_k(F.col(cols["lat"]))
+    base = F.greatest(
+        (F.col(cols["tas"]) + F.col(cols["tasmax"])) / 2.0 - t, F.lit(0.0))
+    if method == "jones":
+        dl = day_lengths(time, F.col(cols["lat"]), method="spencer")
+        return _annual_k_times_sum(
+            df.filter(sel), base, dl, params, time=time, cells=cells,
+            alias=alias)
+    hi = base * _huglin_k(F.col(cols["lat"]), method)
     per = period_start(time, params["freq"])
     return (
         df.filter(sel).groupBy(*cells, per.alias("period"))
@@ -1211,15 +1240,23 @@ def huglin_index(df, cols, params, *, time, cells, alias):
 
 @register_compute("bedd")
 def bedd(df, cols, params, *, time, cells, alias):
-    """Biologically effective degree days, method 'icclim' (no latitude
-    adjustment, tr_adj=0) or 'huglin' (stepwise k + temperature-range
-    adjustment) — reference _agro.py biologically_effective_degree_days."""
+    """Biologically effective degree days (reference _agro.py:275-446):
+    'icclim' (k=1, tr_adj=0), 'huglin'/'interpolated' (static latitude
+    k + temperature-range adjustment), 'gladstones' (daily day-length
+    ratio k), or 'jones' (k=1 daily; season-aggregated Hall-Jones k
+    multiplies the capped sum afterwards, fused into the same
+    aggregation)."""
     from ..calendar import period_start
+    from ..functions.solar import (
+        day_lengths,
+        gladstones_day_length_latitude_coefficient,
+    )
 
     t = float(params.get("thresh_tasmin", 10.0))
     cap = float(params.get("max_daily_degree_days", 9.0))
     tn, tx = F.col(cols["tasmin"]), F.col(cols["tasmax"])
     method = params.get("method", "icclim")
+    jones = method == "jones"
     if method == "icclim":
         k, tr_adj = F.lit(1.0), F.lit(0.0)
     else:
@@ -1231,12 +1268,25 @@ def bedd(df, cols, params, *, time, cells, alias):
             .when(dtr < low, dtr - low)
             .otherwise(F.lit(0.0))
         )
-        k = _huglin_k(F.col(cols["lat"]))
+        if method in ("huglin", "interpolated"):
+            k = _huglin_k(F.col(cols["lat"]), method)
+        elif method == "gladstones":
+            k = gladstones_day_length_latitude_coefficient(
+                time, F.col(cols["lat"]))
+        elif jones:
+            k = F.lit(1.0)  # annual k multiplies the sum below
+        else:
+            raise NotImplementedError(f"bedd method {method!r}")
     val = F.least(F.greatest((tn + tx) / 2.0 - t, F.lit(0.0)) * k + tr_adj,
                   F.lit(cap))
     mmdd = F.date_format(F.col(time), "MM-dd")
     sel = (mmdd >= params.get("start_date", "04-01")) & \
         (mmdd < params.get("end_date", "11-01"))
+    if jones:
+        dl = day_lengths(time, F.col(cols["lat"]), method="spencer")
+        return _annual_k_times_sum(
+            df.filter(sel), val, dl, params, time=time, cells=cells,
+            alias=alias)
     per = period_start(time, params["freq"])
     return (
         df.filter(sel).groupBy(*cells, per.alias("period"))

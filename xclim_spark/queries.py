@@ -1365,6 +1365,60 @@ def agro_pet_da02_ms(spark, sf_dir):
 
 
 @_register(
+    "agro_huglin_jones_ys",
+    f"""WITH {DAILY_SQL},
+b AS (
+  SELECT cell, day, qty AS tas, qty + 6.0 AS tx,
+         ((cell % 21) - 10) * 6.0 AS lat,
+         (dayofyear(day) - 1) * 2.0 * pi()
+           / (CASE WHEN (year(day) % 4 = 0 AND year(day) % 100 <> 0)
+                     OR year(day) % 400 = 0 THEN 366.0 ELSE 365.0 END) AS da
+  FROM daily
+  WHERE strftime(day, '%m-%d') >= '04-01'
+    AND strftime(day, '%m-%d') < '10-01'
+),
+d2 AS (
+  SELECT cell, day, GREATEST((tas + tx) / 2.0 - 10.0, 0.0) AS base,
+         (24.0 / pi()) * acos(-tan(radians(lat)) * tan(
+           0.006918
+           - 0.399912 * cos(da) + 0.070257 * sin(da)
+           - 0.006758 * cos(2 * da) + 0.000907 * sin(2 * da)
+           - 0.002697 * cos(3 * da) + 0.001480 * sin(3 * da)
+         )) AS dl
+  FROM b
+),
+a AS (
+  SELECT cell, CAST(date_trunc('year', day) AS DATE) AS period,
+         sum(base) AS s, 2.8311e-4 * sum(dl) + 0.30834 AS k
+  FROM d2 GROUP BY 1, 2
+),
+g AS (SELECT *, max(k) OVER (PARTITION BY period) AS mk FROM a)
+SELECT cell, period,
+       ROUND(CASE WHEN mk < 1.0 THEN NULL ELSE s * k END, 6)
+         AS huglin_index
+FROM g""",
+)
+def agro_huglin_jones_ys(spark, sf_dir):
+    """Huglin index with the Hall-Jones 2010 season-aggregated latitude
+    coefficient (reference _agro.py:151-273 method 'jones';
+    helpers.py:688-790), reached BY NAME through the registry.  The
+    growing-season day-length sum rides the SAME aggregation as the
+    heat sum — zero extra scans or joins — and the all-cells-below-1
+    guard is one window over the year-sized output."""
+    from .indicators import registry
+
+    d = daily_series(spark, sf_dir)
+    d = d.withColumn("lat", ((F.col("cell") % 21) - 10) * 6.0) \
+        .withColumn("tx", F.col("qty") + 6.0)
+    out = registry["huglin_index"](
+        d, time="day", cells=["cell"], tas="qty", tasmax="tx", lat="lat",
+        method="jones", missing=None).df
+    return out.select(
+        "cell", F.col("period").cast("date").alias("period"),
+        F.round("huglin_index", 6).alias("huglin_index"))
+
+
+@_register(
     "hydro_sen_slope_qs",
     f"""WITH {DAILY_SQL},
 p AS (
@@ -5895,6 +5949,7 @@ _PRIORITY = [
     "conv_heat_index_ms", "conv_dewpoint_rh_ms", "conv_spec_humidity_ms",
     "conv_wind_dir_ms", "conv_vpd_ms", "conv_pet_ms",
     "agro_pet_tw48_ms", "agro_pet_da02_ms", "hydro_sen_slope_qs",
+    "agro_huglin_jones_ys",
     "fit_pearson3_ms", "fa_weibull_rp", "stream_events_table",
     "nc3_subdaily_ingest", "fa_low_flow_7q10", "ind_api_ms",
     "keep_longest_run_stats", "rle_stamped_ms", "first_day_reached_ys",
