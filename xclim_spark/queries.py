@@ -1365,6 +1365,39 @@ def agro_pet_da02_ms(spark, sf_dir):
 
 
 @_register(
+    "ind_warm_freq_ys",
+    f"""WITH {DAILY_SQL}
+SELECT cell, CAST(date_trunc('year', day) AS DATE) AS period,
+       CAST(sum(CASE WHEN qty + 6.0 > 30.0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS warm_day_frequency,
+       CAST(sum(CASE WHEN qty - 6.0 > 22.0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS warm_night_frequency
+FROM daily GROUP BY 1, 2""",
+)
+def ind_warm_freq_ys(spark, sf_dir):
+    """warm_day_frequency + warm_night_frequency by registry name
+    (reference _threshold.py:2674-2745, indices-layer-only functions
+    registered as aliases of the count_occurrences compute with the
+    reference's 30/22 degC defaults); the two year-sized outputs meet
+    in one AQE-broadcast join."""
+    from .indicators import registry
+
+    d = daily_series(spark, sf_dir)
+    d = d.withColumn("tx", F.col("qty") + 6.0) \
+        .withColumn("tn", F.col("qty") - 6.0)
+    wd = registry["warm_day_frequency"](
+        d, time="day", cells=["cell"], tasmax="tx", missing=None).df
+    wn = registry["warm_night_frequency"](
+        d, time="day", cells=["cell"], tasmin="tn", missing=None).df
+    return wd.join(wn, on=["cell", "period"]).select(
+        "cell", F.col("period").cast("date").alias("period"),
+        F.col("warm_day_frequency").cast("long")
+        .alias("warm_day_frequency"),
+        F.col("warm_night_frequency").cast("long")
+        .alias("warm_night_frequency"))
+
+
+@_register(
     "agro_huglin_jones_ys",
     f"""WITH {DAILY_SQL},
 b AS (
@@ -5949,7 +5982,7 @@ _PRIORITY = [
     "conv_heat_index_ms", "conv_dewpoint_rh_ms", "conv_spec_humidity_ms",
     "conv_wind_dir_ms", "conv_vpd_ms", "conv_pet_ms",
     "agro_pet_tw48_ms", "agro_pet_da02_ms", "hydro_sen_slope_qs",
-    "agro_huglin_jones_ys",
+    "agro_huglin_jones_ys", "ind_warm_freq_ys",
     "fit_pearson3_ms", "fa_weibull_rp", "stream_events_table",
     "nc3_subdaily_ingest", "fa_low_flow_7q10", "ind_api_ms",
     "keep_longest_run_stats", "rle_stamped_ms", "first_day_reached_ys",
