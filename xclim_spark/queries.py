@@ -1365,6 +1365,64 @@ def agro_pet_da02_ms(spark, sf_dir):
 
 
 @_register(
+    "dataset_bucketed_reuse",
+    f"""WITH {DAILY_SQL},
+{_runs_sql("qty < 25", _YS)},
+mx AS (
+  SELECT cell, period,
+         CAST(coalesce(max(run_length), 0) AS BIGINT) AS mcdd
+  FROM rl GROUP BY 1, 2
+),
+m AS (
+  SELECT cell, {_YS} AS period, ROUND(avg(qty), 6) AS tg_mean
+  FROM daily GROUP BY 1, 2
+)
+SELECT m.cell AS cell, m.period AS period, m.tg_mean AS tg_mean, mx.mcdd AS mcdd
+FROM m JOIN mx ON m.cell = mx.cell AND m.period = mx.period""",
+)
+def dataset_bucketed_reuse(spark, sf_dir):
+    """The production staging pattern behind ``daily_series_shared``'s
+    persist: the daily table is written ONCE through
+    ``io.dataset.write_bucketed_table`` (bucketed by cell, sorted by
+    (cell, day)), then two downstream operators — the annual mean and
+    the longest-run sessionization — both read the staged table with
+    ZERO exchanges (bucketing satisfies the groupBy's clustered
+    distribution and the window's partitioning+ordering; see
+    tests/test_io.py plan assertions), and their year-sized outputs
+    join shuffle-free on the inherited partitioning.  At 100 TB this
+    layout deletes the per-query terabyte shuffle; the staging cost
+    amortizes over every consumer.  The staged table is rebuilt at most
+    once per session (in-memory catalog)."""
+    import hashlib
+
+    from .io.dataset import write_bucketed_table
+    from .operators import run_length as rl
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tbl = f"xsq_daily_bucketed_{tag}"
+    if not spark.catalog.tableExists(tbl):
+        # the in-memory catalog forgets tables between sessions but the
+        # warehouse directory survives; clear an orphaned location so
+        # saveAsTable can rebuild (a metastore deployment keeps both)
+        import shutil
+        from urllib.parse import urlparse
+
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        shutil.rmtree(f"{wh}/{tbl}", ignore_errors=True)
+        write_bucketed_table(daily_series(spark, sf_dir), tbl,
+                             cells=["cell"], time="day")
+    d = spark.table(tbl)
+    mean = g.select_resample_op(d, "qty", "mean", "YS", time="day",
+                                cells=["cell"], alias="tg_mean")
+    mean = mean.withColumn("tg_mean", F.round("tg_mean", 6))
+    mc = rl.longest_run(d, F.col("qty") < 25.0, freq="YS", time="day",
+                        cells=["cell"], alias="mcdd")
+    return mean.join(mc, on=["cell", "period"]).select(
+        "cell", F.col("period").cast("date").alias("period"),
+        "tg_mean", F.col("mcdd").cast("long").alias("mcdd"))
+
+
+@_register(
     "ind_warm_freq_ys",
     f"""WITH {DAILY_SQL}
 SELECT cell, CAST(date_trunc('year', day) AS DATE) AS period,
@@ -5982,7 +6040,7 @@ _PRIORITY = [
     "conv_heat_index_ms", "conv_dewpoint_rh_ms", "conv_spec_humidity_ms",
     "conv_wind_dir_ms", "conv_vpd_ms", "conv_pet_ms",
     "agro_pet_tw48_ms", "agro_pet_da02_ms", "hydro_sen_slope_qs",
-    "agro_huglin_jones_ys", "ind_warm_freq_ys",
+    "agro_huglin_jones_ys", "ind_warm_freq_ys", "dataset_bucketed_reuse",
     "fit_pearson3_ms", "fa_weibull_rp", "stream_events_table",
     "nc3_subdaily_ingest", "fa_low_flow_7q10", "ind_api_ms",
     "keep_longest_run_stats", "rle_stamped_ms", "first_day_reached_ys",
