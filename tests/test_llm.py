@@ -524,3 +524,24 @@ def test_word_gram_hashes_parity(spark):
     pb = sorted((r["id_a"], r["id_b"], round(r["jaccard"], 9))
                 for r in b.collect())
     assert pa == pb and len(pa) > 0
+
+
+def test_connected_components_chain_and_islands(spark):
+    from xclim_spark.llm import dedup as dd
+
+    edges = spark.createDataFrame(
+        [(2, 3), (1, 2), (3, 7), (10, 11), (5, 6), (6, 5)],
+        "id_a long, id_b long")
+    out = {r["id"]: r["component"]
+           for r in dd.connected_components(edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10, 5: 5, 6: 5}
+
+
+def test_connected_components_long_chain_converges(spark):
+    from xclim_spark.llm import dedup as dd
+
+    # a 12-node path needs ~diameter rounds of min propagation
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long")
+    out = dd.connected_components(edges).collect()
+    assert all(r["component"] == 0 for r in out) and len(out) == 13

@@ -35,6 +35,7 @@ __all__ = [
     "md5_hash60",
     "embedding_near_duplicates",
     "jaccard",
+    "connected_components",
 ]
 
 _MERSENNE31 = 2147483647  # 2^31 - 1, prime modulus for universal hashing
@@ -646,3 +647,55 @@ def embedding_near_duplicates(
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+def connected_components(
+    edges: DataFrame, src: str = "id_a", dst: str = "id_b", *,
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Connected components over a duplicate-pair graph: assign every
+    node the MINIMUM id reachable from it — the canonical-document
+    choice that turns pairwise near-dup hits into dedup clusters.
+
+    Min-label propagation: each round every node takes the least of its
+    own label and its neighbours' labels (one join + one groupBy per
+    round), converging in O(component diameter) rounds — near-dup
+    clusters are dense and shallow, so 2-4 rounds in practice; the
+    driver only ever sees one change-count per round.  Labels persist
+    per round (and the previous round unpersists) so the iteration's
+    lineage stays flat.  For adversarially deep graphs (long chains) at
+    the 100 TB tier, swap the per-hop propagation for the
+    alternating large-star/small-star rewrite (Kiveris et al. 2014),
+    which converges in O(log n) rounds on the same join+agg primitives.
+
+    Returns (id, component).
+    """
+    und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    und = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct().persist()
+    # localCheckpoint (not persist) each round: it TRUNCATES the logical
+    # plan, so the iteration's lineage — and Catalyst's per-action
+    # replanning cost — stays flat instead of nesting one join deeper
+    # every round (a 12-round chain OOMs the driver on plan strings
+    # otherwise; a cluster deployment would use checkpoint() on durable
+    # storage for fault tolerance)
+    labels = (und.select(F.col("a").alias("id")).distinct()
+              .withColumn("c", F.col("id")).localCheckpoint())
+    for _ in range(max_iterations):
+        nb = (und.join(labels.select(F.col("id").alias("b"),
+                                     F.col("c").alias("bc")), on="b")
+              .groupBy("a").agg(F.min("bc").alias("nc")))
+        new = (labels.join(nb.select(F.col("a").alias("id"), "nc"),
+                           on="id", how="left")
+               .select("id", F.least(F.col("c"),
+                                     F.coalesce("nc", "c")).alias("c"))
+               .localCheckpoint())
+        changed = (new.join(labels.select(F.col("id").alias("id"),
+                                          F.col("c").alias("oc")), on="id")
+                   .filter(F.col("c") != F.col("oc")).count())
+        labels = new
+        if changed == 0:
+            break
+    und.unpersist()
+    return labels.select("id", F.col("c").alias("component"))

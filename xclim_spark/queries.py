@@ -2852,6 +2852,69 @@ def dedup_fuzzy(spark, sf_dir):
 
 
 @_register(
+    "dedup_components",
+    """WITH RECURSIVE w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, list_distinct(
+    [words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+     FOR i IN range(1, len(words) - 1)]
+  ) AS shingles
+  FROM w WHERE len(words) >= 3
+),
+sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+t AS (SELECT doc_id, unnest(shingles) AS tok FROM sh),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.6
+),
+und AS (SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+r(id, c) AS (
+  SELECT DISTINCT a, a FROM und
+  UNION
+  SELECT r.id, u.b FROM r JOIN und u ON u.a = r.c
+),
+comp AS (SELECT id, min(c) AS component FROM r GROUP BY 1)
+SELECT CAST(id AS BIGINT) AS doc_id, CAST(component AS BIGINT) AS component,
+       CAST(count(*) OVER (PARTITION BY component) AS BIGINT)
+         AS cluster_size
+FROM comp""",
+)
+def dedup_components(spark, sf_dir):
+    """Near-dup CLUSTERS, not just pairs: the MinHash+LSH verified pair
+    graph (dedup_fuzzy's generator) collapsed to canonical components
+    by distributed min-label propagation (llm/dedup.py
+    connected_components — join+agg rounds, O(cluster diameter) of
+    them), giving each document its dedup-cluster id and size — the
+    keep-one-per-cluster primitive of a training-data pipeline.  The
+    oracle reproduces the exact-Jaccard pair graph and closes it with a
+    recursive CTE."""
+    from .llm import dedup as dd
+
+    small = _sf_of(sf_dir) <= 0.01
+    docs = _read(spark, sf_dir, "documents")
+    pairs = dd.near_duplicates(
+        docs, threshold=0.6,
+        num_perm=32 if small else 128, bands=16 if small else 64,
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
+    cc = dd.connected_components(pairs)
+    w = Window.partitionBy("component")
+    return cc.select(
+        F.col("id").alias("doc_id"), "component",
+        F.count(F.lit(1)).over(w).alias("cluster_size"))
+
+
+@_register(
     "text_quality_by_source",
     """SELECT source,
        CAST(count(*) AS BIGINT) AS n_docs,
@@ -6041,6 +6104,7 @@ _PRIORITY = [
     "conv_wind_dir_ms", "conv_vpd_ms", "conv_pet_ms",
     "agro_pet_tw48_ms", "agro_pet_da02_ms", "hydro_sen_slope_qs",
     "agro_huglin_jones_ys", "ind_warm_freq_ys", "dataset_bucketed_reuse",
+    "dedup_components",
     "fit_pearson3_ms", "fa_weibull_rp", "stream_events_table",
     "nc3_subdaily_ingest", "fa_low_flow_7q10", "ind_api_ms",
     "keep_longest_run_stats", "rle_stamped_ms", "first_day_reached_ys",
