@@ -52,6 +52,9 @@ HEADLINE = [
     "decontam_docs", "mixture_sample_src", "pack_sequences_src",
     "text_repetition_stats", "tree_tx_days_above", "fwi_season_ys",
     "fire_components_ms", "qian_smooth_ms", "sdba_dqm_adjust_ms",
+    # round-7 families
+    "conv_pet_ms", "agro_pet_tw48_ms", "hydro_sen_slope_qs",
+    "dedup_components", "dataset_bucketed_reuse",
 ]
 
 

@@ -680,8 +680,13 @@ def connected_components(
     # every round (a 12-round chain OOMs the driver on plan strings
     # otherwise; a cluster deployment would use checkpoint() on durable
     # storage for fault tolerance)
-    labels = (und.select(F.col("a").alias("id")).distinct()
-              .withColumn("c", F.col("id")).localCheckpoint())
+    # seed labels with the first propagation folded in: one aggregation
+    # gives every node min(own id, min neighbour id), so dense clusters
+    # (the near-dup shape — cliques around a canonical doc) converge in
+    # a single confirming round instead of three
+    labels = (und.groupBy("a")
+              .agg(F.least(F.col("a"), F.min("b")).alias("c"))
+              .withColumnRenamed("a", "id").localCheckpoint())
     for _ in range(max_iterations):
         nb = (und.join(labels.select(F.col("id").alias("b"),
                                      F.col("c").alias("bc")), on="b")
