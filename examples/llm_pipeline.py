@@ -1,0 +1,81 @@
+"""End-to-end training-data pipeline: near-dup clustering ->
+decontamination -> quality filter -> deterministic mixture ->
+sequence packing.
+
+Runnable against the synthetic corpus:
+
+    python examples/llm_pipeline.py [sf_dir]    # default sf0.01
+
+Every stage is a Catalyst plan over the ``documents`` table — the same
+code runs on a 100 TB corpus: dedup candidates come from banded LSH
+joins (never all-pairs), clusters close by min-label propagation
+(O(diameter) join rounds), decontamination broadcasts the eval-set
+n-gram dictionary, and packing is a per-source running-total window.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def main(sf_dir: str) -> None:
+    from pyspark.sql import functions as F
+
+    from xclim_spark import session
+    from xclim_spark.llm import dedup as dd
+    from xclim_spark.llm import pipeline as pl
+    from xclim_spark.llm import text as tx
+
+    spark = session(app_name="llm-pipeline-example")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n0 = docs.count()
+
+    # 1. near-dup clusters: MinHash+LSH pair candidates, exact-Jaccard
+    #    verified, closed into components; keep the canonical (min id)
+    pairs = dd.near_duplicates(docs, threshold=0.6, num_perm=32, bands=16)
+    comp = dd.connected_components(pairs)
+    drop = comp.filter(F.col("id") != F.col("component")) \
+        .select(F.col("id").alias("doc_id"))
+    docs = docs.join(F.broadcast(drop), on="doc_id", how="left_anti")
+    n1 = docs.count()
+
+    # 2. decontaminate against a toy "eval set" (first 20 documents by id)
+    evalset = (spark.read.parquet(os.path.join(sf_dir,
+                                               "documents.parquet"))
+               .orderBy("doc_id").limit(20))
+    flags = pl.decontaminate(docs, evalset, n=8)
+    dirty = flags.filter("contaminated").select("doc_id")
+    docs = docs.join(F.broadcast(dirty), on="doc_id", how="left_anti")
+    n2 = docs.count()
+
+    # 3. quality screen: token count + alphabetic ratio, pure expressions
+    docs = docs.filter(
+        (tx.token_count("text") >= 5) & (tx.alpha_ratio("text") > 0.5))
+    n3 = docs.count()
+
+    # 4. deterministic per-source mixture (hash-sampled, replayable)
+    rates = {f"src{i}": 0.25 + 0.05 * (i % 10) for i in range(20)}
+    mix = pl.mixture_sample(docs, rates)
+    n4 = mix.count()
+
+    # 5. pack into 512-token training contexts per source stream
+    packed = pl.pack_sequences(mix, 512)
+    n5 = packed.select("source", "pack_id").distinct().count()
+
+    print(f"documents           : {n0}")
+    print(f"after dedup         : {n1}")
+    print(f"after decontam      : {n2}")
+    print(f"after quality filter: {n3}")
+    print(f"after mixture       : {n4}")
+    print(f"packed contexts     : {n5}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1
+         else "/root/testdata/sf0.01")
