@@ -1535,7 +1535,7 @@ pairs AS (
 SELECT cell, CAST(season AS INT) AS season,
        ROUND(median(s1), 6) AS sen_slope,
        ROUND(median(s2), 6) AS sen_slope_sim,
-       ROUND(median(s1) / median(s2), 6) AS ratio
+       ROUND(median(s1) / median(s2), 6) + 0.0 AS ratio
 FROM pairs GROUP BY 1, 2""",
 )
 def hydro_sen_slope_qs(spark, sf_dir):
@@ -1556,7 +1556,9 @@ def hydro_sen_slope_qs(spark, sf_dir):
         "cell", "season",
         F.round("sen_slope", 6).alias("sen_slope"),
         F.round("sen_slope_sim", 6).alias("sen_slope_sim"),
-        F.round("ratio", 6).alias("ratio"),
+        # + 0.0 normalizes IEEE negative zero (a zero observed slope
+        # over a negative simulated slope) identically in both engines
+        (F.round("ratio", 6) + 0.0).alias("ratio"),
     )
 
 
