@@ -358,3 +358,45 @@ def test_cdf2_write_read_roundtrip(tmp_path):
     h = n3.read_nc3_header(p)
     assert h["version"] == 2 and h["numrecs"] == 9
     assert np.allclose(n3.read_nc3_var(p, "tas", h), tas)
+
+
+def test_cdf5_write_read_roundtrip(tmp_path):
+    """version=5 widens every NON_NEG field to 8 bytes and keeps
+    int64/unsigned types native; our own reader (which parses the
+    spec-assembled golden above) round-trips the writer's output,
+    including values beyond int32 range and an int64 attribute."""
+    rng = np.random.RandomState(9)
+    tas = rng.uniform(-5, 5, size=(7, 4))
+    big = np.array([2**40, -2**40, 7, 0], dtype="int64")
+    p = str(tmp_path / "v5.nc")
+    n3.write_nc3(
+        p, {"time": 0, "cell": 4},
+        {"time": (["time"], np.arange(7, dtype="int64") * 2**35),
+         "cell": (["cell"], np.arange(4, dtype="uint32")),
+         "big": (["cell"], big),
+         "tas": (["time", "cell"], tas)},
+        gattrs={"huge": np.array([2**50], dtype="int64"),
+                "title": "cdf5"},
+        var_attrs={"tas": {"units": "degC"}},
+        version=5,
+    )
+    raw = open(p, "rb").read(4)
+    assert raw == b"CDF\x05"
+    h = n3.read_nc3_header(p)
+    assert h["version"] == 5 and h["numrecs"] == 7
+    assert h["gattrs"]["huge"].tolist() == [2**50]
+    assert h["gattrs"]["title"] == "cdf5"
+    assert h["variables"]["big"]["nc_type"] == 10
+    assert h["variables"]["cell"]["nc_type"] == 9
+    assert h["variables"]["tas"]["attrs"]["units"] == "degC"
+    assert n3.read_nc3_var(p, "big", h).tolist() == big.tolist()
+    assert n3.read_nc3_var(p, "time", h).tolist() == \
+        (np.arange(7) * 2**35).tolist()
+    assert np.allclose(n3.read_nc3_var(p, "tas", h), tas)
+
+
+def test_cdf1_still_narrows_int64(tmp_path):
+    p = str(tmp_path / "v1.nc")
+    with pytest.raises(ValueError, match="version=5"):
+        n3.write_nc3(p, {"x": 2},
+                     {"v": (["x"], np.array([2**40, 1], dtype="int64"))})

@@ -275,31 +275,43 @@ def read_nc3_var(path: str, name: str, header: dict | None = None,
 
 _W_TYPES = {"int8": 1, "S1": 2, "int16": 3, "int32": 4,
             "float32": 5, "float64": 6, "int64": None}
+# CDF-5 keeps 64-bit and unsigned integers as native types
+_W_TYPES5 = {**_W_TYPES, "int64": 10, "uint64": 11, "uint32": 9,
+             "uint16": 8, "uint8": 7}
 
 
-def _w_name(s: str) -> bytes:
+def _nn_u32(v: int) -> bytes:
+    return struct.pack(">I", v)
+
+
+def _nn_i64(v: int) -> bytes:
+    return struct.pack(">q", v)
+
+
+def _w_name(s: str, nn=_nn_u32) -> bytes:
     b = s.encode()
-    return struct.pack(">I", len(b)) + b + b"\x00" * (-len(b) % 4)
+    return nn(len(b)) + b + b"\x00" * (-len(b) % 4)
 
 
-def _w_attrs(attrs: dict) -> bytes:
+def _w_attrs(attrs: dict, nn=_nn_u32, types=_W_TYPES) -> bytes:
     if not attrs:
-        return struct.pack(">II", 0, 0)
-    out = struct.pack(">II", _NC_ATTRIBUTE, len(attrs))
+        return struct.pack(">I", 0) + nn(0)
+    out = struct.pack(">I", _NC_ATTRIBUTE) + nn(len(attrs))
     for k, v in attrs.items():
-        out += _w_name(k)
+        out += _w_name(k, nn)
         if isinstance(v, str):
             b = v.encode()
-            out += struct.pack(">II", 2, len(b)) + b + b"\x00" * (-len(b) % 4)
+            out += struct.pack(">I", 2) + nn(len(b)) + b \
+                + b"\x00" * (-len(b) % 4)
         else:
             a = np.asarray(v)
-            t = _W_TYPES[str(a.dtype)]
+            t = types[str(a.dtype)]
             if t is None:
                 a = a.astype("int32")
                 t = 4
             be = a.astype(_TYPES[t][0])
             raw = be.tobytes()
-            out += struct.pack(">II", t, a.size) + raw + \
+            out += struct.pack(">I", t) + nn(a.size) + raw + \
                 b"\x00" * (-len(raw) % 4)
     return out
 
@@ -314,28 +326,32 @@ def write_nc3(
     version: int = 1,
 ) -> None:
     """Write a classic NetCDF file — CDF-1 by default, CDF-2 (64-bit
-    begin offsets, for data regions past 2 GiB) with ``version=2``.
+    begin offsets, for data regions past 2 GiB) with ``version=2``, or
+    CDF-5 (64-bit counts/sizes everywhere plus native int64/unsigned
+    types) with ``version=5``.
 
     ``dims`` maps name -> length; a length of ``0`` (or ``None``)
     declares the record (unlimited) dimension, and variables whose
     FIRST dim is the record dim are written interleaved per record with
     the spec's stride rules (each slab padded to 4 bytes unless there
     is exactly one record variable).  ``variables`` maps name ->
-    (dim names, ndarray); int64 arrays are narrowed to int32 (classic
-    has no 64-bit integer type)."""
+    (dim names, ndarray); under CDF-1/2, int64 arrays are narrowed to
+    int32 (those formats have no 64-bit integer type) — CDF-5 keeps
+    them."""
     var_attrs = var_attrs or {}
     dim_names = list(dims)
     rec_dim = next((d for d in dim_names if not dims[d]), None)
+    w_types = _W_TYPES5 if version == 5 else _W_TYPES
     arrays = {}
     numrecs = 0
     for nm, (dnames, arr) in variables.items():
         a = np.asarray(arr)
-        if a.dtype == np.int64:
+        if a.dtype == np.int64 and version != 5:
             if a.size and (a.max() > 2**31 - 1 or a.min() < -2**31):
                 raise ValueError(f"{nm}: values exceed int32 (classic "
-                                 "NetCDF has no int64)")
+                                 "NetCDF has no int64; write version=5)")
             a = a.astype("int32")
-        t = _W_TYPES.get(str(a.dtype))
+        t = w_types.get(str(a.dtype))
         if t is None:
             raise NotImplementedError(f"{nm}: dtype {a.dtype}")
         record = bool(dnames) and list(dnames)[0] == rec_dim
@@ -348,14 +364,15 @@ def write_nc3(
             raise ValueError(f"{nm}: record dim must be the first dim")
         arrays[nm] = (list(dnames), a, t, record)
 
-    if version not in (1, 2):
-        raise NotImplementedError(f"write_nc3 writes CDF-1/2, not "
+    if version not in (1, 2, 5):
+        raise NotImplementedError(f"write_nc3 writes CDF-1/2/5, not "
                                   f"version {version}")
-    header = b"CDF" + bytes([version]) + struct.pack(">I", numrecs)
-    header += struct.pack(">II", _NC_DIMENSION, len(dim_names))
+    nn = _nn_i64 if version == 5 else _nn_u32
+    header = b"CDF" + bytes([version]) + nn(numrecs)
+    header += struct.pack(">I", _NC_DIMENSION) + nn(len(dim_names))
     for d in dim_names:
-        header += _w_name(d) + struct.pack(">I", dims[d] or 0)
-    header += _w_attrs(gattrs or {})
+        header += _w_name(d, nn) + nn(dims[d] or 0)
+    header += _w_attrs(gattrs or {}, nn, w_types)
 
     rec_names = [nm for nm, v in arrays.items() if v[3]]
 
@@ -366,14 +383,15 @@ def write_nc3(
 
     # two passes: sizes first (begin offsets depend on header length)
     def _var_block(begins: dict) -> bytes:
-        out = struct.pack(">II", _NC_VARIABLE, len(arrays))
+        out = struct.pack(">I", _NC_VARIABLE) + nn(len(arrays))
         for nm, (dnames, a, t, record) in arrays.items():
-            out += _w_name(nm) + struct.pack(">I", len(dnames))
+            out += _w_name(nm, nn) + nn(len(dnames))
             for d in dnames:
-                out += struct.pack(">I", dim_names.index(d))
-            out += _w_attrs(var_attrs.get(nm, {}))
+                out += nn(dim_names.index(d))
+            out += _w_attrs(var_attrs.get(nm, {}), nn, w_types)
             vsize = (_slab(a, t, record) + 3) // 4 * 4
-            out += struct.pack(">II", t, min(vsize, 2**32 - 1))
+            out += struct.pack(">I", t)
+            out += nn(vsize if version == 5 else min(vsize, 2**32 - 1))
             out += struct.pack(">I" if version == 1 else ">q",
                                begins.get(nm, 0))
         return out
