@@ -87,3 +87,41 @@ def test_sen_slope_ratio_seasonal(spark):
     for r in out:
         assert r["ratio"] == pytest.approx(0.5, rel=1e-9)
         assert r["p_value"] == r["p_value_sim"]  # same sign pattern
+
+
+def test_mk_kernel_matches_bruteforce():
+    """Property check: the vectorized Mann-Kendall/Sen kernel equals a
+    straightforward per-pair re-derivation on random series (ties
+    included via integer draws)."""
+    import math
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from xclim_spark.operators.hydrology import _mk_kernel
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.integers(min_value=-5, max_value=5),
+                    min_size=2, max_size=24))
+    def check(vals):
+        x = np.asarray(vals, dtype=float)
+        slope, p = _mk_kernel(x)
+        n = len(x)
+        diffs, slopes = [], []
+        for i in range(n):
+            for j in range(i + 1, n):
+                diffs.append(np.sign(x[j] - x[i]))
+                slopes.append((x[j] - x[i]) / (j - i))
+        s = float(np.sum(diffs))
+        _, t = np.unique(x, return_counts=True)
+        var_s = (n * (n - 1) * (2 * n + 5)
+                 - float(np.sum(t * (t - 1) * (2 * t + 5)))) / 18.0
+        if var_s > 0 and s != 0:
+            z = (s - 1 if s > 0 else s + 1) / math.sqrt(var_s)
+        else:
+            z = 0.0
+        assert slope == pytest.approx(float(np.median(slopes)), rel=1e-12)
+        assert p == pytest.approx(math.erfc(abs(z) / math.sqrt(2)),
+                                  rel=1e-12)
+
+    check()
