@@ -30,7 +30,7 @@ def main(sf_dir: str) -> None:
     from xclim_spark.llm import pipeline as pl
     from xclim_spark.llm import text as tx
 
-    spark = session(app_name="llm-pipeline-example")
+    spark = session(app="llm-pipeline-example")
     spark.sparkContext.setLogLevel("ERROR")
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     n0 = docs.count()

@@ -587,3 +587,38 @@ def test_jones_coefficient_formula_and_gladstones_transform(spark):
     assert kj[0]["k"] == pytest.approx(k_expected, rel=1e-12)
     assert kg[0]["k"] == pytest.approx(1.1135 * k_expected - 0.1352,
                                        rel=1e-12)
+
+
+def test_jones_gladstones_guard_on_raw_coefficient(spark):
+    """The all-below-1 guard runs on the RAW jones coefficient before
+    the gladstones transform (reference helpers.py:786-799).  At 15S,
+    raw k ~ 1.0092 (guard passes) but the transformed value ~ 0.9886;
+    guarding on the transformed value would wrongly null the season."""
+    import pandas as pd
+
+    from xclim_spark.functions import solar
+
+    days = pd.date_range("2001-01-01", "2001-12-31", freq="D")
+    pdf = pd.DataFrame({"cell": 1, "time": days})
+    df = spark.createDataFrame(pdf).withColumn("lat", F.lit(-15.0))
+    kg = solar.jones_day_length_latitude_coefficient(
+        df, F.col("lat"), method="gladstones", cells=["cell"]).collect()
+    assert kg[0]["k"] is not None
+    assert 0.98 < kg[0]["k"] < 1.0
+    # floor comes AFTER both guard and transform: the sub-1 transformed
+    # value floors to 1.0 (reference helpers.py:803-804).
+    kf = solar.jones_day_length_latitude_coefficient(
+        df, F.col("lat"), method="gladstones", floor=True,
+        cells=["cell"]).collect()
+    assert kf[0]["k"] == 1.0
+    # ...and a guard-nulled season also floors to 1.0 (xarray's
+    # where(k >= 1, 1.0) maps NaN to the fill value).
+    pdf2 = pd.DataFrame({"cell": 1, "time": days})
+    df2 = spark.createDataFrame(pdf2).withColumn("lat", F.lit(-60.0))
+    kn = solar.jones_day_length_latitude_coefficient(
+        df2, F.col("lat"), method="jones", cells=["cell"]).collect()
+    assert kn[0]["k"] is None  # winter-heavy season: raw k < 1
+    kn_f = solar.jones_day_length_latitude_coefficient(
+        df2, F.col("lat"), method="jones", floor=True,
+        cells=["cell"]).collect()
+    assert kn_f[0]["k"] == 1.0

@@ -125,3 +125,21 @@ def test_mk_kernel_matches_bruteforce():
                                   rel=1e-12)
 
     check()
+
+
+def test_mk_kernel_skips_nans_with_compressed_index():
+    """pymannkendall's original_test drops missing values (method
+    'skip') and re-indexes the survivors consecutively — one all-null
+    period must not NaN out the whole (cell, season)."""
+    from xclim_spark.operators.hydrology import _mk_kernel
+
+    clean = np.array([1.0, 2.0, 3.0, 4.0])
+    holed = np.array([1.0, np.nan, 2.0, 3.0, np.nan, 4.0])
+    s0, p0 = _mk_kernel(clean)
+    s1, p1 = _mk_kernel(holed)
+    assert s1 == pytest.approx(s0) and p1 == pytest.approx(p0)
+    # all-NaN and single-survivor series degrade to NaN, not crash
+    s, p = _mk_kernel(np.array([np.nan, np.nan]))
+    assert np.isnan(s) and np.isnan(p)
+    s, p = _mk_kernel(np.array([np.nan, 7.0]))
+    assert np.isnan(s) and np.isnan(p)

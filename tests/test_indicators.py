@@ -712,6 +712,21 @@ def test_final_batch_indicators(spark):
                            cells=["cell"], missing=None).df.collect()
     assert r[0][2] == pytest.approx(8.32 * 183, rel=1e-9)
 
+    # poleward of 50 deg, the indicator's cap_value default of 1.0
+    # (reference _agro.py:157) keeps the sum finite: k=1 there
+    df4 = spark.createDataFrame(
+        [(1, dt.date(2001, 1, 1) + dt.timedelta(days=d), 15.0, 21.0, 60.0)
+         for d in range(365)],
+        "cell int, time date, t double, tx double, la double")
+    r = atmos.huglin_index(df4, tas="t", tasmax="tx", lat="la",
+                           cells=["cell"], missing=None).df.collect()
+    assert r[0][2] == pytest.approx(8.0 * 183, rel=1e-9)
+    r = atmos.huglin_index(df4, tas="t", tasmax="tx", lat="la",
+                           cells=["cell"], missing=None,
+                           cap_value=float("nan")).df.collect()
+    import math
+    assert r[0][2] is None or math.isnan(r[0][2])
+
     rows = [(1, dt.date(2001, 1, 1) + dt.timedelta(days=d),
              15.0 if 50 <= d < 200 else 2.0) for d in range(300)]
     df5 = spark.createDataFrame(rows, "cell int, time date, tx double")

@@ -226,6 +226,9 @@ def test_session_helper_reuses_active_and_documents_config(spark):
     assert RECOMMENDED["spark.sql.adaptive.enabled"] == "true"
     assert all(isinstance(k, str) and isinstance(v, str)
                for k, v in RECOMMENDED.items())
+    # mistyped kwargs fail loudly instead of becoming bogus conf keys
+    with pytest.raises(TypeError, match="app_name"):
+        session(app_name="oops")
 
 
 def test_zarr_v3_read(spark, tmp_path):

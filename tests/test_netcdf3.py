@@ -245,6 +245,38 @@ def test_epoch_time_of_day(tmp_path):
     assert kind == "date"
 
 
+def test_fractional_day_offsets_decode_timestamp(spark, tmp_path):
+    """'days since <midnight epoch>' with NON-integral offsets
+    (midday-centred daily axes) must decode as timestamps preserving
+    the sub-day component — truncation would also round pre-epoch
+    offsets toward zero (off-by-one day)."""
+    vals, kind = n3._decode_cf_time(
+        np.array([-0.5, 0.5, 1.5]), "days since 2000-01-01")
+    assert kind == "timestamp"
+    assert [str(v) for v in vals] == [
+        "1999-12-31T12:00:00", "2000-01-01T12:00:00",
+        "2000-01-02T12:00:00"]
+    # integral offsets still type as DATE
+    vals, kind = n3._decode_cf_time(
+        np.array([0.0, 1.0]), "days since 2000-01-01")
+    assert kind == "date"
+    # end-to-end: the distributed ingest peeks the first file's time
+    # values at plan time and types the column TIMESTAMP
+    p = str(tmp_path / "midday.nc")
+    n3.write_nc3(
+        p, {"time": 3, "cell": 1},
+        {"time": (["time"], np.array([0.5, 1.5, 2.5])),
+         "cell": (["cell"], np.array([7], dtype="int32")),
+         "tas": (["time", "cell"], np.arange(3.0).reshape(3, 1))},
+        var_attrs={"time": {"units": "days since 2001-05-01"}},
+    )
+    df = n3.ingest_netcdf3(spark, [p], ["tas"])
+    assert dict(df.dtypes)["time"] == "timestamp"
+    got = sorted(str(r["time"]) for r in df.collect())
+    assert got == ["2001-05-01 12:00:00", "2001-05-02 12:00:00",
+                   "2001-05-03 12:00:00"]
+
+
 def test_nonstandard_calendar_gates(tmp_path):
     """noleap/360_day cannot decode to datetime64 — honest gate at plan
     time, with the integer-offset escape hatch working."""

@@ -314,12 +314,19 @@ def jones_day_length_latitude_coefficient(
     (reference helpers.py:688-790): per (cells, year), the sum of
     spencer day lengths over [start_date, end_date) gives
     ``k_jones = 2.8311e-4 * sum + 0.30834``; the 'gladstones' variant is
-    the published linear transform ``1.1135 k - 0.1352``.  A season
-    where EVERY cell's k is below 1.0 nulls out (the reference's
-    all-below-1 guard), via one window over the year-sized aggregate;
-    ``floor`` clamps k to >= 1 instead.  Returns a DataFrame of
-    (cells, period, k) — dim-sized, broadcastable against the fact
-    side."""
+    the published linear transform ``1.1135 k - 0.1352``.  Matching the
+    reference's order of operations (helpers.py:770-806): the
+    all-below-1 guard is evaluated on the RAW jones coefficient (a
+    season where every cell's k_jones < 1.0 nulls out), THEN the
+    gladstones transform is applied, THEN ``floor`` clamps to >= 1 —
+    so with floor=True a guard-nulled season floors to 1.0 (xarray's
+    ``where(k >= 1, 1.0)`` maps NaN to 1.0, as does Spark's
+    null-condition ``otherwise``).  The reference additionally raises
+    ValueError when every season nulls out; that is a data-dependent
+    check this lazy builder cannot do at plan time — callers that need
+    it should assert ``k.where("k is not null").head() is not None``.
+    Returns a DataFrame of (cells, period, k) — dim-sized,
+    broadcastable against the fact side."""
     from pyspark.sql import Window
 
     from ..calendar import period_start
@@ -335,17 +342,18 @@ def jones_day_length_latitude_coefficient(
         .groupBy(*cells, period_start(time, freq).alias("period"))
         .agg(F.sum(dl).alias("_sdl"))
     )
-    k = 2.8311e-4 * F.col("_sdl") + 0.30834
-    if method == "gladstones":
-        k = 1.1135 * k - 0.1352
-    elif method != "jones":
+    if method not in ("jones", "gladstones"):
         raise NotImplementedError("method must be 'jones' or 'gladstones'")
-    agg = agg.withColumn("_k", k)
-    if floor:
-        return agg.select(*cells, "period",
-                          F.greatest("_k", F.lit(1.0)).alias("k"))
+    # Guard on the RAW jones coefficient (reference helpers.py:786-787),
+    # then transform, then floor — in that order.
+    agg = agg.withColumn("_k", 2.8311e-4 * F.col("_sdl") + 0.30834)
     w = Window.partitionBy("period")
     all_below = F.max("_k").over(w) < 1.0
-    return agg.select(*cells, "period",
-                      F.when(all_below, F.lit(None)).otherwise(F.col("_k"))
-                      .alias("k"))
+    k = F.when(all_below, F.lit(None)).otherwise(F.col("_k"))
+    if method == "gladstones":
+        k = 1.1135 * k - 0.1352
+    if floor:
+        # null condition -> otherwise branch, so guard-nulls floor to
+        # 1.0, matching xarray's where(k >= 1, 1.0) NaN behaviour.
+        k = F.when(k >= 1.0, k).otherwise(F.lit(1.0))
+    return agg.select(*cells, "period", k.alias("k"))

@@ -1174,11 +1174,17 @@ def corn_heat_units_c(df, cols, params, *, time, cells, alias):
     return df.select(*cells, time, chu.alias(alias))
 
 
-def _huglin_k(lat_col, method: str = "huglin"):
-    """Day-length latitude coefficient (reference helpers.py:528-616)."""
+def _huglin_k(lat_col, method: str = "huglin", cap_value: float = 1.0):
+    """Day-length latitude coefficient (reference helpers.py:528-616).
+
+    ``cap_value`` is the value used poleward of 50 deg latitude; the
+    raw helper defaults it to NaN, but the huglin_index/bedd
+    INDICATORS default it to 1.0 (reference _agro.py:157,281) so
+    grids reaching beyond +-50 deg still produce finite sums."""
     from ..functions.solar import huglin_day_length_latitude_coefficient
 
-    return huglin_day_length_latitude_coefficient(lat_col, method=method)
+    return huglin_day_length_latitude_coefficient(
+        lat_col, method=method, cap_value=cap_value)
 
 
 def _annual_k_times_sum(df, val, dl, params, *, time, cells, alias,
@@ -1230,7 +1236,8 @@ def huglin_index(df, cols, params, *, time, cells, alias):
         return _annual_k_times_sum(
             df.filter(sel), base, dl, params, time=time, cells=cells,
             alias=alias)
-    hi = base * _huglin_k(F.col(cols["lat"]), method)
+    hi = base * _huglin_k(F.col(cols["lat"]), method,
+                          float(params.get("cap_value", 1.0)))
     per = period_start(time, params["freq"])
     return (
         df.filter(sel).groupBy(*cells, per.alias("period"))
@@ -1269,7 +1276,8 @@ def bedd(df, cols, params, *, time, cells, alias):
             .otherwise(F.lit(0.0))
         )
         if method in ("huglin", "interpolated"):
-            k = _huglin_k(F.col(cols["lat"]), method)
+            k = _huglin_k(F.col(cols["lat"]), method,
+                          float(params.get("cap_value", 1.0)))
         elif method == "gladstones":
             k = gladstones_day_length_latitude_coefficient(
                 time, F.col(cols["lat"]))

@@ -467,17 +467,30 @@ def _check_calendar(calendar: str, path: str) -> None:
 
 
 def _decode_cf_time(vals: np.ndarray, units: str, calendar: str = "",
-                    path: str = "<nc3>"):
+                    path: str = "<nc3>", expect: str | None = None):
     """CF time decode for standard calendars; returns (values, kind)
-    with kind one of 'date' / 'timestamp' / None (not decoded)."""
+    with kind one of 'date' / 'timestamp' / None (not decoded).
+
+    'days since <midnight epoch>' with NON-INTEGRAL offsets (midday-
+    centred daily axes, common in model output) decodes as 'timestamp'
+    — truncating to whole days would silently drop the sub-day
+    component (and truncate toward zero pre-epoch), where the
+    reference's xarray decode preserves it.  ``expect='timestamp'``
+    forces the timestamp branch so a mixed dataset (one file integral,
+    another fractional) types consistently instead of erroring on
+    kind drift."""
     _check_calendar(calendar, path)
     m = _SINCE_RE.match(units or "")
     if not m:
         return vals, None
     kind = _time_kind(units)
     if kind == "date":
-        epoch = np.datetime64(m.group(2), "D")
-        return epoch + vals.astype("int64").astype("timedelta64[D]"), kind
+        fvals = vals.astype("float64")
+        if expect != "timestamp" and np.all(fvals == np.floor(fvals)):
+            epoch = np.datetime64(m.group(2), "D")
+            return (epoch + fvals.astype("int64")
+                    .astype("timedelta64[D]"), kind)
+        kind = "timestamp"
     tod = m.group(3) or "00:00"
     epoch = np.datetime64(f"{m.group(2)}T{tod}", "s")
     per = {"day": 86400, "hour": 3600,
@@ -544,7 +557,10 @@ def iter_nc3_frames(
                 at = h["variables"][d]["attrs"]
                 u = _scalar_attr(at.get("units", ""))
                 cal = _scalar_attr(at.get("calendar", ""))
-                vals, kind = _decode_cf_time(vals, u, cal, path)
+                vals, kind = _decode_cf_time(
+                    vals, u, cal, path,
+                    expect=(None if expect_time_kind == "auto"
+                            else expect_time_kind))
                 if expect_time_kind != "auto" and kind != expect_time_kind:
                     raise ValueError(
                         f"{path}: time units decode to {kind!r} but the "
@@ -604,6 +620,14 @@ def ingest_netcdf3(
         at = h0["variables"][decode_time]["attrs"]
         _check_calendar(_scalar_attr(at.get("calendar", "")), paths[0])
         tkind = _time_kind(_scalar_attr(at.get("units", "")))
+        if tkind == "date":
+            # Peek the first file's time coordinate (one value per
+            # record — tiny): fractional day offsets (midday-centred
+            # axes) must type as TIMESTAMP, not truncate to DATE.
+            tv = read_nc3_var(paths[0], decode_time, h0) \
+                .astype("float64")
+            if not np.all(tv == np.floor(tv)):
+                tkind = "timestamp"
 
     fields = []
     for d in dims:

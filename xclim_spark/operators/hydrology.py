@@ -110,9 +110,15 @@ def _mk_kernel(x: np.ndarray) -> tuple[float, float]:
     pymannkendall ``original_test`` pair the reference wraps
     (_hydrology.py:925-929): S from pairwise signs, tie-corrected
     variance, continuity-corrected z, two-sided normal p; the slope is
-    the median of ``(x_j - x_i)/(j - i)``."""
+    the median of ``(x_j - x_i)/(j - i)``.
+
+    Missing values are dropped first with COMPRESSED indexing —
+    pymannkendall's default ``missing_values_analysis('skip')``
+    removes NaNs and re-indexes the remaining points consecutively, so
+    one all-null period must not NaN out the whole (cell, season)."""
     import math
 
+    x = x[~np.isnan(x)]
     n = len(x)
     if n < 2:
         return float("nan"), float("nan")

@@ -4,8 +4,8 @@ The library itself never creates sessions (every operator takes the
 caller's DataFrames), but deployments keep re-deriving the same config
 set, so :func:`session` encodes it once with the 100 TB rationale
 attached to each knob.  Everything is an overridable default — an
-existing session is returned untouched unless ``force`` asks for config
-application on a new one.
+already-active session is returned untouched (Spark configs are
+immutable post-start).
 
 Why these defaults:
 
@@ -59,10 +59,17 @@ def session(
     """Build (or reuse) a SparkSession with the engine's recommended
     configuration (see module docstring for the per-knob rationale).
 
-    ``overrides`` win over :data:`RECOMMENDED`; an already-active
-    session is returned as-is (Spark configs are immutable post-start —
-    this helper never mutates a running session behind the caller's
-    back)."""
+    ``overrides`` win over :data:`RECOMMENDED` and must be Spark conf
+    keys (``spark.*``) — anything else raises, so a mistyped kwarg
+    (e.g. ``app_name=`` instead of ``app=``) fails loudly instead of
+    being swallowed as a bogus conf entry.  An already-active session
+    is returned as-is (Spark configs are immutable post-start — this
+    helper never mutates a running session behind the caller's back)."""
+    bad = [k for k in overrides if not k.startswith("spark.")]
+    if bad:
+        raise TypeError(
+            f"session() override keys must be Spark conf keys "
+            f"('spark.*'); got {bad!r} — did you mean app=/master=?")
     active = SparkSession.getActiveSession()
     if active is not None:
         return active
