@@ -255,3 +255,42 @@ def test_create_ensemble_mixed_calendars(spark):
     assert len(rows) == 730
     assert {r["realization"] for r in rows} == {0, 1}
     assert all(r["time"] is not None for r in rows)
+
+
+def test_decode_cf_offsets_360day(spark):
+    """Integer CF day offsets -> (year, doy) in 360_day: pure integer
+    algebra, floor semantics for pre-epoch offsets."""
+    df = spark.createDataFrame(
+        [(o,) for o in [0, 29, 30, 359, 360, -1, -360, 725]],
+        "t LONG")
+    y, d = c360.decode_cf_offsets("t", "days since 1995-01-01", "360_day")
+    rows = {r["t"]: (r["y"], r["d"]) for r in
+            df.select("t", y.alias("y"), d.alias("d")).collect()}
+    assert rows[0] == (1995, 1)
+    assert rows[29] == (1995, 30)     # last day of 360_day January
+    assert rows[30] == (1995, 31)     # Feb 1 -> doy 31
+    assert rows[359] == (1995, 360)
+    assert rows[360] == (1996, 1)
+    assert rows[-1] == (1994, 360)    # floor, not truncate-toward-zero
+    assert rows[-360] == (1994, 1)
+    assert rows[725] == (1997, 6)
+
+
+def test_decode_cf_offsets_noleap_midyear_epoch(spark):
+    """noleap with a mid-year epoch: 'days since 2000-03-01' starts at
+    doy 60 (31+28+1), and years advance every 365 days."""
+    df = spark.createDataFrame([(0,), (305,), (306,), (-60,)], "t LONG")
+    y, d = c360.decode_cf_offsets("t", "days since 2000-03-01", "noleap")
+    rows = {r["t"]: (r["y"], r["d"]) for r in
+            df.select("t", y.alias("y"), d.alias("d")).collect()}
+    assert rows[0] == (2000, 60)
+    assert rows[305] == (2000, 365)
+    assert rows[306] == (2001, 1)
+    assert rows[-60] == (1999, 365)
+
+
+def test_decode_cf_offsets_rejects_standard_and_bad_units(spark):
+    with pytest.raises(ValueError, match="fixed-length"):
+        c360.decode_cf_offsets("t", "days since 2000-01-01", "standard")
+    with pytest.raises(ValueError, match="days since"):
+        c360.decode_cf_offsets("t", "hours since 2000-01-01", "360_day")

@@ -135,3 +135,38 @@ def test_bootstrap_days_over_percentile_matches_bruteforce(spark):
             reps.append(count)
         expect = float(np.mean(reps))
         assert got[y] == pytest.approx(expect, rel=1e-12), y
+
+
+def test_bootstrap_spell_duration_csdi(spark):
+    """Bootstrapped spell-duration (CSDI shape): a 10-day dip in one
+    in-base year counts as spell days ONLY for that year (the other
+    years' thresholds absorb the dip into their pools), and a dip
+    shorter than spell_window counts zero."""
+    from datetime import date, timedelta
+
+    years = [2001, 2002, 2003]
+    rows = []
+    for y in years:
+        t0 = date(y, 1, 1)
+        for i in range(365):
+            q = 20.0
+            if y == 2002 and 100 <= i < 110:
+                q = 0.0           # 10-day cold dip
+            if y == 2003 and 200 <= i < 205:
+                q = 0.0           # 5-day dip: below spell_window
+            rows.append((0, t0 + timedelta(days=i), q))
+    df = spark.createDataFrame(rows, "cell INT, time DATE, value DOUBLE")
+
+    out = pc.bootstrap_spell_duration(
+        df, "value", 0.1, base_years=years, window=5, spell_window=6,
+        op="<", cells=["cell"])
+    got = {r["year"]: r["spell_days"] for r in out.collect()}
+    assert set(got) == set(years)
+    # 2002's thresholds come from pools EXCLUDING 2002 -> all 20s ->
+    # the 10 dip days are all < 20 and form one >=6 run
+    assert got[2002] == pytest.approx(10.0)
+    # 2003's 5-day dip is < spell_window (its pools are all 20s except
+    # the 2002 dip bleeding in at far-away doys)
+    assert got[2003] == pytest.approx(0.0)
+    # 2001 is flat at 20; thresholds are <= 20 everywhere -> no days
+    assert got[2001] == pytest.approx(0.0)

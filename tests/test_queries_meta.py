@@ -24,6 +24,46 @@ def _driver_checked() -> set[str]:
     return names
 
 
+def _latest_rounds() -> tuple[dict[str, int], int]:
+    """Newest ledger round carrying each query, and the newest round
+    overall."""
+    latest: dict[str, int] = {}
+    max_round = 0
+    for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        base = os.path.basename(p)
+        rnd = int(base[len("CORRECTNESS_r"):-len(".json")])
+        max_round = max(max_round, rnd)
+        with open(p) as f:
+            d = json.load(f)
+        names = d.keys() if isinstance(d, dict) \
+            else (r.get("name") for r in d)
+        for n in names:
+            latest[n] = max(latest.get(n, 0), rnd)
+    return latest, max_round
+
+
+STALE_AGE = 4  # rounds since last driver row before a query must rotate
+
+
+def test_stale_queries_rotate_into_driver_window():
+    """Age-out rule (round-8 addition): a query whose NEWEST driver-green
+    row is >= STALE_AGE rounds old must sort back into the sampled head
+    so it periodically re-earns a recent green row — 'has a row' is not
+    enough (the r7 `user_sessions` wound: last green r03, never
+    resampled because the no-row rule didn't fire)."""
+    from xclim_spark.queries import build_queries
+
+    latest, max_round = _latest_rounds()
+    order = list(build_queries())
+    head = set(order[:DRIVER_WINDOW])
+    stale = [n for n in order
+             if 0 < latest.get(n, 0) <= max_round - STALE_AGE]
+    stragglers = [n for n in stale if n not in head]
+    assert not stragglers, (
+        f"queries whose newest driver row is {STALE_AGE}+ rounds old "
+        f"must rotate into the first {DRIVER_WINDOW}: {stragglers}")
+
+
 def test_unchecked_queries_sort_inside_driver_window():
     from xclim_spark.queries import build_queries
 

@@ -25,6 +25,7 @@ __all__ = [
     "convert_doy_calendar",
     "convert_calendar",
     "common_calendar",
+    "decode_cf_offsets",
 ]
 
 # cumulative days at the END of each month, noleap calendar
@@ -127,6 +128,52 @@ def period_key(
     if freq == "D":
         return y * 10000 + m * 100 + day_from_doy(doy, cal)
     raise ValueError(f"Unsupported freq {freq!r} for calendar {calendar!r}")
+
+
+def decode_cf_offsets(
+    offsets: Column | str, units: str, calendar: str
+) -> tuple[Column, Column]:
+    """Decode CF integer day offsets in a NON-standard fixed-length
+    calendar to the engine's dual ``(year, doy)`` representation — the
+    end-to-end escape hatch the classic-NetCDF source's calendar gate
+    names (io/netcdf3.py: noleap/360_day files must be ingested with
+    ``decode_time=None`` and converted here; the reference decodes the
+    same files via cftime, calendar.py:138-361).
+
+    ``units`` must be ``'days since YYYY-MM-DD[...]'``; the epoch date
+    is interpreted IN the target calendar (a 360_day file's
+    'days since 1995-01-01' epoch is 360_day day 1).  Fixed-length
+    calendars make this pure integer algebra — no UDF, no cftime:
+    ``total = epoch_doy - 1 + offset``; ``year = y0 + floor(total/L)``;
+    ``doy = total mod L + 1`` (floor semantics keep pre-epoch offsets
+    exact).  Returns ``(year, doy)`` integer Columns.
+    """
+    import re
+
+    m = re.match(r"\s*days?\s+since\s+(-?\d{1,4})-(\d{1,2})-(\d{1,2})",
+                 units or "")
+    if not m:
+        raise ValueError(
+            f"decode_cf_offsets needs 'days since YYYY-MM-DD' units, "
+            f"got {units!r}")
+    y0, m0, d0 = int(m.group(1)), int(m.group(2)), int(m.group(3))
+    cal = _norm(calendar)
+    if cal not in CAL_DAYS_IN_YEAR:
+        raise ValueError(
+            f"decode_cf_offsets supports fixed-length calendars "
+            f"{sorted(CAL_DAYS_IN_YEAR)}; standard-calendar files "
+            f"decode natively in the source (calendar {calendar!r})")
+    L = CAL_DAYS_IN_YEAR[cal]
+    if cal == "360_day":
+        epoch_doy = (m0 - 1) * 30 + d0
+    else:
+        cum = _cum(cal)
+        epoch_doy = ([0] + cum[:-1])[m0 - 1] + d0
+    off = F.col(offsets) if isinstance(offsets, str) else offsets
+    total = F.lit(epoch_doy - 1) + off.cast("long")
+    year = (F.lit(y0) + F.floor(total / F.lit(L))).cast("int")
+    doy = (F.pmod(total, F.lit(L)) + 1).cast("int")
+    return year, doy
 
 
 def convert_doy_calendar(

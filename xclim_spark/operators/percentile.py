@@ -41,6 +41,7 @@ __all__ = [
     "percentile_doy_sql",
     "resample_doy",
     "bootstrap_days_over_percentile",
+    "bootstrap_spell_duration",
     "hyndman_fan_quantile_sql",
 ]
 
@@ -257,6 +258,45 @@ def bootstrap_days_over_percentile(
     <alias>`` for the in-base years only (out-of-base years use the
     plain climatology path).
     """
+    per = _bootstrap_doy_thresholds(
+        df, var, p, base_years=base_years, window=window, time=time,
+        cells=cells, alpha=alpha, beta=beta)
+
+    from .generic import get_op
+
+    fact = df.filter(F.year(time).isin(sorted(base_years))) \
+        .withColumn("year", F.year(time)) \
+        .withColumn("dayofyear", doy365(time))
+    j = fact.join(per, on=[*cells, "year", "dayofyear"])
+    exceed = get_op(op)(F.col(var), F.col("_thresh"))
+    per_rep = j.groupBy(*cells, "year", "_r").agg(
+        F.sum(exceed.cast("long")).alias("_n")
+    )
+    return per_rep.groupBy(*cells, "year").agg(
+        F.avg("_n").alias(alias)
+    )
+
+
+def _bootstrap_doy_thresholds(
+    df: DataFrame,
+    var: str,
+    p: float,
+    *,
+    base_years: Sequence[int],
+    window: int = 5,
+    time: str = "time",
+    cells: Sequence[str] = (),
+    alpha: float = 1 / 3,
+    beta: float = 1 / 3,
+) -> DataFrame:
+    """The Zhang-2005 replacement-pool threshold table shared by the
+    days-over and spell-duration bootstraps: one row per ``(cells,
+    dayofyear, year, _r)`` with ``_thresh`` the Hyndman-Fan p-quantile
+    of the base period where in-base year ``year``'s values are
+    replaced by year ``_r``'s (so ``_r`` counts twice).  See
+    :func:`bootstrap_days_over_percentile` for the plan-shape
+    rationale (single shuffle; the n_years^2 factor lives in map-side
+    array expressions)."""
     years = sorted(base_years)
     pairs = [(y, r) for y in years for r in years if r != y]
     base = df.filter(F.year(time).isin(years))
@@ -300,7 +340,7 @@ def bootstrap_days_over_percentile(
                  F.lit(idx[y]).alias("_yi"), F.lit(idx[r]).alias("_ri"))
         for y, r in pairs
     ])
-    per = (
+    return (
         year_arrays
         .withColumn("_yrs", F.array(*[F.col(f"_a{y}") for y in years]))
         .drop(*[f"_a{y}" for y in years])
@@ -314,19 +354,60 @@ def bootstrap_days_over_percentile(
                                  beta=beta).alias("_thresh"))
     )
 
+
+def bootstrap_spell_duration(
+    df: DataFrame,
+    var: str,
+    p: float = 0.1,
+    *,
+    base_years: Sequence[int],
+    window: int = 5,
+    spell_window: int = 6,
+    op: str = "<",
+    time: str = "time",
+    cells: Sequence[str] = (),
+    alpha: float = 1 / 3,
+    beta: float = 1 / 3,
+    alias: str = "spell_days",
+) -> DataFrame:
+    """Zhang-2005 bootstrapped CSDI/WSDI for in-base years (reference
+    ``percentile_bootstrap`` applied to the spell-duration indices,
+    src/xclim/core/bootstrapping.py:22-211 at
+    src/xclim/indices/_multivariate.py:69,1719).
+
+    Same replacement-pool thresholds as
+    :func:`bootstrap_days_over_percentile`, but the per-replacement
+    statistic is days inside >= ``spell_window`` consecutive-day runs
+    beyond the threshold (the run-length family), not a plain
+    exceedance count: for each in-base year ``y`` and replacement
+    ``r``, the year's daily flags are re-evaluated against the (y, r)
+    climatology and sessionized per ``(cells, _r, year)`` — ordering
+    by real date, so leap-day pooling on the 365-day threshold axis
+    never perturbs run contiguity — then the counts are averaged over
+    replacements.
+
+    Plan shape: one threshold shuffle (shared builder), one fact join
+    that replicates in-base rows x(n_years-1) — the inherent Zhang
+    factor, carried as rows not plan copies — and one windowed pass
+    per (cells, _r, year) partition of ~365 rows.  Returns ``cells...,
+    year, <alias>`` for the in-base years only."""
+    from . import run_length as rl
     from .generic import get_op
 
-    fact = base.withColumn("year", F.year(time)).withColumn(
-        "dayofyear", doy365(time)
-    )
+    per = _bootstrap_doy_thresholds(
+        df, var, p, base_years=base_years, window=window, time=time,
+        cells=cells, alpha=alpha, beta=beta)
+    fact = df.filter(F.year(time).isin(sorted(base_years))) \
+        .withColumn("year", F.year(time)) \
+        .withColumn("dayofyear", doy365(time))
     j = fact.join(per, on=[*cells, "year", "dayofyear"])
-    exceed = get_op(op)(F.col(var), F.col("_thresh"))
-    per_rep = j.groupBy(*cells, "year", "_r").agg(
-        F.sum(exceed.cast("long")).alias("_n")
-    )
-    return per_rep.groupBy(*cells, "year").agg(
-        F.avg("_n").alias(alias)
-    )
+    cond = get_op(op)(F.col(var), F.col("_thresh"))
+    counts = rl.windowed_run_count(
+        j, cond, int(spell_window), freq="YS", time=time,
+        cells=[*cells, "_r"], alias="_n")
+    return counts.groupBy(
+        *cells, F.year("period").cast("int").alias("year")
+    ).agg(F.avg("_n").alias(alias))
 
 
 def hyndman_fan_quantile_sql(var: str, p: float) -> str:

@@ -3432,6 +3432,90 @@ def boot_tg90p_ys(spark, sf_dir):
     return out.withColumn("days_over", F.round("days_over", 6))
 
 
+def _boot_csdi_oracle() -> str:
+    from .calendar import doy365_sql
+    from .operators.percentile import hf_quantile_sql
+
+    d365 = doy365_sql("day")
+    q = hf_quantile_sql("qty", 0.1)
+    return f"""WITH {DAILY_SQL},
+years AS (SELECT unnest([1996, 1997, 1998]) AS y),
+pairs AS (SELECT a.y AS y, b.y AS r FROM years a, years b WHERE a.y <> b.y),
+base AS (
+  SELECT cell, day, qty, CAST(year(day) AS INT) AS v, {d365} AS doy0
+  FROM daily WHERE year(day) IN (1996, 1997, 1998)
+),
+pooled AS (
+  SELECT p.y, p.r, b.cell, b.qty,
+         ((b.doy0 - 1 + off.o + 365) % 365) + 1 AS dayofyear
+  FROM base b
+  JOIN pairs p ON b.v <> p.y
+  CROSS JOIN (SELECT unnest(range(-2, 3)) AS o) off
+  CROSS JOIN (SELECT unnest([1, 2]) AS dup) d
+  WHERE d.dup = 1 OR b.v = p.r
+),
+per AS (
+  SELECT cell, y AS year, r, dayofyear, {q} AS thresh
+  FROM pooled GROUP BY cell, y, r, dayofyear
+),
+flags AS (
+  -- LEFT JOIN: a day whose replacement pool is EMPTY (no other base
+  -- year has samples in its doy window) stays in the series with a
+  -- NULL threshold -> flag 0, BREAKING runs — the reference's
+  -- NaN-comparison-is-False run semantics — rather than vanishing
+  -- and splicing its neighbours into one run.
+  SELECT f.cell, f.year, p.r, f.day,
+         CASE WHEN per.thresh IS NOT NULL AND f.qty < per.thresh
+              THEN 1 ELSE 0 END AS flg
+  FROM (SELECT cell, v AS year, doy0 AS dayofyear, day, qty
+        FROM base) f
+  JOIN pairs p ON p.y = f.year
+  LEFT JOIN per ON f.cell = per.cell AND f.year = per.year
+          AND p.r = per.r AND f.dayofyear = per.dayofyear
+),
+runs AS (
+  SELECT cell, year, r, count(*) AS len
+  FROM (
+    SELECT *, sum(CASE WHEN chg THEN 1 ELSE 0 END)
+                OVER (PARTITION BY cell, year, r ORDER BY day) AS run_id
+    FROM (SELECT *, (flg IS DISTINCT FROM lag(flg)
+                     OVER (PARTITION BY cell, year, r ORDER BY day)) AS chg
+          FROM flags)
+  ) WHERE flg = 1 GROUP BY cell, year, r, run_id
+),
+per_rep AS (
+  SELECT fl.cell, fl.year, fl.r, COALESCE(s.n, 0) AS n
+  FROM (SELECT DISTINCT cell, year, r FROM flags) fl
+  LEFT JOIN (SELECT cell, year, r, sum(len) AS n
+             FROM runs WHERE len >= 6 GROUP BY 1, 2, 3) s
+    ON fl.cell = s.cell AND fl.year = s.year AND fl.r = s.r
+)
+SELECT cell, year, ROUND(avg(n), 6) AS spell_days
+FROM per_rep GROUP BY 1, 2"""
+
+
+@_register("boot_csdi_ys", _boot_csdi_oracle())
+def boot_csdi_ys(spark, sf_dir):
+    """Zhang-2005 bootstrapped cold-spell duration index for in-base
+    years (reference bootstrapping.py:22-211 applied to
+    _multivariate.py:69 cold_spell_duration_index): each in-base
+    year's doy-10th-percentile is recomputed with that year replaced
+    by every other base year, daily flags re-evaluated against each
+    (y, r) climatology, spell days (runs >= 6 consecutive days below
+    threshold) counted per replacement and averaged.  The run
+    sessionization orders by real date per (cell, _r, year) — the
+    O(n_years^2) factor is carried as replicated rows through one
+    join, never as plan copies."""
+    from .operators.percentile import bootstrap_spell_duration
+
+    d = daily_series(spark, sf_dir)
+    out = bootstrap_spell_duration(
+        d, "qty", 0.1, base_years=[1996, 1997, 1998], window=5,
+        spell_window=6, op="<", time="day", cells=["cell"],
+        alias="spell_days")
+    return out.withColumn("spell_days", F.round("spell_days", 6))
+
+
 # ---------------------------------------------------------------------------
 # Spatial analogs (reference analog.py:21-130) — one pandas task per cell
 # ---------------------------------------------------------------------------
@@ -6030,6 +6114,89 @@ def nc3_ingest_ms(spark, sf_dir):
 
 
 @_register(
+    "nc3_cal360_monthly",
+    f"""WITH {DAILY_SQL}
+SELECT cell,
+       CAST(19950000 + (CAST(floor((dayofyear(day) - 1) / 30) AS INT) + 1)
+            * 100 + 1 AS INT) AS pkey,
+       ROUND(avg(qty), 6) AS qty_mean
+FROM daily
+WHERE year(day) = 1995 AND dayofyear(day) <= 360
+GROUP BY 1, 2""",
+)
+def nc3_cal360_monthly(spark, sf_dir):
+    """Non-standard-calendar NetCDF recipe, end-to-end (the calendar
+    gate's escape hatch wired through: io/netcdf3.py plan-time gate ->
+    ``decode_time=None`` integer ingest -> calendar360
+    ``decode_cf_offsets`` -> period_key monthly mean; the reference
+    decodes the same files transparently via cftime,
+    calendar.py:138-361).  The fixture is a classic file whose time
+    variable carries ``calendar: 360_day`` and ``days since
+    1995-01-01`` — 1995's first 360 daily values laid onto the
+    360-day axis — so month boundaries fall every 30 days, NOT on
+    Gregorian months; the units/calendar attrs are read back from the
+    file header, not assumed."""
+    import hashlib
+    import os
+
+    import numpy as np
+
+    from .calendar360 import decode_cf_offsets, period_key
+    from .io.netcdf3 import (
+        _scalar_attr,
+        ingest_netcdf3,
+        read_nc3_header,
+        write_nc3,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    root = f"/tmp/xclim_spark_nc360_{tag}"
+    path = os.path.join(root, "qty_360day_1995.nc")
+    done = os.path.join(root, "_done")
+    if not os.path.exists(done):
+        import duckdb
+
+        con = duckdb.connect()
+        rows = con.execute(
+            f"""SELECT l_suppkey AS cell,
+                       dayofyear(l_shipdate) AS doy,
+                       avg(l_quantity) AS qty
+                FROM '{sf_dir}/lineitem.parquet'
+                WHERE year(l_shipdate) = 1995
+                  AND dayofyear(l_shipdate) <= 360
+                GROUP BY 1, 2"""
+        ).fetchnumpy()
+        cells = np.unique(rows["cell"]).astype("int32")
+        ci = np.searchsorted(cells, rows["cell"])
+        fill = -9.96921e36
+        mat = np.full((360, len(cells)), fill)
+        mat[rows["doy"].astype(int) - 1, ci] = rows["qty"]
+        os.makedirs(root, exist_ok=True)
+        write_nc3(
+            path, {"time": 360, "cell": len(cells)},
+            {"time": (["time"], np.arange(360, dtype="int32")),
+             "cell": (["cell"], cells),
+             "qty": (["time", "cell"], mat)},
+            var_attrs={
+                "time": {"units": "days since 1995-01-01",
+                         "calendar": "360_day"},
+                "qty": {"_FillValue": np.array([fill])}},
+        )
+        open(done, "w").close()
+    tat = read_nc3_header(path)["variables"]["time"]["attrs"]
+    units = _scalar_attr(tat["units"])
+    calendar = _scalar_attr(tat["calendar"])
+    df = ingest_netcdf3(spark, [path], ["qty"], decode_time=None)
+    year, doy = decode_cf_offsets("time", units, calendar)
+    df = (df.filter(F.col("qty").isNotNull())
+          .withColumn("_y", year).withColumn("_doy", doy))
+    return df.groupBy(
+        "cell",
+        period_key("_y", "_doy", "MS", calendar).cast("int").alias("pkey"),
+    ).agg(F.round(F.avg("qty"), 6).alias("qty_mean"))
+
+
+@_register(
     "nc3_subdaily_ingest",
     f"""WITH {DAILY_SQL}
 SELECT cell, day AS date, ROUND(avg(qty) + 0.375, 6) AS qmean
@@ -6101,6 +6268,11 @@ def nc3_subdaily_ingest(spark, sf_dir):
 # list each round), then queries whose last driver-green row is oldest.
 # Rotate this list every round so every query re-earns a recent green row.
 _PRIORITY = [
+    # -- round 8 additions (never driver-checked) --
+    "boot_csdi_ys", "nc3_cal360_monthly",
+    # -- age-out rule (tests/test_queries_meta.py): newest driver row
+    #    4+ rounds old -> rotate back into the sampled head --
+    "user_sessions",
     # -- round 7 additions (never driver-checked) --
     "conv_heat_index_ms", "conv_dewpoint_rh_ms", "conv_spec_humidity_ms",
     "conv_wind_dir_ms", "conv_vpd_ms", "conv_pet_ms",
@@ -6120,7 +6292,6 @@ _PRIORITY = [
     "conv_windchill_ms", "conv_snowfrac_ys", "dedup_exact", "hydro_bfi_ys",
     "hydro_rbi_ys", "ind_etr_ms", "ind_gsl_ys", "ind_precip_acc_qs",
     "ind_wetdays_ms", "mv_revenue_nation_ms", "text_stats_lang",
-    "user_sessions",
     # -- last driver-green in round 4 --
     "decontam_docs", "mixture_sample_src", "tree_tx_days_above",
     "level_crossings_ms", "winter_rain_ratio_qs", "fire_components_ms",
