@@ -276,6 +276,23 @@ def test_decode_cf_offsets_360day(spark):
     assert rows[725] == (1997, 6)
 
 
+def test_decode_cf_offsets_fractional_floor(spark):
+    """Fractional CF offsets (midday-centred axes) keep floor-day
+    semantics: -0.5 is the last day of 1994, 0.5 is doy 1 of 1995 —
+    cast('long') would truncate -0.5 to 0 and land pre-epoch samples on
+    the wrong day."""
+    df = spark.createDataFrame(
+        [(o,) for o in [-0.5, 0.5, 1.5, 359.5, 360.5]], "t DOUBLE")
+    y, d = c360.decode_cf_offsets("t", "days since 1995-01-01", "360_day")
+    rows = {r["t"]: (r["y"], r["d"]) for r in
+            df.select("t", y.alias("y"), d.alias("d")).collect()}
+    assert rows[-0.5] == (1994, 360)
+    assert rows[0.5] == (1995, 1)
+    assert rows[1.5] == (1995, 2)
+    assert rows[359.5] == (1995, 360)
+    assert rows[360.5] == (1996, 1)
+
+
 def test_decode_cf_offsets_noleap_midyear_epoch(spark):
     """noleap with a mid-year epoch: 'days since 2000-03-01' starts at
     doy 60 (31+28+1), and years advance every 365 days."""

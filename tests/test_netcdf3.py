@@ -277,6 +277,34 @@ def test_fractional_day_offsets_decode_timestamp(spark, tmp_path):
                    "2001-05-03 12:00:00"]
 
 
+def test_fractional_day_in_later_file_types_timestamp(spark, tmp_path):
+    """Multi-file dataset whose FIRST file has integral day offsets but
+    a LATER file fractional ones must still type TIMESTAMP at plan time
+    (the r8 peek looked only at paths[0], so this raised 'units drifted'
+    at executor time instead)."""
+    p1 = str(tmp_path / "a_integral.nc")
+    p2 = str(tmp_path / "b_midday.nc")
+    n3.write_nc3(
+        p1, {"time": 2, "cell": 1},
+        {"time": (["time"], np.array([0.0, 1.0])),
+         "cell": (["cell"], np.array([7], dtype="int32")),
+         "tas": (["time", "cell"], np.arange(2.0).reshape(2, 1))},
+        var_attrs={"time": {"units": "days since 2001-05-01"}},
+    )
+    n3.write_nc3(
+        p2, {"time": 2, "cell": 1},
+        {"time": (["time"], np.array([2.5, 3.5])),
+         "cell": (["cell"], np.array([7], dtype="int32")),
+         "tas": (["time", "cell"], np.arange(2.0, 4.0).reshape(2, 1))},
+        var_attrs={"time": {"units": "days since 2001-05-01"}},
+    )
+    df = n3.ingest_netcdf3(spark, [p1, p2], ["tas"])
+    assert dict(df.dtypes)["time"] == "timestamp"
+    got = sorted(str(r["time"]) for r in df.collect())
+    assert got == ["2001-05-01 00:00:00", "2001-05-02 00:00:00",
+                   "2001-05-03 12:00:00", "2001-05-04 12:00:00"]
+
+
 def test_nonstandard_calendar_gates(tmp_path):
     """noleap/360_day cannot decode to datetime64 — honest gate at plan
     time, with the integer-offset escape hatch working."""

@@ -46,22 +46,40 @@ STALE_AGE = 4  # rounds since last driver row before a query must rotate
 
 
 def test_stale_queries_rotate_into_driver_window():
-    """Age-out rule (round-8 addition): a query whose NEWEST driver-green
-    row is >= STALE_AGE rounds old must sort back into the sampled head
-    so it periodically re-earns a recent green row — 'has a row' is not
-    enough (the r7 `user_sessions` wound: last green r03, never
-    resampled because the no-row rule didn't fire)."""
+    """Age-out rule (round-8, made feasible round-9 per ADVICE): queries
+    whose NEWEST driver-green row is >= STALE_AGE rounds old must rotate
+    back into the sampled head so they periodically re-earn a recent green
+    row — 'has a row' is not enough (the r7 `user_sessions` wound: last
+    green r03, never resampled because the no-row rule didn't fire).
+
+    Feasibility: the head has only DRIVER_WINDOW slots and never-checked
+    queries claim theirs first, so when the stale set outnumbers the
+    remaining capacity we require (a) the head's leftover capacity is
+    FILLED with stale queries and (b) no stale query left outside is
+    strictly OLDER than one rotated in — i.e. the oldest rotate first and
+    the tie-broken remainder waits for the next round."""
     from xclim_spark.queries import build_queries
 
     latest, max_round = _latest_rounds()
     order = list(build_queries())
     head = set(order[:DRIVER_WINDOW])
+    unchecked = [n for n in order if latest.get(n, 0) == 0]
     stale = [n for n in order
              if 0 < latest.get(n, 0) <= max_round - STALE_AGE]
-    stragglers = [n for n in stale if n not in head]
-    assert not stragglers, (
-        f"queries whose newest driver row is {STALE_AGE}+ rounds old "
-        f"must rotate into the first {DRIVER_WINDOW}: {stragglers}")
+    capacity = max(0, DRIVER_WINDOW - len(unchecked))
+    in_head = [n for n in stale if n in head]
+    out = [n for n in stale if n not in head]
+    assert len(in_head) >= min(capacity, len(stale)), (
+        f"head has {capacity} slots free after never-checked queries but "
+        f"only {len(in_head)} of {len(stale)} stale queries rotated in; "
+        f"waiting: {out}")
+    if in_head and out:
+        newest_in = max(latest[n] for n in in_head)
+        oldest_out = min(latest[n] for n in out)
+        assert oldest_out >= newest_in, (
+            f"stale rotation must take the OLDEST first: a round-"
+            f"{oldest_out} query waits outside while a round-{newest_in} "
+            f"query holds a head slot")
 
 
 def test_unchecked_queries_sort_inside_driver_window():

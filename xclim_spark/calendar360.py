@@ -170,7 +170,9 @@ def decode_cf_offsets(
         cum = _cum(cal)
         epoch_doy = ([0] + cum[:-1])[m0 - 1] + d0
     off = F.col(offsets) if isinstance(offsets, str) else offsets
-    total = F.lit(epoch_doy - 1) + off.cast("long")
+    # floor, not cast: a midday-centred axis (…, -0.5, 0.5, …) must keep
+    # floor-day semantics for pre-epoch samples (cast truncates toward 0)
+    total = F.lit(epoch_doy - 1) + F.floor(off).cast("long")
     year = (F.lit(y0) + F.floor(total / F.lit(L))).cast("int")
     doy = (F.pmod(total, F.lit(L)) + 1).cast("int")
     return year, doy

@@ -621,13 +621,21 @@ def ingest_netcdf3(
         _check_calendar(_scalar_attr(at.get("calendar", "")), paths[0])
         tkind = _time_kind(_scalar_attr(at.get("units", "")))
         if tkind == "date":
-            # Peek the first file's time coordinate (one value per
-            # record — tiny): fractional day offsets (midday-centred
-            # axes) must type as TIMESTAMP, not truncate to DATE.
-            tv = read_nc3_var(paths[0], decode_time, h0) \
-                .astype("float64")
-            if not np.all(tv == np.floor(tv)):
-                tkind = "timestamp"
+            # Peek EVERY file's time coordinate (one value per record —
+            # tiny): fractional day offsets (midday-centred axes) must
+            # type as TIMESTAMP, not truncate to DATE.  All files must
+            # be checked, not just the first — a dataset whose first
+            # file is integral but a later one fractional would
+            # otherwise type DATE at plan time and raise at executor
+            # time ('units drifted') instead of decoding correctly.
+            for p in paths:
+                hp = h0 if p == paths[0] else read_nc3_header(p)
+                if decode_time not in hp["variables"]:
+                    continue
+                tv = read_nc3_var(p, decode_time, hp).astype("float64")
+                if not np.all(tv == np.floor(tv)):
+                    tkind = "timestamp"
+                    break
 
     fields = []
     for d in dims:

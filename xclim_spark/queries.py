@@ -6268,12 +6268,34 @@ def nc3_subdaily_ingest(spark, sf_dir):
 # list each round), then queries whose last driver-green row is oldest.
 # Rotate this list every round so every query re-earns a recent green row.
 _PRIORITY = [
-    # -- round 8 additions (never driver-checked) --
+    # -- round 9 additions (never driver-checked) --
+    "stream_fwi_ms", "boot_r75ptot_ys", "dedup_components_star",
+    # -- age-out rotation (tests/test_queries_meta.py): the 50 queries
+    #    whose newest driver row is r4 — 4+ rounds stale at r8. Oldest
+    #    rotate first; 47 fit beside the round-9 additions, the 3
+    #    overflow entries below wait for the round-10 head. --
+    "fwi_max_ys", "spi_ms", "spei_ms", "ffdi_max_ys", "fwi_season_ys",
+    "knn_similar_docs", "knn_lsh_docs", "knn_ivf_docs",
+    "dedup_fuzzy", "dedup_simhash", "dedup_ngram", "dedup_embed",
+    "sdba_loci_adjust_ms", "sdba_qdm_adjust_ms", "sdba_dqm_adjust_ms",
+    "sdba_eqm_adjust_ms",
+    "decontam_docs", "mixture_sample_src", "tree_tx_days_above",
+    "level_crossings_ms", "winter_rain_ratio_qs", "fire_components_ms",
+    "occurrence_doy_ys", "qian_smooth_ms", "solar_correction_ms",
+    "text_repetition_stats", "stream_dedup_exact",
+    "pack_sequences_src", "fire_season_days_ys",
+    "stream_tx_days_above_30d",
+    "ens_weighted_percentiles_ms",
+    "ens_stats_ms", "ens_percentiles_ms", "fa_gumbel_rp",
+    "text_quality_by_source", "detrend_resid_std", "cal360_monthly_mean",
+    "dataflags_summary", "mm_decode_stats", "mm_binary_stats", "cf_cdd_ys",
+    "cf_txx_ms", "anu_p13_ys", "ind_wetdays_prop_ms",
+    "agro_dryness_index_ys", "agro_chill_units_ys", "agro_rain_season_ys",
+    # -- r4-stale overflow (ties with the 47 above; next round's head) --
+    "stacked_normals_3y", "sdba_properties_ms", "ens_mixed_calendar_ms",
+    # -- round 8 sampled head (newest greens; keep order for the tail) --
     "boot_csdi_ys", "nc3_cal360_monthly",
-    # -- age-out rule (tests/test_queries_meta.py): newest driver row
-    #    4+ rounds old -> rotate back into the sampled head --
     "user_sessions",
-    # -- round 7 additions (never driver-checked) --
     "conv_heat_index_ms", "conv_dewpoint_rh_ms", "conv_spec_humidity_ms",
     "conv_wind_dir_ms", "conv_vpd_ms", "conv_pet_ms",
     "agro_pet_tw48_ms", "agro_pet_da02_ms", "hydro_sen_slope_qs",
@@ -6282,38 +6304,19 @@ _PRIORITY = [
     "fit_pearson3_ms", "fa_weibull_rp", "stream_events_table",
     "nc3_subdaily_ingest", "fa_low_flow_7q10", "ind_api_ms",
     "keep_longest_run_stats", "rle_stamped_ms", "first_day_reached_ys",
-    "agg_between_doys_ys", "suspicious_runs_ys", "missing_two_steps_ys", "last_spell_end_before_jul", "daily_events_bnds_qs",
-    "ens_filters_pipeline", "zarr3_ingest_ms", "stream_user_sessions", "stream_p90_days_over",
-    # -- round 6 additions (never driver-checked; local 5/5 green) --
+    "agg_between_doys_ys", "suspicious_runs_ys", "missing_two_steps_ys",
+    "last_spell_end_before_jul", "daily_events_bnds_qs",
+    "ens_filters_pipeline", "zarr3_ingest_ms", "stream_user_sessions",
+    "stream_p90_days_over",
     "nc3_ingest_ms", "hourly_tas_mean_ms", "missing_any_hourly_ms",
     "ind_cold_dry_days_ys", "ind_warm_wet_days_ys",
-    # -- last driver-green in round 3 (longest regression window) --
     "anuclim_bio10_ys", "conv_humidex_ms", "conv_utci_ms",
     "conv_windchill_ms", "conv_snowfrac_ys", "dedup_exact", "hydro_bfi_ys",
     "hydro_rbi_ys", "ind_etr_ms", "ind_gsl_ys", "ind_precip_acc_qs",
     "ind_wetdays_ms", "mv_revenue_nation_ms", "text_stats_lang",
-    # -- last driver-green in round 4 --
-    "decontam_docs", "mixture_sample_src", "tree_tx_days_above",
-    "level_crossings_ms", "winter_rain_ratio_qs", "fire_components_ms",
-    "occurrence_doy_ys", "qian_smooth_ms", "solar_correction_ms",
-    "text_repetition_stats", "stream_dedup_exact",
-    "pack_sequences_src", "fire_season_days_ys",
-    "sdba_properties_ms",
-    "stream_tx_days_above_30d",
-    "ens_weighted_percentiles_ms", "ens_mixed_calendar_ms",
-    "dedup_simhash", "dedup_ngram", "dedup_embed", "knn_ivf_docs",
-    "ens_stats_ms", "ens_percentiles_ms", "fa_gumbel_rp", "fwi_max_ys",
-    "spi_ms", "spei_ms", "knn_similar_docs", "knn_lsh_docs", "dedup_fuzzy",
-    "text_quality_by_source", "detrend_resid_std", "cal360_monthly_mean",
-    "dataflags_summary", "mm_decode_stats", "mm_binary_stats", "cf_cdd_ys",
-    "cf_txx_ms", "anu_p13_ys", "ind_wetdays_prop_ms", "agro_dryness_index_ys",
-    "agro_chill_units_ys", "ffdi_max_ys", "agro_rain_season_ys",
-    "stacked_normals_3y",
-    # -- perf watch items (re-green after this round's plan work) --
+    # -- perf watch items --
     "ens_robustness_fracs", "boot_tg90p_ys", "unstacked_normals_3y",
-    "ind_wsdi_ys", "sdba_loci_adjust_ms", "sdba_qdm_adjust_ms",
-    "sdba_dqm_adjust_ms", "sdba_eqm_adjust_ms", "sdba_eqm_adaptfreq_ms",
-    "fwi_season_ys",
+    "ind_wsdi_ys", "sdba_eqm_adaptfreq_ms",
     # -- last driver-green in round 5 --
     "analog_seuclidean", "ens_kkz_selection",
     "ens_robustness_ttest", "hs_partition_vars", "solar_daylength_ms",
