@@ -151,3 +151,125 @@ def test_session_window_merges_across_micro_batches(spark, tmp_path):
     assert rows[1]["total_value"] == 7.0
     assert str(rows[1]["sess_start"]) == "2024-01-01 10:00:00"
     assert rows[2]["n_events"] == 1 and rows[2]["total_value"] == 5.0
+
+
+def test_streaming_cffwis_matches_batch(spark, tmp_path):
+    """Streaming CFFWIS (WF93 season automaton + overwintered DC) resumed
+    across micro-batch seams must be BIT-identical to one batch
+    cffwis_indices call over the full series: same mask transitions, same
+    moisture-code recursion, same overwinter accumulators — the state
+    threading is the only new code, the kernel is shared."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(42)
+    days = pd.date_range("2000-01-01", "2003-12-31", freq="D")
+    n = len(days)
+    rows = []
+    for cell in (1, 2):
+        # strong seasonal cycle so WF93 genuinely starts/stops each year
+        doy = days.dayofyear.to_numpy()
+        tas = (12.0 + 14.0 * np.sin((doy - 110) / 365.0 * 2 * np.pi)
+               + rng.normal(0, 2.5, n) + cell)
+        prcp = np.maximum(0.0, rng.normal(0, 4.0, n))
+        hurs = np.clip(55 + rng.normal(0, 15, n), 5, 99)
+        ws = np.clip(12 + rng.normal(0, 4, n), 0, None)
+        for i in range(n):
+            rows.append((cell, days[i].to_pydatetime(), float(tas[i]),
+                         float(prcp[i]), float(hurs[i]), float(ws[i])))
+    pdf = pd.DataFrame(rows, columns=["cell", "ts", "tas", "prcp",
+                                      "hurs", "ws"])
+
+    # batch reference over the full series
+    from xclim_spark.operators import fire
+
+    bdf = spark.createDataFrame(pdf)
+    batch = fire.cffwis_indices(
+        bdf, tas="tas", pr="prcp", hurs="hurs", sfcWind="ws", lat=47.0,
+        time="ts", cells=["cell"], season_method="WF93",
+        overwintering=True).collect()
+    bmap = {(r["cell"], r["ts"]): r for r in batch}
+
+    # stream the same rows in 4 one-year files (one micro-batch each)
+    d = tmp_path / "fwi_in"
+    d.mkdir()
+    for j, yr in enumerate(sorted(pdf["ts"].dt.year.unique())):
+        part = pdf[pdf["ts"].dt.year == yr].sort_values(["cell", "ts"])
+        part.to_parquet(d / f"p{j}.parquet", coerce_timestamps="us")
+        _time.sleep(1.05)  # distinct mtimes -> deterministic order
+
+    from xclim_spark.streaming import streaming_cffwis
+
+    sdf = (spark.readStream
+           .schema("cell LONG, ts TIMESTAMP, tas DOUBLE, prcp DOUBLE, "
+                   "hurs DOUBLE, ws DOUBLE")
+           .option("maxFilesPerTrigger", 1)
+           .parquet(str(d / "*.parquet")))
+    out = streaming_cffwis(sdf, tas="tas", pr="prcp", hurs="hurs",
+                           ws="ws", lat=47.0, time="ts", cell="cell",
+                           season_method="WF93", overwintering=True)
+    _run_to_memory(out, "fwi_stream")
+    got = spark.table("fwi_stream").collect()
+    assert len(got) == len(batch)
+    n_onseason = 0
+    for r in got:
+        b = bmap[(r["cell"], r["ts"])]
+        for c in ("ffmc", "dmc", "dc", "isi", "bui", "fwi"):
+            gv, bv = r[c], b[c]
+            if gv is None or (isinstance(gv, float) and gv != gv):
+                assert bv is None or bv != bv, (r["cell"], r["ts"], c)
+            else:
+                assert gv == pytest.approx(bv, abs=1e-9), \
+                    (r["cell"], r["ts"], c)
+                n_onseason += 1
+    # the fixture must actually exercise the season automaton both ways
+    assert 0 < n_onseason < 6 * len(batch)
+
+
+def test_streaming_cffwis_plain_matches_batch(spark, tmp_path):
+    """season_method=None: the always-on system resumed across seams
+    equals the batch kernel (no automaton, pure moisture-code state)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    days = pd.date_range("2001-01-01", periods=400, freq="D")
+    pdf = pd.DataFrame({
+        "cell": 5,
+        "ts": days,
+        "tas": 15 + rng.normal(0, 5, 400),
+        "prcp": np.maximum(0.0, rng.normal(0, 3.0, 400)),
+        "hurs": np.clip(60 + rng.normal(0, 10, 400), 5, 99),
+        "ws": np.clip(10 + rng.normal(0, 3, 400), 0, None),
+    })
+    from xclim_spark.operators import fire
+
+    batch = fire.cffwis_indices(
+        spark.createDataFrame(pdf), tas="tas", pr="prcp", hurs="hurs",
+        sfcWind="ws", lat=45.0, time="ts", cells=["cell"]).collect()
+    bmap = {r["ts"]: r for r in batch}
+
+    d = tmp_path / "fwi_plain"
+    d.mkdir()
+    for j, chunk in enumerate(np.array_split(np.arange(400), 3)):
+        pdf.iloc[chunk].to_parquet(d / f"p{j}.parquet",
+                                   coerce_timestamps="us")
+        _time.sleep(1.05)
+
+    from xclim_spark.streaming import streaming_cffwis
+
+    sdf = (spark.readStream
+           .schema("cell LONG, ts TIMESTAMP, tas DOUBLE, prcp DOUBLE, "
+                   "hurs DOUBLE, ws DOUBLE")
+           .option("maxFilesPerTrigger", 1)
+           .parquet(str(d / "*.parquet")))
+    out = streaming_cffwis(sdf, tas="tas", pr="prcp", hurs="hurs",
+                           ws="ws", lat=45.0, time="ts", cell="cell",
+                           season_method=None, overwintering=False)
+    _run_to_memory(out, "fwi_stream_plain")
+    got = spark.table("fwi_stream_plain").collect()
+    assert len(got) == 400
+    for r in got:
+        b = bmap[r["ts"]]
+        for c in ("ffmc", "dmc", "dc", "isi", "bui", "fwi"):
+            assert r[c] == pytest.approx(b[c], abs=1e-9), (r["ts"], c)

@@ -82,10 +82,6 @@ def golden_fwi_season_ys(con) -> pd.DataFrame:
     Drought Code is overwintered with the closed-form wDC between
     segments — a different orchestration from the library's vectorized
     in-loop automaton (cffwis_block season path)."""
-    import math
-
-    from xclim_spark.operators.fire import cffwis_1d, fire_season_mask_block
-
     d = daily(con)
     rows = []
     for cell, g in d.groupby("cell"):
@@ -98,42 +94,85 @@ def golden_fwi_season_ys(con) -> pd.DataFrame:
         ws = 5.0 + qty / 2.0
         months = pd.to_datetime(g["day"]).dt.month.to_numpy()
         years = pd.to_datetime(g["day"]).dt.year.to_numpy()
-        mask = fire_season_mask_block(tas[:, None], method="WF93")[:, 0]
-        n = len(tas)
-        fwi = np.full(n, np.nan)
-        ow_dc = None
-        winter_pr = 0.0
-        i = 0
-        prev = False
-        seg_start = None
-        for i in range(n + 1):
-            cur = bool(mask[i]) if i < n else False
-            if cur and not prev:
-                seg_start = i
-                winter_start = None
-            if prev and not cur:
-                # segment [seg_start, i): run the scalar kernel
-                if ow_dc is None:
-                    dc0 = 15.0
-                else:
-                    qf = 800.0 * math.exp(-ow_dc / 400.0)
-                    qs = 0.75 * qf + 0.75 * 3.94 * winter_pr
-                    dc0 = max(400.0 * math.log(800.0 / qs), 15.0)
-                seg = cffwis_1d(tas[seg_start:i], prcp[seg_start:i],
-                                hurs[seg_start:i], ws[seg_start:i],
-                                months[seg_start:i], 47.0, dc0=dc0)
-                fwi[seg_start:i] = seg["fwi"]
-                ow_dc = seg["dc"][-1]
-                winter_pr = 0.0
-            if not cur and i < n:
-                winter_pr += prcp[i]
-            prev = cur
+        fwi, mask = _segmented_seasonal_fwi(tas, prcp, hurs, ws, months)
         for y in np.unique(years):
             sel = fwi[years == y]
             m = float(np.nanmax(sel)) if not np.all(np.isnan(sel)) \
                 else None
             ndays = int(np.sum(mask[years == y]))
             rows.append((cell, pd.Timestamp(int(y), 1, 1).date(),
+                         None if m is None else round(m, 6), ndays))
+    return pd.DataFrame(rows, columns=["cell", "period", "fwi_max",
+                                       "season_days"])
+
+
+def _segmented_seasonal_fwi(tas, prcp, hurs, ws, months, lat=47.0):
+    """Shared segment orchestration for the seasonal+overwintered
+    goldens: WF93 mask per cell, each ON segment computed by the scalar
+    1-D kernel from its start values, closed-form wDC between segments.
+    Returns (fwi array with NaN off-season, bool mask)."""
+    import math
+
+    from xclim_spark.operators.fire import cffwis_1d, fire_season_mask_block
+
+    mask = fire_season_mask_block(tas[:, None], method="WF93")[:, 0]
+    n = len(tas)
+    fwi = np.full(n, np.nan)
+    ow_dc = None
+    winter_pr = 0.0
+    prev = False
+    seg_start = None
+    for i in range(n + 1):
+        cur = bool(mask[i]) if i < n else False
+        if cur and not prev:
+            seg_start = i
+        if prev and not cur:
+            if ow_dc is None:
+                dc0 = 15.0
+            else:
+                qf = 800.0 * math.exp(-ow_dc / 400.0)
+                qs = 0.75 * qf + 0.75 * 3.94 * winter_pr
+                dc0 = max(400.0 * math.log(800.0 / qs), 15.0)
+            seg = cffwis_1d(tas[seg_start:i], prcp[seg_start:i],
+                            hurs[seg_start:i], ws[seg_start:i],
+                            months[seg_start:i], lat, dc0=dc0)
+            fwi[seg_start:i] = seg["fwi"]
+            ow_dc = seg["dc"][-1]
+            winter_pr = 0.0
+        if not cur and i < n:
+            winter_pr += prcp[i]
+        prev = cur
+    return fwi, mask
+
+
+def golden_stream_fwi_ms(con) -> pd.DataFrame:
+    """Golden for the STREAMING CFFWIS gate: same independent segment
+    orchestration as golden_fwi_season_ys, on the stream gate's
+    qty-only met synthesis (the staged replay files carry no price
+    column), aggregated monthly.  The met scaling (tas amplified around
+    the qty mean) makes WF93 start/stop fire repeatedly, so the stream's
+    carried automaton + overwinter state is genuinely exercised."""
+    d = daily(con)
+    rows = []
+    for cell, g in d.groupby("cell"):
+        g = g.sort_values("day")
+        qty = g["qty"].to_numpy()
+        tas = (qty - 25.0) * 1.5
+        prcp = np.maximum(0.0, qty - 30.0)
+        hurs = np.minimum(99.0, 30.0 + qty)
+        ws = 5.0 + qty / 2.0
+        dt = pd.to_datetime(g["day"])
+        months = dt.dt.month.to_numpy()
+        fwi, mask = _segmented_seasonal_fwi(tas, prcp, hurs, ws, months)
+        mkey = (dt.dt.year * 100 + dt.dt.month).to_numpy()
+        for mk in np.unique(mkey):
+            sel = fwi[mkey == mk]
+            m = (float(np.nanmax(sel))
+                 if not np.all(np.isnan(sel)) else None)
+            ndays = int(np.sum(mask[mkey == mk]))
+            rows.append((cell,
+                         pd.Timestamp(int(mk) // 100, int(mk) % 100,
+                                      1).date(),
                          None if m is None else round(m, 6), ndays))
     return pd.DataFrame(rows, columns=["cell", "period", "fwi_max",
                                        "season_days"])
@@ -372,6 +411,7 @@ GOLDENS = {
     "agro_rain_season_ys": golden_agro_rain_season_ys,
     "fwi_max_ys": golden_fwi_max_ys,
     "fwi_season_ys": golden_fwi_season_ys,
+    "stream_fwi_ms": golden_stream_fwi_ms,
     "ffdi_max_ys": golden_ffdi_max_ys,
     "spi_ms": golden_spi_ms,
     "spei_ms": golden_spei_ms,

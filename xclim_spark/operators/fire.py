@@ -364,6 +364,8 @@ def cffwis_block(
     prec_thresh: float = 1.0,
     dc_dry_factor: float = 5.0, dmc_dry_factor: float = 2.0,
     initial_start_up: bool = True,
+    state0: dict | None = None,
+    return_state: bool = False,
 ):
     """CFFWIS over a BLOCK of cells: inputs are (n_days, n_cells) arrays
     on a shared time axis; the day loop is Python but every step is a
@@ -373,6 +375,16 @@ def cffwis_block(
     ``present`` marks which (day, cell) slots exist in the source; absent
     slots carry state through unchanged and emit nothing (a cell's own
     series is processed exactly as the 1-D kernel would).
+
+    ``state0``/``return_state`` make the recursion RESUMABLE: ``state0``
+    (a dict produced by a prior ``return_state=True`` call) seeds the
+    per-cell moisture codes and season accumulators instead of the cold
+    defaults, and ``return_state=True`` returns ``(out, state)`` with the
+    end-of-block state — so processing a series in consecutive chunks is
+    bit-identical to one full-series call.  This is the substrate of the
+    streaming twin (:func:`xclim_spark.streaming.fire.streaming_cffwis`),
+    where each micro-batch is one chunk and the state lives in the
+    streaming state store.
 
     ``season_mask`` (bool, same shape) switches on the reference's
     start-up/shut-down automaton (``_fire_weather_calc``,
@@ -403,15 +415,31 @@ def cffwis_block(
     seasonal = season_mask is not None
     if seasonal:
         smask = np.asarray(season_mask).astype(np.int16)
-        f = np.full(k, np.nan)
-        dm = np.full(k, np.nan)
-        dc_ = np.full(k, np.nan)
-        # previous season's DC (overwintering) or dry-spring accumulators
-        ow_dc = np.full(k, np.nan) if overwintering else np.full(k, dc0)
-        ow_dmc = np.full(k, dmc0)
-        winter_pr = np.zeros(k)
-        prev = (np.zeros(k, dtype=np.int16) if initial_start_up
-                else smask[0])
+        if state0 is not None:
+            f = np.asarray(state0["f"], dtype=float).copy()
+            dm = np.asarray(state0["dm"], dtype=float).copy()
+            dc_ = np.asarray(state0["dc"], dtype=float).copy()
+            ow_dc = np.asarray(state0["ow_dc"], dtype=float).copy()
+            ow_dmc = np.asarray(state0["ow_dmc"], dtype=float).copy()
+            winter_pr = np.asarray(state0["winter_pr"],
+                                   dtype=float).copy()
+            prev = np.asarray(state0["prev"], dtype=np.int16).copy()
+        else:
+            f = np.full(k, np.nan)
+            dm = np.full(k, np.nan)
+            dc_ = np.full(k, np.nan)
+            # previous season's DC (overwintering) or dry-spring
+            # accumulators
+            ow_dc = (np.full(k, np.nan) if overwintering
+                     else np.full(k, dc0))
+            ow_dmc = np.full(k, dmc0)
+            winter_pr = np.zeros(k)
+            prev = (np.zeros(k, dtype=np.int16) if initial_start_up
+                    else smask[0])
+    elif state0 is not None:
+        f = np.asarray(state0["f"], dtype=float).copy()
+        dm = np.asarray(state0["dm"], dtype=float).copy()
+        dc_ = np.asarray(state0["dc"], dtype=float).copy()
     else:
         f = np.full(k, ffmc0)
         dm = np.full(k, dmc0)
@@ -479,6 +507,12 @@ def cffwis_block(
             out["isi"][i] = np.where(pres, isi, np.nan)
             out["bui"][i] = np.where(pres, bui, np.nan)
             out["fwi"][i] = np.where(pres, fwi, np.nan)
+    if return_state:
+        state = {"f": f, "dm": dm, "dc": dc_}
+        if seasonal:
+            state.update(ow_dc=ow_dc, ow_dmc=ow_dmc,
+                         winter_pr=winter_pr, prev=prev)
+        return out, state
     return out
 
 

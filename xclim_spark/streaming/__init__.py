@@ -7,6 +7,7 @@ family as a per-cell state machine over ``applyInPandasWithState`` —
 the streaming twin of the batch sessionization compiler.
 """
 
+from .fire import streaming_cffwis
 from .spells import (
     streaming_threshold_count,
     streaming_resample_op,
@@ -17,4 +18,5 @@ __all__ = [
     "streaming_threshold_count",
     "streaming_resample_op",
     "streaming_spell_events",
+    "streaming_cffwis",
 ]
