@@ -170,3 +170,67 @@ def test_bootstrap_spell_duration_csdi(spark):
     assert got[2003] == pytest.approx(0.0)
     # 2001 is flat at 20; thresholds are <= 20 everywhere -> no days
     assert got[2001] == pytest.approx(0.0)
+
+
+def test_bootstrap_fraction_over_precip_matches_bruteforce(spark):
+    """Fraction-family Zhang bootstrap (R75pTOT shape) vs a brute-force
+    python replication: wet-day pools, tp = max(per, wet_thresh), ratio
+    of over-threshold to wet-day totals, averaged over replacements."""
+    import numpy as np
+    from datetime import date, timedelta
+
+    rng = np.random.RandomState(17)
+    years = [2001, 2002, 2003]
+    wet_thresh = 1.0
+    rows = []
+    series = {}
+    for y in years:
+        t0 = date(y, 1, 1)
+        # mixture: ~40% dry days (below wet threshold), gamma wet tail
+        vals = np.where(rng.rand(365) < 0.4,
+                        rng.rand(365) * wet_thresh,
+                        rng.gamma(2.0, 4.0, 365) + wet_thresh)
+        series[y] = vals
+        for i in range(365):
+            rows.append((0, t0 + timedelta(days=i), float(vals[i])))
+    df = spark.createDataFrame(rows, "cell INT, time DATE, value DOUBLE")
+
+    out = pc.bootstrap_fraction_over_precip(
+        df, "value", 0.75, base_years=years, window=5,
+        wet_thresh=wet_thresh, cells=["cell"], alias="frac")
+    got = {r["year"]: r["frac"] for r in out.collect()}
+
+    def hf_q(xs, p):
+        xs = np.sort(xs)
+        n = len(xs)
+        h = (n - 1/3 - 1/3 + 1.0) * p + 1/3
+        h = min(max(h, 1.0), float(n))
+        j = int(np.floor(h))
+        g = h - j
+        return xs[j - 1] + g * (xs[min(j, n - 1)] - xs[j - 1])
+
+    for y in years:
+        reps = []
+        for r in years:
+            if r == y:
+                continue
+            pool_years = [v for v in years if v != y] + [r]
+            over = total = 0.0
+            for doy in range(1, 366):
+                sample = []
+                for v in pool_years:
+                    for off in range(-2, 3):
+                        d = (doy - 1 + off) % 365
+                        if series[v][d] > wet_thresh:
+                            sample.append(series[v][d])
+                x = series[y][doy - 1]
+                if x <= wet_thresh:
+                    continue
+                tp = (max(hf_q(np.array(sample), 0.75), wet_thresh)
+                      if sample else wet_thresh)
+                total += x
+                if x > tp:
+                    over += x
+            reps.append(over / total)
+        expect = float(np.mean(reps))
+        assert got[y] == pytest.approx(expect, rel=1e-9), y

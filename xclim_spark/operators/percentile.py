@@ -42,6 +42,7 @@ __all__ = [
     "resample_doy",
     "bootstrap_days_over_percentile",
     "bootstrap_spell_duration",
+    "bootstrap_fraction_over_precip",
     "hyndman_fan_quantile_sql",
 ]
 
@@ -408,6 +409,90 @@ def bootstrap_spell_duration(
     return counts.groupBy(
         *cells, F.year("period").cast("int").alias("year")
     ).agg(F.avg("_n").alias(alias))
+
+
+def bootstrap_fraction_over_precip(
+    df: DataFrame,
+    var: str,
+    p: float = 0.75,
+    *,
+    base_years: Sequence[int],
+    window: int = 5,
+    wet_thresh: float = 1.0,
+    op: str = ">",
+    time: str = "time",
+    cells: Sequence[str] = (),
+    alpha: float = 1 / 3,
+    beta: float = 1 / 3,
+    alias: str = "frac",
+    thresh_digits: int | None = None,
+) -> DataFrame:
+    """Zhang-2005 bootstrap for the FRACTION family
+    (``fraction_over_precip_thresh``/``rprctot``-style ratios; reference
+    ``percentile_bootstrap`` applied at
+    src/xclim/indices/_multivariate.py:1238-1295): for each in-base year
+    ``y`` and replacement ``r``, the WET-DAY doy-percentile climatology
+    is recomputed with year ``y`` replaced by ``r``, each day's
+    effective threshold is ``tp = per if per > wet_thresh else
+    wet_thresh`` (the reference's ``per.where(per > thresh, thresh)`` —
+    an empty replacement pool degrades to the wet threshold, it never
+    drops the day), and the per-replacement statistic is::
+
+        sum(pr over days where pr OP tp) / sum(pr over wet days)
+
+    per year, averaged over replacements.  Days that are not wet can
+    never exceed ``tp >= wet_thresh`` under the constrained ops
+    (>, >=), so both sums run over the wet-day subset only.
+
+    Plan shape: thresholds share :func:`_bootstrap_doy_thresholds` (one
+    shuffle, n_years^2 factor in map-side array expressions); the fact
+    side replicates wet in-base rows x(n_years-1) through a literal
+    replacement-array explode — the inherent Zhang factor carried as
+    rows, never as plan copies — then one aggregation.  Returns
+    ``cells..., year, <alias>`` for the in-base years only.
+
+    ``thresh_digits`` rounds the interpolated threshold before the
+    exceedance comparison.  The HF interpolation can land within 1e-14
+    of an actual sample value (gamma ~ 0 or ~ 1), where two correct
+    evaluation orders disagree on ``pr > tp`` — unlike a count-only
+    statistic this flips the SUM by a whole day's precipitation.  A
+    9-digit snap makes the comparison order-independent (used by the
+    cross-engine validation gate; leave None for raw floats).
+    """
+    from .generic import get_op
+
+    if op not in (">", ">=", "gt", "ge"):
+        raise ValueError("fraction family constrains op to > / >=")
+    years = sorted(base_years)
+    wet = get_op(op)(F.col(var), F.lit(float(wet_thresh)))
+    per = _bootstrap_doy_thresholds(
+        df.filter(wet), var, p, base_years=years, window=window,
+        time=time, cells=cells, alpha=alpha, beta=beta)
+    fact = (df.filter(F.year(time).isin(years)).filter(wet)
+            .withColumn("year", F.year(time))
+            .withColumn("dayofyear", doy365(time)))
+    # replacement lattice: a plan-time literal year -> [other years] map
+    rep_arr = F.array().cast("array<int>")
+    for y in years:
+        rep_arr = F.when(
+            F.col("year") == y,
+            F.array(*[F.lit(r) for r in years if r != y]),
+        ).otherwise(rep_arr)
+    fact = fact.withColumn("_r", F.explode(rep_arr))
+    # LEFT join: a (doy, y, r) slot with an empty wet-day pool has no
+    # threshold row; tp falls back to the wet threshold (see above)
+    j = fact.join(per, on=[*cells, "year", "_r", "dayofyear"],
+                  how="left")
+    tp = F.when(F.col("_thresh") > float(wet_thresh), F.col("_thresh")) \
+          .otherwise(F.lit(float(wet_thresh)))
+    if thresh_digits is not None:
+        tp = F.round(tp, thresh_digits)
+    over = F.when(get_op(op)(F.col(var), tp), F.col(var)) \
+            .otherwise(F.lit(0.0))
+    per_rep = j.groupBy(*cells, "year", "_r").agg(
+        (F.sum(over) / F.sum(var)).alias("_frac"))
+    return per_rep.groupBy(*cells, "year").agg(
+        F.avg("_frac").alias(alias))
 
 
 def hyndman_fan_quantile_sql(var: str, p: float) -> str:

@@ -3516,6 +3516,80 @@ def boot_csdi_ys(spark, sf_dir):
     return out.withColumn("spell_days", F.round("spell_days", 6))
 
 
+def _boot_frac_oracle() -> str:
+    from .calendar import doy365_sql
+    from .operators.percentile import hf_quantile_sql
+
+    d365 = doy365_sql("day")
+    q = hf_quantile_sql("qty", 0.75)
+    return f"""WITH {DAILY_SQL},
+years AS (SELECT unnest([1996, 1997, 1998]) AS y),
+pairs AS (SELECT a.y AS y, b.y AS r FROM years a, years b WHERE a.y <> b.y),
+base AS (
+  -- WET days only: both the percentile pool and the fraction's sums
+  SELECT cell, qty, CAST(year(day) AS INT) AS v, {d365} AS doy0
+  FROM daily WHERE year(day) IN (1996, 1997, 1998) AND qty > 20
+),
+pooled AS (
+  SELECT p.y, p.r, b.cell, b.qty,
+         ((b.doy0 - 1 + off.o + 365) % 365) + 1 AS dayofyear
+  FROM base b
+  JOIN pairs p ON b.v <> p.y
+  CROSS JOIN (SELECT unnest(range(-2, 3)) AS o) off
+  CROSS JOIN (SELECT unnest([1, 2]) AS dup) d
+  WHERE d.dup = 1 OR b.v = p.r
+),
+per AS (
+  SELECT cell, y AS year, r, dayofyear, {q} AS thresh
+  FROM pooled GROUP BY cell, y, r, dayofyear
+),
+fact AS (SELECT cell, v AS year, doy0 AS dayofyear, qty FROM base),
+rep AS (SELECT f.*, p.r FROM fact f JOIN pairs p ON p.y = f.year),
+j AS (
+  -- LEFT JOIN: an empty replacement pool degrades the day's threshold
+  -- to the wet threshold (reference per.where(per > thresh, thresh)),
+  -- it never drops the day
+  SELECT rep.cell, rep.year, rep.r, rep.qty,
+         -- 9-digit snap: the HF interpolation can land within 1e-14 of a
+         -- sample value, where two correct float evaluation orders
+         -- disagree on qty > tp (see bootstrap_fraction_over_precip)
+         ROUND(CASE WHEN per.thresh > 20 THEN per.thresh ELSE 20 END, 9)
+           AS tp
+  FROM rep LEFT JOIN per
+    ON rep.cell = per.cell AND rep.year = per.year
+   AND rep.r = per.r AND rep.dayofyear = per.dayofyear
+),
+per_rep AS (
+  SELECT cell, year, r,
+         sum(CASE WHEN qty > tp THEN qty ELSE 0 END) / sum(qty) AS frac
+  FROM j GROUP BY 1, 2, 3
+)
+SELECT cell, year, ROUND(avg(frac), 6) AS r_frac
+FROM per_rep GROUP BY 1, 2"""
+
+
+@_register("boot_r75ptot_ys", _boot_frac_oracle())
+def boot_r75ptot_ys(spark, sf_dir):
+    """Zhang-2005 bootstrapped R75pTOT — fraction of wet-day total due to
+    days over the bootstrapped 75th wet-day percentile (reference
+    percentile_bootstrap at fraction_over_precip_thresh,
+    _multivariate.py:1238-1295): each in-base year's wet-day
+    doy-percentile is recomputed with that year replaced by every other
+    base year, the over-threshold / wet-total ratio evaluated per
+    replacement and averaged.  Thresholds share the days-over/spell
+    bootstrap's single-shuffle pool builder; the fact side carries the
+    n_years^2 factor as replicated wet rows through one explode + one
+    aggregation."""
+    from .operators.percentile import bootstrap_fraction_over_precip
+
+    d = daily_series(spark, sf_dir)
+    out = bootstrap_fraction_over_precip(
+        d, "qty", 0.75, base_years=[1996, 1997, 1998], window=5,
+        wet_thresh=20.0, op=">", time="day", cells=["cell"],
+        alias="r_frac", thresh_digits=9)
+    return out.withColumn("r_frac", F.round("r_frac", 6))
+
+
 # ---------------------------------------------------------------------------
 # Spatial analogs (reference analog.py:21-130) — one pandas task per cell
 # ---------------------------------------------------------------------------
