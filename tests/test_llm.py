@@ -545,3 +545,57 @@ def test_connected_components_long_chain_converges(spark):
         [(i, i + 1) for i in range(12)], "id_a long, id_b long")
     out = dd.connected_components(edges).collect()
     assert all(r["component"] == 0 for r in out) and len(out) == 13
+
+
+def test_connected_components_star_matches_minlabel(spark):
+    """Large-star/small-star (Kiveris 2014) must produce exactly the
+    same (id, component) map as min-label propagation on a mixed graph:
+    chain + islands + reversed/duplicate edges."""
+    from xclim_spark.llm import dedup as dd
+
+    edges = spark.createDataFrame(
+        [(2, 3), (1, 2), (3, 7), (10, 11), (5, 6), (6, 5), (20, 21),
+         (21, 22), (22, 20)],
+        "id_a long, id_b long")
+    ref = {(r["id"], r["component"])
+           for r in dd.connected_components(edges).collect()}
+    got = {(r["id"], r["component"])
+           for r in dd.connected_components_star(edges).collect()}
+    assert got == ref
+
+
+def test_connected_components_star_deep_chain_bounded_rounds(spark):
+    """The adversarial case min-label can't bound: a 50-deep chain
+    closes in O(log n) star rounds (min-label needs O(diameter)).  Also
+    checks the label map against the analytic answer."""
+    from xclim_spark.llm import dedup as dd
+
+    n = 50
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long")
+    labels, rounds = dd.connected_components_star(
+        edges, return_rounds=True)
+    out = labels.collect()
+    assert len(out) == n + 1
+    assert all(r["component"] == 0 for r in out)
+    # ceil(log2(50)) ~ 6; allow slack for the alternation + the
+    # confirming fixpoint round, but far below the 50 min-label needs
+    assert rounds <= 12, rounds
+
+
+def test_connected_components_star_random_graph_matches(spark):
+    """Randomized cross-check on a sparse random graph (seeded)."""
+    import numpy as np
+
+    from xclim_spark.llm import dedup as dd
+
+    rng = np.random.RandomState(123)
+    pairs = {(int(a), int(b))
+             for a, b in rng.randint(0, 120, size=(90, 2)) if a != b}
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in sorted(pairs)], "id_a long, id_b long")
+    ref = {(r["id"], r["component"])
+           for r in dd.connected_components(edges).collect()}
+    got = {(r["id"], r["component"])
+           for r in dd.connected_components_star(edges).collect()}
+    assert got == ref

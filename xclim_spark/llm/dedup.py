@@ -36,6 +36,7 @@ __all__ = [
     "embedding_near_duplicates",
     "jaccard",
     "connected_components",
+    "connected_components_star",
 ]
 
 _MERSENNE31 = 2147483647  # 2^31 - 1, prime modulus for universal hashing
@@ -664,7 +665,7 @@ def connected_components(
     driver only ever sees one change-count per round.  Labels persist
     per round (and the previous round unpersists) so the iteration's
     lineage stays flat.  For adversarially deep graphs (long chains) at
-    the 100 TB tier, swap the per-hop propagation for the
+    the 100 TB tier, use :func:`connected_components_star` — the
     alternating large-star/small-star rewrite (Kiveris et al. 2014),
     which converges in O(log n) rounds on the same join+agg primitives.
 
@@ -704,3 +705,90 @@ def connected_components(
             break
     und.unpersist()
     return labels.select("id", F.col("c").alias("component"))
+
+
+def connected_components_star(
+    edges: DataFrame, src: str = "id_a", dst: str = "id_b", *,
+    max_iterations: int = 50, return_rounds: bool = False,
+):
+    """Connected components via alternating large-star / small-star
+    edge rewrites (Kiveris et al., *Connected Components in MapReduce
+    and Beyond*, ACM SoCC 2014) — the scale path for adversarially
+    DEEP pair graphs, converging in O(log^2 n) rounds worst-case
+    (O(log n) observed) where :func:`connected_components`'s min-label
+    propagation needs O(component diameter) rounds (a 10^6-long chain =
+    10^6 joins).  Near-dup graphs are usually dense and shallow, which
+    is why min-label is the default; this variant bounds the tail.
+
+    One round = two (join + groupBy) passes over the edge set:
+
+    * **large-star**: every node ``u`` re-points its strictly LARGER
+      neighbours at ``m(u) = min(N(u) + {u})`` — long tails collapse
+      toward small ids without ever increasing edge count beyond the
+      original (the paper's Lemma 1);
+    * **small-star**: every node ``u`` re-points its smaller-or-equal
+      neighbours AND itself at the minimum of its smaller
+      neighbourhood — turning shallow trees into stars.
+
+    At the fixpoint the edge set IS the component map (child -> root
+    minimum).  Convergence is detected by an order-insensitive edge-set
+    signature (count + two independent 64-bit hash sums) instead of a
+    full anti-join — one driver-side tuple per round, same as
+    min-label's change count.  ``localCheckpoint`` per half-round keeps
+    the iteration's lineage flat (a cluster deployment would use
+    durable ``checkpoint()``).
+
+    Returns (id, component); with ``return_rounds=True`` returns
+    ``(labels, rounds)``.
+    """
+    # canonical direction: a > b (every rewrite below preserves it)
+    e = (edges.select(
+            F.greatest(F.col(src), F.col(dst)).alias("a"),
+            F.least(F.col(src), F.col(dst)).alias("b"))
+         .filter(F.col("a") != F.col("b")).distinct()
+         .localCheckpoint())
+
+    def _sig(df):
+        # decimal(38,0) accumulators: hash sums never overflow (ANSI
+        # mode makes long-sum overflow an error, and 2^63-scale terms
+        # overflow fast)
+        row = df.agg(
+            F.count(F.lit(1)),
+            F.sum(F.hash("a", "b").cast("decimal(38,0)")),
+            F.sum(F.xxhash64("a", "b").cast("decimal(38,0)"))
+        ).collect()[0]
+        return tuple(row)
+
+    def _large_star(ed):
+        und = ed.unionByName(
+            ed.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        m = und.groupBy("a").agg(
+            F.least(F.col("a"), F.min("b")).alias("m"))
+        # (v, m(u)) for v in N(u), v > u  ->  still a > b since m <= u < v
+        return (und.join(m, "a").filter(F.col("b") > F.col("a"))
+                .select(F.col("b").alias("a"), F.col("m").alias("b"))
+                .filter(F.col("a") != F.col("b")).distinct())
+
+    def _small_star(ed):
+        # ed is canonical (a > b): N^-(a) = {b}, m = min of it
+        m = ed.groupBy("a").agg(F.min("b").alias("m"))
+        return (ed.join(m, "a")
+                .select(F.col("b").alias("a"), F.col("m").alias("b"))
+                .unionByName(m.select("a", F.col("m").alias("b")))
+                .filter(F.col("a") != F.col("b")).distinct())
+
+    sig = _sig(e)
+    rounds = 0
+    for rounds in range(1, max_iterations + 1):
+        e2 = _small_star(_large_star(e)).localCheckpoint()
+        new_sig = _sig(e2)
+        e = e2
+        if new_sig == sig:
+            break
+        sig = new_sig
+    labels = (e.select(F.col("a").alias("id"),
+                       F.col("b").alias("component"))
+              .unionByName(e.select(F.col("b").alias("id"),
+                                    F.col("b").alias("component")))
+              .distinct())
+    return (labels, rounds) if return_rounds else labels

@@ -2853,9 +2853,10 @@ def dedup_fuzzy(spark, sf_dir):
     return out.withColumn("jaccard", F.round("jaccard", 6))
 
 
-@_register(
-    "dedup_components",
-    """WITH RECURSIVE w AS (
+# shared by dedup_components (min-label) and dedup_components_star
+# (large-star/small-star): both must close the SAME exact-Jaccard pair
+# graph to the SAME clusters, checked against the recursive CTE.
+_DEDUP_CC_SQL = """WITH RECURSIVE w AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
   FROM documents
 ),
@@ -2889,8 +2890,25 @@ comp AS (SELECT id, min(c) AS component FROM r GROUP BY 1)
 SELECT CAST(id AS BIGINT) AS doc_id, CAST(component AS BIGINT) AS component,
        CAST(count(*) OVER (PARTITION BY component) AS BIGINT)
          AS cluster_size
-FROM comp""",
-)
+FROM comp"""
+
+
+def _dedup_pair_graph(spark, sf_dir):
+    """The verified MinHash+LSH near-dup pair graph both clustering
+    gates close (signature width corpus-scaled, candidates verified by
+    exact Jaccard — see dedup_fuzzy)."""
+    from .llm import dedup as dd
+
+    small = _sf_of(sf_dir) <= 0.01
+    docs = _read(spark, sf_dir, "documents")
+    return dd.near_duplicates(
+        docs, threshold=0.6,
+        num_perm=32 if small else 128, bands=16 if small else 64,
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
+
+
+@_register("dedup_components", _DEDUP_CC_SQL)
 def dedup_components(spark, sf_dir):
     """Near-dup CLUSTERS, not just pairs: the MinHash+LSH verified pair
     graph (dedup_fuzzy's generator) collapsed to canonical components
@@ -2902,14 +2920,27 @@ def dedup_components(spark, sf_dir):
     recursive CTE."""
     from .llm import dedup as dd
 
-    small = _sf_of(sf_dir) <= 0.01
-    docs = _read(spark, sf_dir, "documents")
-    pairs = dd.near_duplicates(
-        docs, threshold=0.6,
-        num_perm=32 if small else 128, bands=16 if small else 64,
-        parallelism=spark.sparkContext.defaultParallelism,
-    )
-    cc = dd.connected_components(pairs)
+    cc = dd.connected_components(_dedup_pair_graph(spark, sf_dir))
+    w = Window.partitionBy("component")
+    return cc.select(
+        F.col("id").alias("doc_id"), "component",
+        F.count(F.lit(1)).over(w).alias("cluster_size"))
+
+
+@_register("dedup_components_star", _DEDUP_CC_SQL)
+def dedup_components_star(spark, sf_dir):
+    """The SAME near-dup pair graph closed by the alternating
+    large-star/small-star rewrite (Kiveris et al. 2014;
+    llm/dedup.py connected_components_star) — the O(log n)-round scale
+    path for adversarially deep cluster graphs where min-label
+    propagation (dedup_components) needs O(diameter) join rounds.  Both
+    gates hash-check against the same recursive-CTE oracle, so the two
+    algorithms are proven to agree on real near-dup structure, and the
+    chain-fixture pytest (tests/test_llm.py) proves the bounded-rounds
+    claim where it actually bites."""
+    from .llm import dedup as dd
+
+    cc = dd.connected_components_star(_dedup_pair_graph(spark, sf_dir))
     w = Window.partitionBy("component")
     return cc.select(
         F.col("id").alias("doc_id"), "component",
