@@ -460,3 +460,110 @@ def test_cdf1_still_narrows_int64(tmp_path):
     with pytest.raises(ValueError, match="version=5"):
         n3.write_nc3(p, {"x": 2},
                      {"v": (["x"], np.array([2**40, 1], dtype="int64"))})
+
+
+def _write_day_file(path, start_off, frac=False):
+    off = np.array([start_off, start_off + 1.0])
+    if frac:
+        off = off + 0.5
+    n3.write_nc3(
+        str(path), {"time": 2, "cell": 1},
+        {"time": (["time"], off),
+         "cell": (["cell"], np.array([7], dtype="int32")),
+         "tas": (["time", "cell"],
+                 np.array([[start_off], [start_off + 1.0]]))},
+        var_attrs={"time": {"units": "days since 2001-05-01"}},
+    )
+
+
+def test_many_file_peek_is_not_driver_serial(spark, tmp_path,
+                                             monkeypatch):
+    """A manifest above _PEEK_DRIVER_MAX must NOT open every file on the
+    driver at plan time (the r9 fix's O(n_files) serial peek): the
+    fractional-day check fans out through one parallelize job instead.
+    Driver-side file opens are counted by monkeypatching the module's
+    readers in THIS process — executor workers are separate processes,
+    so any count recorded here is genuinely driver I/O."""
+    paths = []
+    for i in range(12):
+        p = tmp_path / f"f{i:02d}.nc"
+        # file 9 is the only fractional one — typing must still flip
+        _write_day_file(p, 2.0 * i, frac=(i == 9))
+        paths.append(str(p))
+
+    calls = {"header": 0, "var": 0}
+    real_header = n3.read_nc3_header
+    real_var = n3.read_nc3_var
+
+    def count_header(path):
+        calls["header"] += 1
+        return real_header(path)
+
+    def count_var(*a, **kw):
+        calls["var"] += 1
+        return real_var(*a, **kw)
+
+    monkeypatch.setattr(n3, "read_nc3_header", count_header)
+    monkeypatch.setattr(n3, "read_nc3_var", count_var)
+    df = n3.ingest_netcdf3(spark, paths, ["tas"])  # plan only
+    # driver opened exactly one header (schema) and read no time
+    # coordinate itself
+    assert calls["header"] == 1, calls
+    assert calls["var"] == 0, calls
+    monkeypatch.undo()
+    # ... and the distributed peek still found the lone fractional file
+    assert dict(df.dtypes)["time"] == "timestamp"
+    assert df.count() == 24
+
+
+def test_small_manifest_peek_breaks_early(spark, tmp_path, monkeypatch):
+    """At or below _PEEK_DRIVER_MAX the peek stays driver-side and stops
+    at the first fractional file."""
+    paths = []
+    for i in range(4):
+        p = tmp_path / f"g{i}.nc"
+        _write_day_file(p, 2.0 * i, frac=(i == 1))
+        paths.append(str(p))
+    calls = {"var": 0}
+    real_var = n3.read_nc3_var
+
+    def count_var(*a, **kw):
+        calls["var"] += 1
+        return real_var(*a, **kw)
+
+    monkeypatch.setattr(n3, "read_nc3_var", count_var)
+    df = n3.ingest_netcdf3(spark, paths, ["tas"])
+    # files 0 and 1 peeked, 2 and 3 skipped by the early break
+    assert calls["var"] == 2, calls
+    monkeypatch.undo()
+    assert dict(df.dtypes)["time"] == "timestamp"
+
+
+def test_time_kind_override_skips_peek(spark, tmp_path, monkeypatch):
+    """time_kind='timestamp' is the documented no-peek escape hatch for
+    huge manifests: zero coordinate reads anywhere at plan time, and
+    integral-day files decode to midnight timestamps."""
+    paths = []
+    for i in range(6):
+        p = tmp_path / f"h{i}.nc"
+        _write_day_file(p, 2.0 * i, frac=False)
+        paths.append(str(p))
+    calls = {"var": 0}
+    real_var = n3.read_nc3_var
+
+    def count_var(*a, **kw):
+        calls["var"] += 1
+        return real_var(*a, **kw)
+
+    monkeypatch.setattr(n3, "read_nc3_var", count_var)
+    df = n3.ingest_netcdf3(spark, paths, ["tas"],
+                           time_kind="timestamp")
+    assert calls["var"] == 0, calls
+    monkeypatch.undo()
+    assert dict(df.dtypes)["time"] == "timestamp"
+    assert str(min(r["time"] for r in df.collect())) \
+        == "2001-05-01 00:00:00"
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="time_kind"):
+        n3.ingest_netcdf3(spark, paths, ["tas"], time_kind="bogus")

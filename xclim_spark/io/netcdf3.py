@@ -591,12 +591,30 @@ def iter_nc3_frames(
         yield pd.DataFrame(out)
 
 
+def _time_axis_fractional(path: str, decode_time: str) -> bool:
+    """One header + one tiny record-coordinate read: does this file's CF
+    time axis carry fractional day offsets?  (Shared by the driver-side
+    and distributed plan-time peeks in :func:`ingest_netcdf3`.)"""
+    h = read_nc3_header(path)
+    if decode_time not in h["variables"]:
+        return False
+    tv = read_nc3_var(path, decode_time, h).astype("float64")
+    return not bool(np.all(tv == np.floor(tv)))
+
+
+# manifests up to this size are peeked serially on the driver (with an
+# early break); larger ones peek through one parallelize() job so
+# plan-time file I/O never scales O(n_files) on the driver
+_PEEK_DRIVER_MAX = 4
+
+
 def ingest_netcdf3(
     spark: SparkSession,
     paths: Sequence[str],
     variables: Sequence[str],
     *,
     decode_time: str | None = "time",
+    time_kind: str = "auto",
 ) -> DataFrame:
     """Read classic NetCDF files into a long DataFrame ``dims...,
     <var>...`` — one task per file (see module docstring for why that is
@@ -611,7 +629,18 @@ def ingest_netcdf3(
     units-kind drift in a later file errors rather than corrupting.
     Non-standard CF calendars (noleap/360_day) raise at plan time; pass
     ``decode_time=None`` to ingest integer offsets and convert with
-    :mod:`xclim_spark.calendar360`."""
+    :mod:`xclim_spark.calendar360`.
+
+    ``time_kind`` — ``'auto'`` (default) peeks the files' time
+    coordinates to decide DATE vs TIMESTAMP (see below); ``'date'`` /
+    ``'timestamp'`` skip the peek entirely and assert the caller knows
+    the axis kind — the escape hatch for huge manifests where even the
+    parallel peek is unwanted (a wrong assertion fails loudly at
+    executor time with the units-drift error, it never decodes
+    incorrectly)."""
+    if time_kind not in ("auto", "date", "timestamp"):
+        raise ValueError("time_kind must be 'auto', 'date' or "
+                         "'timestamp'")
     h0 = read_nc3_header(paths[0])
     v0 = h0["variables"][variables[0]]
     dims = list(v0["dims"])
@@ -620,22 +649,34 @@ def ingest_netcdf3(
         at = h0["variables"][decode_time]["attrs"]
         _check_calendar(_scalar_attr(at.get("calendar", "")), paths[0])
         tkind = _time_kind(_scalar_attr(at.get("units", "")))
-        if tkind == "date":
-            # Peek EVERY file's time coordinate (one value per record —
-            # tiny): fractional day offsets (midday-centred axes) must
-            # type as TIMESTAMP, not truncate to DATE.  All files must
-            # be checked, not just the first — a dataset whose first
-            # file is integral but a later one fractional would
-            # otherwise type DATE at plan time and raise at executor
-            # time ('units drifted') instead of decoding correctly.
-            for p in paths:
-                hp = h0 if p == paths[0] else read_nc3_header(p)
-                if decode_time not in hp["variables"]:
-                    continue
-                tv = read_nc3_var(p, decode_time, hp).astype("float64")
-                if not np.all(tv == np.floor(tv)):
+        if time_kind != "auto":
+            tkind = time_kind
+        elif tkind == "date":
+            # Peek the time coordinate of every file (one value per
+            # record — tiny): fractional day offsets (midday-centred
+            # axes) must type as TIMESTAMP, not truncate to DATE, and
+            # a dataset whose FIRST file is integral but a later one
+            # fractional would otherwise type DATE at plan time and
+            # raise at executor time instead of decoding correctly.
+            # Small manifests peek serially on the driver with an early
+            # break; larger ones fan the peek out as one parallelize()
+            # job with take(1) (incremental job scale-up = effective
+            # early exit), so plan-time driver I/O stays O(1) in
+            # n_files.
+            if len(paths) <= _PEEK_DRIVER_MAX:
+                if any(_time_axis_fractional(p, decode_time)
+                       for p in paths):
                     tkind = "timestamp"
-                    break
+            else:
+                sc = spark.sparkContext
+                dt = decode_time
+                hit = (sc.parallelize(
+                           list(paths),
+                           min(len(paths), sc.defaultParallelism * 4))
+                       .map(lambda p: _time_axis_fractional(p, dt))
+                       .filter(bool).take(1))
+                if hit:
+                    tkind = "timestamp"
 
     fields = []
     for d in dims:
