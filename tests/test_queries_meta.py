@@ -63,10 +63,13 @@ def test_stale_queries_rotate_into_driver_window():
     latest, max_round = _latest_rounds()
     order = list(build_queries())
     head = set(order[:DRIVER_WINDOW])
-    unchecked = [n for n in order if latest.get(n, 0) == 0]
     stale = [n for n in order
              if 0 < latest.get(n, 0) <= max_round - STALE_AGE]
-    capacity = max(0, DRIVER_WINDOW - len(unchecked))
+    # capacity from the ACTUAL head composition (round-9 ADVICE): count
+    # the never-checked queries that really occupy head slots, so this
+    # test stays independent of the placement test below
+    capacity = DRIVER_WINDOW - len(
+        [n for n in order[:DRIVER_WINDOW] if latest.get(n, 0) == 0])
     in_head = [n for n in stale if n in head]
     out = [n for n in stale if n not in head]
     assert len(in_head) >= min(capacity, len(stale)), (
@@ -102,3 +105,19 @@ def test_every_query_has_matching_oracle_or_is_rows_only():
     o = set(build_oracles())
     # oracles must not name queries that don't exist
     assert o <= q, f"oracles without queries: {sorted(o - q)}"
+
+
+def test_every_priority_name_resolves():
+    """Every _PRIORITY entry must name a registered query — build_queries
+    silently drops unknown names, so a dead entry would misrepresent the
+    round's content without failing anything (the round-9 phantom-entry
+    wound).  The reverse also holds: a registered query missing from
+    _PRIORITY has no deliberate rotation position."""
+    from xclim_spark.queries import QUERIES, _PRIORITY
+
+    phantoms = [n for n in _PRIORITY if n not in QUERIES]
+    assert not phantoms, f"_PRIORITY names without queries: {phantoms}"
+    dupes = [n for n in set(_PRIORITY) if _PRIORITY.count(n) > 1]
+    assert not dupes, f"duplicate _PRIORITY entries: {dupes}"
+    missing = [n for n in QUERIES if n not in set(_PRIORITY)]
+    assert not missing, f"queries missing from _PRIORITY: {missing}"

@@ -6432,73 +6432,64 @@ def nc3_subdaily_ingest(spark, sf_dir):
 # with no driver row yet sort FIRST (the driver samples the head of this
 # list each round), then queries whose last driver-green row is oldest.
 # Rotate this list every round so every query re-earns a recent green row.
+# Round-10 rotation: 3 new gates + the 47 oldest (r6-era) queries fill the
+# head; the 3 r6 overflow entries lead the tail and rotate next round.
 _PRIORITY = [
-    # -- round 9 additions (never driver-checked) --
+    # -- round-10 additions (no driver row yet; the ordering
+    #    rule requires these inside the sampled head) --
     "stream_fwi_ms", "boot_r75ptot_ys", "dedup_components_star",
-    # -- age-out rotation (tests/test_queries_meta.py): the 50 queries
-    #    whose newest driver row is r4 — 4+ rounds stale at r8. Oldest
-    #    rotate first; 47 fit beside the round-9 additions, the 3
-    #    overflow entries below wait for the round-10 head. --
-    "fwi_max_ys", "spi_ms", "spei_ms", "ffdi_max_ys", "fwi_season_ys",
-    "knn_similar_docs", "knn_lsh_docs", "knn_ivf_docs",
-    "dedup_fuzzy", "dedup_simhash", "dedup_ngram", "dedup_embed",
-    "sdba_loci_adjust_ms", "sdba_qdm_adjust_ms", "sdba_dqm_adjust_ms",
-    "sdba_eqm_adjust_ms",
-    "decontam_docs", "mixture_sample_src", "tree_tx_days_above",
-    "level_crossings_ms", "winter_rain_ratio_qs", "fire_components_ms",
-    "occurrence_doy_ys", "qian_smooth_ms", "solar_correction_ms",
-    "text_repetition_stats", "stream_dedup_exact",
-    "pack_sequences_src", "fire_season_days_ys",
-    "stream_tx_days_above_30d",
-    "ens_weighted_percentiles_ms",
-    "ens_stats_ms", "ens_percentiles_ms", "fa_gumbel_rp",
-    "text_quality_by_source", "detrend_resid_std", "cal360_monthly_mean",
-    "dataflags_summary", "mm_decode_stats", "mm_binary_stats", "cf_cdd_ys",
-    "cf_txx_ms", "anu_p13_ys", "ind_wetdays_prop_ms",
-    "agro_dryness_index_ys", "agro_chill_units_ys", "agro_rain_season_ys",
-    # -- r4-stale overflow (ties with the 47 above; next round's head) --
-    "stacked_normals_3y", "sdba_properties_ms", "ens_mixed_calendar_ms",
-    # -- round 8 sampled head (newest greens; keep order for the tail) --
-    "boot_csdi_ys", "nc3_cal360_monthly",
-    "user_sessions",
+    # -- newest driver-green row: round 6 --
+    "ens_robustness_fracs", "boot_tg90p_ys", "unstacked_normals_3y",
+    "ind_wsdi_ys", "sdba_eqm_adaptfreq_ms", "analog_seuclidean",
+    "ens_kkz_selection", "ens_robustness_ttest", "hs_partition_vars",
+    "solar_daylength_ms", "ens_percentiles_interp_ms",
+    "occurrence_doy_ys_jul", "clim_mean_doy", "adjust_doy_cal360",
+    "hawkins_weights", "zarr_ingest_ms", "tg_mean_ms", "tx_days_above_ms",
+    "tx_max_ys_jul", "prcptot_qs_dec", "djf_mean_ms", "gdd_ys", "dded_ys",
+    "rx7day_ms", "doymax_ys", "thresholded_mean_ys", "domain_count_ms",
+    "zones_count", "missing_any_ms", "tg90p_doy_ys", "p90_days_over_ys",
+    "mcdd_ys", "spell_days_ys", "spell_events_ys", "max_run_sum_ys",
+    "first_spell_doy_ys", "gs_end_ys", "run_bounds", "events_table_ys",
+    "ind_tg_mean_ms", "ind_tg_mean_masked_ms", "ind_tx_days_above_ms",
+    "ind_frost_days_ys", "ind_gdd_ys", "ind_tg90p_ys",
+    "ind_heat_wave_freq_ys", "ind_hot_spell_freq_ys",
+    "ind_hot_spell_maxlen_ys", "ind_dry_spell_freq_ys", "ind_mcdd_ys",
+    # -- newest driver-green row: round 7 --
+    "ind_wetdays_ms", "mv_revenue_nation_ms", "text_stats_lang",
+    # -- newest driver-green row: round 8 --
+    "boot_csdi_ys", "nc3_cal360_monthly", "user_sessions",
     "conv_heat_index_ms", "conv_dewpoint_rh_ms", "conv_spec_humidity_ms",
-    "conv_wind_dir_ms", "conv_vpd_ms", "conv_pet_ms",
-    "agro_pet_tw48_ms", "agro_pet_da02_ms", "hydro_sen_slope_qs",
-    "agro_huglin_jones_ys", "ind_warm_freq_ys", "dataset_bucketed_reuse",
-    "dedup_components",
+    "conv_wind_dir_ms", "conv_vpd_ms", "conv_pet_ms", "agro_pet_tw48_ms",
+    "agro_pet_da02_ms", "hydro_sen_slope_qs", "agro_huglin_jones_ys",
+    "ind_warm_freq_ys", "dataset_bucketed_reuse", "dedup_components",
     "fit_pearson3_ms", "fa_weibull_rp", "stream_events_table",
     "nc3_subdaily_ingest", "fa_low_flow_7q10", "ind_api_ms",
     "keep_longest_run_stats", "rle_stamped_ms", "first_day_reached_ys",
     "agg_between_doys_ys", "suspicious_runs_ys", "missing_two_steps_ys",
     "last_spell_end_before_jul", "daily_events_bnds_qs",
     "ens_filters_pipeline", "zarr3_ingest_ms", "stream_user_sessions",
-    "stream_p90_days_over",
-    "nc3_ingest_ms", "hourly_tas_mean_ms", "missing_any_hourly_ms",
-    "ind_cold_dry_days_ys", "ind_warm_wet_days_ys",
+    "stream_p90_days_over", "nc3_ingest_ms", "hourly_tas_mean_ms",
+    "missing_any_hourly_ms", "ind_cold_dry_days_ys", "ind_warm_wet_days_ys",
     "anuclim_bio10_ys", "conv_humidex_ms", "conv_utci_ms",
     "conv_windchill_ms", "conv_snowfrac_ys", "dedup_exact", "hydro_bfi_ys",
     "hydro_rbi_ys", "ind_etr_ms", "ind_gsl_ys", "ind_precip_acc_qs",
-    "ind_wetdays_ms", "mv_revenue_nation_ms", "text_stats_lang",
-    # -- perf watch items --
-    "ens_robustness_fracs", "boot_tg90p_ys", "unstacked_normals_3y",
-    "ind_wsdi_ys", "sdba_eqm_adaptfreq_ms",
-    # -- last driver-green in round 5 --
-    "analog_seuclidean", "ens_kkz_selection",
-    "ens_robustness_ttest", "hs_partition_vars", "solar_daylength_ms",
-    "ens_percentiles_interp_ms",
-    "occurrence_doy_ys_jul", "clim_mean_doy", "adjust_doy_cal360",
-    "hawkins_weights",
-    # -- last driver-green in round 6 --
-    "zarr_ingest_ms",
-    "tg_mean_ms", "tx_days_above_ms", "tx_max_ys_jul", "prcptot_qs_dec",
-    "djf_mean_ms", "gdd_ys", "dded_ys", "rx7day_ms", "doymax_ys",
-    "thresholded_mean_ys", "domain_count_ms", "zones_count", "missing_any_ms",
-    "tg90p_doy_ys", "p90_days_over_ys", "mcdd_ys", "spell_days_ys",
-    "spell_events_ys", "max_run_sum_ys", "first_spell_doy_ys", "gs_end_ys",
-    "run_bounds", "events_table_ys", "ind_tg_mean_ms", "ind_tg_mean_masked_ms",
-    "ind_tx_days_above_ms", "ind_frost_days_ys", "ind_gdd_ys", "ind_tg90p_ys",
-    "ind_heat_wave_freq_ys", "ind_hot_spell_freq_ys",
-    "ind_hot_spell_maxlen_ys", "ind_dry_spell_freq_ys", "ind_mcdd_ys",
+    # -- newest driver-green row: round 9 --
+    "fwi_max_ys", "spi_ms", "spei_ms", "ffdi_max_ys", "fwi_season_ys",
+    "knn_similar_docs", "knn_lsh_docs", "knn_ivf_docs", "dedup_fuzzy",
+    "dedup_simhash", "dedup_ngram", "dedup_embed", "sdba_loci_adjust_ms",
+    "sdba_qdm_adjust_ms", "sdba_dqm_adjust_ms", "sdba_eqm_adjust_ms",
+    "decontam_docs", "mixture_sample_src", "tree_tx_days_above",
+    "level_crossings_ms", "winter_rain_ratio_qs", "fire_components_ms",
+    "occurrence_doy_ys", "qian_smooth_ms", "solar_correction_ms",
+    "text_repetition_stats", "stream_dedup_exact", "pack_sequences_src",
+    "fire_season_days_ys", "stream_tx_days_above_30d",
+    "ens_weighted_percentiles_ms", "ens_stats_ms", "ens_percentiles_ms",
+    "fa_gumbel_rp", "text_quality_by_source", "detrend_resid_std",
+    "cal360_monthly_mean", "dataflags_summary", "mm_decode_stats",
+    "mm_binary_stats", "cf_cdd_ys", "cf_txx_ms", "anu_p13_ys",
+    "ind_wetdays_prop_ms", "agro_dryness_index_ys", "agro_chill_units_ys",
+    "agro_rain_season_ys", "stacked_normals_3y", "sdba_properties_ms",
+    "ens_mixed_calendar_ms",
 ]
 
 
