@@ -273,3 +273,72 @@ def test_streaming_cffwis_plain_matches_batch(spark, tmp_path):
         b = bmap[r["ts"]]
         for c in ("ffmc", "dmc", "dc", "isi", "bui", "fwi"):
             assert r[c] == pytest.approx(b[c], abs=1e-9), (r["ts"], c)
+
+
+def test_streaming_cffwis_gaps_and_midstream_cells(spark, tmp_path):
+    """Blocked-state alignment: a cell with calendar GAPS (its automaton
+    windows must count its own consecutive days, not the block's union
+    axis) and a cell that first APPEARS in a later micro-batch must both
+    match the batch kernel exactly."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(11)
+    days = pd.date_range("2000-01-01", "2002-12-31", freq="D")
+    n = len(days)
+    doy = days.dayofyear.to_numpy()
+    rows = []
+    for cell in (1, 2, 3):
+        tas = (12.0 + 14.0 * np.sin((doy - 110) / 365.0 * 2 * np.pi)
+               + rng.normal(0, 2.5, n) + cell)
+        prcp = np.maximum(0.0, rng.normal(0, 4.0, n))
+        hurs = np.clip(55 + rng.normal(0, 15, n), 5, 99)
+        ws = np.clip(12 + rng.normal(0, 4, n), 0, None)
+        for i in range(n):
+            if cell == 1 and i % 3 == 2:
+                continue  # gappy series
+            if cell == 3 and days[i].year < 2001:
+                continue  # appears mid-stream (batch 2)
+            rows.append((cell, days[i].to_pydatetime(), float(tas[i]),
+                         float(prcp[i]), float(hurs[i]), float(ws[i])))
+    pdf = pd.DataFrame(rows, columns=["cell", "ts", "tas", "prcp",
+                                      "hurs", "ws"])
+
+    from xclim_spark.operators import fire
+
+    batch = fire.cffwis_indices(
+        spark.createDataFrame(pdf), tas="tas", pr="prcp", hurs="hurs",
+        sfcWind="ws", lat=47.0, time="ts", cells=["cell"],
+        season_method="WF93", overwintering=True).collect()
+    bmap = {(r["cell"], r["ts"]): r for r in batch}
+
+    d = tmp_path / "fwi_gaps"
+    d.mkdir()
+    for j, yr in enumerate(sorted(pdf["ts"].dt.year.unique())):
+        part = pdf[pdf["ts"].dt.year == yr].sort_values(["cell", "ts"])
+        part.to_parquet(d / f"p{j}.parquet", coerce_timestamps="us")
+        _time.sleep(1.05)
+
+    from xclim_spark.streaming import streaming_cffwis
+
+    sdf = (spark.readStream
+           .schema("cell LONG, ts TIMESTAMP, tas DOUBLE, prcp DOUBLE, "
+                   "hurs DOUBLE, ws DOUBLE")
+           .option("maxFilesPerTrigger", 1)
+           .parquet(str(d / "*.parquet")))
+    out = streaming_cffwis(sdf, tas="tas", pr="prcp", hurs="hurs",
+                           ws="ws", lat=47.0, time="ts", cell="cell",
+                           season_method="WF93", overwintering=True,
+                           num_blocks=2)  # cells share blocks
+    _run_to_memory(out, "fwi_stream_gaps")
+    got = spark.table("fwi_stream_gaps").collect()
+    assert len(got) == len(batch)
+    for r in got:
+        b = bmap[(r["cell"], r["ts"])]
+        for c in ("ffmc", "dmc", "dc", "isi", "bui", "fwi"):
+            gv, bv = r[c], b[c]
+            if gv is None or (isinstance(gv, float) and gv != gv):
+                assert bv is None or bv != bv, (r["cell"], r["ts"], c)
+            else:
+                assert gv == pytest.approx(bv, abs=1e-9), \
+                    (r["cell"], r["ts"], c)

@@ -4342,11 +4342,13 @@ def stream_tx_days_above_30d(spark, sf_dir):
             .start()
         )
         q.awaitTermination()
-    return spark.table(sink).select(
+    out = spark.table(sink).select(
         "cell",
         F.to_date(F.col("period.start")).alias("period"),
         "n_above",
-    )
+    ).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(sink)
+    return out
 
 
 def _stage_stream_daily(sf_dir: str) -> str:
@@ -4441,12 +4443,14 @@ def stream_events_table(spark, sf_dir):
         q = (ev.writeStream.format("memory").queryName(sink)
              .outputMode("append").trigger(availableNow=True).start())
         q.awaitTermination()
-    return spark.table(sink).select(
+    out = spark.table(sink).select(
         "cell",
         F.to_date("event_start").alias("event_start"),
         "event_length",
         F.round("event_sum", 4).alias("event_sum"),
-    )
+    ).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(sink)
+    return out
 
 
 @_register(
@@ -4501,13 +4505,19 @@ def stream_fwi_ms(spark, sf_dir):
     # off-season days carry NaN codes (pandas NaN -> NaN double, not
     # NULL, through the Arrow state path) — valid must check both
     valid = F.col("fwi").isNotNull() & ~F.isnan("fwi")
-    return spark.table(sink).groupBy(
+    out = spark.table(sink).groupBy(
         "cell",
         F.to_date(F.date_trunc("month", "ts")).alias("period"),
     ).agg(
         F.round(F.max(F.when(valid, F.col("fwi"))), 6).alias("fwi_max"),
         F.sum(valid.cast("long")).alias("season_days"),
     )
+    # materialize the (months x cells)-sized aggregate and DROP the
+    # per-day memory sink: it is corpus-sized (cells x days rows) and a
+    # leaked sink per call compounds across bench reps
+    out = out.localCheckpoint(eager=True)
+    spark.catalog.dropTempView(sink)
+    return out
 
 
 @_register(
@@ -4551,9 +4561,11 @@ def stream_p90_days_over(spark, sf_dir):
         q = (agg.writeStream.format("memory").queryName(sink)
              .outputMode("complete").trigger(availableNow=True).start())
         q.awaitTermination()
-    return spark.table(sink).select(
+    out = spark.table(sink).select(
         "cell", F.make_date("yr", F.lit(1), F.lit(1)).alias("period"),
-        "days_over")
+        "days_over").localCheckpoint(eager=True)
+    spark.catalog.dropTempView(sink)
+    return out
 
 
 @_register(
@@ -4634,9 +4646,12 @@ def stream_user_sessions(spark, sf_dir):
         q = (sess.writeStream.format("memory").queryName(sink)
              .outputMode("append").trigger(availableNow=True).start())
         q.awaitTermination()
-    return (spark.table(sink).filter(F.col("user_id") >= 0)
-            .select("user_id", "sess_start", "n_events",
-                    F.round("total_value", 6).alias("total_value")))
+    out = (spark.table(sink).filter(F.col("user_id") >= 0)
+           .select("user_id", "sess_start", "n_events",
+                   F.round("total_value", 6).alias("total_value"))
+           .localCheckpoint(eager=True))
+    spark.catalog.dropTempView(sink)
+    return out
 
 
 @_register(
@@ -5769,7 +5784,9 @@ def stream_dedup_exact(spark, sf_dir):
             .start()
         )
         q.awaitTermination()
-    return spark.table(sink)
+    out = spark.table(sink).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(sink)
+    return out
 
 
 @_register(
