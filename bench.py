@@ -55,6 +55,8 @@ HEADLINE = [
     # round-7 families
     "conv_pet_ms", "agro_pet_tw48_ms", "hydro_sen_slope_qs",
     "dedup_components", "dataset_bucketed_reuse",
+    # round-10 families
+    "stream_fwi_ms", "boot_r75ptot_ys", "dedup_components_star",
 ]
 
 

@@ -23,7 +23,7 @@ Query set: the N most expensive queries by the latest
 names passed on the command line.
 
 Usage:  python tools/bench_sf1.py [extra_query ...]
-Env:    SPARK_GRAFT_SF1_REPS (default 2), SPARK_GRAFT_SF1_TOP (20),
+Env:    SPARK_GRAFT_SF1_REPS (default 3), SPARK_GRAFT_SF1_TOP (20),
         SPARK_GRAFT_CPUS (32), SPARK_GRAFT_ROUND (inferred from the
         newest CORRECTNESS_r*.json + 1 when unset).
 """
@@ -91,7 +91,7 @@ def _pick_queries(extra) -> list[str]:
 
 def main(argv) -> int:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    reps = int(os.environ.get("SPARK_GRAFT_SF1_REPS", "2"))
+    reps = int(os.environ.get("SPARK_GRAFT_SF1_REPS", "3"))
     gate = cpus / 8.0
     label = _round_label()
     art = _load_artifact()
@@ -147,8 +147,11 @@ def main(argv) -> int:
         .repartition(cpus, "g").groupBy("g") \
         .applyInPandas(lambda p: p, schema="id long, g long").count()
 
+    import gc
+
     t_all0 = time.time()
     timings: dict[str, float] = {}
+    floors: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in queries:
         samples = []
@@ -159,6 +162,10 @@ def main(argv) -> int:
                     .mode("overwrite").save()
                 dt = time.time() - t0
                 spark.catalog.clearCache()
+                # release py4j refs so ContextCleaner can unpersist
+                # localCheckpoint blocks between reps (they otherwise
+                # squat on unified memory and bill later queries)
+                gc.collect()
                 if rep > 0:
                     samples.append(dt)
         except Exception as exc:  # one query must not lose the run
@@ -167,8 +174,12 @@ def main(argv) -> int:
             spark.catalog.clearCache()
             continue
         timings[name] = round(statistics.median(samples), 2)
-        log(f"{name}: median {timings[name]}s over {reps} "
-            f"(warm-up {round(samples[0], 2) if samples else 0}s)")
+        # the MIN is the robust trend statistic on a shared box: real
+        # regressions raise the floor, interference only raises the
+        # median
+        floors[name] = round(min(samples), 2)
+        log(f"{name}: median {timings[name]}s / min {floors[name]}s "
+            f"over {reps}")
     wall = round(time.time() - t_all0, 1)
     spark.stop()
 
@@ -186,6 +197,7 @@ def main(argv) -> int:
         "cpus": cpus,
         "wall_total": wall,
         "queries": timings,
+        "queries_min": floors,
     }
     if errors:
         entry["errors"] = errors
