@@ -342,3 +342,70 @@ def test_streaming_cffwis_gaps_and_midstream_cells(spark, tmp_path):
             else:
                 assert gv == pytest.approx(bv, abs=1e-9), \
                     (r["cell"], r["ts"], c)
+
+
+def test_streaming_spell_events_blocked_matches_batch_random(
+        spark, tmp_path):
+    """Blocked-state sessionization vs batch find_events on a seeded
+    multi-cell series with runs engineered to cross every micro-batch
+    seam: per-cell carried (len, start, sum) must merge through the
+    parallel-array state exactly."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(77)
+    days = pd.date_range("2000-01-01", periods=240, freq="D")
+    rows = []
+    for c in range(17):  # enough cells to share blocks
+        # sticky flag process -> long runs that straddle the 80-day
+        # file boundaries
+        v, cur = [], 10.0
+        for i in range(240):
+            if rng.random() < 0.08:
+                cur = 30.0 if cur < 25.0 else 10.0
+            v.append(cur + rng.normal(0, 1.0))
+        for i in range(240):
+            if c % 5 == 0 and i % 7 == 3:
+                continue  # calendar gaps on some cells
+            rows.append((c, days[i].to_pydatetime(), float(v[i])))
+    pdf = pd.DataFrame(rows, columns=["cell", "ts", "tas"])
+
+    from pyspark.sql import functions as F2
+
+    from xclim_spark.operators import run_length as rl
+
+    bdf = spark.createDataFrame(pdf)
+    batch = rl.find_events(
+        bdf, F2.col("tas") > 25.0, 1, data_var="tas", time="ts",
+        cells=["cell"]).collect()
+    # batch find_events reports every event incl. the trailing open run;
+    # the stream leaves trailing runs in state, so compare on the
+    # common set: events that END before each cell's last timestamp
+    last_ts = pdf.groupby("cell")["ts"].max().to_dict()
+    bset = {(r["cell"], r["event_start"], r["event_length"],
+             round(r["event_sum"], 9))
+            for r in batch if r["event_end"] < last_ts[r["cell"]]}
+
+    d = tmp_path / "spells_blk"
+    d.mkdir()
+    for j in range(3):  # 80-day files -> 3 micro-batches
+        lo, hi = days[j * 80], days[min(239, (j + 1) * 80 - 1)]
+        part = pdf[(pdf["ts"] >= lo) & (pdf["ts"] <= hi)] \
+            .sort_values(["cell", "ts"])
+        part.to_parquet(d / f"p{j}.parquet", coerce_timestamps="us")
+        _time.sleep(1.05)
+
+    from xclim_spark.streaming import streaming_spell_events
+
+    sdf = (spark.readStream
+           .schema("cell LONG, ts TIMESTAMP, tas DOUBLE")
+           .option("maxFilesPerTrigger", 1)
+           .parquet(str(d / "*.parquet")))
+    out = streaming_spell_events(sdf, "tas", ">", 25.0, min_length=1,
+                                 time="ts", num_blocks=4)
+    _run_to_memory(out, "spells_blocked_rand")
+    got = {(r["cell"], r["event_start"], r["event_length"],
+            round(r["event_sum"], 9))
+           for r in spark.table("spells_blocked_rand").collect()}
+    assert got == bset
+    assert len(bset) > 50  # the fixture genuinely generates events

@@ -4495,7 +4495,8 @@ def stream_fwi_ms(spark, sf_dir):
            .withColumn("ws", 5.0 + F.col("qty") / 2.0))
     fwi = streaming_cffwis(met, tas="tas", pr="prcp", hurs="hurs",
                            ws="ws", lat=47.0, time="ts", cell="cell",
-                           season_method="WF93", overwintering=True)
+                           season_method="WF93", overwintering=True,
+                           outputs=("fwi",))
     _STREAM_SEQ[0] += 1
     sink = f"_stream_fwi_{_STREAM_SEQ[0]}"
     with _stream_state_partitions(spark):

@@ -71,6 +71,7 @@ def streaming_cffwis(
     temp_condition_days: int = 3,
     ffmc0: float = 85.0, dmc0: float = 6.0, dc0: float = 15.0,
     num_blocks: int | None = None,
+    outputs: tuple = ("ffmc", "dmc", "dc", "isi", "bui", "fwi"),
 ) -> DataFrame:
     """Streaming twin of :func:`~xclim_spark.operators.fire.cffwis_indices`
     (WF93 season automaton + overwintered Drought Code, or the plain
@@ -84,6 +85,12 @@ def streaming_cffwis(
     parallelism).  It must stay FIXED for the life of a checkpoint:
     cells map to blocks by deterministic hash, and a block's state
     carries all of its cells' codes as parallel arrays.
+
+    ``outputs`` — which of the six components to emit.  The recursion
+    always computes all six (they feed each other), but a sink that
+    only stores e.g. ``fwi`` should not ship six doubles per day
+    through the stream (column pruning cannot reach inside a stateful
+    operator, so the projection is a parameter).
     """
     if season_method not in (None, "WF93"):
         raise NotImplementedError(
@@ -98,9 +105,14 @@ def streaming_cffwis(
         num_blocks = max(
             2 * sdf.sparkSession.sparkContext.defaultParallelism, 2)
 
-    out_schema = (f"{cell} LONG, {time} TIMESTAMP, ffmc DOUBLE, "
-                  f"dmc DOUBLE, dc DOUBLE, isi DOUBLE, bui DOUBLE, "
-                  f"fwi DOUBLE")
+    outputs = tuple(outputs)
+    bad = [o for o in outputs
+           if o not in ("ffmc", "dmc", "dc", "isi", "bui", "fwi")]
+    if bad:
+        raise ValueError(f"unknown outputs: {bad}")
+    out_schema = ", ".join(
+        [f"{cell} LONG", f"{time} TIMESTAMP"]
+        + [f"{o} DOUBLE" for o in outputs])
     state_schema = ("cells ARRAY<LONG>, f ARRAY<DOUBLE>, "
                     "dm ARRAY<DOUBLE>, dc ARRAY<DOUBLE>, "
                     "ow_dc ARRAY<DOUBLE>, ow_dmc ARRAY<DOUBLE>, "
@@ -249,8 +261,8 @@ def streaming_cffwis(
             cell: np.tile(all_cells, n)[flat],
             time: np.repeat(np.asarray(times), ka)[flat],
         }
-        for name, mat in res.items():
-            out[name] = mat.ravel()[flat]
+        for name in outputs:
+            out[name] = res[name].ravel()[flat]
         yield pd.DataFrame(out)
 
     blocked = sdf.withColumn(
