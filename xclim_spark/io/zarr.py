@@ -19,7 +19,9 @@ read driver-side (they are metadata-sized) and carried into the tasks
 as numpy closures, so emitted rows carry real coordinate values.
 
 Codecs: ``zlib``/``gzip`` and uncompressed chunks decode with the
-stdlib; ``blosc``/``zstd`` (not in this container) raise an honest
+stdlib, and v3 ``sharding_indexed`` stores read natively (one task per
+shard; the inner-chunk index parses in-task — see :func:`_decode_shard`);
+``blosc``/``zstd`` (not in this container) raise an honest
 ``NotImplementedError`` naming the chunk — the same environment-gate
 policy as :mod:`.netcdf`.
 """
@@ -50,27 +52,72 @@ _V3_DTYPES = {"float64": "f8", "float32": "f4", "float16": "f2",
 def _normalize_v3(m3: dict, name: str) -> dict:
     """Map a Zarr v3 ``zarr.json`` array document onto the v2-shaped
     meta dict the chunk decoders consume (public v3 core spec): regular
-    chunk grid only; codec chain = one ``bytes`` (endian) codec plus an
-    optional ``gzip``/``zlib`` compressor — ``zstd``/``blosc``/sharding
-    raise the same honest environment gate as v2."""
+    chunk grid; codec chain = one ``bytes`` (endian) codec plus an
+    optional ``gzip``/``zlib`` compressor, or ``sharding_indexed``
+    wrapping such a chain (read support — each stored object then holds
+    many inner chunks + an offset index).  ``zstd``/``blosc`` raise the
+    same honest environment gate as v2."""
     if m3.get("node_type") != "array":
         raise ValueError(f"{name}: zarr.json is not an array node")
     grid = m3.get("chunk_grid", {})
     if grid.get("name") != "regular":
         raise NotImplementedError(
             f"{name}: v3 chunk grid {grid.get('name')!r}")
-    endian, comp = "<", None
-    for c in m3.get("codecs", [{"name": "bytes"}]):
-        nm, cfg = c.get("name"), c.get("configuration") or {}
-        if nm == "bytes":
-            endian = "<" if cfg.get("endian", "little") == "little" \
-                else ">"
-        elif nm in ("gzip", "zlib"):
-            comp = {"id": nm}
-        else:
+
+    def _parse_chain(codecs):
+        endian, comp = "<", None
+        for c in codecs:
+            nm, cfg = c.get("name"), c.get("configuration") or {}
+            if nm == "bytes":
+                endian = "<" if cfg.get("endian", "little") == "little" \
+                    else ">"
+            elif nm in ("gzip", "zlib"):
+                comp = {"id": nm}
+            else:
+                raise NotImplementedError(
+                    f"{name}: v3 codec {nm!r} not available in this "
+                    "environment (stdlib decodes bytes/gzip/zlib)")
+        return endian, comp
+
+    codecs = m3.get("codecs", [{"name": "bytes"}])
+    shard = None
+    if codecs and codecs[0].get("name") == "sharding_indexed":
+        # v3 sharding codec (public core spec): each stored object is a
+        # SHARD holding the inner chunks of one outer-grid chunk plus a
+        # (offset, nbytes) index; inner chunks use their own codec
+        # chain.  The shard index's optional crc32c suffix is skipped,
+        # not verified (no crc32c in the stdlib); offsets are instead
+        # validated against the shard size at decode.
+        scfg = codecs[0].get("configuration") or {}
+        if len(codecs) > 1:
             raise NotImplementedError(
-                f"{name}: v3 codec {nm!r} not available in this "
-                "environment (stdlib decodes bytes/gzip/zlib)")
+                f"{name}: codecs after sharding_indexed")
+        inner_codecs = scfg.get("codecs", [{"name": "bytes"}])
+        if inner_codecs and \
+                inner_codecs[0].get("name") == "sharding_indexed":
+            raise NotImplementedError(f"{name}: nested sharding")
+        endian, comp = _parse_chain(inner_codecs)
+        checksum = False
+        for c in scfg.get("index_codecs",
+                          [{"name": "bytes"}, {"name": "crc32c"}]):
+            nm = c.get("name")
+            cfg = c.get("configuration") or {}
+            if nm == "bytes":
+                if cfg.get("endian", "little") != "little":
+                    raise NotImplementedError(
+                        f"{name}: big-endian shard index")
+            elif nm == "crc32c":
+                checksum = True
+            else:
+                raise NotImplementedError(
+                    f"{name}: shard index codec {nm!r}")
+        shard = {
+            "inner": list(scfg["chunk_shape"]),
+            "index_location": scfg.get("index_location", "end"),
+            "checksum": checksum,
+        }
+    else:
+        endian, comp = _parse_chain(codecs)
     base = _V3_DTYPES.get(m3.get("data_type"))
     if base is None:
         raise NotImplementedError(
@@ -97,6 +144,7 @@ def _normalize_v3(m3: dict, name: str) -> dict:
         "filters": None, "dimension_separator": sep,
         "_key_prefix": prefix,
         "_dims": m3.get("dimension_names"),
+        "_shard": shard,
     }
 
 
@@ -178,20 +226,74 @@ def zarr_chunk_manifest(
     return df.repartition(min(len(rows), 2048) or 1)
 
 
+def _fill_chunk(shape, meta: dict) -> np.ndarray:
+    dtype = np.dtype(meta["dtype"])
+    fill = meta.get("fill_value")
+    if fill is None and dtype.kind in "iub":
+        raise ValueError(
+            f"zarr array {meta.get('_name', '<unknown>')!r}: missing "
+            f"chunk with fill_value null and integer dtype {dtype} — "
+            "cannot materialize NaN; rewrite the store with an "
+            "explicit fill_value")
+    return np.full(shape, np.nan if fill is None else fill, dtype=dtype)
+
+
+_SHARD_MISSING = 0xFFFFFFFFFFFFFFFF  # spec: absent inner chunk
+
+
+def _decode_shard(raw: bytes, meta: dict) -> np.ndarray:
+    """Shard bytes -> dense ndarray of the OUTER chunk shape (v3
+    sharding_indexed): parse the (offset, nbytes) index, decode each
+    present inner chunk with the inner codec chain, scatter into a
+    fill-initialized shard array.  Only the inner chunks of one shard
+    ever sit in memory together — the task granularity stays one shard
+    (= one outer chunk), same as unsharded stores."""
+    import itertools
+
+    sh = meta["_shard"]
+    outer = tuple(meta["chunks"])
+    inner = tuple(sh["inner"])
+    counts = [(o + i - 1) // i for o, i in zip(outer, inner)]
+    n = int(np.prod(counts))
+    idx_len = 16 * n + (4 if sh["checksum"] else 0)
+    if len(raw) < idx_len:
+        raise ValueError(
+            f"{meta.get('_name')!r}: shard smaller than its index "
+            f"({len(raw)} < {idx_len} bytes)")
+    idx_raw = raw[-idx_len:] if sh["index_location"] == "end" \
+        else raw[:idx_len]
+    table = np.frombuffer(idx_raw[:16 * n], dtype="<u8").reshape(n, 2)
+    dtype = np.dtype(meta["dtype"])
+    comp = meta.get("compressor")
+    out = _fill_chunk(outer, meta)
+    for flat, idx in enumerate(
+            itertools.product(*[range(c) for c in counts])):
+        off, nb = int(table[flat, 0]), int(table[flat, 1])
+        if off == _SHARD_MISSING:
+            continue  # fill stays
+        if off + nb > len(raw):
+            raise ValueError(
+                f"{meta.get('_name')!r}: shard index entry {flat} "
+                f"points past the shard ({off}+{nb} > {len(raw)})")
+        sub = raw[off:off + nb]
+        if comp is not None:
+            sub = zlib.decompress(sub, 47) if comp["id"] == "gzip" \
+                else zlib.decompress(sub)
+        block = np.frombuffer(sub, dtype=dtype).reshape(inner)
+        sl = tuple(slice(i * c, min((i + 1) * c, o))
+                   for i, c, o in zip(idx, inner, outer))
+        out[sl] = block[tuple(slice(0, s.stop - s.start) for s in sl)]
+    return out
+
+
 def _decode_chunk(raw: bytes | None, meta: dict) -> np.ndarray:
     """Chunk bytes -> dense C-order ndarray of the chunk shape."""
     chunks = tuple(meta["chunks"])
     dtype = np.dtype(meta["dtype"])
     if raw is None:
-        fill = meta.get("fill_value")
-        if fill is None and dtype.kind in "iub":
-            raise ValueError(
-                f"zarr array {meta.get('_name', '<unknown>')!r}: missing "
-                f"chunk with fill_value null and integer dtype {dtype} — "
-                "cannot materialize NaN; rewrite the store with an "
-                "explicit fill_value")
-        return np.full(chunks, np.nan if fill is None else fill,
-                       dtype=dtype)
+        return _fill_chunk(chunks, meta)
+    if meta.get("_shard"):
+        return _decode_shard(raw, meta)
     comp = meta.get("compressor")
     if comp is not None:
         # zlib/gzip share the zlib inflate; wbits=47 auto-detects both
