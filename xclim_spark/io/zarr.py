@@ -39,7 +39,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 __all__ = ["zarr_array_meta", "zarr_chunk_manifest", "read_zarr",
-           "write_zarr_array", "write_zarr3_array", "write_zarr_dataset"]
+           "write_zarr_array", "write_zarr3_array",
+           "write_zarr3_sharded_array", "write_zarr_dataset"]
 
 
 # Zarr v3 data_type -> numpy base code (endianness from the bytes codec)
@@ -85,9 +86,9 @@ def _normalize_v3(m3: dict, name: str) -> dict:
         # v3 sharding codec (public core spec): each stored object is a
         # SHARD holding the inner chunks of one outer-grid chunk plus a
         # (offset, nbytes) index; inner chunks use their own codec
-        # chain.  The shard index's optional crc32c suffix is skipped,
-        # not verified (no crc32c in the stdlib); offsets are instead
-        # validated against the shard size at decode.
+        # chain.  The index's crc32c suffix is verified at decode
+        # (table-driven pure python — indexes are KB-sized), and
+        # offsets are validated against the shard size.
         scfg = codecs[0].get("configuration") or {}
         if len(codecs) > 1:
             raise NotImplementedError(
@@ -240,6 +241,27 @@ def _fill_chunk(shape, meta: dict) -> np.ndarray:
 
 _SHARD_MISSING = 0xFFFFFFFFFFFFFFFF  # spec: absent inner chunk
 
+_CRC32C_TABLE = None
+
+
+def _crc32c(data: bytes) -> int:
+    """CRC-32C (Castagnoli) — the v3 shard index checksum.  Table-driven
+    pure python; shard indexes are 16 bytes per inner chunk, so this
+    only ever runs over a few KB per shard."""
+    global _CRC32C_TABLE
+    if _CRC32C_TABLE is None:
+        tbl = []
+        for i in range(256):
+            c = i
+            for _ in range(8):
+                c = (c >> 1) ^ 0x82F63B78 if c & 1 else c >> 1
+            tbl.append(c)
+        _CRC32C_TABLE = tbl
+    c = 0xFFFFFFFF
+    for b in data:
+        c = _CRC32C_TABLE[(c ^ b) & 0xFF] ^ (c >> 8)
+    return c ^ 0xFFFFFFFF
+
 
 def _decode_shard(raw: bytes, meta: dict) -> np.ndarray:
     """Shard bytes -> dense ndarray of the OUTER chunk shape (v3
@@ -262,6 +284,13 @@ def _decode_shard(raw: bytes, meta: dict) -> np.ndarray:
             f"({len(raw)} < {idx_len} bytes)")
     idx_raw = raw[-idx_len:] if sh["index_location"] == "end" \
         else raw[:idx_len]
+    if sh["checksum"]:
+        want = int.from_bytes(idx_raw[16 * n:16 * n + 4], "little")
+        got = _crc32c(idx_raw[:16 * n])
+        if want != got:
+            raise ValueError(
+                f"{meta.get('_name')!r}: shard index crc32c mismatch "
+                f"({want:#x} != {got:#x}) — corrupt shard")
     table = np.frombuffer(idx_raw[:16 * n], dtype="<u8").reshape(n, 2)
     dtype = np.dtype(meta["dtype"])
     comp = meta.get("compressor")
@@ -652,6 +681,102 @@ def write_zarr3_array(
         os.makedirs(os.path.dirname(p), exist_ok=True)
         with open(p, "wb") as f:
             f.write(raw)
+
+
+def write_zarr3_sharded_array(
+    store: str, name: str, arr: np.ndarray, *,
+    shards: Sequence[int],
+    chunks: Sequence[int],
+    dims: Sequence[str] | None = None,
+    compress: bool = True,
+    attrs: dict | None = None,
+) -> None:
+    """Zarr v3 ``sharding_indexed`` writer (driver-side staging/test
+    twin of :func:`write_zarr3_array`; the distributed production
+    writer stays :func:`write_zarr_dataset`): each shard file holds the
+    gzip inner chunks of one ``shards``-shaped outer chunk followed by
+    the (offset, nbytes) index and its crc32c, exactly the layout
+    :func:`_decode_shard` reads.  ``chunks`` (inner) must divide
+    ``shards`` (the spec's constraint)."""
+    import gzip as _gzip
+    import struct
+
+    _V3_NAMES = {v: k for k, v in _V3_DTYPES.items()}
+    base = arr.dtype.str.lstrip("<>|=")
+    if base not in _V3_NAMES:
+        raise NotImplementedError(f"{name}: dtype {arr.dtype} in v3")
+    shards = list(shards)
+    chunks = list(chunks)
+    if any(s % c for s, c in zip(shards, chunks)):
+        raise ValueError(f"{name}: inner chunk shape {chunks} must "
+                         f"divide shard shape {shards}")
+    inner_codecs = [{"name": "bytes",
+                     "configuration": {"endian": "little"}}]
+    if compress:
+        inner_codecs.append({"name": "gzip",
+                             "configuration": {"level": 5}})
+    path = os.path.join(store, name)
+    os.makedirs(path, exist_ok=True)
+    doc = {
+        "zarr_format": 3, "node_type": "array",
+        "shape": list(arr.shape), "data_type": _V3_NAMES[base],
+        "chunk_grid": {"name": "regular",
+                       "configuration": {"chunk_shape": shards}},
+        "chunk_key_encoding": {"name": "default",
+                               "configuration": {"separator": "/"}},
+        "fill_value": "NaN" if arr.dtype.kind == "f" else 0,
+        "codecs": [{
+            "name": "sharding_indexed",
+            "configuration": {
+                "chunk_shape": chunks,
+                "codecs": inner_codecs,
+                "index_codecs": [
+                    {"name": "bytes",
+                     "configuration": {"endian": "little"}},
+                    {"name": "crc32c"}],
+                "index_location": "end",
+            },
+        }],
+    }
+    if dims is not None:
+        doc["dimension_names"] = list(dims)
+    if attrs:
+        doc["attributes"] = dict(attrs)
+    with open(os.path.join(path, "zarr.json"), "w") as f:
+        json.dump(doc, f)
+    import itertools
+
+    fill = np.nan if arr.dtype.kind == "f" else 0
+    counts = [s // c for s, c in zip(shards, chunks)]
+    for sidx in _grid(arr.shape, shards):
+        payload = b""
+        entries = []
+        for cidx in itertools.product(*[range(n) for n in counts]):
+            lo = [si * s + ci * c
+                  for si, s, ci, c in zip(sidx, shards, cidx, chunks)]
+            sl = tuple(slice(lv, min(lv + c, s))
+                       for lv, c, s in zip(lo, chunks, arr.shape))
+            if any(s.start >= s.stop for s in sl):
+                entries.append((_SHARD_MISSING, _SHARD_MISSING))
+                continue  # inner chunk entirely past the array edge
+            block = arr[sl]
+            if block.shape != tuple(chunks):
+                full = np.full(chunks, fill, dtype=arr.dtype)
+                full[tuple(slice(0, b) for b in block.shape)] = block
+                block = full
+            raw = np.ascontiguousarray(
+                block.astype(arr.dtype.newbyteorder("<"))).tobytes()
+            if compress:
+                raw = _gzip.compress(raw, 5)
+            entries.append((len(payload), len(raw)))
+            payload += raw
+        idx = b"".join(struct.pack("<QQ", o, nb) for o, nb in entries)
+        idx += struct.pack("<I", _crc32c(idx))
+        key = "/".join(["c", *(str(i) for i in sidx)])
+        p = os.path.join(path, key)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with open(p, "wb") as f:
+            f.write(payload + idx)
 
 
 def write_zarr_array(

@@ -4863,6 +4863,66 @@ def zarr3_ingest_ms(spark, sf_dir):
     ).agg(F.round(F.avg("qty"), 6).alias("tg_mean"))
 
 
+@_register(
+    "zarr3_sharded_ingest_ms",
+    f"""WITH {DAILY_SQL}
+SELECT cell, CAST(date_trunc('month', day) AS DATE) AS period,
+       ROUND(avg(qty), 6) AS tg_mean
+FROM daily GROUP BY 1, 2""",
+)
+def zarr3_sharded_ingest_ms(spark, sf_dir):
+    """Zarr v3 SHARDED ingest end to end (io/zarr.py sharding_indexed
+    read path, round 10): the dense grid staged as 512x64 shards of
+    128x16 gzip inner chunks — one read task per shard parses the
+    crc32c-verified offset index and scatters the inner chunks — read
+    through the SAME chunk-manifest plan and checked against the
+    identical parquet oracle as the unsharded v2/v3 gates."""
+    import hashlib
+    import os
+
+    import numpy as np
+
+    from .io.zarr import read_zarr, write_zarr3_sharded_array
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    store = f"/tmp/xclim_spark_zarr3s_{tag}"
+    if not os.path.exists(os.path.join(store, "qty", "zarr.json")):
+        import duckdb
+
+        con = duckdb.connect()
+        rows = con.execute(
+            f"""SELECT l_suppkey AS cell,
+                       CAST(date_trunc('day', l_shipdate) AS DATE) AS day,
+                       avg(l_quantity) AS qty
+                FROM '{sf_dir}/lineitem.parquet' GROUP BY 1, 2"""
+        ).fetchnumpy()
+        cells = np.unique(rows["cell"])
+        day = rows["day"].astype("datetime64[D]")
+        d0, d1 = day.min(), day.max()
+        days = np.arange(d0, d1 + np.timedelta64(1, "D"),
+                         dtype="datetime64[D]")
+        mat = np.full((len(days), len(cells)), np.nan)
+        ti = (day - d0).astype(int)
+        ci = np.searchsorted(cells, rows["cell"])
+        mat[ti, ci] = rows["qty"]
+        epoch = np.datetime64("1970-01-01")
+        write_zarr3_sharded_array(store, "qty", mat,
+                                  shards=[512, 64], chunks=[128, 16],
+                                  dims=["time", "cell"])
+        write_zarr3_sharded_array(store, "time",
+                                  (days - epoch).astype("int64"),
+                                  shards=[512], chunks=[128],
+                                  dims=["time"])
+        write_zarr3_sharded_array(store, "cell", cells.astype("int64"),
+                                  shards=[64], chunks=[16],
+                                  dims=["cell"])
+    df = read_zarr(spark, store, ["qty"],
+                   time_units_epoch="1970-01-01")
+    return df.filter(F.col("qty").isNotNull()).groupBy(
+        "cell", period_start("time", "MS").alias("period")
+    ).agg(F.round(F.avg("qty"), 6).alias("tg_mean"))
+
+
 def _clim_doy_oracle() -> str:
     from .calendar import doy365_sql
 
@@ -6456,6 +6516,7 @@ _PRIORITY = [
     # -- round-10 additions (no driver row yet; the ordering
     #    rule requires these inside the sampled head) --
     "stream_fwi_ms", "boot_r75ptot_ys", "dedup_components_star",
+    "zarr3_sharded_ingest_ms",
     # -- newest driver-green row: round 6 --
     "ens_robustness_fracs", "boot_tg90p_ys", "unstacked_normals_3y",
     "ind_wsdi_ys", "sdba_eqm_adaptfreq_ms", "analog_seuclidean",
