@@ -409,3 +409,79 @@ def test_streaming_spell_events_blocked_matches_batch_random(
            for r in spark.table("spells_blocked_rand").collect()}
     assert got == bset
     assert len(bset) > 50  # the fixture genuinely generates events
+
+
+@pytest.mark.parametrize("method", ["LA08", "GFWED"])
+def test_streaming_cffwis_snow_methods_match_batch(spark, tmp_path,
+                                                   method):
+    """LA08 / GFWED season automatons (snow-depth windows INCLUDE the
+    current day) carried through streaming state must match the batch
+    kernel exactly — the snow window is a second carried buffer."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(23 + len(method))
+    days = pd.date_range("2000-01-01", "2002-12-31", freq="D")
+    n = len(days)
+    doy = days.dayofyear.to_numpy()
+    rows = []
+    for cell in (1, 2):
+        tas = (10.0 + 13.0 * np.sin((doy - 110) / 365.0 * 2 * np.pi)
+               + rng.normal(0, 2.0, n) + cell)
+        # winter snowpack: on when the seasonal cycle is cold, with
+        # noise so start/stop genuinely flip around the threshold
+        snd = np.clip(
+            -0.3 * np.sin((doy - 110) / 365.0 * 2 * np.pi)
+            + rng.normal(0, 0.08, n), 0.0, None)
+        prcp = np.maximum(0.0, rng.normal(0, 4.0, n))
+        hurs = np.clip(55 + rng.normal(0, 15, n), 5, 99)
+        ws = np.clip(12 + rng.normal(0, 4, n), 0, None)
+        for i in range(n):
+            rows.append((cell, days[i].to_pydatetime(), float(tas[i]),
+                         float(prcp[i]), float(hurs[i]), float(ws[i]),
+                         float(snd[i])))
+    pdf = pd.DataFrame(rows, columns=["cell", "ts", "tas", "prcp",
+                                      "hurs", "ws", "snd"])
+
+    from xclim_spark.operators import fire
+
+    batch = fire.cffwis_indices(
+        spark.createDataFrame(pdf), tas="tas", pr="prcp", hurs="hurs",
+        sfcWind="ws", snd="snd", lat=47.0, time="ts", cells=["cell"],
+        season_method=method, overwintering=True).collect()
+    bmap = {(r["cell"], r["ts"]): r for r in batch}
+
+    d = tmp_path / f"fwi_{method}"
+    d.mkdir()
+    for j, yr in enumerate(sorted(pdf["ts"].dt.year.unique())):
+        part = pdf[pdf["ts"].dt.year == yr].sort_values(["cell", "ts"])
+        part.to_parquet(d / f"p{j}.parquet", coerce_timestamps="us")
+        _time.sleep(1.05)
+
+    from xclim_spark.streaming import streaming_cffwis
+
+    sdf = (spark.readStream
+           .schema("cell LONG, ts TIMESTAMP, tas DOUBLE, prcp DOUBLE, "
+                   "hurs DOUBLE, ws DOUBLE, snd DOUBLE")
+           .option("maxFilesPerTrigger", 1)
+           .parquet(str(d / "*.parquet")))
+    out = streaming_cffwis(sdf, tas="tas", pr="prcp", hurs="hurs",
+                           ws="ws", snd="snd", lat=47.0, time="ts",
+                           cell="cell", season_method=method,
+                           overwintering=True, num_blocks=2)
+    _run_to_memory(out, f"fwi_stream_{method}")
+    got = spark.table(f"fwi_stream_{method}").collect()
+    assert len(got) == len(batch)
+    n_on = 0
+    for r in got:
+        b = bmap[(r["cell"], r["ts"])]
+        for c in ("ffmc", "dmc", "dc", "isi", "bui", "fwi"):
+            gv, bv = r[c], b[c]
+            if gv is None or (isinstance(gv, float) and gv != gv):
+                assert bv is None or bv != bv, (r["cell"], r["ts"], c)
+            else:
+                assert gv == pytest.approx(bv, abs=1e-9), \
+                    (r["cell"], r["ts"], c)
+                n_on += 1
+    # seasons must genuinely toggle (some on, some off)
+    assert 0 < n_on < 6 * len(batch)

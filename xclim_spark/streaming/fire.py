@@ -61,6 +61,7 @@ def streaming_cffwis(
     sdf: DataFrame,
     *,
     tas: str, pr: str, hurs: str, ws: str,
+    snd: str | None = None,
     lat: float = 45.0,
     time: str = "time",
     cell: str = "cell",
@@ -69,13 +70,17 @@ def streaming_cffwis(
     temp_start_thresh: float = 12.0,
     temp_end_thresh: float = 5.0,
     temp_condition_days: int = 3,
+    snow_condition_days: int = 3,
+    snow_thresh: float = 0.01,
     ffmc0: float = 85.0, dmc0: float = 6.0, dc0: float = 15.0,
     num_blocks: int | None = None,
     outputs: tuple = ("ffmc", "dmc", "dc", "isi", "bui", "fwi"),
 ) -> DataFrame:
     """Streaming twin of :func:`~xclim_spark.operators.fire.cffwis_indices`
-    (WF93 season automaton + overwintered Drought Code, or the plain
-    always-on system with ``season_method=None``).
+    (WF93 / LA08 / GFWED season automatons + overwintered Drought Code,
+    or the plain always-on system with ``season_method=None``;
+    LA08/GFWED need a snow-depth column ``snd`` — their windows ride
+    the state as a second carried buffer).
 
     Emits one row per in-feed day:
     ``cell, <time>, ffmc, dmc, dc, isi, bui, fwi`` (off-season days
@@ -92,15 +97,22 @@ def streaming_cffwis(
     through the stream (column pruning cannot reach inside a stateful
     operator, so the projection is a parameter).
     """
-    if season_method not in (None, "WF93"):
+    if season_method not in (None, "WF93", "LA08", "GFWED"):
         raise NotImplementedError(
-            "streaming season automaton supports WF93 (temperature "
-            "window); LA08/GFWED need a snow-depth feed in state")
-    seasonal = season_method == "WF93"
+            f"season_method {season_method!r}")
+    if season_method in ("LA08", "GFWED") and snd is None:
+        raise ValueError(f"{season_method} requires a snow-depth "
+                         "column (snd=)")
+    seasonal = season_method is not None
     ncond = int(temp_condition_days)
+    scd = int(snow_condition_days)
     # the batch automaton's first possibly-ON index
-    # (fire_season_mask_block starts its loop at temp_condition_days + 1)
-    start_index = ncond + 1
+    # (fire_season_mask_block: WF93 windows EXCLUDE the current day and
+    # start at temp_condition_days + 1; LA08/GFWED windows INCLUDE it
+    # and start at max(temp_condition_days, snow_condition_days))
+    start_index = ncond + 1 if season_method == "WF93" \
+        else max(ncond, scd)
+    sw = scd if season_method in ("LA08", "GFWED") else 1
     if num_blocks is None:
         num_blocks = max(
             2 * sdf.sparkSession.sparkContext.defaultParallelism, 2)
@@ -117,7 +129,8 @@ def streaming_cffwis(
                     "dm ARRAY<DOUBLE>, dc ARRAY<DOUBLE>, "
                     "ow_dc ARRAY<DOUBLE>, ow_dmc ARRAY<DOUBLE>, "
                     "winter_pr ARRAY<DOUBLE>, prev ARRAY<INT>, "
-                    "days ARRAY<LONG>, tbuf ARRAY<DOUBLE>")
+                    "days ARRAY<LONG>, tbuf ARRAY<DOUBLE>, "
+                    "sbuf ARRAY<DOUBLE>")
 
     from ..operators.fire import cffwis_block
 
@@ -131,6 +144,7 @@ def streaming_cffwis(
             "prev": np.zeros(k, dtype=np.int16),
             "days": np.zeros(k, dtype=np.int64),
             "tbuf": np.full((k, ncond), np.nan),
+            "sbuf": np.full((k, sw), np.nan),
         }
         if not seasonal:
             st["f"][:] = ffmc0
@@ -150,7 +164,8 @@ def streaming_cffwis(
         tcodes, times = pd.factorize(pdf[time], sort=True)
         n, k = len(times), len(cols)
         mats = {}
-        for v in (tas, pr, hurs, ws):
+        for v in ((tas, pr, hurs, ws, snd) if snd is not None
+                  else (tas, pr, hurs, ws)):
             m = np.full((n, k), np.nan)
             m[tcodes, ccodes] = pdf[v].to_numpy(dtype=float)
             mats[v] = m
@@ -163,7 +178,7 @@ def streaming_cffwis(
         cols_arr = np.asarray(cols, dtype=np.int64)
         if state.exists:
             (sc_cells, sf, sdm, sdc, sowdc, sowdmc, swpr, sprev,
-             sdays, stbuf) = state.get
+             sdays, stbuf, ssbuf) = state.get
             sc_cells = np.asarray(sc_cells, dtype=np.int64)
             all_cells = np.union1d(sc_cells, cols_arr)
             ka = len(all_cells)
@@ -179,6 +194,8 @@ def streaming_cffwis(
             st["days"][old_pos] = np.asarray(sdays, dtype=np.int64)
             st["tbuf"][old_pos] = np.asarray(
                 stbuf, dtype=float).reshape(len(sc_cells), ncond)
+            st["sbuf"][old_pos] = np.asarray(
+                ssbuf, dtype=float).reshape(len(sc_cells), sw)
         else:
             all_cells = cols_arr
             ka = k
@@ -194,6 +211,7 @@ def streaming_cffwis(
         p_m = _scatter(mats[pr])
         h_m = _scatter(mats[hurs])
         w_m = _scatter(mats[ws])
+        s_m = _scatter(mats[snd]) if snd is not None else None
         pres = np.zeros((n, ka), dtype=bool)
         pres[:, pos] = present
 
@@ -201,22 +219,45 @@ def streaming_cffwis(
         prev_bit = st["prev"].copy()
         days = st["days"]
         tbuf = st["tbuf"]
+        sbuf = st["sbuf"]
         if seasonal:
-            # WF93 automaton resumed from (tbuf, prev, days), advanced
-            # as numpy vectors across the block's cells: day g's window
-            # is the previous `ncond` temperatures of the CELL'S OWN
-            # series (EXCLUDES g, gaps skipped), identical to
-            # fire_season_mask_block on the compacted series; indices
-            # before start_index are forced off.  Absent slots carry
-            # the previous bit (the batch path's ffill).
+            # season automaton resumed from (tbuf, sbuf, prev, days),
+            # advanced as numpy vectors across the block's cells over
+            # the CELL'S OWN day sequence (gaps skipped), identical to
+            # fire_season_mask_block on the compacted series: WF93
+            # windows EXCLUDE the current day, LA08/GFWED windows
+            # INCLUDE it; indices before start_index are forced off.
+            # Absent slots carry the previous bit (the batch ffill).
             mask = np.zeros((n, ka), dtype=bool)
             for i in range(n):
                 pr_i = pres[i]
                 can = pr_i & (days >= start_index)
-                win = tbuf  # (ka, ncond): last ncond temps, NaN-padded
                 with np.errstate(invalid="ignore"):
-                    start_up = np.all(win > temp_start_thresh, axis=1)
-                    shut_down = np.all(win < temp_end_thresh, axis=1)
+                    if season_method == "WF93":
+                        win = tbuf  # last ncond temps, excludes today
+                        start_up = np.all(win > temp_start_thresh,
+                                          axis=1)
+                        shut_down = np.all(win < temp_end_thresh,
+                                           axis=1)
+                    else:
+                        twin = np.column_stack(
+                            [tbuf[:, ncond - (ncond - 1):], t_m[i]]) \
+                            if ncond > 1 else t_m[i][:, None]
+                        swin = np.column_stack(
+                            [sbuf[:, sw - (scd - 1):], s_m[i]]) \
+                            if scd > 1 else s_m[i][:, None]
+                        if season_method == "LA08":
+                            start_up = np.all(swin <= snow_thresh,
+                                              axis=1)
+                            shut_down = (s_m[i] > snow_thresh) | np.all(
+                                twin < temp_end_thresh, axis=1)
+                        else:  # GFWED
+                            mt = np.mean(twin, axis=1)
+                            ms = np.mean(swin, axis=1)
+                            start_up = (mt > temp_start_thresh) \
+                                & (ms < snow_thresh)
+                            shut_down = (ms >= snow_thresh) \
+                                | (mt < temp_end_thresh)
                 cur = np.where(
                     can,
                     ((prev_bit.astype(bool) | start_up) & ~shut_down)
@@ -224,11 +265,16 @@ def streaming_cffwis(
                     np.where(pr_i, 0, prev_bit))
                 mask[i] = cur.astype(bool)
                 prev_bit = np.where(pr_i, cur, prev_bit).astype(np.int16)
-                # roll the window + count the day only where present
+                # roll the windows + count the day only where present
                 tbuf = np.where(
                     pr_i[:, None],
                     np.column_stack([tbuf[:, 1:], t_m[i]]),
                     tbuf)
+                if s_m is not None:
+                    sbuf = np.where(
+                        pr_i[:, None],
+                        np.column_stack([sbuf[:, 1:], s_m[i]]),
+                        sbuf)
                 days = days + pr_i
         else:
             days = days + pres.sum(axis=0)
@@ -254,6 +300,7 @@ def streaming_cffwis(
             [int(v) for v in new_prev],
             [int(v) for v in days],
             [float(v) for v in tbuf.ravel()],
+            [float(v) for v in sbuf.ravel()],
         ))
 
         flat = pres.ravel()
