@@ -27,3 +27,8 @@ def series(spark, values, **kw):
     from xclim_spark.testing import timeseries
 
     return timeseries(spark, values, **kw)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: full-registry sweeps (plan hygiene)")
