@@ -2972,6 +2972,64 @@ def text_quality_by_source(spark, sf_dir):
     )
 
 
+def _jet_oracle() -> str:
+    from .operators.synoptic import lanczos_lowpass_weights
+
+    weights = lanczos_lowpass_weights(61, 0.1)
+    half = len(weights) // 2
+    terms = []
+    for i, wt in enumerate(weights):
+        off = i - half
+        if off < 0:
+            v = f"lag(ua, {-off}) OVER w"
+        elif off > 0:
+            v = f"lead(ua, {off}) OVER w"
+        else:
+            v = "ua"
+        # same left-fold term order as the Spark expression chain so
+        # the float summation is bit-identical
+        terms.append(f"{v} * {float(wt)!r}")
+    dot = "\n      + ".join(terms)
+    return f"""WITH {DAILY_SQL},
+band AS (
+  SELECT CAST(15 + (cell % 60) AS DOUBLE) AS lat, day, avg(qty) AS ua
+  FROM daily GROUP BY 1, 2
+),
+sm AS (
+  SELECT day, lat,
+      ({dot}) AS ua_lf
+  FROM band
+  WINDOW w AS (PARTITION BY lat ORDER BY day)
+)
+SELECT day, arg_max(lat, ua_lf) AS jetlat,
+       ROUND(max(ua_lf), 6) AS jetstr
+FROM sm WHERE ua_lf IS NOT NULL GROUP BY day"""
+
+
+@_register("synoptic_jetlat_ms", _jet_oracle())
+def synoptic_jetlat_ms(spark, sf_dir):
+    """jetstream_metric_woollings (reference _synoptic.py:24-104,
+    Woollings et al. 2010) as an oracle gate — previously pytest-only:
+    the daily series bucketed onto a latitude band (15-74degN) stands in
+    for the zonal-mean wind, the 61-day / 10-day-cutoff Lanczos low-pass
+    runs as one codegen'd window expression per latitude (61 lag/lead
+    terms, NO UDF), and each day takes the latitude and strength of the
+    filtered maximum.  The oracle restates the identical filter with
+    DuckDB window lag/lead in the same term order, so even the float
+    summation order matches."""
+    from .operators.synoptic import jetstream_metric_woollings
+
+    d = daily_series(spark, sf_dir)
+    band = d.groupBy(
+        (15 + F.col("cell") % 60).cast("double").alias("lat"), "day"
+    ).agg(F.avg("qty").alias("ua"))
+    out = jetstream_metric_woollings(
+        band, "ua", time="day", lat="lat", window_size=61,
+        filter_freq=10)
+    return out.select(
+        "day", "jetlat", F.round("jetstr", 6).alias("jetstr"))
+
+
 @_register(
     "detrend_resid_std",
     f"""WITH {DAILY_SQL},
@@ -6516,7 +6574,7 @@ _PRIORITY = [
     # -- round-10 additions (no driver row yet; the ordering
     #    rule requires these inside the sampled head) --
     "stream_fwi_ms", "boot_r75ptot_ys", "dedup_components_star",
-    "zarr3_sharded_ingest_ms",
+    "zarr3_sharded_ingest_ms", "synoptic_jetlat_ms",
     # -- newest driver-green row: round 6 --
     "ens_robustness_fracs", "boot_tg90p_ys", "unstacked_normals_3y",
     "ind_wsdi_ys", "sdba_eqm_adaptfreq_ms", "analog_seuclidean",
