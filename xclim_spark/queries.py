@@ -2972,6 +2972,35 @@ def text_quality_by_source(spark, sf_dir):
     )
 
 
+@_register(
+    "cumdiff_running_ms",
+    f"""WITH {DAILY_SQL},
+r AS (
+  SELECT cell, day,
+         sum(CASE WHEN qty < 25 THEN (25 - qty) ELSE 0 END)
+           OVER (PARTITION BY cell ORDER BY day
+                 ROWS UNBOUNDED PRECEDING) AS cum
+  FROM daily
+)
+SELECT cell, day, ROUND(cum, 6) AS cum
+FROM r WHERE dayofmonth(day) = 1""",
+)
+def cumdiff_running_ms(spark, sf_dir):
+    """cumulative_difference with freq=None (reference
+    generic.py:1515-1555) — the RUNNING per-cell heating-degree
+    accumulation, previously pytest-only: one unbounded-preceding
+    window per cell, sampled at month starts to keep the gate output
+    month-grained (the window still runs over every day)."""
+    from .operators import generic as g2
+
+    d = daily_series(spark, sf_dir)
+    out = g2.cumulative_difference(d, "qty", "<", 25.0, freq=None,
+                                   time="day", cells=["cell"],
+                                   alias="cum")
+    return out.filter(F.dayofmonth("day") == 1).select(
+        "cell", "day", F.round("cum", 6).alias("cum"))
+
+
 def _jet_oracle() -> str:
     from .operators.synoptic import lanczos_lowpass_weights
 
@@ -6575,6 +6604,7 @@ _PRIORITY = [
     #    rule requires these inside the sampled head) --
     "stream_fwi_ms", "boot_r75ptot_ys", "dedup_components_star",
     "zarr3_sharded_ingest_ms", "synoptic_jetlat_ms",
+    "cumdiff_running_ms",
     # -- newest driver-green row: round 6 --
     "ens_robustness_fracs", "boot_tg90p_ys", "unstacked_normals_3y",
     "ind_wsdi_ys", "sdba_eqm_adaptfreq_ms", "analog_seuclidean",
