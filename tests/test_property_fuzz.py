@@ -233,3 +233,58 @@ def test_weibull_fit_never_invalid(data, method):
         assert np.isnan(p).all()
     else:
         assert p[0] > 0 and p[2] > 0
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    seed=st.integers(0, 10_000),
+    n=st.integers(30, 400),
+    ncuts=st.integers(1, 5),
+    mode=st.sampled_from(["plain", "season", "season_ow", "season_cfs"]),
+)
+def test_cffwis_block_resume_chunking_invariant(seed, n, ncuts, mode):
+    """The streaming substrate's core invariant, fuzzed: running
+    cffwis_block over ANY partition of the time axis with
+    state0/return_state threading must be bit-identical to one
+    full-series call — across the plain, seasonal, overwintering and
+    CFS-dry-start paths, with NaN-poisoned inputs and random season
+    flips included."""
+    import numpy as np
+
+    from xclim_spark.operators.fire import cffwis_block
+
+    rng = np.random.RandomState(seed)
+    k = 3
+    tas = rng.normal(12, 10, (n, k))
+    pr = np.maximum(0.0, rng.normal(0, 4, (n, k)))
+    hurs = np.clip(rng.normal(60, 15, (n, k)), 1, 100)
+    ws = np.clip(rng.normal(10, 4, (n, k)), 0, None)
+    tas[rng.rand(n, k) < 0.02] = np.nan  # poison a few slots
+    months = rng.randint(1, 13, n)
+    present = rng.rand(n, k) > 0.1
+    seasonal = mode != "plain"
+    smask = (rng.rand(n, k) > 0.4) if seasonal else None
+    kw = dict(season_mask=smask,
+              overwintering=(mode == "season_ow"),
+              dry_start="CFS" if mode == "season_cfs" else None)
+
+    full = cffwis_block(tas, pr, hurs, ws, months, 47.0,
+                        present=present, **kw)
+
+    cuts = sorted(set(rng.randint(1, n, ncuts))) + [n]
+    lo = 0
+    state = None
+    for hi in cuts:
+        sl = slice(lo, hi)
+        res, state = cffwis_block(
+            tas[sl], pr[sl], hurs[sl], ws[sl], months[sl], 47.0,
+            present=present[sl],
+            season_mask=smask[sl] if seasonal else None,
+            overwintering=kw["overwintering"],
+            dry_start=kw["dry_start"],
+            state0=state, return_state=True)
+        for key in full:
+            np.testing.assert_array_equal(
+                res[key], full[key][sl],
+                err_msg=f"{mode} chunk [{lo}:{hi}] {key}")
+        lo = hi
