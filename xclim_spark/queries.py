@@ -6596,15 +6596,12 @@ def nc3_subdaily_ingest(spark, sf_dir):
 # Ordering rule (standing, tested in tests/test_queries_meta.py): queries
 # with no driver row yet sort FIRST (the driver samples the head of this
 # list each round), then queries whose last driver-green row is oldest.
-# Rotate this list every round so every query re-earns a recent green row.
-# Round-10 rotation: 3 new gates + the 47 oldest (r6-era) queries fill the
-# head; the 3 r6 overflow entries lead the tail and rotate next round.
+# Regenerate each round with tools/rotate_priority.py — do not hand-edit.
 _PRIORITY = [
-    # -- round-10 additions (no driver row yet; the ordering
-    #    rule requires these inside the sampled head) --
+    # -- additions with no driver row yet (the ordering rule
+    #    requires these inside the sampled head) --
     "stream_fwi_ms", "boot_r75ptot_ys", "dedup_components_star",
-    "zarr3_sharded_ingest_ms", "synoptic_jetlat_ms",
-    "cumdiff_running_ms",
+    "zarr3_sharded_ingest_ms", "synoptic_jetlat_ms", "cumdiff_running_ms",
     # -- newest driver-green row: round 6 --
     "ens_robustness_fracs", "boot_tg90p_ys", "unstacked_normals_3y",
     "ind_wsdi_ys", "sdba_eqm_adaptfreq_ms", "analog_seuclidean",
