@@ -485,3 +485,167 @@ def test_streaming_cffwis_snow_methods_match_batch(spark, tmp_path,
                 n_on += 1
     # seasons must genuinely toggle (some on, some off)
     assert 0 < n_on < 6 * len(batch)
+
+
+def _two_ordered_files(tmp_path, rows1, rows2, columns):
+    """Write two parquet files with distinct mtimes so
+    maxFilesPerTrigger=1 yields two deterministic micro-batches."""
+    import pandas as _pd
+
+    p = tmp_path / "ooo"
+    p.mkdir()
+    for name, rows in (("a.parquet", rows1), ("b.parquet", rows2)):
+        _pd.DataFrame(rows, columns=columns).to_parquet(
+            str(p / name), coerce_timestamps="us",
+            allow_truncated_timestamps=True)
+        _time.sleep(1.05)
+    return str(p)
+
+
+def test_streaming_spell_events_rejects_out_of_order(spark, tmp_path):
+    """The per-cell time-order contract is enforced: a later micro-batch
+    carrying a row at or before the cell's last processed timestamp must
+    fail the query loudly, not silently corrupt the sessionization."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from xclim_spark.streaming import streaming_spell_events
+
+    base = dt.datetime(2000, 1, 1, 12)
+    rows1 = [(1, base + dt.timedelta(days=i), 30.0) for i in range(3)]
+    # batch 2 replays day 1 — strictly before batch 1's last day
+    rows2 = [(1, base + dt.timedelta(days=1), 30.0)]
+    path = _two_ordered_files(tmp_path, rows1, rows2,
+                              ["cell", "time", "tas"])
+    sdf = (spark.readStream.schema("cell LONG, time TIMESTAMP, tas DOUBLE")
+           .option("maxFilesPerTrigger", 1).parquet(path))
+    out = streaming_spell_events(sdf, "tas", ">", 25.0, min_length=2)
+    q = (out.writeStream.format("memory").queryName("spells_ooo")
+         .outputMode("append").trigger(availableNow=True).start())
+    with pytest.raises(StreamingQueryException, match="out-of-order"):
+        q.awaitTermination(120)
+
+
+def test_streaming_spell_events_rejects_duplicate_rows(spark, tmp_path):
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from xclim_spark.streaming import streaming_spell_events
+
+    base = dt.datetime(2000, 1, 1, 12)
+    rows = [(1, base, 30.0), (1, base, 31.0),
+            (1, base + dt.timedelta(days=1), 30.0)]
+    path = _write_stream_input(
+        spark, tmp_path, rows, "cell LONG, time TIMESTAMP, tas DOUBLE")
+    sdf = spark.readStream.schema(
+        "cell LONG, time TIMESTAMP, tas DOUBLE").parquet(path)
+    out = streaming_spell_events(sdf, "tas", ">", 25.0)
+    q = (out.writeStream.format("memory").queryName("spells_dup")
+         .outputMode("append").trigger(availableNow=True).start())
+    with pytest.raises(StreamingQueryException, match="duplicate"):
+        q.awaitTermination(120)
+
+
+def test_streaming_cffwis_rejects_out_of_order(spark, tmp_path):
+    """Same contract for the streaming fire-weather system: a replayed
+    day must raise, because the moisture-code recursion would otherwise
+    silently double-apply it."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from xclim_spark.streaming import streaming_cffwis
+
+    base = dt.datetime(2000, 6, 1, 12)
+    rows1 = [(1, base + dt.timedelta(days=i), 20.0, 0.0, 40.0, 10.0)
+             for i in range(5)]
+    rows2 = [(1, base + dt.timedelta(days=2), 20.0, 0.0, 40.0, 10.0)]
+    path = _two_ordered_files(tmp_path, rows1, rows2,
+                              ["cell", "time", "tas", "prcp", "hurs", "ws"])
+    schema = ("cell LONG, time TIMESTAMP, tas DOUBLE, prcp DOUBLE, "
+              "hurs DOUBLE, ws DOUBLE")
+    sdf = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", 1).parquet(path))
+    out = streaming_cffwis(sdf, tas="tas", pr="prcp", hurs="hurs",
+                           ws="ws", lat=47.0, season_method=None,
+                           num_blocks=2)
+    q = (out.writeStream.format("memory").queryName("fwi_ooo")
+         .outputMode("append").trigger(availableNow=True).start())
+    with pytest.raises(StreamingQueryException, match="out-of-order"):
+        q.awaitTermination(120)
+
+
+def test_streaming_cffwis_rejects_duplicate_rows(spark, tmp_path):
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from xclim_spark.streaming import streaming_cffwis
+
+    base = dt.datetime(2000, 6, 1, 12)
+    rows = [(1, base, 20.0, 0.0, 40.0, 10.0),
+            (1, base, 21.0, 0.0, 40.0, 10.0)]
+    path = _write_stream_input(
+        spark, tmp_path, rows,
+        "cell LONG, time TIMESTAMP, tas DOUBLE, prcp DOUBLE, "
+        "hurs DOUBLE, ws DOUBLE")
+    sdf = spark.readStream.schema(
+        "cell LONG, time TIMESTAMP, tas DOUBLE, prcp DOUBLE, "
+        "hurs DOUBLE, ws DOUBLE").parquet(path)
+    out = streaming_cffwis(sdf, tas="tas", pr="prcp", hurs="hurs",
+                           ws="ws", lat=47.0, season_method=None,
+                           num_blocks=2)
+    q = (out.writeStream.format("memory").queryName("fwi_dup")
+         .outputMode("append").trigger(availableNow=True).start())
+    with pytest.raises(StreamingQueryException, match="duplicate"):
+        q.awaitTermination(120)
+
+
+def test_streaming_num_blocks_checkpoint_invariance(spark, tmp_path):
+    """num_blocks must stay fixed for the life of a checkpoint (cells
+    map to state blocks by hash).  Each state entry records its
+    writer's num_blocks; resuming the checkpoint under a different
+    value must fail loudly on the first batch touching carried state."""
+    import pandas as _pd
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from xclim_spark.streaming import streaming_spell_events
+
+    # pick a cell whose block id coincides under num_blocks 2 and 3 so
+    # the resumed query deterministically reads the carried entry
+    pick = (spark.range(1, 256)
+            .select("id", F.pmod(F.hash("id"), F.lit(2)).alias("b2"),
+                    F.pmod(F.hash("id"), F.lit(3)).alias("b3"))
+            .where("b2 = b3").limit(1).collect())
+    cell = int(pick[0]["id"])
+
+    base = dt.datetime(2000, 1, 1, 12)
+    p = tmp_path / "in"
+    p.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    schema = "cell LONG, time TIMESTAMP, tas DOUBLE"
+
+    def _write(name, day0, ndays):
+        _pd.DataFrame(
+            [(cell, base + dt.timedelta(days=day0 + i), 30.0)
+             for i in range(ndays)],
+            columns=["cell", "time", "tas"],
+        ).to_parquet(str(p / name), coerce_timestamps="us",
+                     allow_truncated_timestamps=True)
+
+    sink = str(tmp_path / "sink")
+
+    def _run(nb, qname):
+        sdf = spark.readStream.schema(schema).parquet(str(p))
+        out = streaming_spell_events(sdf, "tas", ">", 25.0,
+                                     num_blocks=nb)
+        q = (out.writeStream.format("parquet").queryName(qname)
+             .option("path", sink)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    _write("a.parquet", 0, 3)
+    _run(2, "nb_ck_first")
+    _write("b.parquet", 3, 2)
+    with pytest.raises(StreamingQueryException,
+                       match="num_blocks changed"):
+        _run(3, "nb_ck_second")
+    # and the documented-safe restart (same num_blocks) still works
+    _write("c.parquet", 5, 2)
+    _run(2, "nb_ck_resume")

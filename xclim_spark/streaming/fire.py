@@ -37,7 +37,10 @@ micro-batches (same contract as
 :func:`~xclim_spark.streaming.spells.streaming_spell_events`); within a
 batch they are sorted.  A production deployment feeds this from a
 time-ordered source — out-of-order days would corrupt any day-over-day
-recursion, streaming or batch.
+recursion, streaming or batch.  The contract is ENFORCED: state carries
+each cell's last-seen timestamp and a micro-batch containing a row at
+or before it raises ``ValueError`` instead of silently corrupting the
+recursion; duplicate (cell, day) rows inside one batch also raise.
 
 Scale: state is O(1) doubles per cell packed into O(cells/blocks)
 arrays per state entry (a 1M-cell grid carries ~80 MB of state store),
@@ -89,7 +92,12 @@ def streaming_cffwis(
     ``num_blocks`` — state-entry count (default 2x the session's
     parallelism).  It must stay FIXED for the life of a checkpoint:
     cells map to blocks by deterministic hash, and a block's state
-    carries all of its cells' codes as parallel arrays.
+    carries all of its cells' codes as parallel arrays.  ENFORCED:
+    every state entry records the ``num_blocks`` it was written with,
+    and resuming a checkpoint under a different value raises on the
+    first batch that touches carried state (pass ``num_blocks``
+    explicitly in production — the default tracks cluster parallelism,
+    which can change between restarts).
 
     ``outputs`` — which of the six components to emit.  The recursion
     always computes all six (they feed each other), but a sink that
@@ -130,7 +138,8 @@ def streaming_cffwis(
                     "ow_dc ARRAY<DOUBLE>, ow_dmc ARRAY<DOUBLE>, "
                     "winter_pr ARRAY<DOUBLE>, prev ARRAY<INT>, "
                     "days ARRAY<LONG>, tbuf ARRAY<DOUBLE>, "
-                    "sbuf ARRAY<DOUBLE>")
+                    "sbuf ARRAY<DOUBLE>, last_us ARRAY<LONG>, nb INT")
+    _NEVER = -(2**62)  # "cell never seen" sentinel for last_us
 
     from ..operators.fire import cffwis_block
 
@@ -145,6 +154,7 @@ def streaming_cffwis(
             "days": np.zeros(k, dtype=np.int64),
             "tbuf": np.full((k, ncond), np.nan),
             "sbuf": np.full((k, sw), np.nan),
+            "last_us": np.full(k, _NEVER, dtype=np.int64),
         }
         if not seasonal:
             st["f"][:] = ffmc0
@@ -178,7 +188,15 @@ def streaming_cffwis(
         cols_arr = np.asarray(cols, dtype=np.int64)
         if state.exists:
             (sc_cells, sf, sdm, sdc, sowdc, sowdmc, swpr, sprev,
-             sdays, stbuf, ssbuf) = state.get
+             sdays, stbuf, ssbuf, slast, snb) = state.get
+            if int(snb) != int(num_blocks):
+                raise ValueError(
+                    "streaming_cffwis: num_blocks changed across a "
+                    f"checkpoint restart (state written with "
+                    f"{int(snb)}, query configured with "
+                    f"{int(num_blocks)}) — cells would silently remap "
+                    "to blocks that do not carry their state; keep "
+                    "num_blocks fixed for the life of a checkpoint")
             sc_cells = np.asarray(sc_cells, dtype=np.int64)
             all_cells = np.union1d(sc_cells, cols_arr)
             ka = len(all_cells)
@@ -196,6 +214,7 @@ def streaming_cffwis(
                 stbuf, dtype=float).reshape(len(sc_cells), ncond)
             st["sbuf"][old_pos] = np.asarray(
                 ssbuf, dtype=float).reshape(len(sc_cells), sw)
+            st["last_us"][old_pos] = np.asarray(slast, dtype=np.int64)
         else:
             all_cells = cols_arr
             ka = k
@@ -214,6 +233,30 @@ def streaming_cffwis(
         s_m = _scatter(mats[snd]) if snd is not None else None
         pres = np.zeros((n, ka), dtype=bool)
         pres[:, pos] = present
+
+        # ---- time-order guard: the documented contract, enforced ----
+        # duplicate (cell, day) rows inside the batch would make the
+        # pivot keep one arbitrarily
+        if len(pdf) != int(present.sum()):
+            raise ValueError(
+                "streaming_cffwis: duplicate (cell, time) rows inside "
+                "a micro-batch — the day-over-day recursion needs one "
+                "row per cell per day")
+        times_us = pd.DatetimeIndex(
+            pd.to_datetime(times)).asi8 // 1000
+        any_pres = pres.any(axis=0)
+        first_idx = pres.argmax(axis=0)
+        late = any_pres & (times_us[first_idx] <= st["last_us"])
+        if late.any():
+            offender = int(all_cells[np.flatnonzero(late)[0]])
+            raise ValueError(
+                "streaming_cffwis: out-of-order input — cell "
+                f"{offender} received a row at or before its last "
+                "processed timestamp; rows must arrive in time order "
+                "per cell across micro-batches")
+        last_idx = n - 1 - pres[::-1].argmax(axis=0)
+        new_last = np.where(
+            any_pres, times_us[last_idx], st["last_us"])
 
         mask = None
         prev_bit = st["prev"].copy()
@@ -301,6 +344,8 @@ def streaming_cffwis(
             [int(v) for v in days],
             [float(v) for v in tbuf.ravel()],
             [float(v) for v in sbuf.ravel()],
+            [int(v) for v in new_last],
+            int(num_blocks),
         ))
 
         flat = pres.ravel()

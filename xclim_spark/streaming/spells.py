@@ -81,7 +81,9 @@ def streaming_spell_events(
     **Blocked state**: like :func:`~xclim_spark.streaming.fire.
     streaming_cffwis`, state is keyed by a deterministic HASH BLOCK of
     cells (``num_blocks``, default 2x parallelism — fixed for the life
-    of a checkpoint) carrying parallel arrays for the block's cells.
+    of a checkpoint, ENFORCED: state entries record their writer's
+    ``num_blocks`` and a mismatched restart raises) carrying parallel
+    arrays for the block's cells.
     Within a batch the block's rows sort once by (cell, time) and ONE
     vectorized boundary pass finds every cell's segments (cell-change
     OR flag-change breaks a run); only the per-cell seam merge touches
@@ -91,7 +93,12 @@ def streaming_spell_events(
 
     Rows inside each micro-batch are processed in timestamp order; state
     carries across batches — identical semantics to the batch
-    sessionization when the input arrives in order per cell.
+    sessionization when the input arrives in order per cell.  That
+    ordering contract is ENFORCED: state carries each cell's last-seen
+    timestamp (cells with no open run ride as zero-length entries just
+    for this), and a micro-batch containing a row at or before it raises
+    ``ValueError`` instead of silently corrupting the sessionization;
+    duplicate (cell, time) rows inside one batch also raise.
     """
     from ..operators.generic import get_op
 
@@ -105,7 +112,8 @@ def streaming_spell_events(
     # open-run starts ride as epoch micros: plain doubles round-trip
     # the state store without timestamp-object marshalling
     state_schema = ("cells ARRAY<LONG>, len ARRAY<INT>, "
-                    "start_us ARRAY<LONG>, total ARRAY<DOUBLE>")
+                    "start_us ARRAY<LONG>, total ARRAY<DOUBLE>, "
+                    "last_us ARRAY<LONG>, nb INT")
 
     def _fn(key, pdfs, state: GroupState):
         import numpy as np
@@ -124,6 +132,15 @@ def streaming_spell_events(
         newcell = np.empty(n, dtype=bool)
         newcell[0] = True
         newcell[1:] = c[1:] != c[:-1]
+        # rows are sorted by (cell, time), so a non-increasing step
+        # inside a cell can only be a duplicate timestamp
+        if n > 1 and np.any(~newcell[1:] & (t_us[1:] <= t_us[:-1])):
+            raise ValueError(
+                "streaming_spell_events: duplicate (cell, time) rows "
+                "inside a micro-batch")
+        cell_starts = np.flatnonzero(newcell)
+        batch_first_us = t_us[cell_starts]
+        batch_last_us = t_us[np.append(cell_starts[1:], n) - 1]
         achg = np.empty(n, dtype=bool)
         achg[0] = True
         achg[1:] = a[1:] != a[:-1]
@@ -142,15 +159,42 @@ def streaming_spell_events(
 
         # carried open runs, aligned to this batch's cells
         if state.exists:
-            st_cells, st_len, st_us, st_tot = state.get
+            st_cells, st_len, st_us, st_tot, st_last, snb = state.get
+            if int(snb) != int(num_blocks):
+                raise ValueError(
+                    "streaming_spell_events: num_blocks changed across "
+                    f"a checkpoint restart (state written with "
+                    f"{int(snb)}, query configured with "
+                    f"{int(num_blocks)}) — cells would silently remap "
+                    "to blocks that do not carry their state; keep "
+                    "num_blocks fixed for the life of a checkpoint")
             st_cells = np.asarray(st_cells, dtype=np.int64)
             st_len = np.asarray(st_len, dtype=np.int64)
             st_us = np.asarray(st_us, dtype=np.int64)
             st_tot = np.asarray(st_tot, dtype=float)
+            st_last = np.asarray(st_last, dtype=np.int64)
         else:
             st_cells = np.empty(0, dtype=np.int64)
             st_len = st_us = np.empty(0, dtype=np.int64)
             st_tot = np.empty(0, dtype=float)
+            st_last = np.empty(0, dtype=np.int64)
+
+        if len(st_cells):
+            # time-order guard: a batch row at or before a cell's
+            # last-seen timestamp is out-of-order input (the documented
+            # contract, enforced).  st_cells is stored sorted.
+            bc = c[cell_starts]
+            spos = np.minimum(np.searchsorted(st_cells, bc),
+                              len(st_cells) - 1)
+            hit = st_cells[spos] == bc
+            late = hit & (batch_first_us <= st_last[spos])
+            if late.any():
+                offender = int(bc[np.flatnonzero(late)[0]])
+                raise ValueError(
+                    "streaming_spell_events: out-of-order input — "
+                    f"cell {offender} received a row at or before its "
+                    "last processed timestamp; rows must arrive in "
+                    "time order per cell across micro-batches")
 
         events_c, events_s, events_l, events_t = [], [], [], []
         if len(st_cells):
@@ -184,18 +228,22 @@ def streaming_spell_events(
         events_t.extend(seg_sum[closed].tolist())
 
         # new carry: union of batch cells (their last segment, open or
-        # not) and carried cells absent from this batch
+        # not) and ALL carried cells absent from this batch — closed
+        # cells ride as zero-length entries so their last-seen
+        # timestamp keeps guarding the ordering contract
         batch_cells = seg_cell[seg_last]
         last_open = open_seg[seg_last]
         new_len = np.where(last_open, seg_len[seg_last], 0)
         new_us = np.where(last_open, seg_start[seg_last], 0)
         new_tot = np.where(last_open, seg_sum[seg_last], 0.0)
+        new_last = batch_last_us  # same per-cell order as batch_cells
         if len(st_cells):
-            keep = (st_len > 0) & ~np.isin(st_cells, batch_cells)
+            keep = ~np.isin(st_cells, batch_cells)
             all_cells = np.concatenate([batch_cells, st_cells[keep]])
             new_len = np.concatenate([new_len, st_len[keep]])
             new_us = np.concatenate([new_us, st_us[keep]])
             new_tot = np.concatenate([new_tot, st_tot[keep]])
+            new_last = np.concatenate([new_last, st_last[keep]])
         else:
             all_cells = batch_cells
         ordr = np.argsort(all_cells, kind="stable")
@@ -204,6 +252,8 @@ def streaming_spell_events(
             [int(x) for x in new_len[ordr]],
             [int(x) for x in new_us[ordr]],
             [float(x) for x in new_tot[ordr]],
+            [int(x) for x in new_last[ordr]],
+            int(num_blocks),
         ))
 
         if events_c:
