@@ -100,10 +100,13 @@ def main(argv) -> int:
     if la0 > gate:
         log(f"REFUSED: loadavg {la0:.1f} > idle gate {gate:.1f} — "
             "not recording contended numbers")
-        art["rounds"][label] = {
-            "refused_loadavg": round(la0, 2), "gate": gate,
-            "ts": time.strftime("%Y-%m-%dT%H:%M:%S")}
-        _save(art)
+        # never clobber a round entry that already carries recorded
+        # timings with a refusal stub
+        if "queries" not in art["rounds"].get(label, {}):
+            art["rounds"][label] = {
+                "refused_loadavg": round(la0, 2), "gate": gate,
+                "ts": time.strftime("%Y-%m-%dT%H:%M:%S")}
+            _save(art)
         return 2
 
     if not os.path.exists(os.path.join(SF1_DIR, "lineitem.parquet")):
@@ -189,18 +192,29 @@ def main(argv) -> int:
     time.sleep(30)
     la1 = os.getloadavg()[0]
 
-    entry = {
+    # MERGE into any existing round entry (a partial or per-query
+    # re-run in the same round must extend it, not clobber it)
+    entry = art["rounds"].get(label, {})
+    entry.pop("refused_loadavg", None)
+    entry.pop("gate", None)
+    entry.update({
         "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
         "loadavg_start": round(la0, 2),
         "loadavg_after_cooldown": round(la1, 2),
         "reps": reps,
         "cpus": cpus,
-        "wall_total": wall,
-        "queries": timings,
-        "queries_min": floors,
-    }
-    if errors:
-        entry["errors"] = errors
+        "wall_total": round(entry.get("wall_total", 0.0) + wall, 1),
+    })
+    entry.setdefault("queries", {}).update(timings)
+    entry.setdefault("queries_min", {}).update(floors)
+    errs = entry.get("errors", {})
+    for n in timings:           # a query that now succeeds clears its
+        errs.pop(n, None)       # earlier recorded error
+    errs.update(errors)
+    if errs:
+        entry["errors"] = errs
+    else:
+        entry.pop("errors", None)
     art["rounds"][label] = entry
     _save(art)
     print(json.dumps({"metric": "sf1_median_query_seconds",

@@ -4524,19 +4524,29 @@ def stream_events_table(spark, sf_dir):
            .parquet(f"{root}/part_*.parquet"))
     ev = streaming_spell_events(sdf, "qty", ">", 30.0, min_length=1,
                                 time="ts", cell="cell")
-    _STREAM_SEQ[0] += 1
-    sink = f"_stream_events_{_STREAM_SEQ[0]}"
+    # production sink shape: foreachBatch appends each micro-batch's
+    # event rows to parquet EXECUTOR-side — nothing corpus-sized ever
+    # ships to the driver (the old memory sink did)
+    import shutil
+    import uuid
+
+    ev_dir = f"/tmp/xclim_spark_stream_ev_{uuid.uuid4().hex}"
+
+    def _sink(batch_df, _bid):
+        batch_df.write.mode("append").parquet(ev_dir)
+
     with _stream_state_partitions(spark):
-        q = (ev.writeStream.format("memory").queryName(sink)
-             .outputMode("append").trigger(availableNow=True).start())
+        q = (ev.writeStream.foreachBatch(_sink)
+             .trigger(availableNow=True).start())
         q.awaitTermination()
-    out = spark.table(sink).select(
-        "cell",
-        F.to_date("event_start").alias("event_start"),
-        "event_length",
-        F.round("event_sum", 4).alias("event_sum"),
-    ).localCheckpoint(eager=True)
-    spark.catalog.dropTempView(sink)
+    out = (spark.read.schema(ev.schema).parquet(ev_dir)
+           .select(
+               "cell",
+               F.to_date("event_start").alias("event_start"),
+               "event_length",
+               F.round("event_sum", 4).alias("event_sum"),
+           ).localCheckpoint(eager=True))
+    shutil.rmtree(ev_dir, ignore_errors=True)
     return out
 
 
@@ -4584,27 +4594,41 @@ def stream_fwi_ms(spark, sf_dir):
                            ws="ws", lat=47.0, time="ts", cell="cell",
                            season_method="WF93", overwintering=True,
                            outputs=("fwi",))
-    _STREAM_SEQ[0] += 1
-    sink = f"_stream_fwi_{_STREAM_SEQ[0]}"
-    with _stream_state_partitions(spark):
-        q = (fwi.writeStream.format("memory").queryName(sink)
-             .outputMode("append").trigger(availableNow=True).start())
-        q.awaitTermination()
+    # production sink shape: fold each micro-batch to (cell, month)
+    # PARTIAL aggregates inside foreachBatch and append those to
+    # parquet — the corpus-sized per-day table never leaves the
+    # executors (the old memory sink shipped all of it to the driver;
+    # it dominated the gate at sf1).  max/sum partials recombine
+    # exactly even if a month ever straddled a batch seam.
+    import shutil
+    import uuid
+
+    agg_dir = f"/tmp/xclim_spark_stream_fwi_{uuid.uuid4().hex}"
     # off-season days carry NaN codes (pandas NaN -> NaN double, not
     # NULL, through the Arrow state path) — valid must check both
     valid = F.col("fwi").isNotNull() & ~F.isnan("fwi")
-    out = spark.table(sink).groupBy(
-        "cell",
-        F.to_date(F.date_trunc("month", "ts")).alias("period"),
-    ).agg(
-        F.round(F.max(F.when(valid, F.col("fwi"))), 6).alias("fwi_max"),
-        F.sum(valid.cast("long")).alias("season_days"),
-    )
-    # materialize the (months x cells)-sized aggregate and DROP the
-    # per-day memory sink: it is corpus-sized (cells x days rows) and a
-    # leaked sink per call compounds across bench reps
-    out = out.localCheckpoint(eager=True)
-    spark.catalog.dropTempView(sink)
+
+    def _fold(batch_df, _bid):
+        (batch_df.groupBy(
+            "cell",
+            F.to_date(F.date_trunc("month", "ts")).alias("period"))
+         .agg(F.max(F.when(valid, F.col("fwi"))).alias("fwi_max_p"),
+              F.sum(valid.cast("long")).alias("season_days_p"))
+         .write.mode("append").parquet(agg_dir))
+
+    with _stream_state_partitions(spark):
+        q = (fwi.writeStream.foreachBatch(_fold)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+    out = (spark.read
+           .schema("cell BIGINT, period DATE, fwi_max_p DOUBLE, "
+                   "season_days_p BIGINT")
+           .parquet(agg_dir)
+           .groupBy("cell", "period")
+           .agg(F.round(F.max("fwi_max_p"), 6).alias("fwi_max"),
+                F.sum("season_days_p").alias("season_days"))
+           .localCheckpoint(eager=True))
+    shutil.rmtree(agg_dir, ignore_errors=True)
     return out
 
 
