@@ -583,3 +583,161 @@ def test_zarr_v3_sharded_corrupt_index_raises(spark, tmp_path):
     meta = zarr_array_meta(store, "v")
     with _pt.raises(ValueError, match="crc32c"):
         _decode_chunk(bytes(raw), meta)
+
+
+def test_zarr_v3_sharded_int_null_fill_is_lazy(spark, tmp_path):
+    """An int-dtype sharded array with fill_value null must read fine
+    when every inner chunk is present; the null-fill error must only
+    fire for an actually-absent inner chunk (r10 advice)."""
+    import json
+    import struct
+
+    import numpy as np
+    import pytest as _pt
+
+    def _store(root, with_missing):
+        var = root / "v"
+        var.mkdir(parents=True)
+        meta = {
+            "zarr_format": 3, "node_type": "array",
+            "shape": [4, 4], "data_type": "int32",
+            "chunk_grid": {"name": "regular",
+                           "configuration": {"chunk_shape": [4, 4]}},
+            "chunk_key_encoding": {"name": "default",
+                                   "configuration": {"separator": "/"}},
+            "fill_value": None,
+            "codecs": [{
+                "name": "sharding_indexed",
+                "configuration": {
+                    "chunk_shape": [2, 4],
+                    "codecs": [{"name": "bytes",
+                                "configuration": {"endian": "little"}}],
+                    "index_codecs": [{"name": "bytes"},
+                                     {"name": "crc32c"}],
+                    "index_location": "end",
+                },
+            }],
+            "dimension_names": ["y", "x"],
+        }
+        (var / "zarr.json").write_text(json.dumps(meta))
+        payload = b""
+        entries = []
+        for iy in range(2):
+            if with_missing and iy == 1:
+                entries.append((2**64 - 1, 2**64 - 1))
+                continue
+            raw = (np.arange(8, dtype="<i4") + iy * 8).tobytes()
+            entries.append((len(payload), len(raw)))
+            payload += raw
+        idx = b"".join(struct.pack("<QQ", o, nb) for o, nb in entries)
+        idx += struct.pack("<I", _crc32c(idx))
+        d = var / "c" / "0"
+        d.mkdir(parents=True)
+        (d / "0").write_bytes(payload + idx)
+
+    from xclim_spark.io.zarr import read_zarr
+
+    ok = tmp_path / "ok"
+    _store(ok, False)
+    got = {(r["y"], r["x"]): r["v"]
+           for r in read_zarr(spark, str(ok), ["v"],
+                              dims=["y", "x"]).collect()}
+    assert got[(0, 0)] == 0 and got[(3, 3)] == 15 and len(got) == 16
+
+    bad = tmp_path / "bad"
+    _store(bad, True)
+    with _pt.raises(Exception, match="fill_value null"):
+        read_zarr(spark, str(bad), ["v"], dims=["y", "x"]).collect()
+
+
+def test_zarr_injected_codec_roundtrip(spark, tmp_path):
+    """The blosc/zstd deployment recipe, proven with a stdlib stand-in
+    codec: a v2 store whose compressor id the stdlib can't decode must
+    (a) raise the honest gate without injection and (b) round-trip
+    exactly with ``codecs={id: decompress}`` — including through the
+    executor-side chunk tasks (the mapping rides the closure)."""
+    import json
+
+    import numpy as np
+    import pytest as _pt
+
+    # stand-in for zstd: xor whitening (self-inverse, stdlib-only)
+    def _enc(b):
+        return bytes(x ^ 0x5A for x in b)
+
+    store = tmp_path / "z2codec"
+    var = store / "tas"
+    var.mkdir(parents=True)
+    shape, chunks = (5, 7), (3, 4)
+    rng = np.random.RandomState(11)
+    full = np.round(rng.rand(*shape) * 40, 3)
+    (var / ".zarray").write_text(json.dumps({
+        "zarr_format": 2, "shape": list(shape), "chunks": list(chunks),
+        "dtype": "<f8", "compressor": {"id": "xorwhiten"},
+        "fill_value": "NaN", "order": "C", "filters": None,
+        "dimension_separator": ".",
+    }))
+    (var / ".zattrs").write_text(
+        json.dumps({"_ARRAY_DIMENSIONS": ["y", "x"]}))
+    for i in range(2):
+        for j in range(2):
+            block = np.full(chunks, np.nan)
+            seg = full[i * 3:min(i * 3 + 3, 5), j * 4:min(j * 4 + 4, 7)]
+            block[:seg.shape[0], :seg.shape[1]] = seg
+            (var / f"{i}.{j}").write_bytes(
+                _enc(np.ascontiguousarray(block).astype("<f8").tobytes()))
+
+    from xclim_spark.io.zarr import read_zarr
+
+    with _pt.raises(NotImplementedError, match="xorwhiten"):
+        read_zarr(spark, str(store), ["tas"])
+
+    df = read_zarr(spark, str(store), ["tas"],
+                   codecs={"xorwhiten": _enc})
+    rows = df.collect()
+    assert len(rows) == 35
+    for r in rows:
+        assert r["tas"] == pytest.approx(full[r["y"], r["x"]], abs=1e-12)
+
+
+def test_zarr_v3_injected_codec(spark, tmp_path):
+    """v3 codec-chain injection: an unknown codec name in the chain is
+    accepted when injected and dispatched at chunk decode."""
+    import json
+
+    import numpy as np
+    import pytest as _pt
+
+    def _enc(b):
+        return bytes(x ^ 0x33 for x in b)
+
+    store = tmp_path / "z3codec"
+    var = store / "v"
+    var.mkdir(parents=True)
+    arr = np.arange(12, dtype="<f8").reshape(3, 4)
+    (var / "zarr.json").write_text(json.dumps({
+        "zarr_format": 3, "node_type": "array",
+        "shape": [3, 4], "data_type": "float64",
+        "chunk_grid": {"name": "regular",
+                       "configuration": {"chunk_shape": [3, 4]}},
+        "chunk_key_encoding": {"name": "default",
+                               "configuration": {"separator": "/"}},
+        "fill_value": "NaN",
+        "codecs": [{"name": "bytes",
+                    "configuration": {"endian": "little"}},
+                   {"name": "zstd"}],
+        "dimension_names": ["y", "x"],
+    }))
+    d = var / "c" / "0"
+    d.mkdir(parents=True)
+    (d / "0").write_bytes(_enc(arr.tobytes()))
+
+    from xclim_spark.io.zarr import read_zarr
+
+    with _pt.raises(NotImplementedError, match="zstd"):
+        read_zarr(spark, str(store), ["v"], dims=["y", "x"])
+
+    got = {(r["y"], r["x"]): r["v"]
+           for r in read_zarr(spark, str(store), ["v"], dims=["y", "x"],
+                              codecs={"zstd": _enc}).collect()}
+    assert got[(2, 3)] == pytest.approx(11.0)

@@ -23,7 +23,12 @@ stdlib, and v3 ``sharding_indexed`` stores read natively (one task per
 shard; the inner-chunk index parses in-task — see :func:`_decode_shard`);
 ``blosc``/``zstd`` (not in this container) raise an honest
 ``NotImplementedError`` naming the chunk — the same environment-gate
-policy as :mod:`.netcdf`.
+policy as :mod:`.netcdf`.  Deployments WITH those libraries installed
+inject them instead of patching: ``read_zarr(..., codecs={"zstd":
+zstandard.ZstdDecompressor().decompress})`` — the mapping rides the
+task closure to executors (cloudpickle), so it works regardless of
+which modules the workers imported.  Same tested escape-hatch contract
+as :mod:`.netcdf`'s injected reader.
 """
 
 from __future__ import annotations
@@ -50,7 +55,7 @@ _V3_DTYPES = {"float64": "f8", "float32": "f4", "float16": "f2",
               "uint64": "u8", "bool": "b1"}
 
 
-def _normalize_v3(m3: dict, name: str) -> dict:
+def _normalize_v3(m3: dict, name: str, codecs=None) -> dict:
     """Map a Zarr v3 ``zarr.json`` array document onto the v2-shaped
     meta dict the chunk decoders consume (public v3 core spec): regular
     chunk grid; codec chain = one ``bytes`` (endian) codec plus an
@@ -65,32 +70,33 @@ def _normalize_v3(m3: dict, name: str) -> dict:
         raise NotImplementedError(
             f"{name}: v3 chunk grid {grid.get('name')!r}")
 
-    def _parse_chain(codecs):
+    def _parse_chain(chain):
         endian, comp = "<", None
-        for c in codecs:
+        for c in chain:
             nm, cfg = c.get("name"), c.get("configuration") or {}
             if nm == "bytes":
                 endian = "<" if cfg.get("endian", "little") == "little" \
                     else ">"
-            elif nm in ("gzip", "zlib"):
+            elif nm in ("gzip", "zlib") or (codecs and nm in codecs):
                 comp = {"id": nm}
             else:
                 raise NotImplementedError(
                     f"{name}: v3 codec {nm!r} not available in this "
-                    "environment (stdlib decodes bytes/gzip/zlib)")
+                    "environment (stdlib decodes bytes/gzip/zlib; "
+                    "pass codecs={...} to inject a decompressor)")
         return endian, comp
 
-    codecs = m3.get("codecs", [{"name": "bytes"}])
+    chain = m3.get("codecs", [{"name": "bytes"}])
     shard = None
-    if codecs and codecs[0].get("name") == "sharding_indexed":
+    if chain and chain[0].get("name") == "sharding_indexed":
         # v3 sharding codec (public core spec): each stored object is a
         # SHARD holding the inner chunks of one outer-grid chunk plus a
         # (offset, nbytes) index; inner chunks use their own codec
         # chain.  The index's crc32c suffix is verified at decode
         # (table-driven pure python — indexes are KB-sized), and
         # offsets are validated against the shard size.
-        scfg = codecs[0].get("configuration") or {}
-        if len(codecs) > 1:
+        scfg = chain[0].get("configuration") or {}
+        if len(chain) > 1:
             raise NotImplementedError(
                 f"{name}: codecs after sharding_indexed")
         inner_codecs = scfg.get("codecs", [{"name": "bytes"}])
@@ -118,7 +124,7 @@ def _normalize_v3(m3: dict, name: str) -> dict:
             "checksum": checksum,
         }
     else:
-        endian, comp = _parse_chain(codecs)
+        endian, comp = _parse_chain(chain)
     base = _V3_DTYPES.get(m3.get("data_type"))
     if base is None:
         raise NotImplementedError(
@@ -149,14 +155,19 @@ def _normalize_v3(m3: dict, name: str) -> dict:
     }
 
 
-def zarr_array_meta(store: str, name: str) -> dict:
+def zarr_array_meta(store: str, name: str, codecs=None) -> dict:
     """Parse array metadata — ``<name>/.zarray`` (Zarr v2) or
-    ``<name>/zarr.json`` (Zarr v3), normalized to one meta shape."""
+    ``<name>/zarr.json`` (Zarr v3), normalized to one meta shape.
+
+    ``codecs`` — optional ``{codec_id: decompress(bytes) -> bytes}``
+    injection for compressors the stdlib can't decode (blosc/zstd/lz4):
+    a listed id is accepted here and dispatched at chunk decode.
+    """
     p2 = os.path.join(store, name, ".zarray")
     p3 = os.path.join(store, name, "zarr.json")
     if not os.path.exists(p2) and os.path.exists(p3):
         with open(p3) as f:
-            return _normalize_v3(json.load(f), name)
+            return _normalize_v3(json.load(f), name, codecs=codecs)
     with open(p2) as f:
         meta = json.load(f)
     if meta.get("zarr_format") != 2:
@@ -165,10 +176,12 @@ def zarr_array_meta(store: str, name: str) -> dict:
     if meta.get("order", "C") != "C":
         raise NotImplementedError(f"{name}: only C-order arrays")
     comp = meta.get("compressor")
-    if comp is not None and comp.get("id") not in ("zlib", "gzip"):
+    if comp is not None and comp.get("id") not in ("zlib", "gzip") \
+            and not (codecs and comp.get("id") in codecs):
         raise NotImplementedError(
             f"{name}: compressor {comp.get('id')!r} not available in "
-            "this environment (stdlib decodes zlib/gzip/None)")
+            "this environment (stdlib decodes zlib/gzip/None; pass "
+            "codecs={...} to inject a decompressor)")
     if meta.get("filters"):
         raise NotImplementedError(f"{name}: filters not supported")
     meta["_name"] = name
@@ -212,6 +225,7 @@ def _grid(shape: Sequence[int], chunks: Sequence[int]):
 
 def zarr_chunk_manifest(
     spark: SparkSession, store: str, variables: Sequence[str],
+    codecs: dict | None = None,
 ) -> DataFrame:
     """One row per (variable, chunk file): the unit of ingest
     parallelism.  Missing chunk files are kept in the manifest — Zarr
@@ -220,7 +234,7 @@ def zarr_chunk_manifest(
     dense logical grid)."""
     rows = []
     for var in variables:
-        meta = zarr_array_meta(store, var)
+        meta = zarr_array_meta(store, var, codecs=codecs)
         for idx in _grid(meta["shape"], meta["chunks"]):
             rows.append((var, _chunk_key(meta, idx)))
     df = spark.createDataFrame(rows, "var STRING, chunk_key STRING")
@@ -263,7 +277,23 @@ def _crc32c(data: bytes) -> int:
     return c ^ 0xFFFFFFFF
 
 
-def _decode_shard(raw: bytes, meta: dict) -> np.ndarray:
+def _decompress(raw: bytes, comp, codecs=None) -> bytes:
+    """Apply the chunk's compressor: stdlib zlib/gzip, or an injected
+    ``codecs[id]`` decompressor (the blosc/zstd deployment path)."""
+    if comp is None:
+        return raw
+    cid = comp["id"]
+    if cid == "gzip":
+        return zlib.decompress(raw, 47)  # wbits=47 auto-detects
+    if cid == "zlib":
+        return zlib.decompress(raw)
+    if codecs and cid in codecs:
+        return codecs[cid](raw)
+    raise NotImplementedError(
+        f"compressor {cid!r} not available (pass codecs={{...}})")
+
+
+def _decode_shard(raw: bytes, meta: dict, codecs=None) -> np.ndarray:
     """Shard bytes -> dense ndarray of the OUTER chunk shape (v3
     sharding_indexed): parse the (offset, nbytes) index, decode each
     present inner chunk with the inner codec chain, scatter into a
@@ -294,7 +324,13 @@ def _decode_shard(raw: bytes, meta: dict) -> np.ndarray:
     table = np.frombuffer(idx_raw[:16 * n], dtype="<u8").reshape(n, 2)
     dtype = np.dtype(meta["dtype"])
     comp = meta.get("compressor")
-    out = _fill_chunk(outer, meta)
+    # only materialize the fill (and its int-dtype/null-fill error)
+    # when an inner chunk is actually absent: with every chunk present
+    # the slice grid tiles the outer box completely
+    if bool((table[:, 0] == _SHARD_MISSING).any()):
+        out = _fill_chunk(outer, meta)
+    else:
+        out = np.empty(outer, dtype=dtype)
     for flat, idx in enumerate(
             itertools.product(*[range(c) for c in counts])):
         off, nb = int(table[flat, 0]), int(table[flat, 1])
@@ -304,10 +340,7 @@ def _decode_shard(raw: bytes, meta: dict) -> np.ndarray:
             raise ValueError(
                 f"{meta.get('_name')!r}: shard index entry {flat} "
                 f"points past the shard ({off}+{nb} > {len(raw)})")
-        sub = raw[off:off + nb]
-        if comp is not None:
-            sub = zlib.decompress(sub, 47) if comp["id"] == "gzip" \
-                else zlib.decompress(sub)
+        sub = _decompress(raw[off:off + nb], comp, codecs)
         block = np.frombuffer(sub, dtype=dtype).reshape(inner)
         sl = tuple(slice(i * c, min((i + 1) * c, o))
                    for i, c, o in zip(idx, inner, outer))
@@ -315,32 +348,29 @@ def _decode_shard(raw: bytes, meta: dict) -> np.ndarray:
     return out
 
 
-def _decode_chunk(raw: bytes | None, meta: dict) -> np.ndarray:
+def _decode_chunk(raw: bytes | None, meta: dict,
+                  codecs=None) -> np.ndarray:
     """Chunk bytes -> dense C-order ndarray of the chunk shape."""
     chunks = tuple(meta["chunks"])
     dtype = np.dtype(meta["dtype"])
     if raw is None:
         return _fill_chunk(chunks, meta)
     if meta.get("_shard"):
-        return _decode_shard(raw, meta)
-    comp = meta.get("compressor")
-    if comp is not None:
-        # zlib/gzip share the zlib inflate; wbits=47 auto-detects both
-        raw = zlib.decompress(raw, 47) if comp["id"] == "gzip" \
-            else zlib.decompress(raw)
+        return _decode_shard(raw, meta, codecs)
+    raw = _decompress(raw, meta.get("compressor"), codecs)
     return np.frombuffer(raw, dtype=dtype).reshape(chunks)
 
 
-def _read_coord(store: str, name: str) -> np.ndarray:
+def _read_coord(store: str, name: str, codecs=None) -> np.ndarray:
     """Driver-side read of a 1-D coordinate array (metadata-sized)."""
-    meta = zarr_array_meta(store, name)
+    meta = zarr_array_meta(store, name, codecs=codecs)
     if len(meta["shape"]) != 1:
         raise ValueError(f"coordinate {name} must be 1-D")
     parts = []
     for (i,) in _grid(meta["shape"], meta["chunks"]):
         p = os.path.join(store, name, _chunk_key(meta, (i,)))
         raw = open(p, "rb").read() if os.path.exists(p) else None
-        parts.append(_decode_chunk(raw, meta))
+        parts.append(_decode_chunk(raw, meta, codecs))
     return np.concatenate(parts)[: meta["shape"][0]]
 
 
@@ -352,8 +382,16 @@ def read_zarr(
     dims: Sequence[str] | None = None,
     time_dim: str = "time",
     time_units_epoch: str | None = None,
+    codecs: dict | None = None,
 ) -> DataFrame:
     """Read Zarr v2 arrays into a long DataFrame ``dims..., <var>...``.
+
+    ``codecs`` — ``{codec_id: decompress(bytes) -> bytes}`` injection
+    for compressors beyond stdlib zlib/gzip (the blosc/zstd deployment
+    path): ``read_zarr(..., codecs={"zstd":
+    zstandard.ZstdDecompressor().decompress})``.  The mapping is
+    cloudpickled into the chunk tasks, so it reaches executors without
+    any import-time registration.
 
     All ``variables`` must share shape and dims (the common single-grid
     case; heterogeneous stores: call per group and join).  ``dims``
@@ -369,7 +407,8 @@ def read_zarr(
     from a midnight epoch, TIMESTAMP for sub-daily units, an honest
     error for non-standard calendars.
     """
-    metas = {v: zarr_array_meta(store, v) for v in variables}
+    metas = {v: zarr_array_meta(store, v, codecs=codecs)
+             for v in variables}
     first = metas[variables[0]]
     for v, m in metas.items():
         if m["shape"] != first["shape"] or m["chunks"] != first["chunks"]:
@@ -391,7 +430,7 @@ def read_zarr(
     coords = {}
     for d in dims:
         if _has_array(store, d):
-            coords[d] = _read_coord(store, d)
+            coords[d] = _read_coord(store, d, codecs)
     tkind = None
     if time_units_epoch is None and time_dim in coords:
         from .netcdf3 import _decode_cf_time, _time_kind
@@ -402,7 +441,8 @@ def read_zarr(
             coords[time_dim], tkind = _decode_cf_time(
                 coords[time_dim], units, cal, f"{store}/{time_dim}")
 
-    manifest = zarr_chunk_manifest(spark, store, [variables[0]]) \
+    manifest = zarr_chunk_manifest(spark, store, [variables[0]],
+                                   codecs=codecs) \
         .select("chunk_key")
     sep = first.get("dimension_separator", ".")
     npref = len(first.get("_key_prefix", []))
@@ -417,7 +457,7 @@ def read_zarr(
                     p = os.path.join(store, v, key)
                     raw = open(p, "rb").read() if os.path.exists(p) \
                         else None
-                    arrs[v] = _decode_chunk(raw, metas[v])
+                    arrs[v] = _decode_chunk(raw, metas[v], codecs)
                 # dense coordinates of this chunk, trimmed at array edge
                 axes = []
                 for ax, (i0, c, s) in enumerate(zip(idx, chunks, shape)):
