@@ -666,3 +666,36 @@ def test_minhash_lsh_jaccard_recall_measured(spark):
         assert v == pytest.approx(exact[k], abs=1e-9)
     recall = len(set(found) & set(exact)) / len(exact)
     assert recall >= 0.95, (recall, len(exact), len(found))
+
+
+def test_connected_components_fallback_on_deep_graph(spark):
+    """A component deeper than the min-label round budget must not
+    return partially-propagated labels: the loop falls back to the
+    star rewrite (with a warning) and still labels correctly."""
+    import warnings
+
+    import xclim_spark.llm.dedup as dd
+
+    n = 20
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a LONG, id_b LONG")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        got = {r["id"]: r["component"]
+               for r in dd.connected_components(
+                   edges, max_iterations=2).collect()}
+    assert any("falling back" in str(x.message) for x in w)
+    assert got == {i: 0 for i in range(n + 1)}
+
+
+def test_connected_components_star_nonconvergence_raises(spark):
+    """The star rewrite must refuse to emit labels from a non-fixpoint
+    edge set (it can carry conflicting component rows per id)."""
+    import pytest as _pt
+
+    import xclim_spark.llm.dedup as dd
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "id_a LONG, id_b LONG")
+    with _pt.raises(RuntimeError, match="fixpoint"):
+        dd.connected_components_star(edges, max_iterations=1)

@@ -688,6 +688,7 @@ def connected_components(
     labels = (und.groupBy("a")
               .agg(F.least(F.col("a"), F.min("b")).alias("c"))
               .withColumnRenamed("a", "id").localCheckpoint())
+    converged = False
     for _ in range(max_iterations):
         nb = (und.join(labels.select(F.col("id").alias("b"),
                                      F.col("c").alias("bc")), on="b")
@@ -702,8 +703,23 @@ def connected_components(
                    .filter(F.col("c") != F.col("oc")).count())
         labels = new
         if changed == 0:
+            converged = True
             break
     und.unpersist()
+    if not converged:
+        # the graph is deeper than the round budget (diameter >
+        # max_iterations) — exactly the shape the O(log n) star
+        # rewrite exists for.  Returning partially-propagated labels
+        # would silently split components; switch instead of lying.
+        import warnings
+
+        warnings.warn(
+            f"connected_components: min-label propagation did not "
+            f"converge within {max_iterations} rounds (component "
+            "diameter exceeds the budget); falling back to the "
+            "large-star/small-star rewrite", RuntimeWarning,
+            stacklevel=2)
+        return connected_components_star(edges, src, dst)
     return labels.select("id", F.col("c").alias("component"))
 
 
@@ -779,13 +795,25 @@ def connected_components_star(
 
     sig = _sig(e)
     rounds = 0
+    converged = False
     for rounds in range(1, max_iterations + 1):
         e2 = _small_star(_large_star(e)).localCheckpoint()
         new_sig = _sig(e2)
         e = e2
         if new_sig == sig:
+            converged = True
             break
         sig = new_sig
+    if not converged:
+        # a non-fixpoint edge set can carry one id in several
+        # conflicting child->root rows — emitting labels from it would
+        # hand callers duplicate ids with different components.  The
+        # O(log^2 n) bound makes 50 rounds cover any real graph, so a
+        # non-convergence here means a wrong max_iterations, not scale.
+        raise RuntimeError(
+            f"connected_components_star did not reach its edge-set "
+            f"fixpoint within {max_iterations} rounds — raise "
+            "max_iterations (the default 50 covers ~2^50-deep graphs)")
     labels = (e.select(F.col("a").alias("id"),
                        F.col("b").alias("component"))
               .unionByName(e.select(F.col("b").alias("id"),
