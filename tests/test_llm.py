@@ -699,3 +699,29 @@ def test_connected_components_star_nonconvergence_raises(spark):
         [(i, i + 1) for i in range(64)], "id_a LONG, id_b LONG")
     with _pt.raises(RuntimeError, match="fixpoint"):
         dd.connected_components_star(edges, max_iterations=1)
+
+
+def test_semantic_dedup_marks_clones(spark):
+    """SemDeDup: perturbed clones must be marked dup_of their base
+    (same cluster, cos >> threshold); unrelated vectors keep."""
+    import numpy as np
+
+    import xclim_spark.llm.dedup as dd
+
+    rng = np.random.RandomState(9)
+    base = rng.randn(40, 16)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(40)]
+    # clones of ids 0..4, perturbed 0.1%
+    rows += [(100 + i, [float(x * 1.001) for x in base[i]])
+             for i in range(5)]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    cents = emb.filter("vec_id % 10 = 3 AND vec_id < 100")
+    out = {r["id"]: r for r in
+           dd.semantic_dedup(emb, cents, threshold=0.999).collect()}
+    assert len(out) == 45
+    for i in range(5):
+        assert out[100 + i]["keep"] is False
+        assert out[100 + i]["dup_of"] == i
+        assert out[i]["keep"] is True
+    # random 16-dim vectors never hit 0.999 pairwise
+    assert sum(not r["keep"] for r in out.values()) == 5

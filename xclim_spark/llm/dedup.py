@@ -34,6 +34,7 @@ __all__ = [
     "simhash_pairs",
     "md5_hash60",
     "embedding_near_duplicates",
+    "semantic_dedup",
     "jaccard",
     "connected_components",
     "connected_components_star",
@@ -648,6 +649,73 @@ def embedding_near_duplicates(
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    centroids: DataFrame,
+    *,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    *SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication*, arXiv:2303.09540): cluster the embedding space,
+    compare pairs ONLY within a cluster, and keep one representative of
+    every semantically near-identical group.
+
+    * every vector is assigned to its nearest centroid — the same
+      zero-shuffle map-side BLAS matmul as
+      :func:`~xclim_spark.llm.similarity.knn_ivf` (``centroids`` is the
+      small driver-bounded codebook; production trains it with k-means,
+      any deterministic subset exercises the plumbing);
+    * within each cluster, exact pairwise cosine over the cluster-keyed
+      self-join — fan-out bounded by cluster occupancy, so sizing
+      ``n_centroids ~ corpus / target_cluster_size`` keeps the join
+      linear-ish at 100 TB (the paper uses 50k clusters for LAION);
+      an all-pairs stage never exists;
+    * a document with a ``>= threshold`` neighbour of SMALLER id in its
+      cluster is marked a duplicate of the least such id (the paper
+      keeps one exemplar per group; min-id is the deterministic choice,
+      matching :func:`connected_components` canonical labels).
+
+    Returns ``(id, cluster, keep, dup_of)`` — ``dup_of`` null where
+    ``keep``.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    from .similarity import _centroid_scorer, cosine_similarity
+
+    cent_ids, _scores = _centroid_scorer(centroids, id_col, vec_col)
+
+    @pandas_udf("bigint")
+    def _cell(vs: pd.Series) -> pd.Series:
+        # np.argmax takes the first maximum -> lowest centroid id
+        return pd.Series(cent_ids[np.argmax(_scores(vs), axis=1)])
+
+    asg = emb.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("_v"),
+        _cell(F.col(vec_col)).alias("cluster"),
+    ).persist()
+    lo = asg.select(F.col("cluster"), F.col("id").alias("id_a"),
+                    F.col("_v").alias("_va"))
+    hi = asg.select(F.col("cluster"), F.col("id").alias("id_b"),
+                    F.col("_v").alias("_vb"))
+    dups = (
+        lo.join(hi, on="cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", cosine_similarity("_va", "_vb"))
+        .filter(F.col("cos_sim") >= threshold)
+        .groupBy("id_b").agg(F.min("id_a").alias("dup_of"))
+    )
+    out = (
+        asg.join(dups.withColumnRenamed("id_b", "id"), on="id",
+                 how="left")
+        .select("id", "cluster",
+                F.col("dup_of").isNull().alias("keep"), "dup_of")
+    )
+    return out
 
 
 def connected_components(

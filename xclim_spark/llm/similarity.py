@@ -198,6 +198,29 @@ def knn_lsh(
     )
 
 
+def _centroid_scorer(centroids: DataFrame, id_col: str, vec_col: str):
+    """Collect the (small, driver-bounded) centroid codebook ONCE and
+    return ``(centroid_ids, scores_fn)`` where ``scores_fn`` maps a
+    pandas Series of vectors to the (rows x centroids) cosine matrix —
+    one BLAS matmul per Arrow batch, carried in the task closure (zero
+    shuffle).  Shared by :func:`knn_ivf` cell assignment and
+    :func:`~xclim_spark.llm.dedup.semantic_dedup` clustering."""
+    cents = sorted(
+        (r[0], [float(x) for x in r[1]])
+        for r in centroids.select(id_col, vec_col).collect()
+    )
+    ids = np.array([int(c[0]) for c in cents], dtype=np.int64)
+    vecs = np.stack([np.asarray(c[1]) for c in cents])  # (C, d)
+    norms = np.linalg.norm(vecs, axis=1)
+
+    def _scores(vs: pd.Series) -> np.ndarray:
+        X = np.stack(vs.to_numpy()).astype(np.float64)
+        return (X @ vecs.T) / (
+            np.linalg.norm(X, axis=1, keepdims=True) * norms)
+
+    return ids, _scores
+
+
 def knn_ivf(
     emb: DataFrame,
     queries: DataFrame,
@@ -233,18 +256,7 @@ def knn_ivf(
     """
     from pyspark.sql.functions import pandas_udf
 
-    cents = sorted(
-        (r[0], [float(x) for x in r[1]])
-        for r in centroids.select(id_col, vec_col).collect()
-    )
-    cent_ids_np = np.array([int(c[0]) for c in cents], dtype=np.int64)
-    cent_vecs_np = np.stack([np.asarray(c[1]) for c in cents])  # (C, d)
-    cent_norms_np = np.linalg.norm(cent_vecs_np, axis=1)
-
-    def _scores(vs: pd.Series) -> np.ndarray:
-        X = np.stack(vs.to_numpy()).astype(np.float64)
-        return (X @ cent_vecs_np.T) / (
-            np.linalg.norm(X, axis=1, keepdims=True) * cent_norms_np)
+    cent_ids_np, _scores = _centroid_scorer(centroids, id_col, vec_col)
 
     @pandas_udf("bigint")
     def _cell(vs: pd.Series) -> pd.Series:

@@ -4253,6 +4253,70 @@ def knn_ivf_docs(spark, sf_dir):
 
 
 @_register(
+    "dedup_semantic",
+    """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+u AS (
+  SELECT vec_id,
+         [CAST(embedding[i] AS DOUBLE) FOR i IN range(1, len(embedding)+1)]
+         AS v
+  FROM e
+  UNION ALL
+  SELECT vec_id + 1000000,
+         [CAST(embedding[i] AS DOUBLE)
+          * (CAST(1 AS DOUBLE) + CAST(0.001 AS DOUBLE) * (((i-1) % 7) - 3))
+          FOR i IN range(1, len(embedding)+1)]
+  FROM e WHERE vec_id % 25 = 0
+),
+cent AS (SELECT vec_id AS cid, v AS cvec FROM u WHERE vec_id % 50 = 7),
+asgs AS (
+  SELECT u.vec_id, u.v, c.cid,
+         row_number() OVER (
+           PARTITION BY u.vec_id
+           ORDER BY list_sum([CAST(u.v[i] AS DOUBLE)*c.cvec[i] FOR i IN range(1, len(u.v)+1)]) / (sqrt(list_sum([CAST(u.v[i] AS DOUBLE)*u.v[i] FOR i IN range(1, len(u.v)+1)])) * sqrt(list_sum([CAST(c.cvec[i] AS DOUBLE)*c.cvec[i] FOR i IN range(1, len(c.cvec)+1)]))) DESC, c.cid) AS rn
+  FROM u, cent c
+),
+asg AS (SELECT vec_id, v, cid AS cluster FROM asgs WHERE rn = 1),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_sum([CAST(a.v[i] AS DOUBLE)*b.v[i] FOR i IN range(1, len(a.v)+1)]) / (sqrt(list_sum([CAST(a.v[i] AS DOUBLE)*a.v[i] FOR i IN range(1, len(a.v)+1)])) * sqrt(list_sum([CAST(b.v[i] AS DOUBLE)*b.v[i] FOR i IN range(1, len(b.v)+1)]))) AS cos
+  FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+),
+d AS (SELECT id_b, min(id_a) AS dup_of FROM p WHERE cos >= 0.999
+      GROUP BY 1)
+SELECT a.vec_id AS id, a.cluster, d.dup_of IS NULL AS keep, d.dup_of
+FROM asg a LEFT JOIN d ON d.id_b = a.vec_id""",
+)
+def dedup_semantic(spark, sf_dir):
+    """SemDeDup semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540) over the corpus-with-deterministic-clones setup of
+    dedup_embed: nearest-centroid clustering (deterministic codebook =
+    every 50th vector; map-side BLAS assignment, zero shuffle), exact
+    cosine ONLY within a cluster (cluster-keyed self-join — no
+    all-pairs stage), keep the min-id exemplar of every >= 0.999 group.
+    The clones sit at cos ~ 0.999995 so each is marked dup_of its base;
+    cluster sizing (n_centroids ~ corpus/target_cluster_size) is the
+    scale dial."""
+    from .llm import dedup as dd
+
+    e = _read(spark, sf_dir, "embeddings")
+    base = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double"))
+        .alias("embedding"))
+    clones = e.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x.cast("double")
+            * (F.lit(1.0).cast("double")
+               + F.lit(0.001).cast("double") * ((i % 7) - 3)),
+        ).alias("embedding"))
+    u = base.unionByName(clones)
+    cents = u.filter(F.col("vec_id") % 50 == 7)
+    return dd.semantic_dedup(u, cents, threshold=0.999)
+
+
+@_register(
     "ens_mixed_calendar_ms",
     f"""WITH {DAILY_SQL},
 b AS (
@@ -6622,6 +6686,9 @@ def nc3_subdaily_ingest(spark, sf_dir):
 # list each round), then queries whose last driver-green row is oldest.
 # Regenerate each round with tools/rotate_priority.py — do not hand-edit.
 _PRIORITY = [
+    # -- additions with no driver row yet (the ordering rule
+    #    requires these inside the sampled head) --
+    "dedup_semantic",
     # -- newest driver-green row: round 6 --
     "ind_tg90p_ys", "ind_heat_wave_freq_ys", "ind_hot_spell_freq_ys",
     "ind_hot_spell_maxlen_ys", "ind_dry_spell_freq_ys", "ind_mcdd_ys",
