@@ -649,3 +649,51 @@ def test_streaming_num_blocks_checkpoint_invariance(spark, tmp_path):
     # and the documented-safe restart (same num_blocks) still works
     _write("c.parquet", 5, 2)
     _run(2, "nb_ck_resume")
+
+
+def test_streaming_spell_events_idle_timeout_flush(spark, tmp_path):
+    """With timeout_ms set, a block that receives no data for that long
+    must flush its open runs as closed events (no sentinel row needed)."""
+    import pandas as _pd
+
+    from xclim_spark.streaming import streaming_spell_events
+
+    # two cells in DIFFERENT blocks under num_blocks=2, so batch 2 can
+    # carry data for one block while the other times out
+    rows = (spark.range(1, 64)
+            .select("id", F.pmod(F.hash("id"), F.lit(2)).alias("b"))
+            .collect())
+    by_b = {}
+    for r in rows:
+        by_b.setdefault(int(r["b"]), int(r["id"]))
+        if len(by_b) == 2:
+            break
+    c1, c2 = by_b[0], by_b[1]
+
+    base = dt.datetime(2000, 1, 1, 12)
+    p = tmp_path / "in"
+    p.mkdir()
+
+    def _write(name, cell, day0, vals):
+        _pd.DataFrame(
+            [(cell, base + dt.timedelta(days=day0 + i), float(v))
+             for i, v in enumerate(vals)],
+            columns=["cell", "time", "tas"],
+        ).to_parquet(str(p / name), coerce_timestamps="us",
+                     allow_truncated_timestamps=True)
+
+    _write("a.parquet", c1, 0, [30.0, 31.0])      # open run for c1
+    _time.sleep(1.1)
+    _write("b.parquet", c2, 0, [10.0])            # other block only
+    sdf = (spark.readStream
+           .schema("cell LONG, time TIMESTAMP, tas DOUBLE")
+           .option("maxFilesPerTrigger", 1).parquet(str(p)))
+    out = streaming_spell_events(sdf, "tas", ">", 25.0, min_length=2,
+                                 timeout_ms=1, num_blocks=2)
+    _run_to_memory(out, "spells_idle")
+    res = spark.sql("select * from spells_idle").collect()
+    # c1's open (30, 31) run flushed by the idle timeout during batch 2
+    assert len(res) == 1
+    assert res[0]["cell"] == c1
+    assert res[0]["event_length"] == 2
+    assert res[0]["event_sum"] == pytest.approx(61.0)

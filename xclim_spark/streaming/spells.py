@@ -91,6 +91,15 @@ def streaming_spell_events(
     + state-store access per cell per micro-batch — ~2-3x the total
     cost at the 10k-cell rehearsal scale.
 
+    ``timeout_ms`` — idle-flush: with a positive value the state uses a
+    processing-time timeout, and a block that receives NO data for that
+    long emits its still-open runs (of >= ``min_length``) as closed
+    events instead of holding them forever (the production answer to
+    "the feed went quiet but the dashboard needs the event"; batch
+    replays close final runs with a sentinel row instead).  A cell that
+    resumes after a flush starts a NEW run — an idle flush is a
+    provisional closure, the standard streaming trade-off.
+
     Rows inside each micro-batch are processed in timestamp order; state
     carries across batches — identical semantics to the batch
     sessionization when the input arrives in order per cell.  That
@@ -117,6 +126,34 @@ def streaming_spell_events(
 
     def _fn(key, pdfs, state: GroupState):
         import numpy as np
+
+        if timeout_ms and state.hasTimedOut:
+            # idle flush: close every open run, keep cells (and their
+            # last-seen timestamps — the ordering guard survives)
+            st_cells, st_len, st_us, st_tot, st_last, snb = state.get
+            st_len = np.asarray(st_len, dtype=np.int64)
+            flush = st_len >= min_length
+            state.update((
+                list(st_cells),
+                [0] * len(st_cells),
+                [0] * len(st_cells),
+                [0.0] * len(st_cells),
+                list(st_last),
+                int(snb),
+            ))
+            state.setTimeoutDuration(timeout_ms)
+            if flush.any():
+                st_us = np.asarray(st_us, dtype=np.int64)
+                yield pd.DataFrame({
+                    cell: np.asarray(st_cells,
+                                     dtype=np.int64)[flush],
+                    "event_start": pd.to_datetime(st_us[flush],
+                                                  unit="us"),
+                    "event_length": st_len[flush],
+                    "event_sum": np.asarray(st_tot,
+                                            dtype=float)[flush],
+                })
+            return
 
         batch = [p for p in pdfs if len(p)]
         if not batch:
@@ -255,6 +292,8 @@ def streaming_spell_events(
             [int(x) for x in new_last[ordr]],
             int(num_blocks),
         ))
+        if timeout_ms:
+            state.setTimeoutDuration(timeout_ms)
 
         if events_c:
             yield pd.DataFrame({
@@ -269,5 +308,6 @@ def streaming_spell_events(
         "_blk", F.pmod(F.hash(cell), F.lit(num_blocks)))
     return blocked.groupBy("_blk").applyInPandasWithState(
         _fn, out_schema, state_schema, "append",
-        GroupStateTimeout.NoTimeout,
+        GroupStateTimeout.ProcessingTimeTimeout if timeout_ms
+        else GroupStateTimeout.NoTimeout,
     )
