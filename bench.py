@@ -57,6 +57,8 @@ HEADLINE = [
     "dedup_components", "dataset_bucketed_reuse",
     # round-10 families
     "stream_fwi_ms", "boot_r75ptot_ys", "dedup_components_star",
+    # round-11 families
+    "dedup_semantic", "text_pii_scrub",
 ]
 
 

@@ -725,3 +725,24 @@ def test_semantic_dedup_marks_clones(spark):
         assert out[i]["keep"] is True
     # random 16-dim vectors never hit 0.999 pairwise
     assert sum(not r["keep"] for r in out.values()) == 5
+
+
+def test_pii_counts_and_redaction(spark):
+    from pyspark.sql import functions as F
+
+    from xclim_spark.llm.text import pii_counts, redact_pii
+
+    df = spark.createDataFrame(
+        [("mail a@b.co and x.y@z.org ip 10.1.2.3 ssn 123-45-6789 "
+          "tel +44-123-4567-890 clean text",),
+         ("nothing sensitive here",)],
+        "text STRING")
+    out = df.select(
+        *[c.alias(k) for k, c in pii_counts(F.col("text")).items()],
+        redact_pii("text").alias("red")).collect()
+    assert (out[0]["email"], out[0]["ipv4"], out[0]["ssn"],
+            out[0]["phone"]) == (2, 1, 1, 1)
+    assert out[0]["red"] == ("mail [EMAIL] and [EMAIL] ip [IPV4] ssn "
+                             "[SSN] tel [PHONE] clean text")
+    assert out[1]["red"] == "nothing sensitive here"
+    assert out[1]["email"] == 0

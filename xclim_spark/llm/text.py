@@ -23,7 +23,10 @@ __all__ = [
     "quality_score",
     "language_id",
     "winnowing_fingerprints",
+    "pii_counts",
+    "redact_pii",
     "STOPWORDS",
+    "PII_PATTERNS",
 ]
 
 # Minimal per-language stopword lists (top function words) — the classic
@@ -161,3 +164,37 @@ def winnowing_fingerprints(text, k: int = 5, window: int = 4) -> Column:
         ).otherwise(F.array().cast("array<bigint>"))
 
     return F.element_at(F.transform(F.array(words), fp), 1)
+
+
+# PII patterns kept PORTABLE across regex engines (Java in Spark, RE2 in
+# DuckDB/Go tooling): no lookaround, no backreferences, ASCII classes
+# only — so a detection count computed in the pipeline is reproducible
+# by any downstream auditor.  Redaction applies them in THIS dict order
+# (emails contain dots, so they redact before IPv4 could bite them).
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "phone": r"\+\d{1,3}[- ]\d{3}[- ]\d{3,4}[- ]\d{3,4}",
+}
+
+
+def pii_counts(text) -> dict[str, Column]:
+    """Per-kind PII match counts (``{kind: Column}``) — pure
+    ``regexp_count`` expressions, JVM-side and codegen-friendly; the
+    training-data hygiene pass every large corpus pipeline runs before
+    release.  Join the dict into a ``select`` with aliases."""
+    return {kind: F.regexp_count(text, F.lit(pat))
+            for kind, pat in PII_PATTERNS.items()}
+
+
+def redact_pii(text, kinds: list[str] | None = None) -> Column:
+    """Replace every PII match with its ``[KIND]`` token, applying
+    :data:`PII_PATTERNS` in dict order (documented, so any engine
+    reproduces the same redacted bytes).  ``kinds`` restricts which
+    patterns apply."""
+    col = text if isinstance(text, Column) else F.col(text)
+    for kind, pat in PII_PATTERNS.items():
+        if kinds is None or kind in kinds:
+            col = F.regexp_replace(col, pat, f"[{kind.upper()}]")
+    return col

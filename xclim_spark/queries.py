@@ -4252,6 +4252,75 @@ def knn_ivf_docs(spark, sf_dir):
     return out.withColumn("cos_sim", F.round("cos_sim", 6))
 
 
+def _pii_sql() -> str:
+    """Oracle for text_pii_scrub, built from the SAME portable patterns
+    the operator uses (llm/text.py PII_PATTERNS — no lookaround, ASCII
+    classes, so Java regex and DuckDB's RE2 agree match-for-match)."""
+    from .llm.text import PII_PATTERNS as P
+
+    return """WITH d AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 5 = 0
+            THEN ' contact user' || doc_id || '@example.com'
+            ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+            THEN ' host 10.' || (doc_id % 250) || '.0.1' ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+            THEN ' ssn 123-45-6789' ELSE '' END
+         || CASE WHEN doc_id % 13 = 0
+            THEN ' tel +1-555-0123-456' ELSE '' END AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '@EMAIL@')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(t, '@IPV4@')) AS BIGINT) AS n_ipv4,
+       CAST(len(regexp_extract_all(t, '@SSN@')) AS BIGINT) AS n_ssn,
+       CAST(len(regexp_extract_all(t, '@PHONE@')) AS BIGINT) AS n_phone,
+       md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           t, '@EMAIL@', '[EMAIL]', 'g'), '@IPV4@', '[IPV4]', 'g'),
+           '@SSN@', '[SSN]', 'g'), '@PHONE@', '[PHONE]', 'g'))
+         AS red_md5
+FROM d""".replace("@EMAIL@", P["email"]).replace(
+        "@IPV4@", P["ipv4"]).replace("@SSN@", P["ssn"]).replace(
+        "@PHONE@", P["phone"])
+
+
+@_register("text_pii_scrub", _pii_sql())
+def text_pii_scrub(spark, sf_dir):
+    """PII detection + redaction — the corpus-hygiene pass of a
+    training-data pipeline (llm/text.py pii_counts/redact_pii): the
+    synthetic documents carry no natural PII, so deterministic tokens
+    (email/IPv4/SSN/phone keyed on doc_id) are injected identically in
+    both engines; per-doc match counts AND the md5 of the redacted
+    bytes hash-match the oracle, so the redaction output itself is
+    verified byte-for-byte.  Everything is regexp_count/regexp_replace
+    column expressions — map-side, codegen, zero shuffle."""
+    from .llm import text as tx
+
+    d = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    t = F.concat(
+        F.col("text"),
+        F.when(did % 5 == 0, F.concat(
+            F.lit(" contact user"), did.cast("string"),
+            F.lit("@example.com"))).otherwise(""),
+        F.when(did % 7 == 0, F.concat(
+            F.lit(" host 10."), (did % 250).cast("string"),
+            F.lit(".0.1"))).otherwise(""),
+        F.when(did % 11 == 0, F.lit(" ssn 123-45-6789")).otherwise(""),
+        F.when(did % 13 == 0,
+               F.lit(" tel +1-555-0123-456")).otherwise(""),
+    )
+    base = d.select("doc_id", t.alias("t"))
+    cnts = tx.pii_counts(F.col("t"))
+    return base.select(
+        "doc_id",
+        *[c.cast("long").alias(f"n_{k}") for k, c in cnts.items()],
+        F.md5(tx.redact_pii(F.col("t"))).alias("red_md5"),
+    )
+
+
 @_register(
     "dedup_semantic",
     """WITH e AS (SELECT vec_id, embedding FROM embeddings),
@@ -6688,7 +6757,7 @@ def nc3_subdaily_ingest(spark, sf_dir):
 _PRIORITY = [
     # -- additions with no driver row yet (the ordering rule
     #    requires these inside the sampled head) --
-    "dedup_semantic",
+    "dedup_semantic", "text_pii_scrub",
     # -- newest driver-green row: round 6 --
     "ind_tg90p_ys", "ind_heat_wave_freq_ys", "ind_hot_spell_freq_ys",
     "ind_hot_spell_maxlen_ys", "ind_dry_spell_freq_ys", "ind_mcdd_ys",
