@@ -4723,10 +4723,16 @@ def stream_fwi_ms(spark, sf_dir):
                        F.greatest(F.lit(0.0), F.col("qty") - 30.0))
            .withColumn("hurs", F.least(F.lit(99.0), 30.0 + F.col("qty")))
            .withColumn("ws", 5.0 + F.col("qty") / 2.0))
+    # unlike the row-light spell/session gates (8 state partitions, the
+    # _stream_state_partitions default), the CFFWIS kernel is CPU-heavy:
+    # measured at sf0.1, 16 partitions x 32 FAT blocks run it ~2x faster
+    # than 8 x 64 — fatter blocks amortize the per-day numpy ops over
+    # 2x the cells, and the extra partitions keep cores busy through
+    # the sequential recursion
     fwi = streaming_cffwis(met, tas="tas", pr="prcp", hurs="hurs",
                            ws="ws", lat=47.0, time="ts", cell="cell",
                            season_method="WF93", overwintering=True,
-                           outputs=("fwi",))
+                           outputs=("fwi",), num_blocks=32)
     # production sink shape: fold each micro-batch to (cell, month)
     # PARTIAL aggregates inside foreachBatch and append those to
     # parquet — the corpus-sized per-day table never leaves the
@@ -4749,7 +4755,7 @@ def stream_fwi_ms(spark, sf_dir):
               F.sum(valid.cast("long")).alias("season_days_p"))
          .write.mode("append").parquet(agg_dir))
 
-    with _stream_state_partitions(spark):
+    with _stream_state_partitions(spark, 16):
         q = (fwi.writeStream.foreachBatch(_fold)
              .trigger(availableNow=True).start())
         q.awaitTermination()
