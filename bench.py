@@ -58,7 +58,7 @@ HEADLINE = [
     # round-10 families
     "stream_fwi_ms", "boot_r75ptot_ys", "dedup_components_star",
     # round-11 families
-    "dedup_semantic", "text_pii_scrub",
+    "dedup_semantic", "text_pii_scrub", "dedup_substring_spans",
 ]
 
 

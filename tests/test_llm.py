@@ -746,3 +746,27 @@ def test_pii_counts_and_redaction(spark):
                              "[SSN] tel [PHONE] clean text")
     assert out[1]["red"] == "nothing sensitive here"
     assert out[1]["email"] == 0
+
+
+def test_duplicate_spans_exact_substr(spark):
+    """Lee-et-al-style exact substring spans: two docs sharing a 10-token
+    run must each report one maximal span covering it; a doc with no
+    cross-doc n-gram emits nothing."""
+    import xclim_spark.llm.dedup as dd
+
+    shared = "one two three four five six seven eight nine ten"
+    rows = [
+        (1, "alpha beta " + shared + " gamma"),
+        (2, shared + " delta epsilon zeta"),
+        (3, "totally unrelated words with no overlap at all here now"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {r["doc_id"]: r for r in
+           dd.duplicate_spans(docs, n=8, min_docs=2).collect()}
+    assert set(out) == {1, 2}
+    # doc 1: shared tokens at positions 2..11 -> grams at 2,3,4
+    assert (out[1]["span_start"], out[1]["span_end"],
+            out[1]["n_grams"]) == (2, 11, 3)
+    # doc 2: shared tokens at 0..9 -> grams at 0,1,2
+    assert (out[2]["span_start"], out[2]["span_end"],
+            out[2]["n_grams"]) == (0, 9, 3)

@@ -35,6 +35,7 @@ __all__ = [
     "md5_hash60",
     "embedding_near_duplicates",
     "semantic_dedup",
+    "duplicate_spans",
     "jaccard",
     "connected_components",
     "connected_components_star",
@@ -649,6 +650,58 @@ def embedding_near_duplicates(
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    *,
+    n: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact duplicate-substring spans across documents — the
+    token-level exact-substring deduplication of Lee et al. 2022
+    (*Deduplicating Training Data Makes Language Models Better*, ACL;
+    their ExactSubstr uses a suffix array; at Spark scale the
+    equivalent join-friendly form is token n-gram fingerprints):
+
+    1. every token ``n``-gram is keyed by ``md5(gram text)`` — a pure
+       expression pipeline (split / transform / posexplode), JVM-side;
+    2. grams appearing in ``>= min_docs`` DISTINCT documents survive
+       (one groupBy on the gram key — the only corpus shuffle);
+    3. per document, consecutive duplicated gram positions merge into
+       MAXIMAL spans with one window sessionization (the same
+       lag/cumsum primitive as the run-length family).
+
+    Returns ``doc_id, span_start, span_end, n_grams`` (token indices,
+    span covers ``span_end - span_start + 1`` tokens).  Scale: the
+    gram table is corpus-sized but narrow (id, pos, 32-byte key);
+    the groupBy partial-aggregates map-side; no all-pairs or
+    suffix-array construction ever materializes.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, n))))
+    g = (docs.filter(F.size(toks) >= n)
+         .select(F.col(id_col).alias("doc_id"),
+                 F.posexplode(grams).alias("pos", "gh")))
+    dup = (g.groupBy("gh")
+           .agg(F.count_distinct("doc_id").alias("nd"))
+           .filter(F.col("nd") >= min_docs))
+    d = g.join(dup.select("gh"), "gh")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    d = (d.withColumn(
+            "brk",
+            (F.col("pos") - F.lag("pos", 1, -2).over(w) != 1)
+            .cast("int"))
+         .withColumn("span", F.sum("brk").over(w)))
+    return (d.groupBy("doc_id", "span")
+            .agg(F.min("pos").cast("long").alias("span_start"),
+                 (F.max("pos") + n - 1).cast("long").alias("span_end"),
+                 F.count(F.lit(1)).alias("n_grams"))
+            .select("doc_id", "span_start", "span_end", "n_grams"))
 
 
 def semantic_dedup(

@@ -4252,6 +4252,62 @@ def knn_ivf_docs(spark, sf_dir):
     return out.withColumn("cos_sim", F.round("cos_sim", 6))
 
 
+@_register(
+    "dedup_substring_spans",
+    """WITH d0 AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 10 = 0
+           THEN ' the quick brown fox jumps over the lazy dog again and again'
+           ELSE '' END AS t
+  FROM documents
+),
+tok AS (SELECT doc_id, string_split(trim(t), ' ') AS toks FROM d0),
+g AS (
+  SELECT doc_id, s.pos, s.gh FROM (
+    SELECT doc_id,
+           unnest([{'pos': CAST(i - 1 AS BIGINT),
+                    'gh': md5(array_to_string(toks[i:i+7], ' '))}
+                   FOR i IN range(1, len(toks) - 6)]) AS s
+    FROM tok WHERE len(toks) >= 8)
+),
+dup AS (SELECT gh FROM g GROUP BY gh
+        HAVING count(DISTINCT doc_id) >= 2),
+s AS (
+  SELECT g.doc_id, g.pos,
+         CASE WHEN g.pos - lag(g.pos) OVER (
+                PARTITION BY g.doc_id ORDER BY g.pos) = 1
+              THEN 0 ELSE 1 END AS brk
+  FROM g JOIN dup USING (gh)
+),
+s2 AS (SELECT doc_id, pos,
+              sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS span
+       FROM s)
+SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + 7 AS BIGINT) AS span_end,
+       CAST(count(*) AS BIGINT) AS n_grams
+FROM s2 GROUP BY doc_id, span""",
+)
+def dedup_substring_spans(spark, sf_dir):
+    """Exact duplicate-substring spans (Lee et al. 2022 ExactSubstr,
+    re-expressed as a join-friendly token-8-gram fingerprint pipeline —
+    llm/dedup.py duplicate_spans): the synthetic corpus has a tiny
+    vocabulary but 8-grams still collide only by construction, so every
+    10th doc gets a shared 12-token sentence appended identically in
+    both engines; the maximal duplicated spans (start/end token index +
+    gram count per doc) hash-match the full DuckDB oracle (same md5
+    gram keys, same lag/cumsum sessionization)."""
+    from .llm import dedup as dd
+
+    d = _read(spark, sf_dir, "documents")
+    t = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 10 == 0,
+               F.lit(" the quick brown fox jumps over the lazy dog "
+                     "again and again")).otherwise(""))
+    return dd.duplicate_spans(
+        d.select("doc_id", t.alias("text")), n=8, min_docs=2)
+
+
 def _pii_sql() -> str:
     """Oracle for text_pii_scrub, built from the SAME portable patterns
     the operator uses (llm/text.py PII_PATTERNS — no lookaround, ASCII
@@ -6763,7 +6819,7 @@ def nc3_subdaily_ingest(spark, sf_dir):
 _PRIORITY = [
     # -- additions with no driver row yet (the ordering rule
     #    requires these inside the sampled head) --
-    "dedup_semantic", "text_pii_scrub",
+    "dedup_semantic", "text_pii_scrub", "dedup_substring_spans",
     # -- newest driver-green row: round 6 --
     "ind_tg90p_ys", "ind_heat_wave_freq_ys", "ind_hot_spell_freq_ys",
     "ind_hot_spell_maxlen_ys", "ind_dry_spell_freq_ys", "ind_mcdd_ys",
