@@ -697,3 +697,44 @@ def test_streaming_spell_events_idle_timeout_flush(spark, tmp_path):
     assert res[0]["cell"] == c1
     assert res[0]["event_length"] == 2
     assert res[0]["event_sum"] == pytest.approx(61.0)
+
+
+def test_streaming_dedup_keys_evicts_after_watermark(spark, tmp_path):
+    """Watermark-scoped dedup: duplicates inside the state window drop;
+    a key recurring AFTER its state was evicted re-emits — the bounded-
+    state trade-off, pinned."""
+    import pandas as _pd
+
+    from xclim_spark.streaming import streaming_dedup_keys
+
+    base = dt.datetime(2000, 1, 1, 12)
+    p = tmp_path / "in"
+    p.mkdir()
+
+    def _write(name, rows):
+        _pd.DataFrame(rows, columns=["k", "ts"]).to_parquet(
+            str(p / name), coerce_timestamps="us",
+            allow_truncated_timestamps=True)
+        _time.sleep(1.05)
+
+    # batch 1: key A twice (in-window duplicate drops), key B once
+    _write("a.parquet", [("A", base), ("A", base),
+                         ("B", base + dt.timedelta(hours=1))])
+    # batch 2: advance the watermark far past A's state (delay 1 day)
+    _write("b.parquet", [("C", base + dt.timedelta(days=10))])
+    # batch 3: advances the committed watermark to ~d9 (state cleanup
+    # runs with the PREVIOUS batch's watermark, so one spacer batch is
+    # needed before the eviction is visible)
+    _write("c.parquet", [("D", base + dt.timedelta(days=10, hours=1))])
+    # batch 4: A recurs after eviction -> re-emits
+    _write("d.parquet", [("A", base + dt.timedelta(days=10, hours=2))])
+
+    sdf = (spark.readStream.schema("k STRING, ts TIMESTAMP")
+           .option("maxFilesPerTrigger", 1).parquet(str(p)))
+    out = streaming_dedup_keys(sdf, ["k"], time="ts", delay="1 day")
+    _run_to_memory(out, "dedup_wm")
+    rows = spark.sql("select k, ts from dedup_wm order by ts").collect()
+    ks = [r["k"] for r in rows]
+    assert ks.count("A") == 2          # once per state lifetime
+    assert ks.count("B") == 1 and ks.count("C") == 1
+    assert ks.count("D") == 1

@@ -6119,6 +6119,48 @@ def text_repetition_stats(spark, sf_dir):
 
 
 @_register(
+    "stream_dedup_watermark",
+    f"""WITH {DAILY_SQL}
+SELECT DISTINCT cell,
+       CAST(date_trunc('month', day) AS DATE) AS period
+FROM daily""",
+)
+def stream_dedup_watermark(spark, sf_dir):
+    """BOUNDED-state streaming dedup (streaming/dedup.py
+    streaming_dedup_keys -> dropDuplicatesWithinWatermark): the
+    complete-mode twin stream_dedup_exact keeps one state row per key
+    forever; here a key's state is evicted once the event-time
+    watermark passes it + delay — the always-on ingest-service shape.
+    The gate replays the time-ordered daily files and emits the first
+    occurrence of each (cell, month); with the delay wider than the
+    replay span nothing evicts, so the output is exactly the distinct
+    key set (the eviction/re-emit semantics are pinned by
+    tests/test_streaming.py).  Only key columns project, so the
+    engine-chosen survivor row cannot leak nondeterminism."""
+    from .streaming.dedup import streaming_dedup_keys
+
+    root = _stage_stream_daily(sf_dir)
+    sdf = (spark.readStream
+           .schema("cell BIGINT, ts TIMESTAMP, qty DOUBLE")
+           .option("maxFilesPerTrigger", 1)
+           .parquet(f"{root}/part_*.parquet")
+           .filter(F.col("qty") >= 0)  # drop the flush sentinel
+           .withColumn("period", F.to_date(F.date_trunc("month", "ts"))))
+    out = streaming_dedup_keys(sdf, ["cell", "period"], time="ts",
+                               delay="3650 days")
+    _STREAM_SEQ[0] += 1
+    sink = f"_stream_dedup_wm_{_STREAM_SEQ[0]}"
+    with _stream_state_partitions(spark):
+        q = (out.select("cell", "period")
+             .writeStream.format("memory").queryName(sink)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+    res = spark.table(sink).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(sink)
+    return res
+
+
+@_register(
     "stream_dedup_exact",
     """SELECT md5(text) AS text_hash,
        CAST(min(doc_id) AS BIGINT) AS keep_id,
@@ -6820,6 +6862,7 @@ _PRIORITY = [
     # -- additions with no driver row yet (the ordering rule
     #    requires these inside the sampled head) --
     "dedup_semantic", "text_pii_scrub", "dedup_substring_spans",
+    "stream_dedup_watermark",
     # -- newest driver-green row: round 6 --
     "ind_tg90p_ys", "ind_heat_wave_freq_ys", "ind_hot_spell_freq_ys",
     "ind_hot_spell_maxlen_ys", "ind_dry_spell_freq_ys", "ind_mcdd_ys",

@@ -7,6 +7,7 @@ family as a per-cell state machine over ``applyInPandasWithState`` —
 the streaming twin of the batch sessionization compiler.
 """
 
+from .dedup import streaming_dedup_keys
 from .fire import streaming_cffwis
 from .spells import (
     streaming_threshold_count,
@@ -19,4 +20,5 @@ __all__ = [
     "streaming_resample_op",
     "streaming_spell_events",
     "streaming_cffwis",
+    "streaming_dedup_keys",
 ]
