@@ -4416,8 +4416,9 @@ def dedup_semantic(spark, sf_dir):
     arXiv:2303.09540) over the corpus-with-deterministic-clones setup of
     dedup_embed: nearest-centroid clustering (deterministic codebook =
     every 50th vector; map-side BLAS assignment, zero shuffle), exact
-    cosine ONLY within a cluster (cluster-keyed self-join — no
-    all-pairs stage), keep the min-id exemplar of every >= 0.999 group.
+    cosine ONLY within a cluster (one BLAS gram-matrix task per
+    cluster — no all-pairs or pair-explosion stage), keep the min-id
+    exemplar of every >= 0.999 group.
     The clones sit at cos ~ 0.999995 so each is marked dup_of its base;
     cluster sizing (n_centroids ~ corpus/target_cluster_size) is the
     scale dial."""
