@@ -206,7 +206,13 @@ def main(argv) -> int:
         "wall_total": round(entry.get("wall_total", 0.0) + wall, 1),
     })
     entry.setdefault("queries", {}).update(timings)
-    entry.setdefault("queries_min", {}).update(floors)
+    # floor semantics: the MIN is the robust trend statistic, so a
+    # noisier re-run in the same round must never RAISE a recorded
+    # floor (interleaved A/B runs on this host have shown 2x swings
+    # between consecutive idle-gated runs of identical code)
+    qm = entry.setdefault("queries_min", {})
+    for k, v in floors.items():
+        qm[k] = min(qm[k], v) if k in qm else v
     errs = entry.get("errors", {})
     for n in timings:           # a query that now succeeds clears its
         errs.pop(n, None)       # earlier recorded error
