@@ -1,6 +1,6 @@
 """End-to-end training-data pipeline: near-dup clustering ->
-decontamination -> quality filter -> deterministic mixture ->
-sequence packing.
+decontamination -> quality filter -> exact-substring dedup ->
+PII scrub -> deterministic mixture -> sequence packing.
 
 Runnable against the synthetic corpus:
 
@@ -58,21 +58,44 @@ def main(sf_dir: str) -> None:
         (tx.token_count("text") >= 5) & (tx.alpha_ratio("text") > 0.5))
     n3 = docs.count()
 
-    # 4. deterministic per-source mixture (hash-sampled, replayable)
+    # 4. exact duplicate-substring spans (Lee et al. 2022): drop docs
+    #    whose duplicated span covers most of their text (here: any
+    #    span of 16+ tokens shared with another doc)
+    spans = dd.duplicate_spans(docs, n=8, min_docs=2)
+    long_spans = (spans
+                  .filter(F.col("span_end") - F.col("span_start") >= 15)
+                  .select("doc_id").distinct())
+    docs = docs.join(F.broadcast(long_spans), on="doc_id",
+                     how="left_anti")
+    n4 = docs.count()
+
+    # 5. PII scrub: redact emails/IPs/SSNs/phones in place, keep the
+    #    per-kind counts as quality metadata (pure regexp expressions)
+    counts = tx.pii_counts(F.col("text"))
+    docs = docs.select(
+        "doc_id", "source",
+        tx.redact_pii(F.col("text")).alias("text"),
+        sum(counts.values()).alias("n_pii"),
+    )
+    n5 = docs.filter("n_pii > 0").count()
+
+    # 6. deterministic per-source mixture (hash-sampled, replayable)
     rates = {f"src{i}": 0.25 + 0.05 * (i % 10) for i in range(20)}
     mix = pl.mixture_sample(docs, rates)
-    n4 = mix.count()
+    n6 = mix.count()
 
-    # 5. pack into 512-token training contexts per source stream
+    # 7. pack into 512-token training contexts per source stream
     packed = pl.pack_sequences(mix, 512)
-    n5 = packed.select("source", "pack_id").distinct().count()
+    n7 = packed.select("source", "pack_id").distinct().count()
 
     print(f"documents           : {n0}")
     print(f"after dedup         : {n1}")
     print(f"after decontam      : {n2}")
     print(f"after quality filter: {n3}")
-    print(f"after mixture       : {n4}")
-    print(f"packed contexts     : {n5}")
+    print(f"after substr dedup  : {n4}")
+    print(f"docs with PII hits  : {n5}")
+    print(f"after mixture       : {n6}")
+    print(f"packed contexts     : {n7}")
     spark.stop()
 
 
