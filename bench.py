@@ -59,6 +59,7 @@ HEADLINE = [
     "stream_fwi_ms", "boot_r75ptot_ys", "dedup_components_star",
     # round-11 families
     "dedup_semantic", "text_pii_scrub", "dedup_substring_spans",
+    "kmeans_step_centroids", "stream_dedup_watermark",
 ]
 
 

@@ -770,3 +770,67 @@ def test_duplicate_spans_exact_substr(spark):
     # doc 2: shared tokens at 0..9 -> grams at 0,1,2
     assert (out[2]["span_start"], out[2]["span_end"],
             out[2]["n_grams"]) == (0, 9, 3)
+
+
+def test_kmeans_fit_matches_numpy_lloyd(spark):
+    """The distributed trainer must reproduce a plain numpy Lloyd loop:
+    same init (first k by id), same tie rule, same empty-cluster
+    fallback, run to convergence on separated blobs."""
+    import numpy as np
+
+    from xclim_spark.llm.similarity import kmeans_fit
+
+    rng = np.random.RandomState(17)
+    blobs = np.concatenate([
+        rng.randn(40, 8) * 0.1 + mu
+        for mu in ([5, 0, 0, 0, 0, 0, 0, 0],
+                   [0, 5, 0, 0, 0, 0, 0, 0],
+                   [0, 0, 5, 0, 0, 0, 0, 0])])
+    order = rng.permutation(len(blobs))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in blobs[order[i]]])
+         for i in range(len(blobs))],
+        "vec_id LONG, embedding ARRAY<DOUBLE>").repartition(4)
+
+    got = kmeans_fit(emb, 3, iters=20)
+
+    X = blobs[order]
+    C = X[:3].astype(float).copy()
+    for _ in range(20):
+        scores = -2.0 * (X @ C.T) + (C * C).sum(axis=1)
+        a = np.argmin(scores, axis=1)
+        new = np.stack([X[a == c].mean(axis=0) if (a == c).any()
+                        else C[c] for c in range(3)])
+        if np.abs(new - C).max() <= 1e-6:
+            C = new
+            break
+        C = new
+    assert np.allclose(got, C, atol=1e-9)
+    # converged blob centers: every centroid near one true mean
+    mus = np.array([[5, 0, 0, 0, 0, 0, 0, 0],
+                    [0, 5, 0, 0, 0, 0, 0, 0],
+                    [0, 0, 5, 0, 0, 0, 0, 0]], dtype=float)
+    d = np.linalg.norm(got[:, None, :] - mus[None], axis=2).min(axis=1)
+    assert (d < 0.2).all()
+
+
+def test_kmeans_fit_feeds_ivf_and_semantic_dedup(spark):
+    """Trained centroids slot into the centroids= contract of knn_ivf
+    and semantic_dedup."""
+    import numpy as np
+
+    from xclim_spark.llm.dedup import semantic_dedup
+    from xclim_spark.llm.similarity import kmeans_fit, knn_ivf
+
+    rng = np.random.RandomState(23)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in rng.randn(8)]) for i in range(60)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>")
+    cents_np = kmeans_fit(emb, 4, iters=3)
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in cents_np[i]]) for i in range(4)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>")
+    out = knn_ivf(emb, emb.filter("vec_id < 3"), cents, k=2)
+    assert out.count() == 6
+    sd = semantic_dedup(emb, cents, threshold=0.99)
+    assert sd.count() == 60

@@ -23,7 +23,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["dot", "l2_norm", "cosine_similarity", "knn_bruteforce",
-           "knn_lsh", "knn_ivf", "lsh_bucket"]
+           "knn_lsh", "knn_ivf", "lsh_bucket", "kmeans_fit"]
 
 
 def dot(a, b) -> Column:
@@ -292,3 +292,88 @@ def knn_ivf(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+def kmeans_fit(
+    emb: DataFrame,
+    k: int,
+    *,
+    iters: int = 10,
+    tol: float = 1e-6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    return_counts: bool = False,
+):
+    """Distributed Lloyd k-means over an embedding column — the
+    training pass that produces the coarse codebook :func:`knn_ivf`
+    and :func:`~xclim_spark.llm.dedup.semantic_dedup` consume.
+
+    Plan shape per iteration (the classic MapReduce k-means):
+
+    * **assign + partial-reduce map-side**: one ``mapInPandas`` pass
+      computes each Arrow batch's nearest centroid via a BLAS matmul
+      against the broadcast (k x d) codebook, then reduces the batch
+      to at most ``k`` rows of ``(cluster, count, component sums)`` —
+      the corpus itself never shuffles;
+    * **tiny combine**: the per-batch partials (``<= k x batches``
+      rows, k x (d+2) doubles each) collect to the driver and combine
+      in numpy — the same driver-bounded-small-matrix design as
+      ``kmeans_reduce_ensemble``; an empty cluster keeps its previous
+      centroid (the standard Lloyd fallback).
+
+    Deterministic: init is the first ``k`` vectors by ascending
+    ``id_col`` (stable across engines and partitionings), assignment
+    ties break to the lowest cluster index (``argmin`` first-minimum
+    on squared euclidean distance), and iteration stops after
+    ``iters`` rounds or when no centroid moves more than ``tol``.
+
+    Returns the (k, d) centroid matrix as numpy — metadata-sized;
+    wrap in ``spark.createDataFrame`` for the ``centroids=`` contract
+    of the consumers.  With ``return_counts=True`` returns
+    ``(centroids, counts)`` where ``counts`` is the final iteration's
+    per-cluster membership.
+    """
+    first = [r[1] for r in sorted(
+        (int(r[0]), list(r[1])) for r in
+        emb.select(id_col, vec_col).orderBy(id_col).limit(k).collect())]
+    if len(first) < k:
+        raise ValueError(f"k={k} exceeds corpus size {len(first)}")
+    cents = np.asarray(first, dtype=np.float64)
+    d = cents.shape[1]
+
+    for _ in range(iters):
+        C = cents  # rebind: the closure ships THIS iteration's matrix
+
+        def _partials(it, C=C):
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2; drop ||x||^2
+                # (constant per row) -> argmin of (-2 x.C^T + ||C||^2)
+                scores = -2.0 * (X @ C.T) + (C * C).sum(axis=1)
+                a = np.argmin(scores, axis=1)
+                out = {"cluster": [], "n": [], "s": []}
+                for c in np.unique(a):
+                    m = a == c
+                    out["cluster"].append(int(c))
+                    out["n"].append(int(m.sum()))
+                    out["s"].append([float(v)
+                                     for v in X[m].sum(axis=0)])
+                yield pd.DataFrame(out)
+
+        rows = emb.select(vec_col).mapInPandas(
+            _partials,
+            "cluster int, n long, s array<double>").collect()
+        counts = np.zeros(k)
+        sums = np.zeros((k, d))
+        for r in rows:
+            counts[r["cluster"]] += r["n"]
+            sums[r["cluster"]] += np.asarray(r["s"])
+        new = np.where(counts[:, None] > 0,
+                       sums / np.maximum(counts[:, None], 1), cents)
+        shift = float(np.abs(new - cents).max())
+        cents = new
+        if shift <= tol:
+            break
+    return (cents, counts) if return_counts else cents

@@ -4378,6 +4378,70 @@ def text_pii_scrub(spark, sf_dir):
 
 
 @_register(
+    "kmeans_step_centroids",
+    """WITH e AS (
+  SELECT vec_id,
+         [CAST(embedding[i] AS DOUBLE)
+          FOR i IN range(1, len(embedding)+1)] AS v
+  FROM embeddings
+),
+init AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 10)
+),
+asg AS (
+  SELECT e.vec_id, e.v, i.cid,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY list_sum([(e.v[j]-i.cv[j])*(e.v[j]-i.cv[j])
+                              FOR j IN range(1, len(e.v)+1)]) ASC,
+                    i.cid ASC) AS rn
+  FROM e, init i
+),
+a AS (SELECT vec_id, v, cid FROM asg WHERE rn = 1),
+dims AS (
+  SELECT cid, u.j, u.x FROM (
+    SELECT cid, unnest([{'j': j, 'x': v[j]}
+                        FOR j IN range(1, len(v)+1)]) AS u
+    FROM a)
+),
+agg AS (
+  SELECT cid, j, count(*) AS n, avg(x) AS c
+  FROM dims GROUP BY 1, 2
+),
+initdims AS (
+  SELECT cid, u.j, u.x FROM (
+    SELECT cid, unnest([{'j': j, 'x': cv[j]}
+                        FOR j IN range(1, len(cv)+1)]) AS u
+    FROM init)
+)
+SELECT CAST(i.cid AS INT) AS cluster, CAST(i.j AS INT) AS dim,
+       CAST(coalesce(a.n, 0) AS BIGINT) AS n,
+       ROUND(coalesce(a.c, i.x), 6) AS c
+FROM initdims i LEFT JOIN agg a ON a.cid = i.cid AND a.j = i.j""",
+)
+def kmeans_step_centroids(spark, sf_dir):
+    """One Lloyd iteration of the distributed k-means trainer
+    (llm/similarity.py kmeans_fit): init = first k vectors by id,
+    assignment = argmin squared euclidean (ties to the lowest cluster
+    index) computed as a map-side BLAS matmul with per-batch partial
+    (count, sum) reduction — the corpus never shuffles; empty clusters
+    keep their init centroid.  The updated (cluster, dim) centroid
+    table hash-matches the full DuckDB oracle, pinning the core update
+    step; the multi-iteration loop is the same step composed (pytest
+    vs a numpy Lloyd reference covers it)."""
+    from .llm.similarity import kmeans_fit
+
+    e = _read(spark, sf_dir, "embeddings")
+    cents, counts = kmeans_fit(e, 10, iters=1, return_counts=True)
+    rows = [(c, j + 1, int(counts[c]), round(float(cents[c, j]), 6))
+            for c in range(cents.shape[0])
+            for j in range(cents.shape[1])]
+    return spark.createDataFrame(
+        rows, "cluster INT, dim INT, n BIGINT, c DOUBLE")
+
+
+@_register(
     "dedup_semantic",
     """WITH e AS (SELECT vec_id, embedding FROM embeddings),
 u AS (
@@ -6863,7 +6927,7 @@ _PRIORITY = [
     # -- additions with no driver row yet (the ordering rule
     #    requires these inside the sampled head) --
     "dedup_semantic", "text_pii_scrub", "dedup_substring_spans",
-    "stream_dedup_watermark",
+    "stream_dedup_watermark", "kmeans_step_centroids",
     # -- newest driver-green row: round 6 --
     "ind_tg90p_ys", "ind_heat_wave_freq_ys", "ind_hot_spell_freq_ys",
     "ind_hot_spell_maxlen_ys", "ind_dry_spell_freq_ys", "ind_mcdd_ys",
