@@ -4378,6 +4378,94 @@ def text_pii_scrub(spark, sf_dir):
 
 
 @_register(
+    "knn_ivf_trained_docs",
+    """WITH e AS (
+  SELECT vec_id,
+         [CAST(embedding[i] AS DOUBLE)
+          FOR i IN range(1, len(embedding)+1)] AS v
+  FROM embeddings
+),
+init AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 10)
+),
+asg0 AS (
+  SELECT e.vec_id, e.v, i.cid,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY list_sum([(e.v[j]-i.cv[j])*(e.v[j]-i.cv[j])
+                              FOR j IN range(1, len(e.v)+1)]) ASC,
+                    i.cid ASC) AS rn
+  FROM e, init i
+),
+a0 AS (SELECT vec_id, v, cid FROM asg0 WHERE rn = 1),
+dims AS (
+  SELECT cid, u.j, u.x FROM (
+    SELECT cid, unnest([{'j': j, 'x': v[j]}
+                        FOR j IN range(1, len(v)+1)]) AS u
+    FROM a0)
+),
+stepagg AS (SELECT cid, j, avg(x) AS c FROM dims GROUP BY 1, 2),
+cent AS (
+  SELECT i.cid, list(coalesce(s.c, iv.x) ORDER BY iv.j) AS cvec
+  FROM init i
+  JOIN (SELECT cid, u.j, u.x FROM (
+          SELECT cid, unnest([{'j': j, 'x': cv[j]}
+                              FOR j IN range(1, len(cv)+1)]) AS u
+          FROM init)) iv ON iv.cid = i.cid
+  LEFT JOIN stepagg s ON s.cid = i.cid AND s.j = iv.j
+  GROUP BY i.cid
+),
+asgs AS (
+  SELECT e.vec_id, e.v, c.cid,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY list_sum([e.v[i]*c.cvec[i] FOR i IN range(1, len(e.v)+1)]) / (sqrt(list_sum([e.v[i]*e.v[i] FOR i IN range(1, len(e.v)+1)])) * sqrt(list_sum([c.cvec[i]*c.cvec[i] FOR i IN range(1, len(c.cvec)+1)]))) DESC, c.cid) AS rn
+  FROM e, cent c
+),
+asg AS (SELECT vec_id, v, cid AS cell FROM asgs WHERE rn = 1),
+qp AS (
+  SELECT q.vec_id AS query_id, q.v AS qvec, c.cid AS cell,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_sum([q.v[i]*c.cvec[i] FOR i IN range(1, len(q.v)+1)]) / (sqrt(list_sum([q.v[i]*q.v[i] FOR i IN range(1, len(q.v)+1)])) * sqrt(list_sum([c.cvec[i]*c.cvec[i] FOR i IN range(1, len(c.cvec)+1)]))) DESC, c.cid) AS rn
+  FROM (SELECT vec_id, v FROM e WHERE vec_id % 100 = 0) q, cent c
+),
+probe AS (SELECT query_id, qvec, cell FROM qp WHERE rn <= 2),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         list_sum([p.qvec[i]*a.v[i] FOR i IN range(1, len(p.qvec)+1)]) / (sqrt(list_sum([p.qvec[i]*p.qvec[i] FOR i IN range(1, len(p.qvec)+1)])) * sqrt(list_sum([a.v[i]*a.v[i] FOR i IN range(1, len(a.v)+1)]))) AS cos
+  FROM probe p JOIN asg a ON a.cell = p.cell AND a.vec_id <> p.query_id
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rank
+      FROM cand)
+SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos_sim,
+       CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 5""",
+)
+def knn_ivf_trained_docs(spark, sf_dir):
+    """TRAINED-codebook IVF top-5: kmeans_fit runs one Lloyd step
+    (distributed BLAS assign + partial reduce) and the resulting
+    centroids feed knn_ivf, so the whole train-then-probe ANN pipeline
+    is hash-verified end-to-end — the DuckDB oracle re-derives the
+    Lloyd step AND the probe in SQL.  Complements knn_ivf_docs (fixed
+    deterministic codebook) and kmeans_step_centroids (the step's
+    centroid table itself)."""
+    from .llm.similarity import kmeans_fit, knn_ivf
+
+    e = _read(spark, sf_dir, "embeddings")
+    cents_np = kmeans_fit(e, 10, iters=1)
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in cents_np[i]])
+         for i in range(cents_np.shape[0])],
+        "vec_id LONG, embedding ARRAY<DOUBLE>")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    out = knn_ivf(e, q, cents, k=5, nprobe=2)
+    return out.withColumn("cos_sim", F.round("cos_sim", 6))
+
+
+@_register(
     "kmeans_step_centroids",
     """WITH e AS (
   SELECT vec_id,
@@ -6927,7 +7015,7 @@ _PRIORITY = [
     # -- additions with no driver row yet (the ordering rule
     #    requires these inside the sampled head) --
     "dedup_semantic", "text_pii_scrub", "dedup_substring_spans",
-    "stream_dedup_watermark", "kmeans_step_centroids",
+    "stream_dedup_watermark", "kmeans_step_centroids", "knn_ivf_trained_docs",
     # -- newest driver-green row: round 6 --
     "ind_tg90p_ys", "ind_heat_wave_freq_ys", "ind_hot_spell_freq_ys",
     "ind_hot_spell_maxlen_ys", "ind_dry_spell_freq_ys", "ind_mcdd_ys",
