@@ -288,3 +288,104 @@ def test_cffwis_block_resume_chunking_invariant(seed, n, ncuts, mode):
                 res[key], full[key][sl],
                 err_msg=f"{mode} chunk [{lo}:{hi}] {key}")
         lo = hi
+
+
+@given(seed=st.integers(0, 2**32 - 1))
+@settings(max_examples=12, deadline=None)
+def test_duplicate_spans_matches_bruteforce(spark, seed):
+    """duplicate_spans vs a brute-force python reference on random small
+    corpora over a tiny vocabulary (so cross-doc n-gram collisions occur
+    naturally): identical span tables."""
+    import numpy as np
+
+    from xclim_spark.llm.dedup import duplicate_spans
+
+    rng = np.random.RandomState(seed)
+    vocab = ["a", "b", "c", "d"]
+    n = 3
+    docs = []
+    for i in range(rng.randint(2, 9)):
+        L = rng.randint(1, 15)
+        docs.append((i, " ".join(rng.choice(vocab, L))))
+
+    # brute-force reference
+    from collections import defaultdict
+    gram_docs = defaultdict(set)
+    gram_pos = defaultdict(list)
+    for d, t in docs:
+        w = t.split()
+        for p in range(len(w) - n + 1):
+            gkey = tuple(w[p:p + n])
+            gram_docs[gkey].add(d)
+            gram_pos[d].append((p, gkey))
+    expected = set()
+    for d, _ in docs:
+        dup_pos = sorted(p for p, gk in gram_pos[d]
+                         if len(gram_docs[gk]) >= 2)
+        if not dup_pos:
+            continue
+        start = prev = dup_pos[0]
+        cnt = 1
+        for p in dup_pos[1:]:
+            if p == prev + 1:
+                prev = p
+                cnt += 1
+                continue
+            expected.add((d, start, prev + n - 1, cnt))
+            start = prev = p
+            cnt = 1
+        expected.add((d, start, prev + n - 1, cnt))
+
+    got = {(r["doc_id"], r["span_start"], r["span_end"], r["n_grams"])
+           for r in duplicate_spans(
+               spark.createDataFrame(docs, "doc_id LONG, text STRING"),
+               n=n, min_docs=2).collect()}
+    assert got == expected
+
+
+@given(seed=st.integers(0, 2**32 - 1))
+@settings(max_examples=8, deadline=None)
+def test_semantic_dedup_matches_bruteforce(spark, seed):
+    """semantic_dedup vs brute force: same nearest-centroid assignment
+    (first-max tie rule) and same min-id-over-threshold dup labels."""
+    import numpy as np
+
+    from xclim_spark.llm.dedup import semantic_dedup
+
+    rng = np.random.RandomState(seed)
+    m = rng.randint(6, 25)
+    X = rng.randn(m, 6)
+    # force some near-duplicates
+    for j in range(0, m, 4):
+        if j + 1 < m:
+            X[j + 1] = X[j] * (1 + 1e-4)
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(m)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>")
+    # centroid candidates exclude the forced clones: two PARALLEL
+    # centroids make the nearest-centroid argmax a mathematically exact
+    # tie, where fp summation order (BLAS vs python dot) legitimately
+    # decides — not a defect either engine can pin
+    cand = [i for i in range(m) if i % 4 != 1]
+    cents_idx = sorted(rng.choice(cand, size=min(3, len(cand)),
+                                  replace=False))
+    cents = spark.createDataFrame(
+        [(int(i), [float(v) for v in X[i]]) for i in cents_idx],
+        "vec_id LONG, embedding ARRAY<DOUBLE>")
+
+    C = X[cents_idx]
+    cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    asg = np.array([int(cents_idx[np.argmax(xn[i] @ cn.T)])
+                    for i in range(m)])
+    thr = 0.999
+    exp = {}
+    for j in range(m):
+        over = [i for i in range(m)
+                if i < j and asg[i] == asg[j]
+                and float(xn[i] @ xn[j]) >= thr]
+        exp[j] = (int(asg[j]), min(over) if over else None)
+
+    got = {r["id"]: (r["cluster"], r["dup_of"])
+           for r in semantic_dedup(emb, cents, threshold=thr).collect()}
+    assert got == exp
