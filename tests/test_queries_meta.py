@@ -121,3 +121,14 @@ def test_every_priority_name_resolves():
     assert not dupes, f"duplicate _PRIORITY entries: {dupes}"
     missing = [n for n in QUERIES if n not in set(_PRIORITY)]
     assert not missing, f"queries missing from _PRIORITY: {missing}"
+
+
+def test_every_bench_headline_name_resolves():
+    """bench.py's HEADLINE list drives the cross-round stdout trend; a
+    renamed or removed gate would silently drop from it."""
+    import bench
+
+    from xclim_spark.queries import QUERIES
+
+    missing = [n for n in bench.HEADLINE if n not in QUERIES]
+    assert not missing, f"HEADLINE names without a query: {missing}"
