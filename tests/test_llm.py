@@ -834,3 +834,34 @@ def test_kmeans_fit_feeds_ivf_and_semantic_dedup(spark):
     assert out.count() == 6
     sd = semantic_dedup(emb, cents, threshold=0.99)
     assert sd.count() == 60
+
+
+def test_duplicate_spans_null_text_and_id_contract(spark):
+    import pytest as _pt
+
+    import xclim_spark.llm.dedup as dd
+
+    shared = "one two three four five six seven eight"
+    docs = spark.createDataFrame(
+        [(1, shared), (2, shared), (3, None)],
+        "doc_id LONG, text STRING")
+    out = dd.duplicate_spans(docs, n=8, min_docs=2).collect()
+    assert {r["doc_id"] for r in out} == {1, 2}
+
+    sdocs = spark.createDataFrame(
+        [("u1", shared)], "doc_id STRING, text STRING")
+    with _pt.raises(ValueError, match="integral"):
+        dd.duplicate_spans(sdocs, n=8)
+
+
+def test_kmeans_fit_iters_zero_returns_init(spark):
+    import numpy as np
+
+    from xclim_spark.llm.similarity import kmeans_fit
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(5)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>")
+    cents, counts = kmeans_fit(emb, 2, iters=0, return_counts=True)
+    assert np.allclose(cents, [[0.0, 0.0], [1.0, 0.0]])
+    assert (counts == 0).all()

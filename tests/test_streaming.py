@@ -738,3 +738,36 @@ def test_streaming_dedup_keys_evicts_after_watermark(spark, tmp_path):
     assert ks.count("A") == 2          # once per state lifetime
     assert ks.count("B") == 1 and ks.count("C") == 1
     assert ks.count("D") == 1
+
+
+def test_streaming_spell_events_enforce_order_off(spark, tmp_path):
+    """enforce_order=False restores the bounded-state behaviour: closed
+    cells drop from state and out-of-order input no longer raises (the
+    documented trade-off for churning key domains)."""
+    import pandas as _pd
+
+    from xclim_spark.streaming import streaming_spell_events
+
+    base = dt.datetime(2000, 1, 1, 12)
+    p = tmp_path / "in"
+    p.mkdir()
+
+    def _write(name, rows):
+        _pd.DataFrame(rows, columns=["cell", "time", "tas"]).to_parquet(
+            str(p / name), coerce_timestamps="us",
+            allow_truncated_timestamps=True)
+        _time.sleep(1.05)
+
+    _write("a.parquet", [(1, base + dt.timedelta(days=i), v)
+                         for i, v in enumerate([30.0, 31.0, 10.0])])
+    # replayed old day: must NOT raise with the guard off
+    _write("b.parquet", [(1, base + dt.timedelta(days=1), 10.0)])
+    sdf = (spark.readStream
+           .schema("cell LONG, time TIMESTAMP, tas DOUBLE")
+           .option("maxFilesPerTrigger", 1).parquet(str(p)))
+    out = streaming_spell_events(sdf, "tas", ">", 25.0, min_length=2,
+                                 enforce_order=False)
+    _run_to_memory(out, "spells_noguard")
+    res = spark.sql("select * from spells_noguard").collect()
+    # the (30, 31) run closed inside batch 1 and still emits
+    assert len(res) == 1 and res[0]["event_length"] == 2

@@ -686,6 +686,13 @@ def duplicate_spans(
     """
     import hashlib
 
+    id_type = dict(docs.dtypes).get(id_col)
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"duplicate_spans: {id_col!r} must be an integral column "
+            f"(got {id_type}); hash string ids to int64 first (e.g. "
+            "xxhash64)")
+
     sc = docs.sparkSession.sparkContext
     if docs.rdd.getNumPartitions() < sc.defaultParallelism:
         # a small/compacted source (one parquet file at gate scale)
@@ -697,6 +704,8 @@ def duplicate_spans(
         for pdf in it:
             ids, pos, ghs = [], [], []
             for d, t in zip(pdf[id_col], pdf[text_col]):
+                if t is None:  # null text carries no grams
+                    continue
                 w = t.strip().split()
                 if len(w) < n:
                     continue
@@ -707,8 +716,10 @@ def duplicate_spans(
                         " ".join(w[i:i + n]).encode()).hexdigest())
             yield pd.DataFrame({"doc_id": ids, "pos": pos, "gh": ghs})
 
+    # g feeds BOTH the dup groupBy and the join probe side; without a
+    # persist the tokenize+md5 pass (the dominant cost) runs twice
     g = docs.select(id_col, text_col).mapInPandas(
-        _grams, "doc_id long, pos int, gh string")
+        _grams, "doc_id long, pos int, gh string").persist()
     dup = (g.groupBy("gh")
            .agg(F.count_distinct("doc_id").alias("nd"))
            .filter(F.col("nd") >= min_docs))

@@ -340,6 +340,7 @@ def kmeans_fit(
         raise ValueError(f"k={k} exceeds corpus size {len(first)}")
     cents = np.asarray(first, dtype=np.float64)
     d = cents.shape[1]
+    counts = np.zeros(k)  # stays zero if iters=0 (init codebook only)
 
     for _ in range(iters):
         C = cents  # rebind: the closure ships THIS iteration's matrix

@@ -4261,7 +4261,8 @@ def knn_ivf_docs(spark, sf_dir):
            ELSE '' END AS t
   FROM documents
 ),
-tok AS (SELECT doc_id, string_split(trim(t), ' ') AS toks FROM d0),
+tok AS (SELECT doc_id,
+               string_split_regex(trim(t), '\\s+') AS toks FROM d0),
 g AS (
   SELECT doc_id, s.pos, s.gh FROM (
     SELECT doc_id,

@@ -71,6 +71,7 @@ def streaming_spell_events(
     time: str = "time", cell: str = "cell",
     timeout_ms: int = 0,
     num_blocks: int | None = None,
+    enforce_order: bool = True,
 ) -> DataFrame:
     """Streaming spell/event detection (batch twin: ``find_events``,
     reference run_length.py:1760-1901): per-cell state machine over
@@ -103,11 +104,17 @@ def streaming_spell_events(
     Rows inside each micro-batch are processed in timestamp order; state
     carries across batches — identical semantics to the batch
     sessionization when the input arrives in order per cell.  That
-    ordering contract is ENFORCED: state carries each cell's last-seen
-    timestamp (cells with no open run ride as zero-length entries just
-    for this), and a micro-batch containing a row at or before it raises
-    ``ValueError`` instead of silently corrupting the sessionization;
-    duplicate (cell, time) rows inside one batch also raise.
+    ordering contract is ENFORCED by default: state carries each cell's
+    last-seen timestamp (cells with no open run ride as zero-length
+    entries just for this), and a micro-batch containing a row at or
+    before it raises ``ValueError`` instead of silently corrupting the
+    sessionization; duplicate (cell, time) rows inside one batch also
+    raise.  The guard's cost is state that grows with ever-SEEN cell
+    cardinality, not just open runs — the right default for bounded
+    grids (the climate shape).  A churning unbounded key domain can
+    pass ``enforce_order=False`` to carry only open runs (the old
+    bounded-state behaviour) and accept that out-of-order input
+    corrupts silently — source-level ordering becomes the contract.
     """
     from ..operators.generic import get_op
 
@@ -131,6 +138,16 @@ def streaming_spell_events(
             # idle flush: close every open run, keep cells (and their
             # last-seen timestamps — the ordering guard survives)
             st_cells, st_len, st_us, st_tot, st_last, snb = state.get
+            if int(snb) != int(num_blocks):
+                # same guard as the data path: a timeout must not
+                # flush events from a block whose cells no longer map
+                # to it under a changed block count
+                raise ValueError(
+                    "streaming_spell_events: num_blocks changed across "
+                    f"a checkpoint restart (state written with "
+                    f"{int(snb)}, query configured with "
+                    f"{int(num_blocks)}) — keep num_blocks fixed for "
+                    "the life of a checkpoint")
             st_len = np.asarray(st_len, dtype=np.int64)
             flush = st_len >= min_length
             state.update((
@@ -216,7 +233,7 @@ def streaming_spell_events(
             st_tot = np.empty(0, dtype=float)
             st_last = np.empty(0, dtype=np.int64)
 
-        if len(st_cells):
+        if len(st_cells) and enforce_order:
             # time-order guard: a batch row at or before a cell's
             # last-seen timestamp is out-of-order input (the documented
             # contract, enforced).  st_cells is stored sorted.
@@ -275,7 +292,12 @@ def streaming_spell_events(
         new_tot = np.where(last_open, seg_sum[seg_last], 0.0)
         new_last = batch_last_us  # same per-cell order as batch_cells
         if len(st_cells):
+            # with the guard on, closed cells ride as zero-length
+            # entries so their last_us keeps guarding; with it off,
+            # carry only open runs (bounded by run count)
             keep = ~np.isin(st_cells, batch_cells)
+            if not enforce_order:
+                keep &= st_len > 0
             all_cells = np.concatenate([batch_cells, st_cells[keep]])
             new_len = np.concatenate([new_len, st_len[keep]])
             new_us = np.concatenate([new_us, st_us[keep]])
