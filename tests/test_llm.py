@@ -865,3 +865,147 @@ def test_kmeans_fit_iters_zero_returns_init(spark):
     cents, counts = kmeans_fit(emb, 2, iters=0, return_counts=True)
     assert np.allclose(cents, [[0.0, 0.0], [1.0, 0.0]])
     assert (counts == 0).all()
+
+
+def test_semantic_dedup_skew_guard_raises(spark):
+    """A cluster above max_cluster_size must raise loudly, naming the
+    cluster and its size — not run a silent O(m^2) single task."""
+    import pytest as _pt
+
+    import xclim_spark.llm.dedup as dd
+
+    emb = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(30)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>")
+    cents = emb.filter("vec_id = 0")
+    with _pt.raises(ValueError, match=r"0 \(30 vectors\)"):
+        dd.semantic_dedup(emb, cents, max_cluster_size=10)
+
+
+def test_semantic_dedup_skew_guard_splits(spark):
+    """on_oversize='split': an oversized cluster is re-clustered with a
+    fresh sub-codebook (ids above the originals); exact clones stay
+    co-clustered so duplicates are still found after the split."""
+    import numpy as np
+
+    import xclim_spark.llm.dedup as dd
+
+    rng = np.random.RandomState(31)
+    blob_a = rng.randn(30, 8) * 0.5 + np.r_[5.0, np.zeros(7)]
+    blob_b = rng.randn(30, 8) * 0.5 + np.r_[0.0, 5.0, np.zeros(6)]
+    rows = [(i, [float(x) for x in v])
+            for i, v in enumerate(np.concatenate([blob_a, blob_b]))]
+    rows.append((100, rows[0][1]))  # exact clone of id 0
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    cents = emb.filter("vec_id = 0")  # ONE centroid -> one 61-row cluster
+    out = {r["id"]: r for r in
+           dd.semantic_dedup(emb, cents, threshold=0.999,
+                             max_cluster_size=40,
+                             on_oversize="split").collect()}
+    assert len(out) == 61
+    # sub-cluster ids were allocated above the single original id (0)
+    assert all(r["cluster"] > 0 for r in out.values())
+    assert len({r["cluster"] for r in out.values()}) >= 2
+    # the exact clone is still caught inside its sub-cluster
+    assert out[100]["keep"] is False and out[100]["dup_of"] == 0
+    assert sum(not r["keep"] for r in out.values()) == 1
+
+
+def test_semantic_dedup_split_unsplittable_raises(spark):
+    """All-identical vectors defeat every codebook: split must raise
+    rather than loop or silently hand back the oversized cluster."""
+    import pytest as _pt
+
+    import xclim_spark.llm.dedup as dd
+
+    emb = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(30)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>")
+    cents = emb.filter("vec_id = 0")
+    with _pt.raises(ValueError, match="could not reduce"):
+        dd.semantic_dedup(emb, cents, max_cluster_size=10,
+                          on_oversize="split")
+
+
+def _three_blobs(rng, mus=None):
+    import numpy as np
+
+    if mus is None:
+        mus = np.array([[10.0, 0, 0, 0], [0, 10.0, 0, 0], [0, 0, 10.0, 0]])
+    pts = np.concatenate([rng.randn(30, 4) * 0.1 + mu for mu in mus])
+    return np.asarray(mus, dtype=float), pts
+
+
+def test_kmeans_spread_init_beats_first_on_adjacent_ids(spark):
+    """Real corpora store near-duplicates at adjacent ids; init='first'
+    then seeds every centroid inside one blob, and with the two far
+    blobs in the SAME direction Lloyd merges them (a stable local
+    optimum: two centroids split blob 0, one sits between blobs 1 and
+    2).  The deterministic farthest-first 'spread' init must seed all
+    three blobs and strictly beat 'first' on within-cluster SSE."""
+    import numpy as np
+
+    from xclim_spark.llm.similarity import kmeans_fit
+
+    rng = np.random.RandomState(41)
+    # ids 0-29 are ALL blob 0; blobs 1 and 2 far away, same direction
+    mus, pts = _three_blobs(rng, mus=[[0.0, 0, 0, 0],
+                                      [20.0, 0, 0, 0],
+                                      [26.0, 0, 0, 0]])
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in pts[i]]) for i in range(len(pts))],
+        "vec_id LONG, embedding ARRAY<DOUBLE>")
+
+    def sse(C):
+        d2 = ((pts[:, None, :] - C[None]) ** 2).sum(axis=2)
+        return float(d2.min(axis=1).sum())
+
+    # the init itself (iters=0): 'first' seeds all of blob 0, 'spread'
+    # covers all three blobs
+    i_first = kmeans_fit(emb, 3, iters=0)
+    i_spread = kmeans_fit(emb, 3, iters=0, init="spread")
+    assert (np.abs(i_first[:, 0]) < 1.0).all()
+    d0 = np.linalg.norm(i_spread[:, None, :] - mus[None], axis=2)
+    assert len(set(d0.argmin(axis=1))) == 3
+
+    c_first = kmeans_fit(emb, 3, iters=25)
+    c_spread = kmeans_fit(emb, 3, iters=25, init="spread")
+    # spread lands one centroid on each blob mean
+    d = np.linalg.norm(c_spread[:, None, :] - mus[None], axis=2)
+    assert (d.min(axis=1) < 0.5).all()
+    assert len(set(d.argmin(axis=1))) == 3
+    assert sse(c_spread) < sse(c_first)
+    # the INIT is bit-deterministic across partitionings (TopK sample +
+    # driver-side traversal); the trained codebook agrees to fp noise
+    # (per-batch partial sums add in partition order)
+    i_again = kmeans_fit(emb.repartition(7), 3, iters=0, init="spread")
+    assert np.array_equal(i_spread, i_again)
+    c_again = kmeans_fit(emb.repartition(7), 3, iters=25, init="spread")
+    assert np.allclose(c_spread, c_again, atol=1e-9)
+
+
+def test_kmeans_sample_fraction_trains_on_subset(spark):
+    """sample_fraction: Lloyd passes scan a deterministic hash-threshold
+    subset; the codebook still recovers the blob means and is identical
+    across runs."""
+    import numpy as np
+    import pytest as _pt
+
+    from xclim_spark.llm.similarity import kmeans_fit
+
+    rng = np.random.RandomState(43)
+    mus, pts = _three_blobs(rng)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in pts[i]]) for i in range(len(pts))],
+        "vec_id LONG, embedding ARRAY<DOUBLE>")
+    c1, n1 = kmeans_fit(emb, 3, iters=25, init="spread",
+                        sample_fraction=0.5, return_counts=True)
+    c2 = kmeans_fit(emb, 3, iters=25, init="spread", sample_fraction=0.5)
+    assert np.array_equal(c1, c2)
+    assert n1.sum() < len(pts)  # the corpus was NOT fully scanned
+    d = np.linalg.norm(c1[:, None, :] - mus[None], axis=2)
+    assert (d.min(axis=1) < 0.5).all()
+    with _pt.raises(ValueError, match="sample_fraction"):
+        kmeans_fit(emb, 3, sample_fraction=1.5)
+    with _pt.raises(ValueError, match="init"):
+        kmeans_fit(emb, 3, init="random")

@@ -740,6 +740,81 @@ def duplicate_spans(
             .select("doc_id", "span_start", "span_end", "n_grams"))
 
 
+def _guard_cluster_skew(
+    asg: DataFrame, max_cluster_size: int, on_oversize: str, kmeans_fit,
+) -> DataFrame:
+    """Enforce :func:`semantic_dedup`'s per-cluster size bound.
+
+    ``asg`` is the materialized ``(id, _v, cluster)`` assignment.  On
+    ``raise``: name the oversized cluster(s) and their sizes (the silent
+    alternative is a single multi-hour O(m^2) task).  On ``split``:
+    train one fresh sub-codebook per oversized cluster (ids allocated
+    above every existing cluster id), reassign only those rows
+    (filter + one Arrow pass — the small clusters never re-shuffle),
+    and raise if a sub-cluster still exceeds the bound (identical
+    vectors cannot be separated by any codebook).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    sizes = (asg.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
+             .filter(F.col("n") > max_cluster_size).collect())
+    if not sizes:
+        return asg
+    desc = ", ".join(
+        f"{r['cluster']} ({r['n']} vectors)"
+        for r in sorted(sizes, key=lambda r: -r["n"])[:5])
+    if on_oversize == "raise":
+        raise ValueError(
+            f"semantic_dedup: {len(sizes)} cluster(s) exceed "
+            f"max_cluster_size={max_cluster_size}: {desc}. Train more "
+            "centroids, pass on_oversize='split', or raise the bound.")
+
+    next_id = asg.agg(F.max("cluster")).collect()[0][0] + 1
+    target = max(max_cluster_size // 2, 1)
+    books: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    for r in sizes:
+        cid, cnt = int(r["cluster"]), int(r["n"])
+        k = max(2, -(-cnt // target))
+        sub_c = kmeans_fit(
+            asg.filter(F.col("cluster") == F.lit(cid)),
+            k, iters=5, id_col="id", vec_col="_v")
+        books[cid] = (
+            np.arange(next_id, next_id + k, dtype=np.int64), sub_c)
+        next_id += k
+
+    @pandas_udf("bigint")
+    def _reassign(cl: pd.Series, vs: pd.Series) -> pd.Series:
+        out = cl.to_numpy(dtype=np.int64).copy()
+        for cid, (sids, C) in books.items():
+            m = out == cid
+            if m.any():
+                X = np.stack(vs[m].to_numpy()).astype(np.float64)
+                # same expanded squared-euclidean form as kmeans_fit
+                scores = -2.0 * (X @ C.T) + (C * C).sum(axis=1)
+                out[m] = sids[np.argmin(scores, axis=1)]
+        return pd.Series(out)
+
+    big_ids = list(books)
+    out = (
+        asg.filter(~F.col("cluster").isin(big_ids))
+        .unionByName(
+            asg.filter(F.col("cluster").isin(big_ids))
+            .withColumn("cluster", _reassign("cluster", "_v")))
+        .localCheckpoint())
+    still = (out.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
+             .filter(F.col("n") > max_cluster_size).collect())
+    if still:
+        sdesc = ", ".join(
+            f"{r['cluster']} ({r['n']} vectors)"
+            for r in sorted(still, key=lambda r: -r["n"])[:5])
+        raise ValueError(
+            "semantic_dedup: on_oversize='split' could not reduce "
+            f"cluster(s) below max_cluster_size={max_cluster_size}: "
+            f"{sdesc}. The vectors are near-identical (no codebook "
+            "separates them); dedup them exactly, or raise the bound.")
+    return out
+
+
 def semantic_dedup(
     emb: DataFrame,
     centroids: DataFrame,
@@ -747,6 +822,8 @@ def semantic_dedup(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_cluster_size: int | None = 65536,
+    on_oversize: str = "raise",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     *SemDeDup: Data-efficient learning at web-scale through semantic
@@ -773,12 +850,31 @@ def semantic_dedup(
       keeps one exemplar per group; min-id is the deterministic choice,
       matching :func:`connected_components` canonical labels).
 
+    **Skew guard**: each cluster is one ``applyInPandas`` task, so one
+    degenerate giant cluster is a single-task O(m^2) hotspot.  When any
+    cluster exceeds ``max_cluster_size`` vectors the operator either
+    raises naming the cluster (``on_oversize="raise"``, the default —
+    the actionable fix is more centroids) or re-clusters the oversized
+    clusters in place (``on_oversize="split"`` — a fresh
+    :func:`~xclim_spark.llm.similarity.kmeans_fit` sub-codebook per
+    oversized cluster, sub-cluster ids allocated above the existing
+    centroid ids; pairs ACROSS sub-clusters are then unseen, the same
+    recall knob as the paper's cluster count).  A split that cannot
+    shrink below the bound (e.g. all-identical vectors) raises rather
+    than looping.  Pass ``max_cluster_size=None`` to disable the guard
+    (and the size-check job).
+
     Returns ``(id, cluster, keep, dup_of)`` — ``dup_of`` null where
     ``keep``.
     """
     from pyspark.sql.functions import pandas_udf
 
-    from .similarity import _centroid_scorer
+    from .similarity import _centroid_scorer, kmeans_fit
+
+    if on_oversize not in ("raise", "split"):
+        raise ValueError(
+            f"semantic_dedup: on_oversize must be 'raise' or 'split' "
+            f"(got {on_oversize!r})")
 
     cent_ids, _scores = _centroid_scorer(centroids, id_col, vec_col)
 
@@ -787,10 +883,19 @@ def semantic_dedup(
         # np.argmax takes the first maximum -> lowest centroid id
         return pd.Series(cent_ids[np.argmax(_scores(vs), axis=1)])
 
+    # localCheckpoint (eager), not persist: the assignment is
+    # materialized exactly once for BOTH the size check and the two
+    # downstream consumers, and the blocks are released by the
+    # ContextCleaner when the result is garbage-collected — a bare
+    # .persist() here leaked one cached corpus-sized frame per call
     asg = emb.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("_v"),
         _cell(F.col(vec_col)).alias("cluster"),
-    ).persist()
+    ).localCheckpoint()
+
+    if max_cluster_size is not None:
+        asg = _guard_cluster_skew(
+            asg, max_cluster_size, on_oversize, kmeans_fit)
 
     def _pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["id"].to_numpy()

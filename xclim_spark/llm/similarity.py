@@ -294,6 +294,37 @@ def knn_ivf(
     )
 
 
+def _spread_init(
+    emb: DataFrame, k: int, id_col: str, vec_col: str, cap: int,
+) -> np.ndarray:
+    """Deterministic k-means++-style init: farthest-first traversal
+    (Gonzalez 1985) over a hash-spread sample.
+
+    The sample is the ``cap`` rows with the smallest ``md5(id)`` — a
+    uniform, order- and partitioning-independent draw that Spark
+    executes as a TopK (``TakeOrderedAndProject``), never a full sort
+    shuffle.  Seeded at the sample's minimum id, each next centroid is
+    the sample point FARTHEST from the chosen set (ties to the lower
+    id) — spread like k-means++ but with no RNG, so the codebook is
+    bit-reproducible across runs, engines and partitionings.  Driver
+    cost O(cap * k * d) on a metadata-sized sample.
+    """
+    rows = (emb.select(F.col(id_col).cast("long").alias("_i"), vec_col)
+            .withColumn("_h", F.md5(F.col("_i").cast("string")))
+            .orderBy("_h", "_i").limit(cap).collect())
+    samp = sorted((int(r["_i"]), [float(x) for x in r[1]]) for r in rows)
+    X = np.asarray([s[1] for s in samp], dtype=np.float64)
+    if len(X) < k:
+        raise ValueError(f"k={k} exceeds sample size {len(X)}")
+    chosen = [0]  # samp is id-sorted: index 0 IS the minimum id
+    d2 = ((X - X[0]) ** 2).sum(axis=1)
+    for _ in range(1, k):
+        nxt = int(np.argmax(d2))  # argmax first-max -> lowest id on tie
+        chosen.append(nxt)
+        d2 = np.minimum(d2, ((X - X[nxt]) ** 2).sum(axis=1))
+    return X[chosen].copy()
+
+
 def kmeans_fit(
     emb: DataFrame,
     k: int,
@@ -303,6 +334,9 @@ def kmeans_fit(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     return_counts: bool = False,
+    init: str = "first",
+    sample_fraction: float | None = None,
+    init_sample_cap: int = 8192,
 ):
     """Distributed Lloyd k-means over an embedding column — the
     training pass that produces the coarse codebook :func:`knn_ivf`
@@ -321,24 +355,57 @@ def kmeans_fit(
       ``kmeans_reduce_ensemble``; an empty cluster keeps its previous
       centroid (the standard Lloyd fallback).
 
-    Deterministic: init is the first ``k`` vectors by ascending
-    ``id_col`` (stable across engines and partitionings), assignment
-    ties break to the lowest cluster index (``argmin`` first-minimum
-    on squared euclidean distance), and iteration stops after
-    ``iters`` rounds or when no centroid moves more than ``tol``.
+    Deterministic: with ``init="first"`` (default, the oracle-gated
+    path) the init is the first ``k`` vectors by ascending ``id_col``
+    (stable across engines and partitionings); ``init="spread"`` is a
+    deterministic k-means++-style farthest-first init over a
+    hash-spread sample of ``init_sample_cap`` vectors (see
+    :func:`_spread_init`) — real corpora often store near-duplicates
+    at adjacent ids, exactly the degenerate-cluster input "first"
+    produces.  Assignment ties break to the lowest cluster index
+    (``argmin`` first-minimum on squared euclidean distance), and
+    iteration stops after ``iters`` rounds or when no centroid moves
+    more than ``tol``.
+
+    ``sample_fraction`` bounds the 100-TB fit: when set (0 < f <= 1)
+    every Lloyd pass scans only the rows with
+    ``md5('kmeans|' || id) < hex_threshold(f)`` — the same stateless
+    hash-threshold draw as ``mixture_sample`` (llm/pipeline.py), so
+    the subset is identical every iteration, every run, and on every
+    engine, and the full corpus is scanned zero times instead of
+    ``iters`` times.  Codebook quality degrades only with sampling
+    error (k-means centroids are means — they concentrate fast).
 
     Returns the (k, d) centroid matrix as numpy — metadata-sized;
     wrap in ``spark.createDataFrame`` for the ``centroids=`` contract
     of the consumers.  With ``return_counts=True`` returns
     ``(centroids, counts)`` where ``counts`` is the final iteration's
-    per-cluster membership.
+    per-cluster membership (of the SAMPLE when sampling).
     """
-    first = [r[1] for r in sorted(
-        (int(r[0]), list(r[1])) for r in
-        emb.select(id_col, vec_col).orderBy(id_col).limit(k).collect())]
-    if len(first) < k:
-        raise ValueError(f"k={k} exceeds corpus size {len(first)}")
-    cents = np.asarray(first, dtype=np.float64)
+    if sample_fraction is not None:
+        if not (0.0 < sample_fraction <= 1.0):
+            raise ValueError(
+                f"sample_fraction must be in (0, 1] (got {sample_fraction})")
+        if sample_fraction < 1.0:
+            from .pipeline import hex_threshold, sample_hash
+
+            emb = emb.filter(
+                sample_hash(F.lit("kmeans"), F.col(id_col))
+                < hex_threshold(sample_fraction))
+
+    if init == "spread":
+        cents = _spread_init(
+            emb, k, id_col, vec_col, max(init_sample_cap, 2 * k))
+    elif init == "first":
+        first = [r[1] for r in sorted(
+            (int(r[0]), list(r[1])) for r in
+            emb.select(id_col, vec_col).orderBy(id_col).limit(k).collect())]
+        if len(first) < k:
+            raise ValueError(f"k={k} exceeds corpus size {len(first)}")
+        cents = np.asarray(first, dtype=np.float64)
+    else:
+        raise ValueError(
+            f"kmeans_fit: init must be 'first' or 'spread' (got {init!r})")
     d = cents.shape[1]
     counts = np.zeros(k)  # stays zero if iters=0 (init codebook only)
 

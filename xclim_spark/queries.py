@@ -4452,7 +4452,15 @@ def knn_ivf_trained_docs(spark, sf_dir):
     is hash-verified end-to-end — the DuckDB oracle re-derives the
     Lloyd step AND the probe in SQL.  Complements knn_ivf_docs (fixed
     deterministic codebook) and kmeans_step_centroids (the step's
-    centroid table itself)."""
+    centroid table itself).
+
+    Formula note: kmeans_fit assigns via the expanded form
+    ``-2 x.C + ||C||^2`` (one BLAS matmul) while the oracle computes
+    the literal ``sum((v-c)^2)`` — algebraically equal but rounded
+    differently, so an exact distance TIE between two centroids could
+    in principle flip an assignment between engines.  The probe ranks
+    by cosine rounded to 6 dp, which absorbs the fp noise; only an
+    exact tie (measure-zero for real embeddings) could diverge."""
     from .llm.similarity import kmeans_fit, knn_ivf
 
     e = _read(spark, sf_dir, "embeddings")
@@ -4518,7 +4526,16 @@ def kmeans_step_centroids(spark, sf_dir):
     keep their init centroid.  The updated (cluster, dim) centroid
     table hash-matches the full DuckDB oracle, pinning the core update
     step; the multi-iteration loop is the same step composed (pytest
-    vs a numpy Lloyd reference covers it)."""
+    vs a numpy Lloyd reference covers it).
+
+    Formula note: the Spark side evaluates squared euclidean in the
+    expanded form ``-2 x.C + ||C||^2`` (dropping the per-row
+    ``||x||^2``), the oracle as the literal ``sum((v-c)^2)`` —
+    equal in exact arithmetic, but rounding differs, so an EXACT
+    distance tie between two centroids could assign differently.
+    Centroid values compare at 6 dp (ROUND both sides), which
+    absorbs the fp noise; only a measure-zero exact tie in the gate
+    data could flip the hash."""
     from .llm.similarity import kmeans_fit
 
     e = _read(spark, sf_dir, "embeddings")
