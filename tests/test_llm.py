@@ -1009,3 +1009,67 @@ def test_kmeans_sample_fraction_trains_on_subset(spark):
         kmeans_fit(emb, 3, sample_fraction=1.5)
     with _pt.raises(ValueError, match="init"):
         kmeans_fit(emb, 3, init="random")
+
+
+def test_remove_duplicate_spans_cuts_and_keeps(spark):
+    """Lee-et-al removal: duplicated spans are CUT, the remainder kept;
+    untouched docs keep their text byte-identical (even odd spacing)."""
+    import xclim_spark.llm.dedup as dd
+
+    shared = "one two three four five six seven eight nine ten"
+    rows = [
+        (1, "alpha beta " + shared + " gamma"),
+        (2, shared + " delta epsilon zeta"),
+        (3, "totally  unrelated words\twith no overlap at all here now"),
+        (4, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {r["doc_id"]: r for r in
+           dd.remove_duplicate_spans(docs, n=8, min_docs=2).collect()}
+    assert out[1]["text"] == "alpha beta gamma"
+    assert out[1]["n_tokens_removed"] == 10
+    assert out[2]["text"] == "delta epsilon zeta"
+    assert out[2]["n_tokens_removed"] == 10
+    # untouched text passes through byte-identical (double space + tab)
+    assert out[3]["text"] == rows[2][1]
+    assert out[3]["n_tokens_removed"] == 0
+    assert out[4]["text"] is None
+
+
+def test_remove_duplicate_spans_overlapping_union(spark):
+    """Token ranges of two maximal spans can overlap; removal must cut
+    the UNION (each token dropped once) — brute-force checked."""
+    import xclim_spark.llm.dedup as dd
+
+    # doc 10 contains two shared 8-gram runs whose token ranges overlap:
+    # grams at positions {0,1,2} (tokens 0-9) and {4,5} (tokens 4-12)
+    a = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9".split()      # shared run A
+    b = "w4 w5 w6 w7 w8 w9 x0 x1 x2".split()         # shared run B
+    doc10 = a + ["x0", "x1", "x2", "tail1", "tail2"]  # A at 0, B at 4
+    rows = [
+        (10, " ".join(doc10)),
+        (11, " ".join(a) + " unrelated filler words here"),
+        (12, "prefix words " + " ".join(b)),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    spans = [(r["span_start"], r["span_end"]) for r in
+             dd.duplicate_spans(docs, n=8, min_docs=2)
+             .filter("doc_id = 10").collect()]
+    covered = set()
+    for s, e in spans:
+        covered |= set(range(s, e + 1))
+    out = {r["doc_id"]: r for r in
+           dd.remove_duplicate_spans(docs, n=8, min_docs=2).collect()}
+    toks = doc10
+    expect = " ".join(t for i, t in enumerate(toks) if i not in covered)
+    assert out[10]["text"] == expect
+    assert out[10]["n_tokens_removed"] == len(covered)
+    # brute-force n_removed for every doc: union of its span ranges
+    for did, txt in rows:
+        sp = [(r["span_start"], r["span_end"]) for r in
+              dd.duplicate_spans(docs, n=8, min_docs=2)
+              .filter(f"doc_id = {did}").collect()]
+        cov = set()
+        for s, e in sp:
+            cov |= set(range(s, e + 1))
+        assert out[did]["n_tokens_removed"] == len(cov)

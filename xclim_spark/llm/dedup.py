@@ -36,6 +36,7 @@ __all__ = [
     "embedding_near_duplicates",
     "semantic_dedup",
     "duplicate_spans",
+    "remove_duplicate_spans",
     "jaccard",
     "connected_components",
     "connected_components_star",
@@ -738,6 +739,71 @@ def duplicate_spans(
                  (F.max("pos") + n - 1).cast("long").alias("span_end"),
                  F.count(F.lit(1)).alias("n_grams"))
             .select("doc_id", "span_start", "span_end", "n_grams"))
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    *,
+    n: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Duplicate-span REMOVAL — the actual intervention of Lee et al.
+    2022 (their ExactSubstr dedup CUTS the duplicated substrings and
+    keeps the remainder; :func:`duplicate_spans` only detects them).
+
+    Every token whose index falls inside any maximal duplicated span of
+    its document is dropped; the survivors re-join with single spaces.
+    Two maximal spans CAN overlap at the token level (gram positions
+    {0,1,2} and {4,5} with n=8 cover tokens 0-9 and 4-12), so removal
+    is over the UNION of the spans' token ranges.  A document with no
+    duplicated span keeps its text byte-identical (no whitespace
+    normalization of untouched rows); a cut document's surviving tokens
+    are single-space joined (token-level surgery cannot preserve the
+    original inter-token whitespace).
+
+    Plan shape: the span table (small — only duplicated docs) folds to
+    one ``collect_list`` row per doc and LEFT-joins back to the corpus
+    on the id; AQE broadcasts it when small.  The cut itself is one
+    Arrow ``pandas_udf`` over (text, spans) — per-doc numpy mask, no
+    per-token rows ever materialize for the corpus side.
+
+    Returns the input columns with ``text_col`` replaced by the cleaned
+    text, plus ``n_tokens_removed``.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    spans = duplicate_spans(
+        docs, n=n, min_docs=min_docs, text_col=text_col, id_col=id_col)
+    per_doc = (spans.groupBy("doc_id")
+               .agg(F.collect_list(
+                   F.struct("span_start", "span_end")).alias("_spans"))
+               .withColumnRenamed("doc_id", id_col))
+
+    @pandas_udf("struct<text: string, n_removed: long>")
+    def _cut(txt: pd.Series, spans_s: pd.Series) -> pd.DataFrame:
+        texts, removed = [], []
+        for t, sp in zip(txt, spans_s):
+            if t is None or sp is None or len(sp) == 0:
+                texts.append(t)
+                removed.append(0)
+                continue
+            w = t.strip().split()
+            keep = np.ones(len(w), dtype=bool)
+            for s in sp:
+                keep[int(s["span_start"]):int(s["span_end"]) + 1] = False
+            texts.append(" ".join(np.asarray(w, dtype=object)[keep]))
+            removed.append(int((~keep).sum()))
+        return pd.DataFrame({"text": texts, "n_removed": removed})
+
+    out_cols = [c for c in docs.columns]
+    cut = (docs.join(per_doc, on=id_col, how="left")
+           .withColumn("_cut", _cut(F.col(text_col), F.col("_spans"))))
+    return cut.select(
+        *[F.col("_cut.text").alias(text_col) if c == text_col
+          else F.col(c) for c in out_cols],
+        F.col("_cut.n_removed").alias("n_tokens_removed"))
 
 
 def _guard_cluster_skew(

@@ -4309,6 +4309,92 @@ def dedup_substring_spans(spark, sf_dir):
         d.select("doc_id", t.alias("text")), n=8, min_docs=2)
 
 
+@_register(
+    "dedup_span_removal",
+    """WITH d0 AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 10 = 0
+           THEN ' the quick brown fox jumps over the lazy dog again and again'
+           ELSE '' END AS t
+  FROM documents
+),
+tok AS (SELECT doc_id,
+               string_split_regex(trim(t), '\\s+') AS toks FROM d0),
+g AS (
+  SELECT doc_id, s.pos, s.gh FROM (
+    SELECT doc_id,
+           unnest([{'pos': CAST(i - 1 AS BIGINT),
+                    'gh': md5(array_to_string(toks[i:i+7], ' '))}
+                   FOR i IN range(1, len(toks) - 6)]) AS s
+    FROM tok WHERE len(toks) >= 8)
+),
+dup AS (SELECT gh FROM g GROUP BY gh
+        HAVING count(DISTINCT doc_id) >= 2),
+s AS (
+  SELECT g.doc_id, g.pos,
+         CASE WHEN g.pos - lag(g.pos) OVER (
+                PARTITION BY g.doc_id ORDER BY g.pos) = 1
+              THEN 0 ELSE 1 END AS brk
+  FROM g JOIN dup USING (gh)
+),
+s2 AS (SELECT doc_id, pos,
+              sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS span
+       FROM s),
+spans AS (
+  SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end
+  FROM s2 GROUP BY doc_id, span
+),
+posx AS (
+  SELECT doc_id, u.p, u.w FROM (
+    SELECT doc_id,
+           unnest([{'p': CAST(i - 1 AS BIGINT), 'w': toks[i]}
+                   FOR i IN range(1, len(toks) + 1)]) AS u
+    FROM tok)
+),
+keepw AS (
+  SELECT p.doc_id, p.p, p.w,
+         EXISTS (SELECT 1 FROM spans s WHERE s.doc_id = p.doc_id
+                 AND p.p BETWEEN s.span_start AND s.span_end) AS cut
+  FROM posx p
+),
+agg AS (
+  SELECT doc_id,
+         coalesce(string_agg(w, ' ' ORDER BY p) FILTER (WHERE NOT cut),
+                  '') AS clean,
+         CAST(coalesce(sum(CASE WHEN cut THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS n_removed
+  FROM keepw GROUP BY doc_id
+)
+SELECT d0.doc_id,
+       md5(CASE WHEN coalesce(a.n_removed, 0) > 0 THEN a.clean
+                ELSE d0.t END) AS clean_md5,
+       CAST(coalesce(a.n_removed, 0) AS BIGINT) AS n_tokens_removed
+FROM d0 LEFT JOIN agg a USING (doc_id)""",
+)
+def dedup_span_removal(spark, sf_dir):
+    """Duplicate-span REMOVAL (Lee et al. 2022 ExactSubstr's actual
+    intervention — cut the duplicated substrings, keep the remainder;
+    llm/dedup.py remove_duplicate_spans): same fox-seeded corpus as
+    dedup_substring_spans, but the gate hashes the CLEANED text of
+    every document (md5) plus the removed-token count, so the oracle
+    re-derives the spans AND restates the cut (token enumeration,
+    span-union anti-membership, ordered string_agg).  Untouched docs
+    pass through byte-identical — both engines hash the original
+    text for them."""
+    from .llm import dedup as dd
+
+    d = _read(spark, sf_dir, "documents")
+    t = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 10 == 0,
+               F.lit(" the quick brown fox jumps over the lazy dog "
+                     "again and again")).otherwise(""))
+    out = dd.remove_duplicate_spans(
+        d.select("doc_id", t.alias("text")), n=8, min_docs=2)
+    return out.select(
+        "doc_id", F.md5("text").alias("clean_md5"), "n_tokens_removed")
+
+
 def _pii_sql() -> str:
     """Oracle for text_pii_scrub, built from the SAME portable patterns
     the operator uses (llm/text.py PII_PATTERNS — no lookaround, ASCII
@@ -7030,6 +7116,9 @@ def nc3_subdaily_ingest(spark, sf_dir):
 # list each round), then queries whose last driver-green row is oldest.
 # Regenerate each round with tools/rotate_priority.py — do not hand-edit.
 _PRIORITY = [
+    # -- additions with no driver row yet (the ordering rule
+    #    requires these inside the sampled head) --
+    "dedup_span_removal",
     # -- newest driver-green row: round 8 --
     "hourly_tas_mean_ms", "missing_any_hourly_ms", "ind_cold_dry_days_ys",
     "ind_warm_wet_days_ys", "anuclim_bio10_ys", "conv_humidex_ms",
