@@ -14,9 +14,11 @@ cloud-storage source — only ``readStream`` options change):
   contract and the fixed-``num_blocks`` checkpoint contract are both
   ENFORCED (violations raise instead of corrupting the recursion);
 * **production sink** — per-day outputs fold to (cell, month) PARTIAL
-  aggregates inside ``foreachBatch`` and append to parquet
-  executor-side; nothing corpus-sized ever reaches the driver, and the
-  partials recombine exactly with one small batch query;
+  aggregates inside ``foreachBatch`` and land in parquet
+  executor-side; nothing corpus-sized ever reaches the driver, the
+  partials recombine exactly with one small batch query, and each
+  micro-batch OVERWRITES its own ``b<batch_id>`` subdir, so the
+  at-least-once replay after a checkpoint restart is idempotent;
 * **bounded-state dedup** — ``streaming_dedup_keys`` evicts a key's
   state once the event-time watermark passes it + delay, so an
   always-on ingest dedup service holds (arrival rate x window) state,
@@ -67,15 +69,18 @@ def main(sf_dir: str) -> None:
                            outputs=("fwi",), num_blocks=8)
 
     agg_dir = f"/tmp/streaming_example_{uuid.uuid4().hex}"
+    os.makedirs(agg_dir, exist_ok=True)
     valid = F.col("fwi").isNotNull() & ~F.isnan("fwi")
 
-    def fold(batch_df, _bid):
+    # foreachBatch is at-least-once: overwrite a batch_id-keyed subdir
+    # so a replayed batch lands idempotently instead of double-appending
+    def fold(batch_df, bid):
         (batch_df.groupBy(
             "cell",
             F.to_date(F.date_trunc("month", "ts")).alias("period"))
          .agg(F.max(F.when(valid, F.col("fwi"))).alias("fwi_max_p"),
               F.sum(valid.cast("long")).alias("days_p"))
-         .write.mode("append").parquet(agg_dir))
+         .write.mode("overwrite").parquet(f"{agg_dir}/b{bid}"))
 
     q = (fwi.writeStream.foreachBatch(fold)
          .trigger(availableNow=True).start())
@@ -83,7 +88,7 @@ def main(sf_dir: str) -> None:
     monthly = (spark.read
                .schema("cell BIGINT, period DATE, fwi_max_p DOUBLE, "
                        "days_p BIGINT")
-               .parquet(agg_dir)
+               .option("recursiveFileLookup", "true").parquet(agg_dir)
                .groupBy("cell", "period")
                .agg(F.max("fwi_max_p").alias("fwi_max"),
                     F.sum("days_p").alias("season_days")))

@@ -741,3 +741,79 @@ def test_zarr_v3_injected_codec(spark, tmp_path):
            for r in read_zarr(spark, str(store), ["v"], dims=["y", "x"],
                               codecs={"zstd": _enc}).collect()}
     assert got[(2, 3)] == pytest.approx(11.0)
+
+
+def test_zarr_v3_injected_codec_receives_config(spark, tmp_path):
+    """A v3 codec's configuration rides into the comp dict; an injected
+    decompressor with a REQUIRED second positional param receives it,
+    while a plain bytes->bytes callable still works with config
+    present; two compressor codecs in one chain raise."""
+    import json
+
+    import numpy as np
+    import pytest as _pt
+
+    def _mk(store, codecs_chain):
+        var = store / "v"
+        var.mkdir(parents=True)
+        arr = np.arange(12, dtype="<f8").reshape(3, 4)
+        (var / "zarr.json").write_text(json.dumps({
+            "zarr_format": 3, "node_type": "array",
+            "shape": [3, 4], "data_type": "float64",
+            "chunk_grid": {"name": "regular",
+                           "configuration": {"chunk_shape": [3, 4]}},
+            "chunk_key_encoding": {"name": "default",
+                                   "configuration": {"separator": "/"}},
+            "fill_value": "NaN",
+            "codecs": codecs_chain,
+            "dimension_names": ["y", "x"],
+        }))
+        d = var / "c" / "0"
+        d.mkdir(parents=True)
+        (d / "0").write_bytes(bytes(x ^ 0x5A for x in arr.tobytes()))
+
+    from xclim_spark.io.zarr import read_zarr
+
+    store = tmp_path / "z3cfg"
+    _mk(store, [{"name": "bytes", "configuration": {"endian": "little"}},
+                {"name": "xorx",
+                 "configuration": {"key": 0x5A, "level": 7}}])
+
+    seen = {}
+
+    def _dec_cfg(b, cfg):
+        seen.update(cfg)
+        return bytes(x ^ cfg["key"] for x in b)
+
+    got = {(r["y"], r["x"]): r["v"]
+           for r in read_zarr(spark, str(store), ["v"], dims=["y", "x"],
+                              codecs={"xorx": _dec_cfg}).collect()}
+    assert got[(2, 3)] == pytest.approx(11.0)
+    # NB: `seen` mutates only in the driver-side metadata probe if any;
+    # the authoritative check is the decode result above (the closure
+    # ships to executors, so driver-side `seen` may stay empty)
+
+    # plain single-arg callable keeps working though config is present
+    def _dec_plain(b):
+        return bytes(x ^ 0x5A for x in b)
+
+    got2 = {(r["y"], r["x"]): r["v"]
+            for r in read_zarr(spark, str(store), ["v"], dims=["y", "x"],
+                               codecs={"xorx": _dec_plain}).collect()}
+    assert got2[(0, 0)] == pytest.approx(0.0)
+
+    # defaulted second param does NOT receive the config dict
+    def _dec_default(b, max_out=0):
+        assert max_out == 0
+        return bytes(x ^ 0x5A for x in b)
+
+    got3 = {(r["y"], r["x"]): r["v"]
+            for r in read_zarr(spark, str(store), ["v"], dims=["y", "x"],
+                               codecs={"xorx": _dec_default}).collect()}
+    assert got3[(1, 1)] == pytest.approx(5.0)
+
+    store2 = tmp_path / "z3two"
+    _mk(store2, [{"name": "bytes"},
+                 {"name": "gzip"}, {"name": "zlib"}])
+    with _pt.raises(NotImplementedError, match="two compressor"):
+        read_zarr(spark, str(store2), ["v"], dims=["y", "x"]).collect()

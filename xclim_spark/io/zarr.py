@@ -78,7 +78,16 @@ def _normalize_v3(m3: dict, name: str, codecs=None) -> dict:
                 endian = "<" if cfg.get("endian", "little") == "little" \
                     else ">"
             elif nm in ("gzip", "zlib") or (codecs and nm in codecs):
-                comp = {"id": nm}
+                if comp is not None:
+                    raise NotImplementedError(
+                        f"{name}: chain has two compressor codecs "
+                        f"({comp['id']!r} then {nm!r}); only one is "
+                        "supported")
+                # carry the codec configuration inline, v2-compressor
+                # style ({'id': 'zlib', 'level': 5}) — an injected
+                # decompressor that takes a second positional arg
+                # receives it (see _decompress)
+                comp = {"id": nm, **cfg}
             else:
                 raise NotImplementedError(
                     f"{name}: v3 codec {nm!r} not available in this "
@@ -279,7 +288,15 @@ def _crc32c(data: bytes) -> int:
 
 def _decompress(raw: bytes, comp, codecs=None) -> bytes:
     """Apply the chunk's compressor: stdlib zlib/gzip, or an injected
-    ``codecs[id]`` decompressor (the blosc/zstd deployment path)."""
+    ``codecs[id]`` decompressor (the blosc/zstd deployment path).
+
+    An injected callable declaring a REQUIRED second positional
+    parameter (``def f(raw, cfg)``) also receives the codec's
+    configuration dict (every ``comp`` key except ``id`` — e.g. zstd
+    level, blosc cname/shuffle); a plain ``bytes -> bytes``
+    decompressor — including ones with defaulted extra params like
+    ``ZstdDecompressor().decompress(data, max_output_size=0)`` —
+    keeps working unchanged."""
     if comp is None:
         return raw
     cid = comp["id"]
@@ -288,7 +305,20 @@ def _decompress(raw: bytes, comp, codecs=None) -> bytes:
     if cid == "zlib":
         return zlib.decompress(raw)
     if codecs and cid in codecs:
-        return codecs[cid](raw)
+        fn = codecs[cid]
+        cfg = {k: v for k, v in comp.items() if k != "id"}
+        try:
+            import inspect
+
+            params = [
+                p for p in inspect.signature(fn).parameters.values()
+                if p.kind in (p.POSITIONAL_ONLY,
+                              p.POSITIONAL_OR_KEYWORD)]
+            wants_cfg = (len(params) >= 2
+                         and params[1].default is params[1].empty)
+        except (TypeError, ValueError):  # C callables w/o signatures
+            wants_cfg = False
+        return fn(raw, cfg) if wants_cfg else fn(raw)
     raise NotImplementedError(
         f"compressor {cid!r} not available (pass codecs={{...}})")
 

@@ -4970,29 +4970,37 @@ def stream_events_table(spark, sf_dir):
            .parquet(f"{root}/part_*.parquet"))
     ev = streaming_spell_events(sdf, "qty", ">", 30.0, min_length=1,
                                 time="ts", cell="cell")
-    # production sink shape: foreachBatch appends each micro-batch's
+    # production sink shape: foreachBatch writes each micro-batch's
     # event rows to parquet EXECUTOR-side — nothing corpus-sized ever
-    # ships to the driver (the old memory sink did)
+    # ships to the driver (the old memory sink did).  foreachBatch is
+    # at-least-once: every batch OVERWRITES its own batch_id-keyed
+    # subdir, so a batch replayed after a checkpoint restart lands
+    # idempotently instead of double-appending event rows.
+    import os
     import shutil
     import uuid
 
     ev_dir = f"/tmp/xclim_spark_stream_ev_{uuid.uuid4().hex}"
+    os.makedirs(ev_dir, exist_ok=True)
 
-    def _sink(batch_df, _bid):
-        batch_df.write.mode("append").parquet(ev_dir)
+    def _sink(batch_df, bid):
+        batch_df.write.mode("overwrite").parquet(f"{ev_dir}/b{bid}")
 
-    with _stream_state_partitions(spark):
-        q = (ev.writeStream.foreachBatch(_sink)
-             .trigger(availableNow=True).start())
-        q.awaitTermination()
-    out = (spark.read.schema(ev.schema).parquet(ev_dir)
-           .select(
-               "cell",
-               F.to_date("event_start").alias("event_start"),
-               "event_length",
-               F.round("event_sum", 4).alias("event_sum"),
-           ).localCheckpoint(eager=True))
-    shutil.rmtree(ev_dir, ignore_errors=True)
+    try:
+        with _stream_state_partitions(spark):
+            q = (ev.writeStream.foreachBatch(_sink)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination()
+        out = (spark.read.schema(ev.schema)
+               .option("recursiveFileLookup", "true").parquet(ev_dir)
+               .select(
+                   "cell",
+                   F.to_date("event_start").alias("event_start"),
+                   "event_length",
+                   F.round("event_sum", 4).alias("event_sum"),
+               ).localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(ev_dir, ignore_errors=True)
     return out
 
 
@@ -5047,40 +5055,47 @@ def stream_fwi_ms(spark, sf_dir):
                            season_method="WF93", overwintering=True,
                            outputs=("fwi",), num_blocks=32)
     # production sink shape: fold each micro-batch to (cell, month)
-    # PARTIAL aggregates inside foreachBatch and append those to
+    # PARTIAL aggregates inside foreachBatch and write those to
     # parquet — the corpus-sized per-day table never leaves the
     # executors (the old memory sink shipped all of it to the driver;
     # it dominated the gate at sf1).  max/sum partials recombine
-    # exactly even if a month ever straddled a batch seam.
+    # exactly even if a month ever straddled a batch seam, and each
+    # batch OVERWRITES its own batch_id-keyed subdir so an
+    # at-least-once replay after a checkpoint restart cannot
+    # double-count season_days.
+    import os
     import shutil
     import uuid
 
     agg_dir = f"/tmp/xclim_spark_stream_fwi_{uuid.uuid4().hex}"
+    os.makedirs(agg_dir, exist_ok=True)
     # off-season days carry NaN codes (pandas NaN -> NaN double, not
     # NULL, through the Arrow state path) — valid must check both
     valid = F.col("fwi").isNotNull() & ~F.isnan("fwi")
 
-    def _fold(batch_df, _bid):
+    def _fold(batch_df, bid):
         (batch_df.groupBy(
             "cell",
             F.to_date(F.date_trunc("month", "ts")).alias("period"))
          .agg(F.max(F.when(valid, F.col("fwi"))).alias("fwi_max_p"),
               F.sum(valid.cast("long")).alias("season_days_p"))
-         .write.mode("append").parquet(agg_dir))
+         .write.mode("overwrite").parquet(f"{agg_dir}/b{bid}"))
 
-    with _stream_state_partitions(spark, 16):
-        q = (fwi.writeStream.foreachBatch(_fold)
-             .trigger(availableNow=True).start())
-        q.awaitTermination()
-    out = (spark.read
-           .schema("cell BIGINT, period DATE, fwi_max_p DOUBLE, "
-                   "season_days_p BIGINT")
-           .parquet(agg_dir)
-           .groupBy("cell", "period")
-           .agg(F.round(F.max("fwi_max_p"), 6).alias("fwi_max"),
-                F.sum("season_days_p").alias("season_days"))
-           .localCheckpoint(eager=True))
-    shutil.rmtree(agg_dir, ignore_errors=True)
+    try:
+        with _stream_state_partitions(spark, 16):
+            q = (fwi.writeStream.foreachBatch(_fold)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination()
+        out = (spark.read
+               .schema("cell BIGINT, period DATE, fwi_max_p DOUBLE, "
+                       "season_days_p BIGINT")
+               .option("recursiveFileLookup", "true").parquet(agg_dir)
+               .groupBy("cell", "period")
+               .agg(F.round(F.max("fwi_max_p"), 6).alias("fwi_max"),
+                    F.sum("season_days_p").alias("season_days"))
+               .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(agg_dir, ignore_errors=True)
     return out
 
 
