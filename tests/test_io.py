@@ -817,3 +817,72 @@ def test_zarr_v3_injected_codec_receives_config(spark, tmp_path):
                  {"name": "gzip"}, {"name": "zlib"}])
     with _pt.raises(NotImplementedError, match="two compressor"):
         read_zarr(spark, str(store2), ["v"], dims=["y", "x"]).collect()
+
+
+def test_zarr_consolidated_metadata_read(spark, tmp_path):
+    """Consolidated ``.zmetadata``: after consolidate_metadata the
+    reader resolves array meta, attrs (CF time units, xarray dims) and
+    coordinate presence from the ONE root document — proven by deleting
+    every per-array .zarray/.zattrs before reading."""
+    import datetime as dt
+    import os
+
+    import numpy as np
+
+    from xclim_spark.io.zarr import (
+        consolidate_metadata,
+        read_zarr,
+        write_zarr_dataset,
+        zarr_array_meta,
+    )
+
+    rng = np.random.RandomState(11)
+    rows = []
+    for i in range(9):
+        d = dt.date(2001, 6, 1) + dt.timedelta(days=i)
+        for c in (1, 2, 7):
+            rows.append((d, c, float(rng.uniform(0, 9))))
+    df = spark.createDataFrame(rows, "time DATE, cell LONG, tas DOUBLE")
+    store = str(tmp_path / "cons")
+    write_zarr_dataset(df, store, ["tas"], chunks=(4, 2))
+
+    # stamp CF units on the time coord so the no-epoch read exercises
+    # the attribute lookup through the consolidated document
+    import json as _json
+
+    tz = _json.load(open(f"{store}/time/.zattrs"))
+    tz.update(units="days since 1970-01-01", calendar="standard")
+    _json.dump(tz, open(f"{store}/time/.zattrs", "w"))
+
+    meta = consolidate_metadata(store)
+    assert meta["tas/.zarray"]["zarr_format"] == 2
+    assert meta["time/.zattrs"]["units"] == "days since 1970-01-01"
+
+    # remove every per-array metadata file: reads must go through
+    # .zmetadata alone (chunk data files stay, as on a real store)
+    removed = 0
+    for root, _dirs, files in os.walk(store):
+        for fn in files:
+            if fn in (".zarray", ".zattrs", ".zgroup"):
+                os.remove(os.path.join(root, fn))
+                removed += 1
+    assert removed > 0
+
+    assert zarr_array_meta(store, "tas")["shape"] == [9, 3]
+    back = read_zarr(spark, store, ["tas"])  # dims + CF time via attrs
+    got = {(r["time"], r["cell"]): r["tas"] for r in back.collect()}
+    assert len(got) == 27
+    for d, c, t in rows:
+        assert got[(d, c)] == t
+
+    # stale-memo guard: rewriting .zmetadata (new mtime) is picked up
+    import time as _time
+
+    doc = _json.load(open(f"{store}/.zmetadata"))
+    doc["metadata"]["tas/.zattrs"]["_ARRAY_DIMENSIONS"] = ["T", "C"]
+    _time.sleep(0.02)
+    _json.dump(doc, open(f"{store}/.zmetadata", "w"))
+    os.utime(f"{store}/.zmetadata")
+    cols = read_zarr(spark, store, ["tas"], time_units_epoch=None,
+                     time_dim="T").columns
+    assert cols[:2] == ["T", "C"]

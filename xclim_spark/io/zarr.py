@@ -45,7 +45,8 @@ from pyspark.sql import functions as F
 
 __all__ = ["zarr_array_meta", "zarr_chunk_manifest", "read_zarr",
            "write_zarr_array", "write_zarr3_array",
-           "write_zarr3_sharded_array", "write_zarr_dataset"]
+           "write_zarr3_sharded_array", "write_zarr_dataset",
+           "consolidate_metadata"]
 
 
 # Zarr v3 data_type -> numpy base code (endianness from the bytes codec)
@@ -164,21 +165,9 @@ def _normalize_v3(m3: dict, name: str, codecs=None) -> dict:
     }
 
 
-def zarr_array_meta(store: str, name: str, codecs=None) -> dict:
-    """Parse array metadata — ``<name>/.zarray`` (Zarr v2) or
-    ``<name>/zarr.json`` (Zarr v3), normalized to one meta shape.
-
-    ``codecs`` — optional ``{codec_id: decompress(bytes) -> bytes}``
-    injection for compressors the stdlib can't decode (blosc/zstd/lz4):
-    a listed id is accepted here and dispatched at chunk decode.
-    """
-    p2 = os.path.join(store, name, ".zarray")
-    p3 = os.path.join(store, name, "zarr.json")
-    if not os.path.exists(p2) and os.path.exists(p3):
-        with open(p3) as f:
-            return _normalize_v3(json.load(f), name, codecs=codecs)
-    with open(p2) as f:
-        meta = json.load(f)
+def _normalize_v2(meta: dict, name: str, codecs=None) -> dict:
+    """Validate a Zarr v2 ``.zarray`` document (whether read from the
+    array directory or from consolidated ``.zmetadata``)."""
     if meta.get("zarr_format") != 2:
         raise ValueError(f"{name}: only Zarr formats 2 and 3 are "
                          "supported")
@@ -197,6 +186,74 @@ def zarr_array_meta(store: str, name: str, codecs=None) -> dict:
     return meta
 
 
+def _consolidated_load(store: str, mtime: float) -> dict:
+    # tiny module-level memo keyed on (store, mtime): one JSON parse
+    # per store generation, not one per array lookup
+    key = (store, mtime)
+    hit = _consolidated_load._memo.get(key)
+    if hit is None:
+        with open(os.path.join(store, ".zmetadata")) as f:
+            doc = json.load(f)
+        if doc.get("zarr_consolidated_format") != 1:
+            raise ValueError(
+                f"{store}/.zmetadata: unsupported "
+                f"zarr_consolidated_format "
+                f"{doc.get('zarr_consolidated_format')!r} (expected 1)")
+        hit = doc.get("metadata") or {}
+        if len(_consolidated_load._memo) >= 32:
+            _consolidated_load._memo.clear()
+        _consolidated_load._memo[key] = hit
+    return hit
+
+
+_consolidated_load._memo = {}
+
+
+def _consolidated(store: str) -> dict | None:
+    """The store's consolidated metadata map (zarr-python
+    ``consolidate_metadata``: root ``.zmetadata`` =
+    ``{"zarr_consolidated_format": 1, "metadata": {"v/.zarray": {...},
+    "v/.zattrs": {...}, ...}}``), or None when absent.
+
+    Object-store deployments write this so a reader fetches ONE JSON
+    document instead of a ``.zarray``/``.zattrs`` round trip per array
+    — every metadata lookup below consults it first, falling back to
+    per-array files (stores can be partially consolidated)."""
+    p = os.path.join(store, ".zmetadata")
+    try:
+        mtime = os.path.getmtime(p)
+    except OSError:
+        return None
+    return _consolidated_load(store, mtime)
+
+
+def zarr_array_meta(store: str, name: str, codecs=None) -> dict:
+    """Parse array metadata — consolidated ``.zmetadata`` when the
+    store has one, else ``<name>/.zarray`` (Zarr v2) or
+    ``<name>/zarr.json`` (Zarr v3), normalized to one meta shape.
+
+    ``codecs`` — optional ``{codec_id: decompress(bytes) -> bytes}``
+    injection for compressors the stdlib can't decode (blosc/zstd/lz4):
+    a listed id is accepted here and dispatched at chunk decode.
+    """
+    cm = _consolidated(store)
+    if cm is not None:
+        if f"{name}/.zarray" in cm:
+            return _normalize_v2(dict(cm[f"{name}/.zarray"]), name,
+                                 codecs=codecs)
+        if f"{name}/zarr.json" in cm:
+            return _normalize_v3(cm[f"{name}/zarr.json"], name,
+                                 codecs=codecs)
+    p2 = os.path.join(store, name, ".zarray")
+    p3 = os.path.join(store, name, "zarr.json")
+    if not os.path.exists(p2) and os.path.exists(p3):
+        with open(p3) as f:
+            return _normalize_v3(json.load(f), name, codecs=codecs)
+    with open(p2) as f:
+        meta = json.load(f)
+    return _normalize_v2(meta, name, codecs=codecs)
+
+
 def _chunk_key(meta: dict, idx) -> str:
     """Chunk file key for a grid index under the array's key encoding
     (v2: ``"i.j"``; v3 default: ``"c/i/j"``; v3 v2-style: ``"i.j"``)."""
@@ -206,13 +263,24 @@ def _chunk_key(meta: dict, idx) -> str:
 
 
 def _has_array(store: str, name: str) -> bool:
+    cm = _consolidated(store)
+    if cm is not None and (f"{name}/.zarray" in cm
+                           or f"{name}/zarr.json" in cm):
+        return True
     return (os.path.exists(os.path.join(store, name, ".zarray"))
             or os.path.exists(os.path.join(store, name, "zarr.json")))
 
 
 def _coord_attr(store: str, name: str, key: str):
-    """A coordinate array's attribute: v2 ``.zattrs`` or v3
-    ``zarr.json`` ``attributes``."""
+    """A coordinate array's attribute: consolidated ``.zmetadata``
+    first, else v2 ``.zattrs`` or v3 ``zarr.json`` ``attributes``."""
+    cm = _consolidated(store)
+    if cm is not None:
+        if f"{name}/.zattrs" in cm:
+            return cm[f"{name}/.zattrs"].get(key)
+        if f"{name}/zarr.json" in cm:
+            return (cm[f"{name}/zarr.json"].get("attributes")
+                    or {}).get(key)
     p2 = os.path.join(store, name, ".zattrs")
     if os.path.exists(p2):
         with open(p2) as f:
@@ -446,10 +514,8 @@ def read_zarr(
                 f"{v}: all variables must share shape/chunks "
                 f"({m['shape']} vs {first['shape']})")
     if dims is None:
-        attr_path = os.path.join(store, variables[0], ".zattrs")
-        if os.path.exists(attr_path):
-            with open(attr_path) as f:
-                dims = json.load(f).get("_ARRAY_DIMENSIONS")
+        # consolidated-aware: xarray's dim names live in .zattrs
+        dims = _coord_attr(store, variables[0], "_ARRAY_DIMENSIONS")
         if dims is None:
             dims = first.get("_dims")  # v3 dimension_names
         if dims is None:
@@ -595,6 +661,29 @@ def _write_coord_chunks(idx: DataFrame, col: str, chunk: int,
     (idx.withColumn("_chunk", (F.col("_idx") / chunk).cast("int"))
         .groupBy("_chunk").applyInPandas(_write, schema="i INT")
         .count())
+
+
+def consolidate_metadata(store: str) -> dict:
+    """Write the store's root ``.zmetadata`` (zarr-python's
+    ``zarr.consolidate_metadata`` format,
+    ``zarr_consolidated_format=1``): one JSON document holding every
+    ``.zgroup``/``.zarray``/``.zattrs`` in the tree, so object-store
+    readers fetch ONE key instead of a metadata round trip per array.
+    Returns the metadata map.  Pure stdlib walk — run it once after
+    the distributed writers finish (driver-side; the documents are
+    metadata-sized)."""
+    meta: dict[str, dict] = {}
+    for root, _dirs, files in os.walk(store):
+        rel = os.path.relpath(root, store)
+        prefix = "" if rel == "." else rel.replace(os.sep, "/") + "/"
+        for fn in files:
+            if fn in (".zgroup", ".zarray", ".zattrs"):
+                with open(os.path.join(root, fn)) as f:
+                    meta[prefix + fn] = json.load(f)
+    doc = {"zarr_consolidated_format": 1, "metadata": meta}
+    with open(os.path.join(store, ".zmetadata"), "w") as f:
+        json.dump(doc, f)
+    return meta
 
 
 def write_zarr_dataset(
