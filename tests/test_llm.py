@@ -1073,3 +1073,65 @@ def test_remove_duplicate_spans_overlapping_union(spark):
         for s, e in sp:
             cov |= set(range(s, e + 1))
         assert out[did]["n_tokens_removed"] == len(cov)
+
+
+def test_parse_image_header_roundtrip():
+    from xclim_spark.llm.multimodal import (
+        make_image_header,
+        parse_image_header,
+    )
+
+    for fmt in ("png", "gif", "bmp", "jpeg"):
+        b = make_image_header(fmt, 640, 481)
+        assert parse_image_header(b) == (fmt, 640, 481), fmt
+        # payload bytes after the header don't confuse the probe
+        assert parse_image_header(b + b"\x00" * 100) == (fmt, 640, 481)
+    # BMP top-down (negative height) reports abs(height)
+    import struct
+
+    bm = (b"BM" + struct.pack("<IHHI", 26, 0, 0, 54)
+          + struct.pack("<Iii", 40, 320, -200))
+    assert parse_image_header(bm) == ("bmp", 320, 200)
+    # JPEG with fill bytes before the SOF marker
+    j = make_image_header("jpeg", 12, 34)
+    j = j[:2] + b"\xff" + j[2:]
+    assert parse_image_header(j) == ("jpeg", 12, 34)
+    # garbage / truncated / None
+    assert parse_image_header(b"not an image at all") is None
+    assert parse_image_header(b"\x89PNG\r\n\x1a\n\0\0") is None
+    assert parse_image_header(b"\xff\xd8\xff\xe0\x00") is None
+    assert parse_image_header(None) is None
+
+
+def test_image_dims_and_probed_meta(spark):
+    from xclim_spark.llm import multimodal as mm
+
+    rows = [
+        (0, mm.make_image_header("png", 100, 50)),
+        (1, mm.make_image_header("gif", 7, 9)),
+        (2, mm.make_image_header("bmp", 64, 32)),
+        (3, mm.make_image_header("jpeg", 1920, 1080)),
+        (4, b"plain text bytes, no image here"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, data BINARY")
+    got = {r["doc_id"]: r["d"] for r in
+           df.select("doc_id", mm.image_dims("data").alias("d")).collect()}
+    assert (got[0]["format"], got[0]["width"], got[0]["height"]) == \
+        ("png", 100, 50)
+    assert (got[3]["format"], got[3]["width"], got[3]["height"]) == \
+        ("jpeg", 1920, 1080)
+    assert got[4]["format"] is None and got[4]["width"] is None
+    assert got[5]["format"] is None
+
+    meta = {r["doc_id"]: r["data_meta"] for r in
+            mm.with_image_meta(df, "data", probe=True).collect()}
+    assert meta[1]["mime"] == "image/gif"
+    assert (meta[1]["width"], meta[1]["height"]) == (7, 9)
+    assert meta[2]["n_bytes"] == 26
+    assert meta[4]["mime"] == "application/octet-stream"
+    assert meta[4]["width"] is None
+    # non-probed path unchanged
+    m0 = {r["doc_id"]: r["data_meta"] for r in
+          mm.with_image_meta(df, "data").collect()}
+    assert m0[0]["width"] is None and m0[0]["mime"].startswith("application")

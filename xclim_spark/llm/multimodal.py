@@ -30,6 +30,9 @@ __all__ = [
     "with_image_meta",
     "byte_histogram",
     "byte_entropy",
+    "parse_image_header",
+    "make_image_header",
+    "image_dims",
     "decode_image",
     "resize_images",
     "sample_frames",
@@ -41,20 +44,42 @@ IMAGE_META_SCHEMA = (
 
 
 def with_image_meta(
-    df: DataFrame, bin_col: str, *, mime: str = "application/octet-stream"
+    df: DataFrame, bin_col: str, *,
+    mime: str = "application/octet-stream", probe: bool = False,
 ) -> DataFrame:
-    """Attach the typed metadata struct next to a binary column.  Width /
-    height are unknown before decode (NULL); ``n_bytes`` is computed
-    JVM-side."""
-    return df.withColumn(
-        f"{bin_col}_meta",
-        F.struct(
-            F.lit(mime).alias("mime"),
-            F.lit(None).cast("int").alias("width"),
-            F.lit(None).cast("int").alias("height"),
-            F.length(F.col(bin_col)).cast("bigint").alias("n_bytes"),
-        ),
-    )
+    """Attach the typed metadata struct next to a binary column.
+    ``n_bytes`` is computed JVM-side.  With ``probe=False`` width /
+    height are NULL (unknown before decode); ``probe=True`` fills them
+    — and the mime, for recognized formats — from the header bytes via
+    the codec-free :func:`image_dims` probe (PNG/GIF/BMP/JPEG;
+    unrecognized payloads keep the caller's ``mime`` and NULL dims)."""
+    if not probe:
+        return df.withColumn(
+            f"{bin_col}_meta",
+            F.struct(
+                F.lit(mime).alias("mime"),
+                F.lit(None).cast("int").alias("width"),
+                F.lit(None).cast("int").alias("height"),
+                F.length(F.col(bin_col)).cast("bigint").alias("n_bytes"),
+            ),
+        )
+    tmp = f"_{bin_col}_dims"
+    d = F.col(tmp)
+    # probe once into a temp column so the Arrow UDF runs a single
+    # time per row, not once per referenced field
+    return (df.withColumn(tmp, image_dims(F.col(bin_col)))
+            .withColumn(
+                f"{bin_col}_meta",
+                F.struct(
+                    F.when(d["format"].isNotNull(),
+                           F.concat(F.lit("image/"), d["format"]))
+                    .otherwise(F.lit(mime)).alias("mime"),
+                    d["width"].alias("width"),
+                    d["height"].alias("height"),
+                    F.length(F.col(bin_col)).cast("bigint")
+                    .alias("n_bytes"),
+                ))
+            .drop(tmp))
 
 
 # The pandas_udf decorators validate types against the active session, so
@@ -105,6 +130,102 @@ def byte_entropy(bin_col) -> Column:
     media sits near 8, text near 4-5; a useful triage signal."""
     c = bin_col if isinstance(bin_col, Column) else F.col(bin_col)
     return _byte_entropy_udf()(c)
+
+
+def parse_image_header(b) -> tuple[str, int, int] | None:
+    """Pure-stdlib image header probe: ``(format, width, height)`` for
+    PNG / GIF / BMP / JPEG payloads, ``None`` for anything else (or a
+    truncated header).  No codec library involved — these are fixed
+    struct layouts from the public format specs (PNG IHDR, GIF logical
+    screen descriptor, BMP BITMAPINFOHEADER, JPEG SOFn marker scan) —
+    so dimension *metadata* works in codec-less environments; pixel
+    decode stays behind the PIL gate (:func:`decode_image`)."""
+    import struct
+
+    if b is None:
+        return None
+    b = bytes(b)
+    if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24:
+        w, h = struct.unpack(">II", b[16:24])
+        return ("png", w, h)
+    if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+        w, h = struct.unpack("<HH", b[6:10])
+        return ("gif", w, h)
+    if b[:2] == b"BM" and len(b) >= 26:
+        w, h = struct.unpack("<ii", b[18:26])
+        return ("bmp", w, abs(h))  # negative height = top-down rows
+    if b[:2] == b"\xff\xd8":
+        # JPEG: walk the marker segments to the first SOFn frame header
+        i = 2
+        while i + 3 < len(b):
+            if b[i] != 0xFF:
+                return None  # broken marker stream
+            m = b[i + 1]
+            if m == 0xFF:  # fill byte
+                i += 1
+                continue
+            if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:  # bare markers
+                i += 2
+                continue
+            if i + 4 > len(b):
+                return None
+            seg = struct.unpack(">H", b[i + 2:i + 4])[0]
+            if 0xC0 <= m <= 0xCF and m not in (0xC4, 0xC8, 0xCC):
+                if i + 9 > len(b):
+                    return None
+                h, w = struct.unpack(">HH", b[i + 5:i + 9])
+                return ("jpeg", w, h)
+            i += 2 + seg
+        return None
+    return None
+
+
+def make_image_header(fmt: str, width: int, height: int) -> bytes:
+    """Deterministic minimal header bytes for ``fmt`` with the given
+    dimensions — a fixture builder for testing the header probe without
+    codec libraries (the payload after the header is NOT a decodable
+    image)."""
+    import struct
+
+    if fmt == "png":
+        return (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+                + struct.pack(">II", width, height) + b"\x08\x02\0\0\0")
+    if fmt == "gif":
+        return b"GIF89a" + struct.pack("<HH", width, height) + b"\0\0\0"
+    if fmt == "bmp":
+        # 14-byte file header ("BM", size, reserved, data offset) +
+        # the first 12 bytes of BITMAPINFOHEADER (size=40, w, h)
+        return (b"BM" + struct.pack("<IHHI", 26, 0, 0, 54)
+                + struct.pack("<Iii", 40, width, height))
+    if fmt == "jpeg":
+        app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\0" + b"\0" * 9
+        sof0 = (b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+                + struct.pack(">HH", height, width) + b"\x03"
+                + b"\x01\x11\x00\x02\x11\x01\x03\x11\x01")
+        return b"\xff\xd8" + app0 + sof0
+    raise ValueError(f"make_image_header: unknown format {fmt!r}")
+
+
+def _image_dims_udf():
+    @pandas_udf("struct<format: string, width: int, height: int>")
+    def dims(payload: pd.Series) -> pd.DataFrame:
+        fmts, ws, hs = [], [], []
+        for b in payload:
+            p = parse_image_header(b)
+            fmts.append(p[0] if p else None)
+            ws.append(p[1] if p else None)
+            hs.append(p[2] if p else None)
+        return pd.DataFrame({"format": fmts, "width": ws, "height": hs})
+    return dims
+
+
+def image_dims(bin_col) -> Column:
+    """``struct(format, width, height)`` probed from the payload's
+    header bytes (PNG/GIF/BMP/JPEG; NULLs for anything else) — an
+    Arrow-batched, codec-free upgrade over the decode gate for
+    dimension statistics at corpus scale."""
+    c = bin_col if isinstance(bin_col, Column) else F.col(bin_col)
+    return _image_dims_udf()(c)
 
 
 def decode_image(

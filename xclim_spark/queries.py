@@ -3199,6 +3199,58 @@ def mm_decode_stats(spark, sf_dir):
 
 
 @_register(
+    "mm_image_dims",
+    """SELECT doc_id,
+       CASE doc_id % 5
+         WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/gif'
+         WHEN 2 THEN 'image/bmp' WHEN 3 THEN 'image/jpeg'
+         ELSE 'application/octet-stream' END AS mime,
+       CASE WHEN doc_id % 5 <= 3
+            THEN CAST(doc_id % 200 + 1 AS INT) END AS width,
+       CASE WHEN doc_id % 5 <= 3
+            THEN CAST((doc_id * 7) % 150 + 1 AS INT) END AS height
+FROM documents""",
+)
+def mm_image_dims(spark, sf_dir):
+    """Codec-free image dimension probe (llm/multimodal.py
+    parse_image_header / with_image_meta(probe=True)): every doc gets a
+    seeded REAL format header — PNG IHDR / GIF screen descriptor / BMP
+    info header / JPEG SOF0 marker stream, dims a pure function of
+    doc_id — prepended to its text bytes; every 5th doc stays a plain
+    text payload.  The probe must recover format+dims from the header
+    structs alone (no PIL anywhere), NULLs for the non-image rows; the
+    oracle restates the seeding arithmetic."""
+    from .llm import multimodal as mm
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _payload(it):
+        for pdf in it:
+            out = []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                i, body = int(i), (t or "").encode()
+                k = i % 5
+                if k == 4:
+                    out.append(body)
+                else:
+                    fmt = ("png", "gif", "bmp", "jpeg")[k]
+                    out.append(mm.make_image_header(
+                        fmt, i % 200 + 1, (i * 7) % 150 + 1) + body)
+            pdf = pdf.copy()
+            pdf["data"] = out
+            yield pdf
+
+    b = docs.mapInPandas(
+        _payload, "doc_id long, text string, data binary")
+    b = mm.with_image_meta(b, "data", probe=True)
+    return b.select(
+        "doc_id",
+        F.col("data_meta.mime").alias("mime"),
+        F.col("data_meta.width").alias("width"),
+        F.col("data_meta.height").alias("height"))
+
+
+@_register(
     "mm_binary_stats",
     """SELECT source,
        CAST(count(*) AS BIGINT) AS n_items,
@@ -7133,7 +7185,7 @@ def nc3_subdaily_ingest(spark, sf_dir):
 _PRIORITY = [
     # -- additions with no driver row yet (the ordering rule
     #    requires these inside the sampled head) --
-    "dedup_span_removal",
+    "dedup_span_removal", "mm_image_dims",
     # -- newest driver-green row: round 8 --
     "hourly_tas_mean_ms", "missing_any_hourly_ms", "ind_cold_dry_days_ys",
     "ind_warm_wet_days_ys", "anuclim_bio10_ys", "conv_humidex_ms",
