@@ -771,3 +771,128 @@ def test_streaming_spell_events_enforce_order_off(spark, tmp_path):
     res = spark.sql("select * from spells_noguard").collect()
     # the (30, 31) run closed inside batch 1 and still emits
     assert len(res) == 1 and res[0]["event_length"] == 2
+
+
+def _fold_near_dedup(rows):
+    """Per-doc fold of streaming_near_dedup's (doc, band) rows:
+    keep iff every band row has null dup_of; dup_of = min non-null."""
+    by_doc = {}
+    for r in rows:
+        d = by_doc.setdefault(r["doc_id"], [])
+        if r["dup_of"] is not None:
+            d.append(r["dup_of"])
+    return {k: (not v, min(v) if v else None) for k, v in by_doc.items()}
+
+
+def test_streaming_near_dedup_matches_bruteforce(spark, tmp_path):
+    """Single-batch parity: the streaming MinHash suppressor must agree
+    with brute-force exact word-trigram Jaccard against every earlier
+    (ts, id)-ordered document; short docs pass through as kept."""
+    base = ("the quick brown fox jumps over the lazy dog near the "
+            "river bank while birds sing in the morning light")
+    texts = {
+        0: base,
+        1: base + " extra",                       # near-dup of 0
+        2: "completely different words here entirely unrelated "
+           "content about spark window functions and state stores",
+        3: base.replace("quick", "slow"),          # near-dup of 0
+        4: "tiny doc",                             # < 3 words: no shingles
+    }
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(i, t0 + dt.timedelta(minutes=i), t) for i, t in texts.items()]
+    path = _write_stream_input(
+        spark, tmp_path, rows, "doc_id LONG, ts TIMESTAMP, text STRING")
+
+    from xclim_spark.streaming import streaming_near_dedup
+
+    sdf = spark.readStream.schema(
+        "doc_id LONG, ts TIMESTAMP, text STRING").parquet(path)
+    out = streaming_near_dedup(sdf, delay="30 days", threshold=0.6)
+    _run_to_memory(out, "nd1")
+    res = spark.sql("select * from nd1").collect()
+    got = _fold_near_dedup(res)
+
+    def sh(t):
+        w = t.split()
+        return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+    expect = {}
+    for i in sorted(texts):
+        best = None
+        for j in sorted(texts):
+            if j >= i or len(texts[j].split()) < 3:
+                continue
+            a, b = sh(texts[i]), sh(texts[j])
+            if a and len(a & b) / len(a | b) >= 0.6:
+                best = j if best is None else min(best, j)
+        expect[i] = (best is None, best)
+    assert got == expect
+    assert got[1] == (False, 0) and got[3] == (False, 0)
+    assert got[4] == (True, None)  # shingle-less pass-through
+    assert {r["band"] for r in res if r["doc_id"] == 4} == {-1}
+
+
+def test_streaming_near_dedup_eviction_and_reemit(spark, tmp_path):
+    """Bounded state: a clone inside the window is suppressed; after the
+    watermark passes the exemplar's time + delay its state is evicted
+    and a later clone is emitted as KEPT again."""
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    filler = ("totally unrelated filler document advancing the "
+              "watermark with plenty of distinct words inside it")
+    t0 = dt.datetime(2024, 3, 1)
+    f1 = str(tmp_path / "in" / "b1.parquet")
+    f2 = str(tmp_path / "in" / "b2.parquet")
+    f3 = str(tmp_path / "in" / "b3.parquet")
+    spark.createDataFrame(
+        [(0, t0, base)],
+        "doc_id LONG, ts TIMESTAMP, text STRING").coalesce(1) \
+        .write.mode("overwrite").parquet(f1)
+    spark.createDataFrame(
+        [(1, t0 + dt.timedelta(minutes=30), base + " tail"),
+         (2, t0 + dt.timedelta(days=10), filler)],
+        "doc_id LONG, ts TIMESTAMP, text STRING").coalesce(1) \
+        .write.mode("overwrite").parquet(f2)
+    spark.createDataFrame(
+        [(3, t0 + dt.timedelta(days=10, minutes=1), base)],
+        "doc_id LONG, ts TIMESTAMP, text STRING").coalesce(1) \
+        .write.mode("overwrite").parquet(f3)
+
+    from xclim_spark.streaming import streaming_near_dedup
+
+    sdf = (spark.readStream
+           .schema("doc_id LONG, ts TIMESTAMP, text STRING")
+           .option("maxFilesPerTrigger", 1)
+           .parquet(str(tmp_path / "in" / "b*.parquet")))
+    out = streaming_near_dedup(sdf, delay="1 day", threshold=0.6)
+    _run_to_memory(out, "nd2")
+    got = _fold_near_dedup(spark.sql("select * from nd2").collect())
+    assert got[0] == (True, None)     # exemplar kept
+    assert got[1] == (False, 0)       # in-window clone suppressed
+    assert got[2] == (True, None)     # unrelated filler kept
+    # doc 0's state evicted (watermark ~ t0+9d > t0 + 1d): re-emitted
+    assert got[3] == (True, None)
+
+
+def test_streaming_near_dedup_bucket_guard(spark, tmp_path):
+    """A degenerate band bucket must raise loudly, naming the bound."""
+    base = ("one two three four five six seven eight nine ten eleven "
+            "twelve thirteen fourteen fifteen")
+    t0 = dt.datetime(2024, 5, 1)
+    rows = [(i, t0 + dt.timedelta(minutes=i), base) for i in range(9)]
+    path = _write_stream_input(
+        spark, tmp_path, rows, "doc_id LONG, ts TIMESTAMP, text STRING")
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from xclim_spark.streaming import streaming_near_dedup
+
+    sdf = spark.readStream.schema(
+        "doc_id LONG, ts TIMESTAMP, text STRING").parquet(path)
+    out = streaming_near_dedup(sdf, delay="30 days",
+                               max_bucket_size=4)
+    with pytest.raises(StreamingQueryException,
+                       match="max_bucket_size"):
+        q = (out.writeStream.format("memory").queryName("nd3")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)

@@ -6522,6 +6522,126 @@ def stream_dedup_exact(spark, sf_dir):
     return out
 
 
+def _stage_stream_docs(sf_dir: str) -> str:
+    """Stage the documents table as four parquet files in doc_id order
+    (ts = 2024-01-01 + doc_id minutes; built once per sf and cached) —
+    the replay substrate of the streaming dedup gates.  Files are
+    written in id order so FileStreamSource's mtime ordering replays
+    the corpus as four genuine micro-batches; near-dup pairs straddling
+    a file boundary must flow through the carried band-bucket state."""
+    import hashlib
+    import os
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    root = f"/tmp/xclim_spark_streamdocs_{tag}"
+    done = os.path.join(root, "_done")
+    if not os.path.exists(done):
+        import duckdb
+
+        os.makedirs(root, exist_ok=True)
+        con = duckdb.connect()
+        for k in range(4):
+            con.execute(
+                f"""COPY (SELECT doc_id,
+                                 TIMESTAMP '2024-01-01'
+                                   + INTERVAL (doc_id) MINUTE AS ts,
+                                 text
+                          FROM (SELECT doc_id, text,
+                                       ntile(4) OVER (ORDER BY doc_id)
+                                         AS q
+                                FROM '{sf_dir}/documents.parquet')
+                          WHERE q = {k + 1} ORDER BY doc_id)
+                    TO '{root}/part_{k}.parquet' (FORMAT PARQUET)""")
+        open(done, "w").close()
+    return root
+
+
+@_register(
+    "stream_dedup_fuzzy",
+    """WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, list_distinct(
+    [words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+     FOR i IN range(1, len(words) - 1)]
+  ) AS shingles
+  FROM w WHERE len(words) >= 3
+),
+sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+t AS (SELECT doc_id, unnest(shingles) AS tok FROM sh),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.6
+),
+mins AS (SELECT id_b AS doc_id, CAST(min(id_a) AS BIGINT) AS dup_of
+         FROM pairs GROUP BY 1)
+SELECT d.doc_id, m.dup_of IS NULL AS keep, m.dup_of
+FROM documents d LEFT JOIN mins m USING (doc_id)""",
+)
+def stream_dedup_fuzzy(spark, sf_dir):
+    """STREAMING near-duplicate suppression (streaming/dedup.py
+    streaming_near_dedup) — the bounded-state streaming twin of
+    dedup_fuzzy: the corpus replays in doc_id order as four
+    micro-batches; every document's MinHash band keys probe the
+    watermark-scoped band-bucket state and exact word-trigram Jaccard
+    verifies candidates (same expressions as the batch path).  With
+    the delay wider than the replay span nothing evicts, so each doc's
+    verdict equals the batch answer: suppressed iff an EARLIER (=
+    smaller id; ts is id-derived) doc has J >= 0.6, dup_of = the least
+    such id (eviction/re-emit and the bucket-skew guard are pinned by
+    tests/test_streaming.py).  Signature width is corpus-scaled
+    exactly like dedup_fuzzy (recall argument in its docstring).  The
+    per-doc fold runs executor-side in an idempotent batch-keyed
+    foreachBatch sink — a doc's band rows all live in its own
+    micro-batch, so the per-batch fold is exact."""
+    import os
+    import shutil
+    import uuid
+
+    from .streaming.dedup import streaming_near_dedup
+
+    root = _stage_stream_docs(sf_dir)
+    sdf = (spark.readStream
+           .schema("doc_id BIGINT, ts TIMESTAMP, text STRING")
+           .option("maxFilesPerTrigger", 1)
+           .parquet(f"{root}/part_*.parquet"))
+    small = _sf_of(sf_dir) <= 0.01
+    out = streaming_near_dedup(
+        sdf, delay="3650 days", threshold=0.6,
+        num_perm=32 if small else 128, bands=16 if small else 64)
+
+    fold_dir = f"/tmp/xclim_spark_stream_ndd_{uuid.uuid4().hex}"
+    os.makedirs(fold_dir, exist_ok=True)
+
+    def _fold(batch_df, bid):
+        (batch_df.groupBy("doc_id")
+         .agg(F.min("dup_of").alias("dup_of"))
+         .select("doc_id", F.col("dup_of").isNull().alias("keep"),
+                 "dup_of")
+         .write.mode("overwrite").parquet(f"{fold_dir}/b{bid}"))
+
+    try:
+        with _stream_state_partitions(spark):
+            q = (out.writeStream.foreachBatch(_fold)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination()
+        res = (spark.read
+               .schema("doc_id BIGINT, keep BOOLEAN, dup_of BIGINT")
+               .option("recursiveFileLookup", "true").parquet(fold_dir)
+               .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(fold_dir, ignore_errors=True)
+    return res
+
+
 @_register(
     "fwi_season_ys",
     """-- golden-fixture oracle (tools/make_golden.py): independent
@@ -7185,7 +7305,7 @@ def nc3_subdaily_ingest(spark, sf_dir):
 _PRIORITY = [
     # -- additions with no driver row yet (the ordering rule
     #    requires these inside the sampled head) --
-    "dedup_span_removal", "mm_image_dims",
+    "dedup_span_removal", "mm_image_dims", "stream_dedup_fuzzy",
     # -- newest driver-green row: round 8 --
     "hourly_tas_mean_ms", "missing_any_hourly_ms", "ind_cold_dry_days_ys",
     "ind_warm_wet_days_ys", "anuclim_bio10_ys", "conv_humidex_ms",

@@ -7,7 +7,7 @@ family as a per-cell state machine over ``applyInPandasWithState`` —
 the streaming twin of the batch sessionization compiler.
 """
 
-from .dedup import streaming_dedup_keys
+from .dedup import streaming_dedup_keys, streaming_near_dedup
 from .fire import streaming_cffwis
 from .spells import (
     streaming_threshold_count,
@@ -21,4 +21,5 @@ __all__ = [
     "streaming_spell_events",
     "streaming_cffwis",
     "streaming_dedup_keys",
+    "streaming_near_dedup",
 ]
