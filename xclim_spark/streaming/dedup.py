@@ -67,19 +67,32 @@ def streaming_near_dedup(
     delay: str = "1 day", threshold: float = 0.6,
     num_perm: int = 32, bands: int = 16, shingle_n: int = 3,
     seed: int = 7, max_bucket_size: int = 8192,
+    num_blocks: int | None = None,
 ) -> DataFrame:
     """Streaming MinHash-banded NEAR-duplicate suppression — the
     bounded-state streaming twin of the batch
     :func:`~xclim_spark.llm.dedup.near_duplicates` pipeline.
 
-    Each arriving document's word-``shingle_n``-gram hash set and
-    MinHash band keys are computed map-side (the same
-    ``word_shingles`` -> ``shingle_hashes`` -> ``minhash_signature`` ->
-    ``lsh_band_buckets`` expressions as the batch path, so the two
-    agree candidate-for-candidate).  State lives per (band, bucket):
-    the (id, event-time, shingle hashes) of every in-window document
-    that hashed there — the standard LSH memory layout (each document
-    resides in ``bands`` buckets).  An arriving document is compared by
+    Each arriving document's word-``shingle_n``-gram hash set, MinHash
+    signature and band keys are computed map-side in ONE Arrow
+    ``mapInPandas`` stage (numpy: unique crc32 gram hashes, the same
+    ``_perm_coeffs``-seeded universal-hash permutations as the batch
+    path, polynomial band fold) — the nested-HOF
+    ``minhash_signature`` expression is interpreted per element and
+    measured minutes-slow at the 5k-doc rehearsal, the same defect
+    class the batch ``near_duplicates`` avoids with explode+codegen
+    aggregates.  State is keyed by a deterministic
+    HASH BLOCK of (band, bucket) keys (``num_blocks``, default 2x
+    parallelism — the same blocked layout as
+    :func:`~xclim_spark.streaming.spells.streaming_spell_events`):
+    LSH buckets are mostly singletons, so per-bucket state groups
+    would pay one Python invocation + state-store access per BUCKET
+    per micro-batch — measured ~3M group calls per batch at the
+    50k-doc sf1 rehearsal, tens of minutes of pure overhead; blocking
+    amortizes it to ``num_blocks`` calls.  Each block's state carries
+    parallel entry arrays ((band, bucket), id, event-time, flattened
+    shingle hashes) sorted by composite bucket key for
+    ``searchsorted`` lookup.  An arriving document is compared by
     EXACT Jaccard against its bucket's live entries only (never
     all-pairs), exactly like the batch verifier, so band collisions
     below ``threshold`` are rejected and the output is
@@ -88,7 +101,7 @@ def streaming_near_dedup(
 
     **Bounded state**: an entry is evicted once the event-time
     watermark passes its event time + ``delay`` (the
-    ``dropDuplicatesWithinWatermark`` contract), and a bucket idle past
+    ``dropDuplicatesWithinWatermark`` contract), and a block idle past
     its newest entry + ``delay`` drops entirely via event-time timeout
     — state is O(arrival rate x window), not O(corpus).  A document
     recurring after eviction is emitted as kept again — the documented
@@ -112,12 +125,7 @@ def streaming_near_dedup(
     than ``shingle_n`` words carry no shingles and pass through as kept
     (``band = -1``).
     """
-    from ..llm.dedup import (
-        lsh_band_buckets,
-        minhash_signature,
-        shingle_hashes,
-        word_shingles,
-    )
+    from ..llm.dedup import _MERSENNE31, _perm_coeffs
 
     if num_perm % bands:
         raise ValueError(
@@ -125,35 +133,92 @@ def streaming_near_dedup(
             f"by bands={bands}")
     rows = num_perm // bands
     d_us = _delay_us(delay)
+    if num_blocks is None:
+        num_blocks = max(
+            2 * sdf.sparkSession.sparkContext.defaultParallelism, 2)
 
-    wm = sdf.withWatermark(time, delay)
-    sh = shingle_hashes(word_shingles(F.col(text_col), shingle_n))
-    base = wm.select(
-        F.col(id_col).alias("_id"), F.col(time).alias("_ts"),
-        F.array_sort(sh).alias("_sh"))
-    empty = (base.filter(F.size("_sh") == 0)
-             .select(F.col("_id").alias(id_col),
-                     F.col("_ts").alias(time),
+    coeffs = _perm_coeffs(num_perm, seed)
+    A = np.array([c[0] for c in coeffs], dtype=np.int64)
+    B = np.array([c[1] for c in coeffs], dtype=np.int64)
+    P = _MERSENNE31
+    band_base = np.arange(bands, dtype=np.int64) << 44
+    mult = np.uint64(0x9E3779B97F4A7C15)  # splitmix64 block spreader
+
+    def _prep(it):
+        import zlib
+
+        for pdf in it:
+            ids, tss, shs, cks, blks = [], [], [], [], []
+            for i, ts, t in zip(pdf[id_col], pdf[time],
+                                pdf[text_col]):
+                if t is None:
+                    continue
+                w = t.split()
+                if len(w) < shingle_n:
+                    continue
+                grams = {" ".join(w[j:j + shingle_n])
+                         for j in range(len(w) - shingle_n + 1)}
+                u = np.unique(np.fromiter(
+                    (zlib.crc32(g.encode()) for g in grams),
+                    dtype=np.int64) % P)
+                # products < 2^62: u, A both < 2^31
+                sig = ((u[:, None] * A[None, :] + B[None, :]) % P) \
+                    .min(axis=0)
+                bk = sig.reshape(bands, rows)
+                h = np.zeros(bands, dtype=np.int64)
+                for r in range(rows):
+                    h = (h * 1_000_003 + bk[:, r]) % (1 << 44)
+                ck = band_base + h
+                blk = ((ck.astype(np.uint64) * mult)
+                       >> np.uint64(33)).astype(np.int64) % num_blocks
+                u32 = u.astype(np.int32)  # < 2^31: exact in int32
+                # ONE row per (doc, touched block): the hash set ships
+                # once per block, not once per band
+                for b in np.unique(blk):
+                    ids.append(i)
+                    tss.append(ts)
+                    shs.append(u32)
+                    cks.append(ck[blk == b])
+                    blks.append(int(b))
+            yield pd.DataFrame(
+                {"_id": ids, "_ts": tss, "_sh": shs, "_cks": cks,
+                 "_blk": blks})
+
+    # exactly ONE watermark node, on the stateful branch AFTER the
+    # Arrow prep (the tag does not survive mapInPandas, and
+    # applyInPandasWithState's event-time timeout requires it on ITS
+    # input).  The pass-through branch is stateless append — it needs
+    # no watermark, and giving it one would pin the global min-policy
+    # watermark at zero whenever it is row-less, silently disabling
+    # eviction.
+    empty = (sdf.filter(F.col(text_col).isNull() | (F.size(F.split(
+                 F.trim(F.col(text_col)), r"\s+")) < shingle_n))
+             .select(F.col(id_col).alias(id_col),
+                     F.col(time).alias(time),
                      F.lit(-1).alias("band"),
                      F.lit(None).cast("long").alias("dup_of")))
-    banded = (base.filter(F.size("_sh") > 0)
-              .withColumn("_bb", F.explode(lsh_band_buckets(
-                  minhash_signature(F.col("_sh"), num_perm, seed),
-                  bands, rows)))
-              .select("_id", "_ts", "_sh",
-                      F.col("_bb.band").alias("band"),
-                      F.col("_bb.bucket").alias("bucket")))
+    banded = (sdf.select(id_col, time, text_col)
+              .mapInPandas(_prep,
+                           "_id long, _ts timestamp, "
+                           "_sh array<int>, _cks array<long>, "
+                           "_blk int")
+              .withWatermark("_ts", delay))
 
     out_schema = (f"{id_col} LONG, {time} TIMESTAMP, band INT, "
                   "dup_of LONG")
-    # per-entry shingle arrays ride flattened (off[i]:off[i+1]) — the
-    # state store schema stays flat arrays, no nested marshalling
-    state_schema = ("ids ARRAY<LONG>, ts_us ARRAY<LONG>, "
-                    "off ARRAY<INT>, hs ARRAY<LONG>")
+    # one state group per BLOCK, two tables PACKED AS BINARY BLOBS
+    # (little-endian numpy buffers — marshalling millions of state
+    # values as Python ints measured seconds per batch at the sf1
+    # rehearsal; six bytes objects are ~free): a DOC table (id,
+    # event-time, offsets + flattened int32 hash sets — each doc's set
+    # stored ONCE per block, d_id-sorted) and an ENTRY table
+    # (composite bucket key -> doc id, e_ck-sorted for searchsorted)
+    state_schema = ("d_id BINARY, d_ts BINARY, d_off BINARY, "
+                    "d_hs BINARY, e_ck BINARY, e_doc BINARY")
 
     def _fn(key, pdfs, state: GroupState):
         if state.hasTimedOut:
-            # every entry is older than (newest + delay) < watermark
+            # every doc is older than (newest + delay) < watermark
             state.remove()
             return
         batch = [p for p in pdfs if len(p)]
@@ -162,63 +227,124 @@ def streaming_near_dedup(
         pdf = pd.concat(batch).sort_values(["_ts", "_id"])
         wm_us = state.getCurrentWatermarkMs() * 1000
 
-        entries: list[tuple[int, int, np.ndarray]] = []
+        # carried doc + entry tables, pruned behind the watermark
         if state.exists:
-            s_ids, s_ts, s_off, s_hs = state.get
-            s_hs = np.asarray(s_hs, dtype=np.int64)
-            for i in range(len(s_ids)):
-                if int(s_ts[i]) + d_us >= wm_us:  # still in window
-                    entries.append((int(s_ids[i]), int(s_ts[i]),
-                                    s_hs[s_off[i]:s_off[i + 1]]))
+            bufs = state.get
+            d_id = np.frombuffer(bufs[0], dtype="<i8")
+            d_ts = np.frombuffer(bufs[1], dtype="<i8")
+            d_off = np.frombuffer(bufs[2], dtype="<i8")
+            d_hs = np.frombuffer(bufs[3], dtype="<i4")
+            e_ck = np.frombuffer(bufs[4], dtype="<i8")
+            e_doc = np.frombuffer(bufs[5], dtype="<i8")
+            live = d_ts + d_us >= wm_us
+            if not live.all():
+                sets = [d_hs[d_off[i]:d_off[i + 1]]
+                        for i in np.flatnonzero(live)]
+                d_id, d_ts = d_id[live], d_ts[live]
+                emask = np.isin(e_doc, d_id)
+                e_ck, e_doc = e_ck[emask], e_doc[emask]
+            else:
+                sets = [d_hs[d_off[i]:d_off[i + 1]]
+                        for i in range(len(d_id))]
+        else:
+            d_id = d_ts = e_ck = e_doc = np.empty(0, dtype=np.int64)
+            sets = []
 
-        t_us = pd.DatetimeIndex(pdf["_ts"]).asi8 // 1000
-        out_id, out_us, out_dup = [], [], []
-        for (rid, rhs), rus in zip(zip(pdf["_id"], pdf["_sh"]), t_us):
-            rhs = np.unique(np.asarray(rhs, dtype=np.int64))
-            best = None
-            for eid, _eus, ehs in entries:
-                if eid == rid:
-                    continue
-                inter = np.intersect1d(
-                    rhs, ehs, assume_unique=True).size
-                if not inter:
-                    continue
-                j = inter / (rhs.size + ehs.size - inter)
-                if j >= threshold and (best is None or eid < best):
-                    best = eid
-            out_id.append(int(rid))
-            out_us.append(int(rus))
-            out_dup.append(best)
-            entries.append((int(rid), int(rus), rhs))
-        if len(entries) > max_bucket_size:
-            raise ValueError(
-                f"streaming_near_dedup: bucket {tuple(key)} holds "
-                f"{len(entries)} in-window entries "
-                f"(max_bucket_size={max_bucket_size}) — a degenerate "
-                "band key; widen bands/rows or shorten the delay")
+        b_ids = pdf["_id"].to_numpy(dtype=np.int64)
+        b_us = pd.DatetimeIndex(pdf["_ts"]).asi8 // 1000
+        b_cks = list(pdf["_cks"])
+        # _prep already emits sorted-unique int32 hash sets
+        b_hs = [np.asarray(h, dtype=np.int32) for h in pdf["_sh"]]
 
-        off = [0]
-        for _eid, _eus, ehs in entries:
-            off.append(off[-1] + ehs.size)
+        def _verify(rhs, eid):
+            # exact Jaccard of two sorted-unique int32 sets; counted
+            # with one searchsorted (np.intersect1d re-sorts — 5-10x
+            # slower, and it ran 36M times per replay before the
+            # per-row memo below)
+            ehs = batch_sets.get(eid)
+            if ehs is None:
+                ehs = sets[int(np.searchsorted(d_id, eid))]
+            if rhs.size > ehs.size:
+                rhs, ehs = ehs, rhs
+            pos = np.searchsorted(ehs, rhs)
+            pos[pos == ehs.size] = 0
+            inter = int((ehs[pos] == rhs).sum())
+            return (inter > 0
+                    and inter / (rhs.size + ehs.size - inter)
+                    >= threshold)
+
+        batch_sets: dict[int, np.ndarray] = {}
+        batch_buckets: dict[int, list[int]] = {}
+        out_id, out_us, out_band, out_dup = [], [], [], []
+        for r in range(len(b_ids)):
+            rid, rus, rhs = int(b_ids[r]), int(b_us[r]), b_hs[r]
+            verdict: dict[int, bool] = {}  # pair checked ONCE per row
+            for ck in np.asarray(b_cks[r], dtype=np.int64):
+                ck = int(ck)
+                lo = int(np.searchsorted(e_ck, ck, side="left"))
+                hi = int(np.searchsorted(e_ck, ck, side="right"))
+                added = batch_buckets.get(ck, ())
+                if hi - lo + len(added) + 1 > max_bucket_size:
+                    raise ValueError(
+                        f"streaming_near_dedup: bucket key {ck} holds "
+                        f"{hi - lo + len(added) + 1} in-window entries "
+                        f"(max_bucket_size={max_bucket_size}) — a "
+                        "degenerate band key; widen bands/rows or "
+                        "shorten the delay")
+                best = None
+                for eid in (*e_doc[lo:hi], *added):
+                    eid = int(eid)
+                    if eid == rid or (best is not None
+                                      and eid >= best):
+                        continue
+                    ok = verdict.get(eid)
+                    if ok is None:
+                        ok = verdict[eid] = _verify(rhs, eid)
+                    if ok:
+                        best = eid
+                out_id.append(rid)
+                out_us.append(rus)
+                out_band.append(ck >> 44)
+                out_dup.append(best)
+                batch_buckets.setdefault(ck, []).append(rid)
+            batch_sets[rid] = rhs
+
+        # fold the batch into the two tables
+        n_ids = np.concatenate([d_id, b_ids])
+        n_ts = np.concatenate([d_ts, b_us])
+        n_sets = sets + b_hs
+        ordr = np.argsort(n_ids, kind="stable")
+        off = np.zeros(len(ordr) + 1, dtype=np.int64)
+        szs = np.asarray([s.size for s in n_sets], dtype=np.int64)
+        off[1:] = np.cumsum(szs[ordr])
+        flat = (np.concatenate([n_sets[i] for i in ordr])
+                if len(ordr) else np.empty(0, dtype=np.int32))
+        a_ck = np.concatenate(
+            [e_ck] + [np.asarray(c, dtype=np.int64) for c in b_cks])
+        a_doc = np.concatenate(
+            [e_doc] + [np.full(len(b_cks[r]), b_ids[r], dtype=np.int64)
+                       for r in range(len(b_ids))])
+        eord = np.argsort(a_ck, kind="stable")
         state.update((
-            [e[0] for e in entries],
-            [e[1] for e in entries],
-            off,
-            np.concatenate([e[2] for e in entries]).tolist(),
+            n_ids[ordr].astype("<i8").tobytes(),
+            n_ts[ordr].astype("<i8").tobytes(),
+            off.astype("<i8").tobytes(),
+            flat.astype("<i4").tobytes(),
+            a_ck[eord].astype("<i8").tobytes(),
+            a_doc[eord].astype("<i8").tobytes(),
         ))
-        newest_ms = max(e[1] for e in entries) // 1000
+        newest_ms = int(n_ts.max()) // 1000
         state.setTimeoutTimestamp(newest_ms + d_us // 1000 + 1)
 
         yield pd.DataFrame({
             id_col: np.asarray(out_id, dtype=np.int64),
             time: pd.to_datetime(np.asarray(out_us, dtype=np.int64),
                                  unit="us"),
-            "band": np.full(len(out_id), int(pdf["band"].iloc[0]),
-                            dtype=np.int32),
+            "band": np.asarray(out_band, dtype=np.int32),
             "dup_of": pd.array(out_dup, dtype="Int64"),
         })
 
-    dec = banded.groupBy("band", "bucket").applyInPandasWithState(
+    dec = banded.groupBy("_blk").applyInPandasWithState(
         _fn, out_schema, state_schema, "append",
         GroupStateTimeout.EventTimeTimeout)
     return dec.unionByName(empty)
