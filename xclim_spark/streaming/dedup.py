@@ -151,10 +151,18 @@ def streaming_near_dedup(
             ids, tss, shs, cks, blks = [], [], [], [], []
             for i, ts, t in zip(pdf[id_col], pdf[time],
                                 pdf[text_col]):
-                if t is None:
-                    continue
-                w = t.split()
+                w = t.split() if t is not None else []
                 if len(w) < shingle_n:
+                    # shingle-less docs (null text / < n words) ride
+                    # the SAME stateful path under the sentinel key
+                    # [-1], spread across blocks by id — a separate
+                    # pass-through branch would scan the source twice
+                    # and union two streams
+                    ids.append(i)
+                    tss.append(ts)
+                    shs.append(np.empty(0, dtype=np.int32))
+                    cks.append(np.full(1, -1, dtype=np.int64))
+                    blks.append(int(i) % num_blocks)
                     continue
                 grams = {" ".join(w[j:j + shingle_n])
                          for j in range(len(w) - shingle_n + 1)}
@@ -173,31 +181,30 @@ def streaming_near_dedup(
                        >> np.uint64(33)).astype(np.int64) % num_blocks
                 u32 = u.astype(np.int32)  # < 2^31: exact in int32
                 # ONE row per (doc, touched block): the hash set ships
-                # once per block, not once per band
-                for b in np.unique(blk):
+                # once per block, not once per band.  One argsort per
+                # doc, not one boolean scan per touched block.
+                order = np.argsort(blk, kind="stable")
+                sb, sc = blk[order], ck[order]
+                cuts = np.flatnonzero(
+                    np.concatenate(([True], sb[1:] != sb[:-1])))
+                for s, e in zip(cuts, np.append(cuts[1:], len(sb))):
                     ids.append(i)
                     tss.append(ts)
                     shs.append(u32)
-                    cks.append(ck[blk == b])
-                    blks.append(int(b))
+                    cks.append(sc[s:e])
+                    blks.append(int(sb[s]))
             yield pd.DataFrame(
                 {"_id": ids, "_ts": tss, "_sh": shs, "_cks": cks,
                  "_blk": blks})
 
-    # exactly ONE watermark node, on the stateful branch AFTER the
-    # Arrow prep (the tag does not survive mapInPandas, and
-    # applyInPandasWithState's event-time timeout requires it on ITS
-    # input).  The pass-through branch is stateless append — it needs
-    # no watermark, and giving it one would pin the global min-policy
-    # watermark at zero whenever it is row-less, silently disabling
-    # eviction.
-    empty = (sdf.filter(F.col(text_col).isNull() | (F.size(F.split(
-                 F.trim(F.col(text_col)), r"\s+")) < shingle_n))
-             .select(F.col(id_col).alias(id_col),
-                     F.col(time).alias(time),
-                     F.lit(-1).alias("band"),
-                     F.lit(None).cast("long").alias("dup_of")))
+    # exactly ONE watermark node, AFTER the Arrow prep (the tag does
+    # not survive mapInPandas, and applyInPandasWithState's event-time
+    # timeout requires it on ITS input).  The repartition spreads the
+    # compute-dense prep across cores — a one-file micro-batch (the
+    # replay shape) is otherwise a single task doing all the hashing.
     banded = (sdf.select(id_col, time, text_col)
+              .repartition(
+                  sdf.sparkSession.sparkContext.defaultParallelism)
               .mapInPandas(_prep,
                            "_id long, _ts timestamp, "
                            "_sh array<int>, _cks array<long>, "
@@ -276,8 +283,17 @@ def streaming_near_dedup(
         batch_sets: dict[int, np.ndarray] = {}
         batch_buckets: dict[int, list[int]] = {}
         out_id, out_us, out_band, out_dup = [], [], [], []
+        sent = np.fromiter((int(c[0]) == -1 for c in b_cks),
+                           dtype=bool, count=len(b_cks))
         for r in range(len(b_ids)):
             rid, rus, rhs = int(b_ids[r]), int(b_us[r]), b_hs[r]
+            if sent[r]:
+                # shingle-less pass-through: kept, never in state
+                out_id.append(rid)
+                out_us.append(rus)
+                out_band.append(-1)
+                out_dup.append(None)
+                continue
             verdict: dict[int, bool] = {}  # pair checked ONCE per row
             for ck in np.asarray(b_cks[r], dtype=np.int64):
                 ck = int(ck)
@@ -309,32 +325,39 @@ def streaming_near_dedup(
                 batch_buckets.setdefault(ck, []).append(rid)
             batch_sets[rid] = rhs
 
-        # fold the batch into the two tables
-        n_ids = np.concatenate([d_id, b_ids])
-        n_ts = np.concatenate([d_ts, b_us])
-        n_sets = sets + b_hs
-        ordr = np.argsort(n_ids, kind="stable")
-        off = np.zeros(len(ordr) + 1, dtype=np.int64)
-        szs = np.asarray([s.size for s in n_sets], dtype=np.int64)
-        off[1:] = np.cumsum(szs[ordr])
-        flat = (np.concatenate([n_sets[i] for i in ordr])
-                if len(ordr) else np.empty(0, dtype=np.int32))
-        a_ck = np.concatenate(
-            [e_ck] + [np.asarray(c, dtype=np.int64) for c in b_cks])
-        a_doc = np.concatenate(
-            [e_doc] + [np.full(len(b_cks[r]), b_ids[r], dtype=np.int64)
-                       for r in range(len(b_ids))])
-        eord = np.argsort(a_ck, kind="stable")
-        state.update((
-            n_ids[ordr].astype("<i8").tobytes(),
-            n_ts[ordr].astype("<i8").tobytes(),
-            off.astype("<i8").tobytes(),
-            flat.astype("<i4").tobytes(),
-            a_ck[eord].astype("<i8").tobytes(),
-            a_doc[eord].astype("<i8").tobytes(),
-        ))
-        newest_ms = int(n_ts.max()) // 1000
-        state.setTimeoutTimestamp(newest_ms + d_us // 1000 + 1)
+        # fold the batch (sentinel rows excluded) into the two tables
+        kp = np.flatnonzero(~sent)
+        n_ids = np.concatenate([d_id, b_ids[kp]])
+        n_ts = np.concatenate([d_ts, b_us[kp]])
+        n_sets = sets + [b_hs[i] for i in kp]
+        if not len(n_ids):
+            if state.exists:
+                state.remove()
+            # nothing carried: no timeout either
+        else:
+            ordr = np.argsort(n_ids, kind="stable")
+            off = np.zeros(len(ordr) + 1, dtype=np.int64)
+            szs = np.asarray([s.size for s in n_sets], dtype=np.int64)
+            off[1:] = np.cumsum(szs[ordr])
+            flat = (np.concatenate([n_sets[i] for i in ordr])
+                    if len(ordr) else np.empty(0, dtype=np.int32))
+            a_ck = np.concatenate(
+                [e_ck] + [np.asarray(b_cks[i], dtype=np.int64)
+                          for i in kp])
+            a_doc = np.concatenate(
+                [e_doc] + [np.full(len(b_cks[i]), b_ids[i],
+                                   dtype=np.int64) for i in kp])
+            eord = np.argsort(a_ck, kind="stable")
+            state.update((
+                n_ids[ordr].astype("<i8").tobytes(),
+                n_ts[ordr].astype("<i8").tobytes(),
+                off.astype("<i8").tobytes(),
+                flat.astype("<i4").tobytes(),
+                a_ck[eord].astype("<i8").tobytes(),
+                a_doc[eord].astype("<i8").tobytes(),
+            ))
+            newest_ms = int(n_ts.max()) // 1000
+            state.setTimeoutTimestamp(newest_ms + d_us // 1000 + 1)
 
         yield pd.DataFrame({
             id_col: np.asarray(out_id, dtype=np.int64),
@@ -344,7 +367,6 @@ def streaming_near_dedup(
             "dup_of": pd.array(out_dup, dtype="Int64"),
         })
 
-    dec = banded.groupBy("_blk").applyInPandasWithState(
+    return banded.groupBy("_blk").applyInPandasWithState(
         _fn, out_schema, state_schema, "append",
         GroupStateTimeout.EventTimeTimeout)
-    return dec.unionByName(empty)
