@@ -1135,3 +1135,43 @@ def test_image_dims_and_probed_meta(spark):
     m0 = {r["doc_id"]: r["data_meta"] for r in
           mm.with_image_meta(df, "data").collect()}
     assert m0[0]["width"] is None and m0[0]["mime"].startswith("application")
+
+
+def test_gopher_quality_flags_rules(spark):
+    """Each Gopher rule must fire on a crafted violator and pass on
+    clean prose; `keep` is the conjunction."""
+    from pyspark.sql import functions as F
+
+    from xclim_spark.llm.text import gopher_quality_flags
+
+    prose = ("the quick brown fox jumps over the lazy dog and runs to "
+             "the river that flows past the old mill with water and "
+             "stones and birds that have nests near the bank of the "
+             "stream where children play every sunny afternoon in "
+             "summer holidays together happily ") * 2
+    rows = [
+        (0, prose),                                     # clean: keep
+        (1, "too short to have fifty words"),           # word count
+        (2, " ".join(["a"] * 60)),                       # mean word len < 3
+        (3, prose + " " + "#" * 1 + " #" * 30),          # symbol ratio
+        (4, "\n".join(["- bullet item " + str(i) for i in range(10)])
+            + "\n" + prose),                             # bullets (10/11 > 0.9? 10 of 11 lines)
+        (5, "\n".join([prose] + ["trailing words..."] * 9)),  # ellipsis
+        (6, prose + " " + " ".join(["1234"] * 80)),      # alpha word frac
+        (7, " ".join(["lorem", "ipsum", "dolor", "sit", "amet"] * 15)),
+        (8, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    flags = gopher_quality_flags(F.col("text"))
+    got = {r["doc_id"]: r for r in docs.select(
+        "doc_id", *[c.alias(k) for k, c in flags.items()]).collect()}
+    assert got[0]["keep"] is True
+    assert got[1]["keep"] is False and got[1]["n_words"] < 50
+    assert got[2]["keep"] is False and got[2]["mean_word_len"] < 3.0
+    assert got[3]["keep"] is False and got[3]["symbol_ratio"] > 0.1
+    assert got[4]["keep"] is False and got[4]["bullet_line_frac"] > 0.9
+    assert got[5]["keep"] is False and got[5]["ellipsis_line_frac"] > 0.3
+    assert got[6]["keep"] is False and got[6]["alpha_word_frac"] < 0.8
+    # doc 7: no required function words at all
+    assert got[7]["required_hits"] == 0 and got[7]["keep"] is False
+    assert got[8]["keep"] is None

@@ -21,6 +21,8 @@ __all__ = [
     "mean_word_length",
     "stopword_ratio",
     "quality_score",
+    "gopher_quality_flags",
+    "GOPHER_REQUIRED_WORDS",
     "language_id",
     "winnowing_fingerprints",
     "pii_counts",
@@ -113,6 +115,83 @@ def quality_score(text) -> Column:
     # alpha weighted double: symbol soup must not ride a perfect TTR past
     # repetitive-but-textual content
     return (len_ok + wl_ok + ttr + 2.0 * alpha) / 5.0
+
+
+GOPHER_REQUIRED_WORDS = ["the", "be", "to", "of", "and", "that",
+                         "have", "with"]
+
+
+def gopher_quality_flags(
+    text, *,
+    min_words: int = 50, max_words: int = 100_000,
+    min_mean_word_len: float = 3.0, max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_required_hits: int = 2,
+) -> dict[str, Column]:
+    """The Gopher document-quality rules (Rae et al. 2021, *Scaling
+    Language Models: Methods, Analysis & Insights from Training
+    Gopher*, Appendix A) as pure Column expressions — the standard
+    pre-training corpus filter, each rule a named column plus the
+    conjunction ``keep``:
+
+    * word count in [``min_words``, ``max_words``];
+    * mean word length in [3, 10];
+    * symbol-to-word ratio (``#`` or ellipsis) <= 0.1;
+    * <= 90% of lines start with a bullet, <= 30% end with an
+      ellipsis;
+    * >= 80% of words contain at least one alphabetic character;
+    * at least 2 of the 8 required English function words appear.
+
+    Engine-portable patterns (no lookaround, ASCII classes where
+    possible) so a SQL oracle restates every rule; per-line and
+    per-word work uses higher-order functions — per ROW, bounded by
+    document size, not the per-element-x-millions shape that needs
+    Arrow.  Returns ``{name: Column}``; splat into ``select``.
+    """
+    toks = whitespace_tokens(text)
+    n = F.size(toks)
+    nd = n.cast("double")
+    mwl = (F.aggregate(toks, F.lit(0),
+                       lambda a, w: a + F.length(w)).cast("double")
+           / nd)
+    sym = F.regexp_count(text, F.lit(r"#|\.\.\.|…")).cast("double") / nd
+    lines = F.split(text, "\n")
+    nlines = F.size(lines).cast("double")
+    bullet = (F.size(F.filter(
+        lines, lambda ln: ln.rlike(r"^\s*[-*•‣▪]"))).cast("double")
+        / nlines)
+    ellip = (F.size(F.filter(
+        lines, lambda ln: ln.rlike(r"(\.\.\.|…)\s*$"))).cast("double")
+        / nlines)
+    alpha_w = (F.size(F.filter(
+        toks, lambda w: w.rlike("[A-Za-z]"))).cast("double") / nd)
+    low = F.lower(text)
+    hits = None
+    for w in GOPHER_REQUIRED_WORDS:
+        h = low.rlike(rf"(^|\s){w}(\s|$)").cast("int")
+        hits = h if hits is None else hits + h
+    keep = (
+        (n >= min_words) & (n <= max_words)
+        & (mwl >= min_mean_word_len) & (mwl <= max_mean_word_len)
+        & (sym <= max_symbol_ratio)
+        & (bullet <= max_bullet_line_frac)
+        & (ellip <= max_ellipsis_line_frac)
+        & (alpha_w >= min_alpha_word_frac)
+        & (hits >= min_required_hits)
+    )
+    return {
+        "n_words": n.cast("long"),
+        "mean_word_len": mwl,
+        "symbol_ratio": sym,
+        "bullet_line_frac": bullet,
+        "ellipsis_line_frac": ellip,
+        "alpha_word_frac": alpha_w,
+        "required_hits": hits.cast("int"),
+        "keep": keep,
+    }
 
 
 def language_id(text) -> Column:

@@ -4517,6 +4517,103 @@ def text_pii_scrub(spark, sf_dir):
 
 
 @_register(
+    "text_gopher_flags",
+    """WITH d0 AS (
+  SELECT doc_id, text ||
+    CASE WHEN doc_id % 7 = 0
+      THEN chr(10) || '- bullet one' || chr(10) || '- bullet two'
+           || chr(10) || 'end...'
+      ELSE '' END ||
+    CASE WHEN doc_id % 11 = 0 THEN ' ### ... ###' ELSE '' END AS t
+  FROM documents
+),
+m AS (
+  SELECT doc_id, t,
+         string_split_regex(trim(t), '\\s+') AS words,
+         string_split(t, chr(10)) AS lines
+  FROM d0
+),
+x AS (
+  SELECT doc_id,
+    len(words) AS n_words,
+    CAST(list_sum([len(w) FOR w IN words]) AS DOUBLE)
+      / len(words) AS mwl,
+    CAST(len(regexp_extract_all(t, '#|\\.\\.\\.|…')) AS DOUBLE)
+      / len(words) AS sym,
+    CAST(len([l FOR l IN lines
+              IF regexp_matches(l, '^\\s*[-*•‣▪]')]) AS DOUBLE)
+      / len(lines) AS bullet,
+    CAST(len([l FOR l IN lines
+              IF regexp_matches(l, '(\\.\\.\\.|…)\\s*$')]) AS DOUBLE)
+      / len(lines) AS ellip,
+    CAST(len([w FOR w IN words
+              IF regexp_matches(w, '[A-Za-z]')]) AS DOUBLE)
+      / len(words) AS alphaw,
+    (CASE WHEN regexp_matches(lower(t), '(^|\\s)the(\\s|$)')
+          THEN 1 ELSE 0 END
+     + CASE WHEN regexp_matches(lower(t), '(^|\\s)be(\\s|$)')
+            THEN 1 ELSE 0 END
+     + CASE WHEN regexp_matches(lower(t), '(^|\\s)to(\\s|$)')
+            THEN 1 ELSE 0 END
+     + CASE WHEN regexp_matches(lower(t), '(^|\\s)of(\\s|$)')
+            THEN 1 ELSE 0 END
+     + CASE WHEN regexp_matches(lower(t), '(^|\\s)and(\\s|$)')
+            THEN 1 ELSE 0 END
+     + CASE WHEN regexp_matches(lower(t), '(^|\\s)that(\\s|$)')
+            THEN 1 ELSE 0 END
+     + CASE WHEN regexp_matches(lower(t), '(^|\\s)have(\\s|$)')
+            THEN 1 ELSE 0 END
+     + CASE WHEN regexp_matches(lower(t), '(^|\\s)with(\\s|$)')
+            THEN 1 ELSE 0 END) AS hits
+  FROM m
+)
+SELECT doc_id,
+  CAST(n_words AS BIGINT) AS n_words,
+  ROUND(mwl, 6) AS mean_word_len,
+  ROUND(sym, 6) AS symbol_ratio,
+  ROUND(bullet, 6) AS bullet_line_frac,
+  ROUND(ellip, 6) AS ellipsis_line_frac,
+  ROUND(alphaw, 6) AS alpha_word_frac,
+  CAST(hits AS INT) AS required_hits,
+  (n_words BETWEEN 50 AND 100000 AND mwl BETWEEN 3.0 AND 10.0
+   AND sym <= 0.1 AND bullet <= 0.9 AND ellip <= 0.3
+   AND alphaw >= 0.8 AND hits >= 2) AS keep
+FROM x""",
+)
+def text_gopher_flags(spark, sf_dir):
+    """Gopher document-quality rules (Rae et al. 2021 Appendix A;
+    llm/text.py gopher_quality_flags) over the documents table — the
+    standard pre-training corpus filter as named per-rule columns plus
+    the keep conjunction.  The synthetic corpus has no line structure
+    or symbols, so every 7th doc gets bullet/ellipsis lines and every
+    11th a symbol run appended identically in both engines; the DuckDB
+    oracle restates all seven rules (word count, mean word length,
+    symbol ratio, bullet/ellipsis line fractions, alphabetic-word
+    fraction, required function words)."""
+    from .llm import text as tx
+
+    d = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    t = F.concat(
+        F.col("text"),
+        F.when(did % 7 == 0,
+               F.lit("\n- bullet one\n- bullet two\nend...")
+               ).otherwise(""),
+        F.when(did % 11 == 0, F.lit(" ### ... ###")).otherwise(""),
+    )
+    flags = tx.gopher_quality_flags(F.col("t"))
+    rounded = {
+        k: (F.round(c, 6) if k in ("mean_word_len", "symbol_ratio",
+                                   "bullet_line_frac",
+                                   "ellipsis_line_frac",
+                                   "alpha_word_frac") else c)
+        for k, c in flags.items()
+    }
+    return d.select("doc_id", t.alias("t")).select(
+        "doc_id", *[c.alias(k) for k, c in rounded.items()])
+
+
+@_register(
     "knn_ivf_trained_docs",
     """WITH e AS (
   SELECT vec_id,
@@ -7306,6 +7403,7 @@ _PRIORITY = [
     # -- additions with no driver row yet (the ordering rule
     #    requires these inside the sampled head) --
     "dedup_span_removal", "mm_image_dims", "stream_dedup_fuzzy",
+    "text_gopher_flags",
     # -- newest driver-green row: round 8 --
     "hourly_tas_mean_ms", "missing_any_hourly_ms", "ind_cold_dry_days_ys",
     "ind_warm_wet_days_ys", "anuclim_bio10_ys", "conv_humidex_ms",
