@@ -5534,6 +5534,52 @@ def zarr_ingest_ms(spark, sf_dir):
 
 
 @_register(
+    "zarr_consolidated_ingest_ms",
+    f"""WITH {DAILY_SQL}
+SELECT cell, CAST(date_trunc('month', day) AS DATE) AS period,
+       ROUND(avg(qty), 6) AS tg_mean
+FROM daily GROUP BY 1, 2""",
+)
+def zarr_consolidated_ingest_ms(spark, sf_dir):
+    """Zarr v2 ingest through CONSOLIDATED metadata (io/zarr.py
+    consolidate_metadata + the .zmetadata-first lookup path — the
+    layout object-store deployments write so a reader fetches ONE JSON
+    key instead of a .zarray/.zattrs round trip per array): the
+    zarr_ingest_ms store is copied, consolidated, and every per-array
+    metadata file DELETED, so the read can only succeed through the
+    root document; the same monthly reduction hash-matches the same
+    parquet oracle."""
+    import hashlib
+    import os
+    import shutil
+
+    from .io.zarr import consolidate_metadata, read_zarr
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    store = f"/tmp/xclim_spark_zarr_{tag}"
+    if not os.path.exists(os.path.join(store, "qty", ".zarray")):
+        QUERIES["zarr_ingest_ms"](spark, sf_dir)  # stages the base
+    cstore = f"/tmp/xclim_spark_zarrc_{tag}"
+    done = os.path.join(cstore, "_done")
+    if not os.path.exists(done):
+        shutil.rmtree(cstore, ignore_errors=True)
+        shutil.copytree(store, cstore)
+        consolidate_metadata(cstore)
+        for root, _dirs, files in os.walk(cstore):
+            for fn in files:
+                if fn in (".zarray", ".zattrs", ".zgroup"):
+                    os.remove(os.path.join(root, fn))
+        open(done, "w").close()
+    # dims come from _ARRAY_DIMENSIONS via .zmetadata — exercising the
+    # consolidated attribute lookup, not just the array meta
+    df = read_zarr(spark, cstore, ["qty"],
+                   time_units_epoch="1970-01-01")
+    return df.filter(F.col("qty").isNotNull()).groupBy(
+        "cell", period_start("time", "MS").alias("period")
+    ).agg(F.round(F.avg("qty"), 6).alias("tg_mean"))
+
+
+@_register(
     "zarr3_ingest_ms",
     f"""WITH {DAILY_SQL}
 SELECT cell, CAST(date_trunc('month', day) AS DATE) AS period,
@@ -7403,7 +7449,7 @@ _PRIORITY = [
     # -- additions with no driver row yet (the ordering rule
     #    requires these inside the sampled head) --
     "dedup_span_removal", "mm_image_dims", "stream_dedup_fuzzy",
-    "text_gopher_flags",
+    "text_gopher_flags", "zarr_consolidated_ingest_ms",
     # -- newest driver-green row: round 8 --
     "hourly_tas_mean_ms", "missing_any_hourly_ms", "ind_cold_dry_days_ys",
     "ind_warm_wet_days_ys", "anuclim_bio10_ys", "conv_humidex_ms",
