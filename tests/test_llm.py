@@ -1101,6 +1101,9 @@ def test_parse_image_header_roundtrip():
     assert parse_image_header(b"\x89PNG\r\n\x1a\n\0\0") is None
     assert parse_image_header(b"\xff\xd8\xff\xe0\x00") is None
     assert parse_image_header(None) is None
+    # 'BM' text is NOT a bitmap: reserved words + header size gate it
+    assert parse_image_header(
+        b"BMW dealers reported record sales this quarter again") is None
 
 
 def test_image_dims_and_probed_meta(spark):

@@ -896,3 +896,52 @@ def test_streaming_near_dedup_bucket_guard(spark, tmp_path):
         q = (out.writeStream.format("memory").queryName("nd3")
              .outputMode("append").trigger(availableNow=True).start())
         q.awaitTermination(120)
+
+
+def test_streaming_near_dedup_num_blocks_checkpoint_guard(
+        spark, tmp_path):
+    """Band buckets map to state blocks by hash % num_blocks: resuming
+    a checkpoint under a different block count must fail loudly (state
+    records its writer's num_blocks) instead of silently re-admitting
+    in-window duplicates; the same-count restart still works."""
+    import pandas as _pd
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from xclim_spark.streaming import streaming_near_dedup
+
+    words = [f"tok{i}" for i in range(30)]
+    t0 = dt.datetime(2024, 6, 1)
+    p = tmp_path / "in"
+    p.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    schema = "doc_id LONG, ts TIMESTAMP, text STRING"
+
+    def _write(name, ids):
+        _pd.DataFrame(
+            [(i, t0 + dt.timedelta(minutes=i),
+              " ".join(words[(i % 3):] + words[:(i % 3)]))
+             for i in ids],
+            columns=["doc_id", "ts", "text"],
+        ).to_parquet(str(p / name), coerce_timestamps="us",
+                     allow_truncated_timestamps=True)
+
+    def _run(nb):
+        sdf = spark.readStream.schema(schema).parquet(str(p))
+        out = streaming_near_dedup(sdf, delay="30 days",
+                                   num_blocks=nb)
+        q = (out.writeStream.format("parquet")
+             .option("path", sink)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    _write("a.parquet", range(4))
+    _run(4)
+    _write("b.parquet", range(10, 14))
+    with pytest.raises(StreamingQueryException,
+                       match="num_blocks changed"):
+        _run(6)
+    _write("c.parquet", range(20, 22))
+    _run(4)  # documented-safe restart

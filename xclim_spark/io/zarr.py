@@ -683,6 +683,11 @@ def consolidate_metadata(store: str) -> dict:
     doc = {"zarr_consolidated_format": 1, "metadata": meta}
     with open(os.path.join(store, ".zmetadata"), "w") as f:
         json.dump(doc, f)
+    # drop this store's memo entries: on coarse-mtime filesystems a
+    # same-tick re-consolidation would otherwise serve the stale map
+    _consolidated_load._memo = {
+        k: v for k, v in _consolidated_load._memo.items()
+        if k[0] != store}
     return meta
 
 

@@ -16,6 +16,8 @@ No all-pairs cross join exists anywhere in this module.
 
 from __future__ import annotations
 
+import re as _re
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
@@ -43,6 +45,17 @@ __all__ = [
 ]
 
 _MERSENNE31 = 2147483647  # 2^31 - 1, prime modulus for universal hashing
+
+_ASCII_WS = _re.compile(r"[ \t\n\r\f\x0b]+")
+
+
+def _ws_tokens(t: str) -> list[str]:
+    """ASCII-whitespace tokenization matching Java/RE2 ``\\s+`` (the
+    engines behind ``F.split`` and DuckDB ``string_split_regex``)
+    EXACTLY.  Python ``str.split()`` also breaks on Unicode whitespace
+    (U+00A0, U+2028, ...), which would shift token indices and shingle
+    sets against the SQL oracles on non-ASCII-whitespace corpora."""
+    return [w for w in _ASCII_WS.split(t) if w]
 
 
 def exact_duplicates(
@@ -218,7 +231,7 @@ def rolling_word_gram_hashes(
                  dtype=np.int64)
 
     def _doc(t):
-        words = t.split()
+        words = _ws_tokens(t)
         if len(words) < n:
             return None
         blob = " ".join(words).encode("utf-8", "surrogatepass")
@@ -707,7 +720,7 @@ def duplicate_spans(
             for d, t in zip(pdf[id_col], pdf[text_col]):
                 if t is None:  # null text carries no grams
                     continue
-                w = t.strip().split()
+                w = _ws_tokens(t)
                 if len(w) < n:
                     continue
                 for i in range(len(w) - n + 1):
@@ -789,7 +802,7 @@ def remove_duplicate_spans(
                 texts.append(t)
                 removed.append(0)
                 continue
-            w = t.strip().split()
+            w = _ws_tokens(t)
             keep = np.ones(len(w), dtype=bool)
             for s in sp:
                 keep[int(s["span_start"]):int(s["span_end"]) + 1] = False
@@ -822,8 +835,11 @@ def _guard_cluster_skew(
     """
     from pyspark.sql.functions import pandas_udf
 
-    sizes = (asg.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
-             .filter(F.col("n") > max_cluster_size).collect())
+    # ONE driver-bounded collect (cluster cardinality <= n_centroids)
+    # serves the oversize check AND the fresh-id allocation below
+    all_sizes = (asg.groupBy("cluster")
+                 .agg(F.count(F.lit(1)).alias("n")).collect())
+    sizes = [r for r in all_sizes if r["n"] > max_cluster_size]
     if not sizes:
         return asg
     desc = ", ".join(
@@ -835,15 +851,19 @@ def _guard_cluster_skew(
             f"max_cluster_size={max_cluster_size}: {desc}. Train more "
             "centroids, pass on_oversize='split', or raise the bound.")
 
-    next_id = asg.agg(F.max("cluster")).collect()[0][0] + 1
+    next_id = max(int(r["cluster"]) for r in all_sizes) + 1
     target = max(max_cluster_size // 2, 1)
     books: dict[int, tuple[np.ndarray, np.ndarray]] = {}
     for r in sizes:
         cid, cnt = int(r["cluster"]), int(r["n"])
         k = max(2, -(-cnt // target))
+        # init="spread": an oversized cluster's lowest ids are often
+        # near-duplicates (the adjacent-id degenerate the spread init
+        # exists for); first-k seeding here could merge genuinely
+        # separable blobs and misdiagnose them as unsplittable
         sub_c = kmeans_fit(
             asg.filter(F.col("cluster") == F.lit(cid)),
-            k, iters=5, id_col="id", vec_col="_v")
+            k, iters=5, id_col="id", vec_col="_v", init="spread")
         books[cid] = (
             np.arange(next_id, next_id + k, dtype=np.int64), sub_c)
         next_id += k

@@ -152,8 +152,16 @@ def parse_image_header(b) -> tuple[str, int, int] | None:
         w, h = struct.unpack("<HH", b[6:10])
         return ("gif", w, h)
     if b[:2] == b"BM" and len(b) >= 26:
+        # 'BM' alone is weak (any text starting "BMW..." matches):
+        # require zeroed reserved words and a known BITMAPINFOHEADER
+        # size before trusting the dimensions
+        hdr = struct.unpack("<I", b[14:18])[0]
         w, h = struct.unpack("<ii", b[18:26])
-        return ("bmp", w, abs(h))  # negative height = top-down rows
+        if (b[6:10] == b"\x00\x00\x00\x00"
+                and hdr in (40, 52, 56, 64, 108, 124)
+                and w > 0 and h != 0):
+            return ("bmp", w, abs(h))  # negative height = top-down
+        return None
     if b[:2] == b"\xff\xd8":
         # JPEG: walk the marker segments to the first SOFn frame header
         i = 2

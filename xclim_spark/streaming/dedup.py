@@ -125,7 +125,7 @@ def streaming_near_dedup(
     than ``shingle_n`` words carry no shingles and pass through as kept
     (``band = -1``).
     """
-    from ..llm.dedup import _MERSENNE31, _perm_coeffs
+    from ..llm.dedup import _MERSENNE31, _perm_coeffs, _ws_tokens
 
     if num_perm % bands:
         raise ValueError(
@@ -151,7 +151,7 @@ def streaming_near_dedup(
             ids, tss, shs, cks, blks = [], [], [], [], []
             for i, ts, t in zip(pdf[id_col], pdf[time],
                                 pdf[text_col]):
-                w = t.split() if t is not None else []
+                w = _ws_tokens(t) if t is not None else []
                 if len(w) < shingle_n:
                     # shingle-less docs (null text / < n words) ride
                     # the SAME stateful path under the sentinel key
@@ -221,11 +221,28 @@ def streaming_near_dedup(
     # stored ONCE per block, d_id-sorted) and an ENTRY table
     # (composite bucket key -> doc id, e_ck-sorted for searchsorted)
     state_schema = ("d_id BINARY, d_ts BINARY, d_off BINARY, "
-                    "d_hs BINARY, e_ck BINARY, e_doc BINARY")
+                    "d_hs BINARY, e_ck BINARY, e_doc BINARY, nb INT")
+
+    def _nb_guard(snb):
+        # same contract as streaming_spell_events/streaming_cffwis:
+        # state is keyed by blk = hash(ck) % num_blocks, so a restart
+        # under a different block count would probe blocks that do not
+        # hold the carried entries and silently re-admit in-window
+        # duplicates — raise instead
+        if int(snb) != int(num_blocks):
+            raise ValueError(
+                "streaming_near_dedup: num_blocks changed across a "
+                f"checkpoint restart (state written with {int(snb)}, "
+                f"query configured with {int(num_blocks)}) — band "
+                "buckets would silently remap to blocks that do not "
+                "carry their state; keep num_blocks fixed for the "
+                "life of a checkpoint")
 
     def _fn(key, pdfs, state: GroupState):
         if state.hasTimedOut:
-            # every doc is older than (newest + delay) < watermark
+            # every doc is older than (newest + delay) < watermark;
+            # still refuse to act on a mis-keyed store
+            _nb_guard(state.get[6])
             state.remove()
             return
         batch = [p for p in pdfs if len(p)]
@@ -237,6 +254,7 @@ def streaming_near_dedup(
         # carried doc + entry tables, pruned behind the watermark
         if state.exists:
             bufs = state.get
+            _nb_guard(bufs[6])
             d_id = np.frombuffer(bufs[0], dtype="<i8")
             d_ts = np.frombuffer(bufs[1], dtype="<i8")
             d_off = np.frombuffer(bufs[2], dtype="<i8")
@@ -355,6 +373,7 @@ def streaming_near_dedup(
                 flat.astype("<i4").tobytes(),
                 a_ck[eord].astype("<i8").tobytes(),
                 a_doc[eord].astype("<i8").tobytes(),
+                int(num_blocks),
             ))
             newest_ms = int(n_ts.max()) // 1000
             state.setTimeoutTimestamp(newest_ms + d_us // 1000 + 1)
