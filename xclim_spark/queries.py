@@ -7446,26 +7446,7 @@ def nc3_subdaily_ingest(spark, sf_dir):
 # list each round), then queries whose last driver-green row is oldest.
 # Regenerate each round with tools/rotate_priority.py — do not hand-edit.
 _PRIORITY = [
-    # -- additions with no driver row yet (the ordering rule
-    #    requires these inside the sampled head) --
-    "dedup_span_removal", "mm_image_dims", "stream_dedup_fuzzy",
-    "text_gopher_flags", "zarr_consolidated_ingest_ms",
-    # -- newest driver-green row: round 8 --
-    "hourly_tas_mean_ms", "missing_any_hourly_ms", "ind_cold_dry_days_ys",
-    "ind_warm_wet_days_ys", "anuclim_bio10_ys", "conv_humidex_ms",
-    "conv_utci_ms", "conv_windchill_ms", "conv_snowfrac_ys", "dedup_exact",
-    "hydro_bfi_ys", "hydro_rbi_ys", "ind_etr_ms", "ind_gsl_ys",
-    "ind_precip_acc_qs",
     # -- newest driver-green row: round 9 --
-    "fwi_max_ys", "spi_ms", "spei_ms", "ffdi_max_ys", "fwi_season_ys",
-    "knn_similar_docs", "knn_lsh_docs", "knn_ivf_docs", "dedup_fuzzy",
-    "dedup_simhash", "dedup_ngram", "dedup_embed", "sdba_loci_adjust_ms",
-    "sdba_qdm_adjust_ms", "sdba_dqm_adjust_ms", "sdba_eqm_adjust_ms",
-    "decontam_docs", "mixture_sample_src", "tree_tx_days_above",
-    "level_crossings_ms", "winter_rain_ratio_qs", "fire_components_ms",
-    "occurrence_doy_ys", "qian_smooth_ms", "solar_correction_ms",
-    "text_repetition_stats", "stream_dedup_exact", "pack_sequences_src",
-    "fire_season_days_ys", "stream_tx_days_above_30d",
     "ens_weighted_percentiles_ms", "ens_stats_ms", "ens_percentiles_ms",
     "fa_gumbel_rp", "text_quality_by_source", "detrend_resid_std",
     "cal360_monthly_mean", "dataflags_summary", "mm_decode_stats",
@@ -7507,6 +7488,22 @@ _PRIORITY = [
     "last_spell_end_before_jul", "daily_events_bnds_qs",
     "ens_filters_pipeline", "zarr3_ingest_ms", "stream_user_sessions",
     "stream_p90_days_over", "nc3_ingest_ms",
+    # -- newest driver-green row: round 12 --
+    "dedup_span_removal", "mm_image_dims", "stream_dedup_fuzzy",
+    "text_gopher_flags", "zarr_consolidated_ingest_ms", "hourly_tas_mean_ms",
+    "missing_any_hourly_ms", "ind_cold_dry_days_ys", "ind_warm_wet_days_ys",
+    "anuclim_bio10_ys", "conv_humidex_ms", "conv_utci_ms",
+    "conv_windchill_ms", "conv_snowfrac_ys", "dedup_exact", "hydro_bfi_ys",
+    "hydro_rbi_ys", "ind_etr_ms", "ind_gsl_ys", "ind_precip_acc_qs",
+    "fwi_max_ys", "spi_ms", "spei_ms", "ffdi_max_ys", "fwi_season_ys",
+    "knn_similar_docs", "knn_lsh_docs", "knn_ivf_docs", "dedup_fuzzy",
+    "dedup_simhash", "dedup_ngram", "dedup_embed", "sdba_loci_adjust_ms",
+    "sdba_qdm_adjust_ms", "sdba_dqm_adjust_ms", "sdba_eqm_adjust_ms",
+    "decontam_docs", "mixture_sample_src", "tree_tx_days_above",
+    "level_crossings_ms", "winter_rain_ratio_qs", "fire_components_ms",
+    "occurrence_doy_ys", "qian_smooth_ms", "solar_correction_ms",
+    "text_repetition_stats", "stream_dedup_exact", "pack_sequences_src",
+    "fire_season_days_ys", "stream_tx_days_above_30d",
 ]
 
 
