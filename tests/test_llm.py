@@ -913,18 +913,25 @@ def test_semantic_dedup_skew_guard_splits(spark):
 
 def test_semantic_dedup_split_unsplittable_raises(spark):
     """All-identical vectors defeat every codebook: split must raise
-    rather than loop or silently hand back the oversized cluster."""
+    rather than loop or silently hand back the oversized cluster —
+    and the farthest-first init names the distinct-point shortfall
+    up front instead of emitting duplicate centroids that only fail
+    later as a generic 'could not reduce'."""
     import pytest as _pt
 
     import xclim_spark.llm.dedup as dd
+    from xclim_spark.llm.similarity import _spread_init
 
     emb = spark.createDataFrame(
         [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(30)],
         "vec_id LONG, embedding ARRAY<DOUBLE>")
     cents = emb.filter("vec_id = 0")
-    with _pt.raises(ValueError, match="could not reduce"):
+    with _pt.raises(ValueError, match="distinct points"):
         dd.semantic_dedup(emb, cents, max_cluster_size=10,
                           on_oversize="split")
+    with _pt.raises(ValueError,
+                    match=r"1 distinct of 30 sampled"):
+        _spread_init(emb, 6, "vec_id", "embedding", 64)
 
 
 def _three_blobs(rng, mus=None):
@@ -1178,3 +1185,34 @@ def test_gopher_quality_flags_rules(spark):
     # doc 7: no required function words at all
     assert got[7]["required_hits"] == 0 and got[7]["keep"] is False
     assert got[8]["keep"] is None
+
+
+def test_gopher_quality_flags_leading_whitespace(spark):
+    """Text starting with a tab/newline must not grow a phantom empty
+    token (F.trim strips only ASCII spaces): word stats and required
+    hits match the space-led twin exactly."""
+    from pyspark.sql import functions as F
+
+    from xclim_spark.llm.text import gopher_quality_flags
+
+    prose = ("the quick brown fox jumps over the lazy dog and runs to "
+             "the river that flows past the old mill with water and "
+             "stones and birds that have nests near the bank of the "
+             "stream where children play every sunny afternoon") * 2
+    docs = spark.createDataFrame(
+        [(0, prose), (1, "\t" + prose), (2, "\n" + prose + "\n")],
+        "doc_id LONG, text STRING")
+    flags = gopher_quality_flags(F.col("text"))
+    got = {r["doc_id"]: r for r in docs.select(
+        "doc_id", *[c.alias(k) for k, c in flags.items()]).collect()}
+    for k in ("n_words", "mean_word_len", "alpha_word_frac",
+              "required_hits", "keep"):
+        assert got[1][k] == got[0][k], k
+        assert got[2][k] == got[0][k], k
+    # required-word detection is token-exact: punctuation-glued
+    # occurrences ('the,') do not count, capitalized bare ones do
+    glued = " ".join(["word"] * 60) + " the, of. The WITH"
+    g = spark.createDataFrame([(0, glued)], "doc_id LONG, text STRING")
+    hits = g.select(gopher_quality_flags(F.col("text"))
+                    ["required_hits"].alias("h")).first()["h"]
+    assert hits == 2  # 'The' + 'WITH'; 'the,'/'of.' excluded

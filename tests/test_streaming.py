@@ -874,6 +874,58 @@ def test_streaming_near_dedup_eviction_and_reemit(spark, tmp_path):
     assert got[3] == (True, None)
 
 
+def test_streaming_near_dedup_non_utc_session_tz(spark, tmp_path):
+    """Watermark math must hold under a NON-UTC session timezone: Arrow
+    hands the state function tz-naive session-local timestamps while
+    getCurrentWatermarkMs() is true UTC epoch millis.  Before the fix a
+    UTC-8 session evicted state 8 h early, re-emitting an in-window
+    near-duplicate as kept.  Scenario: delay=1 day; filler advances the
+    watermark to exemplar + 18 h (inside the window, but OUTSIDE it
+    under an 8 h-early eviction)."""
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    filler = ("totally unrelated filler document advancing the "
+              "watermark with plenty of distinct words inside it")
+    t0 = dt.datetime(2024, 3, 1)
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone",
+                       "America/Los_Angeles")
+        for name, rows in [
+            ("b1", [(0, t0, base)]),
+            ("b2", [(1, t0 + dt.timedelta(hours=42), filler)]),
+            ("b3", [(2, t0 + dt.timedelta(hours=42, minutes=1),
+                     base + " tail")]),
+        ]:
+            spark.createDataFrame(
+                rows, "doc_id LONG, ts TIMESTAMP, text STRING") \
+                .coalesce(1).write.mode("overwrite") \
+                .parquet(str(tmp_path / "in" / f"{name}.parquet"))
+
+        from xclim_spark.streaming import streaming_near_dedup
+
+        sdf = (spark.readStream
+               .schema("doc_id LONG, ts TIMESTAMP, text STRING")
+               .option("maxFilesPerTrigger", 1)
+               .parquet(str(tmp_path / "in" / "b*.parquet")))
+        out = streaming_near_dedup(sdf, delay="1 day", threshold=0.6)
+        _run_to_memory(out, "nd_tz")
+        res = spark.sql("select * from nd_tz").collect()
+        got = _fold_near_dedup(res)
+        assert got[0] == (True, None)
+        assert got[1] == (True, None)
+        # watermark = t0+42h-24h = t0+18h < t0+24h: doc 0's state must
+        # still be live, so the clone is suppressed (the buggy naive
+        # epoch made it t0+16h+8h-shifted and evicted doc 0)
+        assert got[2] == (False, 0)
+        # emitted timestamps round-trip exactly (session-local wall)
+        ts2 = [r["ts"] for r in res if r["doc_id"] == 2]
+        assert ts2 and all(
+            t == t0 + dt.timedelta(hours=42, minutes=1) for t in ts2)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
 def test_streaming_near_dedup_bucket_guard(spark, tmp_path):
     """A degenerate band bucket must raise loudly, naming the bound."""
     base = ("one two three four five six seven eight nine ten eleven "

@@ -50,11 +50,14 @@ _ASCII_WS = _re.compile(r"[ \t\n\r\f\x0b]+")
 
 
 def _ws_tokens(t: str) -> list[str]:
-    """ASCII-whitespace tokenization matching Java/RE2 ``\\s+`` (the
-    engines behind ``F.split`` and DuckDB ``string_split_regex``)
-    EXACTLY.  Python ``str.split()`` also breaks on Unicode whitespace
-    (U+00A0, U+2028, ...), which would shift token indices and shingle
-    sets against the SQL oracles on non-ASCII-whitespace corpora."""
+    """ASCII-whitespace tokenization matching Java ``\\s+`` (the engine
+    behind ``F.split``) exactly.  RE2 (DuckDB ``string_split_regex``)
+    differs on one code point: Java's ``\\s`` includes U+000B (vertical
+    tab), RE2's does not — texts containing ``\\x0b`` tokenize
+    differently in the SQL oracles.  Python ``str.split()`` also breaks
+    on Unicode whitespace (U+00A0, U+2028, ...), which would shift
+    token indices and shingle sets against the SQL oracles on
+    non-ASCII-whitespace corpora."""
     return [w for w in _ASCII_WS.split(t) if w]
 
 
@@ -685,7 +688,7 @@ def duplicate_spans(
        (``transform`` + ``slice`` + ``concat_ws`` per gram) is
        interpreted per element and measured 8x slower at the sf1
        rehearsal (27 s vs 3.3 s for 2.4M grams); tokenization is
-       ``str.split()``, identical to ``split(trim(col), '\\s+')``;
+       ``_ws_tokens`` (ASCII ``\\s+``, matching ``F.split``);
     2. grams appearing in ``>= min_docs`` DISTINCT documents survive
        (one groupBy on the gram key — the only corpus shuffle);
     3. per document, consecutive duplicated gram positions merge into

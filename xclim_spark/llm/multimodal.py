@@ -63,7 +63,11 @@ def with_image_meta(
                 F.length(F.col(bin_col)).cast("bigint").alias("n_bytes"),
             ),
         )
+    # collision-free temp name: a user column named `_{bin_col}_dims`
+    # would otherwise be silently overwritten and dropped
     tmp = f"_{bin_col}_dims"
+    while tmp in df.columns:
+        tmp += "_x"
     d = F.col(tmp)
     # probe once into a temp column so the Arrow UDF runs a single
     # time per row, not once per referenced field

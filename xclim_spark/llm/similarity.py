@@ -319,6 +319,16 @@ def _spread_init(
     chosen = [0]  # samp is id-sorted: index 0 IS the minimum id
     d2 = ((X - X[0]) ** 2).sum(axis=1)
     for _ in range(1, k):
+        if d2.max() == 0.0:
+            # every remaining point coincides with a chosen centroid:
+            # argmax would keep returning index 0 and silently emit
+            # duplicate centroids (a degenerate sub-codebook whose
+            # failure surfaces later as a generic error) — name the
+            # actual distinct count instead
+            raise ValueError(
+                f"k={k} exceeds the number of distinct points in the "
+                f"init sample ({len(chosen)} distinct of {len(X)} "
+                "sampled); lower k or provide more varied data")
         nxt = int(np.argmax(d2))  # argmax first-max -> lowest id on tie
         chosen.append(nxt)
         d2 = np.minimum(d2, ((X - X[nxt]) ** 2).sum(axis=1))

@@ -4529,7 +4529,8 @@ def text_pii_scrub(spark, sf_dir):
 ),
 m AS (
   SELECT doc_id, t,
-         string_split_regex(trim(t), '\\s+') AS words,
+         [w FOR w IN string_split_regex(trim(t), '\\s+')
+          IF len(w) > 0] AS words,
          string_split(t, chr(10)) AS lines
   FROM d0
 ),
@@ -4549,22 +4550,9 @@ x AS (
     CAST(len([w FOR w IN words
               IF regexp_matches(w, '[A-Za-z]')]) AS DOUBLE)
       / len(words) AS alphaw,
-    (CASE WHEN regexp_matches(lower(t), '(^|\\s)the(\\s|$)')
-          THEN 1 ELSE 0 END
-     + CASE WHEN regexp_matches(lower(t), '(^|\\s)be(\\s|$)')
-            THEN 1 ELSE 0 END
-     + CASE WHEN regexp_matches(lower(t), '(^|\\s)to(\\s|$)')
-            THEN 1 ELSE 0 END
-     + CASE WHEN regexp_matches(lower(t), '(^|\\s)of(\\s|$)')
-            THEN 1 ELSE 0 END
-     + CASE WHEN regexp_matches(lower(t), '(^|\\s)and(\\s|$)')
-            THEN 1 ELSE 0 END
-     + CASE WHEN regexp_matches(lower(t), '(^|\\s)that(\\s|$)')
-            THEN 1 ELSE 0 END
-     + CASE WHEN regexp_matches(lower(t), '(^|\\s)have(\\s|$)')
-            THEN 1 ELSE 0 END
-     + CASE WHEN regexp_matches(lower(t), '(^|\\s)with(\\s|$)')
-            THEN 1 ELSE 0 END) AS hits
+    len(list_intersect(
+        [lower(w) FOR w IN words],
+        ['the','be','to','of','and','that','have','with'])) AS hits
   FROM m
 )
 SELECT doc_id,

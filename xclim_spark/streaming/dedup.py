@@ -137,6 +137,17 @@ def streaming_near_dedup(
         num_blocks = max(
             2 * sdf.sparkSession.sparkContext.defaultParallelism, 2)
 
+    # Arrow hands _fn tz-NAIVE timestamps rendered in the SESSION
+    # timezone, while getCurrentWatermarkMs()/setTimeoutTimestamp()
+    # speak true UTC epoch millis — with a non-UTC session the naive
+    # asi8 epoch is offset by the zone, evicting state early (west of
+    # UTC) or holding it past the documented delay (east).  Capture the
+    # session zone here (driver side) and localize in the worker so the
+    # two clocks agree; the output path converts back so emitted
+    # timestamps still round-trip exactly.
+    sess_tz = sdf.sparkSession.conf.get(
+        "spark.sql.session.timeZone") or "UTC"
+
     coeffs = _perm_coeffs(num_perm, seed)
     A = np.array([c[0] for c in coeffs], dtype=np.int64)
     B = np.array([c[1] for c in coeffs], dtype=np.int64)
@@ -276,7 +287,12 @@ def streaming_near_dedup(
             sets = []
 
         b_ids = pdf["_id"].to_numpy(dtype=np.int64)
-        b_us = pd.DatetimeIndex(pdf["_ts"]).asi8 // 1000
+        # true UTC epoch micros (asi8 of a tz-aware index is UTC);
+        # DST-ambiguous wall times raise rather than guess
+        b_idx = pd.DatetimeIndex(pdf["_ts"])
+        if b_idx.tz is None:
+            b_idx = b_idx.tz_localize(sess_tz)
+        b_us = b_idx.asi8 // 1000
         b_cks = list(pdf["_cks"])
         # _prep already emits sorted-unique int32 hash sets
         b_hs = [np.asarray(h, dtype=np.int32) for h in pdf["_sh"]]
@@ -381,7 +397,8 @@ def streaming_near_dedup(
         yield pd.DataFrame({
             id_col: np.asarray(out_id, dtype=np.int64),
             time: pd.to_datetime(np.asarray(out_us, dtype=np.int64),
-                                 unit="us"),
+                                 unit="us", utc=True)
+            .tz_convert(sess_tz).tz_localize(None),
             "band": np.asarray(out_band, dtype=np.int32),
             "dup_of": pd.array(out_dup, dtype="Int64"),
         })
