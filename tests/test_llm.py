@@ -1216,3 +1216,112 @@ def test_gopher_quality_flags_leading_whitespace(spark):
     hits = g.select(gopher_quality_flags(F.col("text"))
                     ["required_hits"].alias("h")).first()["h"]
     assert hits == 2  # 'The' + 'WITH'; 'the,'/'of.' excluded
+
+
+def test_c4_quality_flags_rules(spark):
+    """Each C4 rule (Raffel et al. 2020 s2.2) fires on a crafted
+    violator and passes on clean prose; the line filter is the
+    intervention, `keep` the page-level conjunction."""
+    from pyspark.sql import functions as F
+
+    from xclim_spark.llm.text import c4_clean_lines, c4_quality_flags
+
+    good = ("The quick brown fox jumps over the lazy dog today.\n"
+            "Another fine sentence carries more than five words easily.\n"
+            "A third one closes the paragraph with proper punctuation!")
+    rows = [
+        (0, good),                                     # clean: keep
+        (1, good + "\nshort line."),                   # <5 words: dropped
+        (2, good + "\nno terminal punctuation in this line"),
+        (3, good + "\nPlease enable javascript to continue reading."),
+        (4, "One sentence only lives on this page."),  # <3 sentences
+        (5, good + "\nSome Lorem Ipsum filler appears right here."),
+        (6, good + " { int x = 0; }"),                 # curly brace
+        (7, good + "\nWell shit happens to everyone sometimes sadly."),
+        (8, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    flags = c4_quality_flags(F.col("text"))
+    got = {r["doc_id"]: r for r in docs.select(
+        "doc_id", *[c.alias(k) for k, c in flags.items()]).collect()}
+    assert got[0]["keep"] is True and got[0]["n_sentences"] == 3
+    # line-filter interventions: offending line removed, page keeps
+    for i in (1, 2, 3):
+        assert got[i]["clean_text"] == good, i
+        assert got[i]["kept_line_frac"] < 1.0, i
+        assert got[i]["keep"] is True, i
+    assert got[4]["keep"] is False and got[4]["n_sentences"] == 1
+    assert got[5]["keep"] is False and got[5]["has_lorem"] is True
+    assert got[6]["keep"] is False and got[6]["has_brace"] is True
+    assert got[7]["keep"] is False and got[7]["has_bad_word"] is True
+    assert got[8]["keep"] is None
+    # bad-word match is whole-token: a containing word does not fire
+    b = spark.createDataFrame(
+        [(0, good + " The shitake mushroom is edible.")],
+        "doc_id LONG, text STRING")
+    assert b.select(c4_quality_flags(F.col("text"))["has_bad_word"]
+                    .alias("x")).first()["x"] is False
+    # c4_clean_lines is the same intervention as flags['clean_text']
+    same = docs.filter(F.col("text").isNotNull()).select(
+        (c4_clean_lines(F.col("text"))
+         == c4_quality_flags(F.col("text"))["clean_text"]).alias("eq"))
+    assert all(r["eq"] for r in same.collect())
+
+
+def test_canonicalize_url(spark):
+    """Case, default ports, fragments, tracking params, and param
+    order all normalize away; distinct resources stay distinct."""
+    from pyspark.sql import functions as F
+
+    from xclim_spark.llm.urls import canonicalize_url, registered_domain
+
+    rows = [
+        (0, "HTTP://Example.COM:80/a/B?utm_source=x&b=2&a=1#frag"),
+        (1, "http://example.com/a/B?a=1&b=2"),
+        (2, "https://example.com:443/a/B?a=1&b=2"),   # scheme differs
+        (3, "http://example.com:8080/a/B?a=1&b=2"),   # real port kept
+        (4, "http://example.com"),                    # empty path -> /
+        (5, "not a url at all"),                      # passthrough
+        (6, "http://sub.shop.example.co.uk/x?fbclid=abc"),
+    ]
+    df = spark.createDataFrame(rows, "i LONG, url STRING")
+    got = {r["i"]: r["c"] for r in df.select(
+        "i", canonicalize_url("url").alias("c")).collect()}
+    assert got[0] == got[1] == "http://example.com/a/B?a=1&b=2"
+    assert got[2] == "https://example.com/a/B?a=1&b=2"
+    assert got[3] == "http://example.com:8080/a/B?a=1&b=2"
+    assert got[4] == "http://example.com/"
+    assert got[5] == "not a url at all"
+    assert got[6] == "http://sub.shop.example.co.uk/x"
+    doms = {r["i"]: r["d"] for r in df.select(
+        "i", registered_domain(F.regexp_replace(F.regexp_extract(
+            canonicalize_url("url"),
+            r"^[a-z][a-z0-9+.-]*://([^/?#]*)", 1), ":.*", ""))
+        .alias("d")).collect()}
+    assert doms[0] == "example.com"
+    assert doms[6] == "example.co.uk"   # multi-part suffix
+
+
+def test_url_dedup_and_domain_counts(spark):
+    from pyspark.sql import functions as F
+
+    from xclim_spark.llm.urls import domain_counts, url_dedup
+
+    rows = [
+        (10, "HTTP://A.com/x?utm_source=1"),
+        (11, "http://a.com:80/x"),
+        (12, "http://a.com/y"),
+        (13, "https://b.org/z#top"),
+        (14, "https://b.org/z"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, url STRING")
+    got = {r["canon_url"]: r for r in url_dedup(docs).collect()}
+    assert got["http://a.com/x"]["kept_doc_id"] == 10
+    assert got["http://a.com/x"]["n_dups"] == 2
+    assert got["https://b.org/z"]["n_dups"] == 2
+    assert got["http://a.com/y"]["n_dups"] == 1
+    dc = {r["domain"]: r["n_docs"] for r in domain_counts(docs).collect()}
+    assert dc == {"a.com": 2, "b.org": 1}
+    raw = {r["domain"]: r["n_docs"]
+           for r in domain_counts(docs, dedup_first=False).collect()}
+    assert raw == {"a.com": 3, "b.org": 2}

@@ -6,7 +6,9 @@ The components a 100 TB corpus pipeline needs, built Spark-first:
 * :mod:`.similarity` — cosine top-k (brute force baseline + LSH-bucketed
   scale path) over embedding columns;
 * :mod:`.text` — language id, quality scoring, token counting,
-  fingerprinting.
+  fingerprinting;
+* :mod:`.urls` — URL canonicalization, registered-domain extraction,
+  canonical-URL dedup and domain-mix counts.
 """
 
-from . import dedup, similarity, text  # noqa: F401
+from . import dedup, similarity, text, urls  # noqa: F401

@@ -23,6 +23,9 @@ __all__ = [
     "quality_score",
     "gopher_quality_flags",
     "GOPHER_REQUIRED_WORDS",
+    "c4_clean_lines",
+    "c4_quality_flags",
+    "C4_BAD_WORDS",
     "language_id",
     "winnowing_fingerprints",
     "pii_counts",
@@ -196,6 +199,94 @@ def gopher_quality_flags(
         "ellipsis_line_frac": ellip,
         "alpha_word_frac": alpha_w,
         "required_hits": hits.cast("int"),
+        "keep": keep,
+    }
+
+
+# Documented SUBSET of the "List of Dirty, Naughty, Obscene or Otherwise
+# Bad Words" C4 filters on (the full public list is ~400 entries and
+# injectable via the ``bad_words=`` parameter in production); matching is
+# whole-token after lowercasing, same contract as GOPHER_REQUIRED_WORDS.
+C4_BAD_WORDS = ["fuck", "shit", "bitch", "cunt", "porn", "xxx"]
+
+_C4_TERMINAL = r'[.!?"”]$'  # period/!/?/straight or right curly quote
+
+
+def _c4_kept_lines(text, min_words_per_line: int) -> Column:
+    """The C4 line filter as one array expression: keep lines that end
+    in a terminal punctuation mark, carry >= ``min_words_per_line``
+    whitespace tokens, and do not mention "javascript" (the cookie/JS
+    boilerplate rule).  Empty tokens from leading/duplicate whitespace
+    are dropped before counting (same hygiene as gopher)."""
+    lines = F.split(text, "\n")
+    return F.filter(
+        lines,
+        lambda ln: F.trim(ln).rlike(_C4_TERMINAL)
+        & (F.size(F.filter(F.split(F.trim(ln), r"\s+"),
+                           lambda w: F.length(w) > 0))
+           >= min_words_per_line)
+        & ~F.contains(F.lower(ln), F.lit("javascript")),
+    )
+
+
+def c4_clean_lines(text, *, min_words_per_line: int = 5) -> Column:
+    """The C4 line-level INTERVENTION (Raffel et al. 2020 §2.2): the
+    document with only its retained lines, newline-joined.  Pure
+    Column expression — runs in the scan projection."""
+    return F.array_join(_c4_kept_lines(text, min_words_per_line), "\n")
+
+
+def c4_quality_flags(
+    text, *,
+    min_words_per_line: int = 5,
+    min_sentences: int = 3,
+    bad_words: list[str] | None = None,
+) -> dict[str, Column]:
+    """The C4 document-quality rules (Raffel et al. 2020, *Exploring the
+    Limits of Transfer Learning with a Unified Text-to-Text
+    Transformer*, §2.2) as pure Column expressions — the other canonical
+    pre-training filter set, sibling of :func:`gopher_quality_flags`:
+
+    * only lines ending in a terminal punctuation mark, with at least
+      5 words, and not mentioning "javascript" are retained
+      (``clean_text`` is the retained document, ``kept_line_frac`` the
+      survival rate);
+    * pages with fewer than 3 sentences (terminal punctuation marks in
+      the retained text) are dropped;
+    * pages containing "lorem ipsum", a curly brace ``{`` (code), or
+      any word from the bad-word list (whole-token match, lowercased —
+      :data:`C4_BAD_WORDS` is a documented subset of the public
+      LDNOOBW list C4 uses) are dropped.
+
+    The corpus-level rule — discard all but one of any three-sentence
+    span occurring more than once — is corpus-wide state, not a row
+    expression: see :func:`xclim_spark.llm.dedup.c4_span_dedup`.
+
+    Engine-portable patterns (no lookaround) so a SQL oracle restates
+    every rule.  Returns ``{name: Column}``; splat into ``select``.
+    """
+    bw = bad_words if bad_words is not None else C4_BAD_WORDS
+    lines = F.split(text, "\n")
+    kept = _c4_kept_lines(text, min_words_per_line)
+    clean = F.array_join(kept, "\n")
+    n_sent = F.regexp_count(clean, F.lit(r"[.!?]"))
+    toks = F.filter(F.split(F.trim(F.lower(text)), r"\s+"),
+                    lambda w: F.length(w) > 0)
+    has_bad = F.size(F.array_intersect(
+        toks, F.array(*[F.lit(w.lower()) for w in bw]))) > 0
+    has_lorem = F.contains(F.lower(text), F.lit("lorem ipsum"))
+    has_brace = F.contains(text, F.lit("{"))
+    keep = ((n_sent >= min_sentences)
+            & ~has_lorem & ~has_brace & ~has_bad)
+    return {
+        "n_lines": F.size(lines).cast("long"),
+        "kept_line_frac": (F.size(kept).cast("double")
+                           / F.size(lines)),
+        "n_sentences": n_sent.cast("long"),
+        "has_lorem": has_lorem,
+        "has_brace": has_brace,
+        "has_bad_word": has_bad,
+        "clean_text": clean,
         "keep": keep,
     }
 

@@ -4602,6 +4602,213 @@ def text_gopher_flags(spark, sf_dir):
 
 
 @_register(
+    "dedup_url_canon",
+    """WITH u0 AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END || '://' ||
+    CASE WHEN doc_id % 3 = 0 THEN 'SITE' ELSE 'site' END ||
+    CAST(doc_id % 7 AS VARCHAR) ||
+    CASE WHEN doc_id % 5 = 0 THEN '.Example.co.uk' ELSE '.Example.com'
+      END ||
+    CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END ||
+    '/p/' || CAST(doc_id % 25 AS VARCHAR) ||
+    CASE doc_id % 4
+      WHEN 0 THEN '?utm_source=feed&b=2&a=1'
+      WHEN 1 THEN '?a=1&b=2&utm_campaign=x'
+      WHEN 2 THEN '?b=2&a=1'
+      ELSE '' END ||
+    CASE WHEN doc_id % 6 = 0 THEN '#section' ELSE '' END AS url
+  FROM documents
+),
+c AS (
+  SELECT doc_id,
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+      AS scheme,
+    lower(regexp_extract(url,
+      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS auth,
+    regexp_extract(url,
+      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
+    regexp_extract(url, '\\?([^#]*)', 1) AS rawq
+  FROM u0
+),
+c2 AS (
+  SELECT doc_id, scheme,
+    CASE WHEN scheme = 'http' THEN regexp_replace(auth, ':80$', '')
+         WHEN scheme = 'https' THEN regexp_replace(auth, ':443$', '')
+         ELSE auth END AS host,
+    CASE WHEN rawpath = '' THEN '/' ELSE rawpath END AS path,
+    coalesce(array_to_string(list_sort(
+      [p FOR p IN string_split(rawq, '&')
+       IF len(p) > 0 AND NOT regexp_matches(p,
+         '^(utm_[^=&]*|fbclid|gclid|msclkid|mc_eid|igshid|ref_src)(=.*)?$')
+      ]), '&'), '') AS q
+  FROM c
+),
+c3 AS (
+  SELECT doc_id,
+    scheme || '://' || host || path ||
+      CASE WHEN q = '' THEN '' ELSE '?' || q END AS canon_url,
+    string_split(host, '.') AS hp
+  FROM c2
+),
+c4 AS (
+  SELECT doc_id, canon_url,
+    CASE WHEN len(hp) <= 1 THEN hp[1]
+         WHEN len(hp) >= 3 AND list_contains(
+             ['co.uk','org.uk','gov.uk','ac.uk','com.au','net.au',
+              'co.jp','co.in','co.kr','com.br','com.cn','com.mx'],
+             hp[-2] || '.' || hp[-1])
+           THEN hp[-3] || '.' || hp[-2] || '.' || hp[-1]
+         ELSE hp[-2] || '.' || hp[-1] END AS domain
+  FROM c3
+)
+SELECT canon_url, domain,
+       CAST(min(doc_id) AS BIGINT) AS kept_doc_id,
+       CAST(count(*) AS BIGINT) AS n_dups
+FROM c4 GROUP BY canon_url, domain""",
+)
+def dedup_url_canon(spark, sf_dir):
+    """URL canonicalization + canonical-URL dedup (llm/urls.py) — the
+    CCNet/C4-style curation stage.  The documents table carries no
+    URLs, so a deterministic messy URL is seeded per doc in both
+    engines: mixed-case scheme/host, default ports, tracking params in
+    shuffled order, fragments, and a co.uk multi-part suffix subset.
+    Canonicalization must merge the case/port/param-order/fragment
+    variants into one key; the DuckDB oracle restates the full
+    normalization (lowercase, default-port strip, tracking-param
+    filter, byte-order param sort, fragment drop) and the
+    registered-domain extraction."""
+    from .llm import urls as lu
+
+    d = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    url = F.concat(
+        F.when(did % 2 == 0, F.lit("HTTPS")).otherwise("http"),
+        F.lit("://"),
+        F.when(did % 3 == 0, F.lit("SITE")).otherwise("site"),
+        (did % 7).cast("string"),
+        F.when(did % 5 == 0, F.lit(".Example.co.uk"))
+         .otherwise(".Example.com"),
+        F.when(did % 2 == 0, F.lit(":443")).otherwise(":80"),
+        F.lit("/p/"), (did % 25).cast("string"),
+        F.when(did % 4 == 0, F.lit("?utm_source=feed&b=2&a=1"))
+         .when(did % 4 == 1, F.lit("?a=1&b=2&utm_campaign=x"))
+         .when(did % 4 == 2, F.lit("?b=2&a=1")).otherwise(""),
+        F.when(did % 6 == 0, F.lit("#section")).otherwise(""),
+    )
+    return lu.url_dedup(d.select("doc_id", url.alias("url")))
+
+
+@_register(
+    "text_c4_flags",
+    """WITH d0 AS (
+  SELECT doc_id, text ||
+    CASE WHEN doc_id % 3 = 0 THEN
+      chr(10) || 'The first proper sentence has enough words today.'
+      || chr(10) || 'Another good sentence follows with many words here.'
+      || chr(10) || 'A third complete sentence closes the paragraph nicely.'
+      ELSE '' END ||
+    CASE WHEN doc_id % 5 = 0 THEN
+      chr(10) || 'Only two sentences live here with words.'
+      || chr(10) || 'So this page fails the minimum rule!'
+      ELSE '' END ||
+    CASE WHEN doc_id % 7 = 0 THEN
+      chr(10) || 'short line.'
+      || chr(10) || 'no terminal punctuation in this line at all'
+      || chr(10) || 'Please enable javascript to view the page today.'
+      ELSE '' END ||
+    CASE WHEN doc_id % 13 = 0 THEN ' Lorem Ipsum dolor sit amet'
+      ELSE '' END ||
+    CASE WHEN doc_id % 17 = 0 THEN ' { code }' ELSE '' END ||
+    CASE WHEN doc_id % 19 = 0 THEN ' shit' ELSE '' END AS t
+  FROM documents
+),
+m AS (
+  SELECT doc_id, t,
+    string_split(t, chr(10)) AS lines,
+    [l FOR l IN string_split(t, chr(10))
+     IF regexp_matches(trim(l), '[.!?"”]$')
+        AND len([w FOR w IN string_split_regex(trim(l), '\\s+')
+                 IF len(w) > 0]) >= 5
+        AND NOT contains(lower(l), 'javascript')] AS kept
+  FROM d0
+),
+x AS (
+  SELECT doc_id,
+    len(lines) AS n_lines,
+    CAST(len(kept) AS DOUBLE) / len(lines) AS kfrac,
+    -- array_to_string([]) is NULL in DuckDB where Spark's
+    -- array_join([]) is '' — coalesce to match
+    coalesce(array_to_string(kept, chr(10)), '') AS clean,
+    contains(lower(t), 'lorem ipsum') AS has_lorem,
+    contains(t, '{') AS has_brace,
+    len(list_intersect(
+        [w FOR w IN string_split_regex(trim(lower(t)), '\\s+')
+         IF len(w) > 0],
+        ['fuck','shit','bitch','cunt','porn','xxx'])) > 0 AS has_bad
+  FROM m
+)
+SELECT doc_id,
+  CAST(n_lines AS BIGINT) AS n_lines,
+  ROUND(kfrac, 6) AS kept_line_frac,
+  CAST(len(regexp_extract_all(clean, '[.!?]')) AS BIGINT)
+    AS n_sentences,
+  has_lorem, has_brace, has_bad AS has_bad_word,
+  md5(clean) AS clean_md5,
+  (len(regexp_extract_all(clean, '[.!?]')) >= 3
+   AND NOT has_lorem AND NOT has_brace AND NOT has_bad) AS keep
+FROM x""",
+)
+def text_c4_flags(spark, sf_dir):
+    """C4 document-quality rules (Raffel et al. 2020 §2.2;
+    llm/text.py c4_quality_flags + c4_clean_lines) over the documents
+    table — terminal-punctuation/min-words/javascript line filter,
+    >=3-sentence minimum, lorem-ipsum / curly-brace / bad-word page
+    flags, plus md5 of the line-cleaned text (the intervention, not
+    just detection).  The synthetic corpus has no line structure, so
+    deterministic sentence/filtered-line/flag decorations are appended
+    identically in both engines; the DuckDB oracle restates every rule
+    (line retention, sentence count on retained text, token-level
+    bad-word membership)."""
+    from .llm import text as tx
+
+    d = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    t = F.concat(
+        F.col("text"),
+        F.when(did % 3 == 0, F.lit(
+            "\nThe first proper sentence has enough words today."
+            "\nAnother good sentence follows with many words here."
+            "\nA third complete sentence closes the paragraph nicely."
+        )).otherwise(""),
+        F.when(did % 5 == 0, F.lit(
+            "\nOnly two sentences live here with words."
+            "\nSo this page fails the minimum rule!")).otherwise(""),
+        F.when(did % 7 == 0, F.lit(
+            "\nshort line."
+            "\nno terminal punctuation in this line at all"
+            "\nPlease enable javascript to view the page today."
+        )).otherwise(""),
+        F.when(did % 13 == 0,
+               F.lit(" Lorem Ipsum dolor sit amet")).otherwise(""),
+        F.when(did % 17 == 0, F.lit(" { code }")).otherwise(""),
+        F.when(did % 19 == 0, F.lit(" shit")).otherwise(""),
+    )
+    flags = tx.c4_quality_flags(F.col("t"))
+    return d.select("doc_id", t.alias("t")).select(
+        "doc_id",
+        flags["n_lines"].alias("n_lines"),
+        F.round(flags["kept_line_frac"], 6).alias("kept_line_frac"),
+        flags["n_sentences"].alias("n_sentences"),
+        flags["has_lorem"].alias("has_lorem"),
+        flags["has_brace"].alias("has_brace"),
+        flags["has_bad_word"].alias("has_bad_word"),
+        F.md5(flags["clean_text"]).alias("clean_md5"),
+        flags["keep"].alias("keep"),
+    )
+
+
+@_register(
     "knn_ivf_trained_docs",
     """WITH e AS (
   SELECT vec_id,
@@ -7434,6 +7641,9 @@ def nc3_subdaily_ingest(spark, sf_dir):
 # list each round), then queries whose last driver-green row is oldest.
 # Regenerate each round with tools/rotate_priority.py — do not hand-edit.
 _PRIORITY = [
+    # -- additions with no driver row yet (the ordering rule
+    #    requires these inside the sampled head) --
+    "text_c4_flags",
     # -- newest driver-green row: round 9 --
     "ens_weighted_percentiles_ms", "ens_stats_ms", "ens_percentiles_ms",
     "fa_gumbel_rp", "text_quality_by_source", "detrend_resid_std",
