@@ -1325,3 +1325,129 @@ def test_url_dedup_and_domain_counts(spark):
     raw = {r["domain"]: r["n_docs"]
            for r in domain_counts(docs, dedup_first=False).collect()}
     assert raw == {"a.com": 3, "b.org": 2}
+
+
+def _pq_corpus(spark, n=200, dim=16, n_blobs=8, seed=7):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    means = rng.standard_normal((n_blobs, dim)) * 3.0
+    X = means[np.arange(n) % n_blobs] + rng.standard_normal((n, dim))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(n)],
+        "vec_id LONG, embedding ARRAY<FLOAT>")
+    return df, X
+
+
+def test_pq_fit_matches_per_subspace_kmeans(spark):
+    """The fused one-scan-per-iteration PQ trainer must produce the
+    SAME codebooks as m independent kmeans_fit runs over normalized
+    subspace slices — same init (first ks by id), same Lloyd math."""
+    import numpy as np
+
+    from xclim_spark.llm.similarity import kmeans_fit, pq_fit
+
+    df, X = _pq_corpus(spark, n=120, dim=16)
+    m, ks, iters = 4, 8, 3
+    books = pq_fit(df, m=m, ks=ks, iters=iters, tol=0.0)
+    assert books.shape == (m, ks, 16 // m)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    dsub = 16 // m
+    for j in range(m):
+        sl = spark.createDataFrame(
+            [(i, [float(x) for x in Xn[i, j * dsub:(j + 1) * dsub]])
+             for i in range(len(Xn))],
+            "vec_id LONG, embedding ARRAY<DOUBLE>")
+        ref = kmeans_fit(sl, ks, iters=iters, tol=0.0)
+        assert np.allclose(books[j], ref, atol=1e-9), f"subspace {j}"
+
+
+def test_pq_encode_codes(spark):
+    import numpy as np
+
+    from xclim_spark.llm.similarity import pq_encode, pq_fit
+
+    df, X = _pq_corpus(spark, n=100, dim=16)
+    books = pq_fit(df, m=4, ks=8, iters=2)
+    enc = pq_encode(df, books).collect()
+    assert len(enc) == 100
+    for r in enc:
+        codes = r["pq_codes"]
+        assert len(codes) == 4
+        assert all(0 <= c < 8 for c in codes)
+    # deterministic: re-encode gives identical codes
+    enc2 = {r["vec_id"]: r["pq_codes"] for r in pq_encode(df, books).collect()}
+    for r in enc:
+        assert enc2[r["vec_id"]] == r["pq_codes"]
+    # parameter validation
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="not divisible"):
+        pq_fit(df, m=5, ks=8, iters=1)
+    with _pytest.raises(ValueError, match="ks must be"):
+        pq_fit(df, m=4, ks=300, iters=1)
+
+
+def test_knn_ivfpq_exact_and_recall(spark):
+    """With every cell probed and the full corpus shortlisted the PQ
+    path must return EXACTLY the brute-force top-k (the re-rank is
+    exact cosine); with tight nprobe/shortlist the measured recall on
+    blobby data stays high — the honest approximate-index number."""
+    from pyspark.sql import functions as F
+
+    from xclim_spark.llm.similarity import (
+        kmeans_fit, knn_bruteforce, knn_ivfpq, pq_fit)
+
+    df, _ = _pq_corpus(spark, n=200, dim=16)
+    q = df.filter(F.col("vec_id") % 20 == 0)   # 10 queries
+    cents_np = kmeans_fit(df, 8, iters=1)
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in cents_np[i]])
+         for i in range(cents_np.shape[0])],
+        "vec_id LONG, embedding ARRAY<DOUBLE>")
+    books = pq_fit(df, m=4, ks=16, iters=2)
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in knn_bruteforce(df, q, k=5).collect()}
+
+    full = {(r["query_id"], r["neighbor_id"]) for r in knn_ivfpq(
+        df, q, cents, books, k=5, nprobe=8, shortlist=200).collect()}
+    assert full == exact
+
+    tight = {(r["query_id"], r["neighbor_id"]) for r in knn_ivfpq(
+        df, q, cents, books, k=5, nprobe=2, shortlist=12).collect()}
+    recall = len(tight & exact) / len(exact)
+    assert recall >= 0.7, f"tight-parameter recall {recall:.2f}"
+
+
+def test_c4_span_dedup(spark):
+    """First (doc_id, start) occurrence of a duplicated 3-sentence
+    span survives; later occurrences (cross-doc AND within-doc) are
+    cut; unterminated tails and untouched docs stay byte-identical."""
+    from xclim_spark.llm.dedup import c4_span_dedup
+
+    A = " Alpha one is here."
+    B = " Beta two follows on."
+    G = " Gamma three closes it."
+    rows = [
+        (0, "Doc zero opener." + A + B + G + " Unique zero closer."),
+        (1, "Doc one opener." + A + B + G),          # dup of doc 0's span
+        (2, "Doc two opener." + A + B + G + " tail no terminal"),
+        (3, "Doc three stands alone. Nothing shared here."),
+        (4, "Doc four opener." + A + B + G + A + B + G),  # twice in one doc
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {r["doc_id"]: r for r in c4_span_dedup(docs, n=3).collect()}
+    # doc 0 holds the first occurrence -> byte-identical
+    assert got[0]["text"] == rows[0][1]
+    assert got[0]["n_sentences_removed"] == 0
+    # docs 1/2 lose the span; doc 2 keeps its unterminated tail
+    assert got[1]["text"] == "Doc one opener."
+    assert got[1]["n_sentences_removed"] == 3
+    assert got[2]["text"] == "Doc two opener. tail no terminal"
+    assert got[2]["n_sentences_removed"] == 3
+    # untouched doc byte-identical
+    assert got[3]["text"] == rows[3][1]
+    assert got[3]["n_sentences_removed"] == 0
+    # doc 4: its FIRST copy is a non-first occurrence (doc 0 wins) and
+    # the second copy duplicates too -> both cut
+    assert got[4]["text"] == "Doc four opener."
+    assert got[4]["n_sentences_removed"] == 6

@@ -39,6 +39,7 @@ __all__ = [
     "semantic_dedup",
     "duplicate_spans",
     "remove_duplicate_spans",
+    "c4_span_dedup",
     "jaccard",
     "connected_components",
     "connected_components_star",
@@ -820,6 +821,82 @@ def remove_duplicate_spans(
         *[F.col("_cut.text").alias(text_col) if c == text_col
           else F.col(c) for c in out_cols],
         F.col("_cut.n_removed").alias("n_tokens_removed"))
+
+
+def c4_span_dedup(
+    docs: DataFrame,
+    *,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The C4 corpus-level dedup rule (Raffel et al. 2020 §2.2):
+    "discard all but one of any three-sentence span occurring more
+    than once in the data set" — the sentence-granularity sibling of
+    :func:`remove_duplicate_spans`.
+
+    Sentences are maximal runs ending in a terminal punctuation mark
+    (``[^.!?]*[.!?]`` — the portable no-lookaround split; text after
+    the last terminal mark is an untouched tail, so a document with no
+    duplicated span stays byte-identical).  Every ``n``-sentence span
+    is keyed by md5 of its trimmed sentences; the FIRST occurrence
+    (minimum ``(doc_id, start)``) survives, every other occurrence's
+    sentences are removed, overlapping removals unioned.
+
+    Plan shape at 100 TB: span hashing is per-row expressions (bounded
+    by document size); the only corpus shuffles are one groupBy on the
+    span hash (partial map-side) and the join of the DUPLICATED-only
+    occurrence table back to the corpus (dup spans are rare — AQE
+    broadcasts the removal side when small).  No all-pairs, no Python
+    in the hot path.
+
+    Returns the input columns with ``text_col`` replaced by the
+    cleaned text plus ``n_sentences_removed``.
+    """
+    sents = F.regexp_extract_all(F.col(text_col), F.lit(r"[^.!?]*[.!?]"), 0)
+    base = docs.withColumn("_sents", sents)
+    nspan = F.size("_sents") - (n - 1)
+    span_hashes = F.when(nspan > 0, F.transform(
+        F.sequence(F.lit(0), nspan - 1),
+        lambda i: F.md5(F.concat_ws(
+            "\x1f", F.transform(F.slice("_sents", i + 1, n), F.trim))),
+    )).otherwise(F.array().cast("array<string>"))
+    occ = base.select(
+        F.col(id_col).alias("_oid"),
+        F.posexplode(span_hashes).alias("start", "_sh"))
+    dup = (occ.groupBy("_sh")
+           .agg(F.min(F.struct(F.col("_oid").alias("d"),
+                               F.col("start").alias("s"))).alias("_first"),
+                F.count(F.lit(1)).alias("_c"))
+           .filter(F.col("_c") >= 2))
+    rem = (occ.join(dup.select("_sh", "_first"), "_sh")
+           .filter((F.col("_oid") != F.col("_first.d"))
+                   | (F.col("start") != F.col("_first.s")))
+           .select("_oid",
+                   F.explode(F.sequence(
+                       F.col("start"), F.col("start") + n - 1))
+                   .alias("_sidx")))
+    drops = (rem.distinct()
+             .groupBy("_oid").agg(F.collect_set("_sidx").alias("_drop"))
+             .withColumnRenamed("_oid", id_col))
+    out_cols = list(docs.columns)
+    joined = base.join(drops, on=id_col, how="left")
+    # the tail after the last terminal mark never belongs to a span;
+    # re-attaching it keeps untouched documents byte-identical
+    whole = F.array_join("_sents", "")
+    tail = F.substring(
+        F.col(text_col), F.length(whole) + 1, F.length(F.col(text_col)))
+    kept = F.array_join(
+        F.filter("_sents",
+                 lambda s, i: ~F.array_contains("_drop", i)), "")
+    clean = F.when(F.col("_drop").isNull(), F.col(text_col)) \
+             .otherwise(F.concat(kept, tail))
+    n_rm = F.when(F.col("_drop").isNull(), F.lit(0)) \
+            .otherwise(F.size("_drop")).cast("long")
+    return joined.select(
+        *[clean.alias(text_col) if c == text_col else F.col(c)
+          for c in out_cols],
+        n_rm.alias("n_sentences_removed"))
 
 
 def _guard_cluster_skew(

@@ -23,7 +23,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["dot", "l2_norm", "cosine_similarity", "knn_bruteforce",
-           "knn_lsh", "knn_ivf", "lsh_bucket", "kmeans_fit"]
+           "knn_lsh", "knn_ivf", "lsh_bucket", "kmeans_fit",
+           "pq_fit", "pq_encode", "knn_ivfpq"]
 
 
 def dot(a, b) -> Column:
@@ -455,3 +456,259 @@ def kmeans_fit(
         if shift <= tol:
             break
     return (cents, counts) if return_counts else cents
+
+
+def _pq_check(dim: int, m: int, ks: int) -> int:
+    if dim % m != 0:
+        raise ValueError(f"pq: dim {dim} not divisible by m={m} subspaces")
+    if not (2 <= ks <= 256):
+        raise ValueError(f"pq: ks must be in [2, 256] (got {ks}) — codes "
+                         "are stored as one byte per subspace")
+    return dim // m
+
+
+def pq_fit(
+    emb: DataFrame,
+    *,
+    m: int = 4,
+    ks: int = 16,
+    iters: int = 10,
+    tol: float = 1e-6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_fraction: float | None = None,
+) -> np.ndarray:
+    """Product-quantization codebooks (Jégou, Douze & Schmid 2011,
+    *Product Quantization for Nearest Neighbor Search*, TPAMI): split
+    the d-dim space into ``m`` subspaces of d/m dims and train an
+    independent ``ks``-entry k-means codebook per subspace over the
+    L2-NORMALIZED vectors (so squared-L2 ADC ranks like cosine:
+    ``cos = 1 - ||a-b||^2 / 2`` on the unit sphere).
+
+    One FUSED Lloyd loop: each iteration is a single ``mapInPandas``
+    pass that assigns every Arrow batch to its nearest code in ALL m
+    subspaces (m small BLAS matmuls) and partial-reduces to
+    ``<= m x ks`` rows of (subspace, code, count, component sums) —
+    m separate :func:`kmeans_fit` calls would scan the corpus
+    ``m x iters`` times; this scans it ``iters`` times total,
+    independent of m (and zero times with ``sample_fraction``, the
+    same stateless md5-threshold draw as :func:`kmeans_fit`).
+
+    Deterministic init: subspace slices of the first ``ks`` vectors by
+    ascending id.  Empty codes keep their previous entry (standard
+    Lloyd fallback).  Returns the (m, ks, d/m) codebook tensor —
+    metadata-sized (m*ks*(d/m) = ks*d doubles).
+    """
+    if not (2 <= ks <= 256):
+        raise ValueError(f"pq: ks must be in [2, 256] (got {ks}) — codes "
+                         "are stored as one byte per subspace")
+    if sample_fraction is not None:
+        if not (0.0 < sample_fraction <= 1.0):
+            raise ValueError(
+                f"sample_fraction must be in (0, 1] (got {sample_fraction})")
+        if sample_fraction < 1.0:
+            from .pipeline import hex_threshold, sample_hash
+
+            emb = emb.filter(
+                sample_hash(F.lit("pq"), F.col(id_col))
+                < hex_threshold(sample_fraction))
+
+    first = [r[1] for r in sorted(
+        (int(r[0]), [float(x) for x in r[1]]) for r in
+        emb.select(id_col, vec_col).orderBy(id_col).limit(ks).collect())]
+    if len(first) < ks:
+        raise ValueError(f"ks={ks} exceeds corpus size {len(first)}")
+    X0 = np.asarray(first, dtype=np.float64)
+    X0 /= np.maximum(np.linalg.norm(X0, axis=1, keepdims=True), 1e-30)
+    dim = X0.shape[1]
+    dsub = _pq_check(dim, m, ks)
+    books = np.stack([X0[:, j * dsub:(j + 1) * dsub] for j in range(m)])
+
+    for _ in range(iters):
+        B = books  # ship THIS iteration's tensor in the closure
+
+        def _partials(it, B=B):
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                X /= np.maximum(
+                    np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+                out = {"sub": [], "code": [], "n": [], "s": []}
+                for j in range(m):
+                    Xj = X[:, j * dsub:(j + 1) * dsub]
+                    Cj = B[j]
+                    scores = -2.0 * (Xj @ Cj.T) + (Cj * Cj).sum(axis=1)
+                    a = np.argmin(scores, axis=1)
+                    for c in np.unique(a):
+                        msk = a == c
+                        out["sub"].append(j)
+                        out["code"].append(int(c))
+                        out["n"].append(int(msk.sum()))
+                        out["s"].append(
+                            [float(v) for v in Xj[msk].sum(axis=0)])
+                yield pd.DataFrame(out)
+
+        rows = emb.select(vec_col).mapInPandas(
+            _partials,
+            "sub int, code int, n long, s array<double>").collect()
+        counts = np.zeros((m, ks))
+        sums = np.zeros((m, ks, dsub))
+        for r in rows:
+            counts[r["sub"], r["code"]] += r["n"]
+            sums[r["sub"], r["code"]] += np.asarray(r["s"])
+        new = np.where(counts[..., None] > 0,
+                       sums / np.maximum(counts[..., None], 1), books)
+        shift = float(np.abs(new - books).max())
+        books = new
+        if shift <= tol:
+            break
+    return books
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "pq_codes",
+) -> DataFrame:
+    """Map-side PQ encoding: each L2-normalized vector becomes ``m``
+    one-byte codes (nearest codebook entry per subspace, ties to the
+    lowest code) — d x 4-byte floats compress to m bytes, the memory
+    step that makes a 100-TB ANN index fit executor RAM.  Pure
+    Arrow ``pandas_udf``; zero shuffle.  Codes ride as
+    ``array<smallint>`` (values 0..ks-1 <= 255)."""
+    from pyspark.sql.functions import pandas_udf
+
+    m, ks, dsub = codebooks.shape
+    B = codebooks
+
+    @pandas_udf("array<smallint>")
+    def _codes(vs: pd.Series) -> pd.Series:
+        X = np.stack(vs.to_numpy()).astype(np.float64)
+        X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+        cols = []
+        for j in range(m):
+            Xj = X[:, j * dsub:(j + 1) * dsub]
+            Cj = B[j]
+            scores = -2.0 * (Xj @ Cj.T) + (Cj * Cj).sum(axis=1)
+            cols.append(np.argmin(scores, axis=1).astype(np.int16))
+        codes = np.stack(cols, axis=1)  # (n, m)
+        return pd.Series(list(codes))
+
+    return emb.select(
+        F.col(id_col), F.col(vec_col),
+        _codes(F.col(vec_col)).alias(out_col))
+
+
+def knn_ivfpq(
+    emb: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    codebooks: np.ndarray,
+    k: int = 5,
+    *,
+    nprobe: int = 2,
+    shortlist: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ approximate top-k (Jégou et al. 2011's IVFADC shape,
+    non-residual variant): the coarse quantizer prunes to ``nprobe``
+    cells, PQ codes rank the survivors by asymmetric distance, and only
+    the ``shortlist`` best per query are re-ranked by EXACT cosine
+    against their full vectors.
+
+    Plan shape at 100 TB:
+
+    * corpus side: cell assignment + PQ encoding in one map-side pass —
+      what shuffles to the cell join is (cell, id, m bytes of codes),
+      never the d-dim vector;
+    * query side: ``nprobe`` probed cells plus a per-query ADC table of
+      m x ks squared-L2 entries to the codebook (normalized space, so
+      the ordering is the cosine ordering) — metadata-sized, computed
+      once per query, NOT per pair;
+    * ADC per candidate is an m-term expression fold over the byte
+      codes (JVM-side, no Python in the pair loop);
+    * only shortlist survivors (|queries| x ``shortlist`` rows) fetch
+      their full vectors back — one broadcast-able semi-join against
+      the corpus — for the exact cosine re-rank.
+
+    Approximate exactly like FAISS IVFPQ: neighbors outside probed
+    cells or beyond the ADC shortlist are unseen; recall tunes with
+    ``nprobe`` x ``shortlist`` (measured in tests).  Returns
+    ``query_id, neighbor_id, cos_sim, rank``.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    m, ks, dsub = codebooks.shape
+    B = codebooks
+    cent_ids_np, _scores = _centroid_scorer(centroids, id_col, vec_col)
+
+    @pandas_udf("bigint")
+    def _cell(vs: pd.Series) -> pd.Series:
+        return pd.Series(cent_ids_np[np.argmax(_scores(vs), axis=1)])
+
+    @pandas_udf("array<bigint>")
+    def _probe_cells(vs: pd.Series) -> pd.Series:
+        order = np.argsort(-_scores(vs), axis=1, kind="stable")
+        return pd.Series(list(cent_ids_np[order[:, :nprobe]]))
+
+    @pandas_udf("array<double>")
+    def _adc_table(vs: pd.Series) -> pd.Series:
+        # flattened (m*ks) table: entry j*ks+c = ||q_j - B[j][c]||^2 in
+        # the normalized space
+        Q = np.stack(vs.to_numpy()).astype(np.float64)
+        Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-30)
+        tabs = np.empty((len(Q), m * ks))
+        for j in range(m):
+            Qj = Q[:, j * dsub:(j + 1) * dsub]
+            Cj = B[j]
+            tabs[:, j * ks:(j + 1) * ks] = (
+                (Qj * Qj).sum(axis=1, keepdims=True)
+                - 2.0 * (Qj @ Cj.T) + (Cj * Cj).sum(axis=1))
+        return pd.Series(list(tabs))
+
+    enc = pq_encode(emb, codebooks, id_col=id_col, vec_col=vec_col)
+    asg = enc.select(
+        F.col(id_col).alias("neighbor_id"), "pq_codes",
+        _cell(F.col(vec_col)).alias("cell"))
+    qs = queries.select(
+        F.col(id_col).alias("query_id"),
+        _adc_table(F.col(vec_col)).alias("_tab"),
+        F.explode(_probe_cells(F.col(vec_col))).alias("cell"))
+    # ADC BEFORE the pair dedup: the dedup exchange carries one double
+    # per pair, not the m*ks table
+    cand = (
+        asg.join(qs, on="cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("adc", F.aggregate(
+            F.sequence(F.lit(0), F.lit(m - 1)), F.lit(0.0),
+            lambda acc, j: acc + F.element_at(
+                "_tab", (j * ks
+                         + F.element_at("pq_codes", j + 1) + 1
+                         ).cast("int"))))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.min("adc").alias("adc"))
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.asc("adc"), F.asc("neighbor_id"))
+    short = (cand.withColumn("_r", F.row_number().over(wa))
+             .filter(F.col("_r") <= shortlist)
+             .select("query_id", "neighbor_id"))
+    # exact re-rank: fetch full vectors for the shortlist only (the
+    # shortlist side is |queries| x shortlist rows — broadcast it)
+    nvec = emb.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("_nvec"))
+    qv = queries.select(F.col(id_col).alias("query_id"),
+                        F.col(vec_col).alias("_qvec"))
+    rer = (nvec.join(F.broadcast(short), on="neighbor_id")
+           .join(F.broadcast(qv), on="query_id")
+           .withColumn("cos_sim", cosine_similarity("_qvec", "_nvec")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (rer.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cos_sim", "rank"))

@@ -4447,6 +4447,120 @@ def dedup_span_removal(spark, sf_dir):
         "doc_id", F.md5("text").alias("clean_md5"), "n_tokens_removed")
 
 
+@_register(
+    "dedup_c4_spans",
+    """WITH d0 AS (
+  SELECT doc_id, text || '.' ||
+    CASE WHEN doc_id % 4 = 0 THEN
+      ' Alpha sentence number one stays here.'
+      || ' Beta sentence follows directly after.'
+      || ' Gamma sentence closes the shared span.'
+      || ' Unique closer ' || CAST(doc_id AS VARCHAR)
+      || ' ends the page.' ELSE '' END ||
+    CASE WHEN doc_id % 20 = 0 THEN
+      ' Alpha sentence number one stays here.'
+      || ' Beta sentence follows directly after.'
+      || ' Gamma sentence closes the shared span.' ELSE '' END ||
+    CASE WHEN doc_id % 10 = 5 THEN
+      ' Alpha sentence number one stays here.'
+      || ' Beta sentence follows directly after.'
+      || ' Gamma sentence closes the shared span.' ELSE '' END ||
+    CASE WHEN doc_id % 7 = 0 THEN
+      ' Delta opens another shared group.'
+      || ' Epsilon continues the second group.'
+      || ' Zeta ends the second shared group.'
+      || ' Tail without terminal punct' ELSE '' END AS t
+  FROM documents
+),
+b AS (SELECT doc_id, t,
+             regexp_extract_all(t, '[^.!?]*[.!?]') AS sents FROM d0),
+s AS (SELECT doc_id, unnest(sents) AS sent,
+             generate_subscripts(sents, 1) AS sidx FROM b),
+sp AS (
+  SELECT s1.doc_id, s1.sidx - 1 AS start,
+         md5(trim(s1.sent) || chr(31) || trim(s2.sent)
+             || chr(31) || trim(s3.sent)) AS sh
+  FROM s s1
+  JOIN s s2 ON s2.doc_id = s1.doc_id AND s2.sidx = s1.sidx + 1
+  JOIN s s3 ON s3.doc_id = s1.doc_id AND s3.sidx = s1.sidx + 2
+),
+dup AS (
+  SELECT sh, min(struct_pack(d := doc_id, s := start)) AS f
+  FROM sp GROUP BY sh HAVING count(*) >= 2
+),
+rem AS (
+  SELECT DISTINCT * FROM (
+    SELECT sp.doc_id, unnest([sp.start, sp.start + 1, sp.start + 2])
+           AS sidx0
+    FROM sp JOIN dup ON sp.sh = dup.sh
+    WHERE sp.doc_id <> dup.f.d OR sp.start <> dup.f.s)
+),
+kept AS (
+  SELECT s.doc_id, s.sent, s.sidx
+  FROM s LEFT JOIN rem
+    ON rem.doc_id = s.doc_id AND rem.sidx0 = s.sidx - 1
+  WHERE rem.doc_id IS NULL
+),
+agg AS (SELECT doc_id,
+               coalesce(string_agg(sent, '' ORDER BY sidx), '') AS joined
+        FROM kept GROUP BY doc_id),
+lens AS (SELECT doc_id, sum(len(sent)) AS total FROM s GROUP BY doc_id),
+nrm AS (SELECT doc_id, count(*) AS nr FROM rem GROUP BY doc_id)
+SELECT b.doc_id,
+  md5(CASE WHEN nrm.nr IS NULL THEN b.t
+      ELSE agg.joined || substr(b.t, CAST(lens.total AS INT) + 1)
+      END) AS clean_md5,
+  CAST(coalesce(nrm.nr, 0) AS BIGINT) AS n_sentences_removed
+FROM b
+LEFT JOIN agg USING (doc_id)
+LEFT JOIN lens USING (doc_id)
+LEFT JOIN nrm USING (doc_id)""",
+)
+def dedup_c4_spans(spark, sf_dir):
+    """C4 three-sentence-span dedup (Raffel et al. 2020 §2.2;
+    llm/dedup.py c4_span_dedup): every 3-sentence span occurring more
+    than once keeps only its first (doc_id, start) occurrence; other
+    occurrences' sentences are cut, overlaps unioned, and text after
+    the last terminal mark rides through untouched.  The synthetic
+    corpus has no sentences, so a terminal mark plus shared sentence
+    groups are seeded per doc identically in both engines — including
+    a doc family carrying the SAME span twice (within-doc removal) and
+    a group with an unterminated tail (byte-identity of the tail).
+    The gate hashes every doc's cleaned text; the oracle re-derives
+    spans, first-occurrence choice, the sentence-index removal union,
+    and the ordered rebuild in SQL."""
+    from .llm import dedup as dd
+
+    d = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    t = F.concat(
+        F.col("text"), F.lit("."),
+        F.when(did % 4 == 0, F.concat(
+            F.lit(" Alpha sentence number one stays here."
+                  " Beta sentence follows directly after."
+                  " Gamma sentence closes the shared span."
+                  " Unique closer "), did.cast("string"),
+            F.lit(" ends the page."))).otherwise(""),
+        F.when(did % 20 == 0, F.lit(
+            " Alpha sentence number one stays here."
+            " Beta sentence follows directly after."
+            " Gamma sentence closes the shared span.")).otherwise(""),
+        F.when(did % 10 == 5, F.lit(
+            " Alpha sentence number one stays here."
+            " Beta sentence follows directly after."
+            " Gamma sentence closes the shared span.")).otherwise(""),
+        F.when(did % 7 == 0, F.lit(
+            " Delta opens another shared group."
+            " Epsilon continues the second group."
+            " Zeta ends the second shared group."
+            " Tail without terminal punct")).otherwise(""),
+    )
+    out = dd.c4_span_dedup(d.select("doc_id", t.alias("text")), n=3)
+    return out.select(
+        "doc_id", F.md5("text").alias("clean_md5"),
+        F.col("n_sentences_removed"))
+
+
 def _pii_sql() -> str:
     """Oracle for text_pii_scrub, built from the SAME portable patterns
     the operator uses (llm/text.py PII_PATTERNS — no lookaround, ASCII
@@ -4902,6 +5016,72 @@ def knn_ivf_trained_docs(spark, sf_dir):
     q = e.filter(F.col("vec_id") % 100 == 0)
     out = knn_ivf(e, q, cents, k=5, nprobe=2)
     return out.withColumn("cos_sim", F.round("cos_sim", 6))
+
+
+@_register(
+    "knn_ivfpq_docs",
+    f"""WITH e AS (
+  SELECT vec_id,
+         [embedding[i] + CAST((((vec_id % 50) * 7 + (i - 1) * 13) % 53)
+                              % 11 - 5 AS DOUBLE)
+          FOR i IN range(1, len(embedding) + 1)] AS embedding
+  FROM embeddings
+),
+q AS (SELECT * FROM e WHERE vec_id % 100 = 0),
+p AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         {_cos_pair_sql('q.embedding', 'e.embedding')} AS cos
+  FROM q JOIN e ON q.vec_id <> e.vec_id
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rank
+      FROM p)
+SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos_sim,
+       CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 5""",
+)
+def knn_ivfpq_docs(spark, sf_dir):
+    """IVF-PQ end-to-end (Jegou et al. 2011; llm/similarity.py
+    pq_fit/pq_encode/knn_ivfpq): coarse k-means cells prune to nprobe,
+    per-subspace PQ codebooks (trained by the fused one-scan-per-pass
+    Lloyd loop) rank survivors by asymmetric distance over one-byte
+    codes, and only the shortlist is re-ranked by exact cosine.
+
+    The synthetic embeddings are near-orthogonal noise — no index
+    (IVF, PQ, or LSH) can be selective on structureless data — so a
+    deterministic 50-blob offset (pure INTEGER arithmetic from
+    (vec_id, dim), bit-identical in both engines; 53 is prime so no
+    two blob ids share an offset vector) is added
+    identically on both sides, the same decoration philosophy as the
+    text gates.  The oracle is the BRUTE-FORCE exact top-5 on the
+    decorated vectors: the gate passes iff the PQ shortlist's exact
+    re-rank returns exactly the true neighbors — recall 1.0 at gate
+    parameters (nprobe=4 of 10 cells, shortlist=40; verified at
+    sf0.001/0.01/0.1).  Recall under TIGHT parameters is measured
+    separately in tests/test_llm.py (the dedup_fuzzy pattern: an
+    honest recall number, plus an exactness gate where exactness is
+    expected)."""
+    from .llm.similarity import kmeans_fit, knn_ivfpq, pq_fit
+
+    e0 = _read(spark, sf_dir, "embeddings")
+    vid = F.col("vec_id")
+    e = e0.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x, i: x + ((((vid % 50) * 7 + i * 13) % 53)
+                              % 11 - 5).cast("double"),
+        ).alias("embedding"))
+    cents_np = kmeans_fit(e, 10, iters=1)
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in cents_np[i]])
+         for i in range(cents_np.shape[0])],
+        "vec_id LONG, embedding ARRAY<DOUBLE>")
+    books = pq_fit(e, m=8, ks=16, iters=2)
+    q = e.filter(vid % 100 == 0)
+    out = knn_ivfpq(e, q, cents, books, k=5, nprobe=4, shortlist=40)
+    return out.withColumn("cos_sim", F.round("cos_sim", 6)) \
+              .withColumn("rank", F.col("rank").cast("long"))
 
 
 @_register(
@@ -7643,7 +7823,7 @@ def nc3_subdaily_ingest(spark, sf_dir):
 _PRIORITY = [
     # -- additions with no driver row yet (the ordering rule
     #    requires these inside the sampled head) --
-    "text_c4_flags",
+    "text_c4_flags", "dedup_c4_spans", "dedup_url_canon", "knn_ivfpq_docs",
     # -- newest driver-green row: round 9 --
     "ens_weighted_percentiles_ms", "ens_stats_ms", "ens_percentiles_ms",
     "fa_gumbel_rp", "text_quality_by_source", "detrend_resid_std",
