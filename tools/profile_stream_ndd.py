@@ -64,14 +64,38 @@ def main(argv) -> int:
     bdf = (spark.read
            .schema("doc_id BIGINT, ts TIMESTAMP, text STRING")
            .parquet(f"{root}/part_*.parquet"))
+    # equivalent-work probe for the Arrow prep stage: the same
+    # tokenize -> unique crc32 grams -> MinHash math as _prep
+    # (streaming/dedup.py), batch mode, no state machinery
+    from xclim_spark.llm.dedup import _MERSENNE31, _perm_coeffs, _ws_tokens
+    import numpy as np
+    import pandas as pd
+
+    coeffs = _perm_coeffs(num_perm, 7)
+    A = np.array([c[0] for c in coeffs], dtype=np.int64)
+    Bc = np.array([c[1] for c in coeffs], dtype=np.int64)
+
+    def _prep_equiv(it):
+        import zlib
+        for pdf in it:
+            sigs = []
+            for t in pdf["text"]:
+                w = _ws_tokens(t) if t is not None else []
+                if len(w) < 3:
+                    sigs.append(0)
+                    continue
+                grams = {" ".join(w[j:j + 3]) for j in range(len(w) - 2)}
+                u = np.unique(np.fromiter(
+                    (zlib.crc32(g.encode()) for g in grams),
+                    dtype=np.int64) % _MERSENNE31)
+                sig = ((u[:, None] * A[None, :] + Bc[None, :])
+                       % _MERSENNE31).min(axis=0)
+                sigs.append(int(sig.sum()))
+            yield pd.DataFrame({"s": sigs})
+
     for rep in range(3):
         t0 = time.time()
-        # streaming_near_dedup's prep is private; the batch twin
-        # (shingles -> minhash -> band keys) exercises identical numpy
-        from xclim_spark.llm.dedup import lsh_band_buckets
-        lsh_band_buckets(
-            bdf.select(F.col("doc_id").alias("_id"), "text"),
-            num_perm=num_perm, bands=bands).count()
+        bdf.repartition(cpus).mapInPandas(_prep_equiv, "s long").count()
         dt = time.time() - t0
         out.setdefault("prep_batch_equiv_s", []).append(round(dt, 2))
 

@@ -134,8 +134,15 @@ def streaming_near_dedup(
     rows = num_perm // bands
     d_us = _delay_us(delay)
     if num_blocks is None:
+        # HALF the parallelism, not 2x: a doc's shingle set is stored
+        # once per touched block, so duplication (and the per-batch
+        # state blob rewrite that dominates wall-clock) grows ~
+        # min(bands, num_blocks).  The r13 sf1 sweep (PLANS.md):
+        # blocks 8/16/32/64/128 -> 29.2/24.0/33.6/41.3/38.0 s with
+        # peak state 252/409/655/915/1116 MB — rewrite volume beats
+        # task parallelism until blocks drop below ~cores/4
         num_blocks = max(
-            2 * sdf.sparkSession.sparkContext.defaultParallelism, 2)
+            sdf.sparkSession.sparkContext.defaultParallelism // 2, 2)
 
     # Arrow hands _fn tz-NAIVE timestamps rendered in the SESSION
     # timezone, while getCurrentWatermarkMs()/setTimeoutTimestamp()
