@@ -1451,3 +1451,61 @@ def test_c4_span_dedup(spark):
     # the second copy duplicates too -> both cut
     assert got[4]["text"] == "Doc four opener."
     assert got[4]["n_sentences_removed"] == 6
+
+
+def test_stratified_topn(spark):
+    """Exact per-group quotas, hash-decided (order-independent), and
+    monotone in n (raising a quota only adds rows)."""
+    from pyspark.sql import functions as F
+
+    from xclim_spark.llm.pipeline import stratified_topn
+
+    rows = [(i, f"src{i % 3}") for i in range(100)]
+    docs = spark.createDataFrame(rows, "doc_id LONG, source STRING")
+    got = stratified_topn(docs, 5).collect()
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r["source"], set()).add(r["doc_id"])
+    assert all(len(v) == 5 for v in by_src.values())
+    # order/partitioning independence: same draw from a shuffled input
+    got2 = stratified_topn(
+        docs.orderBy(F.desc("doc_id")).repartition(7), 5).collect()
+    assert {(r["doc_id"], r["source"]) for r in got2} \
+        == {(r["doc_id"], r["source"]) for r in got}
+    # monotone: n=5 sample is a subset of n=10
+    big = {(r["doc_id"], r["source"])
+           for r in stratified_topn(docs, 10).collect()}
+    assert {(r["doc_id"], r["source"]) for r in got} <= big
+    # a group smaller than the quota survives whole
+    small = spark.createDataFrame(
+        [(1, "only"), (2, "only")], "doc_id LONG, source STRING")
+    assert len(stratified_topn(small, 5).collect()) == 2
+
+
+def test_unicode_normalize(spark):
+    import unicodedata
+
+    from pyspark.sql import functions as F
+
+    import pytest as _pytest
+
+    from xclim_spark.llm.text import unicode_normalize
+
+    rows = [
+        (0, "café"),          # NFC composes
+        (1, "café"),           # already composed: unchanged
+        (2, "ﬁle"),            # ligature: NFC keeps, NFKC expands
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "i LONG, t STRING")
+    nfc = {r["i"]: r["n"] for r in df.select(
+        "i", unicode_normalize("t").alias("n")).collect()}
+    assert nfc[0] == nfc[1] == "café"
+    assert nfc[2] == "ﬁle"
+    assert nfc[3] is None
+    nfkc = {r["i"]: r["n"] for r in df.select(
+        "i", unicode_normalize("t", "NFKC").alias("n")).collect()}
+    assert nfkc[2] == "file"
+    assert nfkc[0] == unicodedata.normalize("NFKC", rows[0][1])
+    with _pytest.raises(ValueError, match="unknown form"):
+        unicode_normalize("t", "NFX")

@@ -42,6 +42,7 @@ __all__ = [
     "hex_threshold",
     "sample_hash",
     "mixture_sample",
+    "stratified_topn",
 ]
 
 
@@ -174,6 +175,42 @@ def mixture_sample(
             F.col(source_col) == src, F.lit(hex_threshold(rate))
         ).otherwise(thresh)
     return df.filter(h < thresh)
+
+
+def stratified_topn(
+    df: DataFrame,
+    n: int,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic EXACT-COUNT stratified sampling: at most ``n``
+    rows per group, chosen as the group's ``n`` smallest
+    ``md5(group|key)`` hashes — the fixed-quota sibling of
+    :func:`mixture_sample` (rate sampling gives binomial counts; domain
+    caps, eval-set carving and head-domain throttling need exact
+    quotas).
+
+    Properties shared with the threshold sampler: stateless and
+    engine-reproducible (same lowercase-hex md5 ordering in Spark and
+    DuckDB), monotone in ``n`` (raising a quota strictly grows the
+    sample), and decided by hash, not input order, so re-partitioning
+    or re-ingesting cannot change the draw.
+
+    Plan shape at 100 TB: one hash-partitioned ``row_number`` window
+    per group — a single shuffle on ``group_col``; no global sort, no
+    driver collection.  A skewed group (one domain = half the corpus)
+    makes one hot partition: cap such domains upstream with
+    ``domain_counts`` or run this after a coarse ``mixture_sample``
+    prefilter.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        sample_hash(F.col(group_col), F.col(key_col)),
+        F.col(key_col))
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= n).drop("_rn"))
+
 
 def repetition_stats(
     docs: DataFrame,

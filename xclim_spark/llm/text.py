@@ -26,6 +26,7 @@ __all__ = [
     "c4_clean_lines",
     "c4_quality_flags",
     "C4_BAD_WORDS",
+    "unicode_normalize",
     "language_id",
     "winnowing_fingerprints",
     "pii_counts",
@@ -289,6 +290,34 @@ def c4_quality_flags(
         "clean_text": clean,
         "keep": keep,
     }
+
+
+def unicode_normalize(text, form: str = "NFC") -> Column:
+    """Unicode normalization (NFC/NFD/NFKC/NFKD) of a text column —
+    the canonicalization step every multi-source corpus needs before
+    hashing/dedup (the same logical document arrives precomposed from
+    one crawl and decomposed from another; their md5s differ until
+    normalized).
+
+    Honest slow path: Spark exposes no JVM-side Unicode normalizer in
+    ``pyspark.sql.functions``, so this is an Arrow ``pandas_udf`` over
+    ``unicodedata.normalize`` — map-side, zero shuffle, and the ONLY
+    Python in the pipeline stays inside the scan projection.  NFC
+    output is oracle-checkable against DuckDB's ``nfc_normalize``.
+    """
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unicode_normalize: unknown form {form!r}")
+
+    @pandas_udf("string")
+    def _norm(s):
+        return s.map(lambda t: None if t is None
+                     else unicodedata.normalize(form, t))
+
+    return _norm(text if isinstance(text, Column) else F.col(text))
 
 
 def language_id(text) -> Column:

@@ -4715,10 +4715,9 @@ def text_gopher_flags(spark, sf_dir):
         "doc_id", *[c.alias(k) for k, c in rounded.items()])
 
 
-@_register(
-    "dedup_url_canon",
-    """WITH u0 AS (
-  SELECT doc_id,
+# Shared by dedup_url_canon and stream_dedup_url: the seeded messy URL
+# (SQL form) and the canonicalization CTE chain that normalizes it.
+_URL_SEED_SQL = """\
     CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END || '://' ||
     CASE WHEN doc_id % 3 = 0 THEN 'SITE' ELSE 'site' END ||
     CAST(doc_id % 7 AS VARCHAR) ||
@@ -4731,7 +4730,32 @@ def text_gopher_flags(spark, sf_dir):
       WHEN 1 THEN '?a=1&b=2&utm_campaign=x'
       WHEN 2 THEN '?b=2&a=1'
       ELSE '' END ||
-    CASE WHEN doc_id % 6 = 0 THEN '#section' ELSE '' END AS url
+    CASE WHEN doc_id % 6 = 0 THEN '#section' ELSE '' END"""
+
+
+def _seed_url_col():
+    """Spark twin of _URL_SEED_SQL (identical bytes in both engines)."""
+    did = F.col("doc_id")
+    return F.concat(
+        F.when(did % 2 == 0, F.lit("HTTPS")).otherwise("http"),
+        F.lit("://"),
+        F.when(did % 3 == 0, F.lit("SITE")).otherwise("site"),
+        (did % 7).cast("string"),
+        F.when(did % 5 == 0, F.lit(".Example.co.uk"))
+         .otherwise(".Example.com"),
+        F.when(did % 2 == 0, F.lit(":443")).otherwise(":80"),
+        F.lit("/p/"), (did % 25).cast("string"),
+        F.when(did % 4 == 0, F.lit("?utm_source=feed&b=2&a=1"))
+         .when(did % 4 == 1, F.lit("?a=1&b=2&utm_campaign=x"))
+         .when(did % 4 == 2, F.lit("?b=2&a=1")).otherwise(""),
+        F.when(did % 6 == 0, F.lit("#section")).otherwise(""),
+    )
+
+
+@_register(
+    "dedup_url_canon",
+    f"""WITH u0 AS (
+  SELECT doc_id, {_URL_SEED_SQL} AS url
   FROM documents
 ),
 c AS (
@@ -4795,22 +4819,58 @@ def dedup_url_canon(spark, sf_dir):
     from .llm import urls as lu
 
     d = _read(spark, sf_dir, "documents")
+    return lu.url_dedup(
+        d.select("doc_id", _seed_url_col().alias("url")))
+
+
+@_register(
+    "text_nfc_norm",
+    """WITH d0 AS (
+  SELECT doc_id, text ||
+    CASE WHEN doc_id % 3 = 0
+      THEN ' cafe' || chr(769) || ' resume' || chr(769) ELSE '' END ||
+    CASE WHEN doc_id % 5 = 0
+      THEN ' A' || chr(778) || 'ngstro' || chr(776) || 'm' ELSE '' END ||
+    CASE WHEN doc_id % 7 = 0 THEN ' ' || chr(64257) || 'le' ELSE '' END
+    AS t
+  FROM documents
+)
+SELECT doc_id,
+       md5(nfc_normalize(t)) AS nfc_md5,
+       nfc_normalize(t) <> t AS changed
+FROM d0""",
+)
+def text_nfc_norm(spark, sf_dir):
+    """Unicode NFC canonicalization (llm/text.py unicode_normalize) —
+    the pre-hash normalization a multi-source corpus needs (the same
+    text arrives precomposed from one crawl, decomposed from another).
+    Docs are seeded with combining-mark sequences (e + U+0301,
+    A + U+030A, o + U+0308) that NFC composes, plus the U+FB01 'fi'
+    ligature that NFC must PRESERVE (it is compatibility-only — a
+    NFKC-vs-NFC confusion would flip the hash).  Oracle: DuckDB's
+    nfc_normalize over the identically-seeded bytes.  The operator is
+    an honest Arrow slow path — Spark has no JVM-side normalizer —
+    kept map-side inside the scan projection."""
+    from .llm.text import unicode_normalize
+
+    d = _read(spark, sf_dir, "documents")
     did = F.col("doc_id")
-    url = F.concat(
-        F.when(did % 2 == 0, F.lit("HTTPS")).otherwise("http"),
-        F.lit("://"),
-        F.when(did % 3 == 0, F.lit("SITE")).otherwise("site"),
-        (did % 7).cast("string"),
-        F.when(did % 5 == 0, F.lit(".Example.co.uk"))
-         .otherwise(".Example.com"),
-        F.when(did % 2 == 0, F.lit(":443")).otherwise(":80"),
-        F.lit("/p/"), (did % 25).cast("string"),
-        F.when(did % 4 == 0, F.lit("?utm_source=feed&b=2&a=1"))
-         .when(did % 4 == 1, F.lit("?a=1&b=2&utm_campaign=x"))
-         .when(did % 4 == 2, F.lit("?b=2&a=1")).otherwise(""),
-        F.when(did % 6 == 0, F.lit("#section")).otherwise(""),
+    t = F.concat(
+        F.col("text"),
+        # explicit \u escapes: an editor or tool normalizing this
+        # source file must not silently precompose the seeds the
+        # oracle builds from chr(769)/chr(778)/chr(776)
+        F.when(did % 3 == 0,
+               F.lit(" cafe\u0301 resume\u0301")).otherwise(""),
+        F.when(did % 5 == 0,
+               F.lit(" A\u030angstro\u0308m")).otherwise(""),
+        F.when(did % 7 == 0, F.lit(" \ufb01le")).otherwise(""),
     )
-    return lu.url_dedup(d.select("doc_id", url.alias("url")))
+    norm = unicode_normalize(F.col("t"))
+    return d.select("doc_id", t.alias("t")).select(
+        "doc_id",
+        F.md5(norm).alias("nfc_md5"),
+        (norm != F.col("t")).alias("changed"))
 
 
 @_register(
@@ -6640,6 +6700,33 @@ def mixture_sample_src(spark, sf_dir):
 
 
 @_register(
+    "stratified_topn_src",
+    """WITH h AS (
+  SELECT doc_id, source,
+         substring(md5(concat(source, '|', CAST(doc_id AS VARCHAR))),
+                   1, 8) AS hh
+  FROM documents
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY source
+                                   ORDER BY hh, doc_id) AS rn
+      FROM h)
+SELECT doc_id, source FROM r WHERE rn <= 30""",
+)
+def stratified_topn_src(spark, sf_dir):
+    """Deterministic EXACT-COUNT stratified sampling (llm/pipeline.py
+    stratified_topn): at most 30 docs per source, chosen as the 30
+    smallest md5(source|id) hashes — the fixed-quota sibling of
+    mixture_sample (domain caps / eval-carving need exact counts, not
+    binomial rates).  Hash-decided, so re-partitioning cannot change
+    the draw; the oracle recomputes the identical digests and the
+    identical per-group ranking."""
+    from .llm import pipeline as pl
+
+    docs = _read(spark, sf_dir, "documents")
+    return pl.stratified_topn(docs, 30).select("doc_id", "source")
+
+
+@_register(
     "tree_tx_days_above",
     f"""WITH {DAILY_SQL}
 SELECT cell, CAST(date_trunc('month', day) AS DATE) AS period,
@@ -7034,6 +7121,76 @@ def stream_dedup_exact(spark, sf_dir):
             .trigger(availableNow=True)
             .start()
         )
+        q.awaitTermination()
+    out = spark.table(sink).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(sink)
+    return out
+
+
+@_register(
+    "stream_dedup_url",
+    f"""WITH u0 AS (
+  SELECT doc_id, {_URL_SEED_SQL} AS url
+  FROM documents
+),
+c AS (
+  SELECT doc_id,
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+      AS scheme,
+    lower(regexp_extract(url,
+      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS auth,
+    regexp_extract(url,
+      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
+    regexp_extract(url, '\\?([^#]*)', 1) AS rawq
+  FROM u0
+),
+c2 AS (
+  SELECT doc_id, scheme,
+    CASE WHEN scheme = 'http' THEN regexp_replace(auth, ':80$', '')
+         WHEN scheme = 'https' THEN regexp_replace(auth, ':443$', '')
+         ELSE auth END AS host,
+    CASE WHEN rawpath = '' THEN '/' ELSE rawpath END AS path,
+    coalesce(array_to_string(list_sort(
+      [p FOR p IN string_split(rawq, '&')
+       IF len(p) > 0 AND NOT regexp_matches(p,
+         '^(utm_[^=&]*|fbclid|gclid|msclkid|mc_eid|igshid|ref_src)(=.*)?$')
+      ]), '&'), '') AS q
+  FROM c
+)
+SELECT scheme || '://' || host || path ||
+         CASE WHEN q = '' THEN '' ELSE '?' || q END AS canon_url,
+       CAST(min(doc_id) AS BIGINT) AS keep_id,
+       CAST(count(*) AS BIGINT) AS dup_count
+FROM c2 GROUP BY 1""",
+)
+def stream_dedup_url(spark, sf_dir):
+    """Canonical-URL dedup as a STREAMING aggregation — the ingest-time
+    twin of dedup_url_canon: the staged 4-file corpus replays as
+    micro-batches, every arriving doc's seeded messy URL is
+    canonicalized MAP-SIDE (llm/urls.py canonicalize_url — pure
+    expressions, so the normalization runs inside the micro-batch scan)
+    and the canonical-key groupBy carries min-id/count state across
+    batches under Trigger.AvailableNow.  The oracle restates the full
+    normalization in SQL over the same seeded table."""
+    from .llm.urls import canonicalize_url
+
+    root = _stage_stream_docs(sf_dir)
+    sdf = (spark.readStream
+           .schema("doc_id BIGINT, ts TIMESTAMP, text STRING")
+           .option("maxFilesPerTrigger", 1)
+           .parquet(f"{root}/part_*.parquet"))
+    agg = (sdf.select("doc_id", _seed_url_col().alias("url"))
+           .select("doc_id", canonicalize_url("url").alias("canon_url"))
+           .groupBy("canon_url")
+           .agg(F.min("doc_id").alias("keep_id"),
+                F.count(F.lit(1)).alias("dup_count")))
+    _STREAM_SEQ[0] += 1
+    sink = f"_stream_dedup_url_{_STREAM_SEQ[0]}"
+    with _stream_state_partitions(spark):
+        q = (agg.writeStream.format("memory").queryName(sink)
+             .outputMode("complete")
+             .trigger(availableNow=True)
+             .start())
         q.awaitTermination()
     out = spark.table(sink).localCheckpoint(eager=True)
     spark.catalog.dropTempView(sink)
@@ -7824,6 +7981,7 @@ _PRIORITY = [
     # -- additions with no driver row yet (the ordering rule
     #    requires these inside the sampled head) --
     "text_c4_flags", "dedup_c4_spans", "dedup_url_canon", "knn_ivfpq_docs",
+    "stratified_topn_src", "stream_dedup_url", "text_nfc_norm",
     # -- newest driver-green row: round 9 --
     "ens_weighted_percentiles_ms", "ens_stats_ms", "ens_percentiles_ms",
     "fa_gumbel_rp", "text_quality_by_source", "detrend_resid_std",
