@@ -205,11 +205,14 @@ def stratified_topn(
     """
     from pyspark.sql import Window
 
+    rn = "_rn"
+    while rn in df.columns:  # never clobber a caller's column
+        rn += "_"
     w = Window.partitionBy(group_col).orderBy(
         sample_hash(F.col(group_col), F.col(key_col)),
         F.col(key_col))
-    return (df.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= n).drop("_rn"))
+    return (df.withColumn(rn, F.row_number().over(w))
+            .filter(F.col(rn) <= n).drop(rn))
 
 
 def repetition_stats(

@@ -587,6 +587,8 @@ def pq_encode(
 
     @pandas_udf("array<smallint>")
     def _codes(vs: pd.Series) -> pd.Series:
+        if not len(vs):  # np.stack([]) raises on an empty Arrow batch
+            return pd.Series([], dtype=object)
         X = np.stack(vs.to_numpy()).astype(np.float64)
         X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
         cols = []
@@ -660,6 +662,8 @@ def knn_ivfpq(
     def _adc_table(vs: pd.Series) -> pd.Series:
         # flattened (m*ks) table: entry j*ks+c = ||q_j - B[j][c]||^2 in
         # the normalized space
+        if not len(vs):
+            return pd.Series([], dtype=object)
         Q = np.stack(vs.to_numpy()).astype(np.float64)
         Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-30)
         tabs = np.empty((len(Q), m * ks))
