@@ -1509,3 +1509,39 @@ def test_unicode_normalize(spark):
     assert nfkc[0] == unicodedata.normalize("NFKC", rows[0][1])
     with _pytest.raises(ValueError, match="unknown form"):
         unicode_normalize("t", "NFX")
+
+
+def test_bm25_topk(spark):
+    """Hand-checkable BM25 on a tiny corpus: rarer terms weigh more,
+    repeated terms saturate, non-matching docs are excluded, ties
+    break on id; plan stays broadcast + TakeOrderedAndProject."""
+    import math
+
+    import pytest as _pytest
+
+    from xclim_spark.llm.search import bm25_topk
+
+    rows = [
+        (0, "apple banana banana cherry"),
+        (1, "apple apple apple apple"),
+        (2, "banana cherry cherry cherry"),
+        (3, "durian elderberry fig grape"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = bm25_topk(docs, ["cherry"], k=10).collect()
+    # docs 0 and 2 match; doc 2 has higher tf -> higher score
+    assert [r["doc_id"] for r in got] == [2, 0]
+    n, df, avgdl = 4, 2, 4.0
+    idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+    exp2 = idf * 3 / (3 + 1.2 * (1 - 0.75 + 0.75 * 4 / avgdl))
+    assert abs(got[0]["score"] - round(exp2, 6)) < 1e-9
+    # multi-term: docs 0 and 2 both match both terms; doc 2's
+    # tf profile (1+3 vs 2+1) wins under saturation
+    multi = bm25_topk(docs, ["banana", "cherry"], k=10).collect()
+    assert [r["doc_id"] for r in multi] == [2, 0]
+    with _pytest.raises(ValueError, match="empty query"):
+        bm25_topk(docs, [])
+    plan = bm25_topk(docs, ["cherry"], k=3)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan

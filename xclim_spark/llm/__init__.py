@@ -8,7 +8,8 @@ The components a 100 TB corpus pipeline needs, built Spark-first:
 * :mod:`.text` — language id, quality scoring, token counting,
   fingerprinting;
 * :mod:`.urls` — URL canonicalization, registered-domain extraction,
-  canonical-URL dedup and domain-mix counts.
+  canonical-URL dedup and domain-mix counts;
+* :mod:`.search` — BM25 ranked retrieval over the corpus.
 """
 
-from . import dedup, similarity, text, urls  # noqa: F401
+from . import dedup, search, similarity, text, urls  # noqa: F401

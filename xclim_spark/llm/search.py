@@ -1,0 +1,100 @@
+"""Corpus search operators: BM25 ranked retrieval.
+
+The retrieval probe a training-data pipeline runs against its own
+corpus (quality spot-checks, benchmark-leak hunting beyond exact
+n-grams, retrieval-eval set construction).  Spark-first shape:
+
+* per-document term frequencies are pure higher-order-function
+  expressions over the tokenized text (map-side, inside the scan
+  projection — the query's terms are literals, so Catalyst folds the
+  whole tf vector into whole-stage codegen);
+* the corpus statistics BM25 needs (N, average document length,
+  per-term document frequencies) reduce to ONE single-row aggregate,
+  broadcast back with a cross join — at 100 TB that is one partial
+  map-side aggregation and a scalar exchange, never a shuffle of the
+  corpus;
+* the final top-k is a global ``orderBy().limit()`` — Spark executes
+  it as TakeOrderedAndProject (per-partition heaps + driver merge),
+  no full sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["bm25_topk"]
+
+
+def _tf(toks: Column, term: str) -> Column:
+    return F.size(F.filter(toks, lambda w: w == term))
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 top-k documents for a bag-of-words query (Robertson &
+    Zaragoza 2009, *The Probabilistic Relevance Framework: BM25 and
+    Beyond*, eq. 3.15 with the +1 idf floor):
+
+    ``score(d) = sum_t idf(t) * tf / (tf + k1*(1 - b + b*dl/avgdl))``,
+    ``idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5))``.
+
+    Matching is whole-token on lowercased whitespace tokens (the same
+    tokenizer contract as the quality filters); ``terms`` are
+    lowercased literals.  Scores are rounded to 6 dp BEFORE ranking so
+    the ranking is reproducible across engines (raw fp sums may
+    differ in the last ulp); ties break on ascending ``id_col``.
+
+    Returns ``id_col, score, rank`` (only docs matching >= 1 term).
+    """
+    if not terms:
+        raise ValueError("bm25_topk: empty query")
+    terms = [t.lower() for t in terms]
+    toks = F.filter(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+                    lambda w: F.length(w) > 0)
+    base = docs.select(
+        F.col(id_col),
+        F.size(toks).alias("_dl"),
+        *[_tf(toks, t).alias(f"_tf{i}") for i, t in enumerate(terms)],
+    )
+    # ONE single-row corpus aggregate (N, avgdl, every term's df),
+    # broadcast back: the 100-TB plan is map-side partials + a scalar
+    stats = base.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.avg("_dl").alias("_avgdl"),
+        *[F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
+          for i in range(len(terms))],
+    )
+    j = base.crossJoin(F.broadcast(stats))
+    idf = [
+        F.log(1.0 + (F.col("_n") - F.col(f"_df{i}") + 0.5)
+              / (F.col(f"_df{i}") + 0.5))
+        for i in range(len(terms))
+    ]
+    parts = [
+        idf[i] * F.col(f"_tf{i}")
+        / (F.col(f"_tf{i}")
+           + k1 * (1.0 - b + b * F.col("_dl") / F.col("_avgdl")))
+        for i in range(len(terms))
+    ]
+    score = F.round(sum(parts[1:], parts[0]), 6)
+    matched = sum(
+        [(F.col(f"_tf{i}") > 0).cast("int") for i in range(len(terms))],
+        F.lit(0))
+    out = (j.filter(matched > 0)
+           .select(F.col(id_col), score.alias("score"))
+           .orderBy(F.desc("score"), F.asc(id_col))
+           .limit(k))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("score"), F.asc(id_col))
+    return out.withColumn("rank", F.row_number().over(w))
+

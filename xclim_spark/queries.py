@@ -4824,6 +4824,64 @@ def dedup_url_canon(spark, sf_dir):
 
 
 @_register(
+    "search_bm25_docs",
+    """WITH w AS (
+  SELECT doc_id,
+         [x FOR x IN string_split_regex(trim(lower(text)), '\\s+')
+          IF len(x) > 0] AS words
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, len(words) AS dl,
+    len([x FOR x IN words IF x = 'spark']) AS tf0,
+    len([x FOR x IN words IF x = 'window']) AS tf1,
+    len([x FOR x IN words IF x = 'merge']) AS tf2
+  FROM w
+),
+st AS (
+  SELECT count(*) AS n, avg(dl) AS avgdl,
+         sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+         sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+         sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+  FROM tf
+),
+sc AS (
+  SELECT doc_id,
+    ROUND(
+      ln(1 + (n - df0 + 0.5) / (df0 + 0.5))
+        * tf0 / (tf0 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+      + ln(1 + (n - df1 + 0.5) / (df1 + 0.5))
+        * tf1 / (tf1 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+      + ln(1 + (n - df2 + 0.5) / (df2 + 0.5))
+        * tf2 / (tf2 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)),
+      6) AS score
+  FROM tf CROSS JOIN st
+  WHERE tf0 + tf1 + tf2 > 0
+),
+r AS (SELECT doc_id, score,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+      FROM sc)
+SELECT doc_id, score, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 10""",
+)
+def search_bm25_docs(spark, sf_dir):
+    """BM25 top-10 retrieval (Robertson & Zaragoza 2009; llm/search.py
+    bm25_topk) for a three-term query over the documents table — the
+    corpus-search probe (quality spot-checks, leak hunting,
+    retrieval-eval construction).  Term frequencies are HOF
+    expressions in the scan projection; N/avgdl/per-term df reduce to
+    ONE single-row broadcast aggregate; the top-k is
+    TakeOrderedAndProject.  Scores round to 6 dp BEFORE ranking so
+    the ranking is engine-reproducible; the oracle re-derives the
+    exact formula (idf floor +1, k1=1.2, b=0.75) in SQL."""
+    from .llm.search import bm25_topk
+
+    d = _read(spark, sf_dir, "documents")
+    out = bm25_topk(d, ["spark", "window", "merge"], k=10)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@_register(
     "text_nfc_norm",
     """WITH d0 AS (
   SELECT doc_id, text ||
@@ -7982,6 +8040,7 @@ _PRIORITY = [
     #    requires these inside the sampled head) --
     "text_c4_flags", "dedup_c4_spans", "dedup_url_canon", "knn_ivfpq_docs",
     "stratified_topn_src", "stream_dedup_url", "text_nfc_norm",
+    "search_bm25_docs",
     # -- newest driver-green row: round 9 --
     "ens_weighted_percentiles_ms", "ens_stats_ms", "ens_percentiles_ms",
     "fa_gumbel_rp", "text_quality_by_source", "detrend_resid_std",
