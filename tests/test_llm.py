@@ -1545,3 +1545,46 @@ def test_bm25_topk(spark):
         .executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_audio_header_probe(spark):
+    """WAV/FLAC stream parameters recovered from real header structs;
+    non-audio payloads keep NULLs and the caller's mime; 'RIFF'-text
+    false positives rejected (no WAVE tag)."""
+    from xclim_spark.llm.multimodal import (
+        make_audio_header, parse_audio_header, with_audio_meta)
+
+    # builder <-> parser round trip, both formats, odd parameters
+    assert parse_audio_header(
+        make_audio_header("wav", 22050, 1, 7) + b"x") \
+        == ("wav", 22050, 1, 16, 7)
+    assert parse_audio_header(
+        make_audio_header("flac", 96000, 8, (1 << 35), bits=32)) \
+        == ("flac", 96000, 8, 32, 1 << 35)
+    assert parse_audio_header(b"RIFF from the river") is None
+    assert parse_audio_header(b"fLaC") is None  # truncated
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="out of range"):
+        make_audio_header("flac", 1 << 21, 1, 1)
+
+    rows = [
+        (0, make_audio_header("wav", 16000, 2, 8000)),
+        (1, make_audio_header("flac", 44100, 1, 44100)),
+        (2, b"just some bytes"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, data BINARY")
+    got = {r["doc_id"]: r["data_meta"] for r in
+           with_audio_meta(df, "data", probe=True).collect()}
+    assert got[0]["mime"] == "audio/wav"
+    assert (got[0]["sample_rate"], got[0]["channels"],
+            got[0]["n_samples"]) == (16000, 2, 8000)
+    assert got[1]["mime"] == "audio/flac"
+    assert got[1]["n_samples"] == 44100
+    assert got[2]["mime"] == "application/octet-stream"
+    assert got[2]["sample_rate"] is None
+    assert got[3]["n_bytes"] is None
+    # non-probed path: NULL params, JVM-side byte count
+    raw = {r["doc_id"]: r["data_meta"] for r in
+           with_audio_meta(df, "data").collect()}
+    assert raw[0]["sample_rate"] is None and raw[2]["n_bytes"] == 15

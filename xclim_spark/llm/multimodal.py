@@ -32,6 +32,11 @@ __all__ = [
     "byte_entropy",
     "parse_image_header",
     "make_image_header",
+    "AUDIO_META_SCHEMA",
+    "parse_audio_header",
+    "make_audio_header",
+    "audio_meta",
+    "with_audio_meta",
     "image_dims",
     "decode_image",
     "resize_images",
@@ -364,3 +369,144 @@ def sample_frames(
             yield pd.DataFrame(out)
 
     return df.mapInPandas(_sample, schema=schema)
+
+
+AUDIO_META_SCHEMA = ("mime STRING, sample_rate INT, channels INT, "
+                     "bits INT, n_samples BIGINT, n_bytes BIGINT")
+
+
+def parse_audio_header(b) -> tuple[str, int, int, int, int] | None:
+    """Pure-stdlib audio header probe: ``(format, sample_rate,
+    channels, bits, n_samples)`` for WAV (RIFF/WAVE, PCM ``fmt ``
+    chunk walk) and FLAC (STREAMINFO metadata block) payloads, ``None``
+    otherwise — the audio sibling of :func:`parse_image_header`: the
+    layouts are fixed public structs (RIFF spec; FLAC format §
+    METADATA_BLOCK_STREAMINFO), so duration/rate METADATA works in
+    codec-less environments while sample decode stays honestly gated.
+    """
+    import struct
+
+    if b is None:
+        return None
+    b = bytes(b)
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        i, rate, ch, bits, align, data = 12, None, None, None, None, None
+        while i + 8 <= len(b):
+            cid = b[i:i + 4]
+            size = struct.unpack("<I", b[i + 4:i + 8])[0]
+            if cid == b"fmt " and i + 24 <= len(b):
+                ch, rate = struct.unpack("<HI", b[i + 10:i + 16])
+                align, bits = struct.unpack("<HH", b[i + 20:i + 24])
+            elif cid == b"data":
+                data = size
+            i += 8 + size + (size & 1)  # chunks are word-aligned
+        if rate and ch and align and data is not None:
+            return ("wav", rate, ch, bits, data // align)
+        return None
+    if b[:4] == b"fLaC" and len(b) >= 8:
+        btype = b[4] & 0x7F
+        blen = int.from_bytes(b[5:8], "big")
+        if btype != 0 or blen < 34 or len(b) < 8 + 34:
+            return None
+        packed = struct.unpack(">Q", b[18:26])[0]
+        rate = packed >> 44
+        ch = ((packed >> 41) & 0x7) + 1
+        bits = ((packed >> 36) & 0x1F) + 1
+        n = packed & ((1 << 36) - 1)
+        if rate == 0:
+            return None
+        return ("flac", rate, ch, bits, n)
+    return None
+
+
+def make_audio_header(fmt: str, sample_rate: int, channels: int,
+                      n_samples: int, bits: int = 16) -> bytes:
+    """Deterministic minimal header bytes for ``fmt`` ('wav'/'flac')
+    with the given stream parameters — the fixture builder for testing
+    the probe without codec libraries (no actual samples follow)."""
+    import struct
+
+    if fmt == "wav":
+        align = channels * bits // 8
+        data = n_samples * align
+        return (b"RIFF" + struct.pack("<I", 36 + data) + b"WAVE"
+                + b"fmt " + struct.pack("<IHHIIHH", 16, 1, channels,
+                                        sample_rate,
+                                        sample_rate * align, align, bits)
+                + b"data" + struct.pack("<I", data))
+    if fmt == "flac":
+        if not (1 <= channels <= 8 and 1 <= bits <= 32
+                and sample_rate < (1 << 20) and n_samples < (1 << 36)):
+            raise ValueError("flac header field out of range")
+        packed = ((sample_rate << 44) | ((channels - 1) << 41)
+                  | ((bits - 1) << 36) | n_samples)
+        return (b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big")
+                + struct.pack(">HH", 4096, 4096)  # min/max blocksize
+                + b"\x00" * 6                     # min/max framesize
+                + struct.pack(">Q", packed)
+                + b"\x00" * 16)                   # md5 of samples
+    raise ValueError(f"make_audio_header: unknown format {fmt!r}")
+
+
+def _audio_meta_udf():
+    @pandas_udf("struct<format: string, sample_rate: int, channels: int,"
+                " bits: int, n_samples: bigint>")
+    def meta(payload: pd.Series) -> pd.DataFrame:
+        rows = []
+        for b in payload:
+            p = parse_audio_header(b)
+            rows.append(
+                {"format": None, "sample_rate": None, "channels": None,
+                 "bits": None, "n_samples": None} if p is None else
+                {"format": p[0], "sample_rate": p[1], "channels": p[2],
+                 "bits": p[3], "n_samples": p[4]})
+        return pd.DataFrame(rows)
+    return meta
+
+
+def audio_meta(bin_col) -> Column:
+    """Arrow-batched audio header probe column (see
+    :func:`parse_audio_header`)."""
+    c = bin_col if isinstance(bin_col, Column) else F.col(bin_col)
+    return _audio_meta_udf()(c)
+
+
+def with_audio_meta(
+    df: DataFrame, bin_col: str, *,
+    mime: str = "application/octet-stream", probe: bool = False,
+) -> DataFrame:
+    """Attach the typed audio metadata struct next to a binary column —
+    the audio twin of :func:`with_image_meta`.  ``probe=True`` fills
+    rate/channels/bits/sample-count (and the mime for recognized
+    formats) from the WAV/FLAC header structs; otherwise they ride as
+    NULL until a real decode."""
+    if not probe:
+        return df.withColumn(
+            f"{bin_col}_meta",
+            F.struct(
+                F.lit(mime).alias("mime"),
+                F.lit(None).cast("int").alias("sample_rate"),
+                F.lit(None).cast("int").alias("channels"),
+                F.lit(None).cast("int").alias("bits"),
+                F.lit(None).cast("bigint").alias("n_samples"),
+                F.length(F.col(bin_col)).cast("bigint").alias("n_bytes"),
+            ))
+    tmp = f"_{bin_col}_audio"
+    while tmp in df.columns:  # never clobber a caller's column
+        tmp += "_x"
+    d = F.col(tmp)
+    return (df.withColumn(tmp, audio_meta(F.col(bin_col)))
+            .withColumn(
+                f"{bin_col}_meta",
+                F.struct(
+                    F.when(d["format"].isNotNull(),
+                           F.concat(F.lit("audio/"), d["format"]))
+                    .otherwise(F.lit(mime)).alias("mime"),
+                    d["sample_rate"].alias("sample_rate"),
+                    d["channels"].alias("channels"),
+                    d["bits"].alias("bits"),
+                    d["n_samples"].alias("n_samples"),
+                    F.length(F.col(bin_col)).cast("bigint")
+                    .alias("n_bytes"),
+                ))
+            .drop(tmp))

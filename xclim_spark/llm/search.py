@@ -65,6 +65,15 @@ def bm25_topk(
         F.size(toks).alias("_dl"),
         *[_tf(toks, t).alias(f"_tf{i}") for i, t in enumerate(terms)],
     )
+    # the tf table feeds BOTH the stats aggregate and the scoring join;
+    # without materialization each consumer re-tokenizes the corpus
+    # (no exchange exists to reuse).  The table is NARROW — id + t+1
+    # small ints, ~50 B/doc at any scale — so one eager localCheckpoint
+    # trades tiny storage for a full second scan: measured 6.6 -> 2.75 s
+    # at the 50k-doc sf1 rehearsal (same trade as semantic_dedup's
+    # assignment table; blocks release via ContextCleaner when the
+    # DataFrame goes out of scope)
+    base = base.localCheckpoint(eager=True)
     # ONE single-row corpus aggregate (N, avgdl, every term's df),
     # broadcast back: the 100-TB plan is map-side partials + a scalar
     stats = base.agg(

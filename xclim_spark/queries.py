@@ -3251,6 +3251,72 @@ def mm_image_dims(spark, sf_dir):
 
 
 @_register(
+    "mm_audio_meta",
+    """SELECT doc_id,
+       CASE doc_id % 3
+         WHEN 0 THEN 'audio/wav' WHEN 1 THEN 'audio/flac'
+         ELSE 'application/octet-stream' END AS mime,
+       CASE WHEN doc_id % 3 <= 1
+            THEN CAST(8000 + (doc_id % 8) * 1000 AS INT) END
+         AS sample_rate,
+       CASE WHEN doc_id % 3 <= 1
+            THEN CAST(doc_id % 2 + 1 AS INT) END AS channels,
+       CASE WHEN doc_id % 3 <= 1 THEN CAST(16 AS INT) END AS bits,
+       CASE WHEN doc_id % 3 <= 1
+            THEN CAST((doc_id % 97) * 50 + 1 AS BIGINT) END
+         AS n_samples,
+       CASE WHEN doc_id % 3 <= 1
+            THEN ROUND(((doc_id % 97) * 50 + 1)
+                       / (8000.0 + (doc_id % 8) * 1000), 6) END
+         AS duration_s
+FROM documents""",
+)
+def mm_audio_meta(spark, sf_dir):
+    """Codec-free audio stream-parameter probe (llm/multimodal.py
+    parse_audio_header / with_audio_meta(probe=True)): every doc gets
+    a seeded REAL header — WAV RIFF chunk walk (PCM ``fmt `` +
+    ``data``) or FLAC STREAMINFO (20/3/5/36-bit packed stream params)
+    — with rate/channels/sample-count a pure function of doc_id;
+    every 3rd doc stays a plain text payload.  The probe must recover
+    mime + stream parameters from the header structs alone (no codec
+    library), NULLs for non-audio rows; duration is derived
+    n_samples/rate.  The oracle restates the seeding arithmetic."""
+    from .llm import multimodal as mm
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _payload(it):
+        for pdf in it:
+            out = []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                i, body = int(i), (t or "").encode()
+                k = i % 3
+                if k == 2:
+                    out.append(body)
+                else:
+                    out.append(mm.make_audio_header(
+                        ("wav", "flac")[k], 8000 + (i % 8) * 1000,
+                        i % 2 + 1, (i % 97) * 50 + 1) + body)
+            pdf = pdf.copy()
+            pdf["data"] = out
+            yield pdf
+
+    b = docs.mapInPandas(
+        _payload, "doc_id long, text string, data binary")
+    b = mm.with_audio_meta(b, "data", probe=True)
+    m = F.col("data_meta")
+    return b.select(
+        "doc_id",
+        m["mime"].alias("mime"),
+        m["sample_rate"].alias("sample_rate"),
+        m["channels"].alias("channels"),
+        m["bits"].alias("bits"),
+        m["n_samples"].alias("n_samples"),
+        F.round(m["n_samples"].cast("double") / m["sample_rate"], 6)
+        .alias("duration_s"))
+
+
+@_register(
     "mm_binary_stats",
     """SELECT source,
        CAST(count(*) AS BIGINT) AS n_items,
@@ -8040,7 +8106,7 @@ _PRIORITY = [
     #    requires these inside the sampled head) --
     "text_c4_flags", "dedup_c4_spans", "dedup_url_canon", "knn_ivfpq_docs",
     "stratified_topn_src", "stream_dedup_url", "text_nfc_norm",
-    "search_bm25_docs",
+    "search_bm25_docs", "mm_audio_meta",
     # -- newest driver-green row: round 9 --
     "ens_weighted_percentiles_ms", "ens_stats_ms", "ens_percentiles_ms",
     "fa_gumbel_rp", "text_quality_by_source", "detrend_resid_std",
