@@ -60,6 +60,11 @@ HEADLINE = [
     # round-11 families
     "dedup_semantic", "text_pii_scrub", "dedup_substring_spans",
     "kmeans_step_centroids", "stream_dedup_watermark",
+    # round-12 families
+    "dedup_span_removal", "text_gopher_flags", "stream_dedup_fuzzy",
+    # round-13 families
+    "knn_ivfpq_docs", "text_c4_flags", "dedup_url_canon",
+    "search_bm25_docs",
 ]
 
 

@@ -1588,3 +1588,53 @@ def test_audio_header_probe(spark):
     raw = {r["doc_id"]: r["data_meta"] for r in
            with_audio_meta(df, "data").collect()}
     assert raw[0]["sample_rate"] is None and raw[2]["n_bytes"] == 15
+
+
+def test_gopher_repetition_flags(spark):
+    """Hand-computed Table-A1 statistics on crafted docs: dup line/para
+    (+char) fractions, top-gram coverage, and the TRUE interval union
+    for duplicate n-grams (overlapping occurrences counted once)."""
+    from xclim_spark.llm.pipeline import gopher_repetition_flags
+
+    rows = [
+        # 4 lines, 'dup' twice: dup_line_frac 1/4; chars 3/(3+3+5+6)
+        (0, "dup\ndup\nlineb\nlinecc"),
+        # paragraphs: 'para one' twice of 3 -> 1/3; chars 8/(8+8+5)
+        (1, "para one\n\npara one\n\nother"),
+        # 'a b a b a b' -> top bigram 'a b' count 3 wait: tokens
+        # [a,b,a,b,a,b]; bigrams: ab ba ab ba ab -> 'a b' x3, len 3
+        # stream total = 6*1 + 5 = 11 -> top2 = 3*3/11
+        (2, "a b a b a b"),
+        # dup 5-gram: 'x1..x5' twice, overlapping runs unioned:
+        # tokens x1..x5 y x1..x5 -> the 5-gram 'x1 x2 x3 x4 x5'
+        # occurs at 0 and 6; each covers 14 chars; no overlap ->
+        # 28/total; total = 11 tokens * 2 chars + 10 = 32
+        (3, "x1 x2 x3 x4 x5 yy x1 x2 x3 x4 x5"),
+        # overlapping dup 5-grams: 'z z z z z z' -> 5-gram 'z z z z z'
+        # at 0 and 1, intervals [0,9) and [2,11) union = 11 = total
+        (4, "z z z z z z"),
+        (5, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {r["doc_id"]: r for r in
+           gopher_repetition_flags(docs).collect()}
+    assert abs(got[0]["dup_line_frac"] - 1 / 4) < 1e-12
+    assert abs(got[0]["dup_line_char_frac"] - 3 / 17) < 1e-12
+    assert abs(got[1]["dup_para_frac"] - 1 / 3) < 1e-12
+    assert abs(got[1]["dup_para_char_frac"] - 8 / 21) < 1e-12
+    assert abs(got[2]["top_2gram_char_frac"] - 9 / 11) < 1e-12
+    assert abs(got[3]["dup_5gram_char_frac"] - 28 / 32) < 1e-12
+    assert abs(got[4]["dup_5gram_char_frac"] - 1.0) < 1e-12
+    assert got[4]["keep"] is False     # saturated repetition
+    assert got[5]["keep"] is None
+    # a repetition-free doc of realistic length keeps (a VERY short
+    # doc legitimately fails top-n-gram: one singleton bigram can
+    # cover >20% of a 45-char stream — Gopher's 50-word minimum
+    # filters those upstream)
+    clean = spark.createDataFrame(
+        [(9, " ".join(f"word{i:03d}" for i in range(60)))],
+        "doc_id LONG, text STRING")
+    r9 = gopher_repetition_flags(clean).collect()[0]
+    assert r9["keep"] is True
+    assert r9["dup_10gram_char_frac"] == 0.0
+    assert r9["dup_line_frac"] == 0.0

@@ -43,6 +43,8 @@ __all__ = [
     "sample_hash",
     "mixture_sample",
     "stratified_topn",
+    "gopher_repetition_flags",
+    "GOPHER_REPETITION_THRESHOLDS",
 ]
 
 
@@ -280,3 +282,199 @@ def pack_sequences(
     return docs.withColumn("ntok", ntok).withColumn(
         "pack_id", F.floor((cum - ntok) / context_len).cast("long")
     )
+
+
+GOPHER_REPETITION_THRESHOLDS: dict[str, float] = {
+    "dup_line_frac": 0.30, "dup_para_frac": 0.30,
+    "dup_line_char_frac": 0.20, "dup_para_char_frac": 0.20,
+    "top_2gram_char_frac": 0.20, "top_3gram_char_frac": 0.18,
+    "top_4gram_char_frac": 0.16,
+    "dup_5gram_char_frac": 0.15, "dup_6gram_char_frac": 0.14,
+    "dup_7gram_char_frac": 0.13, "dup_8gram_char_frac": 0.12,
+    "dup_9gram_char_frac": 0.11, "dup_10gram_char_frac": 0.10,
+}
+
+
+def gopher_repetition_flags(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    thresholds: dict[str, float] | None = None,
+) -> DataFrame:
+    """The full Gopher repetition-removal rules (Rae et al. 2021,
+    Table A1) — the within-document half of the Gopher filter pair
+    (:func:`~xclim_spark.llm.text.gopher_quality_flags` is the
+    document-quality half):
+
+    * duplicate line / paragraph fractions (occurrences beyond the
+      first, over all occurrences) and their CHARACTER fractions
+      (characters of repeated occurrences over all line/para chars);
+    * top 2/3/4-gram character fraction — chars covered by the most
+      frequent word n-gram (count x gram length; ties break to the
+      longer gram, then lexicographically);
+    * duplicate 5..10-gram character fraction — the TRUE union of
+      character intervals covered by n-grams occurring more than once
+      (overlapping occurrences are not double-counted), per n.
+
+    Definitions are over the whitespace-normalized lowercased token
+    stream (tokens joined by single spaces) so both engines measure
+    the same character space regardless of the original whitespace;
+    line/para fractions use the raw '\\n' / '\\n\\n' splits.
+
+    Every statistic is WITHIN-document, so the whole operator is one
+    Arrow ``mapInPandas`` pass — embarrassingly parallel, zero
+    shuffles, linear per document (compare :func:`repetition_stats`'s
+    relational two-level aggregation, which pays two corpus shuffles
+    to get two of these thirteen columns).  Returns
+    ``id_col, <13 fractions>, keep`` with the Table A1 thresholds.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .dedup import _ws_tokens
+
+    th = dict(GOPHER_REPETITION_THRESHOLDS)
+    th.update(thresholds or {})
+    cols = list(GOPHER_REPETITION_THRESHOLDS)
+
+    def _dup_fracs(parts: list[str]) -> tuple[float, float]:
+        counts: dict[str, int] = {}
+        for p in parts:
+            counts[p] = counts.get(p, 0) + 1
+        tot = len(parts)
+        chars = sum(len(p) * c for p, c in counts.items())
+        dup = sum(c - 1 for c in counts.values())
+        dchars = sum(len(p) * (c - 1) for p, c in counts.items())
+        return (dup / tot if tot else 0.0,
+                dchars / chars if chars else 0.0)
+
+    def _stats(it):
+        gram_cols = ([f"top_{n}gram_char_frac" for n in (2, 3, 4)]
+                     + [f"dup_{n}gram_char_frac" for n in range(5, 11)])
+        for pdf in it:
+            D = len(pdf)
+            texts = list(pdf[text_col])
+            valid = [k for k, t in enumerate(texts) if t is not None]
+            res = {c: np.full(D, np.nan) for c in cols}
+            toks_per: dict[int, list[str]] = {}
+            for k in valid:
+                t = texts[k]
+                res["dup_line_frac"][k], res["dup_line_char_frac"][k] = \
+                    _dup_fracs(t.split("\n"))
+                res["dup_para_frac"][k], res["dup_para_char_frac"][k] = \
+                    _dup_fracs(t.split("\n\n"))
+                toks_per[k] = _ws_tokens(t.lower())
+                for c in gram_cols:
+                    res[c][k] = 0.0
+            # ---- batch-vectorized gram statistics (the per-doc dict
+            # loop was measured 28 s at sf1; this path is ~all numpy) --
+            flat: list[str] = []
+            doc_of_list: list[int] = []
+            for k in valid:
+                flat.extend(toks_per[k])
+                doc_of_list.extend([k] * len(toks_per[k]))
+            T = len(flat)
+            if T:
+                # np.unique sorts, so id order == lexicographic token
+                # order — comparing id windows IS comparing gram strings
+                _, inv = np.unique(np.asarray(flat, dtype=object),
+                                   return_inverse=True)
+                lens = np.fromiter((len(x) for x in flat),
+                                   dtype=np.int64, count=T)
+                doc_of = np.asarray(doc_of_list, dtype=np.int64)
+                csum = np.cumsum(lens + 1)
+                starts_g = csum - (lens + 1)
+                docs_u, first_i = np.unique(doc_of, return_index=True)
+                base_map = np.zeros(D, dtype=np.int64)
+                base_map[docs_u] = starts_g[first_i]
+                off = starts_g - base_map[doc_of]
+                total = np.zeros(D, dtype=np.int64)
+                np.add.at(total, doc_of, lens)
+                ntok = np.bincount(doc_of, minlength=D)
+                total += np.maximum(ntok - 1, 0)
+                for n in range(2, 11):
+                    if T < n:
+                        continue
+                    m = doc_of[:T - n + 1] == doc_of[n - 1:]
+                    if not m.any():
+                        continue
+                    j = np.flatnonzero(m)
+                    W = np.lib.stride_tricks.sliding_window_view(
+                        inv, n)[m]
+                    wdoc = doc_of[j]
+                    sarr = off[j]
+                    earr = off[j + n - 1] + lens[j + n - 1]
+                    glen = earr - sarr
+                    order = np.lexsort(
+                        tuple(W[:, c] for c in reversed(range(n)))
+                        + (wdoc,))
+                    Ws, wd = W[order], wdoc[order]
+                    newg = np.empty(len(order), dtype=bool)
+                    newg[0] = True
+                    newg[1:] = ((wd[1:] != wd[:-1])
+                                | (Ws[1:] != Ws[:-1]).any(axis=1))
+                    gid = np.cumsum(newg) - 1
+                    gcount = np.bincount(gid)
+                    if n <= 4:
+                        gfirst = np.flatnonzero(newg)
+                        gdoc = wd[gfirst]
+                        g_glen = glen[order][gfirst]
+                        cov = gcount * g_glen
+                        # stable lexsort: ties in (count, glen) keep
+                        # the (doc, window-lex) order -> lex-min gram
+                        o2 = np.lexsort((-g_glen, -gcount, gdoc))
+                        fm = np.empty(len(o2), dtype=bool)
+                        fm[0] = True
+                        fm[1:] = gdoc[o2][1:] != gdoc[o2][:-1]
+                        chosen = o2[fm]
+                        dk = gdoc[chosen]
+                        res[f"top_{n}gram_char_frac"][dk] = (
+                            cov[chosen] / total[dk])
+                    else:
+                        dupocc = gcount[gid] >= 2
+                        cover = np.zeros(D, dtype=np.int64)
+                        if dupocc.any():
+                            sd = wd[dupocc]
+                            ss = sarr[order][dupocc]
+                            ee = earr[order][dupocc]
+                            big = int(total.max()) + 2
+                            gs = ss + sd * big
+                            ge = ee + sd * big
+                            o3 = np.argsort(gs, kind="stable")
+                            gs, ge, sd3 = gs[o3], ge[o3], sd[o3]
+                            runmax = np.maximum.accumulate(ge)
+                            isl = np.empty(len(gs), dtype=bool)
+                            isl[0] = True
+                            isl[1:] = gs[1:] > runmax[:-1]
+                            heads = np.flatnonzero(isl)
+                            tails = np.append(heads[1:], len(gs)) - 1
+                            np.add.at(cover, sd3[heads],
+                                      runmax[tails] - gs[heads])
+                        vk = np.asarray(valid, dtype=np.int64)
+                        tz = total[vk] > 0
+                        res[f"dup_{n}gram_char_frac"][vk[tz]] = (
+                            cover[vk[tz]] / total[vk[tz]])
+            out = {id_col: list(pdf[id_col])}
+            vset = set(valid)
+            for c in cols:
+                out[c] = [float(res[c][k]) if k in vset else None
+                          for k in range(D)]
+            out["keep"] = [
+                all(res[c][k] <= th[c] for c in cols) if k in vset
+                else None
+                for k in range(D)]
+            yield pd.DataFrame(out)
+
+    schema = (f"{id_col} long, "
+              + ", ".join(f"{c} double" for c in cols)
+              + ", keep boolean")
+    src = docs.select(id_col, text_col)
+    sc = docs.sparkSession.sparkContext
+    if src.rdd.getNumPartitions() < sc.defaultParallelism:
+        # a small/compacted source (one parquet file at gate scale)
+        # would run the whole Arrow pass as a single task — the same
+        # guard as duplicate_spans; a 100 TB corpus has many input
+        # splits and skips this
+        src = src.repartition(sc.defaultParallelism)
+    return src.mapInPandas(_stats, schema)

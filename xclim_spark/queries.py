@@ -6823,6 +6823,182 @@ def mixture_sample_src(spark, sf_dir):
     )
 
 
+def _gopher_rep_sql() -> str:
+    """Oracle for text_gopher_repetition — restates every Table-A1
+    repetition statistic in SQL: line/para dup fractions from grouped
+    counts, token-stream char offsets via a running window, per-n word
+    grams via lead() windows (gram char length == len(gram) because
+    grams are single-space joined), top-gram coverage via ranked
+    count*len, and the duplicate-gram char coverage as a TRUE interval
+    union (gaps-and-islands over [off, off+len) spans)."""
+    tops, dups, joins, outs = [], [], [], []
+    for n in (2, 3, 4, 5, 6, 7, 8, 9, 10):
+        leads = ", ".join(
+            f"lead(w, {k}) OVER win AS w{k}" for k in range(1, n))
+        gram = " || ' ' || ".join(["w"] + [f"w{k}" for k in range(1, n)])
+        g = (f"g{n} AS (SELECT doc_id, off, {gram} AS gram FROM "
+             f"(SELECT doc_id, w, off, rn, {leads} FROM tko "
+             f"WINDOW win AS (PARTITION BY doc_id ORDER BY rn)) "
+             f"WHERE w{n - 1} IS NOT NULL)")
+        if n <= 4:
+            tops.append(g)
+            tops.append(
+                f"tf{n} AS (SELECT doc_id, cov FROM ("
+                f"SELECT doc_id, c * len(gram) AS cov, row_number() "
+                f"OVER (PARTITION BY doc_id ORDER BY c DESC, "
+                f"len(gram) DESC, gram ASC) AS rk FROM ("
+                f"SELECT doc_id, gram, count(*) AS c FROM g{n} "
+                f"GROUP BY 1, 2)) WHERE rk = 1)")
+            joins.append(f"LEFT JOIN tf{n} USING (doc_id)")
+            outs.append(
+                f"ROUND(CASE WHEN tot.total > 0 THEN "
+                f"coalesce(tf{n}.cov, 0) / tot.total ELSE 0 END, 6) "
+                f"AS top_{n}gram_char_frac")
+        else:
+            dups.append(g)
+            dups.append(
+                f"du{n} AS (SELECT doc_id, sum(me - ms) AS cov FROM ("
+                f"SELECT doc_id, grp, min(s) AS ms, max(e) AS me FROM ("
+                f"SELECT doc_id, s, e, sum(brk) OVER ("
+                f"PARTITION BY doc_id ORDER BY s, e "
+                f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+                f"AS grp FROM ("
+                f"SELECT doc_id, s, e, CASE WHEN s > coalesce(max(e) "
+                f"OVER (PARTITION BY doc_id ORDER BY s, e ROWS BETWEEN "
+                f"UNBOUNDED PRECEDING AND 1 PRECEDING), -1) "
+                f"THEN 1 ELSE 0 END AS brk FROM ("
+                f"SELECT g.doc_id, g.off AS s, g.off + len(g.gram) AS e "
+                f"FROM g{n} g JOIN (SELECT doc_id, gram FROM g{n} "
+                f"GROUP BY 1, 2 HAVING count(*) >= 2) d "
+                f"ON d.doc_id = g.doc_id AND d.gram = g.gram))) "
+                f"GROUP BY 1, 2) GROUP BY 1)")
+            joins.append(f"LEFT JOIN du{n} USING (doc_id)")
+            outs.append(
+                f"ROUND(CASE WHEN tot.total > 0 THEN "
+                f"coalesce(du{n}.cov, 0) / tot.total ELSE 0 END, 6) "
+                f"AS dup_{n}gram_char_frac")
+    th = {"dup_line_frac": 0.30, "dup_para_frac": 0.30,
+          "dup_line_char_frac": 0.20, "dup_para_char_frac": 0.20,
+          "top_2gram_char_frac": 0.20, "top_3gram_char_frac": 0.18,
+          "top_4gram_char_frac": 0.16, "dup_5gram_char_frac": 0.15,
+          "dup_6gram_char_frac": 0.14, "dup_7gram_char_frac": 0.13,
+          "dup_8gram_char_frac": 0.12, "dup_9gram_char_frac": 0.11,
+          "dup_10gram_char_frac": 0.10}
+    keep_terms = []
+    raw = {
+        "dup_line_frac": "lfr.dlf", "dup_line_char_frac": "lfr.dlcf",
+        "dup_para_frac": "pfr.dlf", "dup_para_char_frac": "pfr.dlcf"}
+    for n in (2, 3, 4):
+        raw[f"top_{n}gram_char_frac"] = (
+            f"CASE WHEN tot.total > 0 THEN coalesce(tf{n}.cov, 0) "
+            f"/ tot.total ELSE 0 END")
+    for n in (5, 6, 7, 8, 9, 10):
+        raw[f"dup_{n}gram_char_frac"] = (
+            f"CASE WHEN tot.total > 0 THEN coalesce(du{n}.cov, 0) "
+            f"/ tot.total ELSE 0 END")
+    for k, v in th.items():
+        keep_terms.append(f"({raw[k]}) <= {v}")
+    keep = " AND ".join(keep_terms)
+    tops_sql = ",\n".join(tops)
+    dups_sql = ",\n".join(dups)
+    outs_sql = ",\n  ".join(outs)
+    joins_sql = " ".join(joins)
+    return f"""WITH d0 AS (
+  SELECT doc_id, text ||
+    CASE WHEN doc_id % 4 = 0 THEN
+      chr(10) || 'repeat line alpha' || chr(10) || 'repeat line alpha'
+      || chr(10) || 'unique tail ' || CAST(doc_id AS VARCHAR)
+      ELSE '' END ||
+    CASE WHEN doc_id % 6 = 0 THEN
+      chr(10) || chr(10) || 'shared paragraph words here'
+      || chr(10) || chr(10) || 'shared paragraph words here'
+      ELSE '' END AS t
+  FROM documents
+),
+ln AS (SELECT doc_id, unnest(string_split(t, chr(10))) AS v FROM d0),
+lfr AS (SELECT doc_id,
+          CAST(sum(c - 1) AS DOUBLE) / sum(c) AS dlf,
+          CASE WHEN sum(len(v) * c) > 0 THEN
+            CAST(sum(len(v) * (c - 1)) AS DOUBLE) / sum(len(v) * c)
+            ELSE 0 END AS dlcf
+        FROM (SELECT doc_id, v, count(*) AS c FROM ln GROUP BY 1, 2)
+        GROUP BY 1),
+pn AS (SELECT doc_id, unnest(string_split(t, chr(10) || chr(10))) AS v
+       FROM d0),
+pfr AS (SELECT doc_id,
+          CAST(sum(c - 1) AS DOUBLE) / sum(c) AS dlf,
+          CASE WHEN sum(len(v) * c) > 0 THEN
+            CAST(sum(len(v) * (c - 1)) AS DOUBLE) / sum(len(v) * c)
+            ELSE 0 END AS dlcf
+        FROM (SELECT doc_id, v, count(*) AS c FROM pn GROUP BY 1, 2)
+        GROUP BY 1),
+tk AS (SELECT doc_id, w,
+              row_number() OVER (PARTITION BY doc_id ORDER BY p) AS rn
+       FROM (SELECT doc_id, unnest(words) AS w,
+                    generate_subscripts(words, 1) AS p
+             FROM (SELECT doc_id,
+                          [x FOR x IN string_split_regex(
+                               trim(lower(t)), '\\s+') IF len(x) > 0]
+                            AS words
+                   FROM d0))),
+tko AS (SELECT doc_id, w, rn,
+          coalesce(sum(len(w) + 1) OVER (PARTITION BY doc_id ORDER BY rn
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        FROM tk),
+tot AS (SELECT doc_id,
+               CASE WHEN count(*) > 0
+                    THEN sum(len(w)) + count(*) - 1 ELSE 0 END AS total
+        FROM tk GROUP BY 1),
+{tops_sql},
+{dups_sql}
+SELECT d0.doc_id,
+  ROUND(lfr.dlf, 6) AS dup_line_frac,
+  ROUND(pfr.dlf, 6) AS dup_para_frac,
+  ROUND(lfr.dlcf, 6) AS dup_line_char_frac,
+  ROUND(pfr.dlcf, 6) AS dup_para_char_frac,
+  {outs_sql},
+  ({keep}) AS keep
+FROM d0
+JOIN lfr USING (doc_id)
+JOIN pfr USING (doc_id)
+JOIN tot USING (doc_id)
+{joins_sql}"""
+
+
+@_register("text_gopher_repetition", _gopher_rep_sql())
+def text_gopher_repetition(spark, sf_dir):
+    """The full Gopher repetition-removal rules (Rae et al. 2021 Table
+    A1; llm/pipeline.py gopher_repetition_flags): duplicate line /
+    paragraph (+char) fractions, top 2/3/4-gram char fraction, and the
+    TRUE interval-union duplicate 5..10-gram char coverage — all
+    within-document, so ONE Arrow pass and zero shuffles.  The
+    synthetic corpus has rich natural n-gram repetition (small
+    vocabulary), and every 4th/6th doc gains duplicated lines /
+    paragraphs; the oracle re-derives all thirteen statistics in SQL
+    (lead() windows for grams, gaps-and-islands for the interval
+    union) plus the Table-A1 keep conjunction."""
+    from .llm.pipeline import gopher_repetition_flags
+
+    d = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    t = F.concat(
+        F.col("text"),
+        F.when(did % 4 == 0, F.concat(
+            F.lit("\nrepeat line alpha\nrepeat line alpha"
+                  "\nunique tail "), did.cast("string"))).otherwise(""),
+        F.when(did % 6 == 0, F.lit(
+            "\n\nshared paragraph words here"
+            "\n\nshared paragraph words here")).otherwise(""),
+    )
+    out = gopher_repetition_flags(
+        d.select("doc_id", t.alias("text")))
+    fracs = [c for c in out.columns if c.endswith("frac")]
+    return out.select(
+        "doc_id",
+        *[F.round(F.col(c), 6).alias(c) for c in fracs],
+        "keep")
+
+
 @_register(
     "stratified_topn_src",
     """WITH h AS (
@@ -8106,7 +8282,7 @@ _PRIORITY = [
     #    requires these inside the sampled head) --
     "text_c4_flags", "dedup_c4_spans", "dedup_url_canon", "knn_ivfpq_docs",
     "stratified_topn_src", "stream_dedup_url", "text_nfc_norm",
-    "search_bm25_docs", "mm_audio_meta",
+    "search_bm25_docs", "mm_audio_meta", "text_gopher_repetition",
     # -- newest driver-green row: round 9 --
     "ens_weighted_percentiles_ms", "ens_stats_ms", "ens_percentiles_ms",
     "fa_gumbel_rp", "text_quality_by_source", "detrend_resid_std",
