@@ -1638,3 +1638,32 @@ def test_gopher_repetition_flags(spark):
     assert r9["keep"] is True
     assert r9["dup_10gram_char_frac"] == 0.0
     assert r9["dup_line_frac"] == 0.0
+
+
+def test_dedup_paragraphs(spark):
+    """First occurrence of a repeated paragraph survives (cross-doc AND
+    within-doc); short paragraphs are immune; untouched docs stay
+    byte-identical including empty-paragraph structure."""
+    from xclim_spark.llm.dedup import dedup_paragraphs
+
+    boiler = "this boilerplate paragraph repeats across documents"
+    rows = [
+        (0, "first document opening paragraph text\n\n" + boiler),
+        (1, "second document opening paragraph here\n\n" + boiler),
+        (2, boiler + "\n\n" + boiler),          # within-doc repeat
+        (3, "short\n\nshort\n\nunique paragraph long enough to count"),
+        (4, "untouched document with nothing shared at all\n\n\n\nx"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {r["doc_id"]: r for r in
+           dedup_paragraphs(docs, min_chars=20).collect()}
+    assert got[0]["text"] == rows[0][1]          # holds first occurrence
+    assert got[0]["n_paras_removed"] == 0
+    assert got[1]["text"] == "second document opening paragraph here"
+    assert got[1]["n_paras_removed"] == 1
+    assert got[2]["text"] == ""                  # both copies beaten by doc 0
+    assert got[2]["n_paras_removed"] == 2
+    # 'short' (< 20 chars) repeats but is immune
+    assert got[3]["text"] == rows[3][1]
+    assert got[3]["n_paras_removed"] == 0
+    assert got[4]["text"] == rows[4][1]          # byte-identical incl \n\n\n\n

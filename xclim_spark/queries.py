@@ -4627,6 +4627,84 @@ def dedup_c4_spans(spark, sf_dir):
         F.col("n_sentences_removed"))
 
 
+@_register(
+    "dedup_para_removal",
+    """WITH d0 AS (
+  SELECT doc_id, text ||
+    CASE WHEN doc_id % 5 = 0 THEN chr(10) || chr(10) ||
+      'shared boilerplate paragraph appears in many documents verbatim'
+      ELSE '' END ||
+    CASE WHEN doc_id % 7 = 0 THEN chr(10) || chr(10) ||
+      'subscribe to our newsletter for updates today' || chr(10)
+      || chr(10) || 'unique closing paragraph for document '
+      || CAST(doc_id AS VARCHAR) ELSE '' END ||
+    CASE WHEN doc_id % 9 = 0 THEN chr(10) || chr(10) ||
+      'shared boilerplate paragraph appears in many documents verbatim'
+      ELSE '' END AS t
+  FROM documents
+),
+b AS (SELECT doc_id, t,
+             string_split(t, chr(10) || chr(10)) AS paras FROM d0),
+s AS (SELECT doc_id, unnest(paras) AS p,
+             generate_subscripts(paras, 1) - 1 AS pidx FROM b),
+oh AS (SELECT doc_id, pidx, md5(trim(p)) AS ph FROM s
+       WHERE len(trim(p)) >= 20),
+dup AS (SELECT ph, min(struct_pack(d := doc_id, s := pidx)) AS f
+        FROM oh GROUP BY 1 HAVING count(*) >= 2),
+rem AS (SELECT oh.doc_id, oh.pidx FROM oh JOIN dup ON oh.ph = dup.ph
+        WHERE oh.doc_id <> dup.f.d OR oh.pidx <> dup.f.s),
+kept AS (SELECT s.doc_id, s.p, s.pidx FROM s
+         LEFT JOIN rem ON rem.doc_id = s.doc_id AND rem.pidx = s.pidx
+         WHERE rem.doc_id IS NULL),
+agg AS (SELECT doc_id,
+               coalesce(string_agg(p, chr(10) || chr(10)
+                                   ORDER BY pidx), '') AS clean
+        FROM kept GROUP BY 1),
+nrm AS (SELECT doc_id, count(*) AS nr FROM rem GROUP BY 1)
+SELECT b.doc_id,
+  md5(CASE WHEN nrm.nr IS NULL THEN b.t ELSE agg.clean END)
+    AS clean_md5,
+  CAST(coalesce(nrm.nr, 0) AS BIGINT) AS n_paras_removed
+FROM b
+LEFT JOIN agg USING (doc_id)
+LEFT JOIN nrm USING (doc_id)""",
+)
+def dedup_para_removal(spark, sf_dir):
+    """Corpus-level exact paragraph dedup (the RefinedWeb/FineWeb
+    line-dedup stage; llm/dedup.py dedup_paragraphs): every paragraph
+    of >= 20 trimmed chars occurring more than once keeps only its
+    first (doc_id, position) occurrence — cross-document boilerplate
+    and within-document repeats are cut, short headings are immune,
+    untouched docs stay byte-identical.  The synthetic corpus has no
+    paragraphs, so shared boilerplate / newsletter / doubled
+    paragraphs are seeded identically in both engines (docs divisible
+    by 45 carry the SAME paragraph twice — within-doc removal); the
+    oracle re-derives paragraph identity, first-occurrence choice and
+    the ordered rebuild in SQL."""
+    from .llm import dedup as dd
+
+    d = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    t = F.concat(
+        F.col("text"),
+        F.when(did % 5 == 0, F.lit(
+            "\n\nshared boilerplate paragraph appears in many "
+            "documents verbatim")).otherwise(""),
+        F.when(did % 7 == 0, F.concat(
+            F.lit("\n\nsubscribe to our newsletter for updates today"
+                  "\n\nunique closing paragraph for document "),
+            did.cast("string"))).otherwise(""),
+        F.when(did % 9 == 0, F.lit(
+            "\n\nshared boilerplate paragraph appears in many "
+            "documents verbatim")).otherwise(""),
+    )
+    out = dd.dedup_paragraphs(
+        d.select("doc_id", t.alias("text")), min_chars=20)
+    return out.select(
+        "doc_id", F.md5("text").alias("clean_md5"),
+        F.col("n_paras_removed"))
+
+
 def _pii_sql() -> str:
     """Oracle for text_pii_scrub, built from the SAME portable patterns
     the operator uses (llm/text.py PII_PATTERNS — no lookaround, ASCII
@@ -8283,6 +8361,7 @@ _PRIORITY = [
     "text_c4_flags", "dedup_c4_spans", "dedup_url_canon", "knn_ivfpq_docs",
     "stratified_topn_src", "stream_dedup_url", "text_nfc_norm",
     "search_bm25_docs", "mm_audio_meta", "text_gopher_repetition",
+    "dedup_para_removal",
     # -- newest driver-green row: round 9 --
     "ens_weighted_percentiles_ms", "ens_stats_ms", "ens_percentiles_ms",
     "fa_gumbel_rp", "text_quality_by_source", "detrend_resid_std",
