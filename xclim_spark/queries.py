@@ -5076,6 +5076,68 @@ def text_nfc_norm(spark, sf_dir):
 
 
 @_register(
+    "dedup_url_domains",
+    f"""WITH u0 AS (
+  SELECT doc_id, {_URL_SEED_SQL} AS url
+  FROM documents
+),
+c AS (
+  SELECT doc_id,
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+      AS scheme,
+    lower(regexp_extract(url,
+      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS auth,
+    regexp_extract(url,
+      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
+    regexp_extract(url, '\\?([^#]*)', 1) AS rawq
+  FROM u0
+),
+c2 AS (
+  SELECT doc_id, scheme,
+    CASE WHEN scheme = 'http' THEN regexp_replace(auth, ':80$', '')
+         WHEN scheme = 'https' THEN regexp_replace(auth, ':443$', '')
+         ELSE auth END AS host,
+    CASE WHEN rawpath = '' THEN '/' ELSE rawpath END AS path,
+    coalesce(array_to_string(list_sort(
+      [p FOR p IN string_split(rawq, '&')
+       IF len(p) > 0 AND NOT regexp_matches(p,
+         '^(utm_[^=&]*|fbclid|gclid|msclkid|mc_eid|igshid|ref_src)(=.*)?$')
+      ]), '&'), '') AS q
+  FROM c
+),
+c3 AS (
+  SELECT DISTINCT
+    scheme || '://' || host || path ||
+      CASE WHEN q = '' THEN '' ELSE '?' || q END AS canon_url,
+    string_split(host, '.') AS hp
+  FROM c2
+)
+SELECT CASE WHEN len(hp) <= 1 THEN hp[1]
+            WHEN len(hp) >= 3 AND list_contains(
+                ['co.uk','org.uk','gov.uk','ac.uk','com.au','net.au',
+                 'co.jp','co.in','co.kr','com.br','com.cn','com.mx'],
+                hp[-2] || '.' || hp[-1])
+              THEN hp[-3] || '.' || hp[-2] || '.' || hp[-1]
+            ELSE hp[-2] || '.' || hp[-1] END AS domain,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM c3 GROUP BY 1""",
+)
+def dedup_url_domains(spark, sf_dir):
+    """Per-registered-domain distinct-canonical-URL counts
+    (llm/urls.py domain_counts) — the domain-mix curation input
+    (head/middle/tail-domain balancing).  Same seeded messy URLs as
+    dedup_url_canon; counts are of DISTINCT canonical URLs, so the
+    case/port/param-order variants collapse before counting; the
+    oracle restates canonicalization, dedup and the multi-part-suffix
+    registered-domain extraction."""
+    from .llm import urls as lu
+
+    d = _read(spark, sf_dir, "documents")
+    return lu.domain_counts(
+        d.select("doc_id", _seed_url_col().alias("url")))
+
+
+@_register(
     "text_c4_flags",
     """WITH d0 AS (
   SELECT doc_id, text ||
@@ -8361,7 +8423,7 @@ _PRIORITY = [
     "text_c4_flags", "dedup_c4_spans", "dedup_url_canon", "knn_ivfpq_docs",
     "stratified_topn_src", "stream_dedup_url", "text_nfc_norm",
     "search_bm25_docs", "mm_audio_meta", "text_gopher_repetition",
-    "dedup_para_removal",
+    "dedup_para_removal", "dedup_url_domains",
     # -- newest driver-green row: round 9 --
     "ens_weighted_percentiles_ms", "ens_stats_ms", "ens_percentiles_ms",
     "fa_gumbel_rp", "text_quality_by_source", "detrend_resid_std",
