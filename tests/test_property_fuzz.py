@@ -389,3 +389,113 @@ def test_semantic_dedup_matches_bruteforce(spark, seed):
     got = {r["id"]: (r["cluster"], r["dup_of"])
            for r in semantic_dedup(emb, cents, threshold=thr).collect()}
     assert got == exp
+
+
+@given(seed=st.integers(0, 2**32 - 1))
+@settings(max_examples=8, deadline=None)
+def test_c4_span_dedup_matches_bruteforce(spark, seed):
+    """c4_span_dedup vs a brute-force python reference on random small
+    corpora built from a tiny sentence vocabulary (so duplicated
+    3-sentence spans occur naturally, within and across docs):
+    identical cleaned text and removal counts."""
+    import re
+
+    import numpy as np
+
+    from xclim_spark.llm.dedup import c4_span_dedup
+
+    rng = np.random.RandomState(seed)
+    sents = ["Aa bb.", "Cc dd!", "Ee ff?", "Gg hh."]
+    n = 3
+    docs = []
+    for i in range(rng.randint(2, 8)):
+        L = rng.randint(0, 9)
+        body = " ".join(rng.choice(sents, L))
+        if rng.rand() < 0.3:
+            body += " tail no mark"
+        docs.append((i, body))
+
+    # brute-force reference mirroring the documented semantics
+    split = {d: re.findall(r"[^.!?]*[.!?]", t) for d, t in docs}
+    first: dict[tuple, tuple] = {}
+    for d, t in sorted(docs):
+        ss = split[d]
+        for p in range(max(len(ss) - n + 1, 0)):
+            key = tuple(x.strip() for x in ss[p:p + n])
+            first.setdefault(key, (d, p))
+    expected = {}
+    for d, t in docs:
+        ss = split[d]
+        drop = set()
+        for p in range(max(len(ss) - n + 1, 0)):
+            key = tuple(x.strip() for x in ss[p:p + n])
+            cnt = sum(
+                1 for dd, _ in docs
+                for q in range(max(len(split[dd]) - n + 1, 0))
+                if tuple(x.strip()
+                         for x in split[dd][q:q + n]) == key)
+            if cnt >= 2 and first[key] != (d, p):
+                drop.update(range(p, p + n))
+        if drop:
+            kept = "".join(s for j, s in enumerate(ss) if j not in drop)
+            tail = t[sum(len(s) for s in ss):]
+            expected[d] = (kept + tail, len(drop))
+        else:
+            expected[d] = (t, 0)
+
+    got = {r["doc_id"]: (r["text"], r["n_sentences_removed"])
+           for r in c4_span_dedup(
+               spark.createDataFrame(docs, "doc_id LONG, text STRING"),
+               n=n).collect()}
+    assert got == expected
+
+
+@given(seed=st.integers(0, 2**32 - 1))
+@settings(max_examples=8, deadline=None)
+def test_dedup_paragraphs_matches_bruteforce(spark, seed):
+    """dedup_paragraphs vs a brute-force python reference on random
+    small corpora from a tiny paragraph vocabulary (duplicates occur
+    within and across docs; some paragraphs below min_chars)."""
+    import numpy as np
+
+    from xclim_spark.llm.dedup import dedup_paragraphs
+
+    rng = np.random.RandomState(seed)
+    paras = ["this paragraph is long enough to dedup",
+             "another sufficiently long paragraph here",
+             "short one",  # below min_chars: immune
+             ""]
+    min_chars = 20
+    docs = []
+    for i in range(rng.randint(2, 8)):
+        L = rng.randint(1, 6)
+        docs.append((i, "\n\n".join(rng.choice(paras, L))))
+
+    first: dict[str, tuple] = {}
+    for d, t in sorted(docs):
+        for p, v in enumerate(t.split("\n\n")):
+            if len(v.strip()) >= min_chars:
+                first.setdefault(v.strip(), (d, p))
+    counts: dict[str, int] = {}
+    for d, t in docs:
+        for v in t.split("\n\n"):
+            if len(v.strip()) >= min_chars:
+                counts[v.strip()] = counts.get(v.strip(), 0) + 1
+    expected = {}
+    for d, t in docs:
+        parts = t.split("\n\n")
+        kept, removed = [], 0
+        for p, v in enumerate(parts):
+            key = v.strip()
+            if (len(key) >= min_chars and counts[key] >= 2
+                    and first[key] != (d, p)):
+                removed += 1
+            else:
+                kept.append(v)
+        expected[d] = ("\n\n".join(kept) if removed else t, removed)
+
+    got = {r["doc_id"]: (r["text"], r["n_paras_removed"])
+           for r in dedup_paragraphs(
+               spark.createDataFrame(docs, "doc_id LONG, text STRING"),
+               min_chars=min_chars).collect()}
+    assert got == expected

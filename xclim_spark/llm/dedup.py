@@ -859,8 +859,15 @@ def c4_span_dedup(
     nspan = F.size("_sents") - (n - 1)
     span_hashes = F.when(nspan > 0, F.transform(
         F.sequence(F.lit(0), nspan - 1),
+        # NOT F.transform(..., F.trim): transform passes (element,
+        # index) to two-parameter callables, and F.trim(col, trim)
+        # treats the INDEX as the trim-character set — a silent no-op
+        # the oracle gate could not catch (the seeded spans shared
+        # their leading-space pattern, so untrimmed hashes still
+        # matched); caught by the brute-force fuzz
         lambda i: F.md5(F.concat_ws(
-            "\x1f", F.transform(F.slice("_sents", i + 1, n), F.trim))),
+            "\x1f", F.transform(F.slice("_sents", i + 1, n),
+                                lambda s: F.trim(s)))),
     )).otherwise(F.array().cast("array<string>"))
     occ = base.select(
         F.col(id_col).alias("_oid"),
