@@ -7637,6 +7637,85 @@ def stream_dedup_url(spark, sf_dir):
     return out
 
 
+@_register(
+    "stream_text_quality",
+    """WITH m AS (
+  SELECT doc_id,
+         [w FOR w IN string_split_regex(trim(text), '\\s+')
+          IF len(w) > 0] AS words,
+         text AS t,
+         string_split(text, chr(10)) AS lines
+  FROM documents
+),
+x AS (
+  SELECT doc_id,
+    len(words) AS n_words,
+    CAST(list_sum([len(w) FOR w IN words]) AS DOUBLE)
+      / len(words) AS mwl,
+    CAST(len(regexp_extract_all(t, '#|\\.\\.\\.|…')) AS DOUBLE)
+      / len(words) AS sym,
+    CAST(len([l FOR l IN lines
+              IF regexp_matches(l, '^\\s*[-*•‣▪]')]) AS DOUBLE)
+      / len(lines) AS bullet,
+    CAST(len([l FOR l IN lines
+              IF regexp_matches(l, '(\\.\\.\\.|…)\\s*$')]) AS DOUBLE)
+      / len(lines) AS ellip,
+    CAST(len([w FOR w IN words
+              IF regexp_matches(w, '[A-Za-z]')]) AS DOUBLE)
+      / len(words) AS alphaw,
+    len(list_intersect(
+        [lower(w) FOR w IN words],
+        ['the','be','to','of','and','that','have','with'])) AS hits
+  FROM m
+),
+k AS (
+  SELECT doc_id, n_words,
+    (n_words BETWEEN 25 AND 100000 AND mwl BETWEEN 3.0 AND 10.0
+     AND sym <= 0.1 AND bullet <= 0.9 AND ellip <= 0.3
+     AND alphaw >= 0.8 AND hits >= 1) AS keep
+  FROM x
+)
+SELECT keep, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS words_total
+FROM k GROUP BY 1""",
+)
+def stream_text_quality(spark, sf_dir):
+    """Gopher quality filtering AT INGEST: the staged corpus replays
+    as micro-batches and gopher_quality_flags (pure Column
+    expressions) evaluates INSIDE each micro-batch's scan projection
+    — the production shape where documents are scored as they arrive,
+    with only the keep-flag aggregate carrying state across batches
+    (complete-mode groupBy, two rows of state).  Thresholds are
+    loosened to the synthetic corpus (min_words=25, min_required_hits
+    =1) so both verdicts occur; the oracle restates the rules in
+    batch SQL over the same table."""
+    from .llm.text import gopher_quality_flags
+
+    root = _stage_stream_docs(sf_dir)
+    sdf = (spark.readStream
+           .schema("doc_id BIGINT, ts TIMESTAMP, text STRING")
+           .option("maxFilesPerTrigger", 1)
+           .parquet(f"{root}/part_*.parquet"))
+    flags = gopher_quality_flags(
+        F.col("text"), min_words=25, min_required_hits=1)
+    agg = (sdf.select(flags["keep"].alias("keep"),
+                      flags["n_words"].alias("n_words"))
+           .groupBy("keep")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_words").alias("words_total")))
+    _STREAM_SEQ[0] += 1
+    sink = f"_stream_quality_{_STREAM_SEQ[0]}"
+    with _stream_state_partitions(spark):
+        q = (agg.writeStream.format("memory").queryName(sink)
+             .outputMode("complete")
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+    out = spark.table(sink).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(sink)
+    return out
+
+
 def _stage_stream_docs(sf_dir: str) -> str:
     """Stage the documents table as four parquet files in doc_id order
     (ts = 2024-01-01 + doc_id minutes; built once per sf and cached) —
@@ -8423,7 +8502,7 @@ _PRIORITY = [
     "text_c4_flags", "dedup_c4_spans", "dedup_url_canon", "knn_ivfpq_docs",
     "stratified_topn_src", "stream_dedup_url", "text_nfc_norm",
     "search_bm25_docs", "mm_audio_meta", "text_gopher_repetition",
-    "dedup_para_removal", "dedup_url_domains",
+    "dedup_para_removal", "dedup_url_domains", "stream_text_quality",
     # -- newest driver-green row: round 9 --
     "ens_weighted_percentiles_ms", "ens_stats_ms", "ens_percentiles_ms",
     "fa_gumbel_rp", "text_quality_by_source", "detrend_resid_std",
