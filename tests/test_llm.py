@@ -1667,3 +1667,41 @@ def test_dedup_paragraphs(spark):
     assert got[3]["text"] == rows[3][1]
     assert got[3]["n_paras_removed"] == 0
     assert got[4]["text"] == rows[4][1]          # byte-identical incl \n\n\n\n
+
+
+def test_knn_ivfpq_residual(spark):
+    """IVFADC residual encoding: exact at generous parameters, and at
+    TIGHT parameters residual codes beat (or match) plain codes on
+    blobby data — residuals spend precision on within-cell structure
+    instead of re-coding the cell mean."""
+    from pyspark.sql import functions as F
+
+    from xclim_spark.llm.similarity import (
+        kmeans_fit, knn_bruteforce, knn_ivfpq, pq_fit)
+
+    df, _ = _pq_corpus(spark, n=200, dim=16)
+    q = df.filter(F.col("vec_id") % 20 == 0)
+    cents_np = kmeans_fit(df, 8, iters=1)
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in cents_np[i]])
+         for i in range(cents_np.shape[0])],
+        "vec_id LONG, embedding ARRAY<DOUBLE>")
+    plain = pq_fit(df, m=4, ks=8, iters=2)
+    res = pq_fit(df, m=4, ks=8, iters=2, centroids=cents)
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in knn_bruteforce(df, q, k=5).collect()}
+
+    full = {(r["query_id"], r["neighbor_id"]) for r in knn_ivfpq(
+        df, q, cents, res, k=5, nprobe=8, shortlist=200,
+        residual=True).collect()}
+    assert full == exact
+
+    def recall(books, residual):
+        got = {(r["query_id"], r["neighbor_id"]) for r in knn_ivfpq(
+            df, q, cents, books, k=5, nprobe=3, shortlist=8,
+            residual=residual).collect()}
+        return len(got & exact) / len(exact)
+
+    r_plain, r_res = recall(plain, False), recall(res, True)
+    assert r_res >= 0.6
+    assert r_res >= r_plain - 0.08, (r_plain, r_res)

@@ -5409,6 +5409,59 @@ def knn_ivfpq_docs(spark, sf_dir):
 
 
 @_register(
+    "knn_ivfpq_res_docs",
+    f"""WITH e AS (
+  SELECT vec_id,
+         [embedding[i] + CAST((((vec_id % 50) * 7 + (i - 1) * 13) % 53)
+                              % 11 - 5 AS DOUBLE)
+          FOR i IN range(1, len(embedding) + 1)] AS embedding
+  FROM embeddings
+),
+q AS (SELECT * FROM e WHERE vec_id % 100 = 0),
+p AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         {_cos_pair_sql('q.embedding', 'e.embedding')} AS cos
+  FROM q JOIN e ON q.vec_id <> e.vec_id
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rank
+      FROM p)
+SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos_sim,
+       CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 5""",
+)
+def knn_ivfpq_res_docs(spark, sf_dir):
+    """RESIDUAL IVF-PQ — Jegou et al. 2011's actual IVFADC: codebooks
+    trained on per-cell residuals (v/||v|| - c/||c||), corpus cell +
+    residual codes built in ONE Arrow pass, per-(query, probed-cell)
+    ADC tables, exact-cosine re-rank of the shortlist.  Same decorated
+    blobs and brute-force oracle as knn_ivfpq_docs; tight-parameter
+    recall (residual >= plain) is measured in tests/test_llm.py."""
+    from .llm.similarity import kmeans_fit, knn_ivfpq, pq_fit
+
+    e0 = _read(spark, sf_dir, "embeddings")
+    vid = F.col("vec_id")
+    e = e0.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x, i: x + ((((vid % 50) * 7 + i * 13) % 53)
+                              % 11 - 5).cast("double"),
+        ).alias("embedding"))
+    cents_np = kmeans_fit(e, 10, iters=1)
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in cents_np[i]])
+         for i in range(cents_np.shape[0])],
+        "vec_id LONG, embedding ARRAY<DOUBLE>")
+    books = pq_fit(e, m=8, ks=16, iters=2, centroids=cents)
+    q = e.filter(vid % 100 == 0)
+    out = knn_ivfpq(e, q, cents, books, k=5, nprobe=4, shortlist=40,
+                    residual=True)
+    return out.withColumn("cos_sim", F.round("cos_sim", 6)) \
+              .withColumn("rank", F.col("rank").cast("long"))
+
+
+@_register(
     "kmeans_step_centroids",
     """WITH e AS (
   SELECT vec_id,
@@ -8503,6 +8556,7 @@ _PRIORITY = [
     "stratified_topn_src", "stream_dedup_url", "text_nfc_norm",
     "search_bm25_docs", "mm_audio_meta", "text_gopher_repetition",
     "dedup_para_removal", "dedup_url_domains", "stream_text_quality",
+    "knn_ivfpq_res_docs",
     # -- newest driver-green row: round 9 --
     "ens_weighted_percentiles_ms", "ens_stats_ms", "ens_percentiles_ms",
     "fa_gumbel_rp", "text_quality_by_source", "detrend_resid_std",
