@@ -7691,6 +7691,84 @@ def stream_dedup_url(spark, sf_dir):
 
 
 @_register(
+    "stream_decontam",
+    r"""WITH tok AS (
+  SELECT doc_id, source,
+         regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+  FROM documents
+),
+bg AS (
+  SELECT DISTINCT array_to_string(toks[i:i+7], ' ') AS gram
+  FROM tok, UNNEST(range(1, len(toks) - 6)) AS t(i)
+  WHERE source IN ('src0', 'src1') AND len(toks) >= 8
+),
+dg AS (
+  SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS gram
+  FROM tok, UNNEST(range(1, len(toks) - 6)) AS t(i)
+  WHERE source NOT IN ('src0', 'src1') AND len(toks) >= 8
+),
+hits AS (
+  SELECT dg.doc_id, dg.gram,
+         CASE WHEN bg.gram IS NULL THEN 0 ELSE 1 END AS hit
+  FROM dg LEFT JOIN bg ON dg.gram = bg.gram
+)
+SELECT t.doc_id,
+       CAST(count(h.gram) AS BIGINT) AS total_grams,
+       CAST(coalesce(sum(h.hit), 0) AS BIGINT) AS dirty_grams,
+       coalesce(sum(h.hit), 0) > 0 AS contaminated
+FROM (SELECT doc_id FROM tok WHERE source NOT IN ('src0', 'src1')) t
+LEFT JOIN hits h ON t.doc_id = h.doc_id
+GROUP BY 1""",
+)
+def stream_decontam(spark, sf_dir):
+    """Benchmark decontamination AT INGEST — the streaming twin of
+    decontam_docs: the corpus replays as micro-batches; each batch
+    joins the STATIC source catalog (stream-static), drops benchmark
+    rows, and runs the word-8-gram overlap check against the static
+    eval set inside an idempotent batch-keyed foreachBatch sink (a
+    document's grams all live in its own micro-batch, so the per-doc
+    verdict is exact — the stream_dedup_fuzzy sink contract).  The
+    oracle is the batch decontamination restated in SQL."""
+    import os
+    import shutil
+    import uuid
+
+    from .llm import pipeline as pl
+
+    root = _stage_stream_docs(sf_dir)
+    static = _read(spark, sf_dir, "documents")
+    is_bench = F.col("source").isin("src0", "src1")
+    bench = static.filter(is_bench).select("doc_id", "text")
+    srcmap = static.select("doc_id", "source")
+    sdf = (spark.readStream
+           .schema("doc_id BIGINT, ts TIMESTAMP, text STRING")
+           .option("maxFilesPerTrigger", 1)
+           .parquet(f"{root}/part_*.parquet"))
+    fold_dir = f"/tmp/xclim_spark_stream_decon_{uuid.uuid4().hex}"
+    os.makedirs(fold_dir, exist_ok=True)
+
+    def _fold(batch_df, bid):
+        d = (batch_df.join(srcmap, on="doc_id")
+             .filter(~is_bench).select("doc_id", "text"))
+        (pl.decontaminate(d, bench, n=8)
+         .write.mode("overwrite").parquet(f"{fold_dir}/b{bid}"))
+
+    try:
+        with _stream_state_partitions(spark):
+            q = (sdf.writeStream.foreachBatch(_fold)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination()
+        res = (spark.read
+               .schema("doc_id BIGINT, total_grams BIGINT, "
+                       "dirty_grams BIGINT, contaminated BOOLEAN")
+               .option("recursiveFileLookup", "true").parquet(fold_dir)
+               .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(fold_dir, ignore_errors=True)
+    return res
+
+
+@_register(
     "stream_text_quality",
     """WITH m AS (
   SELECT doc_id,
@@ -8556,7 +8634,7 @@ _PRIORITY = [
     "stratified_topn_src", "stream_dedup_url", "text_nfc_norm",
     "search_bm25_docs", "mm_audio_meta", "text_gopher_repetition",
     "dedup_para_removal", "dedup_url_domains", "stream_text_quality",
-    "knn_ivfpq_res_docs",
+    "knn_ivfpq_res_docs", "stream_decontam",
     # -- newest driver-green row: round 9 --
     "ens_weighted_percentiles_ms", "ens_stats_ms", "ens_percentiles_ms",
     "fa_gumbel_rp", "text_quality_by_source", "detrend_resid_std",
