@@ -1705,3 +1705,37 @@ def test_knn_ivfpq_residual(spark):
     r_plain, r_res = recall(plain, False), recall(res, True)
     assert r_res >= 0.6
     assert r_res >= r_plain - 0.08, (r_plain, r_res)
+
+
+def test_random_projection_preserves_distances(spark):
+    """JL property sanity: projected pairwise distances stay within a
+    loose multiplicative band of the originals (deterministic seeded
+    matrix, so this is a fixed numeric check, not a flaky one), and
+    the projection is bit-reproducible across calls."""
+    import numpy as np
+
+    from xclim_spark.llm.similarity import random_projection
+
+    rng = np.random.RandomState(11)
+    X = rng.standard_normal((40, 32))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(len(X))],
+        "vec_id LONG, embedding ARRAY<DOUBLE>")
+    out = {r["vec_id"]: np.asarray(r["p"]) for r in df.select(
+        "vec_id",
+        random_projection("embedding", dim=32, out_dim=16).alias("p")
+    ).collect()}
+    assert all(len(v) == 16 for v in out.values())
+    ratios = []
+    for a in range(0, 40, 7):
+        for b in range(a + 1, 40, 7):
+            d0 = np.linalg.norm(X[a] - X[b])
+            d1 = np.linalg.norm(out[a] - out[b])
+            ratios.append(d1 / d0)
+    r = np.asarray(ratios)
+    assert 0.5 < r.min() and r.max() < 1.6, (r.min(), r.max())
+    out2 = {r["vec_id"]: list(r["p"]) for r in df.select(
+        "vec_id",
+        random_projection("embedding", dim=32, out_dim=16).alias("p")
+    ).collect()}
+    assert all(list(out[k]) == out2[k] for k in out)

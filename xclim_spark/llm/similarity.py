@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 __all__ = ["dot", "l2_norm", "cosine_similarity", "knn_bruteforce",
            "knn_lsh", "knn_ivf", "lsh_bucket", "kmeans_fit",
-           "pq_fit", "pq_encode", "knn_ivfpq"]
+           "pq_fit", "pq_encode", "knn_ivfpq", "random_projection"]
 
 
 def dot(a, b) -> Column:
@@ -827,3 +827,28 @@ def knn_ivfpq(
     return (rer.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "cos_sim", "rank"))
+
+
+def random_projection(
+    vec, dim: int, out_dim: int, seed: int = 42,
+) -> Column:
+    """Johnson–Lindenstrauss random projection to ``out_dim`` dims —
+    the standard shrink step before ANN / clustering at 100 TB
+    (pairwise distances survive within 1±eps for
+    out_dim = O(log n / eps^2); Achlioptas 2003 for the database-
+    friendly variants).
+
+    The projection matrix is ONE driver-seeded nested literal
+    (``N(0,1)/sqrt(out_dim)``, same plane machinery as
+    :func:`lsh_bucket`) and each output coordinate a
+    ``zip_with``+``aggregate`` dot product — pure JVM expressions in
+    the scan projection, zero shuffle, and bit-reproducible across
+    runs/engines (a SQL oracle restates the identical literals and
+    sequential fold)."""
+    v = F.col(vec) if isinstance(vec, str) else vec
+    scale = 1.0 / float(np.sqrt(out_dim))
+    planes = F.lit([[float(x) * scale for x in p]
+                    for p in _planes(dim, out_dim, seed)])
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(out_dim - 1)),
+        lambda j: dot(v, F.element_at(planes, j + 1)))

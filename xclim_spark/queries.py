@@ -5408,6 +5408,47 @@ def knn_ivfpq_docs(spark, sf_dir):
               .withColumn("rank", F.col("rank").cast("long"))
 
 
+def _rand_proj_sql(dim=64, out_dim=16, seed=42) -> str:
+    """Oracle twin of llm/similarity.py random_projection: the seeded
+    projection matrix is restated as literal floats and each output
+    coordinate as the same sequential sum-of-products fold (list_sum
+    over per-element products, matching Spark's aggregate fold);
+    ROUND(,6)+0.0 on both sides absorbs last-ulp drift and the
+    -0.0/0.0 formatting split."""
+    import numpy as np
+
+    from .llm.similarity import _planes
+
+    scale = 1.0 / float(np.sqrt(out_dim))
+    rows = []
+    for j, plane in enumerate(_planes(dim, out_dim, seed)):
+        terms = " + ".join(
+            f"CAST(embedding[{i + 1}] AS DOUBLE)*({x * scale!r})"
+            for i, x in enumerate(plane))
+        rows.append(f"SELECT vec_id, {j} AS j, ({terms}) AS raw "
+                    "FROM embeddings")
+    union = "\nUNION ALL\n".join(rows)
+    return (f"SELECT vec_id, j, ROUND(raw, 6) + 0.0 AS val\n"
+            f"FROM ({union})")
+
+
+@_register("emb_rand_projection", _rand_proj_sql())
+def emb_rand_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss random projection 64 -> 16 dims
+    (llm/similarity.py random_projection) — the shrink step before
+    ANN/clustering; seeded literal matrix, pure expression dot
+    products in the scan projection, zero shuffle.  Output exploded to
+    (vec_id, coordinate, value) scalars; ROUND+0.0 on both sides
+    (-0.0 would otherwise format differently in the hash compare)."""
+    from .llm.similarity import random_projection
+
+    e = _read(spark, sf_dir, "embeddings")
+    proj = random_projection("embedding", dim=64, out_dim=16)
+    return (e.select("vec_id", F.posexplode(proj).alias("j", "raw"))
+            .select("vec_id", "j",
+                    (F.round("raw", 6) + 0.0).alias("val")))
+
+
 @_register(
     "knn_ivfpq_res_docs",
     f"""WITH e AS (
@@ -8634,7 +8675,7 @@ _PRIORITY = [
     "stratified_topn_src", "stream_dedup_url", "text_nfc_norm",
     "search_bm25_docs", "mm_audio_meta", "text_gopher_repetition",
     "dedup_para_removal", "dedup_url_domains", "stream_text_quality",
-    "knn_ivfpq_res_docs", "stream_decontam",
+    "knn_ivfpq_res_docs", "stream_decontam", "emb_rand_projection",
     # -- newest driver-green row: round 9 --
     "ens_weighted_percentiles_ms", "ens_stats_ms", "ens_percentiles_ms",
     "fa_gumbel_rp", "text_quality_by_source", "detrend_resid_std",
