@@ -7810,6 +7810,59 @@ def stream_decontam(spark, sf_dir):
 
 
 @_register(
+    "stream_mixture_sample",
+    """WITH j AS (
+  SELECT d.doc_id, d.source, d.n_chars
+  FROM documents d
+  WHERE substring(md5(concat(d.source, '|',
+                             CAST(d.doc_id AS VARCHAR))), 1, 8) <
+    CASE d.source WHEN 'src0' THEN 'gggggggg' WHEN 'src1' THEN '80000000'
+                  WHEN 'src2' THEN '40000000' WHEN 'src3' THEN '20000000'
+                  ELSE '0ccccccd' END
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(n_chars) AS BIGINT) AS chars_kept
+FROM j GROUP BY 1""",
+)
+def stream_mixture_sample(spark, sf_dir):
+    """Deterministic mixture sampling AT INGEST — the streaming twin
+    of mixture_sample_src: the md5-threshold keep/drop decision is
+    STATELESS, so it evaluates inside each micro-batch's scan with no
+    state at all (the whole point of hash-threshold sampling: an
+    always-on ingest sampler needs no coordination, no RNG state, and
+    replaying a batch keeps identical rows); the source catalog joins
+    stream-static and only the per-source audit aggregate carries
+    state.  Oracle = the batch sampler restated in SQL."""
+    from .llm.pipeline import mixture_sample
+
+    root = _stage_stream_docs(sf_dir)
+    srcmap = _read(spark, sf_dir, "documents") \
+        .select("doc_id", "source", "n_chars")
+    sdf = (spark.readStream
+           .schema("doc_id BIGINT, ts TIMESTAMP, text STRING")
+           .option("maxFilesPerTrigger", 1)
+           .parquet(f"{root}/part_*.parquet"))
+    samp = mixture_sample(
+        sdf.select("doc_id").join(srcmap, on="doc_id"),
+        {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.125},
+        default_rate=0.05)
+    agg = (samp.groupBy("source")
+           .agg(F.count(F.lit(1)).alias("n_kept"),
+                F.sum("n_chars").alias("chars_kept")))
+    _STREAM_SEQ[0] += 1
+    sink = f"_stream_mix_{_STREAM_SEQ[0]}"
+    with _stream_state_partitions(spark):
+        q = (agg.writeStream.format("memory").queryName(sink)
+             .outputMode("complete")
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+    out = spark.table(sink).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(sink)
+    return out
+
+
+@_register(
     "stream_text_quality",
     """WITH m AS (
   SELECT doc_id,
@@ -8676,6 +8729,7 @@ _PRIORITY = [
     "search_bm25_docs", "mm_audio_meta", "text_gopher_repetition",
     "dedup_para_removal", "dedup_url_domains", "stream_text_quality",
     "knn_ivfpq_res_docs", "stream_decontam", "emb_rand_projection",
+    "stream_mixture_sample",
     # -- newest driver-green row: round 9 --
     "ens_weighted_percentiles_ms", "ens_stats_ms", "ens_percentiles_ms",
     "fa_gumbel_rp", "text_quality_by_source", "detrend_resid_std",
