@@ -8722,38 +8722,17 @@ def nc3_subdaily_ingest(spark, sf_dir):
 # list each round), then queries whose last driver-green row is oldest.
 # Regenerate each round with tools/rotate_priority.py — do not hand-edit.
 _PRIORITY = [
-    # -- additions with no driver row yet (the ordering rule
-    #    requires these inside the sampled head) --
-    "text_c4_flags", "dedup_c4_spans", "dedup_url_canon", "knn_ivfpq_docs",
-    "stratified_topn_src", "stream_dedup_url", "text_nfc_norm",
-    "search_bm25_docs", "mm_audio_meta", "text_gopher_repetition",
-    "dedup_para_removal", "dedup_url_domains", "stream_text_quality",
-    "knn_ivfpq_res_docs", "stream_decontam", "emb_rand_projection",
-    "stream_mixture_sample",
-    # -- newest driver-green row: round 9 --
-    "ens_weighted_percentiles_ms", "ens_stats_ms", "ens_percentiles_ms",
-    "fa_gumbel_rp", "text_quality_by_source", "detrend_resid_std",
-    "cal360_monthly_mean", "dataflags_summary", "mm_decode_stats",
-    "mm_binary_stats", "cf_cdd_ys", "cf_txx_ms", "anu_p13_ys",
-    "ind_wetdays_prop_ms", "agro_dryness_index_ys", "agro_chill_units_ys",
-    "agro_rain_season_ys", "stacked_normals_3y", "sdba_properties_ms",
-    "ens_mixed_calendar_ms",
     # -- newest driver-green row: round 10 --
-    "stream_fwi_ms", "boot_r75ptot_ys", "dedup_components_star",
-    "zarr3_sharded_ingest_ms", "synoptic_jetlat_ms", "cumdiff_running_ms",
-    "ens_robustness_fracs", "boot_tg90p_ys", "unstacked_normals_3y",
-    "ind_wsdi_ys", "sdba_eqm_adaptfreq_ms", "analog_seuclidean",
-    "ens_kkz_selection", "ens_robustness_ttest", "hs_partition_vars",
-    "solar_daylength_ms", "ens_percentiles_interp_ms",
-    "occurrence_doy_ys_jul", "clim_mean_doy", "adjust_doy_cal360",
-    "hawkins_weights", "zarr_ingest_ms", "tg_mean_ms", "tx_days_above_ms",
-    "tx_max_ys_jul", "prcptot_qs_dec", "djf_mean_ms", "gdd_ys", "dded_ys",
-    "rx7day_ms", "doymax_ys", "thresholded_mean_ys", "domain_count_ms",
-    "zones_count", "missing_any_ms", "tg90p_doy_ys", "p90_days_over_ys",
-    "mcdd_ys", "spell_days_ys", "spell_events_ys", "max_run_sum_ys",
-    "first_spell_doy_ys", "gs_end_ys", "run_bounds", "events_table_ys",
-    "ind_tg_mean_ms", "ind_tg_mean_masked_ms", "ind_tx_days_above_ms",
-    "ind_frost_days_ys", "ind_gdd_ys",
+    "ens_robustness_ttest", "hs_partition_vars", "solar_daylength_ms",
+    "ens_percentiles_interp_ms", "occurrence_doy_ys_jul", "clim_mean_doy",
+    "adjust_doy_cal360", "hawkins_weights", "zarr_ingest_ms", "tg_mean_ms",
+    "tx_days_above_ms", "tx_max_ys_jul", "prcptot_qs_dec", "djf_mean_ms",
+    "gdd_ys", "dded_ys", "rx7day_ms", "doymax_ys", "thresholded_mean_ys",
+    "domain_count_ms", "zones_count", "missing_any_ms", "tg90p_doy_ys",
+    "p90_days_over_ys", "mcdd_ys", "spell_days_ys", "spell_events_ys",
+    "max_run_sum_ys", "first_spell_doy_ys", "gs_end_ys", "run_bounds",
+    "events_table_ys", "ind_tg_mean_ms", "ind_tg_mean_masked_ms",
+    "ind_tx_days_above_ms", "ind_frost_days_ys", "ind_gdd_ys",
     # -- newest driver-green row: round 11 --
     "dedup_semantic", "text_pii_scrub", "dedup_substring_spans",
     "stream_dedup_watermark", "kmeans_step_centroids", "knn_ivf_trained_docs",
@@ -8788,6 +8767,23 @@ _PRIORITY = [
     "occurrence_doy_ys", "qian_smooth_ms", "solar_correction_ms",
     "text_repetition_stats", "stream_dedup_exact", "pack_sequences_src",
     "fire_season_days_ys", "stream_tx_days_above_30d",
+    # -- newest driver-green row: round 13 --
+    "text_c4_flags", "dedup_c4_spans", "dedup_url_canon", "knn_ivfpq_docs",
+    "stratified_topn_src", "stream_dedup_url", "text_nfc_norm",
+    "search_bm25_docs", "mm_audio_meta", "text_gopher_repetition",
+    "dedup_para_removal", "dedup_url_domains", "stream_text_quality",
+    "knn_ivfpq_res_docs", "stream_decontam", "emb_rand_projection",
+    "stream_mixture_sample", "ens_weighted_percentiles_ms", "ens_stats_ms",
+    "ens_percentiles_ms", "fa_gumbel_rp", "text_quality_by_source",
+    "detrend_resid_std", "cal360_monthly_mean", "dataflags_summary",
+    "mm_decode_stats", "mm_binary_stats", "cf_cdd_ys", "cf_txx_ms",
+    "anu_p13_ys", "ind_wetdays_prop_ms", "agro_dryness_index_ys",
+    "agro_chill_units_ys", "agro_rain_season_ys", "stacked_normals_3y",
+    "sdba_properties_ms", "ens_mixed_calendar_ms", "stream_fwi_ms",
+    "boot_r75ptot_ys", "dedup_components_star", "zarr3_sharded_ingest_ms",
+    "synoptic_jetlat_ms", "cumdiff_running_ms", "ens_robustness_fracs",
+    "boot_tg90p_ys", "unstacked_normals_3y", "ind_wsdi_ys",
+    "sdba_eqm_adaptfreq_ms", "analog_seuclidean", "ens_kkz_selection",
 ]
 
 
