@@ -1283,6 +1283,8 @@ def test_canonicalize_url(spark):
         (4, "http://example.com"),                    # empty path -> /
         (5, "not a url at all"),                      # passthrough
         (6, "http://sub.shop.example.co.uk/x?fbclid=abc"),
+        (7, "http://example.com/p#/route?tab=1"),     # '?' inside frag
+        (8, "http://example.com/p?a=1#frag?b=2"),     # frag after query
     ]
     df = spark.createDataFrame(rows, "i LONG, url STRING")
     got = {r["i"]: r["c"] for r in df.select(
@@ -1293,6 +1295,9 @@ def test_canonicalize_url(spark):
     assert got[4] == "http://example.com/"
     assert got[5] == "not a url at all"
     assert got[6] == "http://sub.shop.example.co.uk/x"
+    # fragment content must never resurface as a query string
+    assert got[7] == "http://example.com/p"
+    assert got[8] == "http://example.com/p?a=1"
     doms = {r["i"]: r["d"] for r in df.select(
         "i", registered_domain(F.regexp_replace(F.regexp_extract(
             canonicalize_url("url"),
@@ -1563,6 +1568,19 @@ def test_audio_header_probe(spark):
         == ("flac", 96000, 8, 32, 1 << 35)
     assert parse_audio_header(b"RIFF from the river") is None
     assert parse_audio_header(b"fLaC") is None  # truncated
+    # trailing payload bytes past the declared RIFF container must not
+    # be parsed as chunks — a fake 'fmt ' there cannot overwrite the
+    # real stream parameters
+    import struct as _struct
+    evil = (make_audio_header("wav", 22050, 1, 7)
+            + b"fmt " + _struct.pack("<I", 16)
+            + _struct.pack("<HHIIHH", 1, 9, 99, 99 * 18, 18, 64))
+    assert parse_audio_header(evil) == ("wav", 22050, 1, 16, 7)
+    # an under-sized fmt chunk (declared < 16 bytes) is ignored
+    tiny = (b"RIFF" + _struct.pack("<I", 4 + 8 + 8 + 8) + b"WAVE"
+            + b"fmt " + _struct.pack("<I", 8) + b"\x00" * 8
+            + b"data" + _struct.pack("<I", 0))
+    assert parse_audio_header(tiny) is None
     import pytest as _pytest
     with _pytest.raises(ValueError, match="out of range"):
         make_audio_header("flac", 1 << 21, 1, 1)

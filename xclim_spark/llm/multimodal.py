@@ -390,15 +390,21 @@ def parse_audio_header(b) -> tuple[str, int, int, int, int] | None:
         return None
     b = bytes(b)
     if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        # The walk is bounded by the RIFF size field, so trailing
+        # payload bytes past the declared container (a common pattern
+        # in probe inputs) are never misread as chunks.
+        riff_end = min(len(b), 8 + struct.unpack("<I", b[4:8])[0])
         i, rate, ch, bits, align, data = 12, None, None, None, None, None
-        while i + 8 <= len(b):
+        while i + 8 <= riff_end:
             cid = b[i:i + 4]
             size = struct.unpack("<I", b[i + 4:i + 8])[0]
-            if cid == b"fmt " and i + 24 <= len(b):
+            if cid == b"fmt " and size >= 16 and i + 24 <= len(b):
                 ch, rate = struct.unpack("<HI", b[i + 10:i + 16])
                 align, bits = struct.unpack("<HH", b[i + 20:i + 24])
             elif cid == b"data":
                 data = size
+                if rate is not None:
+                    break  # fmt seen: nothing meaningful follows data
             i += 8 + size + (size & 1)  # chunks are word-aligned
         if rate and ch and align and data is not None:
             return ("wav", rate, ch, bits, data // align)

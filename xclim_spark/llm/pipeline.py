@@ -428,6 +428,28 @@ def gopher_repetition_flags(
                         fm[0] = True
                         fm[1:] = gdoc[o2][1:] != gdoc[o2][:-1]
                         chosen = o2[fm]
+                        # Residual ties in (count, glen) must break on
+                        # the space-JOINED gram string (oracle: gram
+                        # ASC), which differs from token-id-sequence
+                        # order only when a token carries chars below
+                        # 0x20.  cov is count*glen so the fraction is
+                        # pick-invariant; materialize strings only for
+                        # the (rare) tied docs to keep the exact pick.
+                        head = np.maximum.accumulate(
+                            np.where(fm, np.arange(len(o2)), -1))
+                        tie = ((gcount[o2] == gcount[o2[head]])
+                               & (g_glen[o2] == g_glen[o2[head]]))
+                        grp_of = np.cumsum(fm) - 1
+                        tiecnt = np.bincount(
+                            grp_of[tie], minlength=len(chosen))
+                        for di in np.flatnonzero(tiecnt > 1):
+                            cands = o2[tie & (grp_of == di)]
+                            gram_of = {}
+                            for g in cands:
+                                p = j[order[gfirst[g]]]
+                                gram_of[g] = " ".join(flat[p:p + n])
+                            chosen[di] = min(
+                                cands, key=lambda g: gram_of[g])
                         dk = gdoc[chosen]
                         res[f"top_{n}gram_char_frac"][dk] = (
                             cov[chosen] / total[dk])

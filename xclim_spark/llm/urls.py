@@ -69,7 +69,11 @@ def canonicalize_url(url) -> Column:
     path = F.regexp_extract(
         u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
     path = F.when(path == "", "/").otherwise(path)
-    qraw = F.regexp_extract(u, r"\?([^#]*)", 1)
+    # Strip the fragment BEFORE looking for the query: a '?' inside the
+    # fragment (http://h/p#/route?tab=1) is fragment content, not a
+    # query string, and must not resurface in the canonical key.
+    qraw = F.regexp_extract(
+        F.regexp_replace(u, r"#.*$", ""), r"\?(.*)$", 1)
     qkept = F.array_sort(F.filter(
         F.split(qraw, "&"),
         lambda p: (F.length(p) > 0)

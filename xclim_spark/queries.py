@@ -4574,7 +4574,8 @@ lens AS (SELECT doc_id, sum(len(sent)) AS total FROM s GROUP BY doc_id),
 nrm AS (SELECT doc_id, count(*) AS nr FROM rem GROUP BY doc_id)
 SELECT b.doc_id,
   md5(CASE WHEN nrm.nr IS NULL THEN b.t
-      ELSE agg.joined || substr(b.t, CAST(lens.total AS INT) + 1)
+      ELSE coalesce(agg.joined, '')
+           || substr(b.t, CAST(lens.total AS INT) + 1)
       END) AS clean_md5,
   CAST(coalesce(nrm.nr, 0) AS BIGINT) AS n_sentences_removed
 FROM b
@@ -4910,7 +4911,8 @@ c AS (
       '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS auth,
     regexp_extract(url,
       '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
-    regexp_extract(url, '\\?([^#]*)', 1) AS rawq
+    regexp_extract(regexp_replace(url, '#.*$', ''),
+      '\\?(.*)$', 1) AS rawq
   FROM u0
 ),
 c2 AS (
@@ -5089,7 +5091,8 @@ c AS (
       '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS auth,
     regexp_extract(url,
       '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
-    regexp_extract(url, '\\?([^#]*)', 1) AS rawq
+    regexp_extract(regexp_replace(url, '#.*$', ''),
+      '\\?(.*)$', 1) AS rawq
   FROM u0
 ),
 c2 AS (
@@ -7195,7 +7198,7 @@ SELECT d0.doc_id,
 FROM d0
 JOIN lfr USING (doc_id)
 JOIN pfr USING (doc_id)
-JOIN tot USING (doc_id)
+LEFT JOIN tot USING (doc_id)
 {joins_sql}"""
 
 
@@ -7675,7 +7678,8 @@ c AS (
       '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS auth,
     regexp_extract(url,
       '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
-    regexp_extract(url, '\\?([^#]*)', 1) AS rawq
+    regexp_extract(regexp_replace(url, '#.*$', ''),
+      '\\?(.*)$', 1) AS rawq
   FROM u0
 ),
 c2 AS (
