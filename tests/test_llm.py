@@ -1757,3 +1757,146 @@ def test_random_projection_preserves_distances(spark):
         random_projection("embedding", dim=32, out_dim=16).alias("p")
     ).collect()}
     assert all(list(out[k]) == out2[k] for k in out)
+
+
+# ---------------------------------------------------------------- BPE
+
+
+def _ref_bpe(corpus, num_merges, min_count=2):
+    """Independent pure-Python Sennrich-style reference: word-frequency
+    dict, per-occurrence pair counts, (count desc, pair asc) argmax,
+    greedy left-fold merge application."""
+    wc = {}
+    for t in corpus:
+        for w in t.strip().lower().split():
+            wc[w] = wc.get(w, 0) + 1
+    st = {w: tuple(list(w) + ["</w>"]) for w in wc}
+    merges = []
+    for _ in range(num_merges):
+        pc = {}
+        for w, syms in st.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pc[p] = pc.get(p, 0) + wc[w]
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < min_count:
+            break
+        (a, b), c = best
+        merges.append((a, b, c))
+        nxt = {}
+        for w, syms in st.items():
+            out = []
+            for x in syms:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            nxt[w] = tuple(out)
+        st = nxt
+    return merges, st
+
+
+def test_bpe_train_matches_reference(spark):
+    """Spark-trained merges match the independent pure-Python BPE on a
+    crafted corpus: exact merge order, pair counts, tie-breaks, early
+    stop, and final per-word segmentations."""
+    from xclim_spark.llm.tokenizer import (
+        bpe_encode_counts, bpe_encode_words, bpe_train)
+
+    corpus = [
+        "low low low low low lower lower newest newest",
+        "newest newest newest widest widest widest wider",
+        "low lowest newest wide wide wider",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id LONG, text STRING")
+    ref_merges, ref_st = _ref_bpe(corpus, 12)
+    got = bpe_train(docs, num_merges=12)
+    assert got == ref_merges
+    # encoder parity: token counts per doc against the reference state
+    mg = [(a, b) for a, b, _ in got]
+    counts = {r["doc_id"]: (r["n_words"], r["n_tokens"]) for r in
+              bpe_encode_counts(docs, got).collect()}
+    for i, t in enumerate(corpus):
+        words = t.strip().lower().split()
+        exp_tok = sum(len(ref_st[w]) for w in words)
+        assert counts[i] == (len(words), exp_tok)
+    # unseen word: encoder applies merges without a vocabulary entry
+    enc = bpe_encode_words("lowwide", mg)
+    assert enc and "".join(enc[0]).replace("</w>", "") == "lowwide"
+    # NULL / whitespace-only docs keep zero counts
+    docs2 = spark.createDataFrame(
+        [(0, None), (1, "   ")], "doc_id LONG, text STRING")
+    z = {r["doc_id"]: (r["n_words"], r["n_tokens"]) for r in
+         bpe_encode_counts(docs2, got).collect()}
+    assert z == {0: (0, 0), 1: (0, 0)}
+
+
+def test_bpe_early_stop_and_run_merging(spark):
+    """min_count stops training; runs of identical symbols merge
+    greedily left-to-right (the fold-never-cascades contract)."""
+    from xclim_spark.llm.tokenizer import bpe_encode_words, bpe_train
+
+    docs = spark.createDataFrame(
+        [(0, "aaaa aaaa"), (1, "zq")], "doc_id LONG, text STRING")
+    ref_merges, _ = _ref_bpe(["aaaa aaaa", "zq"], 50)
+    got = bpe_train(docs, num_merges=50)
+    assert got == ref_merges
+    assert len(got) < 50  # early stop fired
+    # greedy pairing on runs: "aaaa" + </w>; first merge is (a,a)
+    assert (got[0][0], got[0][1]) == ("a", "a")
+    enc = bpe_encode_words("aaaaaa", [("a", "a")])
+    assert enc[0] == ["aa", "aa", "aa", "</w>"]
+    enc5 = bpe_encode_words("aaaaa", [("a", "a")])
+    assert enc5[0] == ["aa", "aa", "a", "</w>"]
+
+
+# -------------------------------------------------------------- Bloom
+
+
+def test_bloom_membership_and_fp_rate(spark):
+    """No false negatives ever; measured FP rate on disjoint probe keys
+    tracks the closed form; sizing helper round-trips."""
+    from xclim_spark.llm.bloom import (
+        bloom_build, bloom_dense, bloom_fp_rate, bloom_parameters,
+        bloom_probe)
+
+    m, k = bloom_parameters(500, 0.01)
+    assert m % 63 == 0 and k >= 1
+    # theoretical rate at the designed load is ~the requested rate
+    assert bloom_fp_rate(500, m, k) < 0.02
+
+    num_bits, num_hashes = 63 * 64, 5
+    seen = spark.range(300).select(
+        F.concat(F.lit("seen-"), F.col("id")).alias("key"))
+    dense = bloom_dense(
+        bloom_build(seen, key_col="key", num_bits=num_bits,
+                    num_hashes=num_hashes),
+        num_bits=num_bits)
+    arr = dense.first()["bloom"]
+    assert len(arr) == num_bits // 63
+
+    probe = spark.range(2300).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 300, F.concat(F.lit("seen-"), F.col("id")))
+        .when(F.col("id") == 2299, F.lit(None))
+        .otherwise(F.concat(F.lit("new-"), F.col("id"))).alias("key"))
+    out = bloom_probe(probe, dense, key_col="key", num_bits=num_bits,
+                      num_hashes=num_hashes).collect()
+    got = {r["doc_id"]: r["maybe_member"] for r in out}
+    assert all(got[i] is True for i in range(300))       # no false neg
+    assert got[2299] is None                             # NULL key
+    fps = sum(1 for i in range(300, 2299) if got[i])
+    expected = bloom_fp_rate(300, num_bits, num_hashes)
+    # 1999 Bernoulli trials at ~2.8%: allow a generous band
+    assert fps / 1999 < max(4 * expected, 0.02), (fps, expected)
+    # zero-shuffle probe: no Exchange in the probe plan
+    plan = bloom_probe(
+        probe, dense, key_col="key", num_bits=num_bits,
+        num_hashes=num_hashes)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastExchange" in plan
+    assert "ShuffleExchange" not in plan.replace(
+        "BroadcastExchange", "")

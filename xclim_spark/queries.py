@@ -8719,6 +8719,161 @@ def nc3_subdaily_ingest(spark, sf_dir):
     ).agg(F.round(F.avg("qty"), 6).alias("qmean"))
 
 
+
+# ---------------------------------------------------------------------------
+# Distributed BPE tokenizer (Sennrich et al. 2016 — llm/tokenizer.py)
+# ---------------------------------------------------------------------------
+
+def _bpe_sql(k: int, *, encode: bool = False) -> str:
+    """Oracle generator for the BPE gates: DuckDB restates the full
+    training loop — corpus word counts, then K chained CTE blocks each
+    computing that round's weighted pair counts, the (count DESC, pair
+    ASC) argmax, and the greedy left-fold merge application via
+    list_reduce — so the merges are derived INDEPENDENTLY, not replayed
+    from Spark's answer.  With ``encode`` the final state becomes a
+    word -> token-count map joined back to per-document word streams."""
+    words = ("[x FOR x IN string_split_regex(trim(lower(text)), '\\s+')"
+             " IF len(x) > 0]")
+    blocks = [f"""w0 AS (
+  SELECT w, count(*) AS cnt FROM (
+    SELECT unnest({words}) AS w
+    FROM documents WHERE text IS NOT NULL) GROUP BY w),
+st0 AS (SELECT w, cnt,
+  [substr(w, CAST(i AS INT), 1) FOR i IN range(1, len(w) + 1)]
+    || ['</w>'] AS syms FROM w0)"""]
+    for r in range(k):
+        blocks.append(f"""p{r} AS (
+  SELECT pr.a AS a, pr.b AS b, sum(cnt) AS c FROM (
+    SELECT cnt, unnest([{{'a': syms[i], 'b': syms[i + 1]}}
+                        FOR i IN range(1, len(syms))]) AS pr
+    FROM st{r}) GROUP BY 1, 2),
+best{r} AS (SELECT a, b, c FROM p{r} WHERE c >= 2
+            ORDER BY c DESC, a, b LIMIT 1),
+st{r + 1} AS (
+  SELECT w, cnt, list_reduce([[s] FOR s IN syms], (acc, x) ->
+    CASE WHEN acc[-1] = best{r}.a AND x[1] = best{r}.b
+      THEN acc[:len(acc) - 1] || [best{r}.a || best{r}.b]
+      ELSE acc || x END) AS syms
+  FROM st{r}, best{r})""")
+    ctes = ",\n".join(blocks)
+    if not encode:
+        sel = "\nUNION ALL ".join(
+            f"SELECT {r + 1} AS rnd, a AS lhs, b AS rhs, "
+            f"CAST(c AS BIGINT) AS pair_count FROM best{r}"
+            for r in range(k))
+        return f"WITH {ctes}\nSELECT * FROM (\n{sel})\nORDER BY rnd"
+    return f"""WITH {ctes},
+wtok AS (SELECT w, len(syms) AS ntok FROM st{k}),
+dw AS (SELECT doc_id, unnest({words}) AS w
+       FROM documents WHERE text IS NOT NULL),
+dagg AS (SELECT dw.doc_id, count(*) AS nw, sum(wt.ntok) AS nt
+         FROM dw JOIN wtok wt USING (w) GROUP BY 1)
+SELECT d.doc_id,
+  CAST(coalesce(dagg.nw, 0) AS BIGINT) AS n_words,
+  CAST(coalesce(dagg.nt, 0) AS BIGINT) AS n_tokens
+FROM documents d LEFT JOIN dagg USING (doc_id)"""
+
+
+@_register("tokenizer_bpe_train", _bpe_sql(10))
+def tokenizer_bpe_train(spark, sf_dir):
+    """Distributed BPE training (Sennrich et al. 2016 §3.2;
+    llm/tokenizer.py bpe_train): ONE corpus text pass builds the
+    (word, count) table, then each of 10 merge rounds is a groupBy over
+    the distinct-word table (counts shuffle, text never does), a 1-row
+    argmax collect, and a pure fold expression applying the merge.  The
+    gate emits the learned merge table; the oracle re-derives the whole
+    loop in DuckDB (chained CTEs + list_reduce), so merge order, pair
+    weighting (per adjacent occurrence x word frequency), tie-breaks,
+    and fold semantics must all agree exactly."""
+    from .llm import tokenizer as tok
+
+    d = _read(spark, sf_dir, "documents")
+    merges = tok.bpe_train(d, num_merges=10)
+    return spark.createDataFrame(
+        [(i + 1, a, b, c) for i, (a, b, c) in enumerate(merges)],
+        "rnd INT, lhs STRING, rhs STRING, pair_count LONG")
+
+
+@_register("tokenizer_encode_counts", _bpe_sql(10, encode=True))
+def tokenizer_encode_counts(spark, sf_dir):
+    """Exact per-document token counts under the corpus-trained BPE
+    tokenizer (llm/tokenizer.py bpe_encode_counts): the learned merge
+    table (vocab-sized driver state) ships in the encoder closure and
+    documents are encoded map-side in Arrow batches with a per-batch
+    distinct-word cache — zero shuffles after training.  The oracle
+    re-trains independently in SQL and counts tokens via the final
+    word -> segmentation state; NULL-text documents keep zero counts."""
+    from .llm import tokenizer as tok
+
+    d = _read(spark, sf_dir, "documents")
+    merges = tok.bpe_train(d, num_merges=10)
+    return tok.bpe_encode_counts(d, merges)
+
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter approximate-membership dedup (llm/bloom.py)
+# ---------------------------------------------------------------------------
+
+_BLOOM_M, _BLOOM_K = 129024, 7
+
+_BLOOM_SQL = f"""WITH seen AS (
+  SELECT md5(text) AS key FROM documents
+  WHERE doc_id % 3 = 0 AND text IS NOT NULL),
+fbits AS (
+  SELECT pos // 63 AS chunk,
+         bit_or(1::BIGINT << CAST(pos % 63 AS INT)) AS bits
+  FROM (
+    SELECT CAST(('0x' || substr(md5(key || '|' || CAST(i AS VARCHAR)),
+                 1, 15)) AS BIGINT) % {_BLOOM_M} AS pos
+    FROM seen, (SELECT unnest(range(0, {_BLOOM_K})) AS i) ii)
+  GROUP BY 1),
+probes AS (
+  SELECT doc_id, pos // 63 AS chunk,
+         (1::BIGINT << CAST(pos % 63 AS INT)) AS mask
+  FROM (
+    SELECT doc_id,
+      CAST(('0x' || substr(md5(md5(text) || '|' || CAST(i AS VARCHAR)),
+            1, 15)) AS BIGINT) % {_BLOOM_M} AS pos
+    FROM documents, (SELECT unnest(range(0, {_BLOOM_K})) AS i) ii
+    WHERE text IS NOT NULL)),
+verd AS (
+  SELECT doc_id,
+         bool_and(coalesce((b.bits & p.mask) != 0, false)) AS maybe_seen
+  FROM probes p LEFT JOIN fbits b USING (chunk) GROUP BY doc_id)
+SELECT d.doc_id, v.maybe_seen
+FROM documents d LEFT JOIN verd v USING (doc_id)"""
+
+
+@_register("dedup_bloom_probe", _BLOOM_SQL)
+def dedup_bloom_probe(spark, sf_dir):
+    """Bloom-filter cross-snapshot dedup probe (RefinedWeb §3.2;
+    llm/bloom.py): the "previous snapshot" is every third document,
+    keyed by md5(text); its k-hash Bloom filter — bounded at
+    num_bits/63 longs no matter the corpus size — is built with one
+    map-side coordinate pass plus a groupBy(chunk) bit_or, densified
+    distributed, then broadcast-attached so the probe corpus evaluates
+    all k bit tests inside its scan projection with ZERO shuffles.
+    Every seen doc must come back true (no false negatives); the rare
+    false positives are deterministic bit arithmetic that the DuckDB
+    oracle reproduces exactly, so the gate hashes them too.  NULL-text
+    docs keep a NULL verdict."""
+    from .llm import bloom as bl
+
+    d = _read(spark, sf_dir, "documents")
+    keys = d.where((F.col("doc_id") % 3 == 0)
+                   & F.col("text").isNotNull())             .select(F.md5("text").alias("key"))
+    dense = bl.bloom_dense(
+        bl.bloom_build(keys, key_col="key", num_bits=_BLOOM_M,
+                       num_hashes=_BLOOM_K),
+        num_bits=_BLOOM_M)
+    probe = d.select("doc_id", F.md5("text").alias("key"))
+    return bl.bloom_probe(
+        probe, dense, key_col="key", num_bits=_BLOOM_M,
+        num_hashes=_BLOOM_K, out_col="maybe_seen",
+    ).select("doc_id", "maybe_seen")
+
+
 # The driver's correctness harness evaluates queries in dict order and
 # records the first ~50 per round.
 # Ordering rule (standing, tested in tests/test_queries_meta.py): queries
