@@ -8881,6 +8881,9 @@ def dedup_bloom_probe(spark, sf_dir):
 # list each round), then queries whose last driver-green row is oldest.
 # Regenerate each round with tools/rotate_priority.py — do not hand-edit.
 _PRIORITY = [
+    # -- additions with no driver row yet (the ordering rule
+    #    requires these inside the sampled head) --
+    "dedup_bloom_probe", "tokenizer_bpe_train", "tokenizer_encode_counts",
     # -- newest driver-green row: round 10 --
     "ens_robustness_ttest", "hs_partition_vars", "solar_daylength_ms",
     "ens_percentiles_interp_ms", "occurrence_doy_ys_jul", "clim_mean_doy",
