@@ -1900,3 +1900,36 @@ def test_bloom_membership_and_fp_rate(spark):
     assert "BroadcastExchange" in plan
     assert "ShuffleExchange" not in plan.replace(
         "BroadcastExchange", "")
+
+
+def test_knn_ivfpq_prebuilt_index(spark):
+    """Probing a pre-built (cell, codes) index returns exactly what the
+    inline encode path returns; a plain-codes probe of a residual index
+    is rejected."""
+    import pytest as _pytest
+
+    from xclim_spark.llm.similarity import (
+        kmeans_fit, knn_ivfpq, pq_encode, pq_fit)
+
+    docs, _ = _pq_corpus(spark, n=120, dim=16, n_blobs=6)
+    cents_np = kmeans_fit(docs, 6, iters=1)
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in cents_np[i]])
+         for i in range(cents_np.shape[0])],
+        "vec_id LONG, embedding ARRAY<DOUBLE>")
+    books = pq_fit(docs, m=4, ks=8, iters=2, centroids=cents)
+    q = docs.filter(F.col("vec_id") % 40 == 0)
+    inline = knn_ivfpq(docs, q, cents, books, k=3, nprobe=3,
+                       shortlist=20, residual=True).collect()
+    idx = pq_encode(docs, books, centroids=cents) \
+        .select("vec_id", "pq_cell", "pq_codes")
+    via_index = knn_ivfpq(docs, q, cents, books, k=3, nprobe=3,
+                          shortlist=20, residual=True,
+                          index=idx).collect()
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted(((r["query_id"], r["rank"], r["neighbor_id"])
+                   for r in inline)) \
+        == sorted(((r["query_id"], r["rank"], r["neighbor_id"])
+                   for r in via_index))
+    with _pytest.raises(ValueError, match="residual=True"):
+        knn_ivfpq(docs, q, cents, books, index=idx)

@@ -685,6 +685,7 @@ def knn_ivfpq(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     residual: bool = False,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ approximate top-k (Jégou et al. 2011): the coarse
     quantizer prunes to ``nprobe`` cells, PQ codes rank the survivors
@@ -721,6 +722,10 @@ def knn_ivfpq(
     """
     from pyspark.sql.functions import pandas_udf
 
+    if index is not None and not residual:
+        raise ValueError(
+            "index= carries cell + residual codes (pq_encode with "
+            "centroids=); probing it requires residual=True")
     m, ks, dsub = codebooks.shape
     B = codebooks
     cent_ids_np, _scores = _centroid_scorer(centroids, id_col, vec_col)
@@ -773,12 +778,20 @@ def knn_ivfpq(
                     - 2.0 * (Rj @ Cj.T) + (Cj * Cj).sum(axis=1))
             return pd.Series(list(tabs))
 
-        # ONE Arrow pass builds cell + residual codes for the corpus
-        enc = pq_encode(emb, codebooks, id_col=id_col, vec_col=vec_col,
-                        centroids=centroids)
-        asg = enc.select(
-            F.col(id_col).alias("neighbor_id"), "pq_codes",
-            F.col("pq_cell").alias("cell"))
+        if index is not None:
+            # pre-built (id, pq_cell, pq_codes) index — the streaming
+            # ingest path maintains one incrementally (pq_encode with
+            # centroids= inside each micro-batch) and probes it here
+            asg = index.select(
+                F.col(id_col).alias("neighbor_id"), "pq_codes",
+                F.col("pq_cell").alias("cell"))
+        else:
+            # ONE Arrow pass builds cell + residual codes for the corpus
+            enc = pq_encode(emb, codebooks, id_col=id_col,
+                            vec_col=vec_col, centroids=centroids)
+            asg = enc.select(
+                F.col(id_col).alias("neighbor_id"), "pq_codes",
+                F.col("pq_cell").alias("cell"))
         qs = (queries.select(
                   F.col(id_col).alias("query_id"), F.col(vec_col),
                   F.explode(_probe_cells(F.col(vec_col))).alias("cell"))

@@ -5345,9 +5345,10 @@ def knn_ivf_trained_docs(spark, sf_dir):
     return out.withColumn("cos_sim", F.round("cos_sim", 6))
 
 
-@_register(
-    "knn_ivfpq_docs",
-    f"""WITH e AS (
+# Exact brute-force cosine top-5 on the decorated vectors — the shared
+# oracle of the three IVF-PQ gates (batch, residual, streaming ingest):
+# gate parameters give recall 1.0, so the ANN answer must equal it.
+_IVFPQ_BRUTE_SQL = f"""WITH e AS (
   SELECT vec_id,
          [embedding[i] + CAST((((vec_id % 50) * 7 + (i - 1) * 13) % 53)
                               % 11 - 5 AS DOUBLE)
@@ -5365,8 +5366,10 @@ r AS (SELECT *, row_number() OVER (PARTITION BY query_id
       FROM p)
 SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos_sim,
        CAST(rank AS BIGINT) AS rank
-FROM r WHERE rank <= 5""",
-)
+FROM r WHERE rank <= 5"""
+
+
+@_register("knn_ivfpq_docs", _IVFPQ_BRUTE_SQL)
 def knn_ivfpq_docs(spark, sf_dir):
     """IVF-PQ end-to-end (Jegou et al. 2011; llm/similarity.py
     pq_fit/pq_encode/knn_ivfpq): coarse k-means cells prune to nprobe,
@@ -5452,28 +5455,7 @@ def emb_rand_projection(spark, sf_dir):
                     (F.round("raw", 6) + 0.0).alias("val")))
 
 
-@_register(
-    "knn_ivfpq_res_docs",
-    f"""WITH e AS (
-  SELECT vec_id,
-         [embedding[i] + CAST((((vec_id % 50) * 7 + (i - 1) * 13) % 53)
-                              % 11 - 5 AS DOUBLE)
-          FOR i IN range(1, len(embedding) + 1)] AS embedding
-  FROM embeddings
-),
-q AS (SELECT * FROM e WHERE vec_id % 100 = 0),
-p AS (
-  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-         {_cos_pair_sql('q.embedding', 'e.embedding')} AS cos
-  FROM q JOIN e ON q.vec_id <> e.vec_id
-),
-r AS (SELECT *, row_number() OVER (PARTITION BY query_id
-                                   ORDER BY cos DESC, neighbor_id) AS rank
-      FROM p)
-SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos_sim,
-       CAST(rank AS BIGINT) AS rank
-FROM r WHERE rank <= 5""",
-)
+@_register("knn_ivfpq_res_docs", _IVFPQ_BRUTE_SQL)
 def knn_ivfpq_res_docs(spark, sf_dir):
     """RESIDUAL IVF-PQ — Jegou et al. 2011's actual IVFADC: codebooks
     trained on per-cell residuals (v/||v|| - c/||c||), corpus cell +
@@ -8874,6 +8856,118 @@ def dedup_bloom_probe(spark, sf_dir):
     ).select("doc_id", "maybe_seen")
 
 
+
+def _stage_stream_embs(sf_dir: str) -> str:
+    """Stage the embeddings table as four parquet files in vec_id order
+    (built once per sf and cached) — the replay substrate of the
+    streaming ANN-ingest gate."""
+    import hashlib
+    import os
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    root = f"/tmp/xclim_spark_streamembs_{tag}"
+    done = os.path.join(root, "_done")
+    if not os.path.exists(done):
+        import duckdb
+
+        os.makedirs(root, exist_ok=True)
+        con = duckdb.connect()
+        for k in range(4):
+            con.execute(
+                f"""COPY (SELECT vec_id, embedding
+                          FROM (SELECT vec_id, embedding,
+                                       ntile(4) OVER (ORDER BY vec_id)
+                                         AS q
+                                FROM '{sf_dir}/embeddings.parquet')
+                          WHERE q = {k + 1} ORDER BY vec_id)
+                    TO '{root}/part_{k}.parquet' (FORMAT PARQUET)""")
+        open(done, "w").close()
+    return root
+
+
+@_register("stream_knn_ingest", _IVFPQ_BRUTE_SQL)
+def stream_knn_ingest(spark, sf_dir):
+    """STREAMING IVF-PQ ingest — the ANN index maintained at ingest
+    time (llm/similarity.py pq_encode + knn_ivfpq(index=)): the corpus
+    replays as four micro-batches; each arriving vector is decorated,
+    coarse-assigned, and residual-PQ-coded INSIDE the micro-batch scan
+    (codebooks ride the Arrow UDF closure — the encode needs ZERO
+    streaming state, which is exactly why hash-assignment encoding is
+    the right ingest design), and the batch-keyed idempotent
+    foreachBatch sink accretes the (id, cell, m-byte codes) index
+    executor-side.  The gate then (a) asserts the replayed index is
+    row-identical to the batch pq_encode of the same corpus, and
+    (b) probes the ingested index with knn_ivfpq(index=) — the result
+    must match the exact brute-force oracle (recall 1.0 at gate
+    parameters, same contract as knn_ivfpq_docs)."""
+    import os
+    import shutil
+    import uuid
+
+    from .llm.similarity import kmeans_fit, knn_ivfpq, pq_encode, pq_fit
+
+    vid = F.col("vec_id")
+
+    def _deco(df):
+        return df.select(
+            "vec_id",
+            F.transform(
+                "embedding",
+                lambda x, i: x + ((((vid % 50) * 7 + i * 13) % 53)
+                                  % 11 - 5).cast("double"),
+            ).alias("embedding"))
+
+    e = _deco(_read(spark, sf_dir, "embeddings"))
+    cents_np = kmeans_fit(e, 10, iters=1)
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in cents_np[i]])
+         for i in range(cents_np.shape[0])],
+        "vec_id LONG, embedding ARRAY<DOUBLE>")
+    books = pq_fit(e, m=8, ks=16, iters=2, centroids=cents)
+
+    root = _stage_stream_embs(sf_dir)
+    sdf = (spark.readStream
+           .schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+           .option("maxFilesPerTrigger", 1)
+           .parquet(f"{root}/part_*.parquet"))
+    enc = pq_encode(_deco(sdf), books, centroids=cents) \
+        .select("vec_id", "pq_cell", "pq_codes")
+
+    idx_dir = f"/tmp/xclim_spark_stream_knn_{uuid.uuid4().hex}"
+    os.makedirs(idx_dir, exist_ok=True)
+
+    def _sink(batch_df, bid):
+        batch_df.write.mode("overwrite").parquet(f"{idx_dir}/b{bid}")
+
+    try:
+        with _stream_state_partitions(spark):
+            q = (enc.writeStream.foreachBatch(_sink)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination()
+        index = (spark.read.schema(enc.schema)
+                 .option("recursiveFileLookup", "true").parquet(idx_dir)
+                 .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+
+    # ingest/batch identity: the accreted index must BE the batch
+    # encode, row for row
+    bidx = pq_encode(e, books, centroids=cents) \
+        .select("vec_id", "pq_cell", "pq_codes")
+    n_idx, n_b = index.count(), bidx.count()
+    n_diff = index.exceptAll(bidx).count()
+    if n_idx != n_b or n_diff:
+        raise AssertionError(
+            f"streamed PQ index diverges from batch encode: "
+            f"{n_idx} vs {n_b} rows, {n_diff} mismatching")
+
+    qv = e.filter(vid % 100 == 0)
+    out = knn_ivfpq(e, qv, cents, books, k=5, nprobe=4, shortlist=40,
+                    residual=True, index=index)
+    return out.withColumn("cos_sim", F.round("cos_sim", 6)) \
+              .withColumn("rank", F.col("rank").cast("long"))
+
+
 # The driver's correctness harness evaluates queries in dict order and
 # records the first ~50 per round.
 # Ordering rule (standing, tested in tests/test_queries_meta.py): queries
@@ -8884,6 +8978,7 @@ _PRIORITY = [
     # -- additions with no driver row yet (the ordering rule
     #    requires these inside the sampled head) --
     "dedup_bloom_probe", "tokenizer_bpe_train", "tokenizer_encode_counts",
+    "stream_knn_ingest",
     # -- newest driver-green row: round 10 --
     "ens_robustness_ttest", "hs_partition_vars", "solar_daylength_ms",
     "ens_percentiles_interp_ms", "occurrence_doy_ys_jul", "clim_mean_doy",
