@@ -391,6 +391,73 @@ def test_semantic_dedup_matches_bruteforce(spark, seed):
     assert got == exp
 
 
+
+_WS = " \t\n\r\x0b\x0c"
+
+
+def _ref_c4_span(docs, n):
+    """Brute-force reference of c4_span_dedup's documented semantics:
+    first (doc, start) occurrence of a duplicated n-sentence span
+    survives, removals union overlaps, the unterminated tail rides."""
+    import re
+
+    split = {d: re.findall(r"[^.!?]*[.!?]", t) for d, t in docs}
+    first: dict[tuple, tuple] = {}
+    for d, t in sorted(docs):
+        ss = split[d]
+        for p in range(max(len(ss) - n + 1, 0)):
+            key = tuple(x.strip(_WS) for x in ss[p:p + n])
+            first.setdefault(key, (d, p))
+    expected = {}
+    for d, t in docs:
+        ss = split[d]
+        drop = set()
+        for p in range(max(len(ss) - n + 1, 0)):
+            key = tuple(x.strip(_WS) for x in ss[p:p + n])
+            cnt = sum(
+                1 for dd, _ in docs
+                for q in range(max(len(split[dd]) - n + 1, 0))
+                if tuple(x.strip()
+                         for x in split[dd][q:q + n]) == key)
+            if cnt >= 2 and first[key] != (d, p):
+                drop.update(range(p, p + n))
+        if drop:
+            kept = "".join(s for j, s in enumerate(ss) if j not in drop)
+            tail = t[sum(len(s) for s in ss):]
+            expected[d] = (kept + tail, len(drop))
+        else:
+            expected[d] = (t, 0)
+    return expected
+
+
+def _ref_paragraphs(docs, min_chars):
+    """Brute-force reference of dedup_paragraphs: first (doc, position)
+    occurrence of a duplicated >=min_chars paragraph survives."""
+    first: dict[str, tuple] = {}
+    for d, t in sorted(docs):
+        for p, v in enumerate(t.split("\n\n")):
+            if len(v.strip(_WS)) >= min_chars:
+                first.setdefault(v.strip(_WS), (d, p))
+    counts: dict[str, int] = {}
+    for d, t in docs:
+        for v in t.split("\n\n"):
+            if len(v.strip(_WS)) >= min_chars:
+                counts[v.strip(_WS)] = counts.get(v.strip(_WS), 0) + 1
+    expected = {}
+    for d, t in docs:
+        parts = t.split("\n\n")
+        kept, removed = [], 0
+        for p, v in enumerate(parts):
+            key = v.strip(_WS)
+            if (len(key) >= min_chars and counts[key] >= 2
+                    and first[key] != (d, p)):
+                removed += 1
+            else:
+                kept.append(v)
+        expected[d] = ("\n\n".join(kept) if removed else t, removed)
+    return expected
+
+
 @given(seed=st.integers(0, 2**32 - 1))
 @settings(max_examples=8, deadline=None)
 def test_c4_span_dedup_matches_bruteforce(spark, seed):
@@ -398,8 +465,6 @@ def test_c4_span_dedup_matches_bruteforce(spark, seed):
     corpora built from a tiny sentence vocabulary (so duplicated
     3-sentence spans occur naturally, within and across docs):
     identical cleaned text and removal counts."""
-    import re
-
     import numpy as np
 
     from xclim_spark.llm.dedup import c4_span_dedup
@@ -415,33 +480,7 @@ def test_c4_span_dedup_matches_bruteforce(spark, seed):
             body += " tail no mark"
         docs.append((i, body))
 
-    # brute-force reference mirroring the documented semantics
-    split = {d: re.findall(r"[^.!?]*[.!?]", t) for d, t in docs}
-    first: dict[tuple, tuple] = {}
-    for d, t in sorted(docs):
-        ss = split[d]
-        for p in range(max(len(ss) - n + 1, 0)):
-            key = tuple(x.strip() for x in ss[p:p + n])
-            first.setdefault(key, (d, p))
-    expected = {}
-    for d, t in docs:
-        ss = split[d]
-        drop = set()
-        for p in range(max(len(ss) - n + 1, 0)):
-            key = tuple(x.strip() for x in ss[p:p + n])
-            cnt = sum(
-                1 for dd, _ in docs
-                for q in range(max(len(split[dd]) - n + 1, 0))
-                if tuple(x.strip()
-                         for x in split[dd][q:q + n]) == key)
-            if cnt >= 2 and first[key] != (d, p):
-                drop.update(range(p, p + n))
-        if drop:
-            kept = "".join(s for j, s in enumerate(ss) if j not in drop)
-            tail = t[sum(len(s) for s in ss):]
-            expected[d] = (kept + tail, len(drop))
-        else:
-            expected[d] = (t, 0)
+    expected = _ref_c4_span(docs, n)
 
     got = {r["doc_id"]: (r["text"], r["n_sentences_removed"])
            for r in c4_span_dedup(
@@ -471,31 +510,79 @@ def test_dedup_paragraphs_matches_bruteforce(spark, seed):
         L = rng.randint(1, 6)
         docs.append((i, "\n\n".join(rng.choice(paras, L))))
 
-    first: dict[str, tuple] = {}
-    for d, t in sorted(docs):
-        for p, v in enumerate(t.split("\n\n")):
-            if len(v.strip()) >= min_chars:
-                first.setdefault(v.strip(), (d, p))
-    counts: dict[str, int] = {}
-    for d, t in docs:
-        for v in t.split("\n\n"):
-            if len(v.strip()) >= min_chars:
-                counts[v.strip()] = counts.get(v.strip(), 0) + 1
-    expected = {}
-    for d, t in docs:
-        parts = t.split("\n\n")
-        kept, removed = [], 0
-        for p, v in enumerate(parts):
-            key = v.strip()
-            if (len(key) >= min_chars and counts[key] >= 2
-                    and first[key] != (d, p)):
-                removed += 1
-            else:
-                kept.append(v)
-        expected[d] = ("\n\n".join(kept) if removed else t, removed)
+    expected = _ref_paragraphs(docs, min_chars)
 
     got = {r["doc_id"]: (r["text"], r["n_paras_removed"])
            for r in dedup_paragraphs(
                spark.createDataFrame(docs, "doc_id LONG, text STRING"),
                min_chars=min_chars).collect()}
     assert got == expected
+
+
+@given(seed=st.integers(0, 2**32 - 1))
+@settings(max_examples=6, deadline=None)
+def test_para_then_c4_span_composition_matches_bruteforce(spark, seed):
+    """The curation-pipeline COMPOSITION — paragraph dedup feeding
+    3-sentence-span dedup — matches composing the two brute-force
+    references: the intermediate cleaned text must be byte-identical
+    or the span hashing downstream diverges silently."""
+    import numpy as np
+
+    from xclim_spark.llm.dedup import c4_span_dedup, dedup_paragraphs
+
+    rng = np.random.RandomState(seed)
+    paras = [
+        "Aa bb. Cc dd! Ee ff? Gg hh.",          # sentence-rich
+        "Cc dd! Ee ff? Gg hh. Aa bb.",          # same spans, shifted
+        "one long paragraph with no marks at all",
+        "tiny.",                                 # below min_chars
+    ]
+    min_chars, n = 10, 3
+    docs = []
+    for i in range(rng.randint(2, 7)):
+        L = rng.randint(1, 5)
+        docs.append((i, "\n\n".join(rng.choice(paras, L))))
+
+    mid_ref = [(d, _ref_paragraphs(docs, min_chars)[d][0])
+               for d, _ in docs]
+    expected = _ref_c4_span(mid_ref, n)
+
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    mid = dedup_paragraphs(df, min_chars=min_chars) \
+        .select("doc_id", "text")
+    got = {r["doc_id"]: (r["text"], r["n_sentences_removed"])
+           for r in c4_span_dedup(mid, n=n).collect()}
+    assert got == expected
+
+
+@given(seed=st.integers(0, 2**32 - 1))
+@settings(max_examples=6, deadline=None)
+def test_bpe_train_matches_bruteforce(spark, seed):
+    """bpe_train vs the independent pure-Python Sennrich reference on
+    random corpora over a tiny alphabet (rich pair-count ties exercise
+    the (count desc, pair asc) tie-break and the fold semantics)."""
+    import numpy as np
+
+    from xclim_spark.llm.tokenizer import bpe_encode_words, bpe_train
+    from tests.test_llm import _ref_bpe
+
+    rng = np.random.RandomState(seed)
+    alphabet = list("abc")
+    corpus = []
+    for _ in range(rng.randint(1, 5)):
+        words = []
+        for _ in range(rng.randint(1, 12)):
+            L = rng.randint(1, 6)
+            words.append("".join(rng.choice(alphabet, L)))
+        corpus.append(" ".join(words))
+    num_merges = int(rng.randint(1, 9))
+
+    ref_merges, ref_st = _ref_bpe(corpus, num_merges)
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id LONG, text STRING")
+    got = bpe_train(docs, num_merges=num_merges)
+    assert got == ref_merges
+    # encoder agrees with the reference final state on every word
+    mg = [(a, b) for a, b, _ in got]
+    for w, syms in ref_st.items():
+        assert tuple(bpe_encode_words(w, mg)[0]) == syms

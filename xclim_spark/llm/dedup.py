@@ -443,6 +443,20 @@ def simhash(
     return g.select(F.col(id_col), F.expr(terms).alias("simhash"))
 
 
+
+# ASCII-whitespace trim set shared by the corpus-level text-dedup
+# operators and their SQL oracles (Java \s set): F.trim strips ONLY
+# spaces, so a duplicated sentence/paragraph sitting at a "\n\n"
+# boundary would hash differently from its space-prefixed twin and
+# silently survive dedup — caught by the composition fuzz
+# (tests/test_property_fuzz.py).
+_WS = " \t\n\r\x0b\x0c"
+
+
+def _ws_trim(col):
+    return F.btrim(col, F.lit(_WS))
+
+
 def md5_hash60(s) -> Column:
     """Engine-neutral 60-bit shingle hash: the first 15 hex chars of
     md5, parsed as an integer.  Unlike xxhash64 this is recomputable in
@@ -867,7 +881,7 @@ def c4_span_dedup(
         # matched); caught by the brute-force fuzz
         lambda i: F.md5(F.concat_ws(
             "\x1f", F.transform(F.slice("_sents", i + 1, n),
-                                lambda s: F.trim(s)))),
+                                lambda s: _ws_trim(s)))),
     )).otherwise(F.array().cast("array<string>"))
     occ = base.select(
         F.col(id_col).alias("_oid"),
@@ -940,8 +954,9 @@ def dedup_paragraphs(
     base = docs.withColumn("_paras", paras)
     occ = (base.select(F.col(id_col).alias("_oid"),
                        F.posexplode("_paras").alias("_pidx", "_p"))
-           .filter(F.length(F.trim("_p")) >= min_chars)
-           .select("_oid", "_pidx", F.md5(F.trim("_p")).alias("_ph")))
+           .filter(F.length(_ws_trim(F.col("_p"))) >= min_chars)
+           .select("_oid", "_pidx",
+                   F.md5(_ws_trim(F.col("_p"))).alias("_ph")))
     dup = (occ.groupBy("_ph")
            .agg(F.min(F.struct(F.col("_oid").alias("d"),
                                F.col("_pidx").alias("s"))).alias("_first"),

@@ -4544,8 +4544,9 @@ s AS (SELECT doc_id, unnest(sents) AS sent,
              generate_subscripts(sents, 1) AS sidx FROM b),
 sp AS (
   SELECT s1.doc_id, s1.sidx - 1 AS start,
-         md5(trim(s1.sent) || chr(31) || trim(s2.sent)
-             || chr(31) || trim(s3.sent)) AS sh
+         md5(trim(s1.sent, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)) || chr(31)
+             || trim(s2.sent, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))
+             || chr(31) || trim(s3.sent, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))) AS sh
   FROM s s1
   JOIN s s2 ON s2.doc_id = s1.doc_id AND s2.sidx = s1.sidx + 1
   JOIN s s3 ON s3.doc_id = s1.doc_id AND s3.sidx = s1.sidx + 2
@@ -4648,8 +4649,8 @@ b AS (SELECT doc_id, t,
              string_split(t, chr(10) || chr(10)) AS paras FROM d0),
 s AS (SELECT doc_id, unnest(paras) AS p,
              generate_subscripts(paras, 1) - 1 AS pidx FROM b),
-oh AS (SELECT doc_id, pidx, md5(trim(p)) AS ph FROM s
-       WHERE len(trim(p)) >= 20),
+oh AS (SELECT doc_id, pidx, md5(trim(p, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))) AS ph FROM s
+       WHERE len(trim(p, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))) >= 20),
 dup AS (SELECT ph, min(struct_pack(d := doc_id, s := pidx)) AS f
         FROM oh GROUP BY 1 HAVING count(*) >= 2),
 rem AS (SELECT oh.doc_id, oh.pidx FROM oh JOIN dup ON oh.ph = dup.ph
