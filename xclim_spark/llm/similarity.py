@@ -214,8 +214,12 @@ def _centroid_scorer(centroids: DataFrame, id_col: str, vec_col: str):
     vecs = np.stack([np.asarray(c[1]) for c in cents])  # (C, d)
     norms = np.linalg.norm(vecs, axis=1)
 
-    def _scores(vs: pd.Series) -> np.ndarray:
-        X = np.stack(vs.to_numpy()).astype(np.float64)
+    def _scores(vs) -> np.ndarray:
+        # accepts a pandas Series of vectors OR an (n, d) ndarray —
+        # numpy callers (pq_fit._prep, pq_encode) skip a
+        # Series(list(X)) round-trip per Arrow batch
+        X = (vs.astype(np.float64) if isinstance(vs, np.ndarray)
+             else np.stack(vs.to_numpy()).astype(np.float64))
         return (X @ vecs.T) / (
             np.linalg.norm(X, axis=1, keepdims=True) * norms)
 
@@ -544,7 +548,7 @@ def pq_fit(
         if cent is None:
             return Xn
         _, scores, Cn = cent
-        return Xn - Cn[np.argmax(scores(pd.Series(list(X))), axis=1)]
+        return Xn - Cn[np.argmax(scores(X), axis=1)]
 
     first = [r[1] for r in sorted(
         (int(r[0]), [float(x) for x in r[1]]) for r in
@@ -632,7 +636,7 @@ def pq_encode(
         cells = None
         if cent is not None:
             ids, scores, Cn = cent
-            a = np.argmax(scores(pd.Series(list(X))), axis=1)
+            a = np.argmax(scores(X), axis=1)
             cells = ids[a]
             Xn = Xn - Cn[a]
         cols = []
@@ -807,8 +811,13 @@ def knn_ivfpq(
             F.col(id_col).alias("query_id"),
             _adc_table(F.col(vec_col)).alias("_tab"),
             F.explode(_probe_cells(F.col(vec_col))).alias("cell"))
-    # ADC BEFORE the pair dedup: the dedup exchange carries one double
-    # per pair, not the m*ks table
+    # Each corpus vector lives in exactly ONE coarse cell, so the cell
+    # join emits every (query, neighbor) pair at most once — no pair
+    # dedup needed.  (An earlier groupBy(query, neighbor).min(adc)
+    # here added a candidate-sized exchange for nothing: ~30% of probe
+    # wall-clock at sf1, see PLANS.md round 14.)  The ADC fold runs in
+    # the join's own projection, so the m*ks table is dropped before
+    # anything shuffles.
     cand = (
         asg.join(qs, on="cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -818,8 +827,7 @@ def knn_ivfpq(
                 "_tab", (j * ks
                          + F.element_at("pq_codes", j + 1) + 1
                          ).cast("int"))))
-        .groupBy("query_id", "neighbor_id")
-        .agg(F.min("adc").alias("adc"))
+        .select("query_id", "neighbor_id", "adc")
     )
     wa = Window.partitionBy("query_id").orderBy(
         F.asc("adc"), F.asc("neighbor_id"))
