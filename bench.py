@@ -65,6 +65,8 @@ HEADLINE = [
     # round-13 families
     "knn_ivfpq_docs", "text_c4_flags", "dedup_url_canon",
     "search_bm25_docs",
+    # round-14 families
+    "tokenizer_bpe_train", "dedup_bloom_probe", "stream_knn_ingest",
 ]
 
 
