@@ -42,6 +42,7 @@ __all__ = [
     "bloom_build",
     "bloom_dense",
     "bloom_probe",
+    "bloom_verdict",
     "bloom_fp_rate",
 ]
 
@@ -148,3 +149,30 @@ def bloom_probe(
         .withColumn(out_col, F.when(kc.isNotNull(), verdict))
         .drop("bloom")
     )
+
+
+def bloom_verdict(
+    key,
+    bloom: list[int],
+    *,
+    num_bits: int,
+    num_hashes: int,
+) -> Column:
+    """Membership verdict as ONE Column over a DRIVER-HELD dense filter
+    (``num_bits/63`` longs) — the streaming-ingest form: the filter is
+    a broadcast artifact baked into the plan as a literal array, so
+    arriving rows are probed map-side inside the micro-batch scan with
+    no join and ZERO streaming state.  NULL keys keep a NULL verdict,
+    matching :func:`bloom_probe`."""
+    if len(bloom) != num_bits // WORD_BITS:
+        raise ValueError(
+            f"dense filter has {len(bloom)} words, expected "
+            f"{num_bits // WORD_BITS}")
+    kc = key if isinstance(key, Column) else F.col(key)
+    arr = F.lit([int(x) for x in bloom]).cast("array<bigint>")
+    verdict = None
+    for i in range(num_hashes):
+        chunk, mask = _bit_coords(kc, i, num_bits)
+        t = F.element_at(arr, (chunk + 1).cast("int"))             .bitwiseAND(mask) != 0
+        verdict = t if verdict is None else (verdict & t)
+    return F.when(kc.isNotNull(), verdict)

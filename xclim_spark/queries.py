@@ -8969,6 +8969,110 @@ def stream_knn_ingest(spark, sf_dir):
               .withColumn("rank", F.col("rank").cast("long"))
 
 
+
+@_register("stream_dedup_bloom", _BLOOM_SQL)
+def stream_dedup_bloom(spark, sf_dir):
+    """Bloom-filter cross-snapshot dedup AT INGEST — the streaming twin
+    of dedup_bloom_probe (llm/bloom.py bloom_verdict): the snapshot
+    filter is built batch-side, densified, and baked into the plan as
+    a LITERAL array (the broadcast-artifact form), so every arriving
+    document is probed map-side inside the micro-batch scan — no join,
+    no shuffle, and ZERO streaming state (the filter never changes
+    during the run; RefinedWeb's crawl-vs-previous-crawls design).
+    The idempotent batch-keyed foreachBatch sink accretes per-doc
+    verdicts; the oracle is the same bit-arithmetic restatement."""
+    import os
+    import shutil
+    import uuid
+
+    from .llm import bloom as bl
+
+    d = _read(spark, sf_dir, "documents")
+    keys = d.where((F.col("doc_id") % 3 == 0)
+                   & F.col("text").isNotNull()) \
+            .select(F.md5("text").alias("key"))
+    dense = bl.bloom_dense(
+        bl.bloom_build(keys, key_col="key", num_bits=_BLOOM_M,
+                       num_hashes=_BLOOM_K),
+        num_bits=_BLOOM_M).first()["bloom"]
+
+    root = _stage_stream_docs(sf_dir)
+    sdf = (spark.readStream
+           .schema("doc_id BIGINT, ts TIMESTAMP, text STRING")
+           .option("maxFilesPerTrigger", 1)
+           .parquet(f"{root}/part_*.parquet"))
+    out_s = sdf.select(
+        "doc_id",
+        bl.bloom_verdict(
+            F.md5("text"), dense, num_bits=_BLOOM_M,
+            num_hashes=_BLOOM_K).alias("maybe_seen"))
+
+    v_dir = f"/tmp/xclim_spark_stream_bloom_{uuid.uuid4().hex}"
+    os.makedirs(v_dir, exist_ok=True)
+
+    def _sink(batch_df, bid):
+        batch_df.write.mode("overwrite").parquet(f"{v_dir}/b{bid}")
+
+    try:
+        with _stream_state_partitions(spark):
+            q = (out_s.writeStream.foreachBatch(_sink)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination()
+        out = (spark.read.schema("doc_id BIGINT, maybe_seen BOOLEAN")
+               .option("recursiveFileLookup", "true").parquet(v_dir)
+               .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(v_dir, ignore_errors=True)
+    return out
+
+
+@_register("stream_tokenizer_counts", _bpe_sql(10, encode=True))
+def stream_tokenizer_counts(spark, sf_dir):
+    """Exact token accounting AT INGEST — the streaming twin of
+    tokenizer_encode_counts: the BPE merge table is trained offline
+    (batch, same 10 merges), ships in the Arrow encoder closure, and
+    every arriving document is encoded map-side inside its micro-batch
+    (mapInPandas is a stateless streaming projection — ZERO streaming
+    state; only the sink accretes).  This is how a pretraining
+    pipeline keeps per-source token budgets exact while the crawl is
+    still arriving.  Oracle: the same full in-SQL training + count
+    restatement as the batch gate."""
+    import os
+    import shutil
+    import uuid
+
+    from .llm import tokenizer as tok
+
+    d = _read(spark, sf_dir, "documents")
+    merges = tok.bpe_train(d, num_merges=10)
+
+    root = _stage_stream_docs(sf_dir)
+    sdf = (spark.readStream
+           .schema("doc_id BIGINT, ts TIMESTAMP, text STRING")
+           .option("maxFilesPerTrigger", 1)
+           .parquet(f"{root}/part_*.parquet"))
+    enc = tok.bpe_encode_counts(sdf, merges)
+
+    c_dir = f"/tmp/xclim_spark_stream_bpe_{uuid.uuid4().hex}"
+    os.makedirs(c_dir, exist_ok=True)
+
+    def _sink(batch_df, bid):
+        batch_df.write.mode("overwrite").parquet(f"{c_dir}/b{bid}")
+
+    try:
+        with _stream_state_partitions(spark):
+            q = (enc.writeStream.foreachBatch(_sink)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination()
+        out = (spark.read
+               .schema("doc_id BIGINT, n_words BIGINT, n_tokens BIGINT")
+               .option("recursiveFileLookup", "true").parquet(c_dir)
+               .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(c_dir, ignore_errors=True)
+    return out
+
+
 # The driver's correctness harness evaluates queries in dict order and
 # records the first ~50 per round.
 # Ordering rule (standing, tested in tests/test_queries_meta.py): queries
@@ -8979,7 +9083,7 @@ _PRIORITY = [
     # -- additions with no driver row yet (the ordering rule
     #    requires these inside the sampled head) --
     "dedup_bloom_probe", "tokenizer_bpe_train", "tokenizer_encode_counts",
-    "stream_knn_ingest",
+    "stream_knn_ingest", "stream_dedup_bloom", "stream_tokenizer_counts",
     # -- newest driver-green row: round 10 --
     "ens_robustness_ttest", "hs_partition_vars", "solar_daylength_ms",
     "ens_percentiles_interp_ms", "occurrence_doy_ys_jul", "clim_mean_doy",
