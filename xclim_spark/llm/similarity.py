@@ -818,15 +818,21 @@ def knn_ivfpq(
     # wall-clock at sf1, see PLANS.md round 14.)  The ADC fold runs in
     # the join's own projection, so the m*ks table is dropped before
     # anything shuffles.
+    # m is known at plan time, so the ADC is a STATIC m-term sum —
+    # whole-stage-codegen'd — not an `aggregate` fold over a sequence
+    # (higher-order functions are interpreted; measured 2-3x slower on
+    # the candidate stream)
+    adc = None
+    for j in range(m):
+        term = F.element_at(
+            "_tab", (F.lit(j * ks)
+                     + F.element_at("pq_codes", F.lit(j + 1)) + 1
+                     ).cast("int"))
+        adc = term if adc is None else adc + term
     cand = (
         asg.join(qs, on="cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("adc", F.aggregate(
-            F.sequence(F.lit(0), F.lit(m - 1)), F.lit(0.0),
-            lambda acc, j: acc + F.element_at(
-                "_tab", (j * ks
-                         + F.element_at("pq_codes", j + 1) + 1
-                         ).cast("int"))))
+        .withColumn("adc", adc)
         .select("query_id", "neighbor_id", "adc")
     )
     wa = Window.partitionBy("query_id").orderBy(
