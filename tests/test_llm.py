@@ -1933,3 +1933,31 @@ def test_knn_ivfpq_prebuilt_index(spark):
                    for r in via_index))
     with _pytest.raises(ValueError, match="residual=True"):
         knn_ivfpq(docs, q, cents, books, index=idx)
+
+
+def test_bloom_verdict_matches_probe(spark):
+    """The plan-baked literal-array form (streaming ingest) returns the
+    same verdicts as the broadcast-join form, including NULL keys."""
+    from xclim_spark.llm.bloom import (
+        bloom_build, bloom_dense, bloom_probe, bloom_verdict)
+
+    nb, k = 63 * 32, 5
+    seen = spark.range(150).select(
+        F.concat(F.lit("s-"), F.col("id")).alias("key"))
+    dense_df = bloom_dense(
+        bloom_build(seen, key_col="key", num_bits=nb, num_hashes=k),
+        num_bits=nb)
+    arr = dense_df.first()["bloom"]
+    probe = spark.range(400).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 150, F.concat(F.lit("s-"), F.col("id")))
+        .when(F.col("id") == 399, F.lit(None))
+        .otherwise(F.concat(F.lit("n-"), F.col("id"))).alias("key"))
+    a = {r["doc_id"]: r["maybe_member"] for r in bloom_probe(
+        probe, dense_df, key_col="key", num_bits=nb,
+        num_hashes=k).collect()}
+    b = {r["doc_id"]: r["v"] for r in probe.select(
+        "doc_id", bloom_verdict("key", arr, num_bits=nb,
+                                num_hashes=k).alias("v")).collect()}
+    assert a == b
+    assert a[399] is None
