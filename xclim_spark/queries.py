@@ -9073,6 +9073,64 @@ def stream_tokenizer_counts(spark, sf_dir):
     return out
 
 
+
+def _stage_jsonl_docs(sf_dir: str) -> str:
+    """Stage the documents table as four GZIP JSONL files (built once
+    per sf and cached) — the pretraining interchange format."""
+    import hashlib
+    import os
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    root = f"/tmp/xclim_spark_jsonldocs_{tag}"
+    done = os.path.join(root, "_done")
+    if not os.path.exists(done):
+        import duckdb
+
+        os.makedirs(root, exist_ok=True)
+        con = duckdb.connect()
+        for k in range(4):
+            con.execute(
+                f"""COPY (SELECT doc_id, source, text
+                          FROM (SELECT doc_id, source, text,
+                                       ntile(4) OVER (ORDER BY doc_id)
+                                         AS q
+                                FROM '{sf_dir}/documents.parquet')
+                          WHERE q = {k + 1} ORDER BY doc_id)
+                    TO '{root}/part_{k}.jsonl.gz'
+                    (FORMAT JSON, COMPRESSION GZIP)""")
+        open(done, "w").close()
+    return root
+
+
+@_register(
+    "jsonl_ingest_docs",
+    """SELECT doc_id, source,
+       md5(coalesce(text, '')) AS text_md5,
+       CAST(coalesce(len(text), -1) AS BIGINT) AS text_len
+FROM documents""",
+)
+def jsonl_ingest_docs(spark, sf_dir):
+    """Compressed-JSONL corpus ingest — the pretraining interchange
+    format (every public corpus ships as jsonl.gz shards): the
+    documents table is staged as four gzip JSONL files and read back
+    with an EXPLICIT schema — at 100 TB schema inference would be a
+    full extra pass over the data, so production scans must pin the
+    schema (and get column pruning into the JSON parser for free).
+    The gate hashes every document's text plus a NULL-vs-empty
+    disambiguator against the parquet source of truth, so JSON
+    escaping/round-trip fidelity and NULL handling are verified
+    byte-for-byte."""
+    root = _stage_jsonl_docs(sf_dir)
+    df = (spark.read
+          .schema("doc_id BIGINT, source STRING, text STRING")
+          .json(f"{root}/part_*.jsonl.gz"))
+    return df.select(
+        "doc_id", "source",
+        F.md5(F.coalesce("text", F.lit(""))).alias("text_md5"),
+        F.coalesce(F.length("text"), F.lit(-1)).cast("long")
+         .alias("text_len"))
+
+
 # The driver's correctness harness evaluates queries in dict order and
 # records the first ~50 per round.
 # Ordering rule (standing, tested in tests/test_queries_meta.py): queries
@@ -9084,6 +9142,7 @@ _PRIORITY = [
     #    requires these inside the sampled head) --
     "dedup_bloom_probe", "tokenizer_bpe_train", "tokenizer_encode_counts",
     "stream_knn_ingest", "stream_dedup_bloom", "stream_tokenizer_counts",
+    "jsonl_ingest_docs",
     # -- newest driver-green row: round 10 --
     "ens_robustness_ttest", "hs_partition_vars", "solar_daylength_ms",
     "ens_percentiles_interp_ms", "occurrence_doy_ys_jul", "clim_mean_doy",
