@@ -67,6 +67,7 @@ HEADLINE = [
     "search_bm25_docs",
     # round-14 families
     "tokenizer_bpe_train", "dedup_bloom_probe", "stream_knn_ingest",
+    "text_lm_perplexity",
 ]
 
 

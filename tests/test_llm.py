@@ -1961,3 +1961,50 @@ def test_bloom_verdict_matches_probe(spark):
                                 num_hashes=k).alias("v")).collect()}
     assert a == b
     assert a[399] is None
+
+
+def test_lm_perplexity_matches_hand_reference(spark):
+    """Bigram stupid-backoff scores pinned against a hand-computed
+    reference: seen bigrams score c(prev,w)/c(prev), unseen contexts
+    and document starts take the smoothed backoff unigram, OOV stays
+    finite, token-less docs keep NULLs, buckets split by (ppl, id)."""
+    import math
+
+    from xclim_spark.llm.lm import (
+        BACKOFF_ALPHA, lm_buckets, lm_score, lm_train_counts)
+
+    ref = spark.createDataFrame(
+        [(0, "the cat sat"), (1, "the cat ran"), (2, "the dog sat")],
+        "doc_id LONG, text STRING")
+    uni, big, sc = lm_train_counts(ref)
+    U = {r["w"]: r["cu"] for r in uni.collect()}
+    assert U == {"the": 3, "cat": 2, "dog": 1, "sat": 2, "ran": 1}
+    B = {r["bg"]: r["cb"] for r in big.collect()}
+    assert B["the\x1fcat"] == 2 and B["cat\x1fsat"] == 1
+    T, V = 9, 5
+
+    def uniscore(w):
+        return math.log(
+            BACKOFF_ALPHA * (U.get(w, 0) + 0.5) / (T + 0.5 * V))
+
+    docs = spark.createDataFrame(
+        [(10, "the cat sat"),      # all bigrams seen
+         (11, "the zebra sat"),    # OOV token mid-doc
+         (12, None), (13, "   ")],
+        "doc_id LONG, text STRING")
+    got = {r["doc_id"]: r for r in
+           lm_score(docs, uni, big, sc).collect()}
+    exp10 = (uniscore("the") + math.log(2 / 3) + math.log(1 / 2)) / 3
+    assert got[10]["n_tokens"] == 3
+    assert abs(got[10]["avg_logprob"] - round(exp10, 6)) < 1e-9
+    assert got[10]["ppl"] == round(math.exp(-round(exp10, 6)), 4)
+    exp11 = (uniscore("the") + uniscore("zebra") + uniscore("sat")) / 3
+    assert abs(got[11]["avg_logprob"] - round(exp11, 6)) < 1e-9
+    assert got[12]["n_tokens"] == 0 and got[12]["ppl"] is None
+    assert got[13]["n_tokens"] == 0 and got[13]["avg_logprob"] is None
+    bucketed = {r["doc_id"]: r["ppl_bucket"] for r in
+                lm_buckets(lm_score(docs, uni, big, sc),
+                           n_buckets=2).collect()}
+    assert bucketed[10] == 1          # fluent doc in the head bucket
+    assert bucketed[11] == 2
+    assert bucketed[12] is None

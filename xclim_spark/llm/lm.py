@@ -1,0 +1,162 @@
+"""N-gram language-model perplexity filtering — the CCNet quality
+stage (Wenzek et al. 2020, *CCNet: Extracting High Quality Monolingual
+Datasets from Web Crawl Data*, §4.3: score every document with an LM
+trained on a clean reference corpus, then keep the low-perplexity
+head/middle buckets).  CCNet uses a KenLM 5-gram; this is the same
+pipeline shape with an engine-portable bigram stupid-backoff model
+(Brants et al. 2007 §4 — unnormalized backoff scores, chosen there
+precisely because they need no distributed smoothing pass).
+
+Scale design:
+
+* **Training is two groupBys** over the reference slice: unigram and
+  bigram counts, both partial-aggregated map-side — the shuffles carry
+  ``(gram, count)``, never text.  The model LIVES AS DATAFRAMES; it is
+  never collected or broadcast (a web-scale bigram table outgrows any
+  driver), which is what separates this from the broadcast-dictionary
+  designs that stop scaling at a few GB of model.
+* **Scoring is three hash joins** on word keys (bigram, context
+  unigram, current-token unigram) plus one per-doc aggregation — the
+  standard shape for model-too-big-to-broadcast scoring.  The single
+  scalar pair (total token count, vocabulary size) attaches via a
+  broadcast of one row, the BM25 scalar-attach pattern.
+* **Bucketing** (CCNet's head/middle/tail) is one global ``ntile``
+  window ordered by ``(ppl, doc_id)`` — deterministic across engines
+  and runs.
+
+Determinism contract (mirrored by the DuckDB oracle in queries.py):
+tokens are ``\\s+`` splits of trimmed lowercased text; the first token
+of a document and every token whose context bigram is unseen score by
+the smoothed backoff unigram ``alpha * (c(w) + 0.5) / (T + 0.5 * V)``
+(alpha = 0.4, Brants' constant; the add-half term keeps OOV tokens
+finite); seen bigrams score ``c(prev, w) / c(prev)``.  Document score
+is the mean log, perplexity ``exp(-mean)``, both rounded before
+comparison so last-ulp float ordering differences between engines
+cannot flip a hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["BACKOFF_ALPHA", "lm_train_counts", "lm_score", "lm_buckets"]
+
+BACKOFF_ALPHA = 0.4
+
+# bigram keys are the two tokens joined on a separator no \s+ token can
+# contain
+_SEP = "\x1f"
+
+
+def _tokens(text) -> Column:
+    t = text if isinstance(text, Column) else F.col(text)
+    toks = F.split(F.lower(F.trim(t)), r"\s+")
+    return F.filter(toks, lambda w: F.length(w) > 0)
+
+
+def lm_train_counts(
+    ref: DataFrame,
+    *,
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Train the bigram stupid-backoff model on the reference corpus:
+    returns ``(unigrams, bigrams, scalars)`` DataFrames —
+    ``(w, cu)``, ``(bg, cb)`` and one row of ``(total, vocab)``.
+    Two groupBys; text never shuffles."""
+    base = (ref.where(F.col(text_col).isNotNull())
+            .select(_tokens(text_col).alias("_toks")))
+    uni = (base.select(F.explode("_toks").alias("w"))
+           .groupBy("w").agg(F.count(F.lit(1)).alias("cu")))
+    bigrams = F.when(F.size("_toks") >= 2, F.transform(
+        F.slice("_toks", 1, F.size("_toks") - 1),
+        lambda w, i: F.concat(w, F.lit(_SEP),
+                              F.col("_toks")[i + 1]),
+    )).otherwise(F.array().cast("array<string>"))
+    big = (base.select(F.explode(bigrams).alias("bg"))
+           .groupBy("bg").agg(F.count(F.lit(1)).alias("cb")))
+    scalars = uni.agg(F.sum("cu").alias("total"),
+                      F.count(F.lit(1)).alias("vocab"))
+    return uni, big, scalars
+
+
+def lm_score(
+    docs: DataFrame,
+    uni: DataFrame,
+    big: DataFrame,
+    scalars: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = BACKOFF_ALPHA,
+) -> DataFrame:
+    """Per-document LM score: ``(id_col, n_tokens, avg_logprob, ppl)``.
+    Token-less documents keep ``n_tokens = 0`` and NULL scores.
+
+    Three left hash joins against the model tables (never collected),
+    one scalar broadcast, one per-doc aggregation."""
+    # a lag() window would cost an extra per-doc shuffle — the bigram
+    # context is derived from the token ARRAY inside the projection
+    # instead, so token rows leave the scan already carrying their key
+    tok = (docs.where(F.col(text_col).isNotNull())
+           .select(F.col(id_col).alias("_id"),
+                   _tokens(text_col).alias("_toks"))
+           .select("_id", F.posexplode(F.transform(
+               "_toks",
+               lambda w, i: F.struct(
+                   w.alias("w"),
+                   F.when(i > 0, F.concat(F.col("_toks")[i - 1],
+                                          F.lit(_SEP), w))
+                   .alias("bg"),
+                   F.when(i > 0, F.col("_toks")[i - 1]).alias("pw"),
+           ))).alias("pos", "t"))
+           .select("_id", "pos", "t.w", "t.bg", "t.pw"))
+    j = (tok
+         .join(big, on="bg", how="left")
+         .join(uni.select(F.col("w").alias("pw"),
+                          F.col("cu").alias("cprev")),
+               on="pw", how="left")
+         .join(uni, on="w", how="left")
+         .join(F.broadcast(scalars)))
+    backoff = F.log(
+        F.lit(alpha) * (F.coalesce("cu", F.lit(0)) + 0.5)
+        / (F.col("total") + 0.5 * F.col("vocab")))
+    logp = F.when(F.col("cb").isNotNull() & F.col("cprev").isNotNull(),
+                  F.log(F.col("cb") / F.col("cprev"))) \
+            .otherwise(backoff)
+    per_doc = (j.groupBy("_id")
+               .agg(F.count(F.lit(1)).alias("n_tokens"),
+                    F.avg(logp).alias("_avg")))
+    out = (docs.select(F.col(id_col))
+           .join(per_doc.withColumnRenamed("_id", id_col),
+                 on=id_col, how="left"))
+    avg_r = F.round("_avg", 6)
+    return out.select(
+        id_col,
+        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        avg_r.alias("avg_logprob"),
+        F.round(F.exp(-avg_r), 4).alias("ppl"))
+
+
+def lm_buckets(
+    scored: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    n_buckets: int = 3,
+) -> DataFrame:
+    """CCNet's head/middle/tail split: ``ntile(n_buckets)`` over
+    ``(ppl ASC, id ASC)`` across the scored documents (ties broken by
+    id so the split is deterministic on every engine).  Unscored
+    (token-less) documents keep a NULL bucket.
+
+    Scale note: a global ntile is a total sort — exact, and the right
+    gate semantics, but at 100 TB the production variant computes
+    approximate ppl quantile THRESHOLDS once (``approxQuantile`` or a
+    t-digest aggregate) and assigns buckets by comparison map-side,
+    trading exact equal-size buckets for a sort-free plan."""
+    w = Window.orderBy(F.asc("ppl"), F.asc(id_col))
+    ranked = (scored.where(F.col("ppl").isNotNull())
+              .withColumn("ppl_bucket",
+                          F.ntile(n_buckets).over(w).cast("int"))
+              .select(id_col, "ppl_bucket"))
+    return scored.join(ranked, on=id_col, how="left")

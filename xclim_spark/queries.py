@@ -9131,6 +9131,87 @@ def jsonl_ingest_docs(spark, sf_dir):
          .alias("text_len"))
 
 
+
+@_register(
+    "text_lm_perplexity",
+    r"""WITH rt AS (
+  SELECT [x FOR x IN string_split_regex(trim(lower(text)), '\s+')
+          IF len(x) > 0] AS toks
+  FROM documents
+  WHERE source IN ('src0', 'src1') AND text IS NOT NULL
+),
+uni AS (SELECT w, count(*) AS cu
+        FROM (SELECT unnest(toks) AS w FROM rt) GROUP BY w),
+big AS (SELECT bg, count(*) AS cb FROM (
+    SELECT unnest([toks[i] || chr(31) || toks[i + 1]
+                   FOR i IN range(1, len(toks))]) AS bg
+    FROM rt) GROUP BY bg),
+sc AS (SELECT CAST(sum(cu) AS DOUBLE) AS total,
+              CAST(count(*) AS DOUBLE) AS vocab FROM uni),
+dt AS (
+  SELECT doc_id,
+         [x FOR x IN string_split_regex(trim(lower(text)), '\s+')
+          IF len(x) > 0] AS toks
+  FROM documents WHERE text IS NOT NULL
+),
+tokrows AS (
+  SELECT doc_id, u.w AS w, u.bg AS bg, u.pw AS pw FROM (
+    SELECT doc_id, unnest(
+      [{'w': toks[i],
+        'bg': CASE WHEN i > 1
+                THEN toks[i - 1] || chr(31) || toks[i] END,
+        'pw': CASE WHEN i > 1 THEN toks[i - 1] END}
+       FOR i IN range(1, len(toks) + 1)]) AS u
+    FROM dt)
+),
+j AS (
+  SELECT t.doc_id,
+    CASE WHEN b.cb IS NOT NULL AND p.cu IS NOT NULL
+      THEN ln(CAST(b.cb AS DOUBLE) / p.cu)
+      ELSE ln(0.4 * (coalesce(u.cu, 0) + 0.5)
+              / (sc.total + 0.5 * sc.vocab)) END AS lp
+  FROM tokrows t
+  LEFT JOIN big b ON b.bg = t.bg
+  LEFT JOIN uni p ON p.w = t.pw
+  LEFT JOIN uni u ON u.w = t.w
+  CROSS JOIN sc
+),
+per AS (SELECT doc_id, count(*) AS n, ROUND(avg(lp), 6) AS a
+        FROM j GROUP BY 1),
+scored AS (
+  SELECT d.doc_id,
+         CAST(coalesce(per.n, 0) AS BIGINT) AS n_tokens,
+         per.a AS avg_logprob,
+         ROUND(exp(-per.a), 4) AS ppl
+  FROM documents d LEFT JOIN per USING (doc_id)
+),
+ranked AS (
+  SELECT doc_id, CAST(ntile(3) OVER (ORDER BY ppl ASC, doc_id ASC)
+                      AS INT) AS ppl_bucket
+  FROM scored WHERE ppl IS NOT NULL
+)
+SELECT s.doc_id, s.n_tokens, s.avg_logprob, s.ppl, r.ppl_bucket
+FROM scored s LEFT JOIN ranked r USING (doc_id)""",
+)
+def text_lm_perplexity(spark, sf_dir):
+    """CCNet LM-perplexity quality filtering (Wenzek et al. 2020 §4.3;
+    llm/lm.py): a bigram stupid-backoff model (Brants et al. 2007)
+    trains on the clean reference slice (sources src0/src1 — two
+    groupBys, counts shuffle, text doesn't), every document is scored
+    through three left hash joins against the model DATAFRAMES (the
+    web-scale model is never collected or broadcast) plus one scalar
+    broadcast, and the CCNet head/middle/tail split is a deterministic
+    ntile over (ppl, doc_id).  The oracle re-derives training, the
+    backoff CASE, and the bucketing in SQL; rounding before exp/ntile
+    keeps last-ulp float ordering engine-neutral."""
+    from .llm.lm import lm_buckets, lm_score, lm_train_counts
+
+    d = _read(spark, sf_dir, "documents")
+    ref = d.where(F.col("source").isin("src0", "src1"))
+    uni, big, sc = lm_train_counts(ref)
+    return lm_buckets(lm_score(d, uni, big, sc))
+
+
 # The driver's correctness harness evaluates queries in dict order and
 # records the first ~50 per round.
 # Ordering rule (standing, tested in tests/test_queries_meta.py): queries
@@ -9142,7 +9223,7 @@ _PRIORITY = [
     #    requires these inside the sampled head) --
     "dedup_bloom_probe", "tokenizer_bpe_train", "tokenizer_encode_counts",
     "stream_knn_ingest", "stream_dedup_bloom", "stream_tokenizer_counts",
-    "jsonl_ingest_docs",
+    "jsonl_ingest_docs", "text_lm_perplexity",
     # -- newest driver-green row: round 10 --
     "ens_robustness_ttest", "hs_partition_vars", "solar_daylength_ms",
     "ens_percentiles_interp_ms", "occurrence_doy_ys_jul", "clim_mean_doy",
