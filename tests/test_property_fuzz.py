@@ -586,3 +586,68 @@ def test_bpe_train_matches_bruteforce(spark, seed):
     mg = [(a, b) for a, b, _ in got]
     for w, syms in ref_st.items():
         assert tuple(bpe_encode_words(w, mg)[0]) == syms
+
+
+@given(seed=st.integers(0, 2**32 - 1))
+@settings(max_examples=6, deadline=None)
+def test_lm_perplexity_matches_bruteforce(spark, seed):
+    """lm_train_counts + lm_score vs a pure-Python stupid-backoff
+    reference on random tiny-vocabulary corpora (seen bigrams, unseen
+    contexts, OOV tokens, and empty docs all occur naturally)."""
+    import math
+
+    import numpy as np
+
+    from xclim_spark.llm.lm import BACKOFF_ALPHA, lm_score, lm_train_counts
+
+    rng = np.random.RandomState(seed)
+    vocab = ["aa", "bb", "cc", "dd"]
+    def mk(n_docs, extra):
+        out = []
+        for i in range(n_docs):
+            L = rng.randint(0, 8)
+            words = list(rng.choice(vocab + extra, L))
+            out.append((i, " ".join(words)))
+        return out
+    ref_docs = mk(rng.randint(1, 5), [])
+    score_docs = mk(rng.randint(1, 6), ["zz"])  # zz is OOV
+
+    U, B = {}, {}
+    for _, t in ref_docs:
+        ws = t.split()
+        for w in ws:
+            U[w] = U.get(w, 0) + 1
+        for a, b in zip(ws, ws[1:]):
+            B[(a, b)] = B.get((a, b), 0) + 1
+    T, V = sum(U.values()), len(U)
+
+    def doc_score(t):
+        ws = t.split()
+        if not ws:
+            return 0, None
+        lps = []
+        prev = None
+        for w in ws:
+            if prev is not None and (prev, w) in B and prev in U:
+                lps.append(math.log(B[(prev, w)] / U[prev]))
+            else:
+                lps.append(math.log(
+                    BACKOFF_ALPHA * (U.get(w, 0) + 0.5)
+                    / (T + 0.5 * V)))
+            prev = w
+        return len(ws), round(sum(lps) / len(lps), 6)
+
+    rdf = spark.createDataFrame(ref_docs, "doc_id LONG, text STRING")
+    sdf = spark.createDataFrame(score_docs, "doc_id LONG, text STRING")
+    uni, big, sc = lm_train_counts(rdf)
+    if T == 0:
+        return  # degenerate: empty reference corpus, model undefined
+    got = {r["doc_id"]: (r["n_tokens"], r["avg_logprob"])
+           for r in lm_score(sdf, uni, big, sc).collect()}
+    for d, t in score_docs:
+        n, a = doc_score(t)
+        assert got[d][0] == n
+        if a is None:
+            assert got[d][1] is None
+        else:
+            assert abs(got[d][1] - a) < 2e-6, (d, t, got[d][1], a)
