@@ -9212,6 +9212,79 @@ def text_lm_perplexity(spark, sf_dir):
     return lm_buckets(lm_score(d, uni, big, sc))
 
 
+
+@_register(
+    "stream_lm_quality",
+    # same trained-model restatement as text_lm_perplexity, minus the
+    # corpus-global bucketing (an ingest filter scores documents as
+    # they arrive; bucketing needs the full corpus)
+    ORACLES["text_lm_perplexity"][:ORACLES["text_lm_perplexity"]
+                                  .index(",\nranked AS (")]
+    + """
+SELECT doc_id, n_tokens, avg_logprob, ppl FROM scored""",
+)
+def stream_lm_quality(spark, sf_dir):
+    """LM-perplexity scoring AT INGEST — the streaming twin of
+    text_lm_perplexity (CCNet's online filtering mode): the backoff
+    model trains offline on the reference slice, its tables persist
+    executor-side, and each micro-batch's documents score through
+    stream-static LEFT joins against them (static side cached, so the
+    model is not re-derived per batch).  No corpus-global bucketing —
+    an ingest filter compares against FIXED thresholds; the gate
+    emits the raw scores and the idempotent batch-keyed sink accretes
+    them."""
+    import os
+    import shutil
+    import uuid
+
+    from .llm.lm import lm_score, lm_train_counts
+
+    d = _read(spark, sf_dir, "documents")
+    ref = d.where(F.col("source").isin("src0", "src1"))
+    uni, big, sc = lm_train_counts(ref)
+    uni = uni.persist()
+    big = big.persist()
+    sc = sc.persist()
+    try:
+        uni.count(), big.count(), sc.count()
+
+        root = _stage_stream_docs(sf_dir)
+        sdf = (spark.readStream
+               .schema("doc_id BIGINT, ts TIMESTAMP, text STRING")
+               .option("maxFilesPerTrigger", 1)
+               .parquet(f"{root}/part_*.parquet"))
+
+        s_dir = f"/tmp/xclim_spark_stream_lm_{uuid.uuid4().hex}"
+        os.makedirs(s_dir, exist_ok=True)
+
+        # scoring runs BATCH-MODE inside foreachBatch: every document
+        # arrives whole in one micro-batch (the stage files split on
+        # doc_id), so the per-doc aggregate is exact per batch and
+        # needs no cross-batch streaming state — the same
+        # batch-transform-in-the-sink pattern production ingest uses
+        def _sink(batch_df, bid):
+            lm_score(batch_df.select("doc_id", "text"),
+                     uni, big, sc) \
+                .write.mode("overwrite").parquet(f"{s_dir}/b{bid}")
+
+        try:
+            with _stream_state_partitions(spark):
+                q = (sdf.writeStream.foreachBatch(_sink)
+                     .trigger(availableNow=True).start())
+                q.awaitTermination()
+            out = (spark.read
+                   .schema("doc_id BIGINT, n_tokens BIGINT, "
+                           "avg_logprob DOUBLE, ppl DOUBLE")
+                   .option("recursiveFileLookup", "true")
+                   .parquet(s_dir)
+                   .localCheckpoint(eager=True))
+        finally:
+            shutil.rmtree(s_dir, ignore_errors=True)
+    finally:
+        uni.unpersist(), big.unpersist(), sc.unpersist()
+    return out
+
+
 # The driver's correctness harness evaluates queries in dict order and
 # records the first ~50 per round.
 # Ordering rule (standing, tested in tests/test_queries_meta.py): queries
@@ -9223,7 +9296,7 @@ _PRIORITY = [
     #    requires these inside the sampled head) --
     "dedup_bloom_probe", "tokenizer_bpe_train", "tokenizer_encode_counts",
     "stream_knn_ingest", "stream_dedup_bloom", "stream_tokenizer_counts",
-    "jsonl_ingest_docs", "text_lm_perplexity",
+    "jsonl_ingest_docs", "text_lm_perplexity", "stream_lm_quality",
     # -- newest driver-green row: round 10 --
     "ens_robustness_ttest", "hs_partition_vars", "solar_daylength_ms",
     "ens_percentiles_interp_ms", "occurrence_doy_ys_jul", "clim_mean_doy",
