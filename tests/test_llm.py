@@ -2008,3 +2008,43 @@ def test_lm_perplexity_matches_hand_reference(spark):
     assert bucketed[10] == 1          # fluent doc in the head bucket
     assert bucketed[11] == 2
     assert bucketed[12] is None
+
+
+def test_lm_threshold_buckets_track_ntile(spark):
+    """The sort-free threshold bucketing (approxQuantile cutoffs +
+    map-side compare) is monotone in ppl and matches the exact ntile
+    split within one row per boundary on tie-free data."""
+    from collections import Counter
+
+    from xclim_spark.llm.lm import (
+        lm_bucket_thresholds, lm_buckets, lm_buckets_by_threshold,
+        lm_score, lm_train_counts)
+
+    ref = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta " * (1 + i % 3))
+         for i in range(6)], "doc_id LONG, text STRING")
+    uni, big, sc = lm_train_counts(ref)
+    docs = spark.createDataFrame(
+        [(i, " ".join(["alpha", "beta", "gamma", "nu"][: 1 + i % 4]
+                      * (1 + i % 5)) + f" unique{i}")
+         for i in range(60)] + [(999, None)],
+        "doc_id LONG, text STRING")
+    scored = lm_score(docs, uni, big, sc).localCheckpoint()
+    exact = {r["doc_id"]: r["ppl_bucket"]
+             for r in lm_buckets(scored).collect()}
+    cuts = lm_bucket_thresholds(scored, relative_error=1e-6)
+    assert len(cuts) == 2 and cuts[0] <= cuts[1]
+    approx = {r["doc_id"]: r["ppl_bucket"] for r in
+              lm_buckets_by_threshold(scored, cuts).collect()}
+    assert approx[999] is None
+    # monotone: bucket order agrees with ppl order
+    ppls = {r["doc_id"]: r["ppl"] for r in scored.collect()}
+    sd = [d for d in approx if approx[d] is not None]
+    for a in sd:
+        for b in sd:
+            if ppls[a] < ppls[b]:
+                assert approx[a] <= approx[b]
+    # sizes within 1 per boundary of the exact split
+    ce, ca = Counter(exact[d] for d in sd), Counter(approx[d] for d in sd)
+    for k in (1, 2, 3):
+        assert abs(ce[k] - ca[k]) <= 2, (ce, ca)

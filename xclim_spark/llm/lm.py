@@ -40,7 +40,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["BACKOFF_ALPHA", "lm_train_counts", "lm_score", "lm_buckets"]
+__all__ = ["BACKOFF_ALPHA", "lm_train_counts", "lm_score",
+           "lm_buckets", "lm_bucket_thresholds",
+           "lm_buckets_by_threshold"]
 
 BACKOFF_ALPHA = 0.4
 
@@ -150,13 +152,44 @@ def lm_buckets(
     (token-less) documents keep a NULL bucket.
 
     Scale note: a global ntile is a total sort — exact, and the right
-    gate semantics, but at 100 TB the production variant computes
-    approximate ppl quantile THRESHOLDS once (``approxQuantile`` or a
-    t-digest aggregate) and assigns buckets by comparison map-side,
-    trading exact equal-size buckets for a sort-free plan."""
+    gate semantics; at 100 TB use :func:`lm_bucket_thresholds` +
+    :func:`lm_buckets_by_threshold` instead (one quantile-sketch pass,
+    then a map-side compare — no sort anywhere)."""
     w = Window.orderBy(F.asc("ppl"), F.asc(id_col))
     ranked = (scored.where(F.col("ppl").isNotNull())
               .withColumn("ppl_bucket",
                           F.ntile(n_buckets).over(w).cast("int"))
               .select(id_col, "ppl_bucket"))
     return scored.join(ranked, on=id_col, how="left")
+
+
+def lm_bucket_thresholds(
+    scored: DataFrame,
+    *,
+    n_buckets: int = 3,
+    relative_error: float = 1e-4,
+) -> list[float]:
+    """The sort-free production alternative to :func:`lm_buckets`:
+    compute the ``n_buckets - 1`` approximate ppl quantile cutoffs
+    once (Greenwald-Khanna sketch — one pass, mergeable, no total
+    sort), then assign buckets map-side by comparison.  Buckets are
+    equal-sized only up to sketch error and boundary ties — the trade
+    CCNet itself makes at scale."""
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    return scored.where(F.col("ppl").isNotNull())                  .approxQuantile("ppl", probs, relative_error)
+
+
+def lm_buckets_by_threshold(
+    scored: DataFrame,
+    thresholds: list[float],
+) -> DataFrame:
+    """Assign ``ppl_bucket`` map-side from precomputed cutoffs (see
+    :func:`lm_bucket_thresholds`): bucket = 1 + #(cutoffs < ppl).
+    Zero shuffles — the whole assignment lives in the scan
+    projection."""
+    b = F.lit(1)
+    for t in thresholds:
+        b = b + F.when(F.col("ppl") > float(t), 1).otherwise(0)
+    return scored.withColumn(
+        "ppl_bucket",
+        F.when(F.col("ppl").isNotNull(), b).cast("int"))
