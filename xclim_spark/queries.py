@@ -8733,11 +8733,17 @@ st0 AS (SELECT w, cnt,
 best{r} AS (SELECT a, b, c FROM p{r} WHERE c >= 2
             ORDER BY c DESC, a, b LIMIT 1),
 st{r + 1} AS (
-  SELECT w, cnt, list_reduce([[s] FOR s IN syms], (acc, x) ->
-    CASE WHEN acc[-1] = best{r}.a AND x[1] = best{r}.b
-      THEN acc[:len(acc) - 1] || [best{r}.a || best{r}.b]
-      ELSE acc || x END) AS syms
-  FROM st{r}, best{r})""")
+  -- LEFT JOIN ON TRUE: when no pair reaches min_count the round is a
+  -- no-op and the state rides through, matching the trainer's early
+  -- stop (a cross join would empty every later state and silently
+  -- zero the encode oracle)
+  SELECT w, cnt,
+    CASE WHEN b.a IS NULL THEN syms
+      ELSE list_reduce([[s] FOR s IN syms], (acc, x) ->
+        CASE WHEN acc[-1] = b.a AND x[1] = b.b
+          THEN acc[:len(acc) - 1] || [b.a || b.b]
+          ELSE acc || x END) END AS syms
+  FROM st{r} LEFT JOIN best{r} b ON TRUE)""")
     ctes = ",\n".join(blocks)
     if not encode:
         sel = "\nUNION ALL ".join(
