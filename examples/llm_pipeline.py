@@ -1,6 +1,8 @@
-"""End-to-end training-data pipeline: near-dup clustering ->
-decontamination -> quality filter -> exact-substring dedup ->
-PII scrub -> deterministic mixture -> sequence packing.
+"""End-to-end training-data pipeline: Bloom cross-snapshot screen ->
+near-dup clustering -> decontamination -> quality filter ->
+LM-perplexity filter -> exact-substring dedup -> PII scrub ->
+deterministic mixture -> sequence packing -> exact BPE token
+accounting.
 
 Runnable against the synthetic corpus:
 
@@ -30,10 +32,30 @@ def main(sf_dir: str) -> None:
     from xclim_spark.llm import pipeline as pl
     from xclim_spark.llm import text as tx
 
+    from xclim_spark.llm import bloom as bl
+    from xclim_spark.llm import lm
+    from xclim_spark.llm import tokenizer as tok
+
     spark = session(app="llm-pipeline-example")
     spark.sparkContext.setLogLevel("ERROR")
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     n0 = docs.count()
+
+    # 0. cross-snapshot screen: drop docs already kept in a previous
+    #    "crawl" (here: a toy snapshot of every 10th doc) via a Bloom
+    #    filter — bounded memory, zero-shuffle map-side probe
+    nb, nh = bl.bloom_parameters(max(n0 // 10, 1), 0.001)
+    snap_keys = docs.filter("doc_id % 10 = 0") \
+        .select(F.md5("text").alias("key"))
+    dense = bl.bloom_dense(
+        bl.bloom_build(snap_keys, key_col="key", num_bits=nb,
+                       num_hashes=nh), num_bits=nb)
+    docs = bl.bloom_probe(
+        docs.withColumn("key", F.md5("text")), dense, key_col="key",
+        num_bits=nb, num_hashes=nh) \
+        .filter(~F.coalesce("maybe_member", F.lit(False))) \
+        .drop("key", "maybe_member")
+    n0b = docs.count()
 
     # 1. near-dup clusters: MinHash+LSH pair candidates, exact-Jaccard
     #    verified, closed into components; keep the canonical (min id)
@@ -57,6 +79,17 @@ def main(sf_dir: str) -> None:
     docs = docs.filter(
         (tx.token_count("text") >= 5) & (tx.alpha_ratio("text") > 0.5))
     n3 = docs.count()
+
+    # 3b. CCNet LM-perplexity screen: bigram stupid-backoff trained on
+    #     the two "clean" sources, head+middle buckets kept (the model
+    #     lives as DataFrames — never collected or broadcast)
+    uni, big, sc = lm.lm_train_counts(
+        docs.filter(F.col("source").isin("src0", "src1")))
+    scored = lm.lm_buckets(lm.lm_score(docs, uni, big, sc))
+    keep = scored.filter("ppl_bucket <= 2 OR ppl_bucket IS NULL") \
+        .select("doc_id")
+    docs = docs.join(keep, on="doc_id", how="left_semi")
+    n3b = docs.count()
 
     # 4. exact duplicate-substring spans (Lee et al. 2022): drop docs
     #    whose duplicated span covers most of their text (here: any
@@ -88,14 +121,23 @@ def main(sf_dir: str) -> None:
     packed = pl.pack_sequences(mix, 512)
     n7 = packed.select("source", "pack_id").distinct().count()
 
+    # 8. exact token accounting under a corpus-trained BPE tokenizer
+    #    (one corpus pass + vocab-table merge rounds; Arrow encoder)
+    merges = tok.bpe_train(mix, num_merges=16)
+    tokens = tok.bpe_encode_counts(mix, merges) \
+        .agg(F.sum("n_tokens")).first()[0]
+
     print(f"documents           : {n0}")
+    print(f"after bloom screen  : {n0b}")
     print(f"after dedup         : {n1}")
     print(f"after decontam      : {n2}")
     print(f"after quality filter: {n3}")
+    print(f"after ppl filter    : {n3b}")
     print(f"after substr dedup  : {n4}")
     print(f"docs with PII hits  : {n5}")
     print(f"after mixture       : {n6}")
     print(f"packed contexts     : {n7}")
+    print(f"exact BPE tokens    : {tokens} ({len(merges)} merges)")
     spark.stop()
 
 
