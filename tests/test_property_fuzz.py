@@ -651,3 +651,66 @@ def test_lm_perplexity_matches_bruteforce(spark, seed):
             assert got[d][1] is None
         else:
             assert abs(got[d][1] - a) < 2e-6, (d, t, got[d][1], a)
+
+
+@given(seed=st.integers(0, 2**32 - 1))
+@settings(max_examples=10, deadline=None)
+def test_canonicalize_url_matches_bruteforce(spark, seed):
+    """canonicalize_url vs an independent pure-Python implementation of
+    its documented spec, over randomly assembled messy URLs (case,
+    default/real ports, fragments containing '?' and '&', tracking
+    params, duplicate '?', empty paths, non-URL passthrough)."""
+    import re
+
+    import numpy as np
+
+    from xclim_spark.llm.urls import (
+        TRACKING_PARAMS_PATTERN, canonicalize_url)
+
+    def ref(u):
+        m = re.match(r"^([A-Za-z][A-Za-z0-9+.\-]*)://", u)
+        if not m:
+            return u
+        scheme = m.group(1).lower()
+        rest = u[m.end():]
+        am = re.match(r"^([^/?#]*)", rest)
+        auth = am.group(1).lower()
+        if scheme == "http":
+            auth = re.sub(r":80$", "", auth)
+        elif scheme == "https":
+            auth = re.sub(r":443$", "", auth)
+        after = rest[am.end():]
+        path = re.match(r"^([^?#]*)", after).group(1) or "/"
+        nofrag = re.sub(r"#.*$", "", u)
+        q = ""
+        if "?" in nofrag:
+            raw = nofrag.split("?", 1)[1]
+            kept = sorted(p for p in raw.split("&")
+                          if p and not re.search(
+                              TRACKING_PARAMS_PATTERN, p))
+            q = "&".join(kept)
+        return f"{scheme}://{auth}{path}" + (f"?{q}" if q else "")
+
+    rng = np.random.RandomState(seed)
+    schemes = ["http", "HTTP", "https", "HtTpS", "ftp", ""]
+    hosts = ["Example.COM", "a.b.example.co.uk", "X9.net:80",
+             "site.org:443", "h.io:8080"]
+    paths = ["", "/", "/A/b", "/p%20q", "/x/y/z/"]
+    queries = ["", "?b=2&a=1", "?utm_source=x&a=1", "?a=1?b=2",
+               "?fbclid=1", "?a=&&b=1", "?a=1&a=0"]
+    frags = ["", "#sec", "#/route?tab=1&x=2", "#f?q=1"]
+    urls = ["not a url", "relative/path?x=1#f"]
+    for _ in range(40):
+        s = schemes[rng.randint(len(schemes))]
+        u = (f"{s}://" if s else "") + \
+            hosts[rng.randint(len(hosts))] + \
+            paths[rng.randint(len(paths))] + \
+            queries[rng.randint(len(queries))] + \
+            frags[rng.randint(len(frags))]
+        urls.append(u)
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "i LONG, url STRING")
+    got = {r["i"]: r["c"] for r in df.select(
+        "i", canonicalize_url("url").alias("c")).collect()}
+    for i, u in enumerate(urls):
+        assert got[i] == ref(u), (u, got[i], ref(u))
