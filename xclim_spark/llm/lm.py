@@ -61,22 +61,41 @@ def lm_train_counts(
     ref: DataFrame,
     *,
     text_col: str = "text",
+    materialize: bool = True,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Train the bigram stupid-backoff model on the reference corpus:
     returns ``(unigrams, bigrams, scalars)`` DataFrames —
     ``(w, cu)``, ``(bg, cb)`` and one row of ``(total, vocab)``.
-    Two groupBys; text never shuffles."""
+
+    ONE corpus scan: unigrams and bigrams are generated side by side
+    inside the projection (tagged by order) and share a single
+    groupBy; the vocab-sized counts table is then ``localCheckpoint``
+    -materialized (``materialize=True``) so the three scoring joins —
+    and any re-training caller — never re-explode the reference
+    corpus.  Pass ``materialize=False`` to keep the plan lazy (e.g.
+    when the caller persists explicitly, as the streaming twin does)."""
+    toks = _tokens(text_col)
     base = (ref.where(F.col(text_col).isNotNull())
-            .select(_tokens(text_col).alias("_toks")))
-    uni = (base.select(F.explode("_toks").alias("w"))
-           .groupBy("w").agg(F.count(F.lit(1)).alias("cu")))
+            .select(toks.alias("_toks")))
     bigrams = F.when(F.size("_toks") >= 2, F.transform(
         F.slice("_toks", 1, F.size("_toks") - 1),
         lambda w, i: F.concat(w, F.lit(_SEP),
                               F.col("_toks")[i + 1]),
     )).otherwise(F.array().cast("array<string>"))
-    big = (base.select(F.explode(bigrams).alias("bg"))
-           .groupBy("bg").agg(F.count(F.lit(1)).alias("cb")))
+    grams = (base.select(F.explode(F.concat(
+        F.transform("_toks", lambda w: F.struct(
+            F.lit(1).alias("n"), w.alias("g"))),
+        F.transform(bigrams, lambda b: F.struct(
+            F.lit(2).alias("n"), b.alias("g"))),
+    )).alias("t"))
+        .groupBy(F.col("t.n").alias("n"), F.col("t.g").alias("g"))
+        .agg(F.count(F.lit(1)).alias("c")))
+    if materialize:
+        grams = grams.localCheckpoint(eager=True)
+    uni = grams.where(F.col("n") == 1) \
+               .select(F.col("g").alias("w"), F.col("c").alias("cu"))
+    big = grams.where(F.col("n") == 2) \
+               .select(F.col("g").alias("bg"), F.col("c").alias("cb"))
     scalars = uni.agg(F.sum("cu").alias("total"),
                       F.count(F.lit(1)).alias("vocab"))
     return uni, big, scalars

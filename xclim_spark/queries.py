@@ -9232,10 +9232,11 @@ SELECT doc_id, n_tokens, avg_logprob, ppl FROM scored""",
 def stream_lm_quality(spark, sf_dir):
     """LM-perplexity scoring AT INGEST — the streaming twin of
     text_lm_perplexity (CCNet's online filtering mode): the backoff
-    model trains offline on the reference slice, its tables persist
-    executor-side, and each micro-batch's documents score through
-    stream-static LEFT joins against them (static side cached, so the
-    model is not re-derived per batch).  No corpus-global bucketing —
+    model trains offline on the reference slice (lm_train_counts
+    localCheckpoints the vocab-sized counts table, so per-batch joins
+    read cached blocks instead of re-exploding the reference corpus),
+    and each micro-batch's documents score through batch-mode joins
+    against it inside the sink.  No corpus-global bucketing —
     an ingest filter compares against FIXED thresholds; the gate
     emits the raw scores and the idempotent batch-keyed sink accretes
     them."""
@@ -9247,47 +9248,42 @@ def stream_lm_quality(spark, sf_dir):
 
     d = _read(spark, sf_dir, "documents")
     ref = d.where(F.col("source").isin("src0", "src1"))
+    # lm_train_counts materializes the vocab-sized counts table via
+    # localCheckpoint, so the per-batch scoring joins read cached
+    # blocks instead of re-exploding the reference corpus every batch
     uni, big, sc = lm_train_counts(ref)
-    uni = uni.persist()
-    big = big.persist()
-    sc = sc.persist()
+
+    root = _stage_stream_docs(sf_dir)
+    sdf = (spark.readStream
+           .schema("doc_id BIGINT, ts TIMESTAMP, text STRING")
+           .option("maxFilesPerTrigger", 1)
+           .parquet(f"{root}/part_*.parquet"))
+
+    s_dir = f"/tmp/xclim_spark_stream_lm_{uuid.uuid4().hex}"
+    os.makedirs(s_dir, exist_ok=True)
+
+    # scoring runs BATCH-MODE inside foreachBatch: every document
+    # arrives whole in one micro-batch (the stage files split on
+    # doc_id), so the per-doc aggregate is exact per batch and needs
+    # no cross-batch streaming state — the same
+    # batch-transform-in-the-sink pattern production ingest uses
+    def _sink(batch_df, bid):
+        lm_score(batch_df.select("doc_id", "text"), uni, big, sc) \
+            .write.mode("overwrite").parquet(f"{s_dir}/b{bid}")
+
     try:
-        uni.count(), big.count(), sc.count()
-
-        root = _stage_stream_docs(sf_dir)
-        sdf = (spark.readStream
-               .schema("doc_id BIGINT, ts TIMESTAMP, text STRING")
-               .option("maxFilesPerTrigger", 1)
-               .parquet(f"{root}/part_*.parquet"))
-
-        s_dir = f"/tmp/xclim_spark_stream_lm_{uuid.uuid4().hex}"
-        os.makedirs(s_dir, exist_ok=True)
-
-        # scoring runs BATCH-MODE inside foreachBatch: every document
-        # arrives whole in one micro-batch (the stage files split on
-        # doc_id), so the per-doc aggregate is exact per batch and
-        # needs no cross-batch streaming state — the same
-        # batch-transform-in-the-sink pattern production ingest uses
-        def _sink(batch_df, bid):
-            lm_score(batch_df.select("doc_id", "text"),
-                     uni, big, sc) \
-                .write.mode("overwrite").parquet(f"{s_dir}/b{bid}")
-
-        try:
-            with _stream_state_partitions(spark):
-                q = (sdf.writeStream.foreachBatch(_sink)
-                     .trigger(availableNow=True).start())
-                q.awaitTermination()
-            out = (spark.read
-                   .schema("doc_id BIGINT, n_tokens BIGINT, "
-                           "avg_logprob DOUBLE, ppl DOUBLE")
-                   .option("recursiveFileLookup", "true")
-                   .parquet(s_dir)
-                   .localCheckpoint(eager=True))
-        finally:
-            shutil.rmtree(s_dir, ignore_errors=True)
+        with _stream_state_partitions(spark):
+            q = (sdf.writeStream.foreachBatch(_sink)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination()
+        out = (spark.read
+               .schema("doc_id BIGINT, n_tokens BIGINT, "
+                       "avg_logprob DOUBLE, ppl DOUBLE")
+               .option("recursiveFileLookup", "true")
+               .parquet(s_dir)
+               .localCheckpoint(eager=True))
     finally:
-        uni.unpersist(), big.unpersist(), sc.unpersist()
+        shutil.rmtree(s_dir, ignore_errors=True)
     return out
 
 
