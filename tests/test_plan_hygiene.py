@@ -40,4 +40,4 @@ def test_no_cartesian_or_rowwise_python_in_any_plan(spark):
         spark.catalog.clearCache()
     assert not violations, violations
     # guard against the sweep silently checking nothing
-    assert checked >= 140, checked
+    assert checked >= 160, checked
