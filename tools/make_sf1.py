@@ -9,7 +9,11 @@ cardinalities grow 10x while value distributions stay identical:
   exact copies across replicas; embedding-similarity queries therefore
   see real near-dup structure by construction)
 
-Usage: python tools/make_sf1.py [reps]
+Usage: python tools/make_sf1.py [reps] [dst_name]
+
+``dst_name`` (default ``sf1``) lets the scale-rehearsal harness build
+``.scratch/sf10`` with ``reps=100`` — a genuine 100x of the driver's
+sf0.1 — without duplicating this script.
 """
 
 from __future__ import annotations
@@ -20,12 +24,16 @@ import sys
 import duckdb
 
 SRC = "/root/testdata/sf0.1"
-DST = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), ".scratch", "sf1")
+SCRATCH = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".scratch")
+DST = os.path.join(SCRATCH, "sf1")
 
 
 def main() -> int:
+    global DST
     reps = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    if len(sys.argv) > 2:
+        DST = os.path.join(SCRATCH, sys.argv[2])
     os.makedirs(DST, exist_ok=True)
     con = duckdb.connect()
     con.execute(f"CREATE VIEW r AS SELECT unnest(range({reps})) AS r")

@@ -670,6 +670,36 @@ def daily_severity_rating(fwi):
     return 0.0272 * np.asarray(fwi, dtype=float) ** 1.77
 
 
+
+_ROUTE_CACHE: dict[int, list[int]] = {}
+
+
+def _block_routes(spark, nblocks: int) -> list[int]:
+    """Routing keys for collision-free hash blocking: ``routes[b]`` is
+    an integer whose Murmur3 hash pmods to partition ``b`` under a
+    ``HashPartitioning(nblocks)``, found by a driver-side preimage
+    search (one tiny ``spark.range`` job, cached per size).  Mapping a
+    block id to its route and hash-repartitioning on the route places
+    every block in its OWN task — the one-block-per-task guarantee of
+    ``repartitionByRange`` without the range sampler's second
+    execution of the upstream plan."""
+    got = _ROUTE_CACHE.get(nblocks)
+    if got is not None:
+        return got
+    found: dict[int, int] = {}
+    base = 0
+    while len(found) < nblocks:
+        rows = spark.range(base, base + 64 * nblocks).select(
+            F.col("id"),
+            F.pmod(F.hash("id"), F.lit(nblocks)).alias("b")).collect()
+        for r in rows:
+            found.setdefault(int(r["b"]), int(r["id"]))
+        base += 64 * nblocks
+    routes = [found[b] for b in range(nblocks)]
+    _ROUTE_CACHE[nblocks] = routes
+    return routes
+
+
 def cffwis_indices(
     df: DataFrame,
     *,
@@ -684,6 +714,7 @@ def cffwis_indices(
     overwintering: bool = False,
     dry_start: str | None = None,
     season_params: dict | None = None,
+    nblocks: int | None = None,
 ) -> DataFrame:
     """Daily FFMC/DMC/DC/ISI/BUI/FWI per cell (reference
     ``cffwis_indices``, _cffwis.py:1278).
@@ -698,13 +729,22 @@ def cffwis_indices(
     temp_condition_days, snow_condition_days, snow_thresh).
 
     ``lat`` is a scalar latitude or the name of a per-cell latitude
-    column.  Plan: cells are hashed into ~2x-parallelism BLOCKS, one
-    pandas task per block; inside a task the block pivots to
-    (days x cells) matrices and the day-over-day recursion runs as numpy
-    vectors across the block's cells (:func:`cffwis_block`) — the
-    sequential-in-time constraint stays, the per-cell Python interpreter
-    cost goes.  Days missing for one cell carry its state unchanged,
-    exactly as the 1-D kernel skipping absent rows would."""
+    column.  Plan: cells are hashed into BLOCKS, one pandas task per
+    block (collision-free routing keys, see :func:`_block_routes`);
+    inside a task the block pivots to (days x cells) matrices and the
+    day-over-day recursion runs as numpy vectors across the block's
+    cells (:func:`cffwis_block`) — the sequential-in-time constraint
+    stays, the per-cell Python interpreter cost goes.  Days missing
+    for one cell carry its state unchanged, exactly as the 1-D kernel
+    skipping absent rows would.
+
+    ``nblocks`` sizes the blocking (default: executor parallelism x
+    ``$XCLIM_SPARK_FIRE_BLOCK_MULT``).  Target 100-300k input rows per
+    block: the sf10 scale rehearsal (PLANS.md round 14) measured the
+    53M-row case at 169 s with parallelism-sized blocks (1.7M rows
+    each -> pandas/Arrow memory churn) vs 43 s at 16x more, smaller
+    blocks.  A deployment knows its grid, so pass
+    ``nblocks ~ n_cells x n_days / 2e5`` explicitly at scale."""
     from pyspark.sql import functions as F
 
     fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
@@ -812,13 +852,34 @@ def cffwis_indices(
         return pd.DataFrame(out)
 
     sc = df.sparkSession.sparkContext
-    nblocks = max(sc.defaultParallelism, 2)
-    blocked = df.withColumn(
-        "_blk", F.abs(F.hash(*[F.col(c) for c in cells_l])) % nblocks
-    ) if cells_l else df.withColumn("_blk", F.lit(0))
-    # range partitioning puts exactly one block per task (hash would
-    # birthday-collide several 0.5-1 s blocks onto one unlucky task)
-    return blocked.repartitionByRange(nblocks, "_blk").groupBy("_blk") \
+    if nblocks is None:
+        import os as _os
+        mult = int(_os.environ.get("XCLIM_SPARK_FIRE_BLOCK_MULT", "1"))
+        nblocks = max(sc.defaultParallelism * max(mult, 1), 2)
+    # Exactly one block per task WITHOUT repartitionByRange: range
+    # partitioning needs a sampling job that EXECUTES THE UPSTREAM a
+    # second time (at 100 TB the upstream is the expensive part; the
+    # sf10 rehearsal measured +44% on this query), and plain hash
+    # blocking birthday-collides blocks onto unlucky tasks (measured
+    # +48%).  Instead each block id maps to a driver-precomputed
+    # ROUTING KEY whose Murmur3 hash lands in its own partition, so
+    # one hash exchange gives collision-free 1:1 block placement and
+    # groupBy(_blk) reuses that clustering with no further shuffle.
+    # only the columns _calc reads cross the Python boundary — callers
+    # routinely pass tables with extra payload columns, and every byte
+    # here is shuffled, Arrow-serialized, and pandas-materialized
+    needed = list(dict.fromkeys(
+        cells_l + [time] + variables
+        + ([lat] if isinstance(lat, str) else [])))
+    df = df.select(*needed)
+    if cells_l:
+        routes = _block_routes(df.sparkSession, nblocks)
+        blk = F.abs(F.hash(*[F.col(c) for c in cells_l])) % nblocks
+        blocked = df.withColumn(
+            "_blk", F.element_at(F.lit(routes), (blk + 1).cast("int")))
+    else:
+        blocked = df.withColumn("_blk", F.lit(0))
+    return blocked.repartition(nblocks, "_blk").groupBy("_blk") \
         .applyInPandas(lambda p: _calc(p.drop(columns=["_blk"])),
                        schema=schema)
 
