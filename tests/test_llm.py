@@ -2048,3 +2048,43 @@ def test_lm_threshold_buckets_track_ntile(spark):
     ce, ca = Counter(exact[d] for d in sd), Counter(approx[d] for d in sd)
     for k in (1, 2, 3):
         assert abs(ce[k] - ca[k]) <= 2, (ce, ca)
+
+
+def test_exact_first_components_match_naive(spark):
+    """The exact-dedup-first composition yields the SAME component
+    partition as closing the naive pair graph — exact copies have
+    identical shingle sets — on a corpus with clone groups, cross-group
+    near-dups, shingle-ineligible short docs, and NULLs."""
+    from xclim_spark.llm.dedup import (
+        connected_components, near_dup_components_exact_first,
+        near_duplicates)
+
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away tonight")
+    near = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away today")
+    rows = []
+    for i in range(6):                      # clone group A (6 copies)
+        rows.append((i, base))
+    for i in range(6, 9):                   # clone group B (3 copies)
+        rows.append((i, near))
+    rows += [(9, "completely different text about spark engines and "
+                 "parquet files at scale"),
+             (10, "one two"),               # < 3 words: ineligible
+             (11, None)]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+    naive = connected_components(near_duplicates(
+        docs, threshold=0.5, num_perm=64, bands=32))
+    comp = near_dup_components_exact_first(
+        docs, threshold=0.5, num_perm=64, bands=32)
+    a = {r["id"]: r["component"] for r in naive.collect()}
+    b = {r["id"]: r["component"] for r in comp.collect()}
+    assert a == b
+    assert set(a) == set(range(9))          # A+B merge; 9/10/11 absent
+    assert len(set(a.values())) == 1
+    # star closure variant agrees too
+    c = {r["id"]: r["component"] for r in near_dup_components_exact_first(
+        docs, threshold=0.5, num_perm=64, bands=32,
+        use_star=True).collect()}
+    assert c == a

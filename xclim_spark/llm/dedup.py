@@ -38,6 +38,7 @@ __all__ = [
     "embedding_near_duplicates",
     "semantic_dedup",
     "duplicate_spans",
+    "near_dup_components_exact_first",
     "remove_duplicate_spans",
     "c4_span_dedup",
     "dedup_paragraphs",
@@ -1180,6 +1181,69 @@ def semantic_dedup(
                 F.col("dup_of").isNull().alias("keep"), "dup_of")
     )
     return out
+
+
+def near_dup_components_exact_first(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.6,
+    num_perm: int = 128,
+    bands: int = 64,
+    seed: int = 7,
+    parallelism: int | None = None,
+    use_star: bool = False,
+) -> DataFrame:
+    """Near-dup clustering with the EXACT-DEDUP-FIRST composition —
+    the production ordering (RefinedWeb, SlimPajama, CCNet all exact-
+    dedup before MinHash) and the answer to pair listing's quadratic
+    blowup on clone groups: a boilerplate page with m copies emits
+    C(m, 2) MinHash pairs under the naive graph but only m - 1 star
+    edges here.  The sf10 scale rehearsal measured the difference at
+    500k docs with 100-member clone groups: 27.3M pairs / 289 s naive
+    vs 241 pairs + 495k star edges / 24 s composed — and the resulting
+    components are IDENTICAL, because exact copies have identical
+    shingle sets, so every cross-group near-dup edge is represented by
+    its exemplar pair (proved by the shared gate oracle and pinned by
+    pytest).
+
+    Stages (all linear):
+
+    1. exact groups over the shingle-eligible docs (>= ``n`` words —
+       the same eligibility as the MinHash shingler, so short docs
+       stay OUT of the graph exactly as they do in the naive path):
+       one md5(text) groupBy for exemplars (min id), one join back for
+       the star edges — no ``collect_list``: a 10M-member clone group
+       must never materialize as one array row;
+    2. :func:`near_duplicates` on the EXEMPLAR documents only;
+    3. :func:`connected_components` (or the large-star/small-star
+       variant with ``use_star``) over near-dup + star edges.
+
+    Returns ``(id_col, component)`` for every document with at least
+    one edge — the same contract as closing the naive pair graph."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    eligible = docs.where(
+        F.col(text_col).isNotNull() & (F.size(toks) >= n))
+    keyed = eligible.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("_k"))
+    exemplars = keyed.groupBy("_k").agg(F.min(id_col).alias("_ex"))
+    star = (keyed.join(exemplars, "_k")
+            .where(F.col(id_col) != F.col("_ex"))
+            .select(F.col(id_col).alias("id_a"),
+                    F.col("_ex").alias("id_b")))
+    ex_docs = eligible.join(
+        exemplars.select(F.col("_ex").alias(id_col)), id_col,
+        "left_semi")
+    pairs = near_duplicates(
+        ex_docs, text_col=text_col, id_col=id_col, n=n,
+        threshold=threshold, num_perm=num_perm, bands=bands, seed=seed,
+        parallelism=parallelism)
+    edges = pairs.select("id_a", "id_b").unionByName(star)
+    close = connected_components_star if use_star \
+        else connected_components
+    return close(edges)
 
 
 def connected_components(

@@ -9287,6 +9287,32 @@ def stream_lm_quality(spark, sf_dir):
     return out
 
 
+
+@_register("dedup_components_exact_first", _DEDUP_CC_SQL)
+def dedup_components_exact_first(spark, sf_dir):
+    """The SAME near-dup clusters via the production composition
+    (llm/dedup.py near_dup_components_exact_first): exact dedup FIRST
+    (one md5 groupBy, star edges to the exemplar), MinHash+LSH only on
+    the exemplar documents, components over star + exemplar-pair
+    edges.  Exact copies have identical shingle sets, so the closure
+    is provably identical to the naive pair graph's — all three
+    clustering gates share one recursive-CTE oracle — while pair
+    listing stays off clone groups: the sf10 rehearsal measured 27.3M
+    pairs / 289 s naive vs 241 exemplar pairs / 24 s composed."""
+    from .llm import dedup as dd
+
+    small = _sf_of(sf_dir) <= 0.01
+    docs = _read(spark, sf_dir, "documents")
+    cc = dd.near_dup_components_exact_first(
+        docs, threshold=0.6,
+        num_perm=32 if small else 128, bands=16 if small else 64,
+        parallelism=spark.sparkContext.defaultParallelism)
+    w = Window.partitionBy("component")
+    return cc.select(
+        F.col("id").alias("doc_id"), "component",
+        F.count(F.lit(1)).over(w).alias("cluster_size"))
+
+
 # The driver's correctness harness evaluates queries in dict order and
 # records the first ~50 per round.
 # Ordering rule (standing, tested in tests/test_queries_meta.py): queries
@@ -9299,6 +9325,7 @@ _PRIORITY = [
     "dedup_bloom_probe", "tokenizer_bpe_train", "tokenizer_encode_counts",
     "stream_knn_ingest", "stream_dedup_bloom", "stream_tokenizer_counts",
     "jsonl_ingest_docs", "text_lm_perplexity", "stream_lm_quality",
+    "dedup_components_exact_first",
     # -- newest driver-green row: round 10 --
     "ens_robustness_ttest", "hs_partition_vars", "solar_daylength_ms",
     "ens_percentiles_interp_ms", "occurrence_doy_ys_jul", "clim_mean_doy",
