@@ -330,3 +330,43 @@ def test_user_mask_gap_carries_no_spurious_transition(spark):
                                r["fwi"][:, 0], rtol=1e-12)
     np.testing.assert_allclose([_f(row["dc"]) for row in got],
                                r["dc"][:, 0], rtol=1e-12)
+
+
+def test_chunked_streaming_invariant_to_chunk_size(spark, monkeypatch):
+    """The mapInPandas complete-cell chunker must give identical results
+    whether a chunk holds many cells, one cell, or a cell spans several
+    accumulation rounds (chunk target smaller than one cell's series)."""
+    import datetime as dt
+
+    rng = np.random.RandomState(23)
+    n = 90
+    data = []
+    for cell in range(7):
+        for i in range(n):
+            data.append((
+                cell, dt.date(2001, 3, 1) + dt.timedelta(days=i),
+                float(8 + 18 * rng.rand()), float(rng.gamma(0.4, 5.0)),
+                float(25 + 70 * rng.rand()), float(3 + 25 * rng.rand()),
+            ))
+    df = spark.createDataFrame(
+        data, "cell INT, time DATE, tas DOUBLE, pr DOUBLE, hurs DOUBLE, "
+              "ws DOUBLE")
+
+    def run():
+        out = fire.cffwis_indices(df, tas="tas", pr="pr", hurs="hurs",
+                                  sfcWind="ws", lat=47.0, cells=["cell"])
+        return sorted(
+            ((r["cell"], r["time"], r["fwi"], r["dc"], r["ffmc"])
+             for r in out.collect()))
+
+    monkeypatch.delenv("XCLIM_SPARK_FIRE_CHUNK_ROWS", raising=False)
+    base = run()
+    assert len(base) == 7 * n
+    # chunk smaller than one cell's series: exercises the in-flight-cell
+    # accumulation path AND the held-tail path
+    monkeypatch.setenv("XCLIM_SPARK_FIRE_CHUNK_ROWS", "40")
+    small = run()
+    monkeypatch.setenv("XCLIM_SPARK_FIRE_CHUNK_ROWS", "1")
+    tiny = run()
+    assert small == base
+    assert tiny == base

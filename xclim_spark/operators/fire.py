@@ -671,35 +671,6 @@ def daily_severity_rating(fwi):
 
 
 
-_ROUTE_CACHE: dict[int, list[int]] = {}
-
-
-def _block_routes(spark, nblocks: int) -> list[int]:
-    """Routing keys for collision-free hash blocking: ``routes[b]`` is
-    an integer whose Murmur3 hash pmods to partition ``b`` under a
-    ``HashPartitioning(nblocks)``, found by a driver-side preimage
-    search (one tiny ``spark.range`` job, cached per size).  Mapping a
-    block id to its route and hash-repartitioning on the route places
-    every block in its OWN task — the one-block-per-task guarantee of
-    ``repartitionByRange`` without the range sampler's second
-    execution of the upstream plan."""
-    got = _ROUTE_CACHE.get(nblocks)
-    if got is not None:
-        return got
-    found: dict[int, int] = {}
-    base = 0
-    while len(found) < nblocks:
-        rows = spark.range(base, base + 64 * nblocks).select(
-            F.col("id"),
-            F.pmod(F.hash("id"), F.lit(nblocks)).alias("b")).collect()
-        for r in rows:
-            found.setdefault(int(r["b"]), int(r["id"]))
-        base += 64 * nblocks
-    routes = [found[b] for b in range(nblocks)]
-    _ROUTE_CACHE[nblocks] = routes
-    return routes
-
-
 def cffwis_indices(
     df: DataFrame,
     *,
@@ -729,22 +700,25 @@ def cffwis_indices(
     temp_condition_days, snow_condition_days, snow_thresh).
 
     ``lat`` is a scalar latitude or the name of a per-cell latitude
-    column.  Plan: cells are hashed into BLOCKS, one pandas task per
-    block (collision-free routing keys, see :func:`_block_routes`);
-    inside a task the block pivots to (days x cells) matrices and the
-    day-over-day recursion runs as numpy vectors across the block's
-    cells (:func:`cffwis_block`) — the sequential-in-time constraint
-    stays, the per-cell Python interpreter cost goes.  Days missing
-    for one cell carry its state unchanged, exactly as the 1-D kernel
-    skipping absent rows would.
+    column.  Plan: ONE hash exchange on the cell key puts every cell's
+    full series in a single partition, a spill-safe JVM sort within each
+    partition makes cells contiguous, and ``mapInPandas`` streams the
+    partition in COMPLETE-CELL CHUNKS of ~``$XCLIM_SPARK_FIRE_CHUNK_ROWS``
+    (default 200k) rows: each chunk pivots to (days x cells) matrices
+    and the day-over-day recursion runs as numpy vectors across the
+    chunk's cells (:func:`cffwis_block`) — the sequential-in-time
+    constraint stays, the per-cell Python interpreter cost goes, and
+    per-task pandas memory is bounded by the chunk size NO MATTER how
+    many rows land in the partition.  (The round-14 scale rehearsal
+    measured the group-materializing predecessor super-linear at 100x —
+    1.7M-row pandas groups per task, PLANS.md round 14; chunked
+    streaming needs no block-count knob at all.)  Days missing for one
+    cell carry its state unchanged, exactly as the 1-D kernel skipping
+    absent rows would.
 
-    ``nblocks`` sizes the blocking (default: executor parallelism x
-    ``$XCLIM_SPARK_FIRE_BLOCK_MULT``).  Target 100-300k input rows per
-    block: the sf10 scale rehearsal (PLANS.md round 14) measured the
-    53M-row case at 169 s with parallelism-sized blocks (1.7M rows
-    each -> pandas/Arrow memory churn) vs 43 s at 16x more, smaller
-    blocks.  A deployment knows its grid, so pass
-    ``nblocks ~ n_cells x n_days / 2e5`` explicitly at scale."""
+    ``nblocks`` is now just the task count (default: executor
+    parallelism x ``$XCLIM_SPARK_FIRE_BLOCK_MULT``); rows-per-task no
+    longer affects memory or pandas churn."""
     from pyspark.sql import functions as F
 
     fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
@@ -851,20 +825,12 @@ def cffwis_indices(
             out[key] = mat.ravel()[flat]
         return pd.DataFrame(out)
 
+    import os as _os
+
     sc = df.sparkSession.sparkContext
     if nblocks is None:
-        import os as _os
         mult = int(_os.environ.get("XCLIM_SPARK_FIRE_BLOCK_MULT", "1"))
         nblocks = max(sc.defaultParallelism * max(mult, 1), 2)
-    # Exactly one block per task WITHOUT repartitionByRange: range
-    # partitioning needs a sampling job that EXECUTES THE UPSTREAM a
-    # second time (at 100 TB the upstream is the expensive part; the
-    # sf10 rehearsal measured +44% on this query), and plain hash
-    # blocking birthday-collides blocks onto unlucky tasks (measured
-    # +48%).  Instead each block id maps to a driver-precomputed
-    # ROUTING KEY whose Murmur3 hash lands in its own partition, so
-    # one hash exchange gives collision-free 1:1 block placement and
-    # groupBy(_blk) reuses that clustering with no further shuffle.
     # only the columns _calc reads cross the Python boundary — callers
     # routinely pass tables with extra payload columns, and every byte
     # here is shuffled, Arrow-serialized, and pandas-materialized
@@ -872,16 +838,53 @@ def cffwis_indices(
         cells_l + [time] + variables
         + ([lat] if isinstance(lat, str) else [])))
     df = df.select(*needed)
-    if cells_l:
-        routes = _block_routes(df.sparkSession, nblocks)
-        blk = F.abs(F.hash(*[F.col(c) for c in cells_l])) % nblocks
-        blocked = df.withColumn(
-            "_blk", F.element_at(F.lit(routes), (blk + 1).cast("int")))
-    else:
+    if not cells_l:
+        # single global series — inherently one sequential task
         blocked = df.withColumn("_blk", F.lit(0))
-    return blocked.repartition(nblocks, "_blk").groupBy("_blk") \
-        .applyInPandas(lambda p: _calc(p.drop(columns=["_blk"])),
-                       schema=schema)
+        return blocked.repartition(1, "_blk").groupBy("_blk") \
+            .applyInPandas(lambda p: _calc(p.drop(columns=["_blk"])),
+                           schema=schema)
+
+    chunk_rows = max(
+        int(_os.environ.get("XCLIM_SPARK_FIRE_CHUNK_ROWS", "200000")), 1)
+    out_names = cells_l + [time, "ffmc", "dmc", "dc", "isi", "bui", "fwi"]
+
+    def _stream(batches):
+        # the partition is sorted by the cell key, so every cell is one
+        # contiguous run; accumulate Arrow batches to ~chunk_rows, hold
+        # back the (possibly continuing) last cell's suffix, and hand
+        # _calc only COMPLETE cells
+        acc: list[pd.DataFrame] = []
+        nacc = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            acc.append(pdf)
+            nacc += len(pdf)
+            if nacc < chunk_rows:
+                continue
+            whole = pd.concat(acc, ignore_index=True) \
+                if len(acc) > 1 else acc[0]
+            tail_mask = np.ones(len(whole), dtype=bool)
+            last = whole.iloc[-1]
+            for c in cells_l:
+                tail_mask &= whole[c].to_numpy() == last[c]
+            cut = len(whole) - int(tail_mask.sum())
+            if cut == 0:
+                # one cell larger than the chunk target still in flight
+                acc, nacc = [whole], len(whole)
+                continue
+            yield _calc(whole.iloc[:cut])[out_names]
+            held = whole.iloc[cut:]
+            acc, nacc = [held], len(held)
+        if nacc:
+            whole = pd.concat(acc, ignore_index=True) \
+                if len(acc) > 1 else acc[0]
+            yield _calc(whole)[out_names]
+
+    return df.repartition(nblocks, *cells_l) \
+        .sortWithinPartitions(*cells_l) \
+        .mapInPandas(_stream, schema=schema)
 
 # ---------------------------------------------------------------------------
 # Public closed-form component equations as Column expressions.
