@@ -2088,3 +2088,37 @@ def test_exact_first_components_match_naive(spark):
         docs, threshold=0.5, num_perm=64, bands=32,
         use_star=True).collect()}
     assert c == a
+
+
+def test_near_dup_components_default_is_exact_first(spark):
+    """near_dup_components is the production front door: the default
+    path must equal the exact-first composition, naive=True must equal
+    the raw pair-graph closure, and both must agree on the partition."""
+    from xclim_spark.llm.dedup import (
+        connected_components, near_dup_components,
+        near_dup_components_exact_first, near_duplicates)
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu")
+    rows = [(i, base) for i in range(5)]
+    rows += [(5, base.replace("mu", "nu")),
+             (6, "entirely unrelated words about distributed query "
+                 "planning and shuffles")]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    kw = dict(threshold=0.5, num_perm=64, bands=32)
+
+    default = {r["id"]: r["component"]
+               for r in near_dup_components(docs, **kw).collect()}
+    legacy = {r["id"]: r["component"]
+              for r in near_dup_components_exact_first(docs, **kw)
+              .collect()}
+    naive = {r["id"]: r["component"]
+             for r in near_dup_components(docs, naive=True, **kw)
+             .collect()}
+    raw = {r["id"]: r["component"]
+           for r in connected_components(
+               near_duplicates(docs, **kw)).collect()}
+    assert default == legacy
+    assert naive == raw
+    assert default == naive
+    assert set(default) == set(range(6))

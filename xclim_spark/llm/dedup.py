@@ -38,6 +38,7 @@ __all__ = [
     "embedding_near_duplicates",
     "semantic_dedup",
     "duplicate_spans",
+    "near_dup_components",
     "near_dup_components_exact_first",
     "remove_duplicate_spans",
     "c4_span_dedup",
@@ -1183,7 +1184,7 @@ def semantic_dedup(
     return out
 
 
-def near_dup_components_exact_first(
+def near_dup_components(
     docs: DataFrame,
     *,
     text_col: str = "text",
@@ -1195,21 +1196,32 @@ def near_dup_components_exact_first(
     seed: int = 7,
     parallelism: int | None = None,
     use_star: bool = False,
+    naive: bool = False,
 ) -> DataFrame:
-    """Near-dup clustering with the EXACT-DEDUP-FIRST composition —
-    the production ordering (RefinedWeb, SlimPajama, CCNet all exact-
-    dedup before MinHash) and the answer to pair listing's quadratic
-    blowup on clone groups: a boilerplate page with m copies emits
-    C(m, 2) MinHash pairs under the naive graph but only m - 1 star
-    edges here.  The sf10 scale rehearsal measured the difference at
-    500k docs with 100-member clone groups: 27.3M pairs / 289 s naive
-    vs 241 pairs + 495k star edges / 24 s composed — and the resulting
-    components are IDENTICAL, because exact copies have identical
-    shingle sets, so every cross-group near-dup edge is represented by
-    its exemplar pair (proved by the shared gate oracle and pinned by
-    pytest).
+    """THE production near-dup clustering entry point: MinHash-LSH
+    pair discovery closed into components, with the EXACT-DEDUP-FIRST
+    composition as the default — the production ordering (RefinedWeb,
+    SlimPajama, CCNet all exact-dedup before MinHash) and the answer
+    to pair listing's quadratic blowup on clone groups: a boilerplate
+    page with m copies emits C(m, 2) MinHash pairs under the naive
+    graph but only m - 1 star edges here.  The sf10 scale rehearsal
+    measured the difference at 500k docs with 100-member clone groups:
+    27.3M pairs / 289 s naive vs 241 pairs + 495k star edges / 24 s
+    composed — and the resulting components are IDENTICAL, because
+    exact copies have identical shingle sets, so every cross-group
+    near-dup edge is represented by its exemplar pair (proved by the
+    shared gate oracle and pinned by pytest).
 
-    Stages (all linear):
+    ``naive=True`` opts out into the direct ``near_duplicates`` ->
+    ``connected_components`` composition.  Crossover measured in the
+    round-14 rehearsal: below ~10k DISTINCT texts the naive path's
+    fewer stages win (no exact groupBy, no semi-join); above it —
+    i.e. everywhere a 100 TB corpus lives — exact-first wins and the
+    margin grows quadratically with clone-group size.  Never use
+    ``naive=True`` on real web-scale data: million-copy boilerplate
+    pages turn the pair list into C(10^6, 2) rows per page.
+
+    Exact-first stages (all linear):
 
     1. exact groups over the shingle-eligible docs (>= ``n`` words —
        the same eligibility as the MinHash shingler, so short docs
@@ -1223,6 +1235,14 @@ def near_dup_components_exact_first(
 
     Returns ``(id_col, component)`` for every document with at least
     one edge — the same contract as closing the naive pair graph."""
+    close = connected_components_star if use_star \
+        else connected_components
+    if naive:
+        pairs = near_duplicates(
+            docs, text_col=text_col, id_col=id_col, n=n,
+            threshold=threshold, num_perm=num_perm, bands=bands,
+            seed=seed, parallelism=parallelism)
+        return close(pairs.select("id_a", "id_b"))
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     eligible = docs.where(
         F.col(text_col).isNotNull() & (F.size(toks) >= n))
@@ -1241,9 +1261,14 @@ def near_dup_components_exact_first(
         threshold=threshold, num_perm=num_perm, bands=bands, seed=seed,
         parallelism=parallelism)
     edges = pairs.select("id_a", "id_b").unionByName(star)
-    close = connected_components_star if use_star \
-        else connected_components
     return close(edges)
+
+
+def near_dup_components_exact_first(docs: DataFrame, **kwargs) -> DataFrame:
+    """Back-compat alias for :func:`near_dup_components` (the exact-
+    dedup-first composition is now the default entry point)."""
+    kwargs.pop("naive", None)
+    return near_dup_components(docs, naive=False, **kwargs)
 
 
 def connected_components(
@@ -1253,6 +1278,12 @@ def connected_components(
     """Connected components over a duplicate-pair graph: assign every
     node the MINIMUM id reachable from it — the canonical-document
     choice that turns pairwise near-dup hits into dedup clusters.
+
+    NOTE: this is the graph-closure PRIMITIVE.  For end-to-end near-dup
+    clustering use :func:`near_dup_components`, which exact-dedups
+    before pair generation — feeding this function a raw MinHash pair
+    graph of a clone-heavy corpus hands it C(m, 2) edges per m-copy
+    boilerplate page (measured quadratic at the sf10 rehearsal).
 
     Min-label propagation: each round every node takes the least of its
     own label and its neighbours' labels (one join + one groupBy per

@@ -9291,7 +9291,10 @@ def stream_lm_quality(spark, sf_dir):
 @_register("dedup_components_exact_first", _DEDUP_CC_SQL)
 def dedup_components_exact_first(spark, sf_dir):
     """The SAME near-dup clusters via the production composition
-    (llm/dedup.py near_dup_components_exact_first): exact dedup FIRST
+    (llm/dedup.py near_dup_components — the DEFAULT front door since
+    round 15; naive pair-graph closure is an explicit opt-out behind
+    ``naive=True`` with the <~10k-distinct-texts crossover documented
+    in its docstring): exact dedup FIRST
     (one md5 groupBy, star edges to the exemplar), MinHash+LSH only on
     the exemplar documents, components over star + exemplar-pair
     edges.  Exact copies have identical shingle sets, so the closure
@@ -9303,7 +9306,7 @@ def dedup_components_exact_first(spark, sf_dir):
 
     small = _sf_of(sf_dir) <= 0.01
     docs = _read(spark, sf_dir, "documents")
-    cc = dd.near_dup_components_exact_first(
+    cc = dd.near_dup_components(
         docs, threshold=0.6,
         num_perm=32 if small else 128, bands=16 if small else 64,
         parallelism=spark.sparkContext.defaultParallelism)
