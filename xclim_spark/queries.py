@@ -9323,25 +9323,7 @@ def dedup_components_exact_first(spark, sf_dir):
 # list each round), then queries whose last driver-green row is oldest.
 # Regenerate each round with tools/rotate_priority.py — do not hand-edit.
 _PRIORITY = [
-    # -- additions with no driver row yet (the ordering rule
-    #    requires these inside the sampled head) --
-    "dedup_bloom_probe", "tokenizer_bpe_train", "tokenizer_encode_counts",
-    "stream_knn_ingest", "stream_dedup_bloom", "stream_tokenizer_counts",
-    "jsonl_ingest_docs", "text_lm_perplexity", "stream_lm_quality",
-    "dedup_components_exact_first",
-    # -- newest driver-green row: round 10 --
-    "ens_robustness_ttest", "hs_partition_vars", "solar_daylength_ms",
-    "ens_percentiles_interp_ms", "occurrence_doy_ys_jul", "clim_mean_doy",
-    "adjust_doy_cal360", "hawkins_weights", "zarr_ingest_ms", "tg_mean_ms",
-    "tx_days_above_ms", "tx_max_ys_jul", "prcptot_qs_dec", "djf_mean_ms",
-    "gdd_ys", "dded_ys", "rx7day_ms", "doymax_ys", "thresholded_mean_ys",
-    "domain_count_ms", "zones_count", "missing_any_ms", "tg90p_doy_ys",
-    "p90_days_over_ys", "mcdd_ys", "spell_days_ys", "spell_events_ys",
-    "max_run_sum_ys", "first_spell_doy_ys", "gs_end_ys", "run_bounds",
-    "events_table_ys", "ind_tg_mean_ms", "ind_tg_mean_masked_ms",
-    "ind_tx_days_above_ms", "ind_frost_days_ys", "ind_gdd_ys",
     # -- newest driver-green row: round 11 --
-    "dedup_semantic", "text_pii_scrub", "dedup_substring_spans",
     "stream_dedup_watermark", "kmeans_step_centroids", "knn_ivf_trained_docs",
     "ind_tg90p_ys", "ind_heat_wave_freq_ys", "ind_hot_spell_freq_ys",
     "ind_hot_spell_maxlen_ys", "ind_dry_spell_freq_ys", "ind_mcdd_ys",
@@ -9391,6 +9373,22 @@ _PRIORITY = [
     "synoptic_jetlat_ms", "cumdiff_running_ms", "ens_robustness_fracs",
     "boot_tg90p_ys", "unstacked_normals_3y", "ind_wsdi_ys",
     "sdba_eqm_adaptfreq_ms", "analog_seuclidean", "ens_kkz_selection",
+    # -- newest driver-green row: round 14 --
+    "dedup_bloom_probe", "tokenizer_bpe_train", "tokenizer_encode_counts",
+    "stream_knn_ingest", "stream_dedup_bloom", "stream_tokenizer_counts",
+    "jsonl_ingest_docs", "text_lm_perplexity", "stream_lm_quality",
+    "dedup_components_exact_first", "ens_robustness_ttest",
+    "hs_partition_vars", "solar_daylength_ms", "ens_percentiles_interp_ms",
+    "occurrence_doy_ys_jul", "clim_mean_doy", "adjust_doy_cal360",
+    "hawkins_weights", "zarr_ingest_ms", "tg_mean_ms", "tx_days_above_ms",
+    "tx_max_ys_jul", "prcptot_qs_dec", "djf_mean_ms", "gdd_ys", "dded_ys",
+    "rx7day_ms", "doymax_ys", "thresholded_mean_ys", "domain_count_ms",
+    "zones_count", "missing_any_ms", "tg90p_doy_ys", "p90_days_over_ys",
+    "mcdd_ys", "spell_days_ys", "spell_events_ys", "max_run_sum_ys",
+    "first_spell_doy_ys", "gs_end_ys", "run_bounds", "events_table_ys",
+    "ind_tg_mean_ms", "ind_tg_mean_masked_ms", "ind_tx_days_above_ms",
+    "ind_frost_days_ys", "ind_gdd_ys", "dedup_semantic", "text_pii_scrub",
+    "dedup_substring_spans",
 ]
 
 
