@@ -16,6 +16,10 @@ The components a 100 TB corpus pipeline needs, built Spark-first:
   token accounting;
 * :mod:`.lm` — CCNet-style n-gram LM perplexity filtering (stupid
   backoff, model-as-DataFrames scoring, head/middle/tail buckets);
+* :mod:`.quality_clf` — trained quality classifier (DCLM/fastText
+  shape): hashed-n-gram logistic regression trained as map-side
+  passes + one groupBy(feature) shuffle per epoch, scored map-side
+  from a plan-literal weight vector;
 * :mod:`.urls` — URL canonicalization, registered-domain extraction,
   canonical-URL dedup and domain-mix counts;
 * :mod:`.search` — BM25 ranked retrieval over the corpus;
@@ -31,6 +35,7 @@ from . import (  # noqa: F401
     lm,
     multimodal,
     pipeline,
+    quality_clf,
     search,
     similarity,
     text,

@@ -1,0 +1,208 @@
+"""Trained quality classifier — the DCLM / fastText curation stage
+(Li et al. 2024, *DataComp-LM*, §4.4: a fastText classifier trained on
+a seed of known-good text is the single highest-leverage quality
+filter; Joulin et al. 2017, *Bag of Tricks for Efficient Text
+Classification*).  This is the same pipeline shape as fastText's
+supervised mode — hashed bag of word uni+bigrams, a linear model, a
+sigmoid — trained as full-batch logistic regression so every step is
+deterministic and re-derivable by an external SQL oracle.
+
+Scale design:
+
+* **Feature hashing is pure expressions** (Weinberger et al. 2009):
+  gram -> first 8 hex chars of md5 -> integer -> pmod ``dim``.  The
+  hash is engine-neutral (md5 is universal), so DuckDB/Trino can
+  re-derive every feature index bit-for-bit — same rationale as
+  ``dedup.md5_hash60``.
+* **Training never shuffles text.**  One explode + two groupBys build
+  a compact per-document feature table ``(idxs array<int>,
+  xs array<double>, y)`` ONCE; each gradient-descent epoch is then a
+  single map-side pass (margin + residual from a broadcast weight
+  literal, no join) feeding ONE ``groupBy(idx)`` shuffle of
+  ``(feature, partial-gradient)`` rows — the counts-shuffle-not-text
+  shape shared with BPE training (tokenizer.py).  The driver only
+  ever collects the ``dim + 1`` gradient vector per epoch (the
+  k-means-centroid pattern; ``dim`` is a few thousand, never
+  corpus-sized).
+* **The intercept is a hashed feature** (index ``dim``, x = 1.0), so
+  the bias gradient rides the same single shuffle instead of needing a
+  second aggregation pass per epoch.
+* **Scoring is map-side only**: the trained weight vector ships as a
+  plan literal; each document's score folds over its own gram array
+  with ``aggregate``/``element_at`` — zero shuffles, zero joins, zero
+  state, exactly how a fastText filter runs over 100 TB.
+
+Determinism contract (mirrored by the DuckDB oracle in queries.py):
+tokens are ``[a-z]+`` runs of the lowercased text; bigrams join
+adjacent tokens with ``_``; features are gram counts divided by the
+document's total gram count; updated weights round to 9 decimals per
+epoch so last-ulp float-sum ordering differences between engines
+cannot compound across epochs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "hashed_gram_indices",
+    "quality_clf_train",
+    "quality_clf_score",
+]
+
+
+def _token_array(text_col: str) -> Column:
+    return F.expr(
+        f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
+
+
+def _gram_array(text_col: str, *, bigrams: bool = True) -> Column:
+    """Uni(+bi)gram array of a document, fastText-style (`_`-joined
+    adjacent tokens)."""
+    t = _token_array(text_col)
+    if not bigrams:
+        return t
+    bi = F.when(
+        F.size(t) >= 2,
+        F.zip_with(
+            F.slice(t, 1, F.size(t) - 1),
+            F.slice(t, 2, F.size(t) - 1),
+            lambda a, b: F.concat(a, F.lit("_"), b)),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.concat(t, bi)
+
+
+def hashed_gram_indices(grams: Column, dim: int) -> Column:
+    """Hash every gram to a feature index in ``[0, dim)`` via the
+    engine-neutral md5 prefix (recomputable in any SQL engine as
+    ``('0x' || substr(md5(g), 1, 8))::BIGINT % dim``)."""
+    return F.transform(
+        grams,
+        lambda g: F.pmod(
+            F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long"),
+            F.lit(dim)).cast("int"))
+
+
+def _doc_features(
+    docs: DataFrame, *, text_col: str, id_col: str, label_col: str,
+    dim: int, bigrams: bool,
+) -> DataFrame:
+    """Compact per-document training rows ``(id, y, idxs, xs)`` with
+    the intercept appended as feature ``dim`` (x = 1.0).  Feature
+    values are gram counts / total grams.  Built once, persisted, and
+    reused by every epoch."""
+    grams = _gram_array(text_col, bigrams=bigrams)
+    base = (docs
+            .where(F.col(text_col).isNotNull())
+            .select(F.col(id_col).alias("_id"),
+                    F.col(label_col).cast("double").alias("_y"),
+                    hashed_gram_indices(grams, dim).alias("_gi"))
+            .where(F.size("_gi") >= 1)
+            .select("_id", "_y", F.size("_gi").alias("_ng"),
+                    F.explode("_gi").alias("_idx")))
+    counts = (base.groupBy("_id", "_idx")
+              .agg(F.count(F.lit(1)).alias("_c"),
+                   F.first("_y").alias("_y"),
+                   F.first("_ng").alias("_ng")))
+    return (counts
+            .groupBy("_id")
+            .agg(F.first("_y").alias("_y"),
+                 F.collect_list("_idx").alias("_raw_i"),
+                 F.collect_list((F.col("_c").cast("double")
+                                 / F.col("_ng")).alias("x"))
+                 .alias("_raw_x"))
+            .select(
+                "_id", "_y",
+                F.concat("_raw_i", F.array(F.lit(dim))).alias("_idxs"),
+                F.concat("_raw_x", F.array(F.lit(1.0))).alias("_xs")))
+
+
+def quality_clf_train(
+    docs: DataFrame,
+    *,
+    label_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 512,
+    epochs: int = 10,
+    lr: float = 5.0,
+    bigrams: bool = True,
+) -> list[float]:
+    """Train the hashed-n-gram logistic regression with full-batch
+    gradient descent and return the ``dim + 1`` weight vector (last
+    entry = intercept).
+
+    ``label_col`` is any 0/1 column — DCLM trains on "looks like the
+    seed corpus" labels; the gate trains on a stopword-density proxy.
+    Full-batch GD (not SGD) keeps every step a deterministic
+    aggregation, so an external SQL engine can replay training
+    exactly; per-epoch weights round to 9 decimals to absorb float-sum
+    ordering differences between engines.
+
+    Per epoch: ZERO joins — margins and residuals are map-side
+    expressions over the persisted feature table with the current
+    weights as a plan literal; the gradient is one
+    ``groupBy(feature-idx)`` whose result (``dim + 1`` rows) is the
+    only thing the driver sees."""
+    feats = _doc_features(
+        docs, text_col=text_col, id_col=id_col, label_col=label_col,
+        dim=dim, bigrams=bigrams).persist()
+    n = feats.count()
+    if n == 0:
+        feats.unpersist()
+        raise ValueError("quality_clf_train: no trainable documents "
+                         "(all texts NULL or zero grams)")
+    w = [0.0] * (dim + 1)
+    for _ in range(epochs):
+        wlit = F.lit(w)
+        margin = F.aggregate(
+            F.zip_with("_idxs", "_xs",
+                       lambda i, x: x * F.element_at(wlit, i + 1)),
+            F.lit(0.0), lambda acc, v: acc + v)
+        resid = (F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+                 - F.col("_y"))
+        grad_rows = (feats
+                     .select(resid.alias("_r"),
+                             F.explode(F.arrays_zip("_idxs", "_xs"))
+                             .alias("_z"))
+                     .groupBy(F.col("_z._idxs").alias("_idx"))
+                     .agg(F.sum(F.col("_r") * F.col("_z._xs"))
+                          .alias("_g"))
+                     .collect())
+        for row in grad_rows:
+            j = row["_idx"]
+            w[j] = round(w[j] - lr * row["_g"] / n, 9)
+    feats.unpersist()
+    return w
+
+
+def quality_clf_score(
+    docs: DataFrame,
+    weights: list[float],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bigrams: bool = True,
+    alias: str = "quality_score",
+) -> DataFrame:
+    """Score every document with a trained weight vector — map-side
+    only (weights ship as a plan literal; the score folds over the
+    document's own gram array), the deployment shape for filtering
+    100 TB behind one narrow scan.
+
+    Returns ``(id_col, alias)`` with ``alias`` = sigmoid(w . x + b).
+    Documents with zero grams score ``sigmoid(b)`` (features all
+    zero)."""
+    dim = len(weights) - 1
+    wlit = F.lit(weights)
+    grams = _gram_array(text_col, bigrams=bigrams)
+    gi = hashed_gram_indices(grams, dim)
+    acc = F.aggregate(
+        F.transform(gi, lambda i: F.element_at(wlit, i + 1)),
+        F.lit(0.0), lambda a, v: a + v)
+    ng = F.size(gi)
+    margin = (F.when(ng > 0, acc / ng).otherwise(F.lit(0.0))
+              + F.element_at(wlit, dim + 1))
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+    return docs.select(F.col(id_col), score.alias(alias))

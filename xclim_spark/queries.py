@@ -9316,6 +9316,161 @@ def dedup_components_exact_first(spark, sf_dir):
         F.count(F.lit(1)).over(w).alias("cluster_size"))
 
 
+# ---------------------------------------------------------------------------
+# Trained quality classifier (DCLM / fastText shape, llm/quality_clf.py)
+# ---------------------------------------------------------------------------
+
+_QCLF_DIM = 512
+_QCLF_EPOCHS = 10
+_QCLF_LR = 5.0
+_QCLF_TH = 0.06
+_QCLF_STOP = ("the", "and", "of", "to", "a", "in", "is", "that", "for",
+              "it")
+
+
+def _qclf_sql(final: str) -> str:
+    """DuckDB re-derivation of the ENTIRE classifier training run —
+    every CTE MATERIALIZED (DuckDB inlines plain CTEs; each epoch
+    references the previous weights twice, so inlining is
+    exponential in the epoch count) —
+    md5-prefix feature hashing, stopword-density labels, and every
+    full-batch GD epoch unrolled as a CTE layer with the same
+    9-decimal per-epoch weight rounding the Spark driver applies
+    (llm/quality_clf.py determinism contract)."""
+    stop = ", ".join(f"'{s}'" for s in _QCLF_STOP)
+    d, e, lr = _QCLF_DIM, _QCLF_EPOCHS, _QCLF_LR
+    ctes = [
+        """tk AS MATERIALIZED (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t
+  FROM documents WHERE text IS NOT NULL
+)""",
+        """gr AS MATERIALIZED (
+  SELECT doc_id, t,
+         list_concat(t, [t[i] || '_' || t[i+1]
+                         FOR i IN range(1, len(t))]) AS g
+  FROM tk WHERE len(t) >= 1
+)""",
+        f"""lab AS MATERIALIZED (
+  SELECT doc_id, len(g) AS ng, g,
+         CASE WHEN len(list_filter(t, x -> x IN ({stop})))::DOUBLE
+                   / len(t) >= {_QCLF_TH} THEN 1.0 ELSE 0.0 END AS y
+  FROM gr
+)""",
+        f"""fx AS MATERIALIZED (
+  SELECT doc_id,
+         (('0x' || substr(md5(unnest(g)), 1, 8))::BIGINT
+          % {d})::INT AS idx
+  FROM lab
+)""",
+        f"""f AS MATERIALIZED (
+  SELECT fx.doc_id, fx.idx, count(*)::DOUBLE / any_value(l.ng) AS x
+  FROM fx JOIN lab l USING (doc_id) GROUP BY fx.doc_id, fx.idx
+  UNION ALL
+  SELECT doc_id, {d} AS idx, 1.0 AS x FROM lab
+)""",
+        "nn AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM lab)",
+        f"""w0 AS MATERIALIZED (
+  SELECT unnest(range({d + 1}))::INT AS idx, 0.0 AS w
+)""",
+    ]
+    for i in range(e):
+        ctes += [
+            f"""m{i} AS MATERIALIZED (
+  SELECT f.doc_id, sum(f.x * w.w) AS mg
+  FROM f JOIN w{i} w USING (idx) GROUP BY f.doc_id
+)""",
+            f"""r{i} AS MATERIALIZED (
+  SELECT l.doc_id, 1.0 / (1.0 + exp(-m.mg)) - l.y AS r
+  FROM lab l JOIN m{i} m USING (doc_id)
+)""",
+            f"""g{i} AS MATERIALIZED (
+  SELECT f.idx, sum(r.r * f.x) AS gs
+  FROM f JOIN r{i} r USING (doc_id) GROUP BY f.idx
+)""",
+            f"""w{i + 1} AS MATERIALIZED (
+  SELECT w.idx, round(w.w - {lr} * coalesce(g.gs, 0.0) / nn.n, 9) AS w
+  FROM w{i} w LEFT JOIN g{i} g USING (idx) CROSS JOIN nn
+)""",
+        ]
+    return ("-- full GD training replay, epochs unrolled as CTE layers\n"
+            "WITH " + ",\n".join(ctes) + "\n" + final.format(wf=f"w{e}"))
+
+
+@_register(
+    "quality_clf_train",
+    _qclf_sql("""SELECT idx, round(w, 6) AS weight
+FROM {wf} WHERE round(w, 6) <> 0.0"""),
+)
+def quality_clf_train(spark, sf_dir):
+    """Distributed fastText-shape quality-classifier TRAINING
+    (llm/quality_clf.py quality_clf_train; DCLM Li et al. 2024 §4.4):
+    hashed uni+bigram features as pure expressions, full-batch
+    logistic-regression GD where each epoch is one map-side pass plus
+    one groupBy(feature) shuffle, driver traffic = the dim+1 gradient
+    per epoch.  Labels are a stopword-density proxy both engines
+    derive identically; the oracle replays every epoch in SQL."""
+    from .llm import quality_clf as qc
+
+    docs = _read(spark, sf_dir, "documents")
+    t = F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+    labeled = (docs.where(F.col("text").isNotNull())
+               .withColumn("_t", t).where(F.size("_t") >= 1)
+               .withColumn(
+                   "label",
+                   (F.size(F.filter(
+                       F.col("_t"),
+                       lambda x: x.isin(*_QCLF_STOP))).cast("double")
+                    / F.size("_t") >= F.lit(_QCLF_TH)).cast("int")))
+    w = qc.quality_clf_train(
+        labeled, label_col="label", dim=_QCLF_DIM, epochs=_QCLF_EPOCHS,
+        lr=_QCLF_LR)
+    rows = [(j, round(wj, 6)) for j, wj in enumerate(w)
+            if round(wj, 6) != 0.0]
+    return spark.createDataFrame(rows, "idx INT, weight DOUBLE")
+
+
+@_register(
+    "quality_clf_score",
+    _qclf_sql("""SELECT l.doc_id,
+       round(1.0 / (1.0 + exp(-m.mg)), 6) AS quality_score,
+       round(1.0 / (1.0 + exp(-m.mg)), 6) >= 0.5 AS keep
+FROM lab l
+JOIN (SELECT f.doc_id, sum(f.x * w.w) AS mg
+      FROM f JOIN {wf} w USING (idx) GROUP BY f.doc_id) m
+USING (doc_id)"""),
+)
+def quality_clf_score(spark, sf_dir):
+    """Train-then-score: the trained weight vector ships as a plan
+    literal and every document scores MAP-SIDE by folding over its own
+    gram array (llm/quality_clf.py quality_clf_score) — zero joins,
+    zero shuffles in the scoring pass, the shape a 100 TB filter scan
+    needs.  The oracle replays training and scores via the feature
+    table instead; the two formulations are algebraically identical
+    (sum over occurrences of w/ng = sum over distinct features of
+    x*w)."""
+    from .llm import quality_clf as qc
+
+    docs = _read(spark, sf_dir, "documents")
+    t = F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+    labeled = (docs.where(F.col("text").isNotNull())
+               .withColumn("_t", t).where(F.size("_t") >= 1)
+               .withColumn(
+                   "label",
+                   (F.size(F.filter(
+                       F.col("_t"),
+                       lambda x: x.isin(*_QCLF_STOP))).cast("double")
+                    / F.size("_t") >= F.lit(_QCLF_TH)).cast("int")))
+    w = qc.quality_clf_train(
+        labeled, label_col="label", dim=_QCLF_DIM, epochs=_QCLF_EPOCHS,
+        lr=_QCLF_LR)
+    scored = qc.quality_clf_score(
+        labeled.select("doc_id", "text"), w)
+    return scored.select(
+        "doc_id",
+        F.round("quality_score", 6).alias("quality_score"),
+        (F.round("quality_score", 6) >= 0.5).alias("keep"))
+
+
 # The driver's correctness harness evaluates queries in dict order and
 # records the first ~50 per round.
 # Ordering rule (standing, tested in tests/test_queries_meta.py): queries
@@ -9323,6 +9478,9 @@ def dedup_components_exact_first(spark, sf_dir):
 # list each round), then queries whose last driver-green row is oldest.
 # Regenerate each round with tools/rotate_priority.py — do not hand-edit.
 _PRIORITY = [
+    # -- additions with no driver row yet (the ordering rule
+    #    requires these inside the sampled head) --
+    "quality_clf_score", "quality_clf_train",
     # -- newest driver-green row: round 11 --
     "stream_dedup_watermark", "kmeans_step_centroids", "knn_ivf_trained_docs",
     "ind_tg90p_ys", "ind_heat_wave_freq_ys", "ind_hot_spell_freq_ys",
