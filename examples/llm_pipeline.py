@@ -57,10 +57,11 @@ def main(sf_dir: str) -> None:
         .drop("key", "maybe_member")
     n0b = docs.count()
 
-    # 1. near-dup clusters: MinHash+LSH pair candidates, exact-Jaccard
-    #    verified, closed into components; keep the canonical (min id)
-    pairs = dd.near_duplicates(docs, threshold=0.6, num_perm=32, bands=16)
-    comp = dd.connected_components(pairs)
+    # 1. near-dup clusters via the production front door (exact dedup
+    #    first, MinHash only on exemplars — clone groups never emit
+    #    quadratic pair lists); keep the canonical (min id)
+    comp = dd.near_dup_components(docs, threshold=0.6, num_perm=32,
+                                  bands=16)
     drop = comp.filter(F.col("id") != F.col("component")) \
         .select(F.col("id").alias("doc_id"))
     docs = docs.join(F.broadcast(drop), on="doc_id", how="left_anti")
@@ -90,6 +91,26 @@ def main(sf_dir: str) -> None:
         .select("doc_id")
     docs = docs.join(keep, on="doc_id", how="left_semi")
     n3b = docs.count()
+
+    # 3c. trained quality classifier (DCLM/fastText shape): hashed
+    #     n-gram logistic regression on a stopword-density proxy label,
+    #     scored map-side from the plan-literal weight vector
+    from xclim_spark.llm import quality_clf as qc
+
+    stop = ("the", "and", "of", "to", "a", "in", "is", "that", "for",
+            "it")
+    toks = F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+    labeled = docs.withColumn("_t", toks).filter(F.size("_t") >= 1) \
+        .withColumn("label",
+                    (F.size(F.filter(F.col("_t"),
+                                     lambda x: x.isin(*stop)))
+                     .cast("double") / F.size("_t") >= 0.06).cast("int"))
+    wts = qc.quality_clf_train(labeled, label_col="label", dim=256,
+                               epochs=6)
+    keep_q = qc.quality_clf_score(docs, wts) \
+        .filter("quality_score >= 0.4").select("doc_id")
+    docs = docs.join(F.broadcast(keep_q), on="doc_id", how="left_semi")
+    n3c = docs.count()
 
     # 4. exact duplicate-substring spans (Lee et al. 2022): drop docs
     #    whose duplicated span covers most of their text (here: any
@@ -133,6 +154,7 @@ def main(sf_dir: str) -> None:
     print(f"after decontam      : {n2}")
     print(f"after quality filter: {n3}")
     print(f"after ppl filter    : {n3b}")
+    print(f"after quality clf   : {n3c}")
     print(f"after substr dedup  : {n4}")
     print(f"docs with PII hits  : {n5}")
     print(f"after mixture       : {n6}")

@@ -714,3 +714,138 @@ def test_canonicalize_url_matches_bruteforce(spark, seed):
         "i", canonicalize_url("url").alias("c")).collect()}
     for i, u in enumerate(urls):
         assert got[i] == ref(u), (u, got[i], ref(u))
+
+
+@given(seed=st.integers(0, 2**32 - 1))
+@settings(max_examples=5, deadline=None)
+def test_bloom_lm_bpe_chain_matches_bruteforce(spark, seed):
+    """The ingest-chain COMPOSITION from examples/llm_pipeline.py —
+    Bloom cross-snapshot screen -> LM-perplexity bucket filter -> BPE
+    training + exact token accounting — against composing the
+    pure-Python references stage by stage.  The Bloom stage asserts
+    the no-false-negative contract (every snapshot member MUST drop);
+    the survivor set then feeds both engines so any drift in the
+    intermediate representation (tokenization, bucket boundaries,
+    NULL-bucket handling) surfaces as a merge-table or token-count
+    mismatch downstream."""
+    import math
+
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from xclim_spark.llm import bloom as bl
+    from xclim_spark.llm.lm import (BACKOFF_ALPHA, lm_buckets, lm_score,
+                                    lm_train_counts)
+    from xclim_spark.llm.tokenizer import bpe_encode_counts, bpe_train
+    from tests.test_llm import _ref_bpe
+
+    rng = np.random.RandomState(seed)
+    vocab = ["aa", "bb", "ab", "ba", "abab"]
+    docs = []
+    for i in range(rng.randint(8, 17)):
+        L = rng.randint(0, 9)
+        docs.append((i, " ".join(rng.choice(vocab, L))))
+    snap_texts = {t for i, t in docs if i % 3 == 0}
+    num_merges = int(rng.randint(1, 7))
+
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+
+    # --- stage 1: Bloom screen (Spark), no-false-negative contract ---
+    nb, nh = bl.bloom_parameters(max(len(snap_texts), 1), 0.001)
+    snap = df.filter(F.col("doc_id") % 3 == 0) \
+        .select(F.md5("text").alias("key"))
+    dense = bl.bloom_dense(
+        bl.bloom_build(snap, key_col="key", num_bits=nb, num_hashes=nh),
+        num_bits=nb)
+    surv_rows = (bl.bloom_probe(df.withColumn("key", F.md5("text")),
+                                dense, key_col="key", num_bits=nb,
+                                num_hashes=nh)
+                 .filter(~F.coalesce("maybe_member", F.lit(False)))
+                 .select("doc_id", "text").collect())
+    surv = sorted((r["doc_id"], r["text"]) for r in surv_rows)
+    for did, t in surv:
+        assert t not in snap_texts          # no false negatives
+    if not surv:
+        return
+
+    sdf = spark.createDataFrame(surv, "doc_id LONG, text STRING")
+
+    # --- stage 2: LM bucket filter, Spark vs pure-Python ---
+    U, B = {}, {}
+    for _, t in surv:
+        ws = t.split()
+        for w in ws:
+            U[w] = U.get(w, 0) + 1
+        for a, b in zip(ws, ws[1:]):
+            B[(a, b)] = B.get((a, b), 0) + 1
+    T, V = sum(U.values()), len(U)
+    if T == 0:
+        return                               # model undefined
+
+    def ref_ppl(t):
+        ws = t.split()
+        if not ws:
+            return None
+        lps = []
+        prev = None
+        for w in ws:
+            if prev is not None and (prev, w) in B:
+                lps.append(math.log(B[(prev, w)] / U[prev]))
+            else:
+                lps.append(math.log(
+                    BACKOFF_ALPHA * (U.get(w, 0) + 0.5)
+                    / (T + 0.5 * V)))
+            prev = w
+        avg = round(sum(lps) / len(lps), 6)
+        return round(math.exp(-avg), 4)
+
+    ppls = [(did, ref_ppl(t)) for did, t in surv]
+    eligible = sorted(((p, d) for d, p in ppls if p is not None))
+    n, k = len(eligible), 3
+    base, rem = divmod(n, k)
+    ref_bucket = {}
+    pos = 0
+    for b in range(1, k + 1):
+        size = base + (1 if b <= rem else 0)
+        for _p, d in eligible[pos:pos + size]:
+            ref_bucket[d] = b
+        pos += size
+    ref_kept = sorted(d for d, p in ppls
+                      if p is None or ref_bucket[d] <= 2)
+
+    uni, big, sc = lm_train_counts(sdf)
+    bucketed = lm_buckets(lm_score(sdf, uni, big, sc))
+    got_kept = sorted(
+        r["doc_id"] for r in bucketed
+        .filter("ppl_bucket <= 2 OR ppl_bucket IS NULL").collect())
+    assert got_kept == ref_kept
+
+    # --- stage 3: BPE train + exact accounting on the kept docs ---
+    kept_texts = dict(surv)
+    kept = [(d, kept_texts[d]) for d in ref_kept]
+    ref_merges, _ = _ref_bpe([t for _, t in kept], num_merges)
+    kdf = spark.createDataFrame(kept, "doc_id LONG, text STRING")
+    got_merges = bpe_train(kdf, num_merges=num_merges)
+    assert got_merges == ref_merges
+
+    def ref_encode(word, merges):
+        # _ref_bpe's convention: Sennrich symbols are chars + '</w>',
+        # greedy left-fold per merge in learned order
+        syms = list(word) + ["</w>"]
+        for a, b in [(m[0], m[1]) for m in merges]:
+            out = []
+            for x in syms:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            syms = out
+        return syms
+
+    ref_counts = {d: sum(len(ref_encode(w, ref_merges))
+                         for w in t.split())
+                  for d, t in kept}
+    got_counts = {r["doc_id"]: r["n_tokens"]
+                  for r in bpe_encode_counts(kdf, got_merges).collect()}
+    assert got_counts == ref_counts

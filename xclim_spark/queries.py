@@ -5412,6 +5412,41 @@ def knn_ivfpq_docs(spark, sf_dir):
     q = e.filter(vid % 100 == 0)
     out = knn_ivfpq(e, q, cents, books, k=5, nprobe=4, shortlist=40)
     return out.withColumn("cos_sim", F.round("cos_sim", 6)) \
+        .withColumn("rank", F.col("rank").cast("long"))
+
+
+@_register("knn_ivfpq_fixedq_docs",
+           _IVFPQ_BRUTE_SQL.replace("WHERE vec_id % 100 = 0",
+                                    "WHERE vec_id < 400"))
+def knn_ivfpq_fixedq_docs(spark, sf_dir):
+    """knn_ivfpq_docs with the QUERY SET PINNED (vec_id < 400 — the
+    same 400 queries at every scale point, vs the %100 sample that
+    grows with the corpus).  Exists for the scale rehearsal: with
+    queries AND corpus both growing 10x the neutral brute-force
+    expectation is ~100x, so the rehearsal's x10 conflates the two
+    axes; this gate isolates the per-10x-CORPUS exponent (VERDICT r14
+    ask #6).  Same blob decoration and brute-force oracle as
+    knn_ivfpq_docs."""
+    from .llm.similarity import kmeans_fit, knn_ivfpq, pq_fit
+
+    e0 = _read(spark, sf_dir, "embeddings")
+    vid = F.col("vec_id")
+    e = e0.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x, i: x + ((((vid % 50) * 7 + i * 13) % 53)
+                              % 11 - 5).cast("double"),
+        ).alias("embedding"))
+    cents_np = kmeans_fit(e, 10, iters=1)
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in cents_np[i]])
+         for i in range(cents_np.shape[0])],
+        "vec_id LONG, embedding ARRAY<DOUBLE>")
+    books = pq_fit(e, m=8, ks=16, iters=2)
+    q = e.filter(vid < 400)
+    out = knn_ivfpq(e, q, cents, books, k=5, nprobe=4, shortlist=40)
+    return out.withColumn("cos_sim", F.round("cos_sim", 6)) \
               .withColumn("rank", F.col("rank").cast("long"))
 
 
