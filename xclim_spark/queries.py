@@ -9515,7 +9515,7 @@ def quality_clf_score(spark, sf_dir):
 _PRIORITY = [
     # -- additions with no driver row yet (the ordering rule
     #    requires these inside the sampled head) --
-    "quality_clf_score", "quality_clf_train",
+    "quality_clf_score", "quality_clf_train", "knn_ivfpq_fixedq_docs",
     # -- newest driver-green row: round 11 --
     "stream_dedup_watermark", "kmeans_step_centroids", "knn_ivf_trained_docs",
     "ind_tg90p_ys", "ind_heat_wave_freq_ys", "ind_hot_spell_freq_ys",
