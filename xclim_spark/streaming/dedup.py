@@ -349,16 +349,21 @@ def streaming_near_dedup(
                         "degenerate band key; widen bands/rows or "
                         "shorten the delay")
                 best = None
-                for eid in (*e_doc[lo:hi], *added):
-                    eid = int(eid)
-                    if eid == rid or (best is not None
-                                      and eid >= best):
+                # ascending id order + break at the first hit == the
+                # minimum matching id, but a clone-heavy bucket (the
+                # sf10 rehearsal: 100 exact copies of every text) now
+                # costs ONE verify per row instead of a full scan —
+                # the previous all-entries sweep was measured >60 min
+                # per sf10 replay (quadratic in clone count per bucket)
+                for eid in sorted({*map(int, e_doc[lo:hi]), *added}):
+                    if eid == rid:
                         continue
                     ok = verdict.get(eid)
                     if ok is None:
                         ok = verdict[eid] = _verify(rhs, eid)
                     if ok:
                         best = eid
+                        break
                 out_id.append(rid)
                 out_us.append(rus)
                 out_band.append(ck >> 44)
