@@ -7964,16 +7964,26 @@ def stream_text_quality(spark, sf_dir):
 
 
 def _stage_stream_docs(sf_dir: str) -> str:
-    """Stage the documents table as four parquet files in doc_id order
-    (ts = 2024-01-01 + doc_id minutes; built once per sf and cached) —
-    the replay substrate of the streaming dedup gates.  Files are
-    written in id order so FileStreamSource's mtime ordering replays
-    the corpus as four genuine micro-batches; near-dup pairs straddling
-    a file boundary must flow through the carried band-bucket state."""
+    """Stage the documents table as parquet files in doc_id order
+    (ts = 2024-01-01 + doc_id minutes; built once per (sf, file count)
+    and cached) — the replay substrate of the streaming dedup gates.
+    Files are written in id order so FileStreamSource's mtime ordering
+    replays the corpus as genuine micro-batches; near-dup pairs
+    straddling a file boundary must flow through the carried
+    band-bucket state.
+
+    Default 4 files (the gate shape at sf0.01).
+    ``$XCLIM_SPARK_STREAM_FILES`` overrides the count — the SCALE
+    rehearsal uses it to keep the PER-MICRO-BATCH size constant as the
+    corpus grows (the production arrival shape): replaying a 100x
+    corpus through the same 4 giant batches makes in-batch state
+    O(corpus/4), which measures the replay harness, not the operator's
+    O(rate x window) bound."""
     import hashlib
     import os
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    nfiles = max(int(os.environ.get("XCLIM_SPARK_STREAM_FILES", "4")), 1)
+    tag = hashlib.md5(f"{sf_dir}|{nfiles}".encode()).hexdigest()[:10]
     root = f"/tmp/xclim_spark_streamdocs_{tag}"
     done = os.path.join(root, "_done")
     if not os.path.exists(done):
@@ -7981,15 +7991,15 @@ def _stage_stream_docs(sf_dir: str) -> str:
 
         os.makedirs(root, exist_ok=True)
         con = duckdb.connect()
-        for k in range(4):
+        for k in range(nfiles):
             con.execute(
                 f"""COPY (SELECT doc_id,
                                  TIMESTAMP '2024-01-01'
                                    + INTERVAL (doc_id) MINUTE AS ts,
                                  text
                           FROM (SELECT doc_id, text,
-                                       ntile(4) OVER (ORDER BY doc_id)
-                                         AS q
+                                       ntile({nfiles})
+                                         OVER (ORDER BY doc_id) AS q
                                 FROM '{sf_dir}/documents.parquet')
                           WHERE q = {k + 1} ORDER BY doc_id)
                     TO '{root}/part_{k}.parquet' (FORMAT PARQUET)""")
