@@ -14,11 +14,12 @@ Scale design:
   hash is engine-neutral (md5 is universal), so DuckDB/Trino can
   re-derive every feature index bit-for-bit — same rationale as
   ``dedup.md5_hash60``.
-* **Training never shuffles text.**  One explode + two groupBys build
-  a compact per-document feature table ``(idxs array<int>,
-  xs array<double>, y)`` ONCE; each gradient-descent epoch is then a
-  single map-side pass (margin + residual from a broadcast weight
-  literal, no join) feeding ONE ``groupBy(idx)`` shuffle of
+* **Training never shuffles text.**  One explode + one groupBy builds
+  the exploded feature table ``(_id, _y, _idx, _x)`` ONCE, hash
+  partitioned on the document id and persisted; each gradient-descent
+  epoch is then pure codegen over that layout — a per-document margin
+  aggregation (reuses the persisted partitioning), a co-partitioned
+  residual join, and ONE ``groupBy(idx)`` shuffle of
   ``(feature, partial-gradient)`` rows — the counts-shuffle-not-text
   shape shared with BPE training (tokenizer.py).  The driver only
   ever collects the ``dim + 1`` gradient vector per epoch (the
@@ -88,10 +89,16 @@ def _doc_features(
     docs: DataFrame, *, text_col: str, id_col: str, label_col: str,
     dim: int, bigrams: bool,
 ) -> DataFrame:
-    """Compact per-document training rows ``(id, y, idxs, xs)`` with
+    """Exploded per-document feature rows ``(_id, _y, _idx, _x)`` with
     the intercept appended as feature ``dim`` (x = 1.0).  Feature
-    values are gram counts / total grams.  Built once, persisted, and
-    reused by every epoch."""
+    values are gram counts / total grams.  The table is HASH
+    PARTITIONED ON the document id before persisting, so every epoch's
+    per-document margin aggregation reuses the persisted layout and
+    the residual-to-feature join is co-partitioned: at gate scale AQE
+    broadcasts the (small) residual side, at corpus scale it falls
+    back to an exchange-free sort-merge on the shared layout — either
+    way the feature table itself never reshuffles, and the only
+    per-epoch wide shuffle is the dim-sized gradient combine."""
     grams = _gram_array(text_col, bigrams=bigrams)
     base = (docs
             .where(F.col(text_col).isNotNull())
@@ -100,22 +107,23 @@ def _doc_features(
                     hashed_gram_indices(grams, dim).alias("_gi"))
             .where(F.size("_gi") >= 1)
             .select("_id", "_y", F.size("_gi").alias("_ng"),
-                    F.explode("_gi").alias("_idx")))
+                    F.explode(F.concat(
+                        "_gi", F.array(F.lit(-1).cast("int"))))
+                    .alias("_idx")))
+    # _idx = -1 marks the appended intercept slot: it becomes feature
+    # `dim` with x = 1.0 (not count-normalized)
     counts = (base.groupBy("_id", "_idx")
               .agg(F.count(F.lit(1)).alias("_c"),
                    F.first("_y").alias("_y"),
                    F.first("_ng").alias("_ng")))
-    return (counts
-            .groupBy("_id")
-            .agg(F.first("_y").alias("_y"),
-                 F.collect_list("_idx").alias("_raw_i"),
-                 F.collect_list((F.col("_c").cast("double")
-                                 / F.col("_ng")).alias("x"))
-                 .alias("_raw_x"))
-            .select(
-                "_id", "_y",
-                F.concat("_raw_i", F.array(F.lit(dim))).alias("_idxs"),
-                F.concat("_raw_x", F.array(F.lit(1.0))).alias("_xs")))
+    return (counts.select(
+        "_id", "_y",
+        F.when(F.col("_idx") < 0, F.lit(dim)).otherwise(F.col("_idx"))
+        .alias("_idx"),
+        F.when(F.col("_idx") < 0, F.lit(1.0))
+        .otherwise(F.col("_c").cast("double") / F.col("_ng"))
+        .alias("_x"))
+        .repartition("_id"))
 
 
 def quality_clf_train(
@@ -140,15 +148,16 @@ def quality_clf_train(
     exactly; per-epoch weights round to 9 decimals to absorb float-sum
     ordering differences between engines.
 
-    Per epoch: ZERO joins — margins and residuals are map-side
-    expressions over the persisted feature table with the current
-    weights as a plan literal; the gradient is one
-    ``groupBy(feature-idx)`` whose result (``dim + 1`` rows) is the
-    only thing the driver sees."""
+    Per epoch (all codegen — no interpreted higher-order functions in
+    the hot path): one per-document aggregation over the persisted
+    doc-partitioned feature table with the current weights as a plan
+    literal, one co-partitioned residual join, and one
+    ``groupBy(feature-idx)`` gradient combine whose ``dim + 1`` rows
+    are the only thing the driver sees."""
     feats = _doc_features(
         docs, text_col=text_col, id_col=id_col, label_col=label_col,
         dim=dim, bigrams=bigrams).persist()
-    n = feats.count()
+    n = feats.where(F.col("_idx") == dim).count()  # one row per doc
     if n == 0:
         feats.unpersist()
         raise ValueError("quality_clf_train: no trainable documents "
@@ -156,19 +165,22 @@ def quality_clf_train(
     w = [0.0] * (dim + 1)
     for _ in range(epochs):
         wlit = F.lit(w)
-        margin = F.aggregate(
-            F.zip_with("_idxs", "_xs",
-                       lambda i, x: x * F.element_at(wlit, i + 1)),
-            F.lit(0.0), lambda acc, v: acc + v)
-        resid = (F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
-                 - F.col("_y"))
-        grad_rows = (feats
-                     .select(resid.alias("_r"),
-                             F.explode(F.arrays_zip("_idxs", "_xs"))
-                             .alias("_z"))
-                     .groupBy(F.col("_z._idxs").alias("_idx"))
-                     .agg(F.sum(F.col("_r") * F.col("_z._xs"))
-                          .alias("_g"))
+        # margin + residual: exchange-free (feats is persisted hash-
+        # partitioned on _id), pure codegen — no interpreted
+        # higher-order functions in the 10x-per-epoch hot path
+        resid = (feats.groupBy("_id")
+                 .agg(F.sum(F.col("_x")
+                            * F.element_at(wlit, F.col("_idx") + 1))
+                      .alias("_m"),
+                      F.first("_y").alias("_y"))
+                 .select("_id",
+                         (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("_m")))
+                          - F.col("_y")).alias("_r")))
+        # co-partitioned join (same _id hash layout), then the only
+        # real shuffle of the epoch: dim+1 gradient partials
+        grad_rows = (feats.join(resid, "_id")
+                     .groupBy("_idx")
+                     .agg(F.sum(F.col("_r") * F.col("_x")).alias("_g"))
                      .collect())
         for row in grad_rows:
             j = row["_idx"]
