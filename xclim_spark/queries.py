@@ -9523,26 +9523,6 @@ def quality_clf_score(spark, sf_dir):
 # list each round), then queries whose last driver-green row is oldest.
 # Regenerate each round with tools/rotate_priority.py — do not hand-edit.
 _PRIORITY = [
-    # -- additions with no driver row yet (the ordering rule
-    #    requires these inside the sampled head) --
-    "quality_clf_score", "quality_clf_train", "knn_ivfpq_fixedq_docs",
-    # -- newest driver-green row: round 11 --
-    "stream_dedup_watermark", "kmeans_step_centroids", "knn_ivf_trained_docs",
-    "ind_tg90p_ys", "ind_heat_wave_freq_ys", "ind_hot_spell_freq_ys",
-    "ind_hot_spell_maxlen_ys", "ind_dry_spell_freq_ys", "ind_mcdd_ys",
-    "ind_wetdays_ms", "mv_revenue_nation_ms", "text_stats_lang",
-    "boot_csdi_ys", "nc3_cal360_monthly", "user_sessions",
-    "conv_heat_index_ms", "conv_dewpoint_rh_ms", "conv_spec_humidity_ms",
-    "conv_wind_dir_ms", "conv_vpd_ms", "conv_pet_ms", "agro_pet_tw48_ms",
-    "agro_pet_da02_ms", "hydro_sen_slope_qs", "agro_huglin_jones_ys",
-    "ind_warm_freq_ys", "dataset_bucketed_reuse", "dedup_components",
-    "fit_pearson3_ms", "fa_weibull_rp", "stream_events_table",
-    "nc3_subdaily_ingest", "fa_low_flow_7q10", "ind_api_ms",
-    "keep_longest_run_stats", "rle_stamped_ms", "first_day_reached_ys",
-    "agg_between_doys_ys", "suspicious_runs_ys", "missing_two_steps_ys",
-    "last_spell_end_before_jul", "daily_events_bnds_qs",
-    "ens_filters_pipeline", "zarr3_ingest_ms", "stream_user_sessions",
-    "stream_p90_days_over", "nc3_ingest_ms",
     # -- newest driver-green row: round 12 --
     "dedup_span_removal", "mm_image_dims", "stream_dedup_fuzzy",
     "text_gopher_flags", "zarr_consolidated_ingest_ms", "hourly_tas_mean_ms",
@@ -9592,6 +9572,24 @@ _PRIORITY = [
     "ind_tg_mean_ms", "ind_tg_mean_masked_ms", "ind_tx_days_above_ms",
     "ind_frost_days_ys", "ind_gdd_ys", "dedup_semantic", "text_pii_scrub",
     "dedup_substring_spans",
+    # -- newest driver-green row: round 15 --
+    "quality_clf_score", "quality_clf_train", "knn_ivfpq_fixedq_docs",
+    "stream_dedup_watermark", "kmeans_step_centroids", "knn_ivf_trained_docs",
+    "ind_tg90p_ys", "ind_heat_wave_freq_ys", "ind_hot_spell_freq_ys",
+    "ind_hot_spell_maxlen_ys", "ind_dry_spell_freq_ys", "ind_mcdd_ys",
+    "ind_wetdays_ms", "mv_revenue_nation_ms", "text_stats_lang",
+    "boot_csdi_ys", "nc3_cal360_monthly", "user_sessions",
+    "conv_heat_index_ms", "conv_dewpoint_rh_ms", "conv_spec_humidity_ms",
+    "conv_wind_dir_ms", "conv_vpd_ms", "conv_pet_ms", "agro_pet_tw48_ms",
+    "agro_pet_da02_ms", "hydro_sen_slope_qs", "agro_huglin_jones_ys",
+    "ind_warm_freq_ys", "dataset_bucketed_reuse", "dedup_components",
+    "fit_pearson3_ms", "fa_weibull_rp", "stream_events_table",
+    "nc3_subdaily_ingest", "fa_low_flow_7q10", "ind_api_ms",
+    "keep_longest_run_stats", "rle_stamped_ms", "first_day_reached_ys",
+    "agg_between_doys_ys", "suspicious_runs_ys", "missing_two_steps_ys",
+    "last_spell_end_before_jul", "daily_events_bnds_qs",
+    "ens_filters_pipeline", "zarr3_ingest_ms", "stream_user_sessions",
+    "stream_p90_days_over", "nc3_ingest_ms",
 ]
 
 
