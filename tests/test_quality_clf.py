@@ -100,3 +100,53 @@ def test_score_zero_gram_doc_gets_intercept_only(spark):
            for r in qc.quality_clf_score(docs, w).collect()}
     b = w[DIM]
     assert got[99] == pytest.approx(1.0 / (1.0 + math.exp(-b)), abs=1e-12)
+
+
+UNICODE_CORPUS = [
+    (0, "The QUICK Brown FOX — naïve café RÉSUMÉ über straße", 1),
+    (1, None, 0),
+    (2, "", 0),
+    (3, "İstanbul KK kelvin-sign and DOTTED İ edge cases", 1),
+    (4, "plain lowercase words repeat repeat repeat", 0),
+    (5, "MiXeD CaSe BiGrAm BoUnDaRiEs 123 separated456by789digits", 1),
+    (6, "  nbsp separated words and\ttabs\nnewlines", 0),
+    (7, "a", 1),                       # single token: no bigrams
+    (8, "zz " * 500, 0),               # clone-heavy: cache hits
+]
+
+
+def test_score_arrow_matches_column_twin(spark):
+    """The vectorized Arrow scorer and the pure-Column fold are the
+    same function: identical scores on mixed-case/Unicode/NULL
+    fixtures (tokenizer divergence between Python re/str.lower and JVM
+    regexp_extract_all/lower would show up here)."""
+    docs = spark.createDataFrame(
+        [(i, t) for i, t, _ in UNICODE_CORPUS],
+        "doc_id LONG, text STRING")
+    w = _np_train(CORPUS).tolist()
+    got_arrow = {r["doc_id"]: r["quality_score"]
+                 for r in qc.quality_clf_score(
+                     docs, w, arrow=True).collect()}
+    got_col = {r["doc_id"]: r["quality_score"]
+               for r in qc.quality_clf_score(
+                   docs, w, arrow=False).collect()}
+    assert set(got_arrow) == set(got_col) == {i for i, _, _ in
+                                              UNICODE_CORPUS}
+    for did in got_col:
+        assert got_arrow[did] == pytest.approx(got_col[did], abs=1e-12)
+
+
+def test_score_arrow_matches_numpy_reference(spark):
+    docs = spark.createDataFrame(
+        CORPUS, "doc_id LONG, text STRING, label INT")
+    w = qc.quality_clf_train(
+        docs, label_col="label", dim=DIM, epochs=EPOCHS, lr=LR)
+    scored = {r["doc_id"]: r["quality_score"]
+              for r in qc.quality_clf_score(docs, w, arrow=True)
+              .collect()}
+    wv = np.array(w)
+    for did, text, _y in CORPUS:
+        xs = _np_feats(text)
+        m = sum(x * wv[j] for j, x in xs.items())
+        want = 1.0 / (1.0 + math.exp(-m))
+        assert scored[did] == pytest.approx(want, abs=1e-9)

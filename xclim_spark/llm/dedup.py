@@ -1267,7 +1267,12 @@ def near_dup_components(
 def near_dup_components_exact_first(docs: DataFrame, **kwargs) -> DataFrame:
     """Back-compat alias for :func:`near_dup_components` (the exact-
     dedup-first composition is now the default entry point)."""
-    kwargs.pop("naive", None)
+    if "naive" in kwargs:
+        raise TypeError(
+            "near_dup_components_exact_first() is the exact-first "
+            "composition by definition and does not accept 'naive'; "
+            "call near_dup_components(naive=True) for the pair-graph "
+            "closure path")
     return near_dup_components(docs, naive=False, **kwargs)
 
 

@@ -868,7 +868,15 @@ def cffwis_indices(
             tail_mask = np.ones(len(whole), dtype=bool)
             last = whole.iloc[-1]
             for c in cells_l:
-                tail_mask &= whole[c].to_numpy() == last[c]
+                v = whole[c]
+                lv = last[c]
+                # null-aware: a NaN/null cell key never ==-matches
+                # itself, which would split that cell across chunks and
+                # silently restart the FWI recursion mid-series
+                if pd.isna(lv):
+                    tail_mask &= v.isna().to_numpy()
+                else:
+                    tail_mask &= (v == lv).fillna(False).to_numpy()
             cut = len(whole) - int(tail_mask.sum())
             if cut == 0:
                 # one cell larger than the chunk target still in flight
