@@ -229,6 +229,19 @@ def test_session_helper_reuses_active_and_documents_config(spark):
     # mistyped kwargs fail loudly instead of becoming bogus conf keys
     with pytest.raises(TypeError, match="app_name"):
         session(app_name="oops")
+    # the stateful-streaming tier's state-store defaults stay
+    # importable for spark-submit --conf reuse, and the provider is
+    # the RocksDB class shipped with the Spark distribution
+    from xclim_spark.session import STREAMING_RECOMMENDED
+
+    prov = STREAMING_RECOMMENDED[
+        "spark.sql.streaming.stateStore.providerClass"]
+    assert prov.endswith("RocksDBStateStoreProvider")
+    assert all(isinstance(k, str) and isinstance(v, str)
+               for k, v in STREAMING_RECOMMENDED.items())
+    # the provider class must actually resolve in this Spark build
+    jvm = spark._jvm
+    jvm.java.lang.Class.forName(prov)  # raises if absent
 
 
 def test_zarr_v3_read(spark, tmp_path):

@@ -31,13 +31,54 @@ Why these defaults:
 * ``spark.sql.parquet.aggregatePushdown``: count/min/max push to
   parquet footers — the dataset-statistics paths (datachecks, missing
   masks' probe queries) read no row data at all.
+
+Stateful-streaming defaults (:data:`STREAMING_RECOMMENDED`, merged by
+``session(streaming=True)``):
+
+* ``spark.sql.streaming.stateStore.providerClass`` = RocksDB: the
+  default HDFS-backed provider keeps EVERY key's state as
+  deserialized JVM-heap objects and rewrites the full state map into
+  one snapshot blob per partition per micro-batch — profiled in r13
+  as the single-threaded ~20 GB-RSS wall behind the streaming
+  near-dedup state hog, and re-measured r16 (see PLANS.md: on a
+  10-batch sf1 near-dedup replay the blob write path dominates batch
+  time once per-partition state passes ~10^5 keys).  RocksDB keeps
+  state off-heap with incremental compaction, so per-batch cost
+  follows the CHANGED keys, not total state — at 100 TB the
+  watermark-window state of the dedup/session operators is orders of
+  magnitude larger than any heap.
+* ``...rocksdb.changelogCheckpointing.enabled``: checkpoint the
+  per-batch changelog instead of uploading a full snapshot per batch
+  — same changed-keys-not-total-state argument, for the checkpoint
+  upload path.
+* ``spark.sql.shuffle.partitions`` is ALSO the state-store partition
+  count and is frozen into the checkpoint at first start (Spark
+  refuses to restart a stateful query under a different count).  Size
+  it for the TARGET state, not the first day's: state_bytes /
+  partitions must fit an executor's RocksDB working set; the helper's
+  2x-cores local default is fine for rehearsal but a 100 TB
+  deployment should start high (e.g. 2000) and let AQE coalesce the
+  stateless stages around it.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import SparkSession
 
-__all__ = ["session", "RECOMMENDED"]
+__all__ = ["session", "RECOMMENDED", "STREAMING_RECOMMENDED"]
+
+#: Extra defaults for stateful Structured Streaming deployments
+#: (rationale in the module docstring).  Session-level SQL confs —
+#: settable at runtime via ``spark.conf.set`` too, but the provider
+#: is read at STREAM START and the partition count is frozen into the
+#: checkpoint, so set them before the first ``start()``.
+STREAMING_RECOMMENDED: dict[str, str] = {
+    "spark.sql.streaming.stateStore.providerClass":
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    "spark.sql.streaming.stateStore.rocksdb."
+    "changelogCheckpointing.enabled": "true",
+}
 
 RECOMMENDED: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
@@ -54,6 +95,8 @@ RECOMMENDED: dict[str, str] = {
 def session(
     app: str = "xclim_spark",
     master: str | None = None,
+    *,
+    streaming: bool = False,
     **overrides: str,
 ) -> SparkSession:
     """Build (or reuse) a SparkSession with the engine's recommended
@@ -77,6 +120,8 @@ def session(
     if master:
         b = b.master(master)
     conf = dict(RECOMMENDED)
+    if streaming:
+        conf.update(STREAMING_RECOMMENDED)
     if master and master.startswith("local"):
         import os
 
