@@ -849,3 +849,91 @@ def test_bloom_lm_bpe_chain_matches_bruteforce(spark, seed):
     got_counts = {r["doc_id"]: r["n_tokens"]
                   for r in bpe_encode_counts(kdf, got_merges).collect()}
     assert got_counts == ref_counts
+
+
+@given(seed=st.integers(0, 2**32 - 1))
+@settings(max_examples=10, deadline=None)
+def test_clf_score_mixture_chain_matches_bruteforce(spark, seed):
+    """The DCLM curation-chain COMPOSITION from
+    examples/llm_pipeline.py — trained-classifier score -> threshold
+    filter -> deterministic mixture sample — against composing the
+    pure-Python references stage by stage.  The weights come from the
+    Spark trainer (whose numpy parity is pinned separately in
+    tests/test_quality_clf.py); the chain then asserts that the Arrow
+    batch scorer and the hash mixture rule compose to exactly the
+    pure-Python survivor set, so any drift in tokenization, feature
+    hashing, sigmoid, rounding, or the sampling hash surfaces as a
+    set mismatch."""
+    import hashlib
+    import math
+
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from xclim_spark.llm import quality_clf as qc
+    from xclim_spark.llm.pipeline import mixture_sample
+
+    rng = np.random.RandomState(seed)
+    good = ["the", "of", "and", "history", "press", "essay", "tide"]
+    bad = ["win", "free", "click", "zzz", "casino", "omg"]
+    docs = []
+    for i in range(int(rng.randint(8, 21))):
+        src = f"src{int(rng.randint(0, 3))}"
+        pool = good if rng.rand() < 0.5 else bad
+        L = int(rng.randint(0, 12))
+        words = list(rng.choice(pool, L)) if L else []
+        if rng.rand() < 0.1:
+            text = None
+        else:
+            text = " ".join(words)
+        label = int(sum(w in good for w in words) * 2 >= L) \
+            if L else 0
+        docs.append((i, src, text, label))
+    dim = int(rng.choice([32, 64]))
+    tau = float(rng.uniform(0.3, 0.7))
+    rates = {f"src{j}": float(rng.choice([0.0, 0.4, 0.8, 1.0]))
+             for j in range(3)}
+
+    df = spark.createDataFrame(
+        docs, "doc_id LONG, source STRING, text STRING, label INT")
+    trainable = df.where("text IS NOT NULL")
+    if trainable.where(
+            "length(regexp_extract(lower(text), '[a-z]', 0)) > 0"
+    ).count() == 0:
+        return                             # nothing trainable
+    w = qc.quality_clf_train(trainable, label_col="label", dim=dim,
+                             epochs=3, lr=2.0)
+
+    # --- Spark chain: Arrow score -> threshold -> mixture ---
+    scored = qc.quality_clf_score(df, w)
+    kept = df.join(
+        scored.where(F.col("quality_score") >= tau).select("doc_id"),
+        "doc_id", "left_semi")
+    got = sorted(r["doc_id"]
+                 for r in mixture_sample(kept, rates).collect())
+
+    # --- pure-Python chain with the same weights ---
+    import re as _pyre
+
+    def py_score(text):
+        toks = _pyre.findall("[a-z]+", text.lower()) \
+            if text is not None else []
+        grams = toks + [a + "_" + b for a, b in zip(toks, toks[1:])]
+        s = sum(
+            w[int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % dim]
+            for g in grams)
+        m = (s / len(grams) if grams else 0.0) + w[dim]
+        return 1.0 / (1.0 + math.exp(-m))
+
+    def py_mix(src, did):
+        h = hashlib.md5(f"{src}|{did}".encode()).hexdigest()[:8]
+        rate = rates[src]
+        space = 16 ** 8
+        cut = min(max(int(round(rate * space)), 0), space)
+        t = "g" * 8 if cut >= space else format(cut, "08x")
+        return h < t
+
+    want = sorted(did for did, src, text, _y in docs
+                  if py_score(text) >= tau and py_mix(src, did))
+    assert got == want
