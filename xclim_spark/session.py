@@ -40,13 +40,18 @@ Stateful-streaming defaults (:data:`STREAMING_RECOMMENDED`, merged by
   deserialized JVM-heap objects and rewrites the full state map into
   one snapshot blob per partition per micro-batch — profiled in r13
   as the single-threaded ~20 GB-RSS wall behind the streaming
-  near-dedup state hog, and re-measured r16 (see PLANS.md: on a
-  10-batch sf1 near-dedup replay the blob write path dominates batch
-  time once per-partition state passes ~10^5 keys).  RocksDB keeps
-  state off-heap with incremental compaction, so per-batch cost
-  follows the CHANGED keys, not total state — at 100 TB the
-  watermark-window state of the dedup/session operators is orders of
-  magnitude larger than any heap.
+  near-dedup state hog.  RocksDB keeps state off-heap with
+  incremental compaction, so per-batch cost follows the CHANGED
+  keys, not total state — at 100 TB the watermark-window state of
+  the dedup/session operators is orders of magnitude larger than any
+  heap.  The r16 interleaved A/B on the streaming near-dedup gate
+  (PLANS.md "state-store provider A/B") measured the two providers
+  at PARITY at local rehearsal scale (sf1 medians 113 vs 118 s, sf10
+  993 vs 971 s, identical outputs, RocksDB the tighter spread) —
+  local state still fits the heap, so the crossover the provider
+  exists for is not reachable on one box; the recommendation rests
+  on the state≫heap deployment regime and is measured COST-FREE at
+  rehearsal scale.
 * ``...rocksdb.changelogCheckpointing.enabled``: checkpoint the
   per-batch changelog instead of uploading a full snapshot per batch
   — same changed-keys-not-total-state argument, for the checkpoint
