@@ -1,0 +1,130 @@
+"""Bit-parity of the Arrow batch kernels against the Column folds they
+replace (llm/similarity.py pair_cosine_arrow / knn_lsh signatures /
+random_projection; llm/dedup.py embedding_near_duplicates verify).
+
+The Arrow kernels claim BIT-IDENTICAL results, not approximate ones:
+the per-dimension accumulation replicates the interpreted ``aggregate``
+fold's left-to-right float64 order (similarity._seq_dot64), so LSH sign
+decisions, threshold comparisons and rounded outputs cannot move.  The
+fixtures include near-zero dot products (the adversarial case for sign
+stability) and a float32 source column (the widening-cast case).
+"""
+
+import numpy as np
+import pytest
+
+
+def _emb_df(spark, n=60, dim=16, seed=3, dtype="float"):
+    rng = np.random.RandomState(seed)
+    vecs = rng.standard_normal((n, dim))
+    # vecs[1]: Gram-Schmidt residual against vecs[0] — the exact dot is
+    # float rounding noise within a few ulp of zero, the adversarial
+    # case for sign/threshold parity between evaluation orders
+    vecs[1] = vecs[1] - (vecs[1] @ vecs[0]) / (vecs[0] @ vecs[0]) * vecs[0]
+    # vecs[2]: a near-parallel clone (cosine within 1e-13 of 1.0)
+    vecs[2] = vecs[0] * (1 + 1e-13)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(n)]
+    return spark.createDataFrame(
+        rows, f"vec_id LONG, embedding ARRAY<{dtype.upper()}>")
+
+
+@pytest.mark.parametrize("dtype", ["float", "double"])
+def test_pair_cosine_arrow_bit_parity(spark, dtype):
+    from pyspark.sql import functions as F
+
+    from xclim_spark.llm.similarity import (
+        cosine_similarity, pair_cosine_arrow)
+
+    e = _emb_df(spark, dtype=dtype)
+    pairs = (e.alias("a").crossJoin(
+        e.selectExpr("vec_id AS vb", "embedding AS eb").alias("b"))
+        .filter(F.col("vec_id") < F.col("vb")))
+    got = pairs.select(
+        "vec_id", "vb",
+        pair_cosine_arrow(F.col("embedding"), F.col("eb")).alias("c"),
+    ).collect()
+    want = pairs.select(
+        "vec_id", "vb",
+        cosine_similarity(F.col("embedding"), F.col("eb")).alias("c"),
+    ).collect()
+    gm = {(r["vec_id"], r["vb"]): r["c"] for r in got}
+    wm = {(r["vec_id"], r["vb"]): r["c"] for r in want}
+    assert gm.keys() == wm.keys()
+    for k in wm:
+        # bit-for-bit, not approx
+        assert gm[k] == wm[k], (k, gm[k].hex(), wm[k].hex())
+
+
+def test_knn_lsh_arrow_matches_column(spark):
+    from xclim_spark.llm.similarity import knn_lsh
+
+    e = _emb_df(spark, n=80, dim=16)
+    q = e.filter("vec_id % 10 = 0")
+    a = knn_lsh(e, q, k=3, dim=16, n_planes=6, n_tables=3,
+                arrow=True).collect()
+    b = knn_lsh(e, q, k=3, dim=16, n_planes=6, n_tables=3,
+                arrow=False).collect()
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    am = {key(r): (r["neighbor_id"], r["cos_sim"]) for r in a}
+    bm = {key(r): (r["neighbor_id"], r["cos_sim"]) for r in b}
+    assert am == bm and len(am) > 0
+
+
+def test_knn_ivf_and_bruteforce_arrow_match(spark):
+    from xclim_spark.llm.similarity import knn_bruteforce, knn_ivf
+
+    e = _emb_df(spark, n=80, dim=16)
+    q = e.filter("vec_id % 10 = 0")
+    cents = e.filter("vec_id % 7 = 0")
+    for fn, kw in ((knn_bruteforce, {}), (knn_ivf, {"nprobe": 2})):
+        args = (e, q) if fn is knn_bruteforce else (e, q, cents)
+        a = fn(*args, k=3, arrow=True, **kw).collect()
+        b = fn(*args, k=3, arrow=False, **kw).collect()
+        am = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["cos_sim"])
+              for r in a}
+        bm = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["cos_sim"])
+              for r in b}
+        assert am == bm and len(am) > 0
+
+
+def test_random_projection_arrow_bit_parity(spark):
+    from xclim_spark.llm.similarity import random_projection
+
+    e = _emb_df(spark, n=40, dim=16)
+    a = e.select(
+        "vec_id",
+        random_projection("embedding", dim=16, out_dim=5,
+                          arrow=True).alias("p")).collect()
+    b = e.select(
+        "vec_id",
+        random_projection("embedding", dim=16, out_dim=5,
+                          arrow=False).alias("p")).collect()
+    am = {r["vec_id"]: r["p"] for r in a}
+    bm = {r["vec_id"]: r["p"] for r in b}
+    assert am.keys() == bm.keys()
+    for k in bm:
+        assert am[k] == bm[k]
+
+
+def test_embedding_near_duplicates_arrow_matches_column(spark):
+    from pyspark.sql import functions as F
+
+    from xclim_spark.llm.dedup import embedding_near_duplicates
+
+    e = _emb_df(spark, n=60, dim=16)
+    # add exact near-clones so the verify stage has real work
+    clones = e.filter("vec_id % 10 = 0").select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.transform("embedding",
+                    lambda x: x * F.lit(1.0001).cast("float"))
+        .alias("embedding"))
+    u = e.unionByName(clones)
+    a = embedding_near_duplicates(
+        u, threshold=0.98, dim=16, n_planes=6, n_tables=3,
+        arrow=True).collect()
+    b = embedding_near_duplicates(
+        u, threshold=0.98, dim=16, n_planes=6, n_tables=3,
+        arrow=False).collect()
+    am = {(r["id_a"], r["id_b"]): r["cos_sim"] for r in a}
+    bm = {(r["id_a"], r["id_b"]): r["cos_sim"] for r in b}
+    assert am == bm and len(am) > 0

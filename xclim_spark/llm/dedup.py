@@ -624,6 +624,7 @@ def embedding_near_duplicates(
     n_tables: int = 8,
     seed: int = 42,
     dim: int | None = None,
+    arrow: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: random-hyperplane LSH
     candidates, exact-cosine verified.
@@ -649,7 +650,7 @@ def embedding_near_duplicates(
     """
     from pyspark.sql.functions import pandas_udf
 
-    from .similarity import _planes, cosine_similarity
+    from .similarity import _planes, pair_cosine_arrow
 
     if dim is None:
         dim = len(emb.select(vec_col).first()[0])
@@ -680,8 +681,18 @@ def embedding_near_duplicates(
         .select("id_a", "id_b", "_va", "_vb")
         .dropDuplicates(["id_a", "id_b"])
     )
+    # exact-cosine verify through the order-preserving Arrow kernel
+    # (default) — bit-identical to the Column fold
+    # (similarity.pair_cosine_arrow), so the >= threshold decision and
+    # the rounded output cannot move, while the per-pair cost drops
+    # from ~3 x dim interpreted dispatches to one vectorized batch op;
+    # arrow=False keeps the Column twin as the A/B control
+    from .similarity import cosine_similarity
+
+    verify_cos = (pair_cosine_arrow if arrow
+                  else cosine_similarity)("_va", "_vb")
     return (
-        cand.withColumn("cos_sim", cosine_similarity("_va", "_vb"))
+        cand.withColumn("cos_sim", verify_cos)
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )

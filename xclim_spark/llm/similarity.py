@@ -22,9 +22,10 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["dot", "l2_norm", "cosine_similarity", "knn_bruteforce",
-           "knn_lsh", "knn_ivf", "lsh_bucket", "kmeans_fit",
-           "pq_fit", "pq_encode", "knn_ivfpq", "random_projection"]
+__all__ = ["dot", "l2_norm", "cosine_similarity", "pair_cosine_arrow",
+           "knn_bruteforce", "knn_lsh", "knn_ivf", "lsh_bucket",
+           "kmeans_fit", "pq_fit", "pq_encode", "knn_ivfpq",
+           "random_projection"]
 
 
 def dot(a, b) -> Column:
@@ -42,6 +43,53 @@ def cosine_similarity(a, b) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def _f64_rows(vs) -> "np.ndarray":
+    """Stack a pandas Series of float vectors into an (n, d) float64
+    matrix (float32 -> float64 widening is exact)."""
+    return np.stack(vs.to_numpy()).astype(np.float64, copy=False)
+
+
+def _seq_dot64(A: "np.ndarray", B: "np.ndarray") -> "np.ndarray":
+    """Row-wise dot product with the SAME float evaluation order as the
+    :func:`dot` Column fold: ``acc = ((0.0 + p_0) + p_1) + ...`` in
+    float64, left to right over the array index.  Vectorized ACROSS
+    rows, sequential across dimensions, so every row's result is
+    bit-identical to Catalyst's interpreted ``aggregate`` fold (numpy's
+    own ``sum``/``@`` use pairwise/BLAS reassociation and would drift
+    in the last ulp — enough to flip an LSH sign on an adversarial
+    vector or a rounded 6th decimal at a boundary)."""
+    acc = np.zeros(len(A))
+    for j in range(A.shape[1]):
+        acc += A[:, j] * B[:, j]
+    return acc
+
+
+def pair_cosine_arrow(a, b) -> Column:
+    """Arrow twin of :func:`cosine_similarity` — one vectorized batch
+    kernel instead of three interpreted per-element folds per row,
+    bit-identical output (see :func:`_seq_dot64`; the final
+    ``dot / (sqrt(na) * sqrt(nb))`` is the same scalar expression
+    tree).  Higher-order Column functions are evaluated INTERPRETED
+    per element (the measured defect class of the r11 pair-cosine and
+    r16 classifier-scoring rewrites), which at ``dim`` = 64 puts ~400
+    interpreter dispatches on every candidate pair; this kernel pays
+    one Arrow transfer of the two vectors instead."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _cos(av: pd.Series, bv: pd.Series) -> pd.Series:
+        if not len(av):
+            return pd.Series([], dtype="float64")
+        A, B = _f64_rows(av), _f64_rows(bv)
+        return pd.Series(
+            _seq_dot64(A, B)
+            / (np.sqrt(_seq_dot64(A, A)) * np.sqrt(_seq_dot64(B, B))))
+
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return _cos(a, b)
+
+
 def knn_bruteforce(
     emb: DataFrame,
     queries: DataFrame,
@@ -50,6 +98,7 @@ def knn_bruteforce(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     broadcast_queries: bool = True,
+    arrow: bool = True,
 ) -> DataFrame:
     """Exact cosine top-k for each query vector.
 
@@ -58,23 +107,42 @@ def knn_bruteforce(
     one shuffle keyed by query for the rank.  Returns
     ``query_id, neighbor_id, cos_sim, rank`` (self-matches excluded,
     ties broken by neighbor id).
+
+    ``arrow=True`` (default) scores each pair with the vectorized
+    order-preserving batch kernel (:func:`pair_cosine_arrow` —
+    bit-identical to the Column fold, so ranks and rounded values
+    cannot move); ``arrow=False`` keeps the pure-Column twin as the
+    A/B control and for Python-worker-free environments.
     """
-    # norms are computed ONCE per side before the join — per pair only the
-    # dot product remains (3x less per-pair expression work)
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec"),
-        l2_norm(F.col(vec_col)).alias("_qnorm"),
-    )
-    if broadcast_queries:
-        q = F.broadcast(q)
-    j = emb.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nvec"),
-        l2_norm(F.col(vec_col)).alias("_nnorm"),
-    ).crossJoin(q).filter(F.col("neighbor_id") != F.col("query_id"))
-    j = j.withColumn(
-        "cos_sim",
-        dot("_qvec", "_nvec") / (F.col("_qnorm") * F.col("_nnorm")),
-    )
+    if arrow:
+        q = queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec"))
+        if broadcast_queries:
+            q = F.broadcast(q)
+        j = (emb.select(F.col(id_col).alias("neighbor_id"),
+                        F.col(vec_col).alias("_nvec"))
+             .crossJoin(q)
+             .filter(F.col("neighbor_id") != F.col("query_id"))
+             .withColumn("cos_sim",
+                         pair_cosine_arrow("_qvec", "_nvec")))
+    else:
+        # norms are computed ONCE per side before the join — per pair
+        # only the dot product remains (3x less per-pair expression work)
+        q = queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec"),
+            l2_norm(F.col(vec_col)).alias("_qnorm"),
+        )
+        if broadcast_queries:
+            q = F.broadcast(q)
+        j = emb.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("_nvec"),
+            l2_norm(F.col(vec_col)).alias("_nnorm"),
+        ).crossJoin(q).filter(F.col("neighbor_id") != F.col("query_id"))
+        j = j.withColumn(
+            "cos_sim",
+            dot("_qvec", "_nvec") / (F.col("_qnorm") * F.col("_nnorm")),
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")
     )
@@ -128,6 +196,7 @@ def knn_lsh(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    arrow: bool = True,
 ) -> DataFrame:
     """Approximate cosine top-k: candidates limited to vectors sharing an
     LSH bucket with the query in at least one of ``n_tables`` hash tables
@@ -138,41 +207,82 @@ def knn_lsh(
     bucket key; queries likewise; the join touches only matching buckets.
     Recall is tunable via n_planes (bucket granularity) x n_tables
     (probes).
+
+    ``arrow=True`` (default) computes both the signature bits and the
+    candidate cosines with the vectorized order-preserving batch
+    kernels (:func:`_seq_dot64`): every sign decision and every cosine
+    is bit-identical to the Column fold the oracle re-derives, so
+    bucket membership and ranks cannot move.  ``arrow=False`` keeps the
+    pure-Column twin (interpreted per-element folds — ``n_tables x
+    n_planes x dim`` interpreter dispatches per ROW) as the A/B
+    control.
     """
-    # one nested literal (tables x planes x dim) + nested transform:
-    # O(1) py4j calls for the whole multi-table signature
-    planes = F.lit([
+    planes_list = [
         [[float(x) for x in p] for p in _planes(dim, n_planes, seed + t)]
         for t in range(n_tables)
-    ])
-    v = F.col(vec_col)
+    ]
 
-    def _bucket(t):
-        tbl = F.element_at(planes, t + 1)
-        bits = F.transform(
-            F.lit(list(range(n_planes))),
-            lambda i: F.when(
-                dot(v, F.element_at(tbl, i + 1)) >= 0.0,
-                F.pow(F.lit(2.0), i).cast("int"),
-            ).otherwise(F.lit(0)),
-        )
-        return F.aggregate(bits, F.lit(0), lambda a, b: a + b)
+    if arrow:
+        from pyspark.sql.functions import pandas_udf
 
-    def with_buckets(df: DataFrame, idn: str) -> DataFrame:
-        buckets = F.transform(
-            F.lit(list(range(n_tables))),
-            lambda t: F.struct(
-                t.alias("table"), _bucket(t).alias("bucket")
-            ),
-        )
-        return df.select(
-            F.col(id_col).alias(idn), F.col(vec_col).alias(f"_{idn}_vec"),
-            F.explode(buckets).alias("_tb"),
-        ).select(
-            idn, f"_{idn}_vec",
-            F.col("_tb.table").alias("table"),
-            F.col("_tb.bucket").alias("bucket"),
-        )
+        P = np.asarray(planes_list)  # (tables, planes, dim) float64
+
+        @pandas_udf("array<int>")
+        def _sigs(vs: pd.Series) -> pd.Series:
+            if not len(vs):
+                return pd.Series([], dtype=object)
+            X = _f64_rows(vs)
+            out = np.zeros((len(X), n_tables), dtype=np.int32)
+            for t in range(n_tables):
+                for i in range(n_planes):
+                    # order-preserving fold: same sign as the Column
+                    # dot even within 1 ulp of zero
+                    acc = np.zeros(len(X))
+                    for j in range(X.shape[1]):
+                        acc += X[:, j] * P[t, i, j]
+                    out[:, t] |= (acc >= 0.0).astype(np.int32) << i
+            return pd.Series(list(out))
+
+        def with_buckets(df: DataFrame, idn: str) -> DataFrame:
+            return df.select(
+                F.col(id_col).alias(idn),
+                F.col(vec_col).alias(f"_{idn}_vec"),
+                F.posexplode(_sigs(F.col(vec_col)))
+                .alias("table", "bucket"),
+            )
+    else:
+        # one nested literal (tables x planes x dim) + nested transform:
+        # O(1) py4j calls for the whole multi-table signature
+        planes = F.lit(planes_list)
+        v = F.col(vec_col)
+
+        def _bucket(t):
+            tbl = F.element_at(planes, t + 1)
+            bits = F.transform(
+                F.lit(list(range(n_planes))),
+                lambda i: F.when(
+                    dot(v, F.element_at(tbl, i + 1)) >= 0.0,
+                    F.pow(F.lit(2.0), i).cast("int"),
+                ).otherwise(F.lit(0)),
+            )
+            return F.aggregate(bits, F.lit(0), lambda a, b: a + b)
+
+        def with_buckets(df: DataFrame, idn: str) -> DataFrame:
+            buckets = F.transform(
+                F.lit(list(range(n_tables))),
+                lambda t: F.struct(
+                    t.alias("table"), _bucket(t).alias("bucket")
+                ),
+            )
+            return df.select(
+                F.col(id_col).alias(idn),
+                F.col(vec_col).alias(f"_{idn}_vec"),
+                F.explode(buckets).alias("_tb"),
+            ).select(
+                idn, f"_{idn}_vec",
+                F.col("_tb.table").alias("table"),
+                F.col("_tb.bucket").alias("bucket"),
+            )
 
     e = with_buckets(emb, "neighbor_id")
     q = with_buckets(queries, "query_id")
@@ -181,11 +291,12 @@ def knn_lsh(
     # instead of two dim-sized arrays; a pair colliding in t tables costs
     # t map-side dot products (identical doubles), far cheaper at scale
     # than shuffling the vectors
+    pair_cos = (pair_cosine_arrow if arrow else cosine_similarity)(
+        "_query_id_vec", "_neighbor_id_vec")
     cand = (
         e.join(q, on=["table", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos_sim", cosine_similarity(
-            "_query_id_vec", "_neighbor_id_vec"))
+        .withColumn("cos_sim", pair_cos)
         .groupBy("query_id", "neighbor_id")
         .agg(F.max("cos_sim").alias("cos_sim"))
     )
@@ -235,6 +346,7 @@ def knn_ivf(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    arrow: bool = True,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: a coarse quantizer assigns
     every corpus vector to its nearest centroid cell; a query probes only
@@ -249,9 +361,11 @@ def knn_ivf(
     scores every (vector, centroid) pair (an expression fold here was
     interpreted per element and went quadratic-feeling at 400 centroids
     — 111 s for 20k vectors; the matmul is milliseconds).  Ties pick the
-    lowest centroid id on both paths, and the candidate COSINES are
-    still pure Column expressions, so the discrete assignment plus the
-    ranked output stay reproducible by the SQL oracle.  The only
+    lowest centroid id on both paths, and the candidate COSINES come
+    from the order-preserving Arrow kernel (``arrow=True``, default —
+    bit-identical to the Column fold, see :func:`pair_cosine_arrow`) or
+    the pure-Column twin (``arrow=False``), so the discrete assignment
+    plus the ranked output stay reproducible by the SQL oracle.  The only
     shuffles are the (cell)-keyed candidate join and the per-query rank
     — at 100 TB the corpus never moves except for the probed cells'
     rows.
@@ -288,8 +402,12 @@ def knn_ivf(
         .select("query_id", "neighbor_id", "_qvec", "_nvec")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
+    # candidate scoring: the Arrow batch kernel is bit-identical to the
+    # Column fold (see pair_cosine_arrow), so the SQL oracle's ranked
+    # output is unchanged; the Column twin stays as the A/B control
     cand = cand.withColumn(
-        "cos_sim", cosine_similarity("_qvec", "_nvec"))
+        "cos_sim", (pair_cosine_arrow if arrow else cosine_similarity)(
+            "_qvec", "_nvec"))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
@@ -690,6 +808,7 @@ def knn_ivfpq(
     vec_col: str = "embedding",
     residual: bool = False,
     index: DataFrame | None = None,
+    arrow: bool = True,
 ) -> DataFrame:
     """IVF-PQ approximate top-k (Jégou et al. 2011): the coarse
     quantizer prunes to ``nprobe`` cells, PQ codes rank the survivors
@@ -848,7 +967,9 @@ def knn_ivfpq(
                         F.col(vec_col).alias("_qvec"))
     rer = (nvec.join(F.broadcast(short), on="neighbor_id")
            .join(F.broadcast(qv), on="query_id")
-           .withColumn("cos_sim", cosine_similarity("_qvec", "_nvec")))
+           .withColumn("cos_sim",
+                       (pair_cosine_arrow if arrow
+                        else cosine_similarity)("_qvec", "_nvec")))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id"))
     return (rer.withColumn("rank", F.row_number().over(w))
@@ -857,7 +978,7 @@ def knn_ivfpq(
 
 
 def random_projection(
-    vec, dim: int, out_dim: int, seed: int = 42,
+    vec, dim: int, out_dim: int, seed: int = 42, arrow: bool = True,
 ) -> Column:
     """Johnson–Lindenstrauss random projection to ``out_dim`` dims —
     the standard shrink step before ANN / clustering at 100 TB
@@ -868,14 +989,37 @@ def random_projection(
     The projection matrix is ONE driver-seeded nested literal
     (``N(0,1)/sqrt(out_dim)``, same plane machinery as
     :func:`lsh_bucket`) and each output coordinate a
-    ``zip_with``+``aggregate`` dot product — pure JVM expressions in
-    the scan projection, zero shuffle, and bit-reproducible across
-    runs/engines (a SQL oracle restates the identical literals and
-    sequential fold)."""
+    ``zip_with``+``aggregate`` dot product — zero shuffle, and
+    bit-reproducible across runs/engines (a SQL oracle restates the
+    identical literals and sequential fold).  ``arrow=True`` (default)
+    computes the same ``out_dim`` sequential folds in one vectorized
+    Arrow batch kernel — bit-identical per coordinate (see
+    :func:`_seq_dot64`) where the Column twin (``arrow=False``) pays
+    ``out_dim x dim`` interpreter dispatches per row."""
     v = F.col(vec) if isinstance(vec, str) else vec
     scale = 1.0 / float(np.sqrt(out_dim))
-    planes = F.lit([[float(x) * scale for x in p]
-                    for p in _planes(dim, out_dim, seed)])
+    planes_list = [[float(x) * scale for x in p]
+                   for p in _planes(dim, out_dim, seed)]
+    if arrow:
+        from pyspark.sql.functions import pandas_udf
+
+        P = np.asarray(planes_list)  # (out_dim, dim) float64
+
+        @pandas_udf("array<double>")
+        def _proj(vs: pd.Series) -> pd.Series:
+            if not len(vs):
+                return pd.Series([], dtype=object)
+            X = _f64_rows(vs)
+            out = np.empty((len(X), out_dim))
+            for jo in range(out_dim):
+                acc = np.zeros(len(X))
+                for j in range(X.shape[1]):
+                    acc += X[:, j] * P[jo, j]
+                out[:, jo] = acc
+            return pd.Series(list(out))
+
+        return _proj(v)
+    planes = F.lit(planes_list)
     return F.transform(
         F.sequence(F.lit(0), F.lit(out_dim - 1)),
         lambda j: dot(v, F.element_at(planes, j + 1)))
