@@ -73,7 +73,16 @@ def pair_cosine_arrow(a, b) -> Column:
     per element (the measured defect class of the r11 pair-cosine and
     r16 classifier-scoring rewrites), which at ``dim`` = 64 puts ~400
     interpreter dispatches on every candidate pair; this kernel pays
-    one Arrow transfer of the two vectors instead."""
+    one Arrow transfer of the two vectors instead.
+
+    The UDF is marked non-deterministic (it is not — the kernel is
+    bit-reproducible) PURELY to stop the optimizer duplicating it:
+    when a filter consumes the scored column (the ``>= threshold``
+    verify in ``embedding_near_duplicates``), filter pushdown
+    otherwise clones the UDF below the filter and every surviving pair
+    pays the kernel twice — measured as a 2x ArrowEvalPython plan
+    (plans/r16/dedup_embed) and the standard workaround for this
+    optimizer behaviour."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
@@ -85,6 +94,7 @@ def pair_cosine_arrow(a, b) -> Column:
             _seq_dot64(A, B)
             / (np.sqrt(_seq_dot64(A, A)) * np.sqrt(_seq_dot64(B, B))))
 
+    _cos = _cos.asNondeterministic()
     a = F.col(a) if isinstance(a, str) else a
     b = F.col(b) if isinstance(b, str) else b
     return _cos(a, b)
