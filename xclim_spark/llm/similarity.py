@@ -392,6 +392,13 @@ def knn_ivf(
         # np.argmax takes the first maximum -> lowest centroid id
         return pd.Series(cent_ids_np[np.argmax(_scores(vs), axis=1)])
 
+    # non-deterministic marking (the scorer is in fact reproducible)
+    # stops the optimizer cloning the assignment UDF below the join-key
+    # null filter: the captured plan evaluated _cell TWICE over the
+    # whole corpus (plans/r16/knn_ivf_docs_before.txt) — the §4.4
+    # filter-pushdown duplication, here on the expensive side
+    _cell = _cell.asNondeterministic()
+
     @pandas_udf("array<bigint>")
     def _probe_cells(vs: pd.Series) -> pd.Series:
         # stable argsort of -scores: ties keep ascending centroid order
