@@ -36,7 +36,15 @@ def main(sf_dir: str) -> None:
     from xclim_spark.llm import lm
     from xclim_spark.llm import tokenizer as tok
 
-    spark = session(app="llm-pipeline-example")
+    # honor the harness's core-count contract (bench.py does the same);
+    # local[*] under a 1g default driver heap means 32 concurrent tasks
+    # in one small JVM — measured flaky (shuffle-write OOM) on a loaded
+    # host, so cap memory explicitly for the local recipe too
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    spark = session(app="llm-pipeline-example",
+                    master=f"local[{cpus}]" if cpus else None,
+                    **{"spark.driver.memory":
+                       os.environ.get("SPARK_GRAFT_MEM", "4g")})
     spark.sparkContext.setLogLevel("ERROR")
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     n0 = docs.count()

@@ -46,7 +46,13 @@ def main(sf_dir: str) -> None:
         streaming_dedup_keys,
     )
 
-    spark = session(app="streaming-pipeline-example")
+    # honor the harness's core-count contract; cap the local driver
+    # heap (local[*] x 32 tasks in the 1g default JVM is OOM-flaky)
+    _cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    spark = session(app="streaming-pipeline-example",
+                    master=f"local[{_cpus}]" if _cpus else None,
+                    **{"spark.driver.memory":
+                       os.environ.get("SPARK_GRAFT_MEM", "4g")})
     spark.sparkContext.setLogLevel("ERROR")
 
     # time-ordered replay files (one micro-batch per file)

@@ -118,17 +118,31 @@ def knn_bruteforce(
     ``query_id, neighbor_id, cos_sim, rank`` (self-matches excluded,
     ties broken by neighbor id).
 
-    ``arrow=True`` (default) scores each pair with the vectorized
-    order-preserving batch kernel (:func:`pair_cosine_arrow` —
-    bit-identical to the Column fold, so ranks and rounded values
-    cannot move); ``arrow=False`` keeps the pure-Column twin as the
-    A/B control and for Python-worker-free environments.
+    ``arrow=True`` (default) scores with vectorized order-preserving
+    batch kernels (bit-identical to the Column fold, so ranks and
+    rounded values cannot move); ``arrow=False`` keeps the pure-Column
+    twin as the A/B control and for Python-worker-free environments.
+
+    With ``broadcast_queries=True`` (the contract's "queries are
+    small" case) the arrow path does not materialize pairs at all: the
+    query block is a driver-collected closure literal, each corpus
+    vector crosses the Python boundary ONCE (not once per query), the
+    kernel scores it against every query with the same ascending-index
+    float64 accumulation as :func:`_seq_dot64` (bit-identical cosines),
+    and each task emits only its per-query top-k candidates — the final
+    rank shuffles ``n_tasks x n_queries x k`` candidate rows instead of
+    ``|corpus| x |queries|`` pairs carrying two vectors each.  Partial
+    top-k per task then global top-k is exact because the ordering
+    ``(cos DESC, neighbor_id ASC)`` is total and deterministic.
+    ``broadcast_queries=False`` keeps the pair-at-a-time join for query
+    sets too large to collect.
     """
+    if arrow and broadcast_queries:
+        return _knn_bruteforce_batch(
+            emb, queries, k, id_col=id_col, vec_col=vec_col)
     if arrow:
         q = queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec"))
-        if broadcast_queries:
-            q = F.broadcast(q)
         j = (emb.select(F.col(id_col).alias("neighbor_id"),
                         F.col(vec_col).alias("_nvec"))
              .crossJoin(q)
@@ -161,6 +175,92 @@ def knn_bruteforce(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+def _knn_bruteforce_batch(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int,
+    *,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Pair-free brute-force top-k (see :func:`knn_bruteforce`).
+
+    Scoring reproduces the pair kernel bit for bit: the dot/norm
+    accumulators advance in ascending array-index order in float64
+    (:func:`_seq_dot64`'s order; IEEE multiply is commutative so
+    ``n_j * q_j`` == ``q_j * n_j`` bitwise), and the cosine is the same
+    ``dot / (sqrt(qq) * sqrt(nn))`` scalar tree.  Candidate selection
+    mirrors Spark's ``(cos DESC, neighbor_id ASC)`` window ordering,
+    including Spark's NaN-is-greatest descending semantics (NaN keys
+    sort first, exactly where the Window would put them)."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    qrows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+    out_schema = StructType([
+        StructField("query_id", queries.schema[id_col].dataType),
+        StructField("neighbor_id", emb.schema[id_col].dataType),
+        StructField("cos_sim", DoubleType()),
+    ])
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id"))
+    if not qrows:
+        empty = emb.sparkSession.createDataFrame([], out_schema)
+        return (empty.withColumn("rank", F.row_number().over(w))
+                .select("query_id", "neighbor_id", "cos_sim", "rank"))
+    qids = [r[0] for r in qrows]
+    Qm = np.asarray([r[1] for r in qrows], dtype=np.float64)
+    qn = np.sqrt(_seq_dot64(Qm, Qm))
+    n_q, dim = Qm.shape
+
+    def _topk(batches):
+        sc: list = [[] for _ in range(n_q)]   # per-query candidate scores
+        ni: list = [[] for _ in range(n_q)]   # per-query candidate ids
+        qid_arr = np.asarray(qids)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            N = _f64_rows(pdf[vec_col])
+            ids = pdf[id_col].to_numpy()
+            nn = np.zeros(len(N))
+            S = np.zeros((len(N), n_q))
+            for j in range(dim):
+                col = N[:, j]
+                nn += col * col
+                S += col[:, None] * Qm[:, j][None, :]
+            S /= qn[None, :] * np.sqrt(nn)[:, None]
+            valid = ids[:, None] != qid_arr[None, :]
+            for qi in range(n_q):
+                v = valid[:, qi]
+                if not v.any():
+                    continue
+                s, nb = S[v, qi], ids[v]
+                # Spark orders NaN first under DESC — key NaN as +inf
+                key = np.where(np.isnan(s), np.inf, s)
+                top = np.lexsort((nb, -key))[:k]
+                sc[qi].append(s[top])
+                ni[qi].append(nb[top])
+        out_q, out_n, out_s = [], [], []
+        for qi in range(n_q):
+            if not sc[qi]:
+                continue
+            s = np.concatenate(sc[qi])
+            nb = np.concatenate(ni[qi])
+            key = np.where(np.isnan(s), np.inf, s)
+            top = np.lexsort((nb, -key))[:k]
+            out_q.extend([qids[qi]] * len(top))
+            out_n.extend(nb[top].tolist())
+            out_s.extend(s[top].tolist())
+        if out_q:
+            yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n,
+                                "cos_sim": out_s})
+
+    cand = (emb.select(F.col(id_col), F.col(vec_col))
+            .mapInPandas(_topk, schema=out_schema))
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cos_sim", "rank"))
 
 
 def _planes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
