@@ -128,3 +128,70 @@ def test_embedding_near_duplicates_arrow_matches_column(spark):
     am = {(r["id_a"], r["id_b"]): r["cos_sim"] for r in a}
     bm = {(r["id_a"], r["id_b"]): r["cos_sim"] for r in b}
     assert am == bm and len(am) > 0
+
+
+def test_knn_bruteforce_batch_partial_topk_edges(spark):
+    """The batch scorer's per-task partial top-k must compose into the
+    same global top-k the window computes, across many partitions and
+    at the edges: ties at the k boundary (broken by neighbor id ASC),
+    a query with fewer than k non-self neighbors, and a zero-norm
+    (NaN-cosine) corpus vector, which Spark's DESC window orders FIRST
+    (NaN is greatest) and the kernel must too."""
+    from pyspark.sql import functions as F
+
+    from xclim_spark.llm.similarity import knn_bruteforce
+
+    # 6 identical vectors -> every pairwise cosine ties at 1.0 exactly;
+    # one zero vector -> NaN cosine against everything.  (The Column
+    # twin cannot serve as reference here: under Spark 4 ANSI mode its
+    # 0/0 raises DIVIDE_BY_ZERO, while both Arrow kernels — the pair
+    # kernel this path replaced and the batch scorer — yield NaN, so
+    # the default path's degenerate-input behavior is unchanged.)
+    rows = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(6)]
+    rows.append((6, [0.0, 0.0, 0.0, 0.0]))
+    df = spark.createDataFrame(
+        rows, "vec_id LONG, embedding ARRAY<FLOAT>").repartition(5)
+    q = df.filter("vec_id IN (0, 6)")
+
+    got = knn_bruteforce(df, q, k=3, arrow=True).collect()
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    assert len(got) == 6
+    # a kernel NaN crosses the Arrow boundary as SQL NULL, and the
+    # rank window is DESC NULLS LAST: the zero vector loses to every
+    # real cosine — query 0 keeps the exact 1.0 ties by ascending id
+    by_q0 = [r["neighbor_id"] for r in sorted(got, key=key)
+             if r["query_id"] == 0]
+    assert by_q0 == [1, 2, 3]
+    # the zero-vector query: every cosine NULL, ties by ascending id
+    q6 = [r for r in sorted(got, key=key) if r["query_id"] == 6]
+    assert [r["neighbor_id"] for r in q6] == [0, 1, 2]
+    assert all(r["cos_sim"] is None for r in q6)
+    # the kernel must not let NULL-scored candidates crowd out real
+    # ones inside a partition: one partition holding the zero vector
+    # plus real neighbors, k = 2 -> both slots go to real cosines
+    one = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (7, [0.0, 0.0]), (8, [0.9, 0.1]),
+         (9, [0.8, 0.2])],
+        "vec_id LONG, embedding ARRAY<FLOAT>").coalesce(1)
+    out1 = knn_bruteforce(one, one.filter("vec_id = 0"), k=2,
+                          arrow=True).collect()
+    assert [r["neighbor_id"] for r in
+            sorted(out1, key=key)] == [8, 9]
+
+    # fewer than k non-self neighbors: 2-doc corpus, k=5
+    small = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.5, 0.5])],
+        "vec_id LONG, embedding ARRAY<FLOAT>").repartition(3)
+    out = knn_bruteforce(small, small.filter("vec_id = 0"), k=5,
+                         arrow=True).collect()
+    assert [(r["neighbor_id"], r["rank"]) for r in out] == [(1, 1)]
+
+    # partial-vs-global composition: 40 docs over 7 partitions must
+    # equal the single-partition answer row for row
+    df40 = _emb_df(spark, n=40, dim=8, seed=11)
+    q40 = df40.filter("vec_id % 13 = 0")
+    a = knn_bruteforce(df40.repartition(7), q40, k=4).collect()
+    b = knn_bruteforce(df40.coalesce(1), q40, k=4).collect()
+    am = {key(r): (r["neighbor_id"], r["cos_sim"]) for r in a}
+    bm = {key(r): (r["neighbor_id"], r["cos_sim"]) for r in b}
+    assert am == bm and len(am) > 0

@@ -192,9 +192,12 @@ def _knn_bruteforce_batch(
     (:func:`_seq_dot64`'s order; IEEE multiply is commutative so
     ``n_j * q_j`` == ``q_j * n_j`` bitwise), and the cosine is the same
     ``dot / (sqrt(qq) * sqrt(nn))`` scalar tree.  Candidate selection
-    mirrors Spark's ``(cos DESC, neighbor_id ASC)`` window ordering,
-    including Spark's NaN-is-greatest descending semantics (NaN keys
-    sort first, exactly where the Window would put them)."""
+    mirrors Spark's ``(cos DESC, neighbor_id ASC)`` window ordering.
+    A zero-norm vector scores NaN, and a kernel NaN becomes SQL NULL
+    at the Arrow boundary (the pair kernel this path replaced coerced
+    identically), so the window's ``DESC NULLS LAST`` puts such pairs
+    AFTER every real cosine — the selection keys NaN as ``-inf``
+    (ties by neighbor id) to match."""
     from pyspark.sql.types import DoubleType, StructField, StructType
 
     qrows = queries.select(F.col(id_col), F.col(vec_col)).collect()
@@ -236,8 +239,9 @@ def _knn_bruteforce_batch(
                 if not v.any():
                     continue
                 s, nb = S[v, qi], ids[v]
-                # Spark orders NaN first under DESC — key NaN as +inf
-                key = np.where(np.isnan(s), np.inf, s)
+                # kernel NaN -> SQL NULL at the Arrow boundary; the
+                # window is DESC NULLS LAST, so key NaN as -inf
+                key = np.where(np.isnan(s), -np.inf, s)
                 top = np.lexsort((nb, -key))[:k]
                 sc[qi].append(s[top])
                 ni[qi].append(nb[top])
@@ -247,7 +251,7 @@ def _knn_bruteforce_batch(
                 continue
             s = np.concatenate(sc[qi])
             nb = np.concatenate(ni[qi])
-            key = np.where(np.isnan(s), np.inf, s)
+            key = np.where(np.isnan(s), -np.inf, s)
             top = np.lexsort((nb, -key))[:k]
             out_q.extend([qids[qi]] * len(top))
             out_n.extend(nb[top].tolist())
