@@ -907,6 +907,15 @@ def pq_encode(
             np.stack(vs.to_numpy()).astype(np.float64))
         return pd.DataFrame({"cell": cells, "codes": list(codes)})
 
+    # non-deterministic marking (the encoder is in fact reproducible)
+    # stops the optimizer cloning the UDF below a pushed-down filter:
+    # when `cell` becomes a join key, the isnotnull(cell) null filter
+    # otherwise re-evaluates the WHOLE corpus encode — centroid matmul,
+    # residual subtraction and m sub-space argmins — a second time
+    # (plans/r16/knn_ivfpq_res_docs_before.txt, nodes 6+9; the §4.4
+    # filter-pushdown duplication already fixed on knn_ivf's _cell)
+    _cell_codes = _cell_codes.asNondeterministic()
+
     enc = emb.select(
         F.col(id_col), F.col(vec_col),
         _cell_codes(F.col(vec_col)).alias("_cc"))
@@ -977,6 +986,13 @@ def knn_ivfpq(
     @pandas_udf("bigint")
     def _cell(vs: pd.Series) -> pd.Series:
         return pd.Series(cent_ids_np[np.argmax(_scores(vs), axis=1)])
+
+    # same §4.4 guard as knn_ivf._cell: `cell` is the candidate-join
+    # key, and without this the pushed isnotnull(cell) filter cloned
+    # the corpus-side centroid assignment below itself — every corpus
+    # vector paid the matmul + Arrow round-trip twice
+    # (plans/r16/knn_ivfpq_docs_before.txt, nodes 6+10)
+    _cell = _cell.asNondeterministic()
 
     @pandas_udf("array<bigint>")
     def _probe_cells(vs: pd.Series) -> pd.Series:
