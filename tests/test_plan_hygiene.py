@@ -1,7 +1,7 @@
 """Standing scale-hygiene sweep over EVERY registered query's physical
 plan (the audit prior rounds' judges ran by hand): build each gate's
-DataFrame at sf0.001 and reject the two classes of plan node that never
-belong in a 100 TB engine —
+DataFrame at sf0.001 and reject the plan shapes that never belong in a
+100 TB engine —
 
 * ``CartesianProduct`` — an unbucketed all-pairs join.  The documented
   exact-kNN small-query contract compiles to a broadcast nested-loop
@@ -9,6 +9,16 @@ belong in a 100 TB engine —
 * ``BatchEvalPython`` — a row-at-a-time Python UDF in the plan.  All
   Python in this engine rides Arrow (``ArrowEvalPython`` /
   ``applyInPandas`` / ``mapInPandas``).
+* a DUPLICATED Python UDF evaluation — the same UDF call (same result
+  expression id) appearing in more than one Python-eval node.  This is
+  the filter-pushdown clone (optimization guide §4.4) that made every
+  corpus vector pay the IVF cell assignment, the IVF-PQ encode and the
+  pair-cosine kernel twice before rounds 16's fixes; marking the UDF
+  non-deterministic is the standing cure.  One adjudicated exception:
+  ``dedup_embed``'s LSH bucket signature is computed once per SIDE of
+  the candidate self-join — recomputing a vectorized matmul per side
+  is the right 100 TB trade against materializing the
+  n_tables-exploded corpus, so that duplication is allowlisted.
 
 Streaming gates are excluded: building their result executes the whole
 replay (they are covered by their own gates + parity tests), and their
@@ -16,10 +26,30 @@ stateful operators are Arrow-batched by construction
 (``applyInPandasWithState``).
 """
 
+import re
+
 import pytest
 
 FORBIDDEN = ("CartesianProduct", "BatchEvalPython")
 SF = "/root/testdata/sf0.001"
+
+# (query, udf name) pairs where a duplicated evaluation is adjudicated
+# as the correct scale trade (see module docstring)
+DUP_ALLOWED = {("dedup_embed", "_buckets")}
+
+_UDF_CALL = re.compile(r"(\w+)\((?:[^()]|\([^()]*\))*\)#(\d+)")
+
+
+def _duplicated_udfs(plan: str) -> set[str]:
+    """UDF names whose SAME call (name + result expr-id) is evaluated
+    by more than one Python-eval node in ``plan``."""
+    seen: dict[tuple[str, str], int] = {}
+    for line in plan.splitlines():
+        s = line.strip().lstrip("+-: ")
+        if s.startswith(("ArrowEvalPython", "BatchEvalPython")):
+            for call in set(_UDF_CALL.findall(s)):
+                seen[call] = seen.get(call, 0) + 1
+    return {name for (name, _), n in seen.items() if n > 1}
 
 
 @pytest.mark.slow
@@ -34,6 +64,10 @@ def test_no_cartesian_or_rowwise_python_in_any_plan(spark):
         df = fn(spark, SF)
         plan = df._jdf.queryExecution().executedPlan().toString()
         hits = [m for m in FORBIDDEN if m in plan]
+        dups = {u for u in _duplicated_udfs(plan)
+                if (name, u) not in DUP_ALLOWED}
+        if dups:
+            hits.append(f"duplicated UDF eval: {sorted(dups)}")
         if hits:
             violations[name] = hits
         checked += 1
