@@ -2050,6 +2050,74 @@ def test_lm_threshold_buckets_track_ntile(spark):
         assert abs(ce[k] - ca[k]) <= 2, (ce, ca)
 
 
+def test_lm_buckets_matches_ntile(spark):
+    """The single-window ntile arithmetic in lm_buckets reproduces the
+    filter + F.ntile + self-join implementation row-for-row — over
+    remainder/no-remainder splits, fewer rows than buckets, null ppl
+    mixed in, and the empty frame."""
+    import random
+
+    from pyspark.sql import Window
+
+    from xclim_spark.llm.lm import lm_buckets
+
+    def old(scored, n_buckets):
+        w = Window.orderBy(F.asc("ppl"), F.asc("doc_id"))
+        ranked = (scored.where(F.col("ppl").isNotNull())
+                  .withColumn("ppl_bucket",
+                              F.ntile(n_buckets).over(w).cast("int"))
+                  .select("doc_id", "ppl_bucket"))
+        return scored.join(ranked, on="doc_id", how="left")
+
+    rng = random.Random(7)
+    for n, nb in [(0, 3), (1, 3), (2, 3), (3, 2), (4, 7), (9, 3),
+                  (10, 4), (101, 3), (97, 7)]:
+        rows = [(i, None if rng.random() < 0.25
+                 else round(rng.random() * 100, 4)) for i in range(n)]
+        df = spark.createDataFrame(rows, "doc_id long, ppl double")
+        a = {r["doc_id"]: r["ppl_bucket"]
+             for r in lm_buckets(df, n_buckets=nb).collect()}
+        b = {r["doc_id"]: r["ppl_bucket"]
+             for r in old(df, nb).collect()}
+        assert a == b, (n, nb)
+
+
+def test_lm_score_arrow_matches_joins(spark):
+    """The broadcast-model Arrow scorer and the join scorer agree
+    value-for-value (same rounded avg_logprob/ppl, same n_tokens) on a
+    fixture covering null text, empty text, whitespace-only text,
+    all-OOV docs, and seen-bigram docs — and the size gate falls back
+    to the join plan when the model exceeds the row budget."""
+    from xclim_spark.llm.lm import (
+        lm_broadcast_model, lm_score, lm_train_counts)
+
+    ref = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "the dog sat"),
+         (3, "cat and dog and cat")], "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(10, "the cat sat"), (11, "unseen words entirely"), (12, None),
+         (13, ""), (14, "   \t  "), (15, "the the the"), (16, "mat"),
+         (17, "cat sat on the dog and the mat")],
+        "doc_id long, text string")
+    uni, big, sc = lm_train_counts(ref)
+    arrow = lm_score(docs, uni, big, sc)          # auto -> broadcast
+    joins = lm_score(docs, uni, big, sc, broadcast_model=False)
+    ra = {r["doc_id"]: tuple(r) for r in arrow.collect()}
+    rb = {r["doc_id"]: tuple(r) for r in joins.collect()}
+    assert ra == rb
+    assert ra[12][1] == 0 and ra[12][2] is None   # null text
+    assert ra[14][1] == 0 and ra[14][3] is None   # whitespace-only
+    # plan shapes: arrow = one MapInPandas, no joins; gated-out = joins
+    ap = arrow._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in ap and "Join" not in ap
+    gated = lm_score(docs, uni, big, sc, broadcast_max_rows=3)
+    gp = gated._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in gp and "Join" in gp
+    assert {r["doc_id"]: tuple(r) for r in gated.collect()} == ra
+    # an over-budget model collects to None (callers keep the join path)
+    assert lm_broadcast_model(uni, big, sc, max_rows=3) is None
+
+
 def test_exact_first_components_match_naive(spark):
     """The exact-dedup-first composition yields the SAME component
     partition as closing the naive pair graph — exact copies have

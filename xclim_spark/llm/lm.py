@@ -41,7 +41,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["BACKOFF_ALPHA", "lm_train_counts", "lm_score",
-           "lm_buckets", "lm_bucket_thresholds",
+           "lm_broadcast_model", "lm_buckets", "lm_bucket_thresholds",
            "lm_buckets_by_threshold"]
 
 BACKOFF_ALPHA = 0.4
@@ -101,6 +101,126 @@ def lm_train_counts(
     return uni, big, scalars
 
 
+class LmBroadcastModel:
+    """A driver-collected stupid-backoff model wrapped in a Spark
+    broadcast — the CCNet deployment shape (the KenLM file ships to
+    every worker).  Produced by :func:`lm_broadcast_model`; consumed by
+    ``lm_score(..., broadcast_model=...)``."""
+
+    __slots__ = ("bc",)
+
+    def __init__(self, bc):
+        self.bc = bc
+
+
+def lm_broadcast_model(
+    uni: DataFrame,
+    big: DataFrame,
+    scalars: DataFrame,
+    *,
+    max_rows: int = 2_000_000,
+) -> LmBroadcastModel | None:
+    """Collect the model tables into one worker-side broadcast when
+    they fit (``uni`` + ``big`` row count <= ``max_rows``); return
+    ``None`` when they don't, so callers fall back to the join-based
+    scorer.
+
+    Scale rationale: CCNet's own production scorer ships the trained
+    LM to every worker rather than joining against it — broadcasting
+    is the published design whenever the model fits worker memory.
+    The size gate keeps the honest model-as-DataFrames join path for
+    web-scale vocabularies that outgrow a broadcast (the regime the
+    module docstring describes); 2M gram rows ~ low hundreds of MB,
+    well past Spark's 10 MB auto-broadcast join ceiling that would
+    otherwise force the three scoring joins to shuffle every token
+    row."""
+    if uni.count() + big.count() > max_rows:
+        return None
+    total, vocab = scalars.first()
+    unid = {r[0]: r[1] for r in uni.collect()}
+    bigd = {r[0]: r[1] for r in big.collect()}
+    sc = uni.sparkSession.sparkContext
+    return LmBroadcastModel(
+        sc.broadcast((unid, bigd, int(total), int(vocab))))
+
+
+def _lm_score_arrow(
+    docs: DataFrame,
+    model: LmBroadcastModel,
+    *,
+    text_col: str,
+    id_col: str,
+    alpha: float,
+) -> DataFrame:
+    """Broadcast-model scoring: ONE ``mapInPandas`` pass over the
+    corpus — zero joins, zero exchanges (vs posexplode + three joins +
+    a per-doc aggregation exchange + a corpus-sized re-join in the
+    join path).
+
+    Value parity with the join path: tokenization stays IN SPARK (the
+    same ``_tokens`` Column feeds the kernel, so no Java-vs-Python
+    regex/lowercasing semantics can diverge); per-token log-probs use
+    the identical float64 expression order; the per-doc sum
+    accumulates in token-position order from 0.0 exactly like the
+    join path's ``avg`` over position-ordered rows.  The only
+    permitted divergence is the last ulp of ``log`` between libm and
+    the JVM — the class the module's rounding contract (round before
+    compare) absorbs by design."""
+    from math import log
+
+    import pandas as pd
+
+    bc = model.bc
+    sep = _SEP
+    toks_col = F.when(F.col(text_col).isNotNull(), _tokens(text_col))
+    inp = docs.select(F.col(id_col).alias("_id"),
+                      toks_col.alias("_toks"))
+    id_type = docs.schema[id_col].dataType.simpleString()
+
+    def score(batches):
+        unid, bigd, total, vocab = bc.value
+        denom = total + 0.5 * vocab
+        for pdf in batches:
+            ids, ns, avgs = [], [], []
+            for did, toks in zip(pdf["_id"], pdf["_toks"]):
+                if toks is None or len(toks) == 0:
+                    ids.append(did)
+                    ns.append(0)
+                    avgs.append(None)
+                    continue
+                acc = 0.0
+                prev = None
+                for w in toks:
+                    lp = None
+                    if prev is not None:
+                        cb = bigd.get(prev + sep + w)
+                        cprev = unid.get(prev)
+                        if cb is not None and cprev is not None:
+                            lp = log(cb / cprev)
+                    if lp is None:
+                        lp = log(alpha * (unid.get(w, 0) + 0.5) / denom)
+                    acc += lp
+                    prev = w
+                ids.append(did)
+                ns.append(len(toks))
+                avgs.append(acc / len(toks))
+            yield pd.DataFrame({
+                "_id": pd.Series(ids),
+                "n_tokens": pd.Series(ns, dtype="int64"),
+                # object dtype so None survives as SQL NULL
+                "_avg": pd.Series(avgs, dtype="object"),
+            })
+
+    scored = inp.mapInPandas(
+        score, schema=f"_id {id_type}, n_tokens long, _avg double")
+    avg_r = F.round("_avg", 6)
+    return scored.select(
+        F.col("_id").alias(id_col),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        avg_r.alias("avg_logprob"),
+        F.round(F.exp(-avg_r), 4).alias("ppl"))
+
+
 def lm_score(
     docs: DataFrame,
     uni: DataFrame,
@@ -110,12 +230,32 @@ def lm_score(
     text_col: str = "text",
     id_col: str = "doc_id",
     alpha: float = BACKOFF_ALPHA,
+    broadcast_model: object = "auto",
+    broadcast_max_rows: int = 2_000_000,
 ) -> DataFrame:
     """Per-document LM score: ``(id_col, n_tokens, avg_logprob, ppl)``.
     Token-less documents keep ``n_tokens = 0`` and NULL scores.
 
-    Three left hash joins against the model tables (never collected),
-    one scalar broadcast, one per-doc aggregation."""
+    ``broadcast_model`` picks the scoring engine:
+
+    * ``"auto"`` (default) — collect + broadcast the model when it has
+      <= ``broadcast_max_rows`` gram rows (:func:`lm_broadcast_model`)
+      and score through one ``mapInPandas`` pass; fall back to the
+      join path when it doesn't fit.
+    * an :class:`LmBroadcastModel` — reuse an already-collected model
+      (the streaming sink hoists the collect out of its per-batch
+      loop this way).
+    * ``False`` — always the join path: three left hash joins against
+      the model tables (never collected), one scalar broadcast, one
+      per-doc aggregation.  The honest shape for models too large for
+      any worker's memory."""
+    bm = broadcast_model
+    if bm == "auto":
+        bm = lm_broadcast_model(uni, big, scalars,
+                                max_rows=broadcast_max_rows)
+    if isinstance(bm, LmBroadcastModel):
+        return _lm_score_arrow(docs, bm, text_col=text_col,
+                               id_col=id_col, alpha=alpha)
     # a lag() window would cost an extra per-doc shuffle — the bigram
     # context is derived from the token ARRAY inside the projection
     # instead, so token rows leave the scan already carrying their key
@@ -173,13 +313,34 @@ def lm_buckets(
     Scale note: a global ntile is a total sort — exact, and the right
     gate semantics; at 100 TB use :func:`lm_bucket_thresholds` +
     :func:`lm_buckets_by_threshold` instead (one quantile-sketch pass,
-    then a map-side compare — no sort anywhere)."""
-    w = Window.orderBy(F.asc("ppl"), F.asc(id_col))
-    ranked = (scored.where(F.col("ppl").isNotNull())
-              .withColumn("ppl_bucket",
-                          F.ntile(n_buckets).over(w).cast("int"))
-              .select(id_col, "ppl_bucket"))
-    return scored.join(ranked, on=id_col, how="left")
+    then a map-side compare — no sort anywhere).
+
+    Implementation: ``ntile`` restated as arithmetic over
+    ``row_number`` + the non-null count in ONE window pass with nulls
+    sorted last, instead of filter + ntile + self-join back — the
+    self-join consumed the scored subtree twice, which re-executed the
+    whole scoring scan when the scorer has no exchange for Spark to
+    reuse (the broadcast-model Arrow path).  For ``c`` scored rows and
+    ``n`` buckets, ntile gives the first ``c mod n`` buckets
+    ``c div n + 1`` rows and the rest ``c div n``; with the identical
+    ``(ppl ASC, id ASC)`` total order (unique by the id tiebreak) the
+    arithmetic reproduces ntile's assignment exactly — pinned
+    row-for-row against ``F.ntile`` by
+    tests/test_llm.py::test_lm_buckets_matches_ntile."""
+    w = Window.orderBy(F.asc_nulls_last("ppl"), F.asc(id_col))
+    wc = w.rowsBetween(Window.unboundedPreceding,
+                       Window.unboundedFollowing)
+    rn = F.row_number().over(w)
+    c = F.count("ppl").over(wc)  # non-null ppl count; nulls sort last
+    q = (c / n_buckets).cast("long")
+    r = c % n_buckets
+    head = r * (q + 1)
+    bucket = F.when(rn <= head, (rn - 1) / (q + 1)) \
+              .otherwise(r + (rn - head - 1) / q)
+    return scored.withColumn(
+        "ppl_bucket",
+        F.when(F.col("ppl").isNotNull(),
+               bucket.cast("long") + 1).cast("int"))
 
 
 def lm_bucket_thresholds(

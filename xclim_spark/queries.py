@@ -9289,7 +9289,7 @@ def stream_lm_quality(spark, sf_dir):
     import shutil
     import uuid
 
-    from .llm.lm import lm_score, lm_train_counts
+    from .llm.lm import lm_broadcast_model, lm_score, lm_train_counts
 
     d = _read(spark, sf_dir, "documents")
     ref = d.where(F.col("source").isin("src0", "src1"))
@@ -9297,6 +9297,10 @@ def stream_lm_quality(spark, sf_dir):
     # localCheckpoint, so the per-batch scoring joins read cached
     # blocks instead of re-exploding the reference corpus every batch
     uni, big, sc = lm_train_counts(ref)
+    # collect + broadcast the model ONCE, outside the per-batch loop
+    # (the CCNet ship-the-LM-to-workers shape); size-gated — an
+    # over-budget model returns None and each batch keeps the join path
+    model = lm_broadcast_model(uni, big, sc)
 
     root = _stage_stream_docs(sf_dir)
     sdf = (spark.readStream
@@ -9313,7 +9317,8 @@ def stream_lm_quality(spark, sf_dir):
     # no cross-batch streaming state — the same
     # batch-transform-in-the-sink pattern production ingest uses
     def _sink(batch_df, bid):
-        lm_score(batch_df.select("doc_id", "text"), uni, big, sc) \
+        lm_score(batch_df.select("doc_id", "text"), uni, big, sc,
+                 broadcast_model=model if model is not None else False) \
             .write.mode("overwrite").parquet(f"{s_dir}/b{bid}")
 
     try:
