@@ -10,15 +10,20 @@ DataFrame at sf0.001 and reject the plan shapes that never belong in a
   Python in this engine rides Arrow (``ArrowEvalPython`` /
   ``applyInPandas`` / ``mapInPandas``).
 * a DUPLICATED Python UDF evaluation — the same UDF call (same result
-  expression id) appearing in more than one Python-eval node.  This is
-  the filter-pushdown clone (optimization guide §4.4) that made every
-  corpus vector pay the IVF cell assignment, the IVF-PQ encode and the
-  pair-cosine kernel twice before rounds 16's fixes; marking the UDF
-  non-deterministic is the standing cure.  One adjudicated exception:
-  ``dedup_embed``'s LSH bucket signature is computed once per SIDE of
-  the candidate self-join — recomputing a vectorized matmul per side
-  is the right 100 TB trade against materializing the
-  n_tables-exploded corpus, so that duplication is allowlisted.
+  expression id) appearing in more than one Python-eval node,
+  expression-hosted (``ArrowEvalPython``/``BatchEvalPython``) or
+  iterator-form (``MapInPandas``/``FlatMapGroupsInPandas``/
+  ``MapInArrow`` — a cloned mapInPandas subtree is how the old
+  ``lm_buckets`` self-join re-ran the whole scoring scan).  The
+  expression-hosted case is the filter-pushdown clone (optimization
+  guide §4.4) that made every corpus vector pay the IVF cell
+  assignment, the IVF-PQ encode and the pair-cosine kernel twice
+  before round 16's fixes; marking the UDF non-deterministic is the
+  standing cure.  One adjudicated exception: ``dedup_embed``'s LSH
+  bucket signature is computed once per SIDE of the candidate
+  self-join — recomputing a vectorized matmul per side is the right
+  100 TB trade against materializing the n_tables-exploded corpus, so
+  that duplication is allowlisted at EXACTLY its two per-side nodes.
 
 Streaming gates are excluded: building their result executes the whole
 replay (they are covered by their own gates + parity tests), and their
@@ -33,23 +38,80 @@ import pytest
 FORBIDDEN = ("CartesianProduct", "BatchEvalPython")
 SF = "/root/testdata/sf0.001"
 
-# (query, udf name) pairs where a duplicated evaluation is adjudicated
-# as the correct scale trade (see module docstring)
-DUP_ALLOWED = {("dedup_embed", "_buckets")}
+# (query, udf name) -> exactly how many Python-eval nodes may carry the
+# same call: dedup_embed's LSH signature is recomputed once per SIDE of
+# the candidate self-join (2 nodes) — a 3rd would be a new §4.4 clone
+# and must fail the sweep again
+DUP_ALLOWED = {("dedup_embed", "_buckets"): 2}
 
-_UDF_CALL = re.compile(r"(\w+)\((?:[^()]|\([^()]*\))*\)#(\d+)")
+# nodes that evaluate Python: expression-hosted (ArrowEvalPython /
+# BatchEvalPython) AND the iterator forms — a cloned mapInPandas
+# subtree (the lm_buckets self-join failure mode) is the same defect
+_PY_NODES = ("ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+             "FlatMapGroupsInPandas", "MapInArrow")
+
+_UDF_OPEN = re.compile(r"(\w+)\(")
 
 
-def _duplicated_udfs(plan: str) -> set[str]:
-    """UDF names whose SAME call (name + result expr-id) is evaluated
-    by more than one Python-eval node in ``plan``."""
+def _udf_calls(s: str) -> set[tuple[str, str]]:
+    """``(name, result-expr-id)`` for every UDF call ``name(...)#id``
+    in a plan line, with a balanced-paren scan so arbitrarily nested
+    argument expressions cannot hide a call from the sweep."""
+    out: set[tuple[str, str]] = set()
+    for m in _UDF_OPEN.finditer(s):
+        depth, i = 1, m.end()
+        while i < len(s) and depth:
+            if s[i] == "(":
+                depth += 1
+            elif s[i] == ")":
+                depth -= 1
+            i += 1
+        if depth == 0 and s[i:i + 1] == "#":
+            tail = re.match(r"#(\d+)", s[i:])
+            if tail:
+                out.add((m.group(1), tail.group(1)))
+    return out
+
+
+def _duplicated_udfs(plan: str) -> dict[str, int]:
+    """UDF names (mapped to their node count) whose SAME call (name +
+    result expr-id) is evaluated by more than one Python-eval node in
+    ``plan``."""
     seen: dict[tuple[str, str], int] = {}
     for line in plan.splitlines():
         s = line.strip().lstrip("+-: ")
-        if s.startswith(("ArrowEvalPython", "BatchEvalPython")):
-            for call in set(_UDF_CALL.findall(s)):
+        if s.startswith(_PY_NODES):
+            for call in _udf_calls(s):
                 seen[call] = seen.get(call, 0) + 1
-    return {name for (name, _), n in seen.items() if n > 1}
+    return {name: n for (name, _), n in seen.items() if n > 1}
+
+
+def test_duplicated_udf_detector_mechanics():
+    """The detector itself: a cloned MapInPandas subtree (the
+    lm_buckets self-join failure mode) and a deeply-nested-argument
+    UDF call must both be caught; distinct expr-ids must not."""
+    clone = "\n".join([
+        "Project [a#1]",
+        "+- MapInPandas _score(cast(f(g(h(x#2))) as double))#7, [o#8]",
+        "   +- Scan parquet [x#2]",
+        "+- MapInPandas _score(cast(f(g(h(x#2))) as double))#7, [o#9]",
+        "   +- Scan parquet [x#2]",
+    ])
+    assert _duplicated_udfs(clone) == {"_score": 2}
+    # same name, DIFFERENT result expr-id = two legitimate calls
+    distinct = clone.replace("#7, [o#9]", "#11, [o#9]")
+    assert _duplicated_udfs(distinct) == {}
+    # expression-hosted nodes still covered, nesting depth 3+
+    arrow = "\n".join([
+        "+- ArrowEvalPython [_cos(q(r(s(t(v#3)))), w#4)#5], [p#6]",
+        "+- Filter p#6",
+        "   +- ArrowEvalPython [_cos(q(r(s(t(v#3)))), w#4)#5], [p#7]",
+    ])
+    assert _duplicated_udfs(arrow) == {"_cos": 2}
+    # the allowlist is an exact node count: 2 allowed means 3 flags
+    three = arrow + "\n+- ArrowEvalPython [_cos(q(r(s(t(v#3)))), w#4)#5], [p#8]"
+    assert _duplicated_udfs(three) == {"_cos": 3}
+    assert DUP_ALLOWED.get(("dedup_embed", "_buckets")) == 2
 
 
 @pytest.mark.slow
@@ -64,10 +126,10 @@ def test_no_cartesian_or_rowwise_python_in_any_plan(spark):
         df = fn(spark, SF)
         plan = df._jdf.queryExecution().executedPlan().toString()
         hits = [m for m in FORBIDDEN if m in plan]
-        dups = {u for u in _duplicated_udfs(plan)
-                if (name, u) not in DUP_ALLOWED}
+        dups = {u: n for u, n in _duplicated_udfs(plan).items()
+                if DUP_ALLOWED.get((name, u)) != n}
         if dups:
-            hits.append(f"duplicated UDF eval: {sorted(dups)}")
+            hits.append(f"duplicated UDF eval: {sorted(dups.items())}")
         if hits:
             violations[name] = hits
         checked += 1
