@@ -718,8 +718,12 @@ def duplicate_spans(
        interpreted per element and measured 8x slower at the sf1
        rehearsal (27 s vs 3.3 s for 2.4M grams); tokenization is
        ``_ws_tokens`` (ASCII ``\\s+``, matching ``F.split``);
-    2. grams appearing in ``>= min_docs`` DISTINCT documents survive
-       (one groupBy on the gram key — the only corpus shuffle);
+    2. grams appearing in ``>= min_docs`` DISTINCT documents survive —
+       one shuffle on the gram key, with the distinct-doc count
+       computed by two stacked windows on that single sort
+       (``row_number`` marks one row per (gram, doc); its per-gram sum
+       is the distinct count), so the gram stage has exactly ONE
+       consumer and the tokenize+md5 pass runs once;
     3. per document, consecutive duplicated gram positions merge into
        MAXIMAL spans with one window sessionization (the same
        lag/cumsum primitive as the run-length family).
@@ -762,17 +766,35 @@ def duplicate_spans(
                         " ".join(w[i:i + n]).encode()).hexdigest())
             yield pd.DataFrame({"doc_id": ids, "pos": pos, "gh": ghs})
 
-    # g feeds BOTH the dup groupBy and the join probe side; Spark
-    # reuses the shuffle exchange between them (ReusedExchange), so the
-    # tokenize+md5 pass runs ONCE without an explicit persist — caching
-    # the corpus-sized gram table was measured 3x SLOWER at sf1
-    # (materialization + memory pressure beat the reuse it duplicated)
+    # The old groupBy(gh)+join-back shape evaluated _grams TWICE: its
+    # two consumers compiled to non-identical subtrees (the
+    # count_distinct branch pruned/shuffled differently from the join
+    # probe side), no exchange was reusable, and AQE's stage cache
+    # does not unify the two MapInPandas stages either (verified with
+    # a row-count accumulator: 2x the corpus crossed the Python
+    # boundary; caught by the r17 plan-hygiene MapInPandas
+    # extension — the ReusedExchange claim that used to live here was
+    # wrong at the executed shape).  Restated join-free: one exchange
+    # on gh, then nd = "distinct docs per gram" via two stacked
+    # windows (row_number marks one row per (gh, doc); its sum over
+    # the gh partition is the distinct count — both run on the same
+    # gh sort, no extra exchange).  _grams is single-consumer BY
+    # CONSTRUCTION, so the tokenize+md5 corpus pass runs exactly once
+    # (guide §2.4/§4; cheaper than persist — the r16 sf1 measurement
+    # found caching the corpus-sized gram table 3x slower).  The
+    # window buffers spill (ExternalAppendOnlyUnsafeRowArray), so a
+    # hot boilerplate gram degrades to disk, not OOM — the same skew
+    # profile the join probe side already had.
     g = docs.select(id_col, text_col).mapInPandas(
         _grams, "doc_id long, pos int, gh string")
-    dup = (g.groupBy("gh")
-           .agg(F.count_distinct("doc_id").alias("nd"))
-           .filter(F.col("nd") >= min_docs))
-    d = g.join(dup.select("gh"), "gh")
+    wgd = Window.partitionBy("gh", "doc_id").orderBy("pos")
+    wg = Window.partitionBy("gh")
+    d = (g.withColumn(
+            "_first",
+            (F.row_number().over(wgd) == 1).cast("int"))
+         .withColumn("_nd", F.sum("_first").over(wg))
+         .filter(F.col("_nd") >= min_docs)
+         .select("doc_id", "pos"))
     w = Window.partitionBy("doc_id").orderBy("pos")
     d = (d.withColumn(
             "brk",
@@ -1336,15 +1358,22 @@ def connected_components(
         nb = (und.join(labels.select(F.col("id").alias("b"),
                                      F.col("c").alias("bc")), on="b")
               .groupBy("a").agg(F.min("bc").alias("nc")))
+        # the change flag rides the SAME join that builds the new
+        # labels (``nc < c`` is exactly "this node's label improved"),
+        # so the per-round convergence check is a filter-count over the
+        # freshly checkpointed round output instead of a second
+        # labels-vs-labels shuffle join (guide §2.4: remove shuffles
+        # outright) — one join + one exchange fewer per round
         new = (labels.join(nb.select(F.col("a").alias("id"), "nc"),
                            on="id", how="left")
-               .select("id", F.least(F.col("c"),
-                                     F.coalesce("nc", "c")).alias("c"))
+               .select("id",
+                       F.least(F.col("c"),
+                               F.coalesce("nc", "c")).alias("c"),
+                       F.coalesce(F.col("nc") < F.col("c"),
+                                  F.lit(False)).alias("_chg"))
                .localCheckpoint())
-        changed = (new.join(labels.select(F.col("id").alias("id"),
-                                          F.col("c").alias("oc")), on="id")
-                   .filter(F.col("c") != F.col("oc")).count())
-        labels = new
+        changed = new.filter("_chg").count()
+        labels = new.drop("_chg")
         if changed == 0:
             converged = True
             break
