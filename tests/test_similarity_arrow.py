@@ -195,3 +195,57 @@ def test_knn_bruteforce_batch_partial_topk_edges(spark):
     am = {key(r): (r["neighbor_id"], r["cos_sim"]) for r in a}
     bm = {key(r): (r["neighbor_id"], r["cos_sim"]) for r in b}
     assert am == bm and len(am) > 0
+
+
+def test_knn_bruteforce_query_collect_size_gate(spark):
+    """The batch scorer's driver collect is size-gated: a query frame
+    over ``broadcast_max_queries`` rows must take the pair-join path
+    (no unbounded collect, plan carries the join) and still return the
+    identical top-k."""
+    from xclim_spark.llm.similarity import knn_bruteforce
+
+    e = _emb_df(spark, n=50, dim=8, seed=7)
+    q = e.filter("vec_id % 5 = 0")  # 10 query rows
+
+    gated = knn_bruteforce(e, q, k=3, broadcast_max_queries=4)
+    plan = gated._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan, plan  # fell back to the pair join
+    assert "ArrowEvalPython" in plan, plan  # ...which scores per pair
+
+    batch = knn_bruteforce(e, q, k=3)  # default gate: batch path
+    bplan = batch._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in bplan, bplan
+
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    gm = {key(r): (r["neighbor_id"], r["cos_sim"])
+          for r in gated.collect()}
+    bm = {key(r): (r["neighbor_id"], r["cos_sim"])
+          for r in batch.collect()}
+    assert gm == bm and len(gm) == 30
+
+
+def test_knn_bruteforce_batch_null_embeddings(spark):
+    """NULL embeddings must not crash the batch kernel: a NULL corpus
+    vector scores NULL cos_sim (ordered after every real cosine), and
+    a NULL query vector ranks its candidates by neighbor id with NULL
+    scores — the Column path's NULL-cosine ordering."""
+    from xclim_spark.llm.similarity import knn_bruteforce
+
+    rows = [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, None),
+            (3, [0.5, 0.5]), (4, None)]
+    df = spark.createDataFrame(
+        rows, "vec_id LONG, embedding ARRAY<FLOAT>").repartition(3)
+
+    # NULL corpus vectors only surface when real candidates run out
+    out = knn_bruteforce(df, df.filter("vec_id = 0"), k=4).collect()
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    got = [(r["neighbor_id"], r["cos_sim"] is None)
+           for r in sorted(out, key=key)]
+    assert [n for n, _ in got] == [1, 3, 2, 4]
+    assert [isnull for _, isnull in got] == [False, False, True, True]
+
+    # NULL query vector: all candidates NULL-scored, ties by id ASC
+    outq = knn_bruteforce(df, df.filter("vec_id = 2"), k=3).collect()
+    gq = [(r["neighbor_id"], r["cos_sim"] is None)
+          for r in sorted(outq, key=key)]
+    assert gq == [(0, True), (1, True), (3, True)]

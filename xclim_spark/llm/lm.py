@@ -11,15 +11,25 @@ Scale design:
 
 * **Training is two groupBys** over the reference slice: unigram and
   bigram counts, both partial-aggregated map-side — the shuffles carry
-  ``(gram, count)``, never text.  The model LIVES AS DATAFRAMES; it is
-  never collected or broadcast (a web-scale bigram table outgrows any
-  driver), which is what separates this from the broadcast-dictionary
-  designs that stop scaling at a few GB of model.
-* **Scoring is three hash joins** on word keys (bigram, context
-  unigram, current-token unigram) plus one per-doc aggregation — the
-  standard shape for model-too-big-to-broadcast scoring.  The single
-  scalar pair (total token count, vocabulary size) attaches via a
-  broadcast of one row, the BM25 scalar-attach pattern.
+  ``(gram, count)``, never text.  The model LIVES AS DATAFRAMES until
+  scoring time.
+* **Scoring is size-gated** (:func:`lm_broadcast_model`): when the
+  model fits a worker-side broadcast (<= ``broadcast_max_rows`` gram
+  rows, default 2M) it is collected once and every document scores in
+  ONE ``mapInPandas`` pass — CCNet's own deployment shape (the KenLM
+  file ships to every worker).  Above the gate the honest
+  model-as-DataFrames path takes over: three hash joins on word keys
+  (bigram, context unigram, current-token unigram) plus one per-doc
+  aggregation — the standard shape for model-too-big-to-broadcast
+  scoring, with the scalar pair (total token count, vocabulary size)
+  attached via a one-row broadcast.  The 2M-row default is sized
+  against PER-PYTHON-WORKER amplification, not the driver: every
+  reused Python worker unpickles its own copy of the dicts, so
+  ``local[32]`` holds up to 32 copies — 2M short-string gram rows are
+  ~200-300 MB as Python dicts, which keeps even the 32-worker worst
+  case within a few GB of the 128 GB box while covering every
+  reference vocabulary the gates train.  Raise it only with matching
+  worker memory.
 * **Bucketing** (CCNet's head/middle/tail) is one global ``ntile``
   window ordered by ``(ppl, doc_id)`` — deterministic across engines
   and runs.
@@ -137,6 +147,11 @@ def lm_broadcast_model(
     if uni.count() + big.count() > max_rows:
         return None
     total, vocab = scalars.first()
+    if total is None:
+        # token-less reference corpus: sum(cu) over zero rows is NULL.
+        # Return None so auto mode falls back to the join path, which
+        # yields the degenerate-model NULL scores gracefully.
+        return None
     unid = {r[0]: r[1] for r in uni.collect()}
     bigd = {r[0]: r[1] for r in big.collect()}
     sc = uni.sparkSession.sparkContext

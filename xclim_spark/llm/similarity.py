@@ -109,6 +109,7 @@ def knn_bruteforce(
     vec_col: str = "embedding",
     broadcast_queries: bool = True,
     arrow: bool = True,
+    broadcast_max_queries: int = 8192,
 ) -> DataFrame:
     """Exact cosine top-k for each query vector.
 
@@ -125,21 +126,40 @@ def knn_bruteforce(
 
     With ``broadcast_queries=True`` (the contract's "queries are
     small" case) the arrow path does not materialize pairs at all: the
-    query block is a driver-collected closure literal, each corpus
-    vector crosses the Python boundary ONCE (not once per query), the
-    kernel scores it against every query with the same ascending-index
-    float64 accumulation as :func:`_seq_dot64` (bit-identical cosines),
-    and each task emits only its per-query top-k candidates — the final
-    rank shuffles ``n_tasks x n_queries x k`` candidate rows instead of
+    query block is a driver-collected closure literal (NOTE: the query
+    set is collected EAGERLY, at call time, not at action time), each
+    corpus vector crosses the Python boundary ONCE (not once per
+    query), the kernel scores it against every query with the same
+    ascending-index float64 accumulation as :func:`_seq_dot64`
+    (bit-identical cosines), and each task emits only its per-query
+    top-k candidates — the final rank shuffles
+    ``n_tasks x n_queries x k`` candidate rows instead of
     ``|corpus| x |queries|`` pairs carrying two vectors each.  Partial
     top-k per task then global top-k is exact because the ordering
     ``(cos DESC, neighbor_id ASC)`` is total and deterministic.
-    ``broadcast_queries=False`` keeps the pair-at-a-time join for query
-    sets too large to collect.
+
+    The collect is SIZE-GATED (same pattern as
+    ``lm_broadcast_model``): at most ``broadcast_max_queries`` query
+    rows are pulled to the driver; one row more and the call degrades
+    to the pair-join path instead of risking driver/worker memory (the
+    scoring kernel holds an (arrow-batch-rows x n_queries) float64
+    block per task, so 8192 queries x 10k-row batches is ~650 MB —
+    the ceiling of comfortable).  ``broadcast_queries=False`` skips
+    the collect entirely and keeps the pair-at-a-time join for query
+    sets known to be large.
+
+    A NULL embedding on either side scores NULL ``cos_sim`` (ordered
+    after every real cosine, ties by neighbor id) on both paths; a
+    ragged embedding (dimension mismatch) raises with a clear message
+    on the batch path.
     """
     if arrow and broadcast_queries:
-        return _knn_bruteforce_batch(
-            emb, queries, k, id_col=id_col, vec_col=vec_col)
+        batch = _knn_bruteforce_batch(
+            emb, queries, k, id_col=id_col, vec_col=vec_col,
+            max_queries=broadcast_max_queries)
+        if batch is not None:
+            return batch
+        broadcast_queries = False  # over the gate: degrade to the join
     if arrow:
         q = queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec"))
@@ -184,8 +204,12 @@ def _knn_bruteforce_batch(
     *,
     id_col: str,
     vec_col: str,
-) -> DataFrame:
+    max_queries: int = 8192,
+) -> DataFrame | None:
     """Pair-free brute-force top-k (see :func:`knn_bruteforce`).
+    Returns ``None`` when the query set exceeds ``max_queries`` rows,
+    so the caller can fall back to the pair-join path instead of
+    collecting an unbounded frame to the driver.
 
     Scoring reproduces the pair kernel bit for bit: the dot/norm
     accumulators advance in ascending array-index order in float64
@@ -197,10 +221,18 @@ def _knn_bruteforce_batch(
     at the Arrow boundary (the pair kernel this path replaced coerced
     identically), so the window's ``DESC NULLS LAST`` puts such pairs
     AFTER every real cosine — the selection keys NaN as ``-inf``
-    (ties by neighbor id) to match."""
+    (ties by neighbor id) to match.  A NULL embedding is a NaN row in
+    the kernel, which lands in the same NULLS-LAST regime the Column
+    path gave it."""
     from pyspark.sql.types import DoubleType, StructField, StructType
 
-    qrows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+    # size-gated collect: pull at most max_queries + 1 rows; one row
+    # over the gate means "too big to broadcast" and the caller keeps
+    # the join path (mirrors lm_broadcast_model's max_rows gate)
+    qrows = (queries.select(F.col(id_col), F.col(vec_col))
+             .limit(max_queries + 1).collect())
+    if len(qrows) > max_queries:
+        return None
     out_schema = StructType([
         StructField("query_id", queries.schema[id_col].dataType),
         StructField("neighbor_id", emb.schema[id_col].dataType),
@@ -213,9 +245,50 @@ def _knn_bruteforce_batch(
         return (empty.withColumn("rank", F.row_number().over(w))
                 .select("query_id", "neighbor_id", "cos_sim", "rank"))
     qids = [r[0] for r in qrows]
-    Qm = np.asarray([r[1] for r in qrows], dtype=np.float64)
+    qvecs = [r[1] for r in qrows]
+    qdims = {len(v) for v in qvecs if v is not None}
+    if len(qdims) > 1:
+        raise ValueError(
+            f"ragged query embeddings: lengths {sorted(qdims)} in "
+            f"column {vec_col!r}; all vectors must share one dimension")
+    dim = qdims.pop() if qdims else 0
+    # a NULL query embedding becomes a NaN row: every candidate scores
+    # NaN -> SQL NULL, ranked by neighbor id — the Column path's
+    # NULL-cosine ordering
+    Qm = np.full((len(qvecs), dim), np.nan)
+    for i, v in enumerate(qvecs):
+        if v is not None:
+            Qm[i] = v
     qn = np.sqrt(_seq_dot64(Qm, Qm))
-    n_q, dim = Qm.shape
+    n_q = len(qvecs)
+
+    def _f64_rows_nullable(vs):
+        if not dim:
+            # every query vector is NULL: all cosines are NaN whatever
+            # the corpus holds, so its values never need stacking
+            return np.zeros((len(vs), 0))
+        notna = vs.notna().to_numpy()
+        if notna.all():
+            try:
+                M = _f64_rows(vs)
+            except ValueError as exc:
+                raise ValueError(
+                    f"ragged corpus embeddings in column {vec_col!r}: "
+                    f"{exc}") from exc
+        else:
+            M = np.full((len(vs), dim), np.nan)
+            if notna.any():
+                try:
+                    M[notna] = _f64_rows(vs[notna])
+                except ValueError as exc:
+                    raise ValueError(
+                        f"ragged corpus embeddings in column "
+                        f"{vec_col!r}: {exc}") from exc
+        if dim and M.shape[1] != dim:
+            raise ValueError(
+                f"embedding dimension mismatch: corpus {M.shape[1]} "
+                f"vs queries {dim} in column {vec_col!r}")
+        return M
 
     def _topk(batches):
         sc: list = [[] for _ in range(n_q)]   # per-query candidate scores
@@ -224,7 +297,7 @@ def _knn_bruteforce_batch(
         for pdf in batches:
             if not len(pdf):
                 continue
-            N = _f64_rows(pdf[vec_col])
+            N = _f64_rows_nullable(pdf[vec_col])
             ids = pdf[id_col].to_numpy()
             nn = np.zeros(len(N))
             S = np.zeros((len(N), n_q))

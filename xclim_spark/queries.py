@@ -9003,9 +9003,13 @@ def stream_knn_ingest(spark, sf_dir):
         shutil.rmtree(idx_dir, ignore_errors=True)
 
     # ingest/batch identity: the accreted index must BE the batch
-    # encode, row for row
+    # encode, row for row.  localCheckpoint the batch encode so the
+    # count and the exceptAll read ONE materialization instead of each
+    # re-running the full corpus encode (centroid matmul + m argmins)
+    # — guide §1.2: don't compute the same pass twice
     bidx = pq_encode(e, books, centroids=cents) \
-        .select("vec_id", "pq_cell", "pq_codes")
+        .select("vec_id", "pq_cell", "pq_codes") \
+        .localCheckpoint(eager=True)
     n_idx, n_b = index.count(), bidx.count()
     n_diff = index.exceptAll(bidx).count()
     if n_idx != n_b or n_diff:
@@ -9249,12 +9253,15 @@ def text_lm_perplexity(spark, sf_dir):
     llm/lm.py): a bigram stupid-backoff model (Brants et al. 2007)
     trains on the clean reference slice (sources src0/src1 — two
     groupBys, counts shuffle, text doesn't), every document is scored
-    through three left hash joins against the model DATAFRAMES (the
-    web-scale model is never collected or broadcast) plus one scalar
-    broadcast, and the CCNet head/middle/tail split is a deterministic
-    ntile over (ppl, doc_id).  The oracle re-derives training, the
-    backoff CASE, and the bucketing in SQL; rounding before exp/ntile
-    keeps last-ulp float ordering engine-neutral."""
+    by the size-gated scorer — the model broadcasts to the workers
+    when it fits (<= 2M gram rows; one mapInPandas pass, CCNet's own
+    KenLM-to-every-worker deployment shape) and falls back to three
+    left hash joins against the model DATAFRAMES plus one scalar
+    broadcast when it doesn't — and the CCNet head/middle/tail split
+    is a deterministic ntile over (ppl, doc_id).  The oracle
+    re-derives training, the backoff CASE, and the bucketing in SQL;
+    rounding before exp/ntile keeps last-ulp float ordering
+    engine-neutral."""
     from .llm.lm import lm_buckets, lm_score, lm_train_counts
 
     d = _read(spark, sf_dir, "documents")
