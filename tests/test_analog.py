@@ -103,6 +103,7 @@ def test_kolmogorov_smirnov_identical_and_shifted():
     assert analog.kolmogorov_smirnov(x, y) > 0.8
 
 
+@pytest.mark.slow
 def test_kldiv_1d_normals_close_to_analytic():
     # D(N(0,1) || N(mu,1)) = mu^2/2; with mu=1 -> 0.5
     rng = np.random.RandomState(10)

@@ -18,6 +18,10 @@ import sys
 
 import pytest
 
+# examples run whole SparkSessions in subprocesses — minutes of wall
+# clock that belongs in the opt-in profile, not the driver's budget
+pytestmark = pytest.mark.slow
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 EXAMPLES = os.path.join(REPO, "examples")
 SF_SMALL = "/root/testdata/sf0.001"

@@ -547,6 +547,7 @@ def test_connected_components_long_chain_converges(spark):
     assert all(r["component"] == 0 for r in out) and len(out) == 13
 
 
+@pytest.mark.slow
 def test_connected_components_star_matches_minlabel(spark):
     """Large-star/small-star (Kiveris 2014) must produce exactly the
     same (id, component) map as min-label propagation on a mixed graph:
@@ -583,6 +584,7 @@ def test_connected_components_star_deep_chain_bounded_rounds(spark):
     assert rounds <= 12, rounds
 
 
+@pytest.mark.slow
 def test_connected_components_star_random_graph_matches(spark):
     """Randomized cross-check on a sparse random graph (seeded)."""
     import numpy as np
@@ -668,6 +670,7 @@ def test_minhash_lsh_jaccard_recall_measured(spark):
     assert recall >= 0.95, (recall, len(exact), len(found))
 
 
+@pytest.mark.slow
 def test_connected_components_fallback_on_deep_graph(spark):
     """A component deeper than the min-label round budget must not
     return partially-propagated labels: the loop falls back to the
@@ -1687,6 +1690,7 @@ def test_dedup_paragraphs(spark):
     assert got[4]["text"] == rows[4][1]          # byte-identical incl \n\n\n\n
 
 
+@pytest.mark.slow
 def test_knn_ivfpq_residual(spark):
     """IVFADC residual encoding: exact at generous parameters, and at
     TIGHT parameters residual codes beat (or match) plain codes on
@@ -2050,6 +2054,7 @@ def test_lm_threshold_buckets_track_ntile(spark):
         assert abs(ce[k] - ca[k]) <= 2, (ce, ca)
 
 
+@pytest.mark.slow
 def test_lm_buckets_matches_ntile(spark):
     """The single-window ntile arithmetic in lm_buckets reproduces the
     filter + F.ntile + self-join implementation row-for-row — over
@@ -2118,6 +2123,28 @@ def test_lm_score_arrow_matches_joins(spark):
     assert lm_broadcast_model(uni, big, sc, max_rows=3) is None
 
 
+def test_lm_score_degenerate_reference_model(spark):
+    """A token-less reference corpus trains a (NULL, 0) scalars row;
+    lm_broadcast_model must return None (not raise) so auto mode falls
+    back to the join path's graceful NULL scores."""
+    from xclim_spark.llm.lm import (
+        lm_broadcast_model, lm_score, lm_train_counts)
+
+    ref = spark.createDataFrame(
+        [(1, None), (2, "   ")], "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(10, "anything at all"), (11, None)],
+        "doc_id long, text string")
+    uni, big, sc = lm_train_counts(ref)
+    assert lm_broadcast_model(uni, big, sc) is None
+    out = {r["doc_id"]: (r["n_tokens"], r["avg_logprob"], r["ppl"])
+           for r in lm_score(docs, uni, big, sc).collect()}
+    # auto mode did not raise; every score is the join path's NULL
+    assert set(out) == {10, 11}
+    assert all(v[1] is None and v[2] is None for v in out.values())
+
+
+@pytest.mark.slow
 def test_exact_first_components_match_naive(spark):
     """The exact-dedup-first composition yields the SAME component
     partition as closing the naive pair graph — exact copies have
@@ -2158,6 +2185,7 @@ def test_exact_first_components_match_naive(spark):
     assert c == a
 
 
+@pytest.mark.slow
 def test_near_dup_components_default_is_exact_first(spark):
     """near_dup_components is the production front door: the default
     path must equal the exact-first composition, naive=True must equal

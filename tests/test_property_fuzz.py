@@ -10,6 +10,9 @@ import math
 
 import numpy as np
 import pytest
+
+# brute-force equivalence fuzzes: minutes of opt-in wall clock
+pytestmark = pytest.mark.slow
 from hypothesis import example, given, settings
 from hypothesis import strategies as st
 

@@ -651,6 +651,7 @@ def test_streaming_num_blocks_checkpoint_invariance(spark, tmp_path):
     _run(2, "nb_ck_resume")
 
 
+@pytest.mark.slow
 def test_streaming_spell_events_idle_timeout_flush(spark, tmp_path):
     """With timeout_ms set, a block that receives no data for that long
     must flush its open runs as closed events (no sentinel row needed)."""
