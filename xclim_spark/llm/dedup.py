@@ -774,11 +774,16 @@ def duplicate_spans(
     # a row-count accumulator: 2x the corpus crossed the Python
     # boundary; caught by the r17 plan-hygiene MapInPandas
     # extension — the ReusedExchange claim that used to live here was
-    # wrong at the executed shape).  Restated join-free: one exchange
+    # wrong at the executed shape).  Restated join-free: ONE exchange
     # on gh, then nd = "distinct docs per gram" via two stacked
-    # windows (row_number marks one row per (gh, doc); its sum over
-    # the gh partition is the distinct count — both run on the same
-    # gh sort, no extra exchange).  _grams is single-consumer BY
+    # windows sharing that single (gh, doc_id, pos) sort — a
+    # doc-boundary lag marks the first row of every (gh, doc) run
+    # (partitioning the marker window by gh, not (gh, doc_id), is what
+    # keeps it to one exchange: a (gh, doc_id)-partitioned row_number
+    # planned hashpartitioning(gh, doc_id) AND hashpartitioning(gh),
+    # two full gram-table shuffles — plans/r17
+    # dedup_substring_spans_{before,after}.txt), and its per-gh sum is
+    # the distinct-doc count.  _grams is single-consumer BY
     # CONSTRUCTION, so the tokenize+md5 corpus pass runs exactly once
     # (guide §2.4/§4; cheaper than persist — the r16 sf1 measurement
     # found caching the corpus-sized gram table 3x slower).  The
@@ -787,11 +792,13 @@ def duplicate_spans(
     # profile the join probe side already had.
     g = docs.select(id_col, text_col).mapInPandas(
         _grams, "doc_id long, pos int, gh string")
-    wgd = Window.partitionBy("gh", "doc_id").orderBy("pos")
+    wgo = Window.partitionBy("gh").orderBy("doc_id", "pos")
     wg = Window.partitionBy("gh")
+    prev_doc = F.lag("doc_id").over(wgo)
     d = (g.withColumn(
             "_first",
-            (F.row_number().over(wgd) == 1).cast("int"))
+            (prev_doc.isNull()
+             | (prev_doc != F.col("doc_id"))).cast("int"))
          .withColumn("_nd", F.sum("_first").over(wg))
          .filter(F.col("_nd") >= min_docs)
          .select("doc_id", "pos"))
