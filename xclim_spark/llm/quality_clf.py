@@ -17,14 +17,15 @@ Scale design:
 * **Training never shuffles text.**  One explode + one groupBy builds
   the exploded feature table ``(_id, _y, _idx, _x)`` ONCE, hash
   partitioned on the document id and persisted; each gradient-descent
-  epoch is then pure codegen over that layout — a per-document margin
-  aggregation (reuses the persisted partitioning), a co-partitioned
-  residual join, and ONE ``groupBy(idx)`` shuffle of
-  ``(feature, partial-gradient)`` rows — the counts-shuffle-not-text
-  shape shared with BPE training (tokenizer.py).  The driver only
-  ever collects the ``dim + 1`` gradient vector per epoch (the
-  k-means-centroid pattern; ``dim`` is a few thousand, never
-  corpus-sized).
+  epoch is then ONE pure-codegen pass over that layout — the
+  per-document margin is a window sum over the ``_id`` partition
+  (exchange-free on the persisted hash layout; the residual rides
+  every feature row of its document, no re-join, no second scan) —
+  plus ONE ``groupBy(idx)`` shuffle of ``(feature, partial-gradient)``
+  rows — the counts-shuffle-not-text shape shared with BPE training
+  (tokenizer.py).  The driver only ever collects the ``dim + 1``
+  gradient vector per epoch (the k-means-centroid pattern; ``dim`` is
+  a few thousand, never corpus-sized).
 * **The intercept is a hashed feature** (index ``dim``, x = 1.0), so
   the bias gradient rides the same single shuffle instead of needing a
   second aggregation pass per epoch.
@@ -169,11 +170,16 @@ def quality_clf_train(
     bit-level guarantee against adversarial inputs.
 
     Per epoch (all codegen — no interpreted higher-order functions in
-    the hot path): one per-document aggregation over the persisted
-    doc-partitioned feature table with the current weights as a plan
-    literal, one co-partitioned residual join, and one
+    the hot path): ONE pass over the persisted doc-partitioned feature
+    table — the per-document margin is a window sum over the ``_id``
+    partition (exchange-free on the persisted hash(_id) layout), the
+    residual rides every feature row of its document directly, and one
     ``groupBy(feature-idx)`` gradient combine whose ``dim + 1`` rows
-    are the only thing the driver sees."""
+    are the only thing the driver sees.  (The previous aggregate +
+    co-partitioned re-join shape scanned the cached feature table
+    TWICE per epoch and paid a driver-side residual broadcast; the
+    window restatement was measured 1.25x faster over the 10-epoch run
+    at sf0.1 with bit-identical weights — PLANS.md round 17.)"""
     feats = _doc_features(
         docs, text_col=text_col, id_col=id_col, label_col=label_col,
         dim=dim, bigrams=bigrams).persist()
@@ -182,25 +188,22 @@ def quality_clf_train(
         feats.unpersist()
         raise ValueError("quality_clf_train: no trainable documents "
                          "(all texts NULL or zero grams)")
+    from pyspark.sql import Window
+
+    wid = Window.partitionBy("_id")
     w = [0.0] * (dim + 1)
     try:
         for _ in range(epochs):
             wlit = F.lit(w)
-            # margin + residual: exchange-free (feats is persisted hash-
-            # partitioned on _id), pure codegen — no interpreted
-            # higher-order functions in the 10x-per-epoch hot path
-            resid = (feats.groupBy("_id")
-                     .agg(F.sum(F.col("_x")
-                                * F.element_at(wlit, F.col("_idx") + 1))
-                          .alias("_m"),
-                          F.first("_y").alias("_y"))
-                     .select("_id",
-                             (F.lit(1.0)
-                              / (F.lit(1.0) + F.exp(-F.col("_m")))
-                              - F.col("_y")).alias("_r")))
-            # co-partitioned join (same _id hash layout), then the only
-            # real shuffle of the epoch: dim+1 gradient partials
-            grad_rows = (feats.join(resid, "_id")
+            # margin as a window sum over the document's own feature
+            # rows: same float-sum tolerance class as the aggregate it
+            # replaces (per-epoch weights round to 9 decimals — the
+            # engine-replay contract above), then the only shuffle of
+            # the epoch: dim+1 gradient partials
+            m = F.sum(F.col("_x")
+                      * F.element_at(wlit, F.col("_idx") + 1)).over(wid)
+            r = (F.lit(1.0) / (F.lit(1.0) + F.exp(-m)) - F.col("_y"))
+            grad_rows = (feats.withColumn("_r", r)
                          .groupBy("_idx")
                          .agg(F.sum(F.col("_r") * F.col("_x"))
                               .alias("_g"))
