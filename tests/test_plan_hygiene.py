@@ -137,3 +137,27 @@ def test_no_cartesian_or_rowwise_python_in_any_plan(spark):
     assert not violations, violations
     # guard against the sweep silently checking nothing
     assert checked >= 160, checked
+
+
+def test_lm_join_fallback_single_tokenize_pass(spark):
+    """The over-budget LM scoring fallback (lm_score with
+    broadcast_model=False — three left hash joins against the model
+    tables) must tokenize/posexplode the corpus exactly ONCE and carry
+    no duplicated Python evaluation: the old lm_buckets self-join
+    consumed the scored subtree twice, and this is the machine check
+    that the join path (which the plan-hygiene sweep does not see —
+    the registered gate takes the broadcast path) stays single-pass.
+    The second documents scan in the plan is the token-less-doc
+    restore join and must be pruned to the id column."""
+    from pyspark.sql import functions as F
+
+    from xclim_spark.llm.lm import lm_buckets, lm_score, lm_train_counts
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    ref = d.where(F.col("source").isin("src0", "src1"))
+    uni, big, sc = lm_train_counts(ref)
+    out = lm_buckets(lm_score(d, uni, big, sc, broadcast_model=False))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Generate ") == 1, plan
+    assert _duplicated_udfs(plan) == {}
+    assert "CartesianProduct" not in plan
