@@ -1454,22 +1454,44 @@ def connected_components_star(
         ).collect()[0]
         return tuple(row)
 
+    # Both half-rounds used to aggregate m(u) with a groupBy and JOIN
+    # it back to the edge set — the edge table crossed the network
+    # twice per half-round (once into the aggregate, once as the join
+    # probe; both exchanges hash on the SAME key).  m(u) is a
+    # per-partition value, so a window min over the ``a`` partition
+    # attaches it in the one pass the edges already make (guide §2.4:
+    # a window keyed like the preceding aggregation needs no second
+    # shuffle).  No new skew class: the join probe already co-located
+    # every edge of a node on one partition; the window buffer spills
+    # where that partition is huge, exactly like the probe side did.
+    # A/B at the gate's own pair graph: identical edge sets every
+    # round, closure wall 1.75/1.57/1.30 -> 1.28/1.16/1.26 s
+    # (PLANS.md round 17).
     def _large_star(ed):
         und = ed.unionByName(
             ed.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        m = und.groupBy("a").agg(
-            F.least(F.col("a"), F.min("b")).alias("m"))
+        m = F.least(F.col("a"),
+                    F.min("b").over(Window.partitionBy("a")))
         # (v, m(u)) for v in N(u), v > u  ->  still a > b since m <= u < v
-        return (und.join(m, "a").filter(F.col("b") > F.col("a"))
+        return (und.withColumn("m", m)
+                .filter(F.col("b") > F.col("a"))
                 .select(F.col("b").alias("a"), F.col("m").alias("b"))
                 .filter(F.col("a") != F.col("b")).distinct())
 
     def _small_star(ed):
-        # ed is canonical (a > b): N^-(a) = {b}, m = min of it
-        m = ed.groupBy("a").agg(F.min("b").alias("m"))
-        return (ed.join(m, "a")
-                .select(F.col("b").alias("a"), F.col("m").alias("b"))
-                .unionByName(m.select("a", F.col("m").alias("b")))
+        # ed is canonical (a > b): N^-(a) = {b}, m = min of it; the
+        # one-row-per-node (a, m) branch of the old union is the
+        # row_number()==1 row of the same window partition, emitted by
+        # a 1-or-2 element explode so the edge set is read ONCE
+        m = F.min("b").over(Window.partitionBy("a"))
+        rn = F.row_number().over(Window.partitionBy("a").orderBy("b"))
+        ed2 = ed.withColumn("m", m).withColumn("_rn", rn)
+        pair = F.struct(F.col("b").alias("a"), F.col("m").alias("b"))
+        own = F.struct(F.col("a").alias("a"), F.col("m").alias("b"))
+        return (ed2.select(F.explode(
+                    F.when(F.col("_rn") == 1, F.array(pair, own))
+                    .otherwise(F.array(pair))).alias("_e"))
+                .select("_e.a", "_e.b")
                 .filter(F.col("a") != F.col("b")).distinct())
 
     sig = _sig(e)
