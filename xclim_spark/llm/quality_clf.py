@@ -103,19 +103,27 @@ def _doc_features(
 ) -> DataFrame:
     """Exploded per-document feature rows ``(_id, _y, _idx, _x)`` with
     the intercept appended as feature ``dim`` (x = 1.0).  Feature
-    values are gram counts / total grams.  The table is HASH
-    PARTITIONED ON the document id before persisting, so every epoch's
-    per-document margin aggregation reuses the persisted layout and
-    the residual-to-feature join is co-partitioned: at gate scale AQE
-    broadcasts the (small) residual side, at corpus scale it falls
-    back to an exchange-free sort-merge on the shared layout — either
-    way the feature table itself never reshuffles, and the only
-    per-epoch wide shuffle is the dim-sized gradient combine."""
+    values are gram counts / total grams.  The DOCUMENT rows are hash
+    partitioned on the id BEFORE tokenization: the one shuffle of the
+    build moves (id, label, text) rows — KB-scale next to the gram
+    rows it replaces — and everything downstream inherits the layout,
+    so (a) tokenize/hash/explode parallelize across the cluster even
+    when the scan is a single file, (b) the per-(doc, feature) count
+    aggregation is exchange-free (hash(_id) satisfies the (_id, _idx)
+    clustering), and (c) every epoch's per-document margin window
+    reuses the persisted partitioning.  The previous shape exploded
+    first and paid two gram-table-sized exchanges (the count groupBy
+    plus a trailing repartition) — measured 2.2-2.6 -> 1.2-1.3 s at
+    sf0.1 with a row-set-identical result and bit-identical trained
+    weights (PLANS.md round 17)."""
     grams = _gram_array(text_col, bigrams=bigrams)
     base = (docs
             .where(F.col(text_col).isNotNull())
             .select(F.col(id_col).alias("_id"),
                     F.col(label_col).cast("double").alias("_y"),
+                    F.col(text_col))
+            .repartition("_id")
+            .select("_id", "_y",
                     hashed_gram_indices(grams, dim).alias("_gi"))
             .where(F.size("_gi") >= 1)
             .select("_id", "_y", F.size("_gi").alias("_ng"),
@@ -128,14 +136,13 @@ def _doc_features(
               .agg(F.count(F.lit(1)).alias("_c"),
                    F.first("_y").alias("_y"),
                    F.first("_ng").alias("_ng")))
-    return (counts.select(
+    return counts.select(
         "_id", "_y",
         F.when(F.col("_idx") < 0, F.lit(dim)).otherwise(F.col("_idx"))
         .alias("_idx"),
         F.when(F.col("_idx") < 0, F.lit(1.0))
         .otherwise(F.col("_c").cast("double") / F.col("_ng"))
         .alias("_x"))
-        .repartition("_id"))
 
 
 def quality_clf_train(
